@@ -1,0 +1,52 @@
+"""Named-query registry backing __spark_entry__.py.
+
+Each operator from SURVEY.md §2 registers here as a (Spark callable,
+DuckDB oracle SQL) pair. The driver hash-compares the two at sf0.01;
+queries with no SQL-expressible semantics register oracle=None and get the
+weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # part of the bench.py headline suite
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), bench)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every plans submodule so all @query decorators run."""
+    from rwa_calculator_spark.plans import (  # noqa: F401
+        domain,
+        llm,
+        relational,
+        stats,
+        streaming_batch,
+        windows,
+    )
+
+    return REGISTRY

@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Reference behaviour being replaced: the Polars engine configured its lazy
+runtime per-collect (`engine/materialise.py`); in Spark the equivalent knobs
+are session-level. AQE is on so joins/skew re-plan at runtime; Arrow is on so
+any pandas exchange is vectorised; timezone pinned UTC so timestamps compare
+bit-for-bit against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def build_session(
+    app_name: str = "rwa_calculator_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Local-mode session tuned for the test/bench harness.
+
+    On a real cluster the same app code runs unchanged — only master/memory
+    configs differ; shuffle partitioning is AQE-coalesced either way.
+    """
+    cpus = default_parallelism()
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    sp = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
