@@ -1,0 +1,117 @@
+"""IRB capital formulas (Basel supervisory formula), backend-generic.
+
+Re-expresses the reference's pure-expression IRB kernel
+(ref engine/irb/formulas.py:571-925: `_correlation_expr_from_pd`,
+`_polars_capital_k_expr`, maturity adjustment) through the same V-node
+generator as functions/stats.py, so the Spark plan and the DuckDB oracle
+run identical arithmetic. All constants that are pure functions of other
+constants (e.g. 1 − e⁻⁵⁰) are folded in Python so both engines see the
+same literal.
+
+Formulas (public Basel III / CRR):
+  w  = (1 − e^(−50·PD)) / (1 − e^(−50))
+  R  = 0.12·w + 0.24·(1 − w)                      (corporate correlation)
+  b  = (0.11852 − 0.05478·ln PD)²                  (maturity slope)
+  MA = (1 + (M − 2.5)·b) / (1 − 1.5·b)
+  K  = LGD·Φ( (G(PD) + √R·G(0.999)) / √(1−R) ) − PD·LGD
+  RWA = K · MA · 12.5 · EAD
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.functions.stats import (
+    G_999,
+    SparkB,
+    SqlB,
+    V,
+    _exp,
+    _ln,
+    _sqrt,
+    _where,
+    norm_cdf_v,
+)
+
+_DENOM_50 = 1.0 - math.exp(-50.0)  # folded constant, identical both engines
+PD_FLOOR = 0.0003  # CRR Art. 160 corporate PD floor (ref engine/irb/formulas.py:191-205)
+
+
+def pd_floor_v(pd: V) -> V:
+    return _where(pd < PD_FLOOR, V(pd.b, pd.b.lit(PD_FLOOR)), pd)
+
+
+def correlation_v(pd: V) -> V:
+    w = (1.0 - _exp(-50.0 * pd)) / _DENOM_50
+    return 0.12 * w + 0.24 * (1.0 - w)
+
+
+def maturity_b_v(pd: V) -> V:
+    t = V(pd.b, pd.b.lit(0.11852)) - 0.05478 * _ln(pd)
+    return t * t
+
+
+def maturity_adj_v(pd: V, m: V) -> V:
+    b = maturity_b_v(pd)
+    return (1.0 + (m - 2.5) * b) / (1.0 - 1.5 * b)
+
+
+def capital_k_v(pd: V, lgd: V, g_pd: V) -> V:
+    """K given a precomputed G(PD) (so the SQL oracle can stage it in a CTE)."""
+    r = correlation_v(pd)
+    arg = (g_pd + _sqrt(r) * G_999) / _sqrt(1.0 - r)
+    return lgd * norm_cdf_v(arg) - pd * lgd
+
+
+# --- Spark Column surface --------------------------------------------------
+
+
+def irb_capital_k(pd: Column, lgd: Column, g_pd: Column) -> Column:
+    """Single-expression K. Prefer `with_irb_k` in plans: Φ textually repeats
+    its argument ~17× across the Cody branches, so inlining a large g_pd
+    tree multiplies Catalyst analysis cost; staging bounds it."""
+    return capital_k_v(V(SparkB, pd), V(SparkB, lgd), V(SparkB, g_pd)).v
+
+
+def irb_maturity_adj(pd: Column, m: Column) -> Column:
+    return maturity_adj_v(V(SparkB, pd), V(SparkB, m)).v
+
+
+def irb_pd_floor(pd: Column) -> Column:
+    return pd_floor_v(V(SparkB, pd)).v
+
+
+def with_irb_k(df, pd: str = "pd", lgd: str = "lgd", g_pd: str = "g_pd", out: str = "k"):
+    """Staged K: correlation and the Φ argument become real projection
+    columns (leaf references downstream), keeping every expression tree
+    small while computing bit-identical values to `capital_k_v` — column
+    staging never rounds. CollapseProject won't re-inline them because they
+    are non-cheap and multiply-referenced."""
+    from rwa_calculator_spark.functions.stats import normal_cdf
+
+    r = correlation_v(V(SparkB, F.col(pd))).v
+    df = df.withColumn("_irb_r", r)
+    arg = (F.col(g_pd) + F.sqrt(F.col("_irb_r")) * F.lit(G_999)) / F.sqrt(
+        F.lit(1.0) - F.col("_irb_r")
+    )
+    df = df.withColumn("_irb_arg", arg)
+    df = df.withColumn(out, F.col(lgd) * normal_cdf(F.col("_irb_arg")) - F.col(pd) * F.col(lgd))
+    return df.drop("_irb_r", "_irb_arg")
+
+
+# --- DuckDB SQL surface ----------------------------------------------------
+
+
+def sql_capital_k(pd: str, lgd: str, g_pd: str) -> str:
+    return capital_k_v(V(SqlB, pd), V(SqlB, lgd), V(SqlB, g_pd)).v
+
+
+def sql_maturity_adj(pd: str, m: str) -> str:
+    return maturity_adj_v(V(SqlB, pd), V(SqlB, m)).v
+
+
+def sql_pd_floor(pd: str) -> str:
+    return pd_floor_v(V(SqlB, pd)).v
