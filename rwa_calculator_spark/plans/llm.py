@@ -1,1 +1,580 @@
-"""Placeholder — populated in later milestones."""
+"""LLM training-data pipeline operators (BASELINE.json north star; SURVEY
+§7.1 step 9): dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+similarity search over embeddings (brute-force + LSH-bucketed), text
+analysis (language-ID, quality, tokens, fingerprints), multimodal plumbing.
+
+All implemented expression-first over documents/embeddings; the pairwise
+stages bound their candidate sets (LSH bands / shared-word thresholds) so
+the same plans hold at 100 TB — no all-pairs cross join anywhere except the
+explicitly-bounded query-vector × corpus product in brute-force ANN.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.functions.exact import scaled_sum, sql_scaled_sum
+from rwa_calculator_spark.functions.text import (
+    seeded_hash32,
+    sql_seeded_hash32,
+    sql_hash32,
+    hash32,
+)
+from rwa_calculator_spark.plans.registry import query
+from rwa_calculator_spark.sources.star import load_table
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dups
+    FROM documents GROUP BY lang
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash — hash-groupBy, the 100 TB-safe form of
+    dropDuplicates(text): only the 16-byte digest shuffles, not the text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram (word-set) Jaccard on bounded candidates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH ws AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_words FROM ws GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM ws a JOIN ws b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 20
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / CAST(sa.n_words + sb.n_words - i.n_common AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE)
+          / CAST(sa.n_words + sb.n_words - i.n_common AS DOUBLE) >= 0.6
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by word-set Jaccard. Candidate generation is
+    bounded (pairs sharing ≥20 distinct words) before the exact similarity —
+    the join is on the word posting list, never an all-pairs product."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
+    sizes = ws.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    a = ws.alias("a")
+    b = ws.alias("b")
+    inter = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= 20)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("sa.n_words") + F.col("sb.n_words") - F.col("n_common")).cast("double")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 16
+_BANDS = 4  # 4 rows per band
+
+
+def _sql_minhash_cols() -> str:
+    return ",\n               ".join(
+        f"min({sql_seeded_hash32(s, 'word')}) AS mh{s}" for s in range(_N_HASHES)
+    )
+
+
+def _sql_band_sig(b: int) -> str:
+    lo = b * (_N_HASHES // _BANDS)
+    return " || ':' || ".join(f"mh{i}" for i in range(lo, lo + _N_HASHES // _BANDS))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH ws AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), sigs AS (
+        SELECT doc_id,
+               {_sql_minhash_cols()}
+        FROM ws GROUP BY doc_id
+    ), bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_sql_band_sig(b)} AS sig FROM sigs" for b in range(_BANDS))}
+    ), buckets AS (
+        SELECT band_id, sig, count(*) AS bucket_size FROM bands GROUP BY 1, 2
+    )
+    SELECT band_id,
+           count(*) AS n_buckets,
+           sum(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END)::BIGINT AS n_collision_buckets,
+           sum(bucket_size * (bucket_size - 1) // 2)::BIGINT AS n_candidate_pairs
+    FROM buckets GROUP BY band_id
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 seeded hashes over the word set) banded 4×4
+    into LSH buckets (shingle→minhash→band→bucket). Reports per-band bucket
+    stats and candidate-pair counts; candidates are verified by
+    dedup_ngram_jaccard's exact pass. At scale only (band, sig) pairs
+    shuffle — signature width is constant per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
+    sigs = ws.groupBy("doc_id").agg(
+        *[F.min(seeded_hash32(s, F.col("word"))).alias(f"mh{s}") for s in range(_N_HASHES)]
+    )
+    rows_per_band = _N_HASHES // _BANDS
+    band_frames = []
+    for b in range(_BANDS):
+        sig = F.concat_ws(
+            ":", *[F.col(f"mh{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        )
+        band_frames.append(
+            sigs.select("doc_id", F.lit(b).alias("band_id"), sig.alias("sig"))
+        )
+    bands = reduce(lambda x, y: x.union(y), band_frames)
+    buckets = bands.groupBy("band_id", "sig").agg(F.count("*").alias("bucket_size"))
+    return buckets.groupBy("band_id").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("bucket_size") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_collision_buckets"
+        ),
+        F.sum(F.floor(F.col("bucket_size") * (F.col("bucket_size") - 1) / 2))
+        .cast("long")
+        .alias("n_candidate_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 32
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), h AS (
+        SELECT doc_id, lang, {sql_hash32('word')} AS hw FROM w
+    ), bits AS (
+        SELECT doc_id, lang,
+               {", ".join(f"sum(CASE WHEN (hw & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS b{j}" for j in range(_SIM_BITS))}
+        FROM h GROUP BY doc_id, lang
+    ), sim AS (
+        SELECT doc_id, lang,
+               ({" + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIM_BITS))})::BIGINT AS simhash
+        FROM bits
+    )
+    SELECT lang, count(*) AS n_docs, count(DISTINCT simhash) AS n_distinct,
+           min(simhash) AS min_sim, max(simhash) AS max_sim
+    FROM sim GROUP BY lang
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-bit ±1 votes over (multiset) word
+    hashes, majority → bit. Pure conditional aggregation — no explode of
+    bit positions, 32 map-side-combined sums per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    h = w.select("doc_id", "lang", hash32(F.col("word")).alias("hw"))
+    bits = h.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(
+                F.when(F.col("hw").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(_SIM_BITS)
+        ]
+    )
+    simhash = reduce(
+        lambda acc, j: acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0),
+        range(1, _SIM_BITS),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(0),
+    ).cast("long")
+    sim = bits.select("doc_id", "lang", simhash.alias("simhash"))
+    return sim.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("simhash").alias("n_distinct"),
+        F.min("simhash").alias("min_sim"),
+        F.max("simhash").alias("max_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = [
+    ("en", "the"), ("en", "a"), ("en", "of"),
+    ("de", "der"), ("de", "und"), ("fr", "le"), ("fr", "et"),
+    ("es", "el"), ("es", "y"), ("zh", "de"),
+]
+_SQL_STOPWORDS = "(VALUES " + ", ".join(f"('{l}', '{w}')" for l, w in _STOPWORDS) + ") AS sw(sw_lang, sw_word)"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), votes AS (
+        SELECT w.doc_id, w.lang, sw.sw_lang, count(*) AS n_hits
+        FROM w JOIN {_SQL_STOPWORDS} ON w.word = sw.sw_word
+        GROUP BY 1, 2, 3
+    ), best AS (
+        SELECT doc_id, lang, sw_lang AS predicted
+        FROM votes
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY n_hits DESC, sw_lang) = 1
+    ), labelled AS (
+        SELECT d.lang, coalesce(b.predicted, 'und') AS predicted
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    )
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM labelled GROUP BY 1, 2
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: stopword votes per language, argmax with
+    deterministic tiebreak, 'und' when no stopword hits. Output is the
+    confusion matrix against the labelled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = spark.createDataFrame(_STOPWORDS, "sw_lang string, sw_word string")
+    w = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    votes = (
+        w.join(F.broadcast(sw), w.word == sw.sw_word)
+        .groupBy("doc_id", "lang", "sw_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    win = W.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), F.col("sw_lang"))
+    best = (
+        votes.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("sw_lang").alias("predicted"))
+    )
+    labelled = d.join(best, "doc_id", "left").select(
+        "lang", F.coalesce("predicted", F.lit("und")).alias("predicted")
+    )
+    return labelled.groupBy("lang", "predicted").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '(^| )(the|a|of)( |$)')) AS BIGINT) AS n_stop,
+               CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+        FROM documents
+    ), scored AS (
+        SELECT lang, n_words, n_chars, mean_word_len,
+               CASE WHEN n_words < 20 THEN 'too_short'
+                    WHEN mean_word_len < 3.0 THEN 'low_density'
+                    WHEN n_stop = 0 THEN 'no_function_words'
+                    ELSE 'ok' END AS quality_bucket
+        FROM feats
+    )
+    SELECT lang, quality_bucket, count(*) AS n_docs,
+           {sql_scaled_sum('mean_word_len', 4)} AS total_mwl
+    FROM scored GROUP BY 1, 2
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / word-density / function-word heuristics
+    bucketed per doc (the shape of pretraining quality filters)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = F.regexp_count("text", F.lit("(^| )(the|a|of)( |$)")).cast("long")
+    mwl = (n_chars - n_words + 1).cast("double") / n_words.cast("double")
+    feats = d.select(
+        "lang",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_stop.alias("n_stop"),
+        mwl.alias("mean_word_len"),
+    )
+    bucket = (
+        F.when(F.col("n_words") < 20, "too_short")
+        .when(F.col("mean_word_len") < 3.0, "low_density")
+        .when(F.col("n_stop") == 0, "no_function_words")
+        .otherwise("ok")
+    )
+    return feats.select("lang", bucket.alias("quality_bucket"), "mean_word_len").groupBy(
+        "lang", "quality_bucket"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        scaled_sum(F.col("mean_word_len"), 4).alias("total_mwl"),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT lang,
+           sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')))::BIGINT AS bpe_ish_tokens,
+           sum(length(text))::BIGINT AS n_chars,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (alnum runs / single non-alnum) — the standard corpus-size accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("ws_tokens"),
+        F.sum(F.regexp_count("text", F.lit("[a-z0-9]+|[^a-z0-9 ]"))).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, pos, {sql_hash32("substr(text, CAST(pos AS INTEGER), 8)")} AS h
+        FROM documents, LATERAL unnest(range(1, length(text) - 6)) AS t(pos)
+    ), winnow AS (
+        SELECT doc_id, pos, h,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               count(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM grams
+    )
+    SELECT doc_id, max(n_grams)::BIGINT AS n_grams,
+           count(DISTINCT wmin) AS n_fingerprints
+    FROM winnow WHERE pos <= n_grams - 3
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: 8-char-gram rolling hashes, window
+    w=4 minima, distinct minima = fingerprint set (Schleimer et al. 2003,
+    the MOSS scheme). Expression + window only; the gram explode is bounded
+    by doc length."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("pos"),
+    ).select("doc_id", "pos", hash32(F.expr("substring(text, pos, 8)")).alias("h"))
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    cnt = W.partitionBy("doc_id")
+    winnow = grams.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(win).alias("wmin"),
+        F.count("*").over(cnt).alias("n_grams"),
+    )
+    return (
+        winnow.where(F.col("pos") <= F.col("n_grams") - 3)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.countDistinct("wmin").alias("n_fingerprints"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+from rwa_calculator_spark.operators.similarity import (  # noqa: E402
+    spark_dot,
+    spark_lsh_bucket,
+    sql_dot,
+    sql_lsh_bucket,
+)
+
+_TOPK = 5
+_N_PLANES = 8
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    pairs AS (
+        SELECT q.qid, c.vec_id AS cid,
+               {sql_dot('q.qv', 'c.embedding')} AS dot,
+               {sql_dot('q.qv', 'q.qv')} AS nq2,
+               {sql_dot('c.embedding', 'c.embedding')} AS nc2
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id <> q.qid
+    ), scored AS (
+        SELECT qid, cid, round(dot / sqrt(nq2 * nc2), 12) AS cosine
+        FROM pairs
+    )
+    SELECT qid, cid, rank, round(cosine, 9) AS cosine FROM (
+        SELECT qid, cid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= {_TOPK}
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact-baseline for ANN. The query set
+    is broadcast against the corpus (never corpus × corpus); scoring is an
+    unrolled 64-term codegen'd chain; top-k is a per-query window rank.
+    At 100 TB the corpus side stays partitioned and only k rows per query
+    survive the rank filter."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("cid") != F.col("qid"))
+    dot = spark_dot(F.col("qv"), F.col("cv"))
+    nq2 = spark_dot(F.col("qv"), F.col("qv"))
+    nc2 = spark_dot(F.col("cv"), F.col("cv"))
+    scored = pairs.select(
+        "qid", "cid", F.round(dot / F.sqrt(nq2 * nc2), 12).alias("cosine")
+    )
+    win = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= _TOPK)
+        .select("qid", "cid", "rank", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+@query(
+    "ann_lsh_bucket",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {sql_lsh_bucket('embedding', 8)} AS bucket
+        FROM embeddings
+    ), q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+    pairs AS (
+        SELECT q.qid, c.vec_id AS cid, q.bucket,
+               {sql_dot('q.qv', 'c.embedding')} AS dot,
+               {sql_dot('q.qv', 'q.qv')} AS nq2,
+               {sql_dot('c.embedding', 'c.embedding')} AS nc2
+        FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.qid
+    ), scored AS (
+        SELECT qid, cid, bucket, round(dot / sqrt(nq2 * nc2), 12) AS cosine FROM pairs
+    )
+    SELECT qid, cid, bucket, rank, round(cosine, 9) AS cosine FROM (
+        SELECT qid, cid, bucket, cosine,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): 8 random-hyperplane sign bits →
+    256 buckets; candidates only within the query's bucket, then exact
+    cosine re-rank. The bucket column is a plain equi-join key, so at scale
+    this is one shuffle on a low-cardinality key instead of a cross join.
+    Hyperplanes are plan-time literal constants — identical in the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", spark_lsh_bucket(F.col("embedding"), _N_PLANES).alias("bucket")
+    )
+    q = b.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("bucket").alias("cbucket"))
+    pairs = c.join(F.broadcast(q), (F.col("bucket") == F.col("cbucket")) & (F.col("cid") != F.col("qid")))
+    dot = spark_dot(F.col("qv"), F.col("cv"))
+    nq2 = spark_dot(F.col("qv"), F.col("qv"))
+    nc2 = spark_dot(F.col("cv"), F.col("cv"))
+    scored = pairs.select(
+        "qid", "cid", "bucket", F.round(dot / F.sqrt(nq2 * nc2), 12).alias("cosine")
+    )
+    win = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("qid", "cid", "bucket", "rank", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+from rwa_calculator_spark.operators.multimodal import (  # noqa: E402
+    documents_as_binary,
+    extract_features,
+)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(text) AS BIGINT) AS first_byte
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the real mapInPandas
+    pipeline (operators/multimodal.py): documents modelled as opaque utf-8
+    payloads + typed metadata, features out as narrow columns. The decode
+    step proper is a clearly-marked stub; byte length and first byte are
+    oracle-checkable, the checksum is covered by unit tests."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_binary(d))
+    return feats.select("doc_id", "n_bytes", "first_byte")

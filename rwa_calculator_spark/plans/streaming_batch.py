@@ -1,1 +1,144 @@
-"""Placeholder — populated in later milestones."""
+"""Event-time windowing over the events table (SURVEY §2.12 — new surface;
+the reference is pure batch).
+
+These are the *batch* analogues of the Structured Streaming pipelines in
+rwa_calculator_spark/streaming/windows.py — same operators (F.window,
+F.session_window, dropDuplicates), run on the bounded table so the DuckDB
+oracle can pin them. tests/test_streaming.py proves the streaming execution
+of the same pipelines (readStream → watermark → window → memory sink)
+produces these exact results.
+
+Window starts are emitted as epoch seconds (BIGINT) — timezone-proof across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.functions.exact import scaled_sum, sql_scaled_sum
+from rwa_calculator_spark.plans.registry import query
+from rwa_calculator_spark.sources.star import load_table
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / 3600.0) * 3600 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {sql_scaled_sum('value', 2)} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+    bench=True,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows via F.window (epoch-aligned)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), scaled_sum(F.col("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT CAST(floor(epoch(e.ts) / 1800.0) * 1800 - k.k * 1800 AS BIGINT) AS window_start,
+               e.event_type, e.value
+        FROM events e CROSS JOIN (VALUES (0), (1)) AS k(k)
+    )
+    SELECT window_start, event_type, count(*) AS n_events,
+           {sql_scaled_sum('value', 2)} AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour / 30 min slide): every event lands in two
+    windows; F.window enumerates them (the oracle derives both starts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), scaled_sum(F.col("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events, {sql_scaled_sum('value', 2)} AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionisation with a 30-minute gap via F.session_window (the oracle
+    re-derives sessions with the lag/cumsum formulation — the two must
+    agree exactly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), scaled_sum(F.col("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    WITH dd AS (
+        SELECT DISTINCT user_id, event_type,
+               CAST(floor(epoch(ts) / 3600.0) * 3600 AS BIGINT) AS bucket
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_after_dedup FROM dd GROUP BY event_type
+    """,
+    tags=("streaming",),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked-dedup analogue: dropDuplicates on (user, type, hour) —
+    in streaming this is dropDuplicates within the watermark; the batch
+    semantics are identical on bounded data."""
+    ev = load_table(spark, sf_dir, "events")
+    dd = ev.select(
+        "user_id",
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long").alias("bucket"),
+    ).dropDuplicates(["user_id", "event_type", "bucket"])
+    return dd.groupBy("event_type").agg(F.count("*").alias("n_after_dedup"))

@@ -1,0 +1,33 @@
+"""Runtime plumbing helpers."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Any Pandas-UDF / mapInPandas closure that references package functions
+    needs the module importable on the worker, regardless of the driver
+    process's cwd/sys.path (the round driver may import __spark_entry__.py
+    from anywhere). Zipping once per SparkContext is idempotent; on a real
+    cluster this is the standard --py-files deployment expressed at runtime.
+    """
+    ctx_id = spark.sparkContext.applicationId
+    if ctx_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # rebuild per process so a stale zip never ships edited-but-unshipped code
+    zip_base = os.path.join(tempfile.gettempdir(), f"rwa_calculator_spark_pkg_{os.getpid()}")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "rwa_calculator_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(ctx_id)
