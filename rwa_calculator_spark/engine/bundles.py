@@ -1,0 +1,63 @@
+"""Typed bundles of DataFrames passed stage→stage (ref contracts/bundles.py
+RawDataBundle and friends — frozen dataclasses of frames; the pattern is
+engine-agnostic and ports verbatim to Spark DataFrames).
+
+Every frame is lazy; bundles carry no data, only plans. `persist_edges`
+in the pipeline reproduces the reference's stage-edge materialisation as
+localCheckpoint/persist (SURVEY §4: re-computation avoidance, lineage
+truncation under 960-deep when-chains).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class RawBundle:
+    """Sealed input tables (ref contracts/bundles.py:139-255)."""
+
+    counterparties: DataFrame
+    loans: DataFrame
+    contingents: Optional[DataFrame] = None
+    collateral: Optional[DataFrame] = None
+    collateral_links: Optional[DataFrame] = None
+    guarantees: Optional[DataFrame] = None
+    org_mappings: Optional[DataFrame] = None
+    model_permissions: Optional[DataFrame] = None
+
+
+@dataclass(frozen=True)
+class HierarchyOutput:
+    """Unified, enriched exposures (ref RESOLVED_HIERARCHY_SCHEMA)."""
+
+    exposures: DataFrame  # one row per exposure, counterparty attrs joined
+
+
+@dataclass(frozen=True)
+class ClassifiedOutput:
+    exposures: DataFrame  # + exposure_class, is_defaulted, group_exposure
+
+
+@dataclass(frozen=True)
+class CRMOutput:
+    exposures: DataFrame  # + ead, secured_amount, effective RW inputs
+
+
+@dataclass(frozen=True)
+class CalcOutput:
+    """Per-exposure results ledger (ref CALCULATION_OUTPUT_SCHEMA, 162 cols —
+    here the load-bearing subset)."""
+
+    results: DataFrame
+
+
+@dataclass(frozen=True)
+class AggregatedOutput:
+    results: DataFrame
+    summary_by_class: DataFrame
+    summary_by_approach: DataFrame
+    portfolio: DataFrame

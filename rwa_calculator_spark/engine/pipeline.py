@@ -1,0 +1,53 @@
+"""Pipeline orchestration (ref engine/pipeline.py + orchestrator.py:
+fold a context through the fixed stage list, materialising each edge).
+
+Spark differences, deliberately (SURVEY §4):
+- no eager stage-edge collect — Spark has no plan-depth crash; instead
+  `persist_edges` optionally localCheckpoints the two reused edges
+  (classified exposures feed both calculators; results feed the floor's
+  scalar agg AND the uplift join), reproducing the reference's
+  re-computation-avoidance win (−31.5% runtime, docs/perf/baseline) without
+  serialising anything to the driver;
+- the SA/IRB branch split is two filters over one persisted parent — the
+  reference's collect_all([sa, irb, slotting]) becomes 'persist the parent,
+  let both branches read it'.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from rwa_calculator_spark.engine.bundles import AggregatedOutput, RawBundle
+from rwa_calculator_spark.engine.rulepack import CRR_PACK, RulePack
+from rwa_calculator_spark.engine.stages.aggregate import run_aggregate
+from rwa_calculator_spark.engine.stages.calculators import run_irb, run_sa
+from rwa_calculator_spark.engine.stages.classify import run_classify
+from rwa_calculator_spark.engine.stages.crm import run_crm
+from rwa_calculator_spark.engine.stages.hierarchy import run_hierarchy
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    pack: RulePack = CRR_PACK
+    persist_edges: bool = False  # True on large runs: checkpoint reused edges
+
+
+def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> AggregatedOutput:
+    config = config or PipelineConfig()
+
+    h = run_hierarchy(raw)
+    classified = run_classify(h, config.pack)
+    crm = run_crm(raw, classified, config.pack)
+
+    exposures = crm.exposures
+    if config.persist_edges:
+        exposures = exposures.localCheckpoint(eager=False)
+        from rwa_calculator_spark.engine.bundles import CRMOutput
+
+        crm = CRMOutput(exposures=exposures)
+
+    sa = run_sa(crm, config.pack)
+    irb = run_irb(crm, config.pack)
+    return run_aggregate(sa, irb, config.pack)

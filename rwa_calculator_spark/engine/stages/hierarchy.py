@@ -1,0 +1,80 @@
+"""Hierarchy stage: unify exposure sources, enrich with counterparty
+attributes, resolve the org hierarchy (ref engine/stages/hierarchy/*:
+unify.py diagonal_relaxed concat, enrich.py left joins, graph.py walks).
+
+Scale posture: the exposure union is columnar and shuffle-free; the
+counterparty enrich joins on counterparty_reference (broadcast when the dim
+fits, shuffle-hash otherwise — AQE decides); hierarchy resolution is the
+iterative broadcast-join from operators/graph (edge tables are tiny
+relative to facts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.engine.bundles import HierarchyOutput, RawBundle
+from rwa_calculator_spark.operators.graph import resolve_ultimate_parent_iterative
+
+
+def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
+    loans = raw.loans.select(
+        F.col("loan_reference").alias("exposure_reference"),
+        F.lit("loan").alias("exposure_type"),
+        "counterparty_reference",
+        F.coalesce("drawn_amount", F.lit(0.0)).alias("drawn_amount"),
+        F.lit(0.0).alias("undrawn_amount"),
+        F.lit(None).cast("string").alias("risk_bucket"),
+        F.coalesce(F.col("is_defaulted"), F.lit(False)).alias("is_defaulted"),
+        F.col("pd"),
+        F.col("lgd"),
+        F.col("effective_maturity"),
+    )
+    frames = [loans]
+    if raw.contingents is not None:
+        frames.append(
+            raw.contingents.select(
+                F.col("contingent_reference").alias("exposure_reference"),
+                F.lit("contingent").alias("exposure_type"),
+                "counterparty_reference",
+                F.lit(0.0).alias("drawn_amount"),
+                F.coalesce("nominal_amount", F.lit(0.0)).alias("undrawn_amount"),
+                F.col("risk_bucket"),
+                F.coalesce(F.col("is_defaulted"), F.lit(False)).alias("is_defaulted"),
+                F.col("pd"),
+                F.col("lgd"),
+                F.col("effective_maturity"),
+            )
+        )
+    exposures = frames[0]
+    for f in frames[1:]:
+        exposures = exposures.unionByName(f, allowMissingColumns=True)
+
+    cp = raw.counterparties.select(
+        "counterparty_reference",
+        "entity_type",
+        F.col("cqs").cast("int").alias("cqs"),
+        F.coalesce("is_managed_as_retail", F.lit(False)).alias("is_managed_as_retail"),
+        F.coalesce("annual_revenue", F.lit(0.0)).alias("annual_revenue"),
+        F.coalesce("has_irb_permission", F.lit(False)).alias("has_irb_permission"),
+    )
+    enriched = exposures.join(F.broadcast(cp), "counterparty_reference", "left")
+
+    if raw.org_mappings is not None:
+        up = resolve_ultimate_parent_iterative(
+            raw.org_mappings.select(
+                F.col("child_reference").alias("child"), F.col("parent_reference").alias("parent")
+            )
+        ).select(
+            F.col("node").alias("counterparty_reference"),
+            F.col("ultimate_parent").alias("group_reference"),
+        )
+        enriched = enriched.join(F.broadcast(up), "counterparty_reference", "left")
+        enriched = enriched.withColumn(
+            "group_reference", F.coalesce("group_reference", "counterparty_reference")
+        )
+    else:
+        enriched = enriched.withColumn("group_reference", F.col("counterparty_reference"))
+
+    return HierarchyOutput(exposures=enriched)

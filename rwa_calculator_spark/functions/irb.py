@@ -89,16 +89,18 @@ def with_irb_k(df, pd: str = "pd", lgd: str = "lgd", g_pd: str = "g_pd", out: st
     columns (leaf references downstream), keeping every expression tree
     small while computing bit-identical values to `capital_k_v` — column
     staging never rounds. CollapseProject won't re-inline them because they
-    are non-cheap and multiply-referenced."""
-    from rwa_calculator_spark.functions.stats import normal_cdf
+    are non-cheap and multiply-referenced. Expressions ship as parsed SQL
+    strings (one py4j call each — see SparkSqlB)."""
+    from rwa_calculator_spark.functions.stats import SparkSqlB, spark_expr_normal_cdf
 
-    r = correlation_v(V(SparkB, F.col(pd))).v
-    df = df.withColumn("_irb_r", r)
+    df = df.withColumn("_irb_r", F.expr(correlation_v(V(SparkSqlB, pd)).v))
     arg = (F.col(g_pd) + F.sqrt(F.col("_irb_r")) * F.lit(G_999)) / F.sqrt(
         F.lit(1.0) - F.col("_irb_r")
     )
     df = df.withColumn("_irb_arg", arg)
-    df = df.withColumn(out, F.col(lgd) * normal_cdf(F.col("_irb_arg")) - F.col(pd) * F.col(lgd))
+    df = df.withColumn(
+        out, F.col(lgd) * spark_expr_normal_cdf("_irb_arg") - F.col(pd) * F.col(lgd)
+    )
     return df.drop("_irb_r", "_irb_arg")
 
 

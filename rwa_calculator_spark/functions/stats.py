@@ -81,6 +81,18 @@ class SqlB:
         return f"(CASE WHEN {c} THEN {a} ELSE {b} END)"
 
 
+class SparkSqlB(SqlB):
+    """Spark-SQL text backend: like SqlB but literals carry the D suffix so
+    they parse as DOUBLE (plain decimal literals are DECIMAL in Spark SQL).
+    Emitting one F.expr(<string>) instead of thousands of py4j Column calls
+    cuts plan-construction time for the big kernels from seconds to ~ms —
+    the Catalyst expressions are identical either way."""
+
+    @staticmethod
+    def lit(v):
+        return repr(float(v)) + "D"
+
+
 class PyB:
     """Eager float backend — for constants and scipy-free validation.
     Only valid for inputs where every branch payload is finite."""
@@ -324,14 +336,21 @@ def normal_ppf(col: Column) -> Column:
 
 def with_normal_ppf(df, p: str, out: str):
     """Staged Φ⁻¹: the Acklam seed becomes a projection column so every
-    downstream expression tree stays small. Bit-identical to `normal_ppf`
-    (column staging never rounds)."""
-    df = df.withColumn("_ppf_x0", acklam_raw_v(V(SparkB, F.col(p))).v)
-    refined = halley_step_v(V(SparkB, F.col("_ppf_x0")), V(SparkB, F.col(p))).v
+    downstream expression tree stays small; expressions are shipped as
+    single SQL strings (SparkSqlB) so plan construction is one py4j call.
+    Bit-identical to `normal_ppf` (column staging never rounds; the parsed
+    expressions are the same Catalyst nodes)."""
+    df = df.withColumn("_ppf_x0", F.expr(acklam_raw_v(V(SparkSqlB, p)).v))
+    refined = F.expr(halley_step_v(V(SparkSqlB, "_ppf_x0"), V(SparkSqlB, p)).v)
     df = df.withColumn(
         out, F.when((F.col(p) > 0.0) & (F.col(p) < 1.0), refined)
     )
     return df.drop("_ppf_x0")
+
+
+def spark_expr_normal_cdf(var: str) -> Column:
+    """Φ as a single parsed SQL expression over a simple column reference."""
+    return F.expr(norm_cdf_v(V(SparkSqlB, var)).v)
 
 
 def sql_normal_cdf(var: str) -> str:

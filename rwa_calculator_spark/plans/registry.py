@@ -44,6 +44,7 @@ def load_all() -> dict[str, QuerySpec]:
         domain,
         llm,
         relational,
+        rwa,
         stats,
         streaming_batch,
         windows,

@@ -1,0 +1,259 @@
+"""End-to-end RWA pipeline as driver-checked queries.
+
+The star schema is mapped deterministically onto the engine's input bundle
+(customers→counterparties, orders→loans, lineitem→contingents, a derived
+org hierarchy), then the REAL engine stages run — hierarchy → classify →
+CRM(CCF) → SA/IRB → aggregate — and the oracle SQL re-derives the whole
+computation independently in DuckDB. This is the reference's acceptance-test
+shape (SURVEY §5.3: an independent engine computes the same numbers),
+applied to the entire pipeline rather than single operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.engine.bundles import RawBundle
+from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+from rwa_calculator_spark.engine.rulepack import CRR_PACK
+from rwa_calculator_spark.functions.exact import sql_scaled_sum
+from rwa_calculator_spark.functions.irb import sql_capital_k, sql_maturity_adj
+from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
+from rwa_calculator_spark.plans.registry import query
+from rwa_calculator_spark.sources.star import load_table
+
+
+def _star_bundle(spark: SparkSession, sf_dir: str, irb: bool) -> RawBundle:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    entity = (
+        F.when(F.col("c_mktsegment") == "FURNITURE", "individual")
+        .when(F.col("c_mktsegment") == "BUILDING", "institution")
+        .when(F.col("c_mktsegment") == "HOUSEHOLD", "sovereign")
+        .otherwise("corporate")
+    )
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        entity.alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        (F.col("c_mktsegment") == "FURNITURE").alias("is_managed_as_retail"),
+        (F.col("c_acctbal") * 10000.0).alias("annual_revenue"),
+        (F.lit(irb) & (F.col("c_custkey") % 3 == 0)).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        ((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 13 == 0)).alias("is_defaulted"),
+        ((1 + F.col("o_orderkey") % 200).cast("double") / F.lit(1000.0)).alias("pd"),
+        (F.lit(0.25) + (F.col("o_orderkey") % 3).cast("double") * 0.15).alias("lgd"),
+        (F.lit(1.0) + (F.col("o_orderkey") % 9).cast("double") / 2.0).alias("effective_maturity"),
+    )
+    cont = (
+        li.where(F.col("l_linenumber") == 1)
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("K"), F.col("l_orderkey")).alias("contingent_reference"),
+            F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+            F.col("l_extendedprice").alias("nominal_amount"),
+            F.when(F.col("l_returnflag") == "A", "full_risk")
+            .when(F.col("l_returnflag") == "N", "medium_risk")
+            .otherwise("medium_low_risk")
+            .alias("risk_bucket"),
+            F.lit(False).alias("is_defaulted"),
+            F.lit(None).cast("double").alias("pd"),
+            F.lit(None).cast("double").alias("lgd"),
+            F.lit(None).cast("double").alias("effective_maturity"),
+        )
+    )
+    org = c.where(F.col("c_custkey") >= 7).select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("child_reference"),
+        F.concat(F.lit("CP"), F.floor(F.col("c_custkey") / 7).cast("long")).alias(
+            "parent_reference"
+        ),
+    )
+    return RawBundle(counterparties=cps, loans=loans, contingents=cont, org_mappings=org)
+
+
+# Shared oracle CTEs: the star→bundle mapping + hierarchy + classify + EAD.
+_SQL_BASE = """
+    WITH RECURSIVE cps AS (
+        SELECT c_custkey AS cp_key,
+               CASE WHEN c_mktsegment = 'FURNITURE' THEN 'individual'
+                    WHEN c_mktsegment = 'BUILDING' THEN 'institution'
+                    WHEN c_mktsegment = 'HOUSEHOLD' THEN 'sovereign'
+                    ELSE 'corporate' END AS entity_type,
+               CAST(c_custkey % 7 AS INTEGER) AS cqs,
+               (c_mktsegment = 'FURNITURE') AS is_managed_as_retail,
+               c_acctbal * 10000.0 AS annual_revenue,
+               ({irb_flag}) AS has_irb_permission
+        FROM customer
+    ), edges AS (
+        SELECT c_custkey AS child, c_custkey // 7 AS parent FROM customer WHERE c_custkey >= 7
+    ), walk AS (
+        SELECT child AS node, parent AS anc, 1 AS depth FROM edges
+        UNION ALL
+        SELECT w.node, e.parent, w.depth + 1 FROM walk w JOIN edges e ON w.anc = e.child
+    ), up AS (
+        SELECT node, anc AS group_key FROM walk
+        QUALIFY row_number() OVER (PARTITION BY node ORDER BY depth DESC) = 1
+    ), loans AS (
+        SELECT 'L' || o_orderkey AS exposure_reference, o_custkey AS cp_key,
+               o_totalprice AS drawn_amount, CAST(0.0 AS DOUBLE) AS undrawn_amount,
+               CAST(NULL AS VARCHAR) AS risk_bucket,
+               (o_orderstatus = 'F' AND o_orderkey % 13 = 0) AS is_defaulted,
+               CAST(1 + o_orderkey % 200 AS DOUBLE) / 1000.0 AS pd,
+               0.25 + CAST(o_orderkey % 3 AS DOUBLE) * 0.15 AS lgd,
+               1.0 + CAST(o_orderkey % 9 AS DOUBLE) / 2.0 AS m
+        FROM orders
+    ), conts AS (
+        SELECT 'K' || l.l_orderkey AS exposure_reference, o.o_custkey AS cp_key,
+               CAST(0.0 AS DOUBLE) AS drawn_amount, l.l_extendedprice AS undrawn_amount,
+               CASE WHEN l.l_returnflag = 'A' THEN 'full_risk'
+                    WHEN l.l_returnflag = 'N' THEN 'medium_risk'
+                    ELSE 'medium_low_risk' END AS risk_bucket,
+               FALSE AS is_defaulted,
+               CAST(NULL AS DOUBLE) AS pd, CAST(NULL AS DOUBLE) AS lgd,
+               CAST(NULL AS DOUBLE) AS m
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linenumber = 1
+    ), exposures AS (
+        SELECT * FROM loans UNION ALL SELECT * FROM conts
+    ), enriched AS (
+        SELECT e.*, c.entity_type, c.cqs, c.is_managed_as_retail, c.annual_revenue,
+               c.has_irb_permission,
+               coalesce(u.group_key, e.cp_key) AS group_key
+        FROM exposures e
+        JOIN cps c ON e.cp_key = c.cp_key
+        LEFT JOIN up u ON e.cp_key = u.node
+    ), grouped AS (
+        SELECT *,
+               sum(CAST(round((drawn_amount + undrawn_amount) * 100.0, 0) AS BIGINT))
+                   OVER (PARTITION BY group_key) / CAST(100 AS DOUBLE) AS group_exposure
+        FROM enriched
+    ), classified AS (
+        SELECT *,
+               CASE WHEN entity_type = 'sovereign' THEN 'sovereign'
+                    WHEN entity_type = 'institution' THEN 'institution'
+                    WHEN (entity_type = 'individual' OR is_managed_as_retail)
+                         AND group_exposure <= 1000000.0 THEN 'retail'
+                    ELSE 'corporate' END AS exposure_class
+        FROM grouped
+    ), with_ead AS (
+        SELECT *,
+               drawn_amount + coalesce(hc.ccf, 1.0) * undrawn_amount AS ead
+        FROM classified
+        LEFT JOIN (VALUES ('full_risk', CAST(1.0 AS DOUBLE)), ('medium_risk', CAST(0.5 AS DOUBLE)),
+                          ('medium_low_risk', CAST(0.2 AS DOUBLE)), ('low_risk', CAST(0.0 AS DOUBLE)))
+               AS hc(bucket, ccf) ON classified.risk_bucket = hc.bucket
+    )
+"""
+
+_SQL_SA_RW = """(VALUES
+    ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
+    ('sovereign', 3, CAST(0.5 AS DOUBLE)), ('sovereign', 4, CAST(1.0 AS DOUBLE)),
+    ('sovereign', 5, CAST(1.0 AS DOUBLE)), ('sovereign', 6, CAST(1.5 AS DOUBLE)),
+    ('sovereign', 0, CAST(1.0 AS DOUBLE)),
+    ('institution', 1, CAST(0.2 AS DOUBLE)), ('institution', 2, CAST(0.5 AS DOUBLE)),
+    ('institution', 3, CAST(0.5 AS DOUBLE)), ('institution', 4, CAST(1.0 AS DOUBLE)),
+    ('institution', 5, CAST(1.0 AS DOUBLE)), ('institution', 6, CAST(1.5 AS DOUBLE)),
+    ('institution', 0, CAST(0.5 AS DOUBLE)),
+    ('corporate', 1, CAST(0.2 AS DOUBLE)), ('corporate', 2, CAST(0.5 AS DOUBLE)),
+    ('corporate', 3, CAST(1.0 AS DOUBLE)), ('corporate', 4, CAST(1.0 AS DOUBLE)),
+    ('corporate', 5, CAST(1.5 AS DOUBLE)), ('corporate', 6, CAST(1.5 AS DOUBLE)),
+    ('corporate', 0, CAST(1.0 AS DOUBLE))
+) AS rwt(rw_class, rw_cqs, rw)"""
+
+
+@query(
+    "rwa_pipeline_sa",
+    oracle=_SQL_BASE.format(irb_flag="FALSE") + f"""
+    , with_rw AS (
+        SELECT w.*,
+               CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END AS risk_weight,
+               CASE WHEN w.exposure_class = 'corporate' AND w.annual_revenue > 0
+                         AND w.annual_revenue <= 50000000 THEN 0.7619 ELSE 1.0 END AS sf
+        FROM with_ead w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+    )
+    SELECT exposure_class, count(*) AS n_exposures,
+           {sql_scaled_sum('ead', 2)} AS total_ead,
+           {sql_scaled_sum('(ead * risk_weight) * sf', 2)} AS total_rwa
+    FROM with_rw GROUP BY exposure_class
+    """,
+    tags=("rwa", "pipeline"),
+    bench=True,
+)
+def rwa_pipeline_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SA pipeline through the engine (hierarchy → classify → CCF →
+    SA RW chain → summaries), oracle re-derived end-to-end in DuckDB."""
+    bundle = _star_bundle(spark, sf_dir, irb=False)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    return out.summary_by_class
+
+
+@query(
+    "rwa_pipeline_irb",
+    oracle=_SQL_BASE.format(irb_flag="c_custkey % 3 = 0") + f"""
+    , routed AS (
+        SELECT *,
+               CASE WHEN is_defaulted THEN 1.0
+                    ELSE greatest(coalesce(pd, 1.0), 0.0003) END AS pd_f,
+               greatest(coalesce(lgd, 0.45), 0.0) AS lgd_f,
+               least(greatest(coalesce(m, 2.5), 1.0), 5.0) AS m_eff
+        FROM with_ead
+    ), sa_branch AS (
+        SELECT w.exposure_class, w.ead,
+               ((w.ead * (CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END))
+                * (CASE WHEN w.exposure_class = 'corporate' AND w.annual_revenue > 0
+                         AND w.annual_revenue <= 50000000 THEN 0.7619 ELSE 1.0 END)) AS rwa
+        FROM routed w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+        WHERE NOT w.has_irb_permission
+    ), irb_perf AS (
+        SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM routed
+        WHERE has_irb_permission AND pd_f < 1.0
+    ), irb_g AS (
+        SELECT exposure_class, ead, pd_f, lgd_f, m_eff,
+               {sql_halley_step('x0', 'pd_f')} AS g_pd
+        FROM irb_perf
+    ), irb_k AS (
+        SELECT exposure_class, ead,
+               {sql_capital_k('pd_f', 'lgd_f', 'g_pd')} AS k,
+               {sql_maturity_adj('pd_f', 'm_eff')} AS ma
+        FROM irb_g
+    ), irb_branch AS (
+        SELECT exposure_class, ead, ead * ((k * ma) * 12.5) AS rwa FROM irb_k
+        UNION ALL
+        SELECT exposure_class, ead, ead * 0.0 AS rwa FROM routed
+        WHERE has_irb_permission AND pd_f >= 1.0
+    ), unioned AS (
+        SELECT 'SA' AS approach, * FROM sa_branch
+        UNION ALL
+        SELECT 'IRB' AS approach, * FROM irb_branch
+    )
+    SELECT approach, count(*) AS n_exposures,
+           {sql_scaled_sum('ead', 2)} AS total_ead,
+           {sql_scaled_sum('rwa', 2)} AS total_rwa
+    FROM unioned GROUP BY approach
+    """,
+    tags=("rwa", "pipeline", "tolerant"),
+    bench=True,
+)
+def rwa_pipeline_irb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SA+IRB pipeline with approach routing and the staged IRB K
+    formula, summarised by approach; oracle mirrors every stage in SQL."""
+    bundle = _star_bundle(spark, sf_dir, irb=True)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    return out.summary_by_approach

@@ -22,7 +22,7 @@ from rwa_calculator_spark.functions.irb import (
     with_irb_k,
 )
 from rwa_calculator_spark.functions.stats import (
-    normal_cdf,
+    spark_expr_normal_cdf,
     sql_acklam_raw,
     sql_halley_step,
     sql_normal_cdf,
@@ -66,7 +66,7 @@ def normal_cdf_ppf(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = with_normal_ppf(base, "p", "ppf_raw")
     return staged.select(
         "nationkey",
-        F.round(normal_cdf(F.col("x")), 12).alias("cdf_val"),
+        F.round(spark_expr_normal_cdf("x"), 12).alias("cdf_val"),
         F.round(F.col("ppf_raw"), 9).alias("ppf_val"),
     )
 
@@ -120,7 +120,7 @@ def irb_capital_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     All expression-level: 1M-row throughput target per BASELINE (≈300 ms)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
 
     pd_raw = (
         F.when(F.col("o_orderpriority") == "1-URGENT", 0.0001)
@@ -138,19 +138,32 @@ def irb_capital_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.when(F.col("l_linestatus") == "O", 2.5).otherwise(1.0).cast("double")
 
-    base = j.select(
-        "o_orderpriority",
-        "l_returnflag",
-        "l_linestatus",
-        irb_pd_floor(pd_raw).alias("pd"),
-        lgd.alias("lgd"),
-        m.alias("m"),
-        F.col("l_extendedprice").alias("ead"),
+    # dictionary evaluation, combos from the band *sources* (three tiny
+    # 1-column distincts crossed to ≤30 rows) so the fact side is scanned
+    # exactly once — the whole Φ⁻¹/Φ cost lands on 30 rows and the facts
+    # only probe a broadcast. Bit-identical to per-row evaluation.
+    combos = (
+        o.select("o_orderpriority").distinct()
+        .crossJoin(li.select("l_returnflag").distinct())
+        .crossJoin(li.select("l_linestatus").distinct())
+        .select(
+            "o_orderpriority",
+            "l_returnflag",
+            "l_linestatus",
+            irb_pd_floor(pd_raw).alias("pd"),
+            lgd.alias("lgd"),
+            m.alias("m"),
+        )
     )
-    staged = with_normal_ppf(base, "pd", "g_pd")
-    staged = with_irb_k(staged, "pd", "lgd", "g_pd", "k")
-    enriched = staged.withColumn(
-        "ma", irb_maturity_adj(F.col("pd"), F.col("m"))
+    combos = with_normal_ppf(combos, "pd", "g_pd")
+    combos = with_irb_k(combos, "pd", "lgd", "g_pd", "k")
+    combos = combos.withColumn("ma", irb_maturity_adj(F.col("pd"), F.col("m"))).drop("g_pd")
+
+    fact = j.select(
+        "o_orderpriority", "l_returnflag", "l_linestatus", F.col("l_extendedprice").alias("ead")
+    )
+    enriched = fact.join(
+        F.broadcast(combos), ["o_orderpriority", "l_returnflag", "l_linestatus"]
     ).select("o_orderpriority", "l_returnflag", "l_linestatus", "ead", "k", "ma")
     return enriched.groupBy("o_orderpriority", "l_returnflag", "l_linestatus").agg(
         F.round(F.min("k"), 8).alias("k_value"),
