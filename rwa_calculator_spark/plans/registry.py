@@ -45,6 +45,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         relational,
         rwa,
+        scalars,
         stats,
         streaming_batch,
         windows,

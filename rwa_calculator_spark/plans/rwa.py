@@ -257,3 +257,59 @@ def rwa_pipeline_irb(spark: SparkSession, sf_dir: str) -> DataFrame:
     bundle = _star_bundle(spark, sf_dir, irb=True)
     out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
     return out.summary_by_approach
+
+
+@query(
+    "dual_framework_delta",
+    oracle=_SQL_BASE.format(irb_flag="FALSE") + f"""
+    , with_rw AS (
+        SELECT w.*,
+               CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END AS risk_weight,
+               CASE WHEN w.exposure_class = 'corporate' AND w.annual_revenue > 0
+                         AND w.annual_revenue <= 50000000 THEN 0.7619 ELSE 1.0 END AS sf_crr
+        FROM with_ead w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+    ), crr AS (
+        SELECT exposure_class, {sql_scaled_sum('(ead * risk_weight) * sf_crr', 2)} AS rwa_crr
+        FROM with_rw GROUP BY exposure_class
+    ), b31 AS (
+        SELECT exposure_class, {sql_scaled_sum('(ead * risk_weight) * 1.0', 2)} AS rwa_b31
+        FROM with_rw GROUP BY exposure_class
+    )
+    SELECT coalesce(c.exposure_class, b.exposure_class) AS exposure_class,
+           c.rwa_crr, b.rwa_b31,
+           round(coalesce(b.rwa_b31, 0.0) - coalesce(c.rwa_crr, 0.0), 2) AS delta
+    FROM crr c FULL OUTER JOIN b31 b ON c.exposure_class = b.exposure_class
+    """,
+    tags=("rwa", "comparison"),
+)
+def dual_framework_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-framework comparison: the full pipeline run under BOTH regime
+    packs (CRR vs Basel 3.1), per-class results full-joined on a coalesced
+    key with delta attribution (ref analysis/comparison.py DualFrameworkRunner,
+    :337,504 — the reference's regime-delta workflow). The visible delta at
+    this slice is the removed SME supporting factor."""
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+
+    bundle = _star_bundle(spark, sf_dir, irb=False)
+    crr = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    b31 = run_pipeline(bundle, PipelineConfig(pack=B31_PACK, persist_edges=True))
+    c = crr.summary_by_class.select(
+        "exposure_class", F.col("total_rwa").alias("rwa_crr")
+    )
+    b = b31.summary_by_class.select(
+        F.col("exposure_class").alias("b_class"), F.col("total_rwa").alias("rwa_b31")
+    )
+    j = c.join(b, c.exposure_class == F.col("b_class"), "full")
+    return j.select(
+        F.coalesce("exposure_class", "b_class").alias("exposure_class"),
+        "rwa_crr",
+        "rwa_b31",
+        F.round(
+            F.coalesce("rwa_b31", F.lit(0.0)) - F.coalesce("rwa_crr", F.lit(0.0)), 2
+        ).alias("delta"),
+    )

@@ -46,3 +46,37 @@ def test_stream_dedup_matches_batch(spark, sf_dir):
     )
     want = _rows(REGISTRY["stream_dedup"].fn(spark, sf_dir))
     assert got == want
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    """applyInPandasWithState accumulates per-user state; final update-mode
+    emissions must equal the batch groupBy aggregates."""
+    from rwa_calculator_spark.sources.star import load_table
+    from rwa_calculator_spark.streaming.stateful import running_user_totals
+    from rwa_calculator_spark.streaming.windows import read_events_stream
+
+    q = (
+        running_user_totals(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # latest emission per user (single micro-batch here → the only one)
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6), round(r.max_value, 6))
+        for r in spark.table("t_state").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, round(r.t, 6), round(r.m, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"), F.max("value").alias("m"))
+        .collect()
+    }
+    assert got == want
