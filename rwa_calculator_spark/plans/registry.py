@@ -41,6 +41,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), benc
 def load_all() -> dict[str, QuerySpec]:
     """Import every plans submodule so all @query decorators run."""
     from rwa_calculator_spark.plans import (  # noqa: F401
+        ccr,
         domain,
         llm,
         relational,

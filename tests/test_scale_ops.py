@@ -1,0 +1,64 @@
+"""Scale-posture operators: salting must be a pure physical rewrite
+(bit-identical results); bucketed joins must plan without an Exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.operators.bucketing import bucketed_join, write_bucketed
+from rwa_calculator_spark.operators.skew import explode_salt_join, salted_sum
+from rwa_calculator_spark.sources.star import load_table
+
+
+def test_salted_sum_bit_identical(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_orderkey: r.total
+        for r in li.groupBy("l_orderkey")
+        .agg(
+            (F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")) / 100.0).alias(
+                "total"
+            )
+        )
+        .collect()
+    }
+    salted = {
+        r.l_orderkey: r.total
+        for r in salted_sum(li, ["l_orderkey"], F.col("l_extendedprice"), "total").collect()
+    }
+    assert plain == salted  # exact equality, not approx
+
+
+def test_explode_salt_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey", "left").agg(
+        F.count("*").alias("n"), F.sum(F.round("o_totalprice", 0).cast("long")).alias("s")
+    ).collect()[0]
+    salted = explode_salt_join(li, o, "l_orderkey").agg(
+        F.count("*").alias("n"), F.sum(F.round("o_totalprice", 0).cast("long")).alias("s")
+    ).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "t_li_bucketed", "l_orderkey", n_buckets=8)
+    write_bucketed(o, "t_o_bucketed", "l_orderkey", n_buckets=8)
+    # disable auto-broadcast: at real scale both sides are too big for it —
+    # the point of bucketing is a shuffle-free sort-merge join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_li_bucketed", "t_o_bucketed", "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
