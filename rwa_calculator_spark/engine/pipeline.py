@@ -32,6 +32,11 @@ from rwa_calculator_spark.engine.stages.hierarchy import run_hierarchy
 class PipelineConfig:
     pack: RulePack = CRR_PACK
     persist_edges: bool = False  # True on large runs: checkpoint reused edges
+    # Dictionary-evaluate the IRB K kernel on distinct (PD, LGD, M) combos.
+    # Right when parameters are banded (rating master scales — the usual
+    # case); switch off for continuous parameters, where distinct ≈ rows
+    # and per-row evaluation is cheaper.
+    irb_dictionary: bool = True
 
 
 def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> AggregatedOutput:
@@ -49,5 +54,5 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         crm = CRMOutput(exposures=exposures)
 
     sa = run_sa(crm, config.pack)
-    irb = run_irb(crm, config.pack)
+    irb = run_irb(crm, config.pack, dictionary=config.irb_dictionary)
     return run_aggregate(sa, irb, config.pack)

@@ -92,7 +92,7 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     return CalcOutput(results=out)
 
 
-def run_irb(crm: CRMOutput, pack: RulePack) -> CalcOutput:
+def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutput:
     exp = crm.exposures.where(F.col("has_irb_permission"))
     exp = exp.withColumn(
         "pd_floored",
@@ -108,16 +108,19 @@ def run_irb(crm: CRMOutput, pack: RulePack) -> CalcOutput:
 
     perf = exp.where(F.col("pd_floored") < 1.0)
 
-    # dictionary evaluation: K/MA are driven by (PD, LGD, M) which is
-    # low-cardinality (banded inputs); compute once per combo, broadcast
-    # back — bit-identical to per-row evaluation (operators/dictionary.py)
     def _k_ma(dims):
         dims = with_normal_ppf(dims, "pd_floored", "g_pd")
         dims = with_irb_k(dims, "pd_floored", "lgd_floored", "g_pd", "k")
         dims = dims.withColumn("ma", irb_maturity_adj(F.col("pd_floored"), F.col("m_eff")))
         return dims.drop("g_pd")
 
-    perf = dictionary_apply(perf, ["pd_floored", "lgd_floored", "m_eff"], _k_ma)
+    if dictionary:
+        # dictionary evaluation: K/MA computed once per distinct
+        # (PD, LGD, M) combo, broadcast back — bit-identical to per-row
+        # evaluation; right for banded master scales
+        perf = dictionary_apply(perf, ["pd_floored", "lgd_floored", "m_eff"], _k_ma)
+    else:
+        perf = _k_ma(perf)
     perf = perf.withColumn("risk_weight", F.col("k") * F.col("ma") * 12.5)
 
     # defaulted under IRB: RW from max(0, 12.5·(LGD − EL_BE)) — simplified
