@@ -1,0 +1,240 @@
+"""Remaining reference-surface queries: provisions offset, CIU look-through,
+settlement risk, embedding-cosine near-dup (SURVEY §1.4 tables provisions /
+ciu_holdings / failed_trades; BASELINE.json dedup list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.functions.exact import scaled_sum, sql_scaled_sum
+from rwa_calculator_spark.operators.similarity import (
+    spark_dot,
+    spark_lsh_bucket,
+    sql_dot,
+    sql_lsh_bucket,
+)
+from rwa_calculator_spark.plans.registry import query
+from rwa_calculator_spark.sources.star import load_table
+
+
+@query(
+    "provisions_offset",
+    oracle=f"""
+    WITH provisions AS (
+        SELECT o_custkey,
+               {sql_scaled_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.02 ELSE 0.0 END", 2)} AS provision_pool
+        FROM orders GROUP BY o_custkey
+    ), exposures AS (
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice AS ead,
+               o.o_totalprice / nullif(
+                   sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT))
+                       OVER (PARTITION BY o.o_custkey) / CAST(100 AS DOUBLE), 0) AS share
+        FROM orders o
+    )
+    SELECT count(*) AS n_exposures,
+           {sql_scaled_sum('e.ead', 2)} AS total_ead,
+           {sql_scaled_sum('greatest(e.ead - p.provision_pool * e.share, 0.0)', 2)} AS total_ead_net
+    FROM exposures e JOIN provisions p ON e.o_custkey = p.o_custkey
+    """,
+    tags=("domain", "provisions"),
+)
+def provisions_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IFRS9 provision offset: a per-obligor provision pool allocated
+    pro-rata over the obligor's exposures and netted from EAD
+    (ref provisions table schemas.py:916 + engine/crm/processor.py SCRA
+    offset; the allocation kernel shape of engine/kernels/allocation.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    provisions = o.groupBy("o_custkey").agg(
+        scaled_sum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice") * 0.02).otherwise(0.0), 2
+        ).alias("provision_pool")
+    )
+    w = W.partitionBy("o_custkey")
+    denom = F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).over(w) / F.lit(100.0)
+    exposures = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").alias("ead"),
+        (F.col("o_totalprice") / F.nullif(denom, F.lit(0.0))).alias("share"),
+    )
+    j = exposures.join(provisions, "o_custkey")
+    net = F.greatest(F.col("ead") - F.col("provision_pool") * F.col("share"), F.lit(0.0))
+    return j.agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead"), 2).alias("total_ead"),
+        scaled_sum(net, 2).alias("total_ead_net"),
+    )
+
+
+@query(
+    "ciu_lookthrough",
+    oracle=f"""
+    WITH holdings AS (
+        SELECT o.o_orderkey AS fund, l.l_linenumber AS holding,
+               l.l_extendedprice / nullif(
+                   sum(CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT))
+                       OVER (PARTITION BY o.o_orderkey) / CAST(100 AS DOUBLE), 0) AS weight,
+               CAST(CASE l.l_returnflag WHEN 'A' THEN 0.2 WHEN 'N' THEN 0.5
+                    ELSE 1.0 END AS DOUBLE) AS underlying_rw,
+               o.o_totalprice AS fund_value
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(fund AS BIGINT) % 10 AS fund_bucket,
+           count(*) AS n_holdings,
+           {sql_scaled_sum('fund_value * weight * underlying_rw', 2)} AS lookthrough_rwa
+    FROM holdings GROUP BY 1
+    """,
+    tags=("domain", "ciu"),
+)
+def ciu_lookthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIU look-through: a fund's RWA = Σ over underlying holdings of
+    fund_value × holding weight × underlying RW (CRR Art.132a; ref
+    ciu_holdings table + engine/sa/ lookthrough). Weight denominators are
+    exact windowed sums — conservation of fund value holds by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    w = W.partitionBy("o_orderkey")
+    denom = F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")).over(w) / F.lit(
+        100.0
+    )
+    holdings = j.select(
+        F.col("o_orderkey").alias("fund"),
+        (F.col("l_extendedprice") / F.nullif(denom, F.lit(0.0))).alias("weight"),
+        F.when(F.col("l_returnflag") == "A", 0.2)
+        .when(F.col("l_returnflag") == "N", 0.5)
+        .otherwise(1.0)
+        .cast("double")
+        .alias("underlying_rw"),
+        F.col("o_totalprice").alias("fund_value"),
+    )
+    return holdings.groupBy(
+        (F.col("fund").cast("long") % 10).alias("fund_bucket")
+    ).agg(
+        F.count("*").alias("n_holdings"),
+        scaled_sum(
+            F.col("fund_value") * F.col("weight") * F.col("underlying_rw"), 2
+        ).alias("lookthrough_rwa"),
+    )
+
+
+@query(
+    "settlement_risk",
+    oracle=f"""
+    WITH failed AS (
+        SELECT l_orderkey, l_extendedprice AS exposure,
+               date_diff('day', o_orderdate, l_shipdate) AS days_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l_linestatus = 'F' AND date_diff('day', o_orderdate, l_shipdate) >= 5
+    ), weighted AS (
+        SELECT exposure,
+               CAST(CASE WHEN days_late BETWEEN 5 AND 15 THEN 0.08
+                         WHEN days_late BETWEEN 16 AND 30 THEN 0.5
+                         WHEN days_late BETWEEN 31 AND 45 THEN 0.75
+                         ELSE 1.0 END AS DOUBLE) AS factor,
+               CASE WHEN days_late BETWEEN 5 AND 15 THEN 'd5_15'
+                    WHEN days_late BETWEEN 16 AND 30 THEN 'd16_30'
+                    WHEN days_late BETWEEN 31 AND 45 THEN 'd31_45'
+                    ELSE 'd46_plus' END AS band
+        FROM failed
+    )
+    SELECT band, count(*) AS n_trades,
+           {sql_scaled_sum('exposure * factor', 2)} AS capital_charge
+    FROM weighted GROUP BY band
+    """,
+    tags=("domain", "settlement"),
+)
+def settlement_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Settlement risk on failed trades: days-late band → capital factor
+    (CRR Art.378 table: 8%/50%/75%/100%; ref failed_trades schemas.py:1716)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    days_late = F.datediff("l_shipdate", "o_orderdate")
+    failed = j.where((F.col("l_linestatus") == "F") & (days_late >= 5)).select(
+        F.col("l_extendedprice").alias("exposure"), days_late.alias("days_late")
+    )
+    factor = (
+        F.when(F.col("days_late").between(5, 15), 0.08)
+        .when(F.col("days_late").between(16, 30), 0.5)
+        .when(F.col("days_late").between(31, 45), 0.75)
+        .otherwise(1.0)
+        .cast("double")
+    )
+    band = (
+        F.when(F.col("days_late").between(5, 15), "d5_15")
+        .when(F.col("days_late").between(16, 30), "d16_30")
+        .when(F.col("days_late").between(31, 45), "d31_45")
+        .otherwise("d46_plus")
+    )
+    return failed.groupBy(band.alias("band")).agg(
+        F.count("*").alias("n_trades"),
+        scaled_sum(F.col("exposure") * factor, 2).alias("capital_charge"),
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, label,
+               {sql_lsh_bucket('embedding', 8)} AS bucket
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               a.label AS label_a, c.label AS label_b,
+               round({sql_dot('a.embedding', 'c.embedding')}
+                     / sqrt({sql_dot('a.embedding', 'a.embedding')}
+                            * {sql_dot('c.embedding', 'c.embedding')}), 12) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT CASE WHEN cosine >= 0.99 THEN 'dup' WHEN cosine >= 0.9 THEN 'near'
+                ELSE 'distinct' END AS verdict,
+           sum(CASE WHEN label_a = label_b THEN 1 ELSE 0 END)::BIGINT AS n_same_label,
+           count(*) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH-bucket candidate generation
+    (never all-pairs) then exact cosine thresholds (dup ≥0.99 / near ≥0.9)
+    — the semantic-dedup stage of an LLM data pipeline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", "label", spark_lsh_bucket(F.col("embedding"), 8).alias("bucket")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    cos = F.round(
+        spark_dot(F.col("a.embedding"), F.col("c.embedding"))
+        / F.sqrt(
+            spark_dot(F.col("a.embedding"), F.col("a.embedding"))
+            * spark_dot(F.col("c.embedding"), F.col("c.embedding"))
+        ),
+        12,
+    )
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("c.label").alias("label_b"),
+            cos.alias("cosine"),
+        )
+    )
+    verdict = (
+        F.when(F.col("cosine") >= 0.99, "dup")
+        .when(F.col("cosine") >= 0.9, "near")
+        .otherwise("distinct")
+    )
+    return pairs.groupBy(verdict.alias("verdict")).agg(
+        F.sum(F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_same_label"),
+        F.count("*").alias("n_pairs"),
+    )

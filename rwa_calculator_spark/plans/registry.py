@@ -43,6 +43,7 @@ def load_all() -> dict[str, QuerySpec]:
     from rwa_calculator_spark.plans import (  # noqa: F401
         ccr,
         domain,
+        extras,
         llm,
         relational,
         rwa,
