@@ -28,6 +28,8 @@ class RawBundle:
     guarantees: Optional[DataFrame] = None
     org_mappings: Optional[DataFrame] = None
     model_permissions: Optional[DataFrame] = None
+    specialised_lending: Optional[DataFrame] = None  # (counterparty_reference, slot_category)
+    equity_exposures: Optional[DataFrame] = None  # (exposure_reference, counterparty_reference, market_value, is_exchange_traded)
 
 
 @dataclass(frozen=True)

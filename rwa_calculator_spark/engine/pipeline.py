@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame
 from rwa_calculator_spark.engine.bundles import AggregatedOutput, RawBundle
 from rwa_calculator_spark.engine.rulepack import CRR_PACK, RulePack
 from rwa_calculator_spark.engine.stages.aggregate import run_aggregate
-from rwa_calculator_spark.engine.stages.calculators import run_irb, run_sa
+from rwa_calculator_spark.engine.stages.calculators import (
+    run_equity,
+    run_irb,
+    run_sa,
+    run_slotting,
+)
 from rwa_calculator_spark.engine.stages.classify import run_classify
 from rwa_calculator_spark.engine.stages.crm import run_crm
 from rwa_calculator_spark.engine.stages.hierarchy import run_hierarchy
@@ -53,6 +58,12 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
         crm = CRMOutput(exposures=exposures)
 
-    sa = run_sa(crm, config.pack)
-    irb = run_irb(crm, config.pack, dictionary=config.irb_dictionary)
-    return run_aggregate(sa, irb, config.pack)
+    branches = [
+        run_sa(crm, config.pack),
+        run_irb(crm, config.pack, dictionary=config.irb_dictionary),
+    ]
+    if raw.specialised_lending is not None:
+        branches.append(run_slotting(crm, config.pack))
+    if raw.equity_exposures is not None:
+        branches.append(run_equity(raw.equity_exposures, config.pack))
+    return run_aggregate(*branches, pack=config.pack)

@@ -89,6 +89,15 @@ _CCF_ROWS = (
     ("low_risk", _D("0.0")),
 )
 
+# Supervisory slotting risk weights (CRR Art.153(5)).
+_SLOTTING_ROWS = (
+    ("strong", _D("0.7")),
+    ("good", _D("0.9")),
+    ("satisfactory", _D("1.15")),
+    ("weak", _D("2.5")),
+    ("default", _D("0.0")),
+)
+
 CRR_PACK = RulePack(
     regime="crr",
     version="2026-01",
@@ -105,10 +114,13 @@ CRR_PACK = RulePack(
         "lgd_floor_unsecured": RuleEntry(_D("0.0"), "CRR Art.161"),
         "output_floor_alpha": RuleEntry(_D("0.0"), "n/a in CRR"),
         "fx_haircut": RuleEntry(_D("0.08"), "CRR Art.224"),
+        "equity_listed_rw": RuleEntry(_D("1.9"), "CRR Art.155(2)"),
+        "equity_other_rw": RuleEntry(_D("3.7"), "CRR Art.155(2)"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS),
+        "slotting_rw": ("slot_category string, rw double", _SLOTTING_ROWS),
     },
 )
 
@@ -128,9 +140,12 @@ B31_PACK = RulePack(
         "lgd_floor_unsecured": RuleEntry(_D("0.25"), "BCBS CRE36.86"),
         "output_floor_alpha": RuleEntry(_D("0.725"), "BCBS RBC20.11"),
         "fx_haircut": RuleEntry(_D("0.08"), "BCBS CRE22.52"),
+        "equity_listed_rw": RuleEntry(_D("2.5"), "BCBS CRE20.57"),
+        "equity_other_rw": RuleEntry(_D("4.0"), "BCBS CRE20.57"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS),
+        "slotting_rw": ("slot_category string, rw double", _SLOTTING_ROWS),
     },
 )

@@ -16,8 +16,13 @@ from rwa_calculator_spark.engine.rulepack import RulePack
 from rwa_calculator_spark.functions.exact import scaled_sum
 
 
-def run_aggregate(sa: CalcOutput, irb: CalcOutput, pack: RulePack) -> AggregatedOutput:
-    results = sa.results.unionByName(irb.results, allowMissingColumns=True)
+def run_aggregate(*branches: CalcOutput, pack: RulePack) -> AggregatedOutput:
+    """Recombine any number of calculator branches (SA/IRB/slotting/equity —
+    the reference's diagonal_relaxed concat of result frames,
+    aggregator.py:134,150)."""
+    results = branches[0].results
+    for b in branches[1:]:
+        results = results.unionByName(b.results, allowMissingColumns=True)
 
     alpha = pack.scalar("output_floor_alpha")
     if alpha > 0.0:

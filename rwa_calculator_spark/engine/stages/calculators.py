@@ -36,7 +36,7 @@ _RESULT_COLS = [
 
 def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     spark = crm.exposures.sparkSession
-    exp = crm.exposures.where(~F.col("has_irb_permission"))
+    exp = crm.exposures.where(~F.col("has_irb_permission") & ~F.col("is_specialised"))
 
     rw_table = pack.broadcast_table(spark, "sa_rw")
     exp = exp.join(
@@ -93,7 +93,7 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
 
 
 def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutput:
-    exp = crm.exposures.where(F.col("has_irb_permission"))
+    exp = crm.exposures.where(F.col("has_irb_permission") & ~F.col("is_specialised"))
     exp = exp.withColumn(
         "pd_floored",
         F.when(F.col("is_defaulted"), F.lit(1.0)).otherwise(
@@ -143,3 +143,51 @@ def _irb_cols():
         (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa_before_sf"),
         (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa"),
     ]
+
+
+def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
+    """Specialised-lending supervisory slotting: exposures of counterparties
+    in the specialised_lending table take the slot-category RW from the
+    rulepack (CRR Art.153(5); ref engine/slotting/)."""
+    spark = crm.exposures.sparkSession
+    exp = crm.exposures.where(F.col("is_specialised"))
+    slot_rw = pack.broadcast_table(spark, "slotting_rw")
+    exp = exp.join(slot_rw, "slot_category", "left").withColumn(
+        "risk_weight",
+        F.when(F.col("is_defaulted"), F.lit(0.0)).otherwise(
+            F.coalesce("rw", pack.lit("unrated_corp_rw"))
+        ),
+    )
+    out = exp.select(
+        "exposure_reference",
+        "counterparty_reference",
+        F.lit("specialised").alias("exposure_class"),
+        F.lit("SLOTTING").alias("approach"),
+        "ead",
+        "ead_after_crm",
+        "risk_weight",
+        (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa_before_sf"),
+        (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa"),
+    )
+    return CalcOutput(results=out)
+
+
+def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
+    """Equity holdings: simple risk-weight method — listed vs other
+    (CRR Art.155(2); ref engine/equity/calculator.py)."""
+    rw = F.when(
+        F.coalesce("is_exchange_traded", F.lit(False)), pack.lit("equity_listed_rw")
+    ).otherwise(pack.lit("equity_other_rw"))
+    mv = F.coalesce("market_value", F.lit(0.0))
+    out = equity.select(
+        "exposure_reference",
+        "counterparty_reference",
+        F.lit("equity").alias("exposure_class"),
+        F.lit("EQUITY").alias("approach"),
+        mv.alias("ead"),
+        mv.alias("ead_after_crm"),
+        rw.alias("risk_weight"),
+        (mv * rw).alias("rwa_before_sf"),
+        (mv * rw).alias("rwa"),
+    )
+    return CalcOutput(results=out)

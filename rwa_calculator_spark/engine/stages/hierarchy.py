@@ -61,6 +61,15 @@ def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
     )
     enriched = exposures.join(F.broadcast(cp), "counterparty_reference", "left")
 
+    if raw.specialised_lending is not None:
+        sl = raw.specialised_lending.select("counterparty_reference", "slot_category")
+        enriched = enriched.join(F.broadcast(sl), "counterparty_reference", "left")
+        enriched = enriched.withColumn("is_specialised", F.col("slot_category").isNotNull())
+    else:
+        enriched = enriched.withColumn(
+            "slot_category", F.lit(None).cast("string")
+        ).withColumn("is_specialised", F.lit(False))
+
     if raw.org_mappings is not None:
         up = resolve_ultimate_parent_iterative(
             raw.org_mappings.select(

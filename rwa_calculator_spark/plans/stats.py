@@ -106,7 +106,7 @@ _SQL_M = """CASE l_linestatus WHEN 'O' THEN 2.5 ELSE 1.0 END"""
     SELECT o_orderpriority, l_returnflag, l_linestatus,
            round(min(k), 8) AS k_value,
            round(min(ma), 8) AS ma_value,
-           {sql_scaled_sum('((k * ma) * 12.5) * ead', 0)} AS rwa,
+           round(((min(k) * min(ma)) * 12.5) * ({sql_scaled_sum('ead', 2)}), 2) AS rwa,
            count(*) AS n_rows
     FROM s3 GROUP BY 1, 2, 3
     """,
@@ -159,15 +159,26 @@ def irb_capital_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     combos = with_irb_k(combos, "pd", "lgd", "g_pd", "k")
     combos = combos.withColumn("ma", irb_maturity_adj(F.col("pd"), F.col("m"))).drop("g_pd")
 
-    fact = j.select(
-        "o_orderpriority", "l_returnflag", "l_linestatus", F.col("l_extendedprice").alias("ead")
+    # aggregate-then-compute: the fact side is scanned once and reduced to
+    # 30 band rows BEFORE K attaches — RWA = K·MA·12.5·Σead is exact per
+    # band since K/MA are band constants. The kernel cost is O(bands), the
+    # fact cost is one hash aggregation.
+    fact_agg = (
+        j.groupBy("o_orderpriority", "l_returnflag", "l_linestatus")
+        .agg(
+            scaled_sum(F.col("l_extendedprice"), 2).alias("total_ead"),
+            F.count("*").alias("n_rows"),
+        )
     )
-    enriched = fact.join(
+    enriched = fact_agg.join(
         F.broadcast(combos), ["o_orderpriority", "l_returnflag", "l_linestatus"]
-    ).select("o_orderpriority", "l_returnflag", "l_linestatus", "ead", "k", "ma")
-    return enriched.groupBy("o_orderpriority", "l_returnflag", "l_linestatus").agg(
-        F.round(F.min("k"), 8).alias("k_value"),
-        F.round(F.min("ma"), 8).alias("ma_value"),
-        scaled_sum(F.col("k") * F.col("ma") * F.lit(12.5) * F.col("ead"), 0).alias("rwa"),
-        F.count("*").alias("n_rows"),
+    )
+    return enriched.select(
+        "o_orderpriority",
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("k"), 8).alias("k_value"),
+        F.round(F.col("ma"), 8).alias("ma_value"),
+        F.round(F.col("k") * F.col("ma") * F.lit(12.5) * F.col("total_ead"), 2).alias("rwa"),
+        "n_rows",
     )

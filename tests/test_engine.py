@@ -154,3 +154,47 @@ def test_irb_k_matches_python_backend(spark):
     ma = maturity_adj_v(V(PyB, pd_f), V(PyB, 2.5)).v
     assert row.risk_weight == pytest.approx(k * ma * 12.5, rel=1e-9)
     assert 0.0 < row.risk_weight < 3.0
+
+
+def test_slotting_and_equity_branches(spark):
+    cps = _df(
+        spark,
+        [
+            ("CP1", "corporate", 2, False, 60_000_000.0, False),
+            ("CP2", "corporate", 2, False, 60_000_000.0, False),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 1000.0, False, None, None, None),  # slotted (CP1 specialised)
+            ("L2", "CP2", 1000.0, False, None, None, None),  # SA corporate cqs2
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    sl = _df(spark, [("CP1", "good")], "counterparty_reference string, slot_category string")
+    eq = _df(
+        spark,
+        [("E1", "CP2", 500.0, True), ("E2", "CP2", 200.0, False)],
+        "exposure_reference string, counterparty_reference string, "
+        "market_value double, is_exchange_traded boolean",
+    )
+    bundle = RawBundle(
+        counterparties=cps, loans=loans, specialised_lending=sl, equity_exposures=eq
+    )
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+
+    assert rows["L1"].approach == "SLOTTING"
+    assert rows["L1"].rwa == pytest.approx(1000 * 0.9)  # 'good' slot 90%
+    assert rows["L2"].approach == "SA"
+    assert rows["L2"].rwa == pytest.approx(1000 * 0.5)
+    assert rows["E1"].approach == "EQUITY"
+    assert rows["E1"].rwa == pytest.approx(500 * 1.9)  # listed 190%
+    assert rows["E2"].rwa == pytest.approx(200 * 3.7)  # other 370%
+
+    approaches = {r.approach for r in out.summary_by_approach.collect()}
+    assert approaches == {"SA", "SLOTTING", "EQUITY"}
