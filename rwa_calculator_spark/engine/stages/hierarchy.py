@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rwa_calculator_spark.engine.bundles import HierarchyOutput, RawBundle
-from rwa_calculator_spark.operators.graph import resolve_ultimate_parent_iterative
+from rwa_calculator_spark.operators.graph import resolve_ultimate_parent_pointer_jumping
 
 
 def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
@@ -71,7 +71,9 @@ def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
         ).withColumn("is_specialised", F.lit(False))
 
     if raw.org_mappings is not None:
-        up = resolve_ultimate_parent_iterative(
+        # pointer jumping: ⌈log₂ depth⌉ join rounds instead of depth rounds
+        # (the stage only needs the group key, not per-node depth/truncation)
+        up = resolve_ultimate_parent_pointer_jumping(
             raw.org_mappings.select(
                 F.col("child_reference").alias("child"), F.col("parent_reference").alias("parent")
             )

@@ -86,6 +86,29 @@ def resolve_ultimate_parent_iterative(edges: DataFrame, max_depth: int = 10) -> 
     return final
 
 
+def resolve_ultimate_parent_pointer_jumping(
+    edges: DataFrame, max_depth: int = 16
+) -> DataFrame:
+    """Ultimate parent via pointer jumping: each round joins the current
+    (node → ancestor) map with itself, doubling the hop distance — ⌈log₂ d⌉
+    rounds instead of d (4 joins cover depth 16). Returns (node,
+    ultimate_parent); use the iterative/local variants when per-node depth
+    or truncation flags are needed. The per-round map is one row per child
+    node (same size as the edge table), broadcast like the edges."""
+    import math
+
+    cur = edges.select(F.col("child").alias("node"), F.col("parent").alias("anc"))
+    rounds = max(1, math.ceil(math.log2(max_depth)))
+    for i in range(rounds):
+        hop = F.broadcast(
+            cur.select(F.col("node").alias("h_node"), F.col("anc").alias("h_anc"))
+        )
+        cur = cur.join(hop, cur.anc == F.col("h_node"), "left").select(
+            "node", F.coalesce("h_anc", "anc").alias("anc")
+        )
+    return cur.select("node", F.col("anc").alias("ultimate_parent"))
+
+
 def ancestor_closure_iterative(edges: DataFrame, max_depth: int = 10) -> DataFrame:
     """(descendant, ancestor, depth) transitive closure, depth ≤ max_depth,
     including self at depth 0 (ref graph.py:240-305, 609-665). Distributed:

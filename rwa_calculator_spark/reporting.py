@@ -1,0 +1,97 @@
+"""COREP-style reporting kernel (ref reporting/cellspec.py,
+reporting/kernel/*, reporting/facts.py, reporting/validations/evaluate.py).
+
+Cells are DATA: (template, row, col, filter, measure) specs. The kernel
+computes every cell of a template in ONE scan — each cell is a conditional
+fixed-point sum inside a single aggregation — then unpivots the wide row to
+the long (template, row_id, col_id, value) facts frame the reference emits.
+At 100 TB this matters: N cells cost one pass, not N passes.
+
+Validation rules follow the reference's published-rule semantics: an
+absent cell is NOT zero (null propagates, vacuous rules don't pass).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class CellSpec:
+    template: str
+    row_id: str
+    col_id: str
+    filter_sql: str  # Spark SQL boolean expression over the source frame
+    measure_sql: str  # Spark SQL numeric expression
+    scale: int = 2
+
+    @property
+    def cell_id(self) -> str:
+        return f"{self.template}|{self.row_id}|{self.col_id}"
+
+
+def compute_cells(df: DataFrame, specs: Sequence[CellSpec]) -> DataFrame:
+    """All cells in one aggregation pass → long facts frame
+    (template, row_id, col_id, value). Empty filter → null cell (absent),
+    not zero — distinguished via the conditional count."""
+    aggs = []
+    for i, s in enumerate(specs):
+        cond = F.expr(s.filter_sql)
+        m = float(10**s.scale)
+        val = (
+            F.sum(F.when(cond, F.round(F.expr(s.measure_sql) * m, 0).cast("long"))) / F.lit(m)
+        ).alias(f"v{i}")
+        aggs.append(val)
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{s.cell_id}', v{i}" for i, s in enumerate(specs))
+    long = wide.selectExpr(f"stack({len(specs)}, {stack_args}) AS (cell_id, value)")
+    parts = F.split("cell_id", "\\|")
+    return long.select(
+        parts.getItem(0).alias("template"),
+        parts.getItem(1).alias("row_id"),
+        parts.getItem(2).alias("col_id"),
+        "value",
+    )
+
+
+@dataclass(frozen=True)
+class ValidationRule:
+    """left == sum(right cells) within tolerance, null-aware: if any
+    referenced cell is absent the rule is 'not_evaluable', never 'pass'
+    (ref reporting/validations/evaluate.py: absent-cell ≠ zero,
+    vacuous ≠ pass)."""
+
+    rule_id: str
+    left: str  # cell_id
+    right: Sequence[str]  # cell_ids summed
+    tolerance: float = 0.01
+
+
+def evaluate_validations(
+    facts: DataFrame, rules: Sequence[ValidationRule]
+) -> DataFrame:
+    """Returns (rule_id, status, left_value, right_value, diff) per rule.
+    status ∈ {pass, fail, not_evaluable}."""
+    spark = facts.sparkSession
+    cells = {
+        f"{r.template}|{r.row_id}|{r.col_id}": r.value
+        for r in facts.collect()  # facts are O(#cells) — driver-sized by design
+    }
+    rows = []
+    for rule in rules:
+        lv = cells.get(rule.left)
+        rvs = [cells.get(c) for c in rule.right]
+        if lv is None or any(v is None for v in rvs):
+            rows.append((rule.rule_id, "not_evaluable", lv, None, None))
+            continue
+        rv = sum(rvs)
+        diff = lv - rv
+        status = "pass" if abs(diff) <= rule.tolerance else "fail"
+        rows.append((rule.rule_id, status, lv, rv, diff))
+    return spark.createDataFrame(
+        rows, "rule_id string, status string, left_value double, right_value double, diff double"
+    )

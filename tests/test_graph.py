@@ -37,3 +37,19 @@ def test_cycle_guard_truncates(spark):
     assert all(out.values())
     out_it = {r.node: r.truncated for r in resolve_ultimate_parent_iterative(cyc).collect()}
     assert all(out_it.values())
+
+
+def test_pointer_jumping_matches_iterative(spark, edges):
+    from rwa_calculator_spark.operators.graph import (
+        resolve_ultimate_parent_pointer_jumping,
+    )
+
+    it = {
+        r.node: r.ultimate_parent
+        for r in resolve_ultimate_parent_iterative(edges).collect()
+    }
+    pj = {
+        r.node: r.ultimate_parent
+        for r in resolve_ultimate_parent_pointer_jumping(edges).collect()
+    }
+    assert it == pj

@@ -1,0 +1,56 @@
+"""Reporting kernel: one-pass cell computation, absent-cell semantics,
+validation identities (ref reporting/* test shapes: cell re-derivation,
+supervisory validations where vacuous ≠ pass)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.reporting import (
+    CellSpec,
+    ValidationRule,
+    compute_cells,
+    evaluate_validations,
+)
+from rwa_calculator_spark.sources.star import load_table
+
+SPECS = [
+    CellSpec("C07.00", "0010", "0010", "l_returnflag = 'A'", "l_extendedprice"),
+    CellSpec("C07.00", "0020", "0010", "l_returnflag = 'N'", "l_extendedprice"),
+    CellSpec("C07.00", "0030", "0010", "l_returnflag = 'R'", "l_extendedprice"),
+    CellSpec("C07.00", "0099", "0010", "true", "l_extendedprice"),  # total row
+    CellSpec("C07.00", "0010", "0020", "l_returnflag = 'X'", "l_extendedprice"),  # absent
+]
+
+RULES = [
+    ValidationRule(
+        "v0001",
+        left="C07.00|0099|0010",
+        right=["C07.00|0010|0010", "C07.00|0020|0010", "C07.00|0030|0010"],
+    ),
+    ValidationRule("v0002", left="C07.00|0010|0020", right=["C07.00|0099|0010"]),
+    ValidationRule("v0003_fails", left="C07.00|0010|0010", right=["C07.00|0099|0010"]),
+]
+
+
+def test_cells_one_pass_and_rederivation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    facts = compute_cells(li, SPECS)
+    cells = {f"{r.template}|{r.row_id}|{r.col_id}": r.value for r in facts.collect()}
+    # re-derive cell 0010/0010 independently
+    expected = li.where(F.col("l_returnflag") == "A").agg(
+        (F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")) / 100.0).alias("v")
+    ).collect()[0].v
+    assert cells["C07.00|0010|0010"] == pytest.approx(expected, abs=1e-9)
+    # absent cell (no matching rows) is null, not zero
+    assert cells["C07.00|0010|0020"] is None
+
+
+def test_validations_null_aware(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    facts = compute_cells(li, SPECS)
+    statuses = {r.rule_id: r.status for r in evaluate_validations(facts, RULES).collect()}
+    assert statuses["v0001"] == "pass"  # flags partition the total
+    assert statuses["v0002"] == "not_evaluable"  # absent cell never passes
+    assert statuses["v0003_fails"] == "fail"
