@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rwa_calculator_spark.engine.bundles import HierarchyOutput, RawBundle
-from rwa_calculator_spark.operators.graph import resolve_ultimate_parent_pointer_jumping
+from rwa_calculator_spark.operators.graph import resolve_ultimate_parent_iterative
 
 
 def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
@@ -71,9 +71,12 @@ def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
         ).withColumn("is_specialised", F.lit(False))
 
     if raw.org_mappings is not None:
-        # pointer jumping: ⌈log₂ depth⌉ join rounds instead of depth rounds
-        # (the stage only needs the group key, not per-node depth/truncation)
-        up = resolve_ultimate_parent_pointer_jumping(
+        # iterative resolution: every round re-joins the STATIC broadcast
+        # edge table — cheaper than pointer jumping here, whose per-round
+        # self-join re-broadcasts a growing unmaterialised plan (use
+        # resolve_ultimate_parent_pointer_jumping only over materialised
+        # maps with depth ≫ 10)
+        up = resolve_ultimate_parent_iterative(
             raw.org_mappings.select(
                 F.col("child_reference").alias("child"), F.col("parent_reference").alias("parent")
             )
