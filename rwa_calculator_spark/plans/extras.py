@@ -238,3 +238,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_same_label"),
         F.count("*").alias("n_pairs"),
     )
+
+
+@query(
+    "securitisation_pools",
+    oracle=f"""
+    WITH allocs AS (
+        SELECT 'L' || l_orderkey AS exposure_reference,
+               'POOL' || (l_suppkey % 5) AS pool_reference,
+               CAST(round(0.2 * 1000000.0, 0) AS BIGINT) / 1000000.0 AS allocation_pct
+        FROM lineitem
+        WHERE l_linenumber <= 3
+        GROUP BY 1, 2
+    ), pct AS (
+        SELECT exposure_reference,
+               sum(CAST(round(allocation_pct * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS total_pct
+        FROM allocs GROUP BY exposure_reference
+    ), expo AS (
+        SELECT 'L' || o_orderkey AS exposure_reference, o_totalprice AS amount FROM orders
+    ), allocated AS (
+        SELECT a.pool_reference, e.amount * a.allocation_pct AS allocated_amount
+        FROM expo e JOIN allocs a ON e.exposure_reference = a.exposure_reference
+        UNION ALL
+        SELECT 'RETAINED', e.amount * (1.0 - coalesce(p.total_pct, 0.0))
+        FROM expo e LEFT JOIN pct p ON e.exposure_reference = p.exposure_reference
+    )
+    SELECT pool_reference, count(*) AS n_slices,
+           {sql_scaled_sum('allocated_amount', 2)} AS allocated_total
+    FROM allocated GROUP BY pool_reference
+    """,
+    tags=("domain", "securitisation", "nested"),
+)
+def securitisation_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Securitisation pool allocation through the real nested-column
+    operator (operators/securitisation.py): allocation rows → sorted
+    List(Struct) per exposure (the reference's pool_allocations column) →
+    exploded to pool-level amounts with a RETAINED remainder. Conservation
+    (Σ pools + retained = Σ exposures) is pinned in unit tests."""
+    from rwa_calculator_spark.operators.securitisation import (
+        build_allocation_column,
+        explode_to_pools,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    allocations = (
+        li.where(F.col("l_linenumber") <= 3)
+        .select(
+            F.concat(F.lit("L"), F.col("l_orderkey")).alias("exposure_reference"),
+            F.concat(F.lit("POOL"), (F.col("l_suppkey") % 5)).alias("pool_reference"),
+            (F.round(F.lit(0.2) * 1e6, 0).cast("long") / F.lit(1e6)).alias("allocation_pct"),
+        )
+        .distinct()
+    )
+    exposures = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    pools = explode_to_pools(exposures, build_allocation_column(allocations))
+    return pools.groupBy("pool_reference").agg(
+        F.count("*").alias("n_slices"),
+        scaled_sum(F.col("allocated_amount"), 2).alias("allocated_total"),
+    )

@@ -198,3 +198,43 @@ def test_slotting_and_equity_branches(spark):
 
     approaches = {r.approach for r in out.summary_by_approach.collect()}
     assert approaches == {"SA", "SLOTTING", "EQUITY"}
+
+
+def test_securitisation_conservation(spark, sf_dir):
+    """Σ pool allocations + retained = Σ exposure amounts (the reference's
+    conservation property on pool splits)."""
+    from pyspark.sql import functions as F
+
+    from rwa_calculator_spark.operators.securitisation import (
+        build_allocation_column,
+        explode_to_pools,
+    )
+    from rwa_calculator_spark.sources.star import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    allocations = (
+        li.where(F.col("l_linenumber") <= 3)
+        .select(
+            F.concat(F.lit("L"), F.col("l_orderkey")).alias("exposure_reference"),
+            F.concat(F.lit("POOL"), (F.col("l_suppkey") % 5)).alias("pool_reference"),
+            F.lit(0.2).alias("allocation_pct"),
+        )
+        .distinct()
+    )
+    exposures = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    with_allocs = build_allocation_column(allocations)
+    assert with_allocs.where(F.col("is_over_allocated")).count() == 0
+    # the nested column is a real ArrayType(StructType)
+    dt = dict(with_allocs.dtypes)["pool_allocations"]
+    assert dt.startswith("array<struct<")
+
+    pools = explode_to_pools(exposures, with_allocs)
+    total_in = o.agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))).collect()[0][0]
+    total_out = pools.agg(
+        F.sum(F.round(F.col("allocated_amount") * 100, 0).cast("long"))
+    ).collect()[0][0]
+    assert abs(total_in - total_out) <= pools.count()  # ≤1 cent rounding per slice
