@@ -300,3 +300,47 @@ def securitisation_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_slices"),
         scaled_sum(F.col("allocated_amount"), 2).alias("allocated_total"),
     )
+
+
+@query(
+    "asof_join_events",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ), matched AS (
+        SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts, c.value AS c_value
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           count(c_ts) AS n_with_prior_click,
+           sum(CASE WHEN c_ts IS NOT NULL
+                    THEN epoch_us(p_ts) - epoch_us(c_ts) ELSE 0 END)::BIGINT AS total_gap_us,
+           {sql_scaled_sum('coalesce(c_value, 0.0)', 2)} AS total_click_value
+    FROM matched GROUP BY user_id
+    """,
+    tags=("asof", "window"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    click (operators/asof.py window implementation — one shuffle, no
+    per-group Python; DuckDB's native ASOF JOIN is the oracle). Gap output
+    in exact integer microseconds so cross-engine parity is bitwise."""
+    from rwa_calculator_spark.operators.asof import asof_join_window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    m = asof_join_window(purchases, clicks, key="user_id", ts="ts", value_cols=("value",))
+    gap = F.when(
+        F.col("asof_ts").isNotNull(), F.unix_micros("ts") - F.unix_micros("asof_ts")
+    ).otherwise(F.lit(0))
+    return m.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.count("asof_ts").alias("n_with_prior_click"),
+        F.sum(gap).cast("long").alias("total_gap_us"),
+        scaled_sum(F.coalesce("asof_value", F.lit(0.0)), 2).alias("total_click_value"),
+    )

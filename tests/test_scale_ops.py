@@ -62,3 +62,22 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_asof_window_matches_pandas(spark, sf_dir):
+    """The window as-of join (scale path) and applyInPandas merge_asof
+    (fallback path) must agree row-for-row."""
+    from rwa_calculator_spark.operators.asof import asof_join_pandas, asof_join_window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    a = {
+        (r.user_id, r.ts): (r.asof_ts, r.asof_value)
+        for r in asof_join_window(purchases, clicks, "user_id", "ts", ("value",)).collect()
+    }
+    b = {
+        (r.user_id, r.ts): (r.asof_ts, r.asof_value)
+        for r in asof_join_pandas(purchases, clicks, "user_id", "ts", ("value",)).collect()
+    }
+    assert a == b
