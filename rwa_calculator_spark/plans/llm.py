@@ -159,7 +159,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard's exact pass. At scale only (band, sig) pairs
     shuffle — signature width is constant per doc."""
     d = load_table(spark, sf_dir, "documents")
-    ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
+    # no distinct before the min-aggregation: min over the word *multiset*
+    # equals min over the word *set*, so the dedup shuffle is pure waste
+    ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     sigs = ws.groupBy("doc_id").agg(
         *[F.min(seeded_hash32(s, F.col("word"))).alias(f"mh{s}") for s in range(_N_HASHES)]
     )
