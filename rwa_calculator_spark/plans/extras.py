@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rwa_calculator_spark.functions.exact import scaled_sum, sql_scaled_sum
+from rwa_calculator_spark.functions.text import sql_hash32
 from rwa_calculator_spark.operators.similarity import (
     spark_dot,
     spark_lsh_bucket,
@@ -343,4 +344,133 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("asof_ts").alias("n_with_prior_click"),
         F.sum(gap).cast("long").alias("total_gap_us"),
         scaled_sum(F.coalesce("asof_value", F.lit(0.0)), 2).alias("total_click_value"),
+    )
+
+
+_SQL_NEARDUP_EDGES = """
+    ws AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_words FROM ws GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n_common
+        FROM ws a JOIN ws b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 20
+    ), nd_edges AS (
+        SELECT i.src, i.dst
+        FROM inter i
+        JOIN sizes sa ON i.src = sa.doc_id
+        JOIN sizes sb ON i.dst = sb.doc_id
+        WHERE CAST(i.n_common AS DOUBLE)
+              / CAST(sa.n_words + sb.n_words - i.n_common AS DOUBLE) >= 0.6
+    )"""
+
+
+@query(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_NEARDUP_EDGES},
+    bi AS (
+        SELECT src AS n, dst AS m FROM nd_edges
+        UNION ALL SELECT dst, src FROM nd_edges
+    ), reach AS (
+        SELECT n, m AS r FROM bi
+        UNION
+        SELECT re.n, b.m FROM reach re JOIN bi b ON re.r = b.n
+    ), comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(re.r), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach re ON d.doc_id = re.n
+        GROUP BY d.doc_id
+    ), comp_sizes AS (
+        SELECT component, count(*) AS component_size FROM comp GROUP BY component
+    )
+    SELECT component_size, count(*) AS n_components
+    FROM comp_sizes GROUP BY component_size
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: word-Jaccard ≥0.6 candidate pairs grouped into
+    connected components by min-label propagation
+    (operators/clustering.py) — 'keep one per cluster' dedup. Output is the
+    component-size histogram; the oracle re-derives components via a
+    recursive reachability CTE."""
+    from rwa_calculator_spark.operators.clustering import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
+    sizes = ws.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    a = ws.alias("a")
+    b = ws.alias("b")
+    inter = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= 20)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("sa.n_words") + F.col("sb.n_words") - F.col("n_common")).cast("double")
+    )
+    edges = (
+        inter.join(sa, F.col("src") == F.col("sa.doc_id"))
+        .join(sb, F.col("dst") == F.col("sb.doc_id"))
+        .where(jac >= 0.6)
+        .select("src", "dst")
+        # materialise once: every propagation round re-joins the edge set,
+        # and an unmaterialised lineage would recompute the full Jaccard
+        # self-join per round (8× the work and a deep canonicalisation tree)
+        .localCheckpoint()
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    comp = connected_components(nodes, edges, "node", rounds=6)
+    comp_sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
+    return comp_sizes.groupBy("component_size").agg(F.count("*").alias("n_components"))
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT d.doc_id, d.lang,
+               array_to_string(
+                   list_slice(string_split(d.text, ' '), s.start,
+                              least(s.start + 49, len(string_split(d.text, ' ')))),
+                   ' ') AS chunk_text
+        FROM documents d,
+             LATERAL unnest(generate_series(1, len(string_split(d.text, ' ')), 40)) AS s(start)
+    )
+    SELECT lang,
+           count(*) AS n_chunks,
+           sum(len(string_split(chunk_text, ' ')))::BIGINT AS total_chunk_tokens,
+           count(DISTINCT {sql_hash32('chunk_text')}) AS n_distinct_chunks
+    FROM chunks GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: 50-token windows with
+    stride 40 (10-token overlap), per-chunk token accounting and distinct
+    chunk fingerprints. Pure array expressions — sequence/slice — no UDF."""
+    from rwa_calculator_spark.functions.text import hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    chunks = d.select(
+        "doc_id",
+        "lang",
+        words.alias("w"),
+        F.explode(F.sequence(F.lit(1), F.size(words), F.lit(40))).alias("start"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", F.slice(F.col("w"), F.col("start"), 50)).alias("chunk_text"),
+    )
+    return chunks.groupBy("lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.size(F.split("chunk_text", " "))).cast("long").alias("total_chunk_tokens"),
+        F.countDistinct(hash32(F.col("chunk_text"))).alias("n_distinct_chunks"),
     )
