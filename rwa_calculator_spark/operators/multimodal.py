@@ -79,3 +79,52 @@ def documents_as_binary(documents: DataFrame) -> DataFrame:
             F.col("n_chars").cast("long").alias("content_length"),
         ).alias("meta"),
     )
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int]:
+    """Real (stdlib-only) metadata extraction from image byte headers:
+    (format, width, height) for PNG and baseline/progressive JPEG, without
+    any decode library — the metadata half of decode is genuinely
+    implementable today; only pixel decode stays stubbed."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return ("png", w, h)
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        return ("jpeg", -1, -1)
+    return ("unknown", -1, -1)
+
+
+IMAGE_META_SCHEMA = "doc_id long, format string, width long, height long"
+
+
+def extract_image_metadata(binary_df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """mapInPandas over binary payloads → typed image metadata columns."""
+    from rwa_calculator_spark.utils import ensure_workers_can_import
+
+    ensure_workers_can_import(binary_df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pdf[bin_col].map(parse_image_header)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": meta.map(lambda t: t[0]),
+                    "width": meta.map(lambda t: t[1]),
+                    "height": meta.map(lambda t: t[2]),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=IMAGE_META_SCHEMA)
