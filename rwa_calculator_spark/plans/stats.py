@@ -138,41 +138,26 @@ def irb_capital_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.when(F.col("l_linestatus") == "O", 2.5).otherwise(1.0).cast("double")
 
-    # dictionary evaluation, combos from the band *sources* (three tiny
-    # 1-column distincts crossed to ≤30 rows) so the fact side is scanned
-    # exactly once — the whole Φ⁻¹/Φ cost lands on 30 rows and the facts
-    # only probe a broadcast. Bit-identical to per-row evaluation.
-    combos = (
-        o.select("o_orderpriority").distinct()
-        .crossJoin(li.select("l_returnflag").distinct())
-        .crossJoin(li.select("l_linestatus").distinct())
-        .select(
-            "o_orderpriority",
-            "l_returnflag",
-            "l_linestatus",
-            irb_pd_floor(pd_raw).alias("pd"),
-            lgd.alias("lgd"),
-            m.alias("m"),
-        )
-    )
-    combos = with_normal_ppf(combos, "pd", "g_pd")
-    combos = with_irb_k(combos, "pd", "lgd", "g_pd", "k")
-    combos = combos.withColumn("ma", irb_maturity_adj(F.col("pd"), F.col("m"))).drop("g_pd")
-
-    # aggregate-then-compute: the fact side is scanned once and reduced to
-    # 30 band rows BEFORE K attaches — RWA = K·MA·12.5·Σead is exact per
-    # band since K/MA are band constants. The kernel cost is O(bands), the
-    # fact cost is one hash aggregation.
+    # aggregate-then-compute dictionary evaluation: the fact side is
+    # scanned once and reduced to ≤30 band rows; PD/LGD/M derive purely
+    # from the three band keys, which survive the groupBy, so the whole
+    # Φ⁻¹/Φ kernel attaches directly to the aggregated rows — no extra
+    # distinct scans, no combo join. RWA = K·MA·12.5·Σead is exact per
+    # band since K/MA are band constants. Bit-identical to per-row
+    # evaluation; kernel cost O(bands), fact cost one hash aggregation.
     fact_agg = (
         j.groupBy("o_orderpriority", "l_returnflag", "l_linestatus")
         .agg(
             scaled_sum(F.col("l_extendedprice"), 2).alias("total_ead"),
             F.count("*").alias("n_rows"),
         )
+        .withColumn("pd", irb_pd_floor(pd_raw))
+        .withColumn("lgd", lgd)
+        .withColumn("m", m)
     )
-    enriched = fact_agg.join(
-        F.broadcast(combos), ["o_orderpriority", "l_returnflag", "l_linestatus"]
-    )
+    enriched = with_normal_ppf(fact_agg, "pd", "g_pd")
+    enriched = with_irb_k(enriched, "pd", "lgd", "g_pd", "k")
+    enriched = enriched.withColumn("ma", irb_maturity_adj(F.col("pd"), F.col("m")))
     return enriched.select(
         "o_orderpriority",
         "l_returnflag",
