@@ -195,16 +195,17 @@ def haircut_fccm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("domain", "window"),
     bench=True,
 )
-def pro_rata_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pro_rata_allocation(spark: SparkSession, sf_dir: str, loader=load_table) -> DataFrame:
     """Pro-rata allocation: spread a parent amount over children by weight
     share — the workhorse kernel under CRM/provisions/guarantees
     (ref engine/kernels/allocation.py:163-352). Denominator is the exact
     windowed fixed-point sum; conservation (Σallocated = Σparent) is pinned
-    in tests."""
+    in tests. With `loader=bucketed_star_loader` the l_orderkey window needs
+    no Exchange (prepared-layout path)."""
     from pyspark.sql import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = loader(spark, sf_dir, "lineitem")
+    o = loader(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     j = li.join(o, li.l_orderkey == o.o_orderkey)
     w = W.partitionBy("l_orderkey")
     denom = F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")).over(w) / F.lit(

@@ -73,13 +73,15 @@ def window_sum_pct_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
     bench=True,
 )
-def window_cumsum_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_cumsum_waterfall(spark: SparkSession, sf_dir: str, loader=load_table) -> DataFrame:
     """Greedy ordered-cumsum waterfall: fill a per-parent capacity from
     children in ascending-cost order (ref engine/crm/guarantees.py:1433-1441
     RW-ordered guarantee redistribution; facility_undrawn.py:751).
-    Integer-cents arithmetic inside the window → bit-exact at any scale."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    Integer-cents arithmetic inside the window → bit-exact at any scale.
+    With `loader=bucketed_star_loader` the l_orderkey window needs no
+    Exchange (prepared-layout path, ~3× at sf0.1)."""
+    li = loader(spark, sf_dir, "lineitem")
+    o = loader(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     j = li.join(o, li.l_orderkey == o.o_orderkey)
     price_c = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
     capacity_c = F.round(F.col("o_totalprice") * 50.0, 0).cast("long")  # 50% of order value

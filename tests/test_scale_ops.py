@@ -64,6 +64,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_prepared_layout_windows_shuffle_free(spark, sf_dir):
+    """The prepared bucketed layout must remove the hashpartitioning
+    Exchange from the partitionBy(l_orderkey) window queries and leave
+    results bit-identical to the plain parquet path."""
+    from rwa_calculator_spark.operators.bucketing import (
+        bucketed_star_loader,
+        prepare_star_layout,
+    )
+    from rwa_calculator_spark.plans.domain import pro_rata_allocation
+    from rwa_calculator_spark.plans.windows import window_cumsum_waterfall
+
+    prepare_star_layout(spark, sf_dir, n_buckets=8)
+    for fn in (window_cumsum_waterfall, pro_rata_allocation):
+        plain_df = fn(spark, sf_dir)
+        prepared_df = fn(spark, sf_dir, loader=bucketed_star_loader)
+        plan = prepared_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert sorted(map(tuple, plain_df.collect())) == sorted(
+            map(tuple, prepared_df.collect())
+        )
+
+
 def test_asof_window_matches_pandas(spark, sf_dir):
     """The window as-of join (scale path) and applyInPandas merge_asof
     (fallback path) must agree row-for-row."""
