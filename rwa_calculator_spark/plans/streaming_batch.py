@@ -142,3 +142,51 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long").alias("bucket"),
     ).dropDuplicates(["user_id", "event_type", "bucket"])
     return dd.groupBy("event_type").agg(F.count("*").alias("n_after_dedup"))
+
+
+@query(
+    "stream_stream_join",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT c.user_id,
+               CAST(floor(epoch(c.ts) / 3600.0) * 3600 AS BIGINT) AS click_hour,
+               p.value AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    )
+    SELECT click_hour, count(*) AS n_pairs,
+           count(DISTINCT user_id) AS n_users,
+           {sql_scaled_sum('purchase_value', 2)} AS attributed_value
+    FROM pairs GROUP BY click_hour
+    """,
+    tags=("streaming",),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs (same user, purchase within 1 h
+    after the click), aggregated by click hour. Batch analogue of the
+    watermarked stream-stream interval join in streaming/joins.py —
+    tests/test_streaming.py proves the streaming execution emits exactly
+    these pairs."""
+    from rwa_calculator_spark.streaming.joins import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = attribution_join(ev)
+    return (
+        pairs.select(
+            F.col("c_user_id").alias("user_id"),
+            (F.floor(F.unix_timestamp("click_ts") / 3600) * 3600)
+            .cast("long")
+            .alias("click_hour"),
+            "purchase_value",
+        )
+        .groupBy("click_hour")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+            scaled_sum(F.col("purchase_value"), 2).alias("attributed_value"),
+        )
+    )

@@ -80,3 +80,47 @@ def test_stateful_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    pairs the batch attribution join produces."""
+    from rwa_calculator_spark.sources.star import load_table
+    from rwa_calculator_spark.streaming.joins import attribution_join
+    from rwa_calculator_spark.streaming.windows import read_events_stream, run_to_memory
+
+    run_to_memory(
+        attribution_join(read_events_stream(spark, sf_dir)).select(
+            "click_id", "purchase_id", "purchase_value"
+        ),
+        "t_ssj",
+    )
+    got = _rows(spark.table("t_ssj"))
+    want = _rows(
+        attribution_join(load_table(spark, sf_dir, "events")).select(
+            "click_id", "purchase_id", "purchase_value"
+        )
+    )
+    assert len(want) > 0
+    assert got == want
+
+
+def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch exactly-once recipe: output equals the batch result, and
+    replaying a micro-batch (crash-recovery case) does not duplicate rows."""
+    from rwa_calculator_spark.sources.star import load_table
+    from rwa_calculator_spark.streaming.sinks import idempotent_batch_writer, run_foreach_batch
+    from rwa_calculator_spark.streaming.windows import read_events_stream
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    run_foreach_batch(stream, out, ckpt)
+
+    batch = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n_expected = batch.count()
+    assert spark.read.parquet(out).count() == n_expected
+
+    # simulate post-crash replay of batch 0: same batch_id, same data
+    idempotent_batch_writer(out)(batch, 0)
+    assert spark.read.parquet(out).count() == n_expected
