@@ -264,3 +264,140 @@ def re_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             scaled_sum(F.col("part_ead") * F.col("part_rw"), 2).alias("total_rwa"),
         )
     )
+
+
+@query(
+    "ccp_default_fund",
+    oracle=f"""
+    WITH contrib AS (
+        SELECT s.s_suppkey,
+               n.n_name AS ccp,
+               s.s_acctbal + 1000.0 AS df_i,
+               5000.0 + 100.0 * n.n_nationkey AS k_ccp,
+               (n.n_nationkey % 2 = 0) AS is_qccp,
+               (s.s_suppkey % 5 = 0) AS is_unfunded
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ), alloc AS (
+        SELECT ccp, is_qccp, is_unfunded,
+               k_ccp * (df_i / (sum(CAST(round(df_i * 100.0, 0) AS BIGINT))
+                   OVER (PARTITION BY ccp) / CAST(100 AS DOUBLE))) AS k_cm
+        FROM contrib
+    ), banded AS (
+        SELECT ccp,
+               CASE WHEN is_qccp THEN 'dfc_qccp_prefunded'
+                    WHEN is_unfunded THEN 'dfc_non_qccp_unfunded'
+                    ELSE 'dfc_non_qccp_prefunded' END AS regulatory_band,
+               k_cm
+        FROM alloc
+    )
+    SELECT ccp, regulatory_band,
+           count(*) AS n_contributions,
+           {sql_scaled_sum('k_cm', 4)} AS k_cm_total,
+           {sql_scaled_sum('k_cm * 12.5', 4)} AS dfc_rwea
+    FROM banded GROUP BY ccp, regulatory_band
+    """,
+    tags=("ccr",),
+)
+def ccp_default_fund(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCP default-fund capital: allocate the CCP hypothetical capital K_CCP
+    to each clearing member pro-rata by its contribution (K_CM = K_CCP ·
+    DF_i / DF_CM, ref engine/ccr/default_fund.py CRR Art. 308(2)), convert
+    to RWEA ×12.5 (Art. 92(3)(ca)), and attribute QCCP/non-QCCP/unfunded
+    regulatory bands (Art. 308/309). Suppliers are contributions, nations
+    are CCPs; the group denominator is an exact fixed-point window sum."""
+    from pyspark.sql import Window as W
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    contrib = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey",
+        F.col("n_name").alias("ccp"),
+        (F.col("s_acctbal") + 1000.0).alias("df_i"),
+        (5000.0 + 100.0 * F.col("n_nationkey")).alias("k_ccp"),
+        (F.col("n_nationkey") % 2 == 0).alias("is_qccp"),
+        (F.col("s_suppkey") % 5 == 0).alias("is_unfunded"),
+    )
+    w = W.partitionBy("ccp")
+    df_cm = F.sum(F.round(F.col("df_i") * 100.0, 0).cast("long")).over(w) / F.lit(100.0)
+    alloc = contrib.select(
+        "ccp",
+        "is_qccp",
+        "is_unfunded",
+        (F.col("k_ccp") * (F.col("df_i") / df_cm)).alias("k_cm"),
+    )
+    banded = alloc.select(
+        "ccp",
+        F.when(F.col("is_qccp"), "dfc_qccp_prefunded")
+        .when(F.col("is_unfunded"), "dfc_non_qccp_unfunded")
+        .otherwise("dfc_non_qccp_prefunded")
+        .alias("regulatory_band"),
+        "k_cm",
+    )
+    return banded.groupBy("ccp", "regulatory_band").agg(
+        F.count("*").alias("n_contributions"),
+        scaled_sum(F.col("k_cm"), 4).alias("k_cm_total"),
+        scaled_sum(F.col("k_cm") * 12.5, 4).alias("dfc_rwea"),
+    )
+
+
+@query(
+    "saccr_mpor_mf",
+    oracle="""
+    WITH ns AS (
+        SELECT o.o_orderkey,
+               count(*) AS n_trades,
+               bool_or(l.l_returnflag = 'R') AS has_illiquid,
+               sum(CASE WHEN l.l_linestatus = 'O' THEN 1 ELSE 0 END) AS disputes,
+               1 + o.o_orderkey % 7 AS remargin_days,
+               5 + o.o_orderkey % 20 AS mpor_input
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+    ), cascade AS (
+        SELECT *,
+               greatest(
+                   (CASE WHEN disputes > 2 THEN 2 ELSE 1 END)
+                   * (CASE WHEN n_trades > 5 OR has_illiquid THEN 20 ELSE 10 END)
+                   + remargin_days - 1,
+                   mpor_input) AS mpor_eff
+        FROM ns
+    )
+    SELECT CAST(mpor_eff AS BIGINT) AS mpor_eff,
+           round(1.5 * sqrt(mpor_eff / 250.0), 8) AS maturity_factor,
+           count(*) AS n_netting_sets,
+           sum(n_trades) AS n_trades_total
+    FROM cascade GROUP BY 1, 2
+    """,
+    tags=("ccr",),
+)
+def saccr_mpor_mf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-period-of-risk cascade for margined netting sets (ref
+    engine/ccr/maturity_factor.py CRR Art. 285(2)-(5)): 10-BD OTC base,
+    20-BD upgrade for large (>5000 trades; >5 here for testdata density) or
+    illiquid sets, dispute doubling, remargining-frequency adjustment, and
+    the firm-supplied MPOR floor; MF = 1.5·√(MPOR_eff/250) (Art. 279c(2)).
+    Orders are netting sets, lineitems trades; one aggregation then pure
+    expression cascade."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ns = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.bool_or(F.col("l_returnflag") == "R").alias("has_illiquid"),
+            F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("disputes"),
+        )
+        .withColumn("remargin_days", 1 + F.col("o_orderkey") % 7)
+        .withColumn("mpor_input", 5 + F.col("o_orderkey") % 20)
+    )
+    base = F.when((F.col("n_trades") > 5) | F.col("has_illiquid"), 20).otherwise(10)
+    doubled = F.when(F.col("disputes") > 2, 2).otherwise(1) * base
+    mpor_eff = F.greatest(doubled + F.col("remargin_days") - 1, F.col("mpor_input"))
+    cascade = ns.withColumn("mpor_eff", mpor_eff.cast("long"))
+    return cascade.groupBy(
+        "mpor_eff",
+        F.round(1.5 * F.sqrt(F.col("mpor_eff") / 250.0), 8).alias("maturity_factor"),
+    ).agg(
+        F.count("*").alias("n_netting_sets"),
+        F.sum("n_trades").alias("n_trades_total"),
+    )
