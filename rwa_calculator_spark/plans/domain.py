@@ -373,3 +373,28 @@ def corep_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.union(f)
     return out
+
+
+def _template_library_oracle() -> str:
+    from rwa_calculator_spark.reporting_templates import catalog_oracle_sql
+
+    return catalog_oracle_sql()
+
+
+@query(
+    "corep_template_library",
+    oracle=_template_library_oracle(),
+    tags=("domain", "reporting"),
+)
+def corep_template_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sheet COREP library (C 02.00 overview, C 07.00 SA, C 08.01 IRB,
+    C 09.01 geography) declared as cell DATA and computed in ONE aggregation
+    pass over the exposure ledger by the cellspec kernel (ref
+    reporting/corep/{c02,c07,c08,c09}.py + cellspec.py). Includes a
+    deliberately-absent cell (null, not zero). Cross-sheet tie-outs are
+    enforced by the parsed EBA-grammar validation rules in
+    tests/test_reporting.py."""
+    from rwa_calculator_spark.reporting import compute_cells
+    from rwa_calculator_spark.reporting_templates import TEMPLATE_CELLS, star_ledger
+
+    return compute_cells(star_ledger(spark, sf_dir), TEMPLATE_CELLS)

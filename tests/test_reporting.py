@@ -54,3 +54,33 @@ def test_validations_null_aware(spark, sf_dir):
     assert statuses["v0001"] == "pass"  # flags partition the total
     assert statuses["v0002"] == "not_evaluable"  # absent cell never passes
     assert statuses["v0003_fails"] == "fail"
+
+
+def test_template_library_tieouts(spark, sf_dir):
+    """The parsed EBA-grammar rules must tie the C02.00 overview to the
+    C07.00/C08.01 class sheets exactly (fixed-point conservation), and the
+    absent-cell rule must be not_evaluable."""
+    from rwa_calculator_spark.reporting_templates import (
+        TEMPLATE_CELLS,
+        VALIDATION_RULES_TEXT,
+        parse_validation_rules,
+        star_ledger,
+    )
+
+    facts = compute_cells(star_ledger(spark, sf_dir), TEMPLATE_CELLS)
+    rules = parse_validation_rules(VALIDATION_RULES_TEXT)
+    statuses = {r.rule_id: r.status for r in evaluate_validations(facts, rules).collect()}
+    assert statuses == {
+        "v0200_1": "pass",
+        "v0700_1": "pass",
+        "v0801_1": "pass",
+        "v0901_1": "pass",
+        "v_absent": "not_evaluable",
+    }
+
+
+def test_validation_parser_rejects_garbage():
+    from rwa_calculator_spark.reporting_templates import parse_validation_rules
+
+    with pytest.raises(ValueError):
+        parse_validation_rules("v1: {C02.00,0010,0010} = {bad}")
