@@ -51,7 +51,12 @@ def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
     for f in frames[1:]:
         exposures = exposures.unionByName(f, allowMissingColumns=True)
 
-    cp = raw.counterparties.select(
+    # One combined counterparty dimension: the three lookups (attributes,
+    # slotting, resolved hierarchy) all key on counterparty_reference, so
+    # they pre-join on the SMALL side and the fact table pays ONE broadcast
+    # hash probe per row instead of three (and the driver builds one
+    # broadcast map, not three).
+    dim = raw.counterparties.select(
         "counterparty_reference",
         "entity_type",
         F.col("cqs").cast("int").alias("cqs"),
@@ -59,16 +64,13 @@ def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
         F.coalesce("annual_revenue", F.lit(0.0)).alias("annual_revenue"),
         F.coalesce("has_irb_permission", F.lit(False)).alias("has_irb_permission"),
     )
-    enriched = exposures.join(F.broadcast(cp), "counterparty_reference", "left")
 
     if raw.specialised_lending is not None:
         sl = raw.specialised_lending.select("counterparty_reference", "slot_category")
-        enriched = enriched.join(F.broadcast(sl), "counterparty_reference", "left")
-        enriched = enriched.withColumn("is_specialised", F.col("slot_category").isNotNull())
+        dim = dim.join(sl, "counterparty_reference", "left")
     else:
-        enriched = enriched.withColumn(
-            "slot_category", F.lit(None).cast("string")
-        ).withColumn("is_specialised", F.lit(False))
+        dim = dim.withColumn("slot_category", F.lit(None).cast("string"))
+    dim = dim.withColumn("is_specialised", F.col("slot_category").isNotNull())
 
     if raw.org_mappings is not None:
         # iterative resolution: every round re-joins the STATIC broadcast
@@ -84,11 +86,15 @@ def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
             F.col("node").alias("counterparty_reference"),
             F.col("ultimate_parent").alias("group_reference"),
         )
-        enriched = enriched.join(F.broadcast(up), "counterparty_reference", "left")
-        enriched = enriched.withColumn(
-            "group_reference", F.coalesce("group_reference", "counterparty_reference")
-        )
+        dim = dim.join(up, "counterparty_reference", "left")
     else:
-        enriched = enriched.withColumn("group_reference", F.col("counterparty_reference"))
+        dim = dim.withColumn("group_reference", F.lit(None).cast("string"))
+
+    enriched = exposures.join(F.broadcast(dim), "counterparty_reference", "left")
+    # exposures may reference counterparties absent from the dim (or with no
+    # org edge): their group defaults to themselves, matching the reference
+    enriched = enriched.withColumn(
+        "group_reference", F.coalesce("group_reference", "counterparty_reference")
+    ).withColumn("is_specialised", F.coalesce("is_specialised", F.lit(False)))
 
     return HierarchyOutput(exposures=enriched)
