@@ -580,3 +580,117 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     feats = extract_features(documents_as_binary(d))
     return feats.select("doc_id", "n_bytes", "first_byte")
+
+
+_IVF_K = 16  # coarse-quantizer cells
+_IVF_NPROBE = 2
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_K}
+    ), assigned AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               round({sql_dot('e.embedding', 'c.cv')}
+                     / sqrt({sql_dot('e.embedding', 'e.embedding')} * {sql_dot('c.cv', 'c.cv')}), 12) AS sim
+        FROM embeddings e CROSS JOIN cent c
+    ), cells AS (
+        SELECT vec_id, embedding, centroid_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM assigned)
+        WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS qid, embedding AS qv, centroid_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM assigned WHERE vec_id % 100 = 0)
+        WHERE rn <= {_IVF_NPROBE}
+    ), pairs AS (
+        SELECT p.qid, c.vec_id AS cid,
+               round({sql_dot('p.qv', 'c.embedding')}
+                     / sqrt({sql_dot('p.qv', 'p.qv')} * {sql_dot('c.embedding', 'c.embedding')}), 12) AS cosine
+        FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.qid
+    )
+    SELECT qid, cid, rank, round(cosine, 9) AS cosine FROM (
+        SELECT qid, cid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+        FROM pairs)
+    WHERE rank <= 3
+    """
+
+
+@query(
+    "ann_ivf_probe",
+    oracle=_ivf_oracle(),
+    tags=("llm", "similarity"),
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the second scale path next to LSH): a deterministic
+    16-cell coarse quantizer (centroids = vec_id < 16; production would
+    Lloyd-refine them — assignment/probe mechanics are identical). The
+    corpus is assigned to its nearest cell via a broadcast cross-join with
+    the 16 centroids (one shared dot-product expression in the plan, stays
+    in codegen) + a map-side-combinable max(struct) argmax — no window, no
+    driver collect. Queries probe their 2 nearest cells, exact cosine
+    re-rank inside the probed cells only. At scale the cell is the
+    partition key: a query touches nprobe/K of the corpus instead of all
+    of it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    sim = F.round(
+        spark_dot(F.col("embedding"), F.col("cv"))
+        / F.sqrt(
+            spark_dot(F.col("embedding"), F.col("embedding"))
+            * spark_dot(F.col("cv"), F.col("cv"))
+        ),
+        12,
+    )
+    assigned = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "centroid_id", sim.alias("sim")
+    )
+
+    # corpus assignment: argmax via max(struct(sim, -centroid_id)) — struct
+    # ordering gives exact tie-break parity with the oracle's row_number
+    # (sim DESC, centroid_id ASC), and partial aggregation combines
+    # map-side before the shuffle
+    cells = (
+        assigned.groupBy(F.col("vec_id").alias("cid"))
+        .agg(
+            F.any_value("embedding").alias("cand_v"),
+            F.max(F.struct(F.col("sim"), (-F.col("centroid_id")).alias("neg_id"))).alias("m"),
+        )
+        .select("cid", "cand_v", (-F.col("m.neg_id")).alias("cell"))
+    )
+
+    # query probes: top-nprobe cells per query (queries are a 1% slice —
+    # the window runs over 16 rows per query)
+    wp = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    probes = (
+        assigned.where(F.col("vec_id") % 100 == 0)
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("centroid_id").alias("cell"),
+        )
+    )
+
+    pairs = cells.join(F.broadcast(probes), "cell").where(F.col("cid") != F.col("qid"))
+    cosine = F.round(
+        spark_dot(F.col("qv"), F.col("cand_v"))
+        / F.sqrt(
+            spark_dot(F.col("qv"), F.col("qv"))
+            * spark_dot(F.col("cand_v"), F.col("cand_v"))
+        ),
+        12,
+    )
+    scored = pairs.select("qid", "cid", cosine.alias("cosine"))
+    wr = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("qid", "cid", "rank", F.round("cosine", 9).alias("cosine"))
+    )
