@@ -1,0 +1,172 @@
+"""Training-data curation operators: deterministic stratified sampling,
+source-mixture weighting, and concat-and-chunk sequence packing.
+
+These are the corpus-assembly steps that sit between the cleaning ops
+(plans/llm.py dedup / quality / language-ID) and the trainer: choose how
+much of each stratum to keep, rebalance sources toward a target token
+mixture, and pack the surviving documents into fixed-length context
+windows. All three are pure DataFrame ops — sampling decisions come from a
+cross-engine md5 hash (functions/text.py hash32), never rand(), so runs
+are reproducible on any cluster layout and the DuckDB oracle can replay
+them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.functions.text import hash32, sql_hash32
+from rwa_calculator_spark.plans.registry import query
+from rwa_calculator_spark.sources.star import load_table
+
+# per-mille keep rates by language stratum: downsample the high-resource
+# languages, keep the tail in full (the usual rebalancing shape)
+_KEEP_PERMILLE = {"en": 250, "fr": 500, "es": 500, "de": 1000, "zh": 1000}
+_DEFAULT_PERMILLE = 100
+
+# target token-share per source bucket for the mixture (sums to 1.0)
+_MIX_WEIGHTS = {f"src{i}": (0.08 if i < 10 else 0.02) for i in range(20)}
+
+_SEQ_LEN = 2048  # context-window length in whitespace tokens
+
+
+def _keep_case_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _KEEP_PERMILLE.items())
+    return f"(CASE lang {whens} ELSE {_DEFAULT_PERMILLE} END)"
+
+
+def _keep_case_col() -> F.Column:
+    c = None
+    for k, v in _KEEP_PERMILLE.items():
+        c = F.when(F.col("lang") == k, v) if c is None else c.when(F.col("lang") == k, v)
+    return c.otherwise(_DEFAULT_PERMILLE)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ({sql_hash32("'samp:' || CAST(doc_id AS VARCHAR)")} % 1000) < {_keep_case_sql()}
+    """,
+    tags=("llm", "curation"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-language fraction of
+    documents, decided by a salted content-independent hash of the key —
+    not rand() — so the sample is identical across engines, re-runs, and
+    cluster layouts, and membership is checkable row-by-row. At 100 TB
+    this is a map-only filter (no shuffle, fully pushed into the scan
+    stage); changing rates re-uses the same hash so strata are nested
+    (a 25% sample is a subset of a 50% sample)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = hash32(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))) % 1000
+    return d.where(u < _keep_case_col()).select("doc_id", "lang")
+
+
+def _mix_weight_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    return f"(CASE source {whens} ELSE 0.0 END)"
+
+
+def _mix_weight_col() -> F.Column:
+    c = None
+    for k, v in _MIX_WEIGHTS.items():
+        c = F.when(F.col("source") == k, v) if c is None else c.when(F.col("source") == k, v)
+    return c.otherwise(0.0)
+
+
+@query(
+    "mixture_weighting",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 9) AS natural_share,
+           {_mix_weight_sql()} AS target_weight,
+           round({_mix_weight_sql()}
+                 / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 9) AS repetition_factor
+    FROM per_source
+    """,
+    tags=("llm", "curation"),
+)
+def mixture_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: per-source token counts, natural share,
+    target weight, and the repetition factor (epochs of that source per
+    corpus epoch = target/natural) the sampler applies. One hash
+    aggregation over the corpus reduced to |sources| rows; the window
+    total runs on those few rows, so the 100 TB cost is a single map-side
+    combinable agg."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    natural = F.col("n_tokens").cast("double") / total
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(natural, 9).alias("natural_share"),
+        _mix_weight_col().alias("target_weight"),
+        F.round(_mix_weight_col() / natural, 9).alias("repetition_factor"),
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS tok
+        FROM documents
+    ), cum AS (
+        SELECT lang, doc_id, tok,
+               COALESCE(sum(tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        FROM toks
+    )
+    SELECT lang,
+           CAST(floor(start_off / {_SEQ_LEN}.0) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           sum(tok)::BIGINT AS n_tokens,
+           min(doc_id) AS first_doc
+    FROM cum GROUP BY 1, 2
+    """,
+    tags=("llm", "curation"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining layout):
+    per language stream, documents in deterministic doc_id order are laid
+    end-to-end and cut into fixed {_SEQ_LEN}-token windows; each document
+    belongs to the sequence where it starts (exclusive running offset /
+    seq_len). Pure window cumsum + floor-divide — one shuffle on the
+    stream key. The no-straddle bin-packing variant is inherently
+    sequential per stream; this form is the one production pretraining
+    pipelines actually use, and it parallelises."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn("start_off", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+    return (
+        cum.groupBy(
+            "lang",
+            F.floor(F.col("start_off") / float(_SEQ_LEN)).cast("long").alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

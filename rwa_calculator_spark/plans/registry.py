@@ -42,6 +42,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every plans submodule so all @query decorators run."""
     from rwa_calculator_spark.plans import (  # noqa: F401
         ccr,
+        curation,
         domain,
         extras,
         llm,
