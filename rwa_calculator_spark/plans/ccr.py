@@ -364,7 +364,7 @@ def ccp_default_fund(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(mpor_eff AS BIGINT) AS mpor_eff,
            round(1.5 * sqrt(mpor_eff / 250.0), 8) AS maturity_factor,
            count(*) AS n_netting_sets,
-           sum(n_trades) AS n_trades_total
+           sum(n_trades)::BIGINT AS n_trades_total
     FROM cascade GROUP BY 1, 2
     """,
     tags=("ccr",),

@@ -1,0 +1,366 @@
+"""REST layer over the service façade (ref api/rest.py:128-728, the FastAPI
+router; SURVEY §3.2) built on stdlib http.server — the container has no web
+framework, and none is needed: every endpoint is a thin JSON shim over
+api.py, the reporting kernel, and the reconciliation operator.
+
+The reference's lifecycle is mirrored: POST /api/calculate starts a
+background-thread job (ref ui/app/main.py:218-840 job polling), GET
+/jobs/{id} polls it, and every read endpoint re-scans the job's parquet
+results cache rather than holding frames in memory — on a cluster the cache
+is object storage and the HTTP process never carries row data beyond the
+requested page.
+
+Endpoints (reference parity, minus the xlsx export the container can't do):
+  GET  /api/health
+  POST /api/validate                     input DQ checks on the bundle
+  POST /api/calculate                    {"regime": "crr"|"b31", "irb": bool}
+  GET  /jobs/{id}                        job status + events
+  GET  /api/results?job=ID&limit=N       page of the results ledger
+  GET  /api/results/summary/{dim}?job=ID dim ∈ {class, approach}
+  GET  /api/templates                    COREP sheet ids
+  GET  /api/templates/{id}               computed cells for one sheet
+  GET  /api/validations                  published-rule tie-outs
+  GET  /api/lineage?job=ID               manifest, rulepack hash, stages
+  GET  /api/comparison                   dual-framework per-class delta
+  POST /api/reconcile                    {"job_a": ID, "job_b": ID}
+  GET  /api/export/csv?job=ID            write ledger CSV, return path
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.api import CreditRiskCalc
+from rwa_calculator_spark.engine.rulepack import B31_PACK, CRR_PACK
+from rwa_calculator_spark.plans.rwa import _star_bundle
+
+_STAGES = ("hierarchy", "classify", "crm", "calculators", "aggregate")
+
+
+def _rows(df, limit: int | None = None) -> list[dict]:
+    if limit is not None:
+        df = df.limit(limit)
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+class JobIndex:
+    def __init__(self):
+        self._jobs: dict[str, dict] = {}
+        self._lock = threading.Lock()
+
+    def create(self) -> dict:
+        job = {
+            "job_id": uuid.uuid4().hex[:12],
+            "status": "running",
+            "events": [],
+            "cache_dir": None,
+            "manifest": None,
+            "error": None,
+        }
+        with self._lock:
+            self._jobs[job["job_id"]] = job
+        return job
+
+    def get(self, job_id: str) -> dict | None:
+        with self._lock:
+            return self._jobs.get(job_id)
+
+    def event(self, job: dict, msg: str) -> None:
+        with self._lock:
+            job["events"].append({"ts": round(time.time(), 3), "msg": msg})
+
+
+class RwaApi:
+    """Endpoint implementations, transport-free (unit-testable without HTTP).
+    Every method returns (http_status, payload_dict)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, cache_root: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.cache_root = cache_root or os.path.join(
+            "/tmp", "rwa_rest_cache", uuid.uuid4().hex[:8]
+        )
+        self.jobs = JobIndex()
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def health(self):
+        return 200, {"status": "ok", "spark_version": self.spark.version}
+
+    def validate(self):
+        """Input DQ gates (ref contracts/validation.py:742,767 anti-join
+        orphans; engine/pipeline.py:255-269 non-finite scrub): counts only,
+        never row data."""
+        bundle = _star_bundle(self.spark, self.sf_dir, irb=False)
+        orphans = bundle.loans.join(
+            bundle.counterparties, "counterparty_reference", "left_anti"
+        ).count()
+        bad_pd = bundle.loans.where(
+            F.col("pd").isNotNull() & ~F.col("pd").between(0.0, 1.0)
+        ).count()
+        nonfinite = bundle.loans.where(
+            F.isnan("drawn_amount") | F.col("drawn_amount").isin(float("inf"), float("-inf"))
+        ).count()
+        ok = orphans == 0 and bad_pd == 0 and nonfinite == 0
+        return 200, {
+            "valid": ok,
+            "checks": {
+                "DQ_orphan_loans": orphans,
+                "DQ_pd_domain": bad_pd,
+                "DQ011_nonfinite_drawn": nonfinite,
+            },
+        }
+
+    def calculate(self, body: dict):
+        regime = body.get("regime", "crr")
+        if regime not in ("crr", "b31"):
+            return 400, {"error": f"unknown regime {regime!r}"}
+        pack = CRR_PACK if regime == "crr" else B31_PACK
+        irb = bool(body.get("irb", True))
+        job = self.jobs.create()
+        job["cache_dir"] = os.path.join(self.cache_root, job["job_id"])
+
+        def run():
+            self.jobs.event(job, f"pipeline start regime={regime} irb={irb}")
+            try:
+                bundle = _star_bundle(self.spark, self.sf_dir, irb=irb)
+                calc = CreditRiskCalc(self.spark, bundle, pack, cache_dir=job["cache_dir"])
+                resp = calc.calculate()
+                job["manifest"] = resp.run_manifest
+                job["status"] = "done"
+                self.jobs.event(job, f"pipeline done in {resp.run_manifest['wall_sec']}s")
+            except Exception as e:  # surfaced via the job, never swallowed
+                job["status"] = "failed"
+                job["error"] = str(e)
+                self.jobs.event(job, f"pipeline failed: {e}")
+
+        threading.Thread(target=run, daemon=True).start()
+        return 202, {"job_id": job["job_id"], "status": job["status"]}
+
+    def job(self, job_id: str):
+        job = self.jobs.get(job_id)
+        if job is None:
+            return 404, {"error": f"no such job {job_id!r}"}
+        return 200, {k: v for k, v in job.items() if k != "cache_dir"} | {
+            "cache_dir": job["cache_dir"]
+        }
+
+    def _done_job(self, job_id: str):
+        job = self.jobs.get(job_id)
+        if job is None:
+            return None, (404, {"error": f"no such job {job_id!r}"})
+        if job["status"] != "done":
+            return None, (409, {"error": f"job {job_id} is {job['status']}"})
+        return job, None
+
+    # -- reads over the results cache ----------------------------------------
+
+    def results(self, job_id: str, limit: int):
+        job, err = self._done_job(job_id)
+        if err:
+            return err
+        df = self.spark.read.parquet(os.path.join(job["cache_dir"], "results"))
+        page = _rows(df.orderBy("exposure_reference"), limit)
+        return 200, {"rows": page, "n_returned": len(page)}
+
+    def summary(self, job_id: str, dimension: str):
+        if dimension not in ("class", "approach"):
+            return 400, {"error": f"unknown dimension {dimension!r}"}
+        job, err = self._done_job(job_id)
+        if err:
+            return err
+        df = self.spark.read.parquet(os.path.join(job["cache_dir"], f"summary_{dimension}"))
+        return 200, {"rows": _rows(df)}
+
+    def lineage(self, job_id: str):
+        job, err = self._done_job(job_id)
+        if err:
+            return err
+        return 200, {
+            "manifest": job["manifest"],
+            "stages": list(_STAGES),
+            "inputs": {"sf_dir": self.sf_dir},
+        }
+
+    def export_csv(self, job_id: str):
+        job, err = self._done_job(job_id)
+        if err:
+            return err
+        out = os.path.join(job["cache_dir"], "export")
+        df = self.spark.read.parquet(os.path.join(job["cache_dir"], "results"))
+        df.write.mode("overwrite").option("header", True).csv(out)
+        return 200, {"path": out, "format": "csv"}
+
+    # -- reporting ------------------------------------------------------------
+
+    def templates(self):
+        from rwa_calculator_spark.reporting_templates import TEMPLATE_CELLS
+
+        ids = sorted({c.template for c in TEMPLATE_CELLS})
+        return 200, {"templates": ids}
+
+    def template(self, template_id: str):
+        from rwa_calculator_spark.reporting import compute_cells
+        from rwa_calculator_spark.reporting_templates import TEMPLATE_CELLS, star_ledger
+
+        specs = [c for c in TEMPLATE_CELLS if c.template == template_id]
+        if not specs:
+            return 404, {"error": f"no such template {template_id!r}"}
+        facts = compute_cells(star_ledger(self.spark, self.sf_dir), specs)
+        return 200, {"template": template_id, "cells": _rows(facts)}
+
+    def validations(self):
+        from rwa_calculator_spark.reporting import compute_cells, evaluate_validations
+        from rwa_calculator_spark.reporting_templates import (
+            TEMPLATE_CELLS,
+            VALIDATION_RULES_TEXT,
+            parse_validation_rules,
+            star_ledger,
+        )
+
+        facts = compute_cells(star_ledger(self.spark, self.sf_dir), TEMPLATE_CELLS)
+        rules = parse_validation_rules(VALIDATION_RULES_TEXT)
+        return 200, {"results": _rows(evaluate_validations(facts, rules))}
+
+    # -- analysis --------------------------------------------------------------
+
+    def comparison(self):
+        from rwa_calculator_spark.plans.rwa import dual_framework_delta
+
+        df = dual_framework_delta(self.spark, self.sf_dir)
+        return 200, {"rows": _rows(df.orderBy(*df.columns[:1]))}
+
+    def reconcile(self, body: dict):
+        from rwa_calculator_spark.operators.recon import ReconComponent, reconcile
+
+        job_a, err = self._done_job(body.get("job_a", ""))
+        if err:
+            return err
+        job_b, err = self._done_job(body.get("job_b", ""))
+        if err:
+            return err
+        # collapse sub-rows (RE-split tranches share an exposure_reference)
+        # to the reconciliation grain first, as the reference does
+        # (SURVEY §3.3); fixed-point sums so the grain totals are
+        # partition-order-independent
+        from rwa_calculator_spark.functions.exact import scaled_sum
+
+        def grain(path: str):
+            return (
+                self.spark.read.parquet(path)
+                .groupBy("exposure_reference")
+                .agg(scaled_sum(F.col("ead"), 2).alias("ead"), scaled_sum(F.col("rwa"), 2).alias("rwa"))
+            )
+
+        ours = grain(os.path.join(job_a["cache_dir"], "results"))
+        theirs = grain(os.path.join(job_b["cache_dir"], "results"))
+        res = reconcile(
+            ours,
+            theirs,
+            keys=["exposure_reference"],
+            components=[ReconComponent("ead"), ReconComponent("rwa")],
+        )
+        return 200, {
+            "summary": _rows(res.summary),
+            "worklist": _rows(res.worklist, limit=20),
+        }
+
+
+# -- HTTP transport -----------------------------------------------------------
+
+_ROUTES: list[tuple[str, re.Pattern, str]] = [
+    ("GET", re.compile(r"^/api/health$"), "health"),
+    ("POST", re.compile(r"^/api/validate$"), "validate"),
+    ("POST", re.compile(r"^/api/calculate$"), "calculate"),
+    ("GET", re.compile(r"^/jobs/(?P<job_id>\w+)$"), "job"),
+    ("GET", re.compile(r"^/api/results$"), "results"),
+    ("GET", re.compile(r"^/api/results/summary/(?P<dimension>\w+)$"), "summary"),
+    ("GET", re.compile(r"^/api/templates$"), "templates"),
+    ("GET", re.compile(r"^/api/templates/(?P<template_id>[\w.]+)$"), "template"),
+    ("GET", re.compile(r"^/api/validations$"), "validations"),
+    ("GET", re.compile(r"^/api/lineage$"), "lineage"),
+    ("GET", re.compile(r"^/api/comparison$"), "comparison"),
+    ("POST", re.compile(r"^/api/reconcile$"), "reconcile"),
+    ("GET", re.compile(r"^/api/export/csv$"), "export_csv"),
+]
+
+
+def _make_handler(api: RwaApi):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet test output
+            pass
+
+        def _dispatch(self, method: str):
+            url = urlparse(self.path)
+            qs = {k: v[0] for k, v in parse_qs(url.query).items()}
+            for verb, pat, name in _ROUTES:
+                if verb != method:
+                    continue
+                m = pat.match(url.path)
+                if not m:
+                    continue
+                kwargs = dict(m.groupdict())
+                if name == "calculate" or name == "reconcile":
+                    length = int(self.headers.get("Content-Length") or 0)
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    kwargs["body"] = body
+                if name in ("results", "summary", "lineage", "export_csv"):
+                    kwargs["job_id"] = qs.get("job", "")
+                if name == "results":
+                    kwargs["limit"] = int(qs.get("limit", "100"))
+                try:
+                    status, payload = getattr(api, name)(**kwargs)
+                except Exception as e:  # defensive: a handler bug is a 500, not a hang
+                    status, payload = 500, {"error": str(e)}
+                data = json.dumps(payload, sort_keys=True, default=str).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
+            self.send_response(404)
+            self.end_headers()
+
+        def do_GET(self):
+            self._dispatch("GET")
+
+        def do_POST(self):
+            self._dispatch("POST")
+
+    return Handler
+
+
+class RwaRestServer:
+    """Ephemeral JSON API server. `with RwaRestServer(spark, sf_dir) as base:`
+    yields the base URL; requests are served on daemon threads sharing the
+    one SparkSession (Spark is thread-safe for job submission; concurrent
+    jobs get separate scheduler pools by default FIFO)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, host: str = "127.0.0.1", port: int = 0):
+        self.api = RwaApi(spark, sf_dir)
+        self._httpd = ThreadingHTTPServer((host, port), _make_handler(self.api))
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    @property
+    def base_url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def __enter__(self) -> str:
+        self._thread.start()
+        return self.base_url
+
+    def __exit__(self, *exc):
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -1,0 +1,171 @@
+"""REST layer end-to-end over real HTTP (stdlib client ↔ stdlib server):
+the SURVEY §3.2 lifecycle — validate → calculate (background job) → poll →
+results/summary/lineage/export → templates/validations → reconcile two runs
+→ dual-framework comparison."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from rwa_calculator_spark.rest import RwaRestServer
+
+
+def _get(base: str, path: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(base + path) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def _post(base: str, path: str, body: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def _wait_done(base: str, job_id: str, timeout: float = 180.0) -> dict:
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        status, job = _get(base, f"/jobs/{job_id}")
+        assert status == 200
+        if job["status"] == "done":
+            return job
+        assert job["status"] == "running", f"job failed: {job}"
+        time.sleep(0.5)
+    raise AssertionError("job did not finish in time")
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    with RwaRestServer(spark, sf_dir) as base:
+        yield base
+
+
+@pytest.fixture(scope="module")
+def done_job(server):
+    status, resp = _post(server, "/api/calculate", {"regime": "crr", "irb": True})
+    assert status == 202
+    return _wait_done(server, resp["job_id"])
+
+
+def test_health(server):
+    status, body = _get(server, "/api/health")
+    assert status == 200 and body["status"] == "ok"
+
+
+def test_validate(server):
+    status, body = _post(server, "/api/validate", {})
+    assert status == 200
+    assert body["valid"] is True
+    assert body["checks"]["DQ_orphan_loans"] == 0
+
+
+def test_results_page(server, done_job):
+    status, body = _get(server, f"/api/results?job={done_job['job_id']}&limit=7")
+    assert status == 200 and body["n_returned"] == 7
+    row = body["rows"][0]
+    assert {"exposure_reference", "approach", "ead", "rwa"} <= set(row)
+
+
+def test_summary_and_conservation(server, done_job):
+    status, by_class = _get(server, f"/api/results/summary/class?job={done_job['job_id']}")
+    assert status == 200
+    status, by_app = _get(server, f"/api/results/summary/approach?job={done_job['job_id']}")
+    assert status == 200
+    # the two summaries partition the same ledger — totals must tie out
+    t1 = sum(r["total_rwa"] for r in by_class["rows"])
+    t2 = sum(r["total_rwa"] for r in by_app["rows"])
+    assert abs(t1 - t2) < 1e-6
+
+
+def test_summary_unknown_dimension_400(server, done_job):
+    status, _ = _get(server, f"/api/results/summary/bogus?job={done_job['job_id']}")
+    assert status == 400
+
+
+def test_results_unfinished_job_409_and_missing_404(server):
+    status, _ = _get(server, "/api/results?job=nonexistent")
+    assert status == 404
+
+
+def test_lineage(server, done_job):
+    status, body = _get(server, f"/api/lineage?job={done_job['job_id']}")
+    assert status == 200
+    assert body["manifest"]["regime"] == "crr"
+    assert len(body["manifest"]["rulepack_hash"]) == 16
+    assert "crm" in body["stages"]
+
+
+def test_export_csv(server, done_job):
+    import glob
+
+    status, body = _get(server, f"/api/export/csv?job={done_job['job_id']}")
+    assert status == 200
+    assert glob.glob(body["path"] + "/*.csv")
+
+
+def test_templates_and_cells(server):
+    status, body = _get(server, "/api/templates")
+    assert status == 200 and "C07.00" in body["templates"]
+    status, body = _get(server, "/api/templates/C07.00")
+    assert status == 200
+    cells = {(c["row_id"], c["col_id"]): c["value"] for c in body["cells"]}
+    assert ("0010", "0010") in cells
+    # the deliberately-absent DEFAULTED cell must be null, never zero
+    assert cells[("0090", "0010")] is None
+    status, _ = _get(server, "/api/templates/C99.99")
+    assert status == 404
+
+
+def test_validations(server):
+    status, body = _get(server, "/api/validations")
+    assert status == 200
+    by_id = {r["rule_id"]: r["status"] for r in body["results"]}
+    assert by_id["v0200_1"] == "pass"
+    assert by_id["v_absent"] == "not_evaluable"
+
+
+def test_reconcile_self_is_exact(server, done_job):
+    status, body = _post(
+        server,
+        "/api/reconcile",
+        {"job_a": done_job["job_id"], "job_b": done_job["job_id"]},
+    )
+    assert status == 200
+    buckets = {(r["component"], r["bucket"]): r["n"] for r in body["summary"]}
+    assert all(b == "exact" for (_, b) in buckets)
+    assert body["worklist"] == []
+
+
+def test_reconcile_cross_regime_breaks(server, done_job):
+    status, resp = _post(server, "/api/calculate", {"regime": "b31", "irb": True})
+    assert status == 202
+    job_b = _wait_done(server, resp["job_id"])
+    status, body = _post(
+        server,
+        "/api/reconcile",
+        {"job_a": done_job["job_id"], "job_b": job_b["job_id"]},
+    )
+    assert status == 200
+    buckets = {(r["component"], r["bucket"]) for r in body["summary"]}
+    # SME supporting-factor removal under B3.1 must surface rwa breaks
+    assert ("rwa", "break") in buckets
+
+
+def test_comparison(server):
+    status, body = _get(server, "/api/comparison")
+    assert status == 200
+    assert len(body["rows"]) > 0
