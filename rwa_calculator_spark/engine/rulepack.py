@@ -89,14 +89,35 @@ _CCF_ROWS = (
     ("low_risk", _D("0.0")),
 )
 
-# Supervisory slotting risk weights (CRR Art.153(5)).
-_SLOTTING_ROWS = (
-    ("strong", _D("0.7")),
-    ("good", _D("0.9")),
-    ("satisfactory", _D("1.15")),
-    ("weak", _D("2.5")),
-    ("default", _D("0.0")),
+# Supervisory slotting (CRR Art.153(5) Table A risk weights, Art.158(6)
+# Table B EL rates; ref rulebook/packs/crr.py slotting_rw_* /
+# slotting_el_* lookups). One combined table keyed
+# (slot_category, is_short, is_hvcre): remaining maturity < 2.5y takes the
+# preferential weight, HVCRE carries its own column pair, HVCRE EL is flat
+# across maturities. B3.1 (PS1/26 Art.153(5)) keeps identical values.
+_SLOTTING_SCHEMA = (
+    "slot_category string, is_short boolean, is_hvcre boolean, rw double, el_rate double"
 )
+
+
+def _slotting_rows() -> tuple:
+    rw_long = {"strong": "0.70", "good": "0.90", "satisfactory": "1.15", "weak": "2.50", "default": "0.00"}
+    rw_short = {"strong": "0.50", "good": "0.70", "satisfactory": "1.15", "weak": "2.50", "default": "0.00"}
+    rw_hv_long = {"strong": "0.95", "good": "1.20", "satisfactory": "1.40", "weak": "2.50", "default": "0.00"}
+    rw_hv_short = {"strong": "0.70", "good": "0.95", "satisfactory": "1.40", "weak": "2.50", "default": "0.00"}
+    el_long = {"strong": "0.004", "good": "0.008", "satisfactory": "0.028", "weak": "0.08", "default": "0.50"}
+    el_short = {"strong": "0.0", "good": "0.004", "satisfactory": "0.028", "weak": "0.08", "default": "0.50"}
+    el_hvcre = {"strong": "0.004", "good": "0.004", "satisfactory": "0.028", "weak": "0.08", "default": "0.50"}
+    rows = []
+    for cat in ("strong", "good", "satisfactory", "weak", "default"):
+        rows.append((cat, False, False, _D(rw_long[cat]), _D(el_long[cat])))
+        rows.append((cat, True, False, _D(rw_short[cat]), _D(el_short[cat])))
+        rows.append((cat, False, True, _D(rw_hv_long[cat]), _D(el_hvcre[cat])))
+        rows.append((cat, True, True, _D(rw_hv_short[cat]), _D(el_hvcre[cat])))
+    return tuple(rows)
+
+
+_SLOTTING_ROWS = _slotting_rows()
 
 CRR_PACK = RulePack(
     regime="crr",
@@ -114,13 +135,20 @@ CRR_PACK = RulePack(
         "lgd_floor_unsecured": RuleEntry(_D("0.0"), "CRR Art.161"),
         "output_floor_alpha": RuleEntry(_D("0.0"), "n/a in CRR"),
         "fx_haircut": RuleEntry(_D("0.08"), "CRR Art.224"),
-        "equity_listed_rw": RuleEntry(_D("1.9"), "CRR Art.155(2)"),
+        # IRB simple risk-weight method (CRR Art.155(2); ref
+        # engine/equity/calculator.py:760-762): diversified private equity
+        # 190% / exchange-traded 290% / other 370%, EL 0.8%/0.8%/2.4%
+        "equity_irb_available": RuleEntry(_D("1"), "CRR Art.155 (IRB equity available)"),
+        "equity_pe_diversified_rw": RuleEntry(_D("1.9"), "CRR Art.155(2)"),
+        "equity_exchange_traded_rw": RuleEntry(_D("2.9"), "CRR Art.155(2)"),
         "equity_other_rw": RuleEntry(_D("3.7"), "CRR Art.155(2)"),
+        "equity_el_standard": RuleEntry(_D("0.008"), "CRR Art.158(7)"),
+        "equity_el_other": RuleEntry(_D("0.024"), "CRR Art.158(7)"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS),
-        "slotting_rw": ("slot_category string, rw double", _SLOTTING_ROWS),
+        "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
     },
 )
 
@@ -140,12 +168,16 @@ B31_PACK = RulePack(
         "lgd_floor_unsecured": RuleEntry(_D("0.25"), "BCBS CRE36.86"),
         "output_floor_alpha": RuleEntry(_D("0.725"), "BCBS RBC20.11"),
         "fx_haircut": RuleEntry(_D("0.08"), "BCBS CRE22.52"),
-        "equity_listed_rw": RuleEntry(_D("2.5"), "BCBS CRE20.57"),
-        "equity_other_rw": RuleEntry(_D("4.0"), "BCBS CRE20.57"),
+        # B3.1 removed the IRB equity approaches — all equity uses SA
+        # (PS1/26 Art.133(3)-(5); ref rulebook/packs/b31.py:513-529):
+        # standard 250%, speculative unlisted 400%, no slotting-style EL
+        "equity_irb_available": RuleEntry(_D("0"), "PS1/26 Art.133 (IRB equity removed)"),
+        "equity_standard_rw": RuleEntry(_D("2.5"), "PS1/26 Art.133(3)"),
+        "equity_speculative_rw": RuleEntry(_D("4.0"), "PS1/26 Art.133(4)"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS),
-        "slotting_rw": ("slot_category string, rw double", _SLOTTING_ROWS),
+        "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
     },
 )
