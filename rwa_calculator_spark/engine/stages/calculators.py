@@ -173,11 +173,36 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
 
 
 def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
-    """Equity holdings: simple risk-weight method — listed vs other
-    (CRR Art.155(2); ref engine/equity/calculator.py)."""
-    rw = F.when(
-        F.coalesce("is_exchange_traded", F.lit(False)), pack.lit("equity_listed_rw")
-    ).otherwise(pack.lit("equity_other_rw"))
+    """Equity holdings, regime-aware.
+
+    CRR: IRB simple risk-weight method (Art.155(2); ref
+    engine/equity/calculator.py:760-762) — diversified PE 190%,
+    exchange-traded 290%, other 370%.
+    B3.1: IRB equity removed (PS1/26 Art.133) — SA 250% standard,
+    400% speculative unlisted.
+    """
+    listed = F.coalesce("is_exchange_traded", F.lit(False))
+    # optional flags (absent in minimal bundles → default false)
+    pe_div = (
+        F.coalesce("is_diversified_pe", F.lit(False))
+        if "is_diversified_pe" in equity.columns
+        else F.lit(False)
+    )
+    spec = (
+        F.coalesce("is_speculative", F.lit(False))
+        if "is_speculative" in equity.columns
+        else F.lit(False)
+    )
+    if pack.scalar("equity_irb_available") >= 1.0:
+        rw = (
+            F.when(pe_div, pack.lit("equity_pe_diversified_rw"))
+            .when(listed, pack.lit("equity_exchange_traded_rw"))
+            .otherwise(pack.lit("equity_other_rw"))
+        )
+    else:
+        rw = F.when(spec, pack.lit("equity_speculative_rw")).otherwise(
+            pack.lit("equity_standard_rw")
+        )
     mv = F.coalesce("market_value", F.lit(0.0))
     out = equity.select(
         "exposure_reference",

@@ -11,8 +11,8 @@ Two implementations with identical semantics:
   guide's fallback shape, Arrow-batched; used to cross-check and for logic
   too awkward to window.
 
-Timestamps compare at microsecond precision (unix_micros), matching the
-engine-wide TIMESTAMP(NANOS)→micros read policy.
+Ordering is directly on the event-time column, so both TIMESTAMP and
+TIMESTAMP_NTZ inputs work unchanged.
 """
 
 from __future__ import annotations
@@ -39,7 +39,7 @@ def asof_join_window(
     # build rows sort before probe rows at identical timestamps (_side asc)
     w = (
         W.partitionBy(key)
-        .orderBy(F.unix_micros(F.col(ts)), F.col("_side"))
+        .orderBy(F.col(ts), F.col("_side"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
     build_ts = F.when(F.col("_side") == 0, F.col(ts))

@@ -337,7 +337,11 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
     m = asof_join_window(purchases, clicks, key="user_id", ts="ts", value_cols=("value",))
     gap = F.when(
-        F.col("asof_ts").isNotNull(), F.unix_micros("ts") - F.unix_micros("asof_ts")
+        F.col("asof_ts").isNotNull(),
+        # ts is TIMESTAMP_NTZ; session tz is UTC so the cast is an identity
+        # relabel and unix_micros matches DuckDB's epoch_us on the naive ts
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("asof_ts").cast("timestamp")),
     ).otherwise(F.lit(0))
     return m.groupBy("user_id").agg(
         F.count("*").alias("n_purchases"),

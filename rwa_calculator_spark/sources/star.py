@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _S = T.StringType()
@@ -48,11 +47,12 @@ STAR_SCHEMAS: dict[str, T.StructType] = {
         ("l_discount", _D), ("l_tax", _D), ("l_returnflag", _S),
         ("l_linestatus", _S), ("l_shipdate", _TS),
     ),
-    # ts is TIMESTAMP(NANOS) in the parquet file, which Spark's reader
-    # rejects outright — it is read as raw nanos (legacy.parquet.nanosAsLong)
-    # and converted to a microsecond timestamp in load_table.
+    # ts is TIMESTAMP_MICROS (isAdjustedToUTC=false) in the parquet files —
+    # verified with pyarrow across all sf dirs — so Spark 4 reads it natively
+    # as TIMESTAMP_NTZ. Session timezone is pinned UTC (session.py), so NTZ
+    # event-time windowing matches the DuckDB oracle bit-for-bit.
     "events": _st(
-        ("event_id", _L), ("ts", T.LongType()), ("user_id", _L),
+        ("event_id", _L), ("ts", T.TimestampNTZType()), ("user_id", _L),
         ("event_type", _S), ("value", _D), ("props", _S),
     ),
     "documents": _st(
@@ -68,21 +68,7 @@ TABLE_NAMES = tuple(STAR_SCHEMAS)
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-declared parquet scan of one star-schema table."""
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(STAR_SCHEMAS[name]).parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = events_ts_to_timestamp(spark, df)
-    return df
-
-
-def events_ts_to_timestamp(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) → TimestampType: read as raw int64 nanos, truncate
-    to micros. Sub-microsecond precision is dropped (Spark timestamps are
-    micros); event-time bucketing/windowing is unaffected."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cols = [c for c in df.columns if c != "ts"]
-    return df.select(*cols, F.expr("timestamp_micros(ts DIV 1000)").alias("ts"))
+    return spark.read.schema(STAR_SCHEMAS[name]).parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def csv_mirror_path(sf_dir: str, name: str) -> str:

@@ -28,12 +28,8 @@ from rwa_calculator_spark.sources.star import STAR_SCHEMAS
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (one file = one micro-batch
-    in tests; a Kafka source drops in here unchanged). ts arrives as
-    TIMESTAMP(NANOS) → read as raw nanos and truncated to micros, same as
-    the batch reader."""
-    from rwa_calculator_spark.sources.star import events_ts_to_timestamp
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    in tests; a Kafka source drops in here unchanged). ts is TIMESTAMP_MICROS
+    (NTZ) in the files and is read natively, same as the batch reader."""
     # The file stream source requires a directory; mirror the single file
     # into /tmp via symlink (testdata is read-only).
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -43,7 +39,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     raw = spark.readStream.schema(STAR_SCHEMAS["events"]).parquet(stream_dir)
-    return events_ts_to_timestamp(spark, raw)
+    # Structured Streaming watermarks require TIMESTAMP (not NTZ); session
+    # timezone is pinned UTC so this cast relabels without shifting values.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

@@ -193,11 +193,42 @@ def test_slotting_and_equity_branches(spark):
     assert rows["L2"].approach == "SA"
     assert rows["L2"].rwa == pytest.approx(1000 * 0.5)
     assert rows["E1"].approach == "EQUITY"
-    assert rows["E1"].rwa == pytest.approx(500 * 1.9)  # listed 190%
+    assert rows["E1"].rwa == pytest.approx(500 * 2.9)  # exchange-traded 290% (CRR Art.155(2))
     assert rows["E2"].rwa == pytest.approx(200 * 3.7)  # other 370%
 
     approaches = {r.approach for r in out.summary_by_approach.collect()}
     assert approaches == {"SA", "SLOTTING", "EQUITY"}
+
+
+def test_equity_branch_b31_and_pack_keys(spark):
+    """B3.1 equity routing (SA 250%/400%, PS1/26 Art.133) + a guard that the
+    pack keys run_equity references actually exist in BOTH packs, so a
+    rulepack rename can never silently break the stage again."""
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+
+    # key-existence guard: resolve every scalar run_equity can touch
+    for pack in (CRR_PACK, B31_PACK):
+        pack.scalar("equity_irb_available")
+    for key in ("equity_pe_diversified_rw", "equity_exchange_traded_rw", "equity_other_rw"):
+        CRR_PACK.scalar(key)
+    for key in ("equity_standard_rw", "equity_speculative_rw"):
+        B31_PACK.scalar(key)
+
+    eq = _df(
+        spark,
+        [("E1", "CP1", 500.0, True, False), ("E2", "CP1", 200.0, False, True)],
+        "exposure_reference string, counterparty_reference string, "
+        "market_value double, is_exchange_traded boolean, is_speculative boolean",
+    )
+    from rwa_calculator_spark.engine.stages.calculators import run_equity
+
+    rows = {r.exposure_reference: r for r in run_equity(eq, B31_PACK).results.collect()}
+    assert rows["E1"].rwa == pytest.approx(500 * 2.5)  # standard 250%
+    assert rows["E2"].rwa == pytest.approx(200 * 4.0)  # speculative 400%
+
+    crm_rows = {r.exposure_reference: r for r in run_equity(eq, CRR_PACK).results.collect()}
+    assert crm_rows["E1"].rwa == pytest.approx(500 * 2.9)
+    assert crm_rows["E2"].rwa == pytest.approx(200 * 3.7)
 
 
 def test_securitisation_conservation(spark, sf_dir):
