@@ -356,9 +356,17 @@ _SQL_NEARDUP_EDGES = """
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ), sizes AS (
         SELECT doc_id, count(*) AS n_words FROM ws GROUP BY doc_id
+    ), rare AS (
+        SELECT doc_id, word FROM ws
+        QUALIFY count(*) OVER (PARTITION BY word) <= 1000
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM rare a JOIN rare b ON a.word = b.word AND a.doc_id < b.doc_id
     ), inter AS (
-        SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n_common
-        FROM ws a JOIN ws b ON a.word = b.word AND a.doc_id < b.doc_id
+        SELECT c.src, c.dst, count(*) AS n_common
+        FROM cand c
+        JOIN ws a ON a.doc_id = c.src
+        JOIN ws b ON b.doc_id = c.dst AND b.word = a.word
         GROUP BY 1, 2 HAVING count(*) >= 20
     ), nd_edges AS (
         SELECT i.src, i.dst
@@ -405,11 +413,26 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
     sizes = ws.groupBy("doc_id").agg(F.count("*").alias("n_words"))
-    a = ws.alias("a")
-    b = ws.alias("b")
-    inter = (
+    # df-capped candidate pass + exact verify (same scale-safe two-pass shape
+    # as dedup_ngram_jaccard — no hot-token quadratic join)
+    rare = (
+        ws.withColumn("_df", F.count("*").over(W.partitionBy("word")))
+        .where(F.col("_df") <= 1000)
+        .drop("_df")
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
         a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    wa = ws.alias("wa")
+    wb = ws.alias("wb")
+    inter = (
+        cand.join(wa, F.col("src") == F.col("wa.doc_id"))
+        .join(wb, (F.col("dst") == F.col("wb.doc_id")) & (F.col("wa.word") == F.col("wb.word")))
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("n_common"))
         .where(F.col("n_common") >= 20)
     )

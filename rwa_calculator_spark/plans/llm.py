@@ -58,16 +58,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Document-frequency cap for candidate generation: words appearing in more
+# than this many documents never key a candidate pair. Kills the hot-token
+# quadratic blowup (one stopword in 10M docs would otherwise make ~10^13
+# candidate pairs) while exact Jaccard is still verified over the FULL word
+# sets for every surviving candidate.
+_NGRAM_DF_CAP = 1000
+
+
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH ws AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ), sizes AS (
         SELECT doc_id, count(*) AS n_words FROM ws GROUP BY doc_id
+    ), rare AS (
+        SELECT doc_id, word FROM ws
+        QUALIFY count(*) OVER (PARTITION BY word) <= {_NGRAM_DF_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b ON a.word = b.word AND a.doc_id < b.doc_id
     ), inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM ws a JOIN ws b ON a.word = b.word AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN ws a ON a.doc_id = c.doc_a
+        JOIN ws b ON b.doc_id = c.doc_b AND b.word = a.word
         GROUP BY 1, 2 HAVING count(*) >= 20
     )
     SELECT i.doc_a, i.doc_b,
@@ -82,17 +98,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection by word-set Jaccard. Candidate generation is
-    bounded (pairs sharing ≥20 distinct words) before the exact similarity —
-    the join is on the word posting list, never an all-pairs product."""
+    """Near-dup detection by word-set Jaccard, two-pass:
+
+    1. candidate generation over RARE words only (document frequency ≤
+       `_NGRAM_DF_CAP`) — the posting-list self-join can never go quadratic
+       on a hot token, so the shape survives a 100× corpus;
+    2. exact verification: the full word sets of each candidate pair are
+       intersected and true Jaccard computed (so the df cap does not skew
+       the similarity value).
+
+    A pair sharing ONLY ultra-common words is not generated as a candidate —
+    the standard rare-feature trade-off, mirrored exactly in the oracle."""
     d = load_table(spark, sf_dir, "documents")
     ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
     sizes = ws.groupBy("doc_id").agg(F.count("*").alias("n_words"))
-    a = ws.alias("a")
-    b = ws.alias("b")
-    inter = (
+    wdf = W.partitionBy("word")
+    rare = ws.withColumn("_df", F.count("*").over(wdf)).where(
+        F.col("_df") <= _NGRAM_DF_CAP
+    ).drop("_df")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
         a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = ws.alias("wa")
+    wb = ws.alias("wb")
+    inter = (
+        cand.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
+        .join(wb, (F.col("doc_b") == F.col("wb.doc_id")) & (F.col("wa.word") == F.col("wb.word")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
         .where(F.col("n_common") >= 20)
     )

@@ -103,3 +103,35 @@ def test_asof_window_matches_pandas(spark, sf_dir):
         for r in asof_join_pandas(purchases, clicks, "user_id", "ts", ("value",)).collect()
     }
     assert a == b
+
+
+def test_ngram_candidates_bounded_under_stopword_corpus(spark):
+    """A stopword shared by EVERY document must not generate candidate
+    pairs: the df-capped posting list drops it before the self-join, so
+    candidates stay bounded by rare-word co-occurrence (the 100 TB shape —
+    without the cap one hot token makes the join quadratic in corpus size)."""
+    from pyspark.sql import Window as W
+
+    # 200 docs, all sharing the word 'the'; only doc pairs (2k, 2k+1) share
+    # a rare word
+    rows = []
+    for i in range(200):
+        rare = f"rare{i // 2}"
+        rows.append((i, f"the {rare} x{i}"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
+    rare = (
+        ws.withColumn("_df", F.count("*").over(W.partitionBy("word")))
+        .where(F.col("_df") <= 100)
+        .drop("_df")
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    n = cand.count()
+    # without the cap: 'the' alone contributes C(200,2) = 19900 pairs
+    assert n == 100, n
