@@ -30,6 +30,32 @@ class RawBundle:
     model_permissions: Optional[DataFrame] = None
     specialised_lending: Optional[DataFrame] = None  # (counterparty_reference, slot_category)
     equity_exposures: Optional[DataFrame] = None  # (exposure_reference, counterparty_reference, market_value, is_exchange_traded)
+    # (counterparty_reference, rating_type, is_short_term, rating_agency,
+    #  rating_date, rating_reference, cqs, pd) — when present, external CQS
+    # is Art.138-derived and REPLACES counterparties.cqs (ref
+    # engine/stages/hierarchy/ratings.py)
+    ratings: Optional[DataFrame] = None
+    # (facility_reference, counterparty_reference, limit, committed,
+    #  risk_bucket) + facility_mappings (parent_facility_reference,
+    #  child_reference, child_type) — synthetic facility-undrawn exposures
+    # (ref engine/stages/hierarchy/facility_undrawn.py)
+    facilities: Optional[DataFrame] = None
+    facility_mappings: Optional[DataFrame] = None
+    # (beneficiary_reference, beneficiary_type, amount) — drawn-first
+    # deduction under SA (CRR Art.111(2); ref engine/crm/provisions.py)
+    provisions: Optional[DataFrame] = None
+    # (parent_counterparty_reference, child_counterparty_reference) —
+    # retail-threshold lending groups (CRR Art.123(c)/4(1)(39); ref
+    # engine/stages/hierarchy/enrich.py:440)
+    lending_mappings: Optional[DataFrame] = None
+    # fx_rates: (currency, rate_to_reporting) — monetary columns convert at
+    # load (ref engine/pipeline.py:271-285)
+    fx_rates: Optional[DataFrame] = None
+    # scope: reporting_entities (entity_reference, parent_entity_reference)
+    # + book_entity_mappings (book_code, entity_reference); exposures carry
+    # book_code (ref engine/stages/scope/resolver.py)
+    reporting_entities: Optional[DataFrame] = None
+    book_entity_mappings: Optional[DataFrame] = None
 
 
 @dataclass(frozen=True)

@@ -2,10 +2,16 @@
 engine/stages/classify/* — the 1,692-LoC case-when surface distilled to its
 decision structure, driven by rulepack thresholds, not literals).
 
-The retail threshold is a *group-level* test: total exposure of the obligor's
-lending group ≤ threshold. That is a window sum over the resolved group key —
-no collapse, no second join (ref engine/stages/hierarchy/facility_undrawn.py
-group-total shapes).
+The retail threshold is a *group-level* test: total exposure of the
+obligor's lending group ≤ threshold (CRR Art.123(c)). When the bundle
+carries lending_mappings, the aggregate windows over
+lending_group_reference with a group-of-one (per-counterparty) fallback
+for unmapped obligors (CRR Art.4(1)(39); ref
+engine/stages/hierarchy/enrich.py:440-530 enrich_with_lending_group —
+including the null-partition guard so unmapped rows never pool together).
+Without lending_mappings the org-hierarchy group is the grouping key.
+Either way it is a window sum over a resolved key — no collapse, no
+second join.
 """
 
 from __future__ import annotations
@@ -17,12 +23,24 @@ from rwa_calculator_spark.engine.bundles import ClassifiedOutput, HierarchyOutpu
 from rwa_calculator_spark.engine.rulepack import RulePack
 
 
+def _cents_sum_over(expr, w):
+    return F.sum(F.round(expr * 100.0, 0).cast("long")).over(w) / F.lit(100.0)
+
+
 def run_classify(h: HierarchyOutput, pack: RulePack) -> ClassifiedOutput:
     exp = h.exposures
-    grp = W.partitionBy("group_reference")
-    total_exposure = F.sum(
-        F.round((F.col("drawn_amount") + F.col("undrawn_amount")) * 100.0, 0).cast("long")
-    ).over(grp) / F.lit(100.0)
+    amount = F.col("drawn_amount") + F.col("undrawn_amount")
+
+    if "lending_group_reference" in exp.columns:
+        w_lg = W.partitionBy("lending_group_reference")
+        w_cp = W.partitionBy("counterparty_reference")
+        # null-partition guard: rows with no lending group fall back to the
+        # obligor's own aggregate rather than pooling in the null bucket
+        total_exposure = F.when(
+            F.col("lending_group_reference").isNotNull(), _cents_sum_over(amount, w_lg)
+        ).otherwise(_cents_sum_over(amount, w_cp))
+    else:
+        total_exposure = _cents_sum_over(amount, W.partitionBy("group_reference"))
     exp = exp.withColumn("group_exposure", total_exposure)
 
     is_retail = (

@@ -1,12 +1,15 @@
-"""Hierarchy stage: unify exposure sources, enrich with counterparty
-attributes, resolve the org hierarchy (ref engine/stages/hierarchy/*:
-unify.py diagonal_relaxed concat, enrich.py left joins, graph.py walks).
+"""Hierarchy stage: unify exposure sources (loans + contingents + synthetic
+facility-undrawn rows), enrich with counterparty attributes, resolve the org
+hierarchy, derive ratings, attach lending groups, convert FX
+(ref engine/stages/hierarchy/*: unify.py diagonal_relaxed concat, enrich.py
+left joins + lending groups, graph.py walks, ratings.py Art.138,
+facility_undrawn.py; fx conversion per engine/pipeline.py:271-285).
 
-Scale posture: the exposure union is columnar and shuffle-free; the
-counterparty enrich joins on counterparty_reference (broadcast when the dim
-fits, shuffle-hash otherwise — AQE decides); hierarchy resolution is the
-iterative broadcast-join from operators/graph (edge tables are tiny
-relative to facts).
+Scale posture: the exposure union is columnar and shuffle-free; all
+dimension work (counterparties, ratings, lending groups, fx, facilities)
+happens on dimension-sized frames and pre-joins into ONE combined broadcast
+dim, so the fact table pays a single broadcast hash probe; hierarchy
+resolution is the iterative broadcast-join from operators/graph.
 """
 
 from __future__ import annotations
@@ -15,15 +18,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rwa_calculator_spark.engine.bundles import HierarchyOutput, RawBundle
+from rwa_calculator_spark.engine.rulepack import CRR_PACK, RulePack
+from rwa_calculator_spark.engine.stages.facility import facility_undrawn_exposures
+from rwa_calculator_spark.engine.stages.ratings import (
+    resolve_external_cqs,
+    resolve_internal_pd,
+)
 from rwa_calculator_spark.operators.graph import resolve_ultimate_parent_iterative
 
 
-def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
-    loans = raw.loans.select(
+def _fx_factor(df: DataFrame, fx_rates: DataFrame | None):
+    """Multiplicative conversion factor to reporting currency: joins the
+    broadcast fx dim on the exposure's currency column when both exist,
+    else 1.0. Unknown/missing currency converts at 1.0 (reporting ccy)."""
+    if fx_rates is None or "currency" not in df.columns:
+        return df.withColumn("_fx", F.lit(1.0))
+    fx = fx_rates.select(
+        F.col("currency").alias("_fx_ccy"), F.col("rate_to_reporting").alias("_fx_rate")
+    )
+    return df.join(
+        F.broadcast(fx), df.currency == F.col("_fx_ccy"), "left"
+    ).withColumn("_fx", F.coalesce("_fx_rate", F.lit(1.0))).drop("_fx_ccy", "_fx_rate")
+
+
+def run_hierarchy(raw: RawBundle, pack: RulePack = CRR_PACK) -> HierarchyOutput:
+    loans_src = _fx_factor(raw.loans, raw.fx_rates)
+    loans = loans_src.select(
         F.col("loan_reference").alias("exposure_reference"),
         F.lit("loan").alias("exposure_type"),
         "counterparty_reference",
-        F.coalesce("drawn_amount", F.lit(0.0)).alias("drawn_amount"),
+        (F.coalesce("drawn_amount", F.lit(0.0)) * F.col("_fx")).alias("drawn_amount"),
         F.lit(0.0).alias("undrawn_amount"),
         F.lit(None).cast("string").alias("risk_bucket"),
         F.coalesce(F.col("is_defaulted"), F.lit(False)).alias("is_defaulted"),
@@ -33,13 +57,16 @@ def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
     )
     frames = [loans]
     if raw.contingents is not None:
+        cont_src = _fx_factor(raw.contingents, raw.fx_rates)
         frames.append(
-            raw.contingents.select(
+            cont_src.select(
                 F.col("contingent_reference").alias("exposure_reference"),
                 F.lit("contingent").alias("exposure_type"),
                 "counterparty_reference",
                 F.lit(0.0).alias("drawn_amount"),
-                F.coalesce("nominal_amount", F.lit(0.0)).alias("undrawn_amount"),
+                (F.coalesce("nominal_amount", F.lit(0.0)) * F.col("_fx")).alias(
+                    "undrawn_amount"
+                ),
                 F.col("risk_bucket"),
                 F.coalesce(F.col("is_defaulted"), F.lit(False)).alias("is_defaulted"),
                 F.col("pd"),
@@ -47,15 +74,36 @@ def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
                 F.col("effective_maturity"),
             )
         )
+    if raw.facilities is not None and raw.facility_mappings is not None:
+        fac_src = _fx_factor(raw.facilities, raw.fx_rates).withColumn(
+            "limit", F.col("limit") * F.col("_fx")
+        )
+        frames.append(
+            facility_undrawn_exposures(
+                fac_src,
+                loans_src.withColumn(
+                    "drawn_amount", F.coalesce("drawn_amount", F.lit(0.0)) * F.col("_fx")
+                ),
+                (
+                    _fx_factor(raw.contingents, raw.fx_rates).withColumn(
+                        "nominal_amount",
+                        F.coalesce("nominal_amount", F.lit(0.0)) * F.col("_fx"),
+                    )
+                    if raw.contingents is not None
+                    else None
+                ),
+                raw.facility_mappings,
+                pack,
+            )
+        )
     exposures = frames[0]
     for f in frames[1:]:
         exposures = exposures.unionByName(f, allowMissingColumns=True)
 
-    # One combined counterparty dimension: the three lookups (attributes,
-    # slotting, resolved hierarchy) all key on counterparty_reference, so
-    # they pre-join on the SMALL side and the fact table pays ONE broadcast
-    # hash probe per row instead of three (and the driver builds one
-    # broadcast map, not three).
+    # One combined counterparty dimension: every lookup (attributes,
+    # slotting, resolved hierarchy, derived ratings, lending group) keys on
+    # counterparty_reference, so they pre-join on the SMALL side and the
+    # fact table pays ONE broadcast hash probe per row instead of five.
     dim = raw.counterparties.select(
         "counterparty_reference",
         "entity_type",
@@ -90,11 +138,52 @@ def run_hierarchy(raw: RawBundle) -> HierarchyOutput:
     else:
         dim = dim.withColumn("group_reference", F.lit(None).cast("string"))
 
+    if raw.ratings is not None:
+        # Art.138 second-best external CQS REPLACES the supplied cqs column
+        # (external ratings never inherit); internal PD inherits from the
+        # ultimate parent and backstops exposure-level PD downstream.
+        ext = resolve_external_cqs(raw.ratings)
+        dim = (
+            dim.drop("cqs")
+            .join(ext, "counterparty_reference", "left")
+            .withColumnRenamed("external_cqs", "cqs")
+        )
+        ups = dim.select(
+            "counterparty_reference",
+            F.coalesce("group_reference", "counterparty_reference").alias("group_reference"),
+        )
+        ipd = resolve_internal_pd(raw.ratings, ups)
+        dim = dim.join(ipd, "counterparty_reference", "left")
+    else:
+        dim = dim.withColumn("internal_pd", F.lit(None).cast("double"))
+
+    if raw.lending_mappings is not None:
+        # membership = children + parents-as-members (CRR Art.4(1)(39));
+        # unmapped counterparties stay null → classify falls back to the
+        # obligor's own aggregate (group-of-one)
+        lg = raw.lending_mappings.select(
+            F.col("parent_counterparty_reference").alias("lending_group_reference"),
+            F.col("child_counterparty_reference").alias("counterparty_reference"),
+        ).unionByName(
+            raw.lending_mappings.select(
+                F.col("parent_counterparty_reference").alias("lending_group_reference"),
+                F.col("parent_counterparty_reference").alias("counterparty_reference"),
+            )
+        ).dropDuplicates(["counterparty_reference"])
+        dim = dim.join(lg, "counterparty_reference", "left")
+    # no lending_mappings → the column is absent and classify aggregates
+    # over the org group (round-1 behaviour, oracle-pinned)
+
     enriched = exposures.join(F.broadcast(dim), "counterparty_reference", "left")
     # exposures may reference counterparties absent from the dim (or with no
     # org edge): their group defaults to themselves, matching the reference
-    enriched = enriched.withColumn(
-        "group_reference", F.coalesce("group_reference", "counterparty_reference")
-    ).withColumn("is_specialised", F.coalesce("is_specialised", F.lit(False)))
+    enriched = (
+        enriched.withColumn(
+            "group_reference", F.coalesce("group_reference", "counterparty_reference")
+        )
+        .withColumn("is_specialised", F.coalesce("is_specialised", F.lit(False)))
+        .withColumn("pd", F.coalesce("pd", "internal_pd"))
+        .drop("internal_pd")
+    )
 
     return HierarchyOutput(exposures=enriched)
