@@ -15,7 +15,7 @@ Spark differences, deliberately (SURVEY §4):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
 
@@ -30,7 +30,7 @@ from rwa_calculator_spark.engine.stages.calculators import (
 )
 from rwa_calculator_spark.engine.stages.classify import run_classify
 from rwa_calculator_spark.engine.stages.crm import run_crm
-from rwa_calculator_spark.engine.stages.hierarchy import run_hierarchy
+from rwa_calculator_spark.engine.stages.hierarchy import convert_monetary, run_hierarchy
 
 
 @dataclass(frozen=True)
@@ -47,7 +47,23 @@ class PipelineConfig:
 def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> AggregatedOutput:
     config = config or PipelineConfig()
 
-    h = run_hierarchy(raw)
+    # FX-convert every monetary side frame before any stage consumes it
+    # (ref engine/stages/fx/conversion.py five-frame conversion; loans /
+    # contingents / facility limits convert inline in run_hierarchy)
+    if raw.fx_rates is not None:
+        raw = replace(
+            raw,
+            collateral=convert_monetary(raw.collateral, raw.fx_rates, ("market_value",)),
+            provisions=convert_monetary(raw.provisions, raw.fx_rates, ("amount",)),
+            guarantees=convert_monetary(
+                raw.guarantees, raw.fx_rates, ("guarantee_amount", "amount")
+            ),
+            equity_exposures=convert_monetary(
+                raw.equity_exposures, raw.fx_rates, ("market_value",)
+            ),
+        )
+
+    h = run_hierarchy(raw, config.pack)
     classified = run_classify(h, config.pack)
     crm = run_crm(raw, classified, config.pack)
 

@@ -89,6 +89,16 @@ _CCF_ROWS = (
     ("low_risk", _D("0.0")),
 )
 
+# Basel 3.1 CCFs genuinely diverge from CRR (BCBS CRE20.94-101 / PS1/26
+# Art.111): other commitments 20% → 40%, unconditionally cancellable
+# 0% → 10%. NIFs/RUFs stay 50%, direct credit substitutes 100%.
+_CCF_ROWS_B31 = (
+    ("full_risk", _D("1.0")),
+    ("medium_risk", _D("0.5")),
+    ("medium_low_risk", _D("0.4")),
+    ("low_risk", _D("0.1")),
+)
+
 # Supervisory slotting (CRR Art.153(5) Table A risk weights, Art.158(6)
 # Table B EL rates; ref rulebook/packs/crr.py slotting_rw_* /
 # slotting_el_* lookups). One combined table keyed
@@ -177,7 +187,7 @@ B31_PACK = RulePack(
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
-        "ccf": ("risk_bucket string, ccf double", _CCF_ROWS),
+        "ccf": ("risk_bucket string, ccf double", _CCF_ROWS_B31),
         "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
     },
 )

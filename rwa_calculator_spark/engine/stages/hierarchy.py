@@ -41,6 +41,23 @@ def _fx_factor(df: DataFrame, fx_rates: DataFrame | None):
     ).withColumn("_fx", F.coalesce("_fx_rate", F.lit(1.0))).drop("_fx_ccy", "_fx_rate")
 
 
+def convert_monetary(df: DataFrame | None, fx_rates: DataFrame | None, cols: tuple[str, ...]) -> DataFrame | None:
+    """Load-time FX conversion of the named monetary columns (ref
+    engine/stages/fx/conversion.py — the reference converts ALL five
+    monetary frames: loans/contingents/facilities are handled inline in
+    run_hierarchy; collateral market values, provision amounts, guarantee
+    amounts and equity market values convert through this helper before
+    run_crm / run_equity consume them). Frames without a currency column
+    are already in reporting currency and pass through untouched."""
+    if df is None or fx_rates is None or "currency" not in df.columns:
+        return df
+    df = _fx_factor(df, fx_rates)
+    for c in cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c) * F.col("_fx"))
+    return df.drop("_fx")
+
+
 def run_hierarchy(raw: RawBundle, pack: RulePack = CRR_PACK) -> HierarchyOutput:
     loans_src = _fx_factor(raw.loans, raw.fx_rates)
     loans = loans_src.select(

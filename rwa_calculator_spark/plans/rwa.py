@@ -273,12 +273,27 @@ def rwa_pipeline_irb(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM with_ead w
         LEFT JOIN {_SQL_SA_RW}
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+    ), b31_ead AS (
+        SELECT c.*, drawn_amount + coalesce(hc.ccf, 1.0) * undrawn_amount AS ead_b31
+        FROM classified c
+        LEFT JOIN (VALUES ('full_risk', CAST(1.0 AS DOUBLE)), ('medium_risk', CAST(0.5 AS DOUBLE)),
+                          ('medium_low_risk', CAST(0.4 AS DOUBLE)), ('low_risk', CAST(0.1 AS DOUBLE)))
+               AS hc(bucket, ccf) ON c.risk_bucket = hc.bucket
+    ), b31_rw AS (
+        SELECT w.exposure_class, w.ead_b31,
+               CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END AS risk_weight
+        FROM b31_ead w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
     ), crr AS (
         SELECT exposure_class, {sql_scaled_sum('(ead * risk_weight) * sf_crr', 2)} AS rwa_crr
         FROM with_rw GROUP BY exposure_class
     ), b31 AS (
-        SELECT exposure_class, {sql_scaled_sum('(ead * risk_weight) * 1.0', 2)} AS rwa_b31
-        FROM with_rw GROUP BY exposure_class
+        SELECT exposure_class, {sql_scaled_sum('(ead_b31 * risk_weight) * 1.0', 2)} AS rwa_b31
+        FROM b31_rw GROUP BY exposure_class
     )
     SELECT coalesce(c.exposure_class, b.exposure_class) AS exposure_class,
            c.rwa_crr, b.rwa_b31,
@@ -291,8 +306,9 @@ def dual_framework_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dual-framework comparison: the full pipeline run under BOTH regime
     packs (CRR vs Basel 3.1), per-class results full-joined on a coalesced
     key with delta attribution (ref analysis/comparison.py DualFrameworkRunner,
-    :337,504 — the reference's regime-delta workflow). The visible delta at
-    this slice is the removed SME supporting factor."""
+    :337,504 — the reference's regime-delta workflow). The visible deltas at
+    this slice are the removed SME supporting factor and the divergent B3.1
+    CCFs (other commitments 20%→40%, UCC 0%→10%; BCBS CRE20.94-101)."""
     from rwa_calculator_spark.engine.rulepack import B31_PACK
 
     bundle = _star_bundle(spark, sf_dir, irb=False)

@@ -231,6 +231,166 @@ def test_equity_branch_b31_and_pack_keys(spark):
     assert crm_rows["E2"].rwa == pytest.approx(200 * 3.7)
 
 
+def _mof_bundle(spark):
+    """Root F1 (limit 1000) with committed sub-facilities F2 (medium_risk)
+    and F3 (medium_low_risk), no drawings — sub headrooms 600 + 600 exceed
+    the parent headroom 1000, so waterfall ORDER determines the split."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 100.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    facilities = _df(
+        spark,
+        [
+            ("F1", "CP1", 1000.0, True, None),
+            ("F2", "CP1", 600.0, True, "medium_risk"),
+            ("F3", "CP1", 600.0, True, "medium_low_risk"),
+        ],
+        "facility_reference string, counterparty_reference string, limit double, "
+        "committed boolean, risk_bucket string",
+    )
+    mappings = _df(
+        spark,
+        [("F1", "F2", "facility"), ("F1", "F3", "facility")],
+        "parent_facility_reference string, child_reference string, child_type string",
+    )
+    return RawBundle(
+        counterparties=cps, loans=loans, facilities=facilities, facility_mappings=mappings
+    )
+
+
+def test_pack_propagates_to_facility_waterfall(spark):
+    """Regime-divergent CCF tables must reorder the MOF waterfall: the
+    configured pack has to reach facility_undrawn_exposures through
+    run_pipeline → run_hierarchy (the round-2 bug passed CRR_PACK always)."""
+    from dataclasses import replace as dc_replace
+    from decimal import Decimal
+
+    bundle = _mof_bundle(spark)
+
+    # CRR ordering: medium_risk (0.5) before medium_low_risk (0.2)
+    out_crr = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
+    rows = {r.exposure_reference: r.ead for r in out_crr.results.collect()}
+    assert rows["F1_UNDRAWN_F2"] == pytest.approx(600 * 0.5)  # headroom 600, CCF 0.5
+    assert rows["F1_UNDRAWN_F3"] == pytest.approx(400 * 0.2)  # residual headroom 400
+
+    # flipped pack: medium_low_risk now carries the HIGHER CCF → F3 first
+    flipped = dc_replace(
+        CRR_PACK,
+        tables={
+            **CRR_PACK.tables,
+            "ccf": (
+                "risk_bucket string, ccf double",
+                (
+                    ("full_risk", Decimal("1.0")),
+                    ("medium_risk", Decimal("0.2")),
+                    ("medium_low_risk", Decimal("0.9")),
+                    ("low_risk", Decimal("0.0")),
+                ),
+            ),
+        },
+    )
+    out_flip = run_pipeline(bundle, PipelineConfig(pack=flipped))
+    rows = {r.exposure_reference: r.ead for r in out_flip.results.collect()}
+    assert rows["F1_UNDRAWN_F3"] == pytest.approx(600 * 0.9)
+    assert rows["F1_UNDRAWN_F2"] == pytest.approx(400 * 0.2)
+
+
+def test_b31_ccf_table_diverges_from_crr(spark):
+    """B3.1 CCFs genuinely diverge (BCBS CRE20.94-101): other commitments
+    20%→40%, UCC 0%→10% — pinned end-to-end through the pipeline."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 0.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    conts = _df(
+        spark,
+        [
+            ("C1", "CP1", 1000.0, "medium_low_risk", False, None, None, None),
+            ("C2", "CP1", 1000.0, "low_risk", False, None, None, None),
+        ],
+        "contingent_reference string, counterparty_reference string, nominal_amount double, "
+        "risk_bucket string, is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    bundle = RawBundle(counterparties=cps, loans=loans, contingents=conts)
+    crr = {r.exposure_reference: r.ead for r in run_pipeline(bundle, PipelineConfig(pack=CRR_PACK)).results.collect()}
+    b31 = {r.exposure_reference: r.ead for r in run_pipeline(bundle, PipelineConfig(pack=B31_PACK)).results.collect()}
+    assert crr["C1"] == pytest.approx(200.0) and b31["C1"] == pytest.approx(400.0)
+    assert crr["C2"] == pytest.approx(0.0) and b31["C2"] == pytest.approx(100.0)
+
+
+def test_fx_converts_side_frames(spark):
+    """Collateral, provisions and equity market values in foreign currency
+    convert at load (ADVICE r2 high: previously only loans/contingents/
+    facility limits converted — unconverted USD collateral netted against
+    converted EAD)."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    collateral = _df(
+        spark,
+        [("COL1", 500.0, 0.0, False, "USD")],
+        "collateral_reference string, market_value double, haircut double, "
+        "currency_mismatch boolean, currency string",
+    )
+    links = _df(spark, [("COL1", "L1")], "collateral_reference string, exposure_reference string")
+    provisions = _df(
+        spark,
+        [("L1", "direct", 100.0, "USD")],
+        "beneficiary_reference string, beneficiary_type string, amount double, currency string",
+    )
+    equity = _df(
+        spark,
+        [("E1", "CP1", 1000.0, False, "USD")],
+        "exposure_reference string, counterparty_reference string, market_value double, "
+        "is_exchange_traded boolean, currency string",
+    )
+    fx = _df(spark, [("USD", 0.8)], "currency string, rate_to_reporting double")
+    bundle = RawBundle(
+        counterparties=cps,
+        loans=loans,
+        collateral=collateral,
+        collateral_links=links,
+        provisions=provisions,
+        equity_exposures=equity,
+        fx_rates=fx,
+    )
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    # provision 100 USD → 80: EAD = 1000 − 80 = 920
+    assert rows["L1"].ead == pytest.approx(920.0)
+    # collateral 500 USD → 400: EAD* = 920 − 400 = 520
+    assert rows["L1"].ead_after_crm == pytest.approx(520.0)
+    # equity market value 1000 USD → 800 at RW 370%
+    assert rows["E1"].ead == pytest.approx(800.0)
+    assert rows["E1"].rwa == pytest.approx(800 * 3.7)
+
+
 def test_securitisation_conservation(spark, sf_dir):
     """Σ pool allocations + retained = Σ exposure amounts (the reference's
     conservation property on pool splits)."""
