@@ -1,0 +1,302 @@
+"""Driver queries that exercise the round-2 ENGINE stages directly — the MOF
+facility-undrawn waterfall and the Art.138 ratings derivation — over a
+deterministic star-schema mapping, each oracled end-to-end in DuckDB
+(VERDICT r2 #1: these stages were previously proven only by local tests).
+
+Mapping (shared by Spark and oracle):
+- every supplier s is a facility F{s}; groups of five by key: the first
+  member is the ROOT, the second a direct child, the rest children of the
+  second (depth-2 hierarchy exercising multi-level root resolution);
+- limits are integer-valued ((s%9+1)*5e6, sized so per-facility drawn
+  utilisation lands mid-range at every scale factor), drawn are integer
+  floors of lineitem extended prices — every sum is exact in binary
+  floating point regardless of partitioning/merge order, so the waterfall
+  needs no tolerance to bit-match DuckDB;
+- ratings derive from orders: agency = orderkey%3, CQS = 1+orderkey%6,
+  date = o_orderdate, short-term flag on orderkey%17 (excluded rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.engine.rulepack import CRR_PACK
+from rwa_calculator_spark.engine.stages.facility import facility_undrawn_exposures
+from rwa_calculator_spark.engine.stages.ratings import (
+    resolve_external_cqs,
+    resolve_internal_pd,
+)
+from rwa_calculator_spark.operators.graph import resolve_ultimate_parent_iterative
+from rwa_calculator_spark.plans.registry import query
+from rwa_calculator_spark.sources.star import load_table
+
+
+def _facility_frames(spark: SparkSession, sf_dir: str):
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = F.col("s_suppkey")
+    r = (sk - 1) - (sk - 1) % 5 + 1  # group root key
+    i = (sk - 1) % 5  # member index within the group
+    bucket = (
+        F.when(sk % 4 == 0, "full_risk")
+        .when(sk % 4 == 1, "medium_risk")
+        .when(sk % 4 == 2, "medium_low_risk")
+        .otherwise("low_risk")
+    )
+    facilities = s.select(
+        F.concat(F.lit("F"), sk).alias("facility_reference"),
+        F.concat(F.lit("CPF"), r).alias("counterparty_reference"),
+        (
+            (sk % 9 + 1) * 5000000.0 * F.when(i == 0, 3.0).otherwise(1.0)
+        ).alias("limit"),  # roots 3× so some parents out-headroom their subs (residual rows)
+        (sk % 11 != 0).alias("committed"),
+        bucket.alias("risk_bucket"),
+    )
+    fac_edges = s.where(i != 0).select(
+        F.concat(F.lit("F"), F.when(i == 1, r).otherwise(r + 1)).alias(
+            "parent_facility_reference"
+        ),
+        F.concat(F.lit("F"), sk).alias("child_reference"),
+        F.lit("facility").alias("child_type"),
+    )
+    # one loan per order, mapped to the facility of its first lineitem's
+    # min supplier; integer-floored drawn keeps group sums exact
+    lo = (
+        li.where(F.col("l_linenumber") == 1)
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("_supp"),
+            F.sum(F.floor("l_extendedprice")).cast("double").alias("drawn_amount"),
+        )
+    )
+    loans = lo.select(
+        F.concat(F.lit("LO"), F.col("l_orderkey")).alias("loan_reference"),
+        "drawn_amount",
+    )
+    loan_edges = lo.select(
+        F.concat(F.lit("F"), F.col("_supp")).alias("parent_facility_reference"),
+        F.concat(F.lit("LO"), F.col("l_orderkey")).alias("child_reference"),
+        F.lit("loan").alias("child_type"),
+    )
+    return facilities, loans, fac_edges.unionByName(loan_edges)
+
+
+_FACILITY_ORACLE = """
+WITH RECURSIVE fac AS (
+    SELECT s_suppkey AS s,
+           'F' || s_suppkey AS fref,
+           (s_suppkey-1) - (s_suppkey-1) % 5 + 1 AS r,
+           (s_suppkey % 9 + 1) * 5000000.0
+               * (CASE WHEN (s_suppkey-1) % 5 = 0 THEN 3.0 ELSE 1.0 END) AS lim,
+           (s_suppkey % 11 <> 0) AS committed,
+           CASE s_suppkey % 4 WHEN 0 THEN 'full_risk' WHEN 1 THEN 'medium_risk'
+                WHEN 2 THEN 'medium_low_risk' ELSE 'low_risk' END AS bucket
+    FROM supplier
+), fmap AS (
+    SELECT fref AS child,
+           CASE WHEN (s-1) % 5 = 1 THEN 'F' || r ELSE 'F' || (r+1) END AS parent
+    FROM fac WHERE (s-1) % 5 <> 0
+), walk AS (
+    SELECT child AS node, parent AS anc, 1 AS depth FROM fmap
+    UNION ALL
+    SELECT w.node, f.parent, w.depth + 1 FROM walk w JOIN fmap f ON w.anc = f.child
+), rootlk AS (
+    SELECT node AS child, anc AS root FROM walk
+    QUALIFY row_number() OVER (PARTITION BY node ORDER BY depth DESC) = 1
+), lo AS (
+    SELECT 'F' || min(l_suppkey) AS pfac,
+           sum(floor(l_extendedprice)) AS drawn
+    FROM lineitem WHERE l_linenumber = 1 GROUP BY l_orderkey
+), lo_rooted AS (
+    SELECT coalesce(rl.root, lo.pfac) AS agg_fac, lo.pfac, lo.drawn
+    FROM lo LEFT JOIN rootlk rl ON lo.pfac = rl.child
+), drawn_by_root AS (
+    SELECT agg_fac, sum(drawn) AS total_drawn FROM lo_rooted GROUP BY agg_fac
+), drawn_by_sub AS (
+    SELECT pfac, sum(drawn) AS sub_drawn FROM lo_rooted GROUP BY pfac
+), roots AS (
+    SELECT f.*, greatest(f.lim - coalesce(d.total_drawn, 0.0), 0.0) AS undrawn
+    FROM fac f
+    LEFT JOIN drawn_by_root d ON f.fref = d.agg_fac
+    WHERE f.fref NOT IN (SELECT child FROM rootlk)
+      AND f.committed
+      AND greatest(f.lim - coalesce(d.total_drawn, 0.0), 0.0) > 0.0
+), mof AS (
+    SELECT DISTINCT root FROM rootlk
+), descendants AS (
+    SELECT rl.root AS proot, sf.fref AS sref, sf.bucket AS sbucket, sf.r AS sr,
+           greatest(sf.lim - coalesce(ds.sub_drawn, 0.0), 0.0) AS sub_headroom,
+           CASE sf.bucket WHEN 'full_risk' THEN 1.0 WHEN 'medium_risk' THEN 0.5
+                WHEN 'medium_low_risk' THEN 0.2 ELSE 0.0 END AS sub_ccf
+    FROM rootlk rl
+    JOIN fac sf ON rl.child = sf.fref
+    LEFT JOIN drawn_by_sub ds ON sf.fref = ds.pfac
+    WHERE sf.committed AND sf.bucket IS NOT NULL
+), wf AS (
+    SELECT d.*, r2.undrawn AS parent_headroom, r2.bucket AS parent_bucket,
+           r2.r AS pr,
+           sum(d.sub_headroom) OVER (
+               PARTITION BY d.proot
+               ORDER BY d.sub_ccf DESC, d.sbucket ASC, d.sref ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM descendants d JOIN roots r2 ON d.proot = r2.fref
+), alloc AS (
+    SELECT *, greatest(least(sub_headroom,
+                greatest(parent_headroom - (cum - sub_headroom), 0.0)), 0.0) AS allocation
+    FROM wf
+), sub_rows AS (
+    SELECT proot || '_UNDRAWN_' || sref AS exposure_reference,
+           'CPF' || sr AS counterparty_reference,
+           allocation AS undrawn_amount, sbucket AS risk_bucket
+    FROM alloc WHERE allocation > 0.0
+), residual AS (
+    SELECT proot || '_UNDRAWN_RESIDUAL' AS exposure_reference,
+           'CPF' || pr AS counterparty_reference,
+           greatest(parent_headroom - sum(allocation), 0.0) AS undrawn_amount,
+           parent_bucket AS risk_bucket
+    FROM alloc WHERE allocation > 0.0
+    GROUP BY proot, parent_headroom, pr, parent_bucket
+    HAVING greatest(parent_headroom - sum(allocation), 0.0) > 0.0
+), non_mof AS (
+    SELECT fref || '_UNDRAWN' AS exposure_reference,
+           'CPF' || r AS counterparty_reference,
+           undrawn AS undrawn_amount, bucket AS risk_bucket
+    FROM roots WHERE fref NOT IN (SELECT root FROM mof)
+), mof_no_pos AS (
+    SELECT fref || '_UNDRAWN' AS exposure_reference,
+           'CPF' || r AS counterparty_reference,
+           undrawn AS undrawn_amount, bucket AS risk_bucket
+    FROM roots WHERE fref IN (SELECT root FROM mof)
+      AND fref NOT IN (SELECT proot FROM alloc WHERE allocation > 0.0)
+)
+SELECT * FROM non_mof
+UNION ALL SELECT * FROM sub_rows
+UNION ALL SELECT * FROM residual
+UNION ALL SELECT * FROM mof_no_pos
+"""
+
+
+@query("facility_undrawn_waterfall", oracle=_FACILITY_ORACLE, tags=("engine", "facility"))
+def facility_undrawn_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOF facility-undrawn waterfall through the REAL engine stage
+    (engine/stages/facility.py facility_undrawn_exposures; ref
+    engine/stages/hierarchy/facility_undrawn.py:55-187,751): multi-level
+    root resolution, netting-aware drawn aggregation, per-sub allocation
+    by descending CCF with residual and fallback rows — re-derived in
+    DuckDB as a recursive CTE + ordered window cumsum."""
+    facilities, loans, mappings = _facility_frames(spark, sf_dir)
+    out = facility_undrawn_exposures(facilities, loans, None, mappings, CRR_PACK)
+    return out.select(
+        "exposure_reference", "counterparty_reference", "undrawn_amount", "risk_bucket"
+    )
+
+
+_RATINGS_ORACLE = """
+WITH ratings AS (
+    SELECT 'CP' || o_custkey AS cp, 'AG' || (o_orderkey % 3) AS agency,
+           o_orderdate AS rdate, 'R' || o_orderkey AS rref,
+           CAST(1 + o_orderkey % 6 AS INTEGER) AS cqs
+    FROM orders WHERE o_orderkey % 17 <> 0
+), latest AS (
+    SELECT * FROM ratings
+    QUALIFY row_number() OVER (
+        PARTITION BY cp, agency ORDER BY rdate DESC, rref DESC) = 1
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY cp ORDER BY cqs ASC, agency ASC) AS rk,
+           count(*) OVER (PARTITION BY cp) AS n
+    FROM latest
+)
+SELECT cp AS counterparty_reference, cqs AS external_cqs
+FROM ranked WHERE (n = 1 AND rk = 1) OR (n >= 2 AND rk = 2)
+"""
+
+
+def _external_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.lit("external").alias("rating_type"),
+        (F.col("o_orderkey") % 17 == 0).alias("is_short_term"),
+        F.concat(F.lit("AG"), F.col("o_orderkey") % 3).alias("rating_agency"),
+        F.col("o_orderdate").alias("rating_date"),
+        F.concat(F.lit("R"), F.col("o_orderkey")).alias("rating_reference"),
+        (1 + F.col("o_orderkey") % 6).cast("int").alias("cqs"),
+    )
+
+
+@query("ratings_cqs_derivation", oracle=_RATINGS_ORACLE, tags=("engine", "ratings"))
+def ratings_cqs_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Art.138 second-best external CQS through the REAL engine stage
+    (engine/stages/ratings.py resolve_external_cqs; ref
+    engine/stages/hierarchy/ratings.py:126): short-term exclusion,
+    per-agency latest assessment, then 1-agency→use-it /
+    ≥2-agencies→second-best — two QUALIFY row_numbers in DuckDB."""
+    return resolve_external_cqs(_external_ratings(spark, sf_dir))
+
+
+_INTERNAL_PD_ORACLE = """
+WITH RECURSIVE own AS (
+    SELECT cp, pd FROM (
+        SELECT 'CP' || o_custkey AS cp, 'R' || o_orderkey AS rref,
+               o_orderdate AS rdate,
+               CAST(1 + o_orderkey % 200 AS DOUBLE) / 1000.0 AS pd
+        FROM orders WHERE o_orderkey % 4 = 0)
+    QUALIFY row_number() OVER (PARTITION BY cp ORDER BY rdate DESC, rref DESC) = 1
+), edges AS (
+    SELECT c_custkey AS child, c_custkey // 7 AS parent FROM customer WHERE c_custkey >= 7
+), walk AS (
+    SELECT child AS node, parent AS anc, 1 AS depth FROM edges
+    UNION ALL
+    SELECT w.node, e.parent, w.depth + 1 FROM walk w JOIN edges e ON w.anc = e.child
+), up AS (
+    SELECT node, anc AS group_key FROM walk
+    QUALIFY row_number() OVER (PARTITION BY node ORDER BY depth DESC) = 1
+), ups AS (
+    SELECT 'CP' || c_custkey AS cp,
+           'CP' || coalesce(u.group_key, c_custkey) AS grp
+    FROM customer LEFT JOIN up u ON c_custkey = u.node
+)
+SELECT ups.cp AS counterparty_reference, coalesce(o1.pd, o2.pd) AS internal_pd
+FROM ups
+LEFT JOIN own o1 ON ups.cp = o1.cp
+LEFT JOIN own o2 ON ups.grp = o2.cp
+WHERE coalesce(o1.pd, o2.pd) IS NOT NULL
+"""
+
+
+@query("ratings_internal_pd_inheritance", oracle=_INTERNAL_PD_ORACLE, tags=("engine", "ratings"))
+def ratings_internal_pd_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal-PD inheritance from the ultimate parent through the REAL
+    engine stage (engine/stages/ratings.py resolve_internal_pd; ref
+    engine/stages/hierarchy/ratings.py:32-215, CRR Art.171(1)/175(3)):
+    sparse internal ratings (every 4th order), most-recent per obligor,
+    inherited along the org hierarchy when the entity has none of its own;
+    external ratings never inherit."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    internal = o.where(F.col("o_orderkey") % 4 == 0).select(
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.lit("internal").alias("rating_type"),
+        F.lit(False).alias("is_short_term"),
+        F.col("o_orderdate").alias("rating_date"),
+        F.concat(F.lit("R"), F.col("o_orderkey")).alias("rating_reference"),
+        ((1 + F.col("o_orderkey") % 200).cast("double") / 1000.0).alias("pd"),
+    )
+    edges = c.where(F.col("c_custkey") >= 7).select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("child"),
+        F.concat(F.lit("CP"), F.floor(F.col("c_custkey") / 7).cast("long")).alias("parent"),
+    )
+    up = resolve_ultimate_parent_iterative(edges).select(
+        F.col("node").alias("counterparty_reference"),
+        F.col("ultimate_parent").alias("group_reference"),
+    )
+    ups = (
+        c.select(F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"))
+        .join(up, "counterparty_reference", "left")
+        .withColumn(
+            "group_reference",
+            F.coalesce("group_reference", "counterparty_reference"),
+        )
+    )
+    return resolve_internal_pd(internal, ups)

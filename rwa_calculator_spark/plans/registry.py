@@ -44,6 +44,7 @@ def load_all() -> dict[str, QuerySpec]:
         ccr,
         curation,
         domain,
+        engine_stages,
         extras,
         llm,
         relational,
