@@ -89,3 +89,7 @@ class AggregatedOutput:
     summary_by_class: DataFrame
     summary_by_approach: DataFrame
     portfolio: DataFrame
+    # error channel: (code, severity, stage, key, message) rows merged from
+    # every stage (ref engine/pipeline.py:337-370 error-channel merge;
+    # schema at stages/scope.py ERRORS_SCHEMA). None when no stage emitted.
+    errors: Optional[DataFrame] = None

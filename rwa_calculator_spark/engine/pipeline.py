@@ -37,6 +37,13 @@ from rwa_calculator_spark.engine.stages.hierarchy import convert_monetary, run_h
 class PipelineConfig:
     pack: RulePack = CRR_PACK
     persist_edges: bool = False  # True on large runs: checkpoint reused edges
+    # Multi-entity scope (ref engine/stages/scope/resolver.py): when set and
+    # the bundle carries reporting_entities + book_entity_mappings, the
+    # pipeline filters every exposure frame to the entity's membership set
+    # before hierarchy. basis: "consolidated" | "sub-consolidated" (same
+    # population) | "individual" (entity alone, intragroup kept).
+    reporting_entity: str | None = None
+    reporting_basis: str = "consolidated"
     # Dictionary-evaluate the IRB K kernel on distinct (PD, LGD, M) combos.
     # Right when parameters are banded (rating master scales — the usual
     # case); switch off for continuous parameters, where distinct ≈ rows
@@ -46,6 +53,20 @@ class PipelineConfig:
 
 def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> AggregatedOutput:
     config = config or PipelineConfig()
+
+    # --- scope: filter to the reporting entity's membership set (first
+    # stage, as in the reference registry.py:47) --------------------------
+    scope_errors = None
+    if (
+        config.reporting_entity is not None
+        and raw.reporting_entities is not None
+        and raw.book_entity_mappings is not None
+    ):
+        from rwa_calculator_spark.engine.stages.scope import resolve_scope
+
+        raw, scope_errors = resolve_scope(
+            raw, config.reporting_entity, config.reporting_basis
+        )
 
     # FX-convert every monetary side frame before any stage consumes it
     # (ref engine/stages/fx/conversion.py five-frame conversion; loans /
@@ -82,4 +103,4 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         branches.append(run_slotting(crm, config.pack))
     if raw.equity_exposures is not None:
         branches.append(run_equity(raw.equity_exposures, config.pack))
-    return run_aggregate(*branches, pack=config.pack)
+    return run_aggregate(*branches, pack=config.pack, errors=scope_errors)

@@ -16,7 +16,9 @@ from rwa_calculator_spark.engine.rulepack import RulePack
 from rwa_calculator_spark.functions.exact import scaled_sum
 
 
-def run_aggregate(*branches: CalcOutput, pack: RulePack) -> AggregatedOutput:
+def run_aggregate(
+    *branches: CalcOutput, pack: RulePack, errors=None
+) -> AggregatedOutput:
     """Recombine any number of calculator branches (SA/IRB/slotting/equity —
     the reference's diagonal_relaxed concat of result frames,
     aggregator.py:134,150)."""
@@ -71,4 +73,5 @@ def run_aggregate(*branches: CalcOutput, pack: RulePack) -> AggregatedOutput:
         summary_by_class=by_class,
         summary_by_approach=by_approach,
         portfolio=portfolio,
+        errors=errors,
     )

@@ -1,0 +1,195 @@
+"""Scope stage: reporting-entity population filtering (ref
+engine/stages/scope/resolver.py:84-446 resolve_scope — entity-subtree
+membership, book→entity attribution, intragroup elimination, guarantee
+internal-protection drop; CRR Part One Title II Art.6/11-18).
+
+Semantics reproduced:
+- membership: the requested entity's inclusive subtree for a consolidated /
+  sub-consolidated run (the two differ only in filing label), the entity
+  alone for an individual run;
+- booking filter: exposure rows keep only book_codes that map to a member
+  entity; blank/unmapped books are excluded and surface as SCP001 errors;
+- intragroup elimination (consolidated only): rows whose
+  intragroup_entity_reference names a member are dropped — solo books keep
+  them;
+- guarantees whose guarantor is a member are internal protection at the
+  consolidated level and are dropped there (no book_code on protection);
+- reference frames (ratings, provisions, collateral, mappings) are never
+  filtered — dropped exposures simply stop joining to them;
+- SCP002 (mapping to unknown entity) and SCP006 (requested entity not in
+  the registry → empty scope) populate the error channel.
+
+Scale posture: the registry and book mapping are dimension tables; subtree
+membership is the iterative broadcast-join closure (operators/graph), the
+booking filter is a broadcast semi-join per fact frame, and intragroup /
+guarantor drops are broadcast anti-joins. No fact-table shuffle anywhere;
+error frames aggregate DISTINCT book codes (dimension-sized), never
+exposure rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.engine.bundles import RawBundle
+from rwa_calculator_spark.operators.graph import ancestor_closure_iterative
+
+# shared error-channel schema (code, severity, stage, key, message) — the
+# reference's CalculationError distilled to a frame row (ref
+# contracts/errors.py, engine/orchestrator.py:174-191)
+ERRORS_SCHEMA = "code string, severity string, stage string, key string, message string"
+
+
+def _error_frame(df: DataFrame, code: str, severity: str, stage: str, key_col, message: str) -> DataFrame:
+    return df.select(
+        F.lit(code).alias("code"),
+        F.lit(severity).alias("severity"),
+        F.lit(stage).alias("stage"),
+        key_col.cast("string").alias("key"),
+        F.lit(message).alias("message"),
+    )
+
+
+def resolve_scope(
+    raw: RawBundle, reporting_entity: str, basis: str = "consolidated"
+) -> tuple[RawBundle, DataFrame]:
+    """Filter the bundle to the reporting scope; returns (filtered bundle,
+    SCP error frame). Requires raw.reporting_entities
+    (entity_reference, parent_entity_reference) and raw.book_entity_mappings
+    (book_code, entity_reference)."""
+    spark = raw.counterparties.sparkSession
+    reg = raw.reporting_entities.select("entity_reference", "parent_entity_reference")
+    mapping = raw.book_entity_mappings.select("book_code", "entity_reference")
+
+    errors = spark.createDataFrame([], ERRORS_SCHEMA)
+
+    # SCP006: requested entity absent from the registry → empty scope
+    requested_known = (
+        reg.where(F.col("entity_reference") == reporting_entity).limit(1).count() > 0
+    )
+    if not requested_known:
+        errors = errors.unionByName(
+            spark.createDataFrame(
+                [
+                    (
+                        "SCP006",
+                        "error",
+                        "scope",
+                        reporting_entity,
+                        "requested reporting entity is not in the registry; "
+                        "all exposures excluded",
+                    )
+                ],
+                ERRORS_SCHEMA,
+            )
+        )
+        members = spark.createDataFrame([], "member string")
+    elif basis == "individual":
+        members = spark.createDataFrame([(reporting_entity,)], "member string")
+    else:
+        # inclusive subtree via the distributed closure (registry is
+        # dimension-sized; ≤10 broadcast-join rounds, ref resolver.py
+        # _descendants BFS)
+        edges = reg.where(F.col("parent_entity_reference").isNotNull()).select(
+            F.col("entity_reference").alias("child"),
+            F.col("parent_entity_reference").alias("parent"),
+        )
+        closure = ancestor_closure_iterative(edges)
+        members = (
+            closure.where(F.col("ancestor") == reporting_entity)
+            .select(F.col("descendant").alias("member"))
+            .unionByName(spark.createDataFrame([(reporting_entity,)], "member string"))
+            .distinct()
+        )
+
+    # SCP002: mapping rows naming an unregistered entity (ignored for
+    # attribution, surfaced as errors)
+    unknown_map = mapping.join(
+        reg.select(F.col("entity_reference").alias("_reg_ref")),
+        mapping.entity_reference == F.col("_reg_ref"),
+        "anti",
+    )
+    errors = errors.unionByName(
+        _error_frame(
+            unknown_map.select("entity_reference").distinct(),
+            "SCP002",
+            "error",
+            "scope",
+            F.col("entity_reference"),
+            "book mapping names an unregistered entity",
+        )
+    )
+
+    valid_mapping = mapping.join(
+        reg.select(F.col("entity_reference").alias("_reg_ref")),
+        mapping.entity_reference == F.col("_reg_ref"),
+        "semi",
+    )
+    member_books = valid_mapping.join(
+        F.broadcast(members), valid_mapping.entity_reference == F.col("member"), "semi"
+    ).select("book_code").distinct()
+    all_books = mapping.select("book_code").distinct()
+
+    drop_intragroup = basis != "individual"
+    members_b = F.broadcast(members)
+    books_b = F.broadcast(member_books)
+
+    def _booking(df: DataFrame | None) -> DataFrame | None:
+        if df is None or "book_code" not in df.columns:
+            return df
+        return df.join(books_b, "book_code", "semi")
+
+    def _intragroup(df: DataFrame | None) -> DataFrame | None:
+        if df is None or not drop_intragroup or "intragroup_entity_reference" not in df.columns:
+            return df
+        # anti-join on equality: null tags never match → kept (solo rows)
+        return df.join(
+            members_b, df.intragroup_entity_reference == F.col("member"), "anti"
+        )
+
+    def _lending(df: DataFrame | None) -> DataFrame | None:
+        return _intragroup(_booking(df))
+
+    # SCP001: unattributable books on lending frames (blank or unmapped) —
+    # aggregated at DISTINCT book grain, not exposure grain
+    for frame in (raw.loans, raw.contingents, raw.facilities):
+        if frame is None or "book_code" not in frame.columns:
+            continue
+        orphan_books = (
+            frame.select("book_code")
+            .distinct()
+            .join(F.broadcast(all_books), "book_code", "anti")
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                orphan_books,
+                "SCP001",
+                "error",
+                "scope",
+                F.coalesce(F.col("book_code"), F.lit("<blank>")),
+                "book_code not mapped to any registered entity; rows excluded",
+            )
+        )
+
+    guarantees = raw.guarantees
+    if (
+        guarantees is not None
+        and drop_intragroup
+        and "guarantor_entity_reference" in guarantees.columns
+    ):
+        guarantees = guarantees.join(
+            members_b, guarantees.guarantor_entity_reference == F.col("member"), "anti"
+        )
+
+    filtered = replace(
+        raw,
+        loans=_lending(raw.loans),
+        contingents=_lending(raw.contingents),
+        facilities=_lending(raw.facilities),
+        equity_exposures=_booking(raw.equity_exposures),
+        guarantees=guarantees,
+    )
+    return filtered, errors

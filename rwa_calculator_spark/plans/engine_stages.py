@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rwa_calculator_spark.engine.bundles import RawBundle
 from rwa_calculator_spark.engine.rulepack import CRR_PACK
 from rwa_calculator_spark.engine.stages.facility import facility_undrawn_exposures
+from rwa_calculator_spark.engine.stages.scope import resolve_scope
 from rwa_calculator_spark.engine.stages.ratings import (
     resolve_external_cqs,
     resolve_internal_pd,
@@ -233,6 +235,83 @@ def ratings_cqs_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-agency latest assessment, then 1-agency→use-it /
     ≥2-agencies→second-best — two QUALIFY row_numbers in DuckDB."""
     return resolve_external_cqs(_external_ratings(spark, sf_dir))
+
+
+_SCOPE_ORACLE = """
+WITH members AS (
+    SELECT 'EN' || n_nationkey AS m FROM nation WHERE n_regionkey = 1
+    UNION ALL SELECT 'ER1'
+), books AS (
+    SELECT 'B' || n_nationkey AS b FROM nation WHERE n_regionkey = 1
+), loans AS (
+    SELECT 'L' || o_orderkey AS loan_reference,
+           'B' || (o_custkey % 25) AS book_code,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN 'EN' || (o_orderkey % 30) END AS intragroup_entity_reference
+    FROM orders
+)
+SELECT loan_reference, book_code, intragroup_entity_reference
+FROM loans
+WHERE book_code IN (SELECT b FROM books)
+  AND (intragroup_entity_reference IS NULL
+       OR intragroup_entity_reference NOT IN (SELECT m FROM members))
+"""
+
+
+@query("scope_semi_filter", oracle=_SCOPE_ORACLE, tags=("engine", "scope"))
+def scope_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-entity reporting scope through the REAL engine stage
+    (engine/stages/scope.py resolve_scope; ref
+    engine/stages/scope/resolver.py:84-446, CRR Art.6/11-18): a
+    GROUP→region→nation entity registry, book→entity attribution, subtree
+    membership for a consolidated run on region 1, booking semi-join and
+    intragroup elimination — the oracle re-derives membership and both
+    filters in plain SQL."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    registry = (
+        spark.createDataFrame(
+            [("EGROUP", None)], "entity_reference string, parent_entity_reference string"
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("ER"), F.col("r_regionkey")).alias("entity_reference"),
+                F.lit("EGROUP").alias("parent_entity_reference"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("EN"), F.col("n_nationkey")).alias("entity_reference"),
+                F.concat(F.lit("ER"), F.col("n_regionkey")).alias(
+                    "parent_entity_reference"
+                ),
+            )
+        )
+    )
+    mapping = nation.select(
+        F.concat(F.lit("B"), F.col("n_nationkey")).alias("book_code"),
+        F.concat(F.lit("EN"), F.col("n_nationkey")).alias("entity_reference"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("B"), F.col("o_custkey") % 25).alias("book_code"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit("EN"), F.col("o_orderkey") % 30),
+        ).alias("intragroup_entity_reference"),
+    )
+    cps = spark.createDataFrame([("CPX",)], "counterparty_reference string")
+    bundle = RawBundle(
+        counterparties=cps,
+        loans=loans,
+        reporting_entities=registry,
+        book_entity_mappings=mapping,
+    )
+    filtered, _errors = resolve_scope(bundle, "ER1", "consolidated")
+    return filtered.loans.select(
+        "loan_reference", "book_code", "intragroup_entity_reference"
+    )
 
 
 _INTERNAL_PD_ORACLE = """

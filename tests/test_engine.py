@@ -391,6 +391,77 @@ def test_fx_converts_side_frames(spark):
     assert rows["E1"].rwa == pytest.approx(800 * 3.7)
 
 
+@pytest.fixture()
+def scope_bundle(spark):
+    """Registry E0 → E1 → E2; books B1→E1, B2→E2, B9→unknown entity;
+    loans across mapped, unmapped and intragroup-tagged books."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 100.0, False, None, None, None, "B1", None),
+            ("L2", "CP1", 100.0, False, None, None, None, "B2", None),
+            ("L3", "CP1", 100.0, False, None, None, None, "B3", None),  # unmapped book
+            ("L4", "CP1", 100.0, False, None, None, None, "B1", "E2"),  # intragroup
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double, "
+        "book_code string, intragroup_entity_reference string",
+    )
+    registry = _df(
+        spark,
+        [("E0", None), ("E1", "E0"), ("E2", "E1")],
+        "entity_reference string, parent_entity_reference string",
+    )
+    mapping = _df(
+        spark,
+        [("B1", "E1"), ("B2", "E2"), ("B9", "EUNKNOWN")],
+        "book_code string, entity_reference string",
+    )
+    return RawBundle(
+        counterparties=cps,
+        loans=loans,
+        reporting_entities=registry,
+        book_entity_mappings=mapping,
+    )
+
+
+def test_scope_consolidated_filters_books_and_intragroup(spark, scope_bundle):
+    out = run_pipeline(
+        scope_bundle, PipelineConfig(pack=CRR_PACK, reporting_entity="E1")
+    )
+    refs = {r.exposure_reference for r in out.results.collect()}
+    # L3 (unmapped book) excluded; L4 intragroup to member E2 eliminated
+    assert refs == {"L1", "L2"}
+    errs = {(r.code, r.key) for r in out.errors.collect()}
+    assert ("SCP001", "B3") in errs  # unattributable book surfaced
+    assert ("SCP002", "EUNKNOWN") in errs  # mapping to unregistered entity
+
+
+def test_scope_individual_keeps_intragroup(spark, scope_bundle):
+    out = run_pipeline(
+        scope_bundle,
+        PipelineConfig(pack=CRR_PACK, reporting_entity="E1", reporting_basis="individual"),
+    )
+    refs = {r.exposure_reference for r in out.results.collect()}
+    # individual: entity alone (books of E1 only), intragroup rows KEPT
+    assert refs == {"L1", "L4"}
+
+
+def test_scope_unknown_entity_empties_selection(spark, scope_bundle):
+    out = run_pipeline(
+        scope_bundle, PipelineConfig(pack=CRR_PACK, reporting_entity="EX")
+    )
+    assert out.results.count() == 0
+    codes = {r.code for r in out.errors.collect()}
+    assert "SCP006" in codes
+
+
 def test_securitisation_conservation(spark, sf_dir):
     """Σ pool allocations + retained = Σ exposure amounts (the reference's
     conservation property on pool splits)."""
