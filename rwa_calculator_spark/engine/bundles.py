@@ -56,6 +56,20 @@ class RawBundle:
     # book_code (ref engine/stages/scope/resolver.py)
     reporting_entities: Optional[DataFrame] = None
     book_entity_mappings: Optional[DataFrame] = None
+    # CCR: (trade_reference, netting_set_reference, counterparty_reference,
+    #  mtm, notional, asset_class[, book_code]) — SA-CCR EAD per netting set
+    # emits synthetic exposure rows into the unified ledger (ref
+    # engine/stages/ccr.py:160)
+    trades: Optional[DataFrame] = None
+    # SFT: (netting_set_reference, counterparty_reference, leg
+    #  ('lent'|'collateral'), value, haircut[, book_code]) — FCCM E* per
+    # netting set emits synthetic rows (ref engine/stages/sft.py:116)
+    sft_trades: Optional[DataFrame] = None
+    # (exposure_reference, pool_reference, allocation_pct) — allocated
+    # slices leave the loan book, pools enter as securitisation exposures
+    # (ref engine/securitisation/allocator.py:187,245,
+    #  engine/stages/securitisation.py)
+    securitisation_allocations: Optional[DataFrame] = None
 
 
 @dataclass(frozen=True)

@@ -84,9 +84,34 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
             ),
         )
 
-    h = run_hierarchy(raw, config.pack)
+    # --- securitisation: retained shares stay, pools become synthetic
+    # exposures (ref engine/stages/securitisation.py, registry position 2) -
+    pools = None
+    if raw.securitisation_allocations is not None:
+        from rwa_calculator_spark.engine.stages.securitisation import run_securitisation
+
+        raw, pools = run_securitisation(raw, config.pack)
+
+    # --- CCR / SFT netting-set EADs as synthetic exposure rows ------------
+    extra = [] if pools is None else [pools]
+    if raw.trades is not None:
+        from rwa_calculator_spark.engine.stages.ccr_sft import ccr_exposures
+
+        extra.append(ccr_exposures(raw.trades, config.pack))
+    if raw.sft_trades is not None:
+        from rwa_calculator_spark.engine.stages.ccr_sft import sft_exposures
+
+        extra.append(sft_exposures(raw.sft_trades, config.pack))
+
+    h = run_hierarchy(raw, config.pack, extra_exposures=extra or None)
     classified = run_classify(h, config.pack)
     crm = run_crm(raw, classified, config.pack)
+
+    # --- RE split: secured tranche vs unsecured remainder (ref
+    # engine/stages/re_split/splitter.py:323, between CRM and calculators) -
+    from rwa_calculator_spark.engine.stages.re_split import run_re_split
+
+    crm = run_re_split(crm, raw, config.pack)
 
     exposures = crm.exposures
     if config.persist_edges:
@@ -99,6 +124,10 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         run_sa(crm, config.pack),
         run_irb(crm, config.pack, dictionary=config.irb_dictionary),
     ]
+    if pools is not None:
+        from rwa_calculator_spark.engine.stages.calculators import run_secsa
+
+        branches.append(run_secsa(crm, config.pack))
     if raw.specialised_lending is not None:
         branches.append(run_slotting(crm, config.pack))
     if raw.equity_exposures is not None:

@@ -129,6 +129,16 @@ def _slotting_rows() -> tuple:
 
 _SLOTTING_ROWS = _slotting_rows()
 
+# SA-CCR supervisory factors by asset class (BCBS CRE52.72 Table 2 /
+# CRR Art.280a-280f; ref engine/ccr/addons.py supervisory factor tables).
+_SACCR_SF_ROWS = (
+    ("ir", _D("0.005")),
+    ("fx", _D("0.04")),
+    ("credit", _D("0.05")),
+    ("equity", _D("0.32")),
+    ("commodity", _D("0.18")),
+)
+
 CRR_PACK = RulePack(
     regime="crr",
     version="2026-01",
@@ -154,11 +164,20 @@ CRR_PACK = RulePack(
         "equity_other_rw": RuleEntry(_D("3.7"), "CRR Art.155(2)"),
         "equity_el_standard": RuleEntry(_D("0.008"), "CRR Art.158(7)"),
         "equity_el_other": RuleEntry(_D("0.024"), "CRR Art.158(7)"),
+        # SA-CCR alpha (CRR Art.274(2)) and SFT FX add-on scale
+        "saccr_alpha": RuleEntry(_D("1.4"), "CRR Art.274(2)"),
+        # SEC-SA distillation: RW = max(floor, 12.5·K_SA·p) with the flat
+        # pool capital K_SA = 8% and p = 1 (CRR Art.261; the full SSFA
+        # tranche integral is out of scope — shape and floor are real)
+        "secsa_ksa": RuleEntry(_D("0.08"), "CRR Art.261 (distilled K_SA)"),
+        "secsa_p": RuleEntry(_D("1.0"), "CRR Art.261(1) p-factor"),
+        "secsa_floor_rw": RuleEntry(_D("0.15"), "CRR Art.261(1) 15% floor"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS),
         "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
+        "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
     },
 )
 
@@ -184,10 +203,15 @@ B31_PACK = RulePack(
         "equity_irb_available": RuleEntry(_D("0"), "PS1/26 Art.133 (IRB equity removed)"),
         "equity_standard_rw": RuleEntry(_D("2.5"), "PS1/26 Art.133(3)"),
         "equity_speculative_rw": RuleEntry(_D("4.0"), "PS1/26 Art.133(4)"),
+        "saccr_alpha": RuleEntry(_D("1.4"), "BCBS CRE52.1"),
+        "secsa_ksa": RuleEntry(_D("0.08"), "BCBS CRE41 (distilled K_SA)"),
+        "secsa_p": RuleEntry(_D("1.0"), "BCBS CRE41.18 p-factor"),
+        "secsa_floor_rw": RuleEntry(_D("0.15"), "BCBS CRE41.43 15% floor"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS_B31),
         "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
+        "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
     },
 )

@@ -36,7 +36,11 @@ _RESULT_COLS = [
 
 def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     spark = crm.exposures.sparkSession
-    exp = crm.exposures.where(~F.col("has_irb_permission") & ~F.col("is_specialised"))
+    exp = crm.exposures.where(
+        ~F.col("has_irb_permission")
+        & ~F.col("is_specialised")
+        & (F.col("exposure_class") != "securitisation")
+    )
 
     rw_table = pack.broadcast_table(spark, "sa_rw")
     exp = exp.join(
@@ -46,7 +50,12 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     ).drop(rw_table.exposure_class).drop(rw_table.cqs)
 
     base_rw = (
-        F.when(F.col("is_defaulted"), pack.lit("defaulted_rw"))
+        F.when(
+            F.col("is_defaulted") & (F.col("exposure_class") == "re_secured"),
+            pack.lit("defaulted_rw_secured"),
+        )
+        .when(F.col("is_defaulted"), pack.lit("defaulted_rw"))
+        .when(F.col("exposure_class") == "re_secured", pack.lit("re_secured_rw"))
         .when(F.col("exposure_class") == "retail", pack.lit("retail_rw"))
         .when(F.col("rw").isNotNull(), F.col("rw"))
         .otherwise(pack.lit("unrated_corp_rw"))
@@ -93,7 +102,11 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
 
 
 def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutput:
-    exp = crm.exposures.where(F.col("has_irb_permission") & ~F.col("is_specialised"))
+    exp = crm.exposures.where(
+        F.col("has_irb_permission")
+        & ~F.col("is_specialised")
+        & (F.col("exposure_class") != "securitisation")
+    )
     exp = exp.withColumn(
         "pd_floored",
         F.when(F.col("is_defaulted"), F.lit(1.0)).otherwise(
@@ -143,6 +156,30 @@ def _irb_cols():
         (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa_before_sf"),
         (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa"),
     ]
+
+
+def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
+    """SEC-SA branch for securitisation pool rows (ref
+    engine/aggregator/_securitisation.py; CRR Art.261 distilled — flat pool
+    K_SA × 12.5 × p with the 15% floor; the SSFA tranche integral is out of
+    scope, the routing/floor shape is real)."""
+    exp = crm.exposures.where(F.col("exposure_class") == "securitisation")
+    rw = F.greatest(
+        pack.lit("secsa_floor_rw"),
+        pack.lit("secsa_ksa") * F.lit(12.5) * pack.lit("secsa_p"),
+    )
+    out = exp.select(
+        "exposure_reference",
+        "counterparty_reference",
+        "exposure_class",
+        F.lit("SEC-SA").alias("approach"),
+        "ead",
+        "ead_after_crm",
+        rw.alias("risk_weight"),
+        (F.col("ead_after_crm") * rw).alias("rwa_before_sf"),
+        (F.col("ead_after_crm") * rw).alias("rwa"),
+    )
+    return CalcOutput(results=out)
 
 
 def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:

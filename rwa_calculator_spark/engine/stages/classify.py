@@ -48,7 +48,8 @@ def run_classify(h: HierarchyOutput, pack: RulePack) -> ClassifiedOutput:
     ) & (F.col("group_exposure") <= pack.lit("retail_threshold"))
 
     cls = (
-        F.when(F.col("entity_type") == "sovereign", "sovereign")
+        F.when(F.col("exposure_type") == "securitisation_pool", "securitisation")
+        .when(F.col("entity_type") == "sovereign", "sovereign")
         .when(F.col("entity_type") == "institution", "institution")
         .when(is_retail, "retail")
         .otherwise("corporate")

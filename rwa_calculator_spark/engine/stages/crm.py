@@ -149,8 +149,16 @@ def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
     )
 
     # --- collateral: haircut then pro-rata allocation over links ----------
+    # real-estate items are NOT FCCM-netted — they route to the RE-split
+    # stage instead (ref engine/stages/re_split; CRR Art.124-126), so the
+    # same property can never both reduce EAD here and secure a tranche
     if raw.collateral is not None and raw.collateral_links is not None:
-        coll = raw.collateral.select(
+        fin_coll = raw.collateral
+        if "collateral_type" in fin_coll.columns:
+            fin_coll = fin_coll.where(
+                F.coalesce("collateral_type", F.lit("")) != "real_estate"
+            )
+        coll = fin_coll.select(
             "collateral_reference",
             (
                 F.coalesce("market_value", F.lit(0.0))
@@ -158,7 +166,9 @@ def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
                 * (1 - F.when(F.coalesce("currency_mismatch", F.lit(False)), pack.lit("fx_haircut")).otherwise(0.0))
             ).alias("adjusted_value"),
         )
-        links = raw.collateral_links.select("collateral_reference", "exposure_reference")
+        links = raw.collateral_links.select(
+            "collateral_reference", "exposure_reference"
+        )
         # pro-rata by beneficiary EAD (ref engine/kernels/allocation.py)
         linked = links.join(
             exp.select("exposure_reference", "ead"), "exposure_reference"

@@ -58,7 +58,15 @@ def convert_monetary(df: DataFrame | None, fx_rates: DataFrame | None, cols: tup
     return df.drop("_fx")
 
 
-def run_hierarchy(raw: RawBundle, pack: RulePack = CRR_PACK) -> HierarchyOutput:
+def run_hierarchy(
+    raw: RawBundle,
+    pack: RulePack = CRR_PACK,
+    extra_exposures: list[DataFrame] | None = None,
+) -> HierarchyOutput:
+    """extra_exposures: already-shaped synthetic frames (CCR netting sets,
+    SFT netting sets, securitisation pools) unioned into the ledger before
+    enrichment — ref engine/stages/hierarchy/unify.py:107 diagonal concat
+    of every exposure source."""
     loans_src = _fx_factor(raw.loans, raw.fx_rates)
     loans = loans_src.select(
         F.col("loan_reference").alias("exposure_reference"),
@@ -113,6 +121,7 @@ def run_hierarchy(raw: RawBundle, pack: RulePack = CRR_PACK) -> HierarchyOutput:
                 pack,
             )
         )
+    frames.extend(extra_exposures or [])
     exposures = frames[0]
     for f in frames[1:]:
         exposures = exposures.unionByName(f, allowMissingColumns=True)
@@ -199,6 +208,10 @@ def run_hierarchy(raw: RawBundle, pack: RulePack = CRR_PACK) -> HierarchyOutput:
             "group_reference", F.coalesce("group_reference", "counterparty_reference")
         )
         .withColumn("is_specialised", F.coalesce("is_specialised", F.lit(False)))
+        # synthetic rows (pools) and unknown obligors default to the SA path
+        .withColumn(
+            "has_irb_permission", F.coalesce("has_irb_permission", F.lit(False))
+        )
         .withColumn("pd", F.coalesce("pd", "internal_pd"))
         .drop("internal_pd")
     )

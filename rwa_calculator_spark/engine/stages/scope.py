@@ -191,5 +191,9 @@ def resolve_scope(
         facilities=_lending(raw.facilities),
         equity_exposures=_booking(raw.equity_exposures),
         guarantees=guarantees,
+        # CCR/SFT filter at netting-set/trade grain (ref resolver.py
+        # _filter_ccr/_filter_sft — booking + intragroup on the set)
+        trades=_lending(raw.trades),
+        sft_trades=_lending(raw.sft_trades),
     )
     return filtered, errors

@@ -259,6 +259,223 @@ def rwa_pipeline_irb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.summary_by_approach
 
 
+_CCR_SFT_ORACLE = f"""
+    WITH RECURSIVE cps AS (
+        SELECT c_custkey AS cp_key,
+               CASE WHEN c_mktsegment = 'FURNITURE' THEN 'individual'
+                    WHEN c_mktsegment = 'BUILDING' THEN 'institution'
+                    WHEN c_mktsegment = 'HOUSEHOLD' THEN 'sovereign'
+                    ELSE 'corporate' END AS entity_type,
+               CAST(c_custkey % 7 AS INTEGER) AS cqs,
+               (c_mktsegment = 'FURNITURE') AS is_managed_as_retail,
+               c_acctbal * 10000.0 AS annual_revenue
+        FROM customer
+    ), edges AS (
+        SELECT c_custkey AS child, c_custkey // 7 AS parent FROM customer WHERE c_custkey >= 7
+    ), walk AS (
+        SELECT child AS node, parent AS anc, 1 AS depth FROM edges
+        UNION ALL
+        SELECT w.node, e.parent, w.depth + 1 FROM walk w JOIN edges e ON w.anc = e.child
+    ), up AS (
+        SELECT node, anc AS group_key FROM walk
+        QUALIFY row_number() OVER (PARTITION BY node ORDER BY depth DESC) = 1
+    ), loans AS (
+        SELECT 'L' || o_orderkey AS exposure_reference, o_custkey AS cp_key,
+               o_totalprice * (CASE WHEN o_orderkey % 10 = 0 THEN 0.75 ELSE 1.0 END)
+                   AS drawn_amount,
+               CAST(0.0 AS DOUBLE) AS undrawn_amount,
+               CAST(NULL AS VARCHAR) AS risk_bucket,
+               (o_orderstatus = 'F' AND o_orderkey % 13 = 0) AS is_defaulted,
+               'loan' AS etype
+        FROM orders
+    ), conts AS (
+        SELECT 'K' || l.l_orderkey AS exposure_reference, o.o_custkey AS cp_key,
+               CAST(0.0 AS DOUBLE) AS drawn_amount, l.l_extendedprice AS undrawn_amount,
+               CASE WHEN l.l_returnflag = 'A' THEN 'full_risk'
+                    WHEN l.l_returnflag = 'N' THEN 'medium_risk'
+                    ELSE 'medium_low_risk' END AS risk_bucket,
+               FALSE AS is_defaulted, 'contingent' AS etype
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linenumber = 1
+    ), ccr_trades AS (
+        SELECT 'NS' || l.l_orderkey AS ns, o.o_custkey AS cp_key,
+               l.l_extendedprice * (1 - l.l_discount) - 30000.0 AS mtm,
+               l.l_quantity * 1000.0 AS notional,
+               CASE l.l_returnflag WHEN 'A' THEN 'ir' WHEN 'N' THEN 'fx'
+                    ELSE 'credit' END AS asset_class,
+               CAST(CASE l.l_returnflag WHEN 'A' THEN 0.005 WHEN 'N' THEN 0.04
+                    ELSE 0.05 END AS DOUBLE) AS sf
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linenumber <= 2
+    ), ccr_class AS (
+        SELECT ns, asset_class, max(cp_key) AS cp_key,
+               {sql_scaled_sum('mtm', 2)} AS class_mtm,
+               {sql_scaled_sum('sf * notional', 2)} AS class_addon
+        FROM ccr_trades GROUP BY ns, asset_class
+    ), ccr_set AS (
+        SELECT ns, max(cp_key) AS cp_key,
+               {sql_scaled_sum('class_mtm', 2)} AS set_mtm,
+               {sql_scaled_sum('class_addon', 2)} AS aggregate_addon
+        FROM ccr_class GROUP BY ns
+    ), ccr AS (
+        SELECT ns || '_CCR' AS exposure_reference, cp_key,
+               1.4 * (greatest(set_mtm, 0.0) + aggregate_addon) AS drawn_amount,
+               CAST(0.0 AS DOUBLE) AS undrawn_amount,
+               CAST(NULL AS VARCHAR) AS risk_bucket, FALSE AS is_defaulted,
+               'ccr' AS etype
+        FROM ccr_set
+    ), sft_legs AS (
+        SELECT 'SS' || o_orderkey AS ns, o_custkey AS cp_key,
+               o_totalprice AS lent, CAST(0.0 AS DOUBLE) AS received_adj
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT 'SS' || o_orderkey, o_custkey, CAST(0.0 AS DOUBLE),
+               (o_totalprice * 0.6) * (1 - CAST(CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 0.005 WHEN '2-HIGH' THEN 0.02
+                    ELSE 0.04 END AS DOUBLE))
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), sft AS (
+        SELECT ns || '_SFT' AS exposure_reference, max(cp_key) AS cp_key,
+               greatest({sql_scaled_sum('lent', 2)} - {sql_scaled_sum('received_adj', 2)},
+                        0.0) AS drawn_amount,
+               CAST(0.0 AS DOUBLE) AS undrawn_amount,
+               CAST(NULL AS VARCHAR) AS risk_bucket, FALSE AS is_defaulted,
+               'sft' AS etype
+        FROM sft_legs GROUP BY ns
+    ), pools AS (
+        SELECT 'SEC_P' || (o_orderkey % 7) AS exposure_reference,
+               CAST(NULL AS BIGINT) AS cp_key,
+               {sql_scaled_sum('o_totalprice * 0.25', 2)} AS drawn_amount,
+               CAST(0.0 AS DOUBLE) AS undrawn_amount,
+               CAST(NULL AS VARCHAR) AS risk_bucket, FALSE AS is_defaulted,
+               'securitisation_pool' AS etype
+        FROM orders WHERE o_orderkey % 10 = 0
+        GROUP BY o_orderkey % 7
+    ), exposures AS (
+        SELECT * FROM loans UNION ALL SELECT * FROM conts
+        UNION ALL SELECT * FROM ccr UNION ALL SELECT * FROM sft
+        UNION ALL SELECT * FROM pools
+    ), enriched AS (
+        SELECT e.*, c.entity_type, c.cqs, c.is_managed_as_retail, c.annual_revenue,
+               coalesce(u.group_key, e.cp_key) AS group_key
+        FROM exposures e
+        LEFT JOIN cps c ON e.cp_key = c.cp_key
+        LEFT JOIN up u ON e.cp_key = u.node
+    ), grouped AS (
+        SELECT *,
+               sum(CAST(round((drawn_amount + undrawn_amount) * 100.0, 0) AS BIGINT))
+                   OVER (PARTITION BY group_key) / CAST(100 AS DOUBLE) AS group_exposure
+        FROM enriched
+    ), classified AS (
+        SELECT *,
+               CASE WHEN etype = 'securitisation_pool' THEN 'securitisation'
+                    WHEN entity_type = 'sovereign' THEN 'sovereign'
+                    WHEN entity_type = 'institution' THEN 'institution'
+                    WHEN (entity_type = 'individual' OR is_managed_as_retail)
+                         AND group_exposure <= 1000000.0 THEN 'retail'
+                    ELSE 'corporate' END AS exposure_class
+        FROM grouped
+    ), with_ead AS (
+        SELECT c.*, drawn_amount + coalesce(hc.ccf, 1.0) * undrawn_amount AS ead
+        FROM classified c
+        LEFT JOIN (VALUES ('full_risk', CAST(1.0 AS DOUBLE)), ('medium_risk', CAST(0.5 AS DOUBLE)),
+                          ('medium_low_risk', CAST(0.2 AS DOUBLE)), ('low_risk', CAST(0.0 AS DOUBLE)))
+               AS hc(bucket, ccf) ON c.risk_bucket = hc.bucket
+    ), with_rw AS (
+        SELECT w.*,
+               CASE WHEN w.exposure_class = 'securitisation'
+                         THEN greatest(0.15, 0.08 * 12.5 * 1.0)
+                    WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END AS risk_weight,
+               CASE WHEN w.exposure_class = 'corporate' AND w.annual_revenue > 0
+                         AND w.annual_revenue <= 50000000 THEN 0.7619 ELSE 1.0 END AS sf,
+               CASE WHEN w.exposure_class = 'securitisation' THEN 'SEC-SA'
+                    ELSE 'SA' END AS approach
+        FROM with_ead w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+    )
+    SELECT approach, count(*) AS n_exposures,
+           {sql_scaled_sum('ead', 2)} AS total_ead,
+           {sql_scaled_sum('(ead * risk_weight) * sf', 2)} AS total_rwa
+    FROM with_rw GROUP BY approach
+    """
+
+
+@query(
+    "rwa_pipeline_ccr_sft",
+    oracle=_CCR_SFT_ORACLE,
+    tags=("rwa", "pipeline", "ccr"),
+)
+def rwa_pipeline_ccr_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline with CCR trades, SFTs and securitisation allocations in
+    the BUNDLE (ref engine/registry.py:46-58 — the stages fold into the
+    ledger, not standalone queries): SA-CCR netting-set EADs and SFT FCCM
+    exposures enter as synthetic rows, allocated loan slices leave the book
+    and return as SEC-SA pool rows. The oracle re-derives every stage —
+    two-level add-on aggregation, leg netting, retained-share reduction —
+    and the by-approach summary."""
+    from dataclasses import replace as dc_replace
+
+    bundle = _star_bundle(spark, sf_dir, irb=False)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    trades = (
+        li.where(F.col("l_linenumber") <= 2)
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("T"), F.col("l_orderkey"), F.lit("_"), F.col("l_linenumber")).alias(
+                "trade_reference"
+            ),
+            F.concat(F.lit("NS"), F.col("l_orderkey")).alias("netting_set_reference"),
+            F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")) - 30000.0).alias("mtm"),
+            (F.col("l_quantity") * 1000.0).alias("notional"),
+            F.when(F.col("l_returnflag") == "A", "ir")
+            .when(F.col("l_returnflag") == "N", "fx")
+            .otherwise("credit")
+            .alias("asset_class"),
+        )
+    )
+    sel = o.where(F.col("o_orderkey") % 5 == 0)
+    hc = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 0.005)
+        .when(F.col("o_orderpriority") == "2-HIGH", 0.02)
+        .otherwise(0.04)
+        .cast("double")
+    )
+    lent_leg = sel.select(
+        F.concat(F.lit("SS"), F.col("o_orderkey")).alias("netting_set_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.lit("lent").alias("leg"),
+        F.col("o_totalprice").alias("value"),
+        F.lit(None).cast("double").alias("haircut"),
+    )
+    coll_leg = sel.select(
+        F.concat(F.lit("SS"), F.col("o_orderkey")).alias("netting_set_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.lit("collateral").alias("leg"),
+        (F.col("o_totalprice") * 0.6).alias("value"),
+        hc.alias("haircut"),
+    )
+    allocs = o.where(F.col("o_orderkey") % 10 == 0).select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.concat(F.lit("P"), F.col("o_orderkey") % 7).alias("pool_reference"),
+        F.lit(0.25).alias("allocation_pct"),
+    )
+    bundle = dc_replace(
+        bundle,
+        trades=trades,
+        sft_trades=lent_leg.unionByName(coll_leg),
+        securitisation_allocations=allocs,
+    )
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    return out.summary_by_approach
+
+
 @query(
     "dual_framework_delta",
     oracle=_SQL_BASE.format(irb_flag="FALSE") + f"""

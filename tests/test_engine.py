@@ -462,6 +462,137 @@ def test_scope_unknown_entity_empties_selection(spark, scope_bundle):
     assert "SCP006" in codes
 
 
+def test_ccr_sft_rows_enter_ledger(spark):
+    """Trades and SFTs fold into the pipeline as synthetic exposures (ref
+    engine/stages/ccr.py:160, sft.py:116): SA-CCR EAD = 1.4·(RC+PFE) per
+    netting set, SFT E* = max(0, lent − collateral·(1−h)) — hand-computed,
+    then risk-weighted like any loan."""
+    cps = _df(
+        spark,
+        [
+            ("CP1", "corporate", 2, False, 0.0, False),
+            ("CP2", "institution", 1, False, 0.0, False),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    trades = _df(
+        spark,
+        [
+            ("T1", "NS1", "CP1", 100.0, 10000.0, "ir"),
+            ("T2", "NS1", "CP1", -50.0, 20000.0, "fx"),
+            ("T3", "NS2", "CP2", -200.0, 10000.0, "credit"),
+        ],
+        "trade_reference string, netting_set_reference string, counterparty_reference string, "
+        "mtm double, notional double, asset_class string",
+    )
+    sft = _df(
+        spark,
+        [
+            ("NSS1", "CP1", "lent", 1000.0, None),
+            ("NSS1", "CP1", "collateral", 500.0, 0.2),
+        ],
+        "netting_set_reference string, counterparty_reference string, leg string, "
+        "value double, haircut double",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, trades=trades, sft_trades=sft),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    # NS1: RC = max(100-50, 0) = 50; PFE = 0.005·10000 + 0.04·20000 = 850
+    assert rows["NS1_CCR"].ead == pytest.approx(1.4 * (50 + 850))
+    assert rows["NS1_CCR"].rwa == pytest.approx(1.4 * 900 * 0.5)  # corporate cqs2
+    # NS2: RC floored at 0; PFE = 0.05·10000 = 500
+    assert rows["NS2_CCR"].ead == pytest.approx(1.4 * 500)
+    assert rows["NS2_CCR"].rwa == pytest.approx(700 * 0.2)  # institution cqs1
+    # SFT: E* = 1000 − 500·(1−0.2) = 600
+    assert rows["NSS1_SFT"].ead == pytest.approx(600.0)
+    assert out.results.count() == 4  # loan + 2 CCR sets + 1 SFT set
+
+
+def test_securitisation_stage_conserves_and_routes(spark):
+    """Allocated slices leave the loan book, pools route to SEC-SA (ref
+    engine/stages/securitisation.py, aggregator/_securitisation.py):
+    retained + pool EAD = original drawn, pool RW = max(15%, 12.5·K_SA·p)."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    allocs = _df(
+        spark,
+        [("L1", "P1", 0.3), ("L1", "P2", 0.2)],
+        "exposure_reference string, pool_reference string, allocation_pct double",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, securitisation_allocations=allocs),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    assert rows["L1"].ead == pytest.approx(500.0)  # retained 50%
+    assert rows["SEC_P1"].ead == pytest.approx(300.0)
+    assert rows["SEC_P2"].ead == pytest.approx(200.0)
+    assert rows["SEC_P1"].approach == "SEC-SA"
+    assert rows["SEC_P1"].risk_weight == pytest.approx(1.0)  # max(0.15, 0.08·12.5·1)
+    total_ead = sum(r.ead for r in rows.values())
+    assert total_ead == pytest.approx(1000.0)  # conservation across the split
+
+
+def test_re_split_stage(spark):
+    """RE-secured tranche split (ref engine/stages/re_split/splitter.py:323,
+    CRR Art.125): secured part capped at 80% of property value takes the
+    35% RW; remainder keeps its class. RE collateral must NOT also FCCM-net."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    collateral = _df(
+        spark,
+        [("COLRE", 500.0, 0.0, False, "real_estate")],
+        "collateral_reference string, market_value double, haircut double, "
+        "currency_mismatch boolean, collateral_type string",
+    )
+    links = _df(
+        spark, [("COLRE", "L1")], "collateral_reference string, exposure_reference string"
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps, loans=loans, collateral=collateral, collateral_links=links
+        ),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    # RE item excluded from FCCM: secured = min(1000, 0.8·500) = 400
+    assert rows["L1_RESEC"].ead_after_crm == pytest.approx(400.0)
+    assert rows["L1_RESEC"].risk_weight == pytest.approx(0.35)
+    assert rows["L1"].ead_after_crm == pytest.approx(600.0)
+    assert rows["L1"].risk_weight == pytest.approx(0.5)  # corporate cqs2 remainder
+    total = sum(r.ead_after_crm for r in rows.values())
+    assert total == pytest.approx(1000.0)  # split conserves post-CRM EAD
+
+
 def test_securitisation_conservation(spark, sf_dir):
     """Σ pool allocations + retained = Σ exposure amounts (the reference's
     conservation property on pool splits)."""
