@@ -3,16 +3,25 @@ engine/irb/formulas.py) + approach routing (ref engine/stages/calc.py:
 filter-split by approach, compute branches, recombine by unionByName).
 
 SA: rulepack RW lookup on (class, cqs) broadcast-joined, override ladder
-(defaulted / retail / unrated), guarantee substitution on the covered
-portion, supporting factors.
+(defaulted / RE-secured / retail / unrated), guarantee substitution on the
+covered portion, supporting factors.
 
 IRB: the staged K pipeline from functions/irb (codegen-friendly Φ/Φ⁻¹),
-PD/LGD floors from the rulepack.
+PD/LGD floors from the rulepack; defaulted exposures bypass Vasicek
+entirely (CRR Art.153(1)(ii)/154(1)(i), ref engine/irb/adjustments.py
+apply_defaulted_treatment): A-IRB K = max(0, LGD − BEEL), F-IRB K = 0,
+no maturity adjustment. EL shortfall/excess vs allocated provisions
+(CRR Art.158-159, ref adjustments.py compute_el_shortfall_excess).
+
+Every branch emits the same audit-ledger columns (_RESULT_COLS — the
+reference's 162-column CALCULATION_OUTPUT_SCHEMA distilled to its
+load-bearing component buckets: EAD pre/post CRM, provisions, collateral,
+guarantee coverage, RW provenance, EL decomposition).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rwa_calculator_spark.engine.bundles import CalcOutput, CRMOutput
@@ -21,6 +30,8 @@ from rwa_calculator_spark.functions.irb import irb_maturity_adj, with_irb_k
 from rwa_calculator_spark.functions.stats import with_normal_ppf
 from rwa_calculator_spark.operators.dictionary import dictionary_apply
 
+# The audit ledger every calculator branch emits (ref CALCULATION_OUTPUT_
+# SCHEMA, data/schemas.py:2877 — distilled). Asserted by tests/test_contracts.
 _RESULT_COLS = [
     "exposure_reference",
     "counterparty_reference",
@@ -28,10 +39,40 @@ _RESULT_COLS = [
     "approach",
     "ead",
     "ead_after_crm",
+    "provision_allocated",
+    "collateral_value",
+    "g_coverage",
     "risk_weight",
+    "rw_source",
     "rwa_before_sf",
     "rwa",
+    "expected_loss",
+    "el_shortfall",
+    "el_excess",
 ]
+
+
+def _crm_carry(exp: DataFrame) -> DataFrame:
+    """Ensure the CRM component columns exist (zero when the branch input
+    never went through run_crm, e.g. equity)."""
+    for c in ("provision_allocated", "collateral_value", "g_coverage"):
+        if c not in exp.columns:
+            exp = exp.withColumn(c, F.lit(0.0))
+        else:
+            exp = exp.withColumn(c, F.coalesce(c, F.lit(0.0)))
+    return exp
+
+
+def _el_columns(exp: DataFrame, expected_loss: Column) -> DataFrame:
+    """EL + shortfall/excess vs allocated provisions (CRR Art.158-159:
+    Pool B distilled to provision_allocated; ref engine/irb/adjustments.py
+    compute_el_shortfall_excess)."""
+    prov = F.coalesce("provision_allocated", F.lit(0.0))
+    return (
+        exp.withColumn("expected_loss", expected_loss)
+        .withColumn("el_shortfall", F.greatest(F.col("expected_loss") - prov, F.lit(0.0)))
+        .withColumn("el_excess", F.greatest(prov - F.col("expected_loss"), F.lit(0.0)))
+    )
 
 
 def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
@@ -41,6 +82,7 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         & ~F.col("is_specialised")
         & (F.col("exposure_class") != "securitisation")
     )
+    exp = _crm_carry(exp)
 
     rw_table = pack.broadcast_table(spark, "sa_rw")
     exp = exp.join(
@@ -60,7 +102,18 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         .when(F.col("rw").isNotNull(), F.col("rw"))
         .otherwise(pack.lit("unrated_corp_rw"))
     )
-    exp = exp.withColumn("own_rw", base_rw)
+    rw_source = (
+        F.when(
+            F.col("is_defaulted") & (F.col("exposure_class") == "re_secured"),
+            "sa_defaulted_secured",
+        )
+        .when(F.col("is_defaulted"), "sa_defaulted")
+        .when(F.col("exposure_class") == "re_secured", "sa_re_secured")
+        .when(F.col("exposure_class") == "retail", "sa_retail")
+        .when(F.col("rw").isNotNull(), "sa_cqs_lookup")
+        .otherwise("sa_unrated")
+    )
+    exp = exp.withColumn("own_rw", base_rw).withColumn("rw_source", rw_source)
 
     # guarantee substitution on the covered share (ref crm/guarantees.py)
     g_rw_table = pack.table_df(spark, "sa_rw").select(
@@ -78,7 +131,14 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         F.col("g_coverage") * F.least(F.col("own_rw"), F.coalesce("g_rw", F.col("own_rw")))
         + (1 - F.col("g_coverage")) * F.col("own_rw")
     )
-    exp = exp.withColumn("risk_weight", eff_rw)
+    exp = exp.withColumn("risk_weight", eff_rw).withColumn(
+        "rw_source",
+        F.when(
+            (F.col("g_coverage") > 0)
+            & (F.coalesce("g_rw", F.col("own_rw")) < F.col("own_rw")),
+            F.concat(F.col("rw_source"), F.lit("+guarantee")),
+        ).otherwise(F.col("rw_source")),
+    )
 
     sf = F.when(
         (F.col("exposure_class") == "corporate")
@@ -87,18 +147,13 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         pack.lit("sme_supporting_factor"),
     ).otherwise(F.lit(1.0))
 
-    out = exp.select(
-        "exposure_reference",
-        "counterparty_reference",
-        "exposure_class",
-        F.lit("SA").alias("approach"),
-        "ead",
-        "ead_after_crm",
-        "risk_weight",
-        (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa_before_sf"),
-        (F.col("ead_after_crm") * F.col("risk_weight") * sf).alias("rwa"),
+    exp = (
+        exp.withColumn("approach", F.lit("SA"))
+        .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
+        .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight") * sf)
     )
-    return CalcOutput(results=out)
+    exp = _el_columns(exp, F.lit(0.0))  # EL treatment is IRB-only; SA deducts
+    return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
 def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutput:
@@ -107,6 +162,9 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
         & ~F.col("is_specialised")
         & (F.col("exposure_class") != "securitisation")
     )
+    exp = _crm_carry(exp)
+    if "el_be" not in exp.columns:
+        exp = exp.withColumn("el_be", F.lit(None).cast("double"))
     exp = exp.withColumn(
         "pd_floored",
         F.when(F.col("is_defaulted"), F.lit(1.0)).otherwise(
@@ -134,28 +192,45 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
         perf = dictionary_apply(perf, ["pd_floored", "lgd_floored", "m_eff"], _k_ma)
     else:
         perf = _k_ma(perf)
-    perf = perf.withColumn("risk_weight", F.col("k") * F.col("ma") * 12.5)
+    perf = (
+        perf.withColumn("risk_weight", F.col("k") * F.col("ma") * 12.5)
+        .withColumn("rw_source", F.lit("irb_vasicek"))
+    )
+    perf = _el_columns(
+        perf, F.col("pd_floored") * F.col("lgd_floored") * F.col("ead_after_crm")
+    )
 
-    # defaulted under IRB: RW from max(0, 12.5·(LGD − EL_BE)) — simplified
-    # to the reference's conservative default here
-    dflt = exp.where(F.col("pd_floored") >= 1.0).withColumn("risk_weight", F.lit(0.0))
+    # defaulted bypasses Vasicek (CRR Art.153(1)(ii)/154(1)(i), CRE31.3):
+    # A-IRB (own BEEL supplied): K = max(0, LGD − BEEL), no MA, no 1.06;
+    # F-IRB: K = 0 — capital is held through provisions
+    dflt = exp.where(F.col("pd_floored") >= 1.0)
+    k_dflt = F.when(
+        F.col("el_be").isNotNull(),
+        F.greatest(F.col("lgd_floored") - F.col("el_be"), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    dflt = (
+        dflt.withColumn("risk_weight", k_dflt * 12.5)
+        .withColumn(
+            "rw_source",
+            F.when(F.col("el_be").isNotNull(), "irb_defaulted_airb").otherwise(
+                "irb_defaulted_firb"
+            ),
+        )
+    )
+    dflt = _el_columns(
+        dflt,
+        F.coalesce("el_be", F.col("lgd_floored")) * F.col("ead_after_crm"),
+    )
 
-    out = perf.select(*_irb_cols()).unionByName(dflt.select(*_irb_cols()))
-    return CalcOutput(results=out)
+    def _finish(df):
+        return (
+            df.withColumn("approach", F.lit("IRB"))
+            .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
+            .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight"))
+            .select(*_RESULT_COLS)
+        )
 
-
-def _irb_cols():
-    return [
-        "exposure_reference",
-        "counterparty_reference",
-        "exposure_class",
-        F.lit("IRB").alias("approach"),
-        "ead",
-        "ead_after_crm",
-        "risk_weight",
-        (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa_before_sf"),
-        (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa"),
-    ]
+    return CalcOutput(results=_finish(perf).unionByName(_finish(dflt)))
 
 
 def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
@@ -163,31 +238,29 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     engine/aggregator/_securitisation.py; CRR Art.261 distilled — flat pool
     K_SA × 12.5 × p with the 15% floor; the SSFA tranche integral is out of
     scope, the routing/floor shape is real)."""
-    exp = crm.exposures.where(F.col("exposure_class") == "securitisation")
+    exp = _crm_carry(crm.exposures.where(F.col("exposure_class") == "securitisation"))
     rw = F.greatest(
         pack.lit("secsa_floor_rw"),
         pack.lit("secsa_ksa") * F.lit(12.5) * pack.lit("secsa_p"),
     )
-    out = exp.select(
-        "exposure_reference",
-        "counterparty_reference",
-        "exposure_class",
-        F.lit("SEC-SA").alias("approach"),
-        "ead",
-        "ead_after_crm",
-        rw.alias("risk_weight"),
-        (F.col("ead_after_crm") * rw).alias("rwa_before_sf"),
-        (F.col("ead_after_crm") * rw).alias("rwa"),
+    exp = (
+        exp.withColumn("approach", F.lit("SEC-SA"))
+        .withColumn("risk_weight", rw)
+        .withColumn("rw_source", F.lit("sec_sa"))
+        .withColumn("rwa_before_sf", F.col("ead_after_crm") * rw)
+        .withColumn("rwa", F.col("ead_after_crm") * rw)
     )
-    return CalcOutput(results=out)
+    exp = _el_columns(exp, F.lit(0.0))
+    return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
 def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     """Specialised-lending supervisory slotting: exposures of counterparties
     in the specialised_lending table take the slot-category RW from the
-    rulepack (CRR Art.153(5); ref engine/slotting/)."""
+    rulepack, with the table's EL rate feeding expected loss
+    (CRR Art.153(5)/158(6); ref engine/slotting/)."""
     spark = crm.exposures.sparkSession
-    exp = crm.exposures.where(F.col("is_specialised"))
+    exp = _crm_carry(crm.exposures.where(F.col("is_specialised")))
     slot_rw = pack.broadcast_table(spark, "slotting_rw")
     exp = exp.join(slot_rw, "slot_category", "left").withColumn(
         "risk_weight",
@@ -195,18 +268,20 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
             F.coalesce("rw", pack.lit("unrated_corp_rw"))
         ),
     )
-    out = exp.select(
-        "exposure_reference",
-        "counterparty_reference",
-        F.lit("specialised").alias("exposure_class"),
-        F.lit("SLOTTING").alias("approach"),
-        "ead",
-        "ead_after_crm",
-        "risk_weight",
-        (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa_before_sf"),
-        (F.col("ead_after_crm") * F.col("risk_weight")).alias("rwa"),
+    exp = (
+        exp.withColumn("exposure_class", F.lit("specialised"))
+        .withColumn("approach", F.lit("SLOTTING"))
+        .withColumn(
+            "rw_source",
+            F.when(F.col("is_defaulted"), "slotting_defaulted").otherwise("slotting"),
+        )
+        .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
+        .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight"))
     )
-    return CalcOutput(results=out)
+    exp = _el_columns(
+        exp, F.coalesce("el_rate", F.lit(0.0)) * F.col("ead_after_crm")
+    )
+    return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
 def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
@@ -214,9 +289,9 @@ def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
 
     CRR: IRB simple risk-weight method (Art.155(2); ref
     engine/equity/calculator.py:760-762) — diversified PE 190%,
-    exchange-traded 290%, other 370%.
+    exchange-traded 290%, other 370%, EL 0.8%/0.8%/2.4% (Art.158(7)).
     B3.1: IRB equity removed (PS1/26 Art.133) — SA 250% standard,
-    400% speculative unlisted.
+    400% speculative unlisted, no EL charge.
     """
     listed = F.coalesce("is_exchange_traded", F.lit(False))
     # optional flags (absent in minimal bundles → default false)
@@ -236,10 +311,16 @@ def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
             .when(listed, pack.lit("equity_exchange_traded_rw"))
             .otherwise(pack.lit("equity_other_rw"))
         )
+        el_rate = F.when(pe_div | listed, pack.lit("equity_el_standard")).otherwise(
+            pack.lit("equity_el_other")
+        )
+        src = F.lit("equity_irb_simple")
     else:
         rw = F.when(spec, pack.lit("equity_speculative_rw")).otherwise(
             pack.lit("equity_standard_rw")
         )
+        el_rate = F.lit(0.0)
+        src = F.lit("equity_sa")
     mv = F.coalesce("market_value", F.lit(0.0))
     out = equity.select(
         "exposure_reference",
@@ -248,8 +329,15 @@ def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
         F.lit("EQUITY").alias("approach"),
         mv.alias("ead"),
         mv.alias("ead_after_crm"),
+        F.lit(0.0).alias("provision_allocated"),
+        F.lit(0.0).alias("collateral_value"),
+        F.lit(0.0).alias("g_coverage"),
         rw.alias("risk_weight"),
+        src.alias("rw_source"),
         (mv * rw).alias("rwa_before_sf"),
         (mv * rw).alias("rwa"),
+        (mv * el_rate).alias("expected_loss"),
+        (mv * el_rate).alias("el_shortfall"),
+        F.lit(0.0).alias("el_excess"),
     )
     return CalcOutput(results=out)

@@ -22,39 +22,49 @@ from rwa_calculator_spark.engine.bundles import ClassifiedOutput, CRMOutput, Raw
 from rwa_calculator_spark.engine.rulepack import RulePack
 
 
-def _resolve_provisions(exp: DataFrame, provisions: DataFrame) -> DataFrame:
+def _resolve_provisions(
+    exp: DataFrame,
+    provisions: DataFrame,
+    facility_mappings: DataFrame | None = None,
+) -> DataFrame:
     """Multi-level provision allocation (ref engine/crm/provisions.py:37-110
     resolve_provisions + kernels/allocation.py allocate_multi_level):
 
     1. direct — beneficiary_reference names the exposure: full amount;
-    2. facility — beneficiary names a facility: pro-rata over the facility's
-       exposures by pre-CCF amount (requires parent_facility_reference);
+    2. facility — beneficiary names a facility: cascades over the named
+       facility's DESCENDANT subtree (closure over facility edges), pro-rata
+       by the CCF-weighted basis of member exposures;
     3. counterparty — beneficiary names the obligor: pro-rata over the
-       obligor's exposures by pre-CCF amount.
+       obligor's exposures.
 
-    Levels combine additively into provision_allocated. The item aggregate
-    is one conditional groupBy per (level, beneficiary); each level joins at
-    its own key — dimension-sized joins, window-sum pro-rata denominators,
-    no fact collapse."""
-    btype = (
-        F.coalesce("beneficiary_type", F.lit("direct"))
-        if "beneficiary_type" in provisions.columns
-        else F.lit("direct")
-    )
-    items = provisions.select(
-        "beneficiary_reference",
-        btype.alias("_lvl"),
-        F.coalesce("amount", F.lit(0.0)).alias("_amt"),
-    ).withColumn(
-        "_lvl",
-        F.when(F.col("_lvl").isin("loan", "exposure", "contingent", "direct"), "direct")
-        .otherwise(F.col("_lvl")),
+    The allocation basis is clip(drawn, 0) + CCF·undrawn (the reference's
+    CCF-weighted basis — an unclipped negative drawn would give a sibling
+    >100% of the pot). Provision rows with a null/unknown beneficiary_type
+    are DROPPED, not defaulted to direct (ref provisions.py typed-row
+    filter). Levels combine additively into provision_allocated."""
+    if "beneficiary_type" in provisions.columns:
+        btype = F.when(
+            F.col("beneficiary_type").isin("loan", "exposure", "contingent", "direct"),
+            "direct",
+        ).when(F.col("beneficiary_type").isin("facility", "counterparty"), F.col("beneficiary_type"))
+    else:
+        btype = F.lit("direct")
+    items = (
+        provisions.select(
+            "beneficiary_reference",
+            btype.alias("_lvl"),
+            F.coalesce("amount", F.lit(0.0)).alias("_amt"),
+        )
+        .where(F.col("_lvl").isNotNull())
     )
     per_level = items.groupBy("_lvl", "beneficiary_reference").agg(
         F.sum("_amt").alias("_prov")
     )
 
-    basis = F.col("drawn_amount") + F.col("undrawn_amount")
+    # CCF-weighted allocation basis, drawn clipped at zero
+    basis = F.greatest(F.col("drawn_amount"), F.lit(0.0)) + F.col("ccf") * F.col(
+        "undrawn_amount"
+    )
     exp = exp.withColumn("_basis", basis)
 
     # direct: full amount onto the named exposure
@@ -79,24 +89,67 @@ def _resolve_provisions(exp: DataFrame, provisions: DataFrame) -> DataFrame:
         F.col("_prov_cp_total") * F.col("_basis") / cp_denom,
     ).otherwise(F.lit(0.0))
 
-    # facility: pro-rata within the facility (column present only when the
-    # bundle carries facility mappings)
+    # facility: cascade the named beneficiary over its descendant facility
+    # subtree (ref provisions.py facility cascade), then pro-rata across
+    # every exposure whose direct parent is in that subtree. Computed as a
+    # side aggregate at (provision × member-exposure) grain so overlapping
+    # subtrees sum instead of duplicating exposure rows.
     if "parent_facility_reference" in exp.columns:
-        fac = per_level.where(F.col("_lvl") == "facility").select(
-            F.col("beneficiary_reference").alias("parent_facility_reference"),
-            F.col("_prov").alias("_prov_fac_total"),
+        fac_prov = per_level.where(F.col("_lvl") == "facility").select(
+            F.col("beneficiary_reference").alias("_ben"),
+            F.col("_prov").alias("_prov_fac"),
         )
-        exp = exp.join(F.broadcast(fac), "parent_facility_reference", "left")
-        w_fac = W.partitionBy("parent_facility_reference")
-        fac_denom = F.sum(
-            F.round(F.col("_basis") * 100.0, 0).cast("long")
-        ).over(w_fac) / F.lit(100.0)
-        prov_fac = F.when(
-            F.col("parent_facility_reference").isNotNull()
-            & F.col("_prov_fac_total").isNotNull()
-            & (fac_denom > 0),
-            F.col("_prov_fac_total") * F.col("_basis") / fac_denom,
-        ).otherwise(F.lit(0.0))
+        if facility_mappings is not None:
+            from rwa_calculator_spark.operators.graph import ancestor_closure_iterative
+
+            fac_edges = facility_mappings.where(
+                F.col("child_type") == "facility"
+            ).select(
+                F.col("child_reference").alias("child"),
+                F.col("parent_facility_reference").alias("parent"),
+            )
+            closure = (
+                ancestor_closure_iterative(fac_edges)
+                .select(
+                    F.col("ancestor").alias("_cl_ben"),
+                    F.col("descendant").alias("_cl_fac"),
+                )
+                .dropDuplicates(["_cl_ben", "_cl_fac"])
+            )
+            expand = fac_prov.join(
+                F.broadcast(closure), fac_prov._ben == F.col("_cl_ben"), "left"
+            ).select(
+                "_ben",
+                "_prov_fac",
+                F.coalesce("_cl_fac", F.col("_ben")).alias("_fac_ref"),
+            )
+        else:
+            expand = fac_prov.select(
+                "_ben", "_prov_fac", F.col("_ben").alias("_fac_ref")
+            )
+        members = exp.select(
+            "exposure_reference",
+            F.col("parent_facility_reference").alias("_pfac"),
+            F.col("_basis").alias("_mbasis"),
+        ).where(F.col("_pfac").isNotNull())
+        matched = members.join(
+            F.broadcast(expand), members._pfac == F.col("_fac_ref"), "inner"
+        )
+        w_ben = W.partitionBy("_ben")
+        ben_denom = F.sum(
+            F.round(F.col("_mbasis") * 100.0, 0).cast("long")
+        ).over(w_ben) / F.lit(100.0)
+        alloc = matched.withColumn(
+            "_alloc",
+            F.when(
+                ben_denom > 0, F.col("_prov_fac") * F.col("_mbasis") / ben_denom
+            ).otherwise(F.lit(0.0)),
+        )
+        per_exp_fac = alloc.groupBy("exposure_reference").agg(
+            F.sum("_alloc").alias("_prov_fac_alloc")
+        )
+        exp = exp.join(per_exp_fac, "exposure_reference", "left")
+        prov_fac = F.coalesce("_prov_fac_alloc", F.lit(0.0))
     else:
         prov_fac = F.lit(0.0)
 
@@ -104,22 +157,32 @@ def _resolve_provisions(exp: DataFrame, provisions: DataFrame) -> DataFrame:
         "provision_allocated",
         F.coalesce("_prov_direct", F.lit(0.0)) + prov_fac + prov_cp,
     )
-    return exp.drop("_basis", "_prov_direct", "_prov_cp_total", "_prov_fac_total")
+    return exp.drop(
+        "_basis", "_prov_direct", "_prov_cp_total", "_prov_fac_alloc"
+    )
 
 
 def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
     spark = c.exposures.sparkSession
     exp = c.exposures
 
+    # CCF joins FIRST: the provision allocation basis is CCF-weighted
+    # (ref engine/ccf.py + provisions.py basis)
+    ccf = pack.broadcast_table(spark, "ccf")
+    exp = exp.join(ccf, "risk_bucket", "left").withColumn(
+        "ccf", F.coalesce("ccf", F.lit(1.0))
+    )
+
     # --- provisions: multi-level allocation + SA drawn-first deduction ----
     # (CRR Art.110-111(2); ref engine/crm/provisions.py resolve_provisions)
     if raw.provisions is not None:
-        exp = _resolve_provisions(exp, raw.provisions)
+        exp = _resolve_provisions(exp, raw.provisions, raw.facility_mappings)
     else:
         exp = exp.withColumn("provision_allocated", F.lit(0.0))
 
     # SA rows deduct drawn-first; IRB/slotting rows pass provisions through
-    # to EL shortfall/excess instead (ref provisions.py IRB pass-through)
+    # to EL shortfall/excess instead (ref provisions.py IRB pass-through,
+    # now consumed by calculators._el_columns)
     is_sa = ~F.col("has_irb_permission") & ~F.col("is_specialised")
     floored_drawn = F.greatest(F.col("drawn_amount"), F.lit(0.0))
     prov_on_drawn = F.when(
@@ -137,15 +200,10 @@ def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
     )
 
     # --- EAD: (drawn − prov) + CCF × (undrawn − prov) (ref engine/ccf.py) --
-    ccf = pack.broadcast_table(spark, "ccf")
-    exp = (
-        exp.join(ccf, "risk_bucket", "left")
-        .withColumn("ccf", F.coalesce("ccf", F.lit(1.0)))
-        .withColumn(
-            "ead",
-            (F.col("drawn_amount") - F.col("provision_on_drawn"))
-            + F.col("ccf") * (F.col("undrawn_amount") - F.col("provision_on_nominal")),
-        )
+    exp = exp.withColumn(
+        "ead",
+        (F.col("drawn_amount") - F.col("provision_on_drawn"))
+        + F.col("ccf") * (F.col("undrawn_amount") - F.col("provision_on_nominal")),
     )
 
     # --- collateral: haircut then pro-rata allocation over links ----------

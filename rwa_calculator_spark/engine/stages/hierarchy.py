@@ -68,7 +68,7 @@ def run_hierarchy(
     enrichment — ref engine/stages/hierarchy/unify.py:107 diagonal concat
     of every exposure source."""
     loans_src = _fx_factor(raw.loans, raw.fx_rates)
-    loans = loans_src.select(
+    loan_cols = [
         F.col("loan_reference").alias("exposure_reference"),
         F.lit("loan").alias("exposure_type"),
         "counterparty_reference",
@@ -79,7 +79,12 @@ def run_hierarchy(
         F.col("pd"),
         F.col("lgd"),
         F.col("effective_maturity"),
-    )
+    ]
+    # A-IRB best-estimate EL rides along when supplied (defaulted treatment,
+    # ref engine/irb/adjustments.py apply_defaulted_treatment)
+    if "el_be" in raw.loans.columns:
+        loan_cols.append(F.col("el_be"))
+    loans = loans_src.select(*loan_cols)
     frames = [loans]
     if raw.contingents is not None:
         cont_src = _fx_factor(raw.contingents, raw.fx_rates)
@@ -125,6 +130,20 @@ def run_hierarchy(
     exposures = frames[0]
     for f in frames[1:]:
         exposures = exposures.unionByName(f, allowMissingColumns=True)
+
+    # attach the direct parent facility so facility-level provisions can
+    # cascade (ref engine/crm/provisions.py facility beneficiaries; ADVICE
+    # r2: unified exposures never carried parent_facility_reference)
+    if raw.facility_mappings is not None:
+        fmap = (
+            raw.facility_mappings.where(F.col("child_type") != "facility")
+            .select(
+                F.col("child_reference").alias("exposure_reference"),
+                "parent_facility_reference",
+            )
+            .dropDuplicates(["exposure_reference"])
+        )
+        exposures = exposures.join(F.broadcast(fmap), "exposure_reference", "left")
 
     # One combined counterparty dimension: every lookup (attributes,
     # slotting, resolved hierarchy, derived ratings, lending group) keys on

@@ -31,3 +31,47 @@ def test_conform_projects_contract_columns_only(spark):
     specs = {"id": ColumnSpec(T.LongType()), "name": ColumnSpec(T.StringType())}
     out = conform(df, specs)
     assert out.columns == ["id", "name"]
+
+
+def test_results_ledger_carries_audit_columns(spark):
+    """The audit ledger (ref CALCULATION_OUTPUT_SCHEMA data/schemas.py:2877,
+    distilled to _RESULT_COLS) must expose every component bucket —
+    EAD pre/post CRM, provisions, collateral, guarantee coverage, RW
+    provenance, EL decomposition — and feed component reconciliation."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.engine.stages.calculators import _RESULT_COLS
+    from rwa_calculator_spark.operators.recon import ReconComponent, reconcile
+    from tests.engine_fixtures import build_bundle
+
+    bundle = build_bundle(spark, n_cp=100)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
+    assert out.results.columns == _RESULT_COLS
+    for required in (
+        "ead",
+        "ead_after_crm",
+        "provision_allocated",
+        "collateral_value",
+        "g_coverage",
+        "rw_source",
+        "expected_loss",
+        "el_shortfall",
+        "el_excess",
+    ):
+        assert required in _RESULT_COLS
+
+    # the ledger reconciles against itself component-by-component with zero
+    # breaks (join_full_recon-style buckets over engine output)
+    rec = reconcile(
+        out.results,
+        out.results,
+        keys=["exposure_reference"],
+        components=[
+            ReconComponent("ead"),
+            ReconComponent("ead_after_crm"),
+            ReconComponent("risk_weight"),
+            ReconComponent("rwa"),
+            ReconComponent("expected_loss"),
+        ],
+    )
+    assert rec.worklist.count() == 0

@@ -593,6 +593,150 @@ def test_re_split_stage(spark):
     assert total == pytest.approx(1000.0)  # split conserves post-CRM EAD
 
 
+def test_irb_defaulted_treatment_and_el(spark):
+    """Defaulted IRB exposures bypass Vasicek (CRR Art.153(1)(ii)/154(1)(i),
+    ref engine/irb/adjustments.py apply_defaulted_treatment): A-IRB
+    K = max(0, LGD − BEEL) ×12.5 with no maturity adjustment, F-IRB RW = 0.
+    EL shortfall/excess compares EL against allocated provisions
+    (Art.158-159)."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, True)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 1000.0, True, None, 0.45, None, 0.20),  # A-IRB defaulted
+            ("L2", "CP1", 1000.0, True, None, 0.45, None, None),  # F-IRB defaulted
+            ("L3", "CP1", 1000.0, False, 0.01, 0.45, 2.5, None),  # performing
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double, el_be double",
+    )
+    provisions = _df(
+        spark,
+        [("L3", "direct", 10.0)],
+        "beneficiary_reference string, beneficiary_type string, amount double",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, provisions=provisions),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    # A-IRB: RW = 12.5 · max(0, 0.45 − 0.20) = 3.125
+    assert rows["L1"].risk_weight == pytest.approx(12.5 * 0.25)
+    assert rows["L1"].rwa == pytest.approx(1000 * 3.125)
+    assert rows["L1"].rw_source == "irb_defaulted_airb"
+    assert rows["L1"].expected_loss == pytest.approx(0.20 * 1000)
+    # F-IRB: RW 0, EL = LGD·EAD
+    assert rows["L2"].risk_weight == pytest.approx(0.0)
+    assert rows["L2"].rw_source == "irb_defaulted_firb"
+    assert rows["L2"].expected_loss == pytest.approx(0.45 * 1000)
+    # performing: EL = PD·LGD·EAD = 4.5; provisions 10 (no IRB deduction)
+    assert rows["L3"].ead == pytest.approx(1000.0)  # pass-through, not deducted
+    assert rows["L3"].provision_allocated == pytest.approx(10.0)
+    assert rows["L3"].expected_loss == pytest.approx(0.01 * 0.45 * 1000)
+    assert rows["L3"].el_shortfall == pytest.approx(0.0)
+    assert rows["L3"].el_excess == pytest.approx(10.0 - 4.5)
+
+
+def test_facility_provision_cascade(spark):
+    """Facility-level provisions cascade over the named facility's
+    descendant subtree (ref engine/crm/provisions.py facility cascade;
+    ADVICE r2: previously unreachable — exposures carried no
+    parent_facility_reference)."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 600.0, False, None, None, None),  # under sub F2
+            ("L2", "CP1", 300.0, False, None, None, None),  # directly under F1
+            ("L3", "CP1", 500.0, False, None, None, None),  # unmapped
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    facilities = _df(
+        spark,
+        [("F1", "CP1", 10000.0, False, None), ("F2", "CP1", 10000.0, False, None)],
+        "facility_reference string, counterparty_reference string, limit double, "
+        "committed boolean, risk_bucket string",
+    )
+    mappings = _df(
+        spark,
+        [("F1", "F2", "facility"), ("F2", "L1", "loan"), ("F1", "L2", "loan")],
+        "parent_facility_reference string, child_reference string, child_type string",
+    )
+    provisions = _df(
+        spark,
+        [("F1", "facility", 90.0), ("XX", None, 999.0)],  # null type row DROPPED
+        "beneficiary_reference string, beneficiary_type string, amount double",
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps,
+            loans=loans,
+            facilities=facilities,
+            facility_mappings=mappings,
+            provisions=provisions,
+        ),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    # F1's subtree = {F1, F2}: members L1 (600) + L2 (300); 90 splits 60/30
+    assert rows["L1"].provision_allocated == pytest.approx(60.0)
+    assert rows["L2"].provision_allocated == pytest.approx(30.0)
+    assert rows["L3"].provision_allocated == pytest.approx(0.0)
+    # SA drawn-first deduction flows into EAD
+    assert rows["L1"].ead == pytest.approx(540.0)
+    assert rows["L2"].ead == pytest.approx(270.0)
+    # the null-typed 999 row influenced nothing
+    total_prov = sum(r.provision_allocated for r in rows.values())
+    assert total_prov == pytest.approx(90.0)
+
+
+def test_provision_basis_clips_negative_drawn(spark):
+    """Counterparty-level pro-rata weights clip negative drawn to zero
+    (ADVICE r2: an unclipped negative drawn gives the sibling >100%)."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 750.0, False, None, None, None),
+            ("L2", "CP1", -250.0, False, None, None, None),
+            ("L3", "CP1", 250.0, False, None, None, None),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    provisions = _df(
+        spark,
+        [("CP1", "counterparty", 100.0)],
+        "beneficiary_reference string, beneficiary_type string, amount double",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, provisions=provisions),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    # basis clips L2 to 0: denominators 750+0+250; shares 75/0/25
+    assert rows["L1"].provision_allocated == pytest.approx(75.0)
+    assert rows["L2"].provision_allocated == pytest.approx(0.0)
+    assert rows["L3"].provision_allocated == pytest.approx(25.0)
+
+
 def test_securitisation_conservation(spark, sf_dir):
     """Σ pool allocations + retained = Σ exposure amounts (the reference's
     conservation property on pool splits)."""
