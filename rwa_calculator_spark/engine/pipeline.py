@@ -44,6 +44,11 @@ class PipelineConfig:
     # population) | "individual" (entity alone, intragroup kept).
     reporting_entity: str | None = None
     reporting_basis: str = "consolidated"
+    # Input validation (ref contracts/validation.py + orchestrator halt
+    # semantics): "off" skips; "merged" (default) scrubs + collects error
+    # rows onto AggregatedOutput.errors; "immediate" additionally raises
+    # PipelineHalt when any error exists (one deliberate driver action).
+    validation: str = "merged"
     # Dictionary-evaluate the IRB K kernel on distinct (PD, LGD, M) combos.
     # Right when parameters are banded (rating master scales — the usual
     # case); switch off for continuous parameters, where distinct ≈ rows
@@ -53,6 +58,22 @@ class PipelineConfig:
 
 def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> AggregatedOutput:
     config = config or PipelineConfig()
+
+    # --- validation: non-finite scrub + orphan FKs (ref pipeline.py:255-269
+    # DQ011, contracts/validation.py anti-join orphans) --------------------
+    all_errors = None
+    if config.validation != "off":
+        from rwa_calculator_spark.engine.stages.validate import (
+            PipelineHalt,
+            run_validation,
+        )
+
+        raw, all_errors = run_validation(raw)
+        if config.validation == "immediate":
+            first = all_errors.limit(1).collect()
+            if first:
+                r = first[0]
+                raise PipelineHalt(f"{r.code} [{r.stage}] {r.key}: {r.message}")
 
     # --- scope: filter to the reporting entity's membership set (first
     # stage, as in the reference registry.py:47) --------------------------
@@ -132,4 +153,9 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         branches.append(run_slotting(crm, config.pack))
     if raw.equity_exposures is not None:
         branches.append(run_equity(raw.equity_exposures, config.pack))
-    return run_aggregate(*branches, pack=config.pack, errors=scope_errors)
+
+    if all_errors is not None and scope_errors is not None:
+        errors = all_errors.unionByName(scope_errors)
+    else:
+        errors = scope_errors if all_errors is None else all_errors
+    return run_aggregate(*branches, pack=config.pack, errors=errors)

@@ -139,6 +139,39 @@ _SACCR_SF_ROWS = (
     ("commodity", _D("0.18")),
 )
 
+# FCCM supervisory haircuts (CRR Art.224 Table 1, 10-business-day base;
+# ref engine/crm/haircut_tables.py / rulebook packs collateral_haircuts
+# DecisionTable). Keyed (collateral_type, cqs, maturity_band); non-bond
+# types key cqs=0 band='any'. CRR's 3 maturity bands (0-1y, 1-5y, 5y+).
+_HAIRCUT_SCHEMA = "collateral_type string, cqs int, maturity_band string, haircut double"
+
+
+def _haircut_rows(gold: str, eq_main: str, eq_other: str) -> tuple:
+    rows = [
+        ("cash", 0, "any", _D("0.00")),
+        ("gold", 0, "any", _D(gold)),
+        ("equity_main", 0, "any", _D(eq_main)),
+        ("equity_other", 0, "any", _D(eq_other)),
+    ]
+    govt = {1: ("0.005", "0.02", "0.04"), 2: ("0.01", "0.03", "0.06"),
+            3: ("0.01", "0.03", "0.06"), 4: ("0.15", "0.15", "0.15")}
+    corp = {1: ("0.01", "0.04", "0.08"), 2: ("0.02", "0.06", "0.12"),
+            3: ("0.02", "0.06", "0.12")}
+    for cqs, (b1, b2, b3) in govt.items():
+        rows += [("govt_bond", cqs, "0_1y", _D(b1)), ("govt_bond", cqs, "1_5y", _D(b2)),
+                 ("govt_bond", cqs, "5y_plus", _D(b3))]
+    for cqs, (b1, b2, b3) in corp.items():
+        rows += [("corp_bond", cqs, "0_1y", _D(b1)), ("corp_bond", cqs, "1_5y", _D(b2)),
+                 ("corp_bond", cqs, "5y_plus", _D(b3))]
+    return tuple(rows)
+
+
+# B3.1 raises the non-bond haircuts (BCBS CRE22.52: gold 20%, main-index
+# equity 20%, other equity 30%); the 5-band bond split is distilled to the
+# shared 3-band structure (values coincide at the encoded bands).
+_HAIRCUT_ROWS_CRR = _haircut_rows(gold="0.15", eq_main="0.15", eq_other="0.25")
+_HAIRCUT_ROWS_B31 = _haircut_rows(gold="0.20", eq_main="0.20", eq_other="0.30")
+
 CRR_PACK = RulePack(
     regime="crr",
     version="2026-01",
@@ -178,6 +211,7 @@ CRR_PACK = RulePack(
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS),
         "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
         "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
+        "collateral_haircuts": (_HAIRCUT_SCHEMA, _HAIRCUT_ROWS_CRR),
     },
 )
 
@@ -213,5 +247,6 @@ B31_PACK = RulePack(
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS_B31),
         "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
         "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
+        "collateral_haircuts": (_HAIRCUT_SCHEMA, _HAIRCUT_ROWS_B31),
     },
 )

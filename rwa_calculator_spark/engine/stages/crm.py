@@ -206,7 +206,7 @@ def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
         + F.col("ccf") * (F.col("undrawn_amount") - F.col("provision_on_nominal")),
     )
 
-    # --- collateral: haircut then pro-rata allocation over links ----------
+    # --- collateral: supervisory haircut then pro-rata allocation ---------
     # real-estate items are NOT FCCM-netted — they route to the RE-split
     # stage instead (ref engine/stages/re_split; CRR Art.124-126), so the
     # same property can never both reduce EAD here and secure a tranche
@@ -216,26 +216,92 @@ def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
             fin_coll = fin_coll.where(
                 F.coalesce("collateral_type", F.lit("")) != "real_estate"
             )
+
+        # haircut: supplied column wins; else the banded supervisory lookup
+        # (type × CQS × maturity band — CRR Art.224 Table 1, ref
+        # engine/crm/haircut_tables.py) derives it from item attributes
+        supplied = (
+            F.col("haircut")
+            if "haircut" in fin_coll.columns
+            else F.lit(None).cast("double")
+        )
+        resid = (
+            F.col("residual_maturity")
+            if "residual_maturity" in fin_coll.columns
+            else F.lit(None).cast("double")
+        )
+        if "collateral_type" in fin_coll.columns:
+            is_bond = F.col("collateral_type").isin("govt_bond", "corp_bond")
+            band_key = F.when(
+                ~is_bond, F.lit("any")
+            ).when(F.coalesce(resid, F.lit(0.0)) <= 1.0, "0_1y").when(
+                F.coalesce(resid, F.lit(0.0)) <= 5.0, "1_5y"
+            ).otherwise("5y_plus")
+            cqs_key = F.when(~is_bond, F.lit(0)).otherwise(
+                F.coalesce(F.col("collateral_cqs").cast("int"), F.lit(4))
+                if "collateral_cqs" in fin_coll.columns
+                else F.lit(4)
+            )
+            hc_table = pack.broadcast_table(spark, "collateral_haircuts").select(
+                F.col("collateral_type").alias("_hc_type"),
+                F.col("cqs").alias("_hc_cqs"),
+                F.col("maturity_band").alias("_hc_band"),
+                F.col("haircut").alias("_hc_lookup"),
+            )
+            fin_coll = (
+                fin_coll.withColumn("_band_key", band_key)
+                .withColumn("_cqs_key", cqs_key)
+                .join(
+                    hc_table,
+                    (F.col("collateral_type") == F.col("_hc_type"))
+                    & (F.col("_cqs_key") == F.col("_hc_cqs"))
+                    & (F.col("_band_key") == F.col("_hc_band")),
+                    "left",
+                )
+                # unknown types take the worst equity haircut (conservative)
+                .withColumn(
+                    "_hc_derived",
+                    F.coalesce("_hc_lookup", F.lit(0.25)),
+                )
+                .drop("_hc_type", "_hc_cqs", "_hc_band", "_band_key", "_cqs_key", "_hc_lookup")
+            )
+        else:
+            fin_coll = fin_coll.withColumn("_hc_derived", F.lit(0.0))
+
         coll = fin_coll.select(
             "collateral_reference",
+            resid.alias("_coll_maturity"),
             (
                 F.coalesce("market_value", F.lit(0.0))
-                * (1 - F.coalesce("haircut", F.lit(0.0)))
+                * (1 - F.coalesce(supplied, F.col("_hc_derived")))
                 * (1 - F.when(F.coalesce("currency_mismatch", F.lit(False)), pack.lit("fx_haircut")).otherwise(0.0))
             ).alias("adjusted_value"),
         )
         links = raw.collateral_links.select(
             "collateral_reference", "exposure_reference"
         )
-        # pro-rata by beneficiary EAD (ref engine/kernels/allocation.py)
+        # pro-rata by beneficiary EAD (ref engine/kernels/allocation.py),
+        # with the maturity-mismatch adjustment applied per (item, exposure)
+        # pair: P_adj = P·(t−0.25)/(T−0.25), protection under 3 months
+        # ineligible (CRR Art.239; ref engine/crm/haircuts.py mismatch path)
         linked = links.join(
-            exp.select("exposure_reference", "ead"), "exposure_reference"
+            exp.select("exposure_reference", "ead", "effective_maturity"),
+            "exposure_reference",
         ).join(F.broadcast(coll), "collateral_reference")
+        t_exp = F.least(F.coalesce("effective_maturity", F.lit(2.5)), F.lit(5.0))
+        t_coll = F.least(F.coalesce("_coll_maturity", t_exp), t_exp)
+        mm = F.when(
+            t_coll < t_exp,
+            F.greatest(t_coll - F.lit(0.25), F.lit(0.0)) / (t_exp - F.lit(0.25)),
+        ).otherwise(F.lit(1.0))
+        linked = linked.withColumn("_mm", mm)
         wcoll = W.partitionBy("collateral_reference")
         denom = F.sum(F.round(F.col("ead") * 100.0, 0).cast("long")).over(wcoll) / F.lit(100.0)
         allocated = linked.withColumn(
             "allocated_value",
-            F.col("adjusted_value") * (F.col("ead") / F.nullif(denom, F.lit(0.0))),
+            F.col("adjusted_value")
+            * F.col("_mm")
+            * (F.col("ead") / F.nullif(denom, F.lit(0.0))),
         )
         per_exposure = allocated.groupBy("exposure_reference").agg(
             F.sum("allocated_value").alias("collateral_value")

@@ -1,0 +1,98 @@
+"""Input validation stage: non-finite scrub + orphan-FK detection feeding
+the pipeline error channel (ref contracts/validation.py:742,767 anti-join
+orphan detection, engine/pipeline.py:255-269 DQ011 non-finite scrub,
+engine/orchestrator.py:174-191 halt="immediate"/"merged" semantics).
+
+Codes follow the reference's shape: DQ011 non-finite value scrubbed to
+null (row-grain — non-finite rows are rare by construction), DQ002 orphan
+counterparty FK (aggregated at DISTINCT counterparty grain, never exposure
+grain). Errors merge onto AggregatedOutput.errors; halt="immediate" makes
+run_pipeline raise PipelineHalt on the first error instead (the one
+deliberate driver-side action in the pipeline, documented at the call
+site).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.engine.bundles import RawBundle
+from rwa_calculator_spark.engine.stages.scope import ERRORS_SCHEMA, _error_frame
+
+_NUMERIC_SCRUB_COLS = ("drawn_amount", "nominal_amount", "pd", "lgd", "effective_maturity", "el_be")
+
+
+class PipelineHalt(RuntimeError):
+    """Raised under halt='immediate' when validation/scope errors exist."""
+
+
+def _nonfinite(col: Column) -> Column:
+    return F.isnan(col) | (F.abs(col) == float("inf"))
+
+
+def run_validation(raw: RawBundle) -> tuple[RawBundle, DataFrame]:
+    """Scrub non-finite numerics and detect orphan FKs. Returns (scrubbed
+    bundle, error frame in ERRORS_SCHEMA)."""
+    spark = raw.counterparties.sparkSession
+    errors = spark.createDataFrame([], ERRORS_SCHEMA)
+
+    # --- DQ011 non-finite scrub (errors computed pre-scrub) ---------------
+    def scrub(df: DataFrame | None, ref_col: str, name: str):
+        nonlocal errors
+        if df is None:
+            return None
+        present = [c for c in _NUMERIC_SCRUB_COLS if c in df.columns]
+        if not present:
+            return df
+        any_bad = None
+        for c in present:
+            bad = _nonfinite(F.coalesce(F.col(c), F.lit(0.0)))
+            any_bad = bad if any_bad is None else (any_bad | bad)
+        errors = errors.unionByName(
+            _error_frame(
+                df.where(any_bad),
+                "DQ011",
+                "warning",
+                "validate",
+                F.col(ref_col),
+                f"non-finite value in {name} scrubbed to null",
+            )
+        )
+        for c in present:
+            df = df.withColumn(
+                c,
+                F.when(
+                    _nonfinite(F.coalesce(F.col(c), F.lit(0.0))),
+                    F.lit(None).cast("double"),
+                ).otherwise(F.col(c)),
+            )
+        return df
+
+    loans = scrub(raw.loans, "loan_reference", "loans")
+    contingents = scrub(raw.contingents, "contingent_reference", "contingents")
+
+    # --- DQ002 orphan counterparty FKs (distinct-key grain) ---------------
+    cp_dim = raw.counterparties.select("counterparty_reference")
+    for frame, name in ((loans, "loans"), (contingents, "contingents")):
+        if frame is None:
+            continue
+        orphans = (
+            frame.select("counterparty_reference")
+            .distinct()
+            .join(cp_dim, "counterparty_reference", "anti")
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                orphans,
+                "DQ002",
+                "warning",
+                "validate",
+                F.col("counterparty_reference"),
+                f"{name} reference a counterparty absent from the registry",
+            )
+        )
+
+    return replace(raw, loans=loans, contingents=contingents), errors

@@ -484,6 +484,25 @@ _TOPK = 5
 _N_PLANES = 8
 
 
+# Broadcast guard for the exact-ANN query slice (mirrors the driver-walk
+# guard at operators/graph.py MAX_LOCAL_EDGES): brute-force cosine is the
+# exact baseline for BOUNDED query sets; beyond this, the partitioned IVF /
+# LSH paths are the scale answer. 500k × 64 floats ≈ 256 MB broadcast — the
+# practical executor-memory ceiling.
+MAX_BROADCAST_QUERY_ROWS = 500_000
+
+
+def guard_broadcast_query(q: DataFrame, limit: int = MAX_BROADCAST_QUERY_ROWS) -> DataFrame:
+    n = q.count()
+    if n > limit:
+        raise ValueError(
+            f"ann_cosine_topk query slice has {n} rows (> {limit}); "
+            "broadcasting it would overwhelm executors — use ann_ivf_probe "
+            "or ann_lsh_bucket for large query sets"
+        )
+    return q
+
+
 @query(
     "ann_cosine_topk",
     oracle=f"""
@@ -513,11 +532,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast against the corpus (never corpus × corpus); scoring is an
     unrolled 64-term codegen'd chain; top-k is a per-query window rank.
     At 100 TB the corpus side stays partitioned and only k rows per query
-    survive the rank filter."""
+    survive the rank filter. The broadcast side is size-guarded
+    (guard_broadcast_query) — an oversized query set must route through
+    ann_ivf_probe / ann_lsh_bucket instead of a driver-melting broadcast."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
+    q = guard_broadcast_query(q)
     c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("cid") != F.col("qid"))
     dot = spark_dot(F.col("qv"), F.col("cv"))

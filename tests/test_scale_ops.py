@@ -135,3 +135,17 @@ def test_ngram_candidates_bounded_under_stopword_corpus(spark):
     n = cand.count()
     # without the cap: 'the' alone contributes C(200,2) = 19900 pairs
     assert n == 100, n
+
+
+def test_ann_broadcast_query_guard(spark):
+    """The exact-ANN broadcast side is size-guarded (VERDICT r1/r2: an
+    unbounded query slice broadcast is the one scale-killer in the ANN
+    family) — oversized query sets must raise toward the IVF/LSH paths."""
+    import pytest
+
+    from rwa_calculator_spark.plans.llm import guard_broadcast_query
+
+    q = spark.range(10).selectExpr("id AS qid")
+    assert guard_broadcast_query(q).count() == 10  # under limit: passthrough
+    with pytest.raises(ValueError, match="ann_ivf_probe"):
+        guard_broadcast_query(q, limit=5)
