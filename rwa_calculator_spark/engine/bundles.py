@@ -70,6 +70,14 @@ class RawBundle:
     # (ref engine/securitisation/allocator.py:187,245,
     #  engine/stages/securitisation.py)
     securitisation_allocations: Optional[DataFrame] = None
+    # (fund_reference, holding_reference, underlying_class, value
+    #  [, holding_cqs][, book_code]) — CIU look-through rows weighted by
+    # their underlying class (CRR Art.132a; ref ciu_holdings schemas:1036)
+    ciu_holdings: Optional[DataFrame] = None
+    # (trade_reference, counterparty_reference, amount, days_late
+    #  [, book_code]) — settlement risk by days-late band (CRR Art.378;
+    # ref failed_trades schemas:1716)
+    failed_trades: Optional[DataFrame] = None
 
 
 @dataclass(frozen=True)

@@ -153,6 +153,14 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         branches.append(run_slotting(crm, config.pack))
     if raw.equity_exposures is not None:
         branches.append(run_equity(raw.equity_exposures, config.pack))
+    if raw.ciu_holdings is not None:
+        from rwa_calculator_spark.engine.stages.ciu_settlement import run_ciu
+
+        branches.append(run_ciu(raw.ciu_holdings, config.pack))
+    if raw.failed_trades is not None:
+        from rwa_calculator_spark.engine.stages.ciu_settlement import run_settlement
+
+        branches.append(run_settlement(raw.failed_trades, config.pack))
 
     if all_errors is not None and scope_errors is not None:
         errors = all_errors.unionByName(scope_errors)

@@ -49,7 +49,31 @@ _RESULT_COLS = [
     "expected_loss",
     "el_shortfall",
     "el_excess",
+    # parameter components actually used (reconciliation buckets: CCF, PD,
+    # LGD, M per exposure — null where the approach has no such input)
+    "ccf",
+    "pd_used",
+    "lgd_used",
+    "maturity_used",
 ]
+
+
+def _param_cols(
+    exp: DataFrame, pd_col=None, lgd_col=None, m_col=None
+) -> DataFrame:
+    exp = exp.withColumn(
+        "ccf",
+        F.col("ccf").cast("double") if "ccf" in exp.columns else F.lit(None).cast("double"),
+    )
+    exp = exp.withColumn(
+        "pd_used", pd_col if pd_col is not None else F.lit(None).cast("double")
+    )
+    exp = exp.withColumn(
+        "lgd_used", lgd_col if lgd_col is not None else F.lit(None).cast("double")
+    )
+    return exp.withColumn(
+        "maturity_used", m_col if m_col is not None else F.lit(None).cast("double")
+    )
 
 
 def _crm_carry(exp: DataFrame) -> DataFrame:
@@ -153,6 +177,7 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight") * sf)
     )
     exp = _el_columns(exp, F.lit(0.0))  # EL treatment is IRB-only; SA deducts
+    exp = _param_cols(exp)  # SA uses CCF only
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
@@ -223,12 +248,18 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
     )
 
     def _finish(df):
-        return (
+        df = (
             df.withColumn("approach", F.lit("IRB"))
             .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
             .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight"))
-            .select(*_RESULT_COLS)
         )
+        df = _param_cols(
+            df,
+            pd_col=F.col("pd_floored"),
+            lgd_col=F.col("lgd_floored"),
+            m_col=F.col("m_eff"),
+        )
+        return df.select(*_RESULT_COLS)
 
     return CalcOutput(results=_finish(perf).unionByName(_finish(dflt)))
 
@@ -251,6 +282,7 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         .withColumn("rwa", F.col("ead_after_crm") * rw)
     )
     exp = _el_columns(exp, F.lit(0.0))
+    exp = _param_cols(exp)
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
@@ -281,6 +313,7 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     exp = _el_columns(
         exp, F.coalesce("el_rate", F.lit(0.0)) * F.col("ead_after_crm")
     )
+    exp = _param_cols(exp)
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
@@ -339,5 +372,9 @@ def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
         (mv * el_rate).alias("expected_loss"),
         (mv * el_rate).alias("el_shortfall"),
         F.lit(0.0).alias("el_excess"),
+        F.lit(None).cast("double").alias("ccf"),
+        F.lit(None).cast("double").alias("pd_used"),
+        F.lit(None).cast("double").alias("lgd_used"),
+        F.lit(None).cast("double").alias("maturity_used"),
     )
     return CalcOutput(results=out)

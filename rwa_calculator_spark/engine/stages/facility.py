@@ -78,7 +78,10 @@ def facility_undrawn_exposures(
     the loans/contingents exposure shape in run_hierarchy.
     """
     spark = facilities.sparkSession
-    root_lookup = _facility_root_lookup(facility_mappings)
+    # the 10-round iterative lookup is consumed by five branches (loan and
+    # contingent rooting, sub-ref anti-join, MOF marker, descendants) —
+    # persist the dimension-sized result so the join chain runs once
+    root_lookup = _facility_root_lookup(facility_mappings).persist()
 
     # --- descendant loan drawn per root facility (netting-aware) ---------
     loan_map = facility_mappings.where(F.col("child_type") == "loan").select(
@@ -98,7 +101,7 @@ def facility_undrawn_exposures(
             ).otherwise(F.col("drawn_amount")),
         )
     )
-    loan_drawn = _to_aggregation_root(loan_drawn, root_lookup)
+    loan_drawn = _to_aggregation_root(loan_drawn, root_lookup).persist()
     loan_totals = loan_drawn.groupBy("aggregation_facility").agg(
         F.sum("_drawn").alias("total_drawn")
     )
@@ -168,6 +171,12 @@ def facility_undrawn_exposures(
         )
         .where(F.col("committed") & (F.col("undrawn_amount") > 0.0))
     )
+    # roots is dimension-sized but its lineage holds the fact-table drawn
+    # aggregation, and FOUR branches consume it (non-MOF rows, waterfall
+    # parent headroom, residual, no-subs fallback) — persist so the loan
+    # scan+shuffle runs once, the reference's stage-edge materialisation
+    # shape (SURVEY §4 re-computation avoidance)
+    roots = roots.persist()
 
     # --- MOF marker: roots with >=1 facility child ------------------------
     mof_roots = root_lookup.select(
@@ -257,6 +266,8 @@ def facility_undrawn_exposures(
         )
         .where(F.col("allocation") > 0.0)
     )
+    # three consumers (sub rows, residual group-by, no-subs anti-join)
+    waterfall = waterfall.persist()
     sub_rows = waterfall.select(
         F.concat(
             F.col("facility_reference"), F.lit("_UNDRAWN_"), F.col("_sub_ref")

@@ -42,6 +42,10 @@ from rwa_calculator_spark.operators.graph import ancestor_closure_iterative
 # contracts/errors.py, engine/orchestrator.py:174-191)
 ERRORS_SCHEMA = "code string, severity string, stage string, key string, message string"
 
+# driver-walk guard for the registry BFS (mirrors operators/graph.py
+# MAX_LOCAL_EDGES — entity registries are organisational-sized)
+_MAX_LOCAL_REGISTRY = 100_000
+
 
 def _error_frame(df: DataFrame, code: str, severity: str, stage: str, key_col, message: str) -> DataFrame:
     return df.select(
@@ -90,20 +94,46 @@ def resolve_scope(
     elif basis == "individual":
         members = spark.createDataFrame([(reporting_entity,)], "member string")
     else:
-        # inclusive subtree via the distributed closure (registry is
-        # dimension-sized; ≤10 broadcast-join rounds, ref resolver.py
-        # _descendants BFS)
-        edges = reg.where(F.col("parent_entity_reference").isNotNull()).select(
-            F.col("entity_reference").alias("child"),
-            F.col("parent_entity_reference").alias("parent"),
+        # inclusive subtree. Entity registries are organisational-sized
+        # (10²-10⁴ rows), so the default is the reference's own shape — a
+        # guarded driver BFS (resolver.py _descendants) — which avoids
+        # re-executing a 10-round lazy join chain once per downstream
+        # broadcast. Registries above the guard take the distributed
+        # closure (operators/graph), the 100 TB fallback.
+        edge_rows = (
+            reg.where(F.col("parent_entity_reference").isNotNull())
+            .select("entity_reference", "parent_entity_reference")
+            .limit(_MAX_LOCAL_REGISTRY + 1)
+            .collect()
         )
-        closure = ancestor_closure_iterative(edges)
-        members = (
-            closure.where(F.col("ancestor") == reporting_entity)
-            .select(F.col("descendant").alias("member"))
-            .unionByName(spark.createDataFrame([(reporting_entity,)], "member string"))
-            .distinct()
-        )
+        if len(edge_rows) <= _MAX_LOCAL_REGISTRY:
+            children: dict[str, list[str]] = {}
+            for r in edge_rows:
+                children.setdefault(r.parent_entity_reference, []).append(
+                    r.entity_reference
+                )
+            seen, stack = set(), [reporting_entity]
+            while stack:
+                node = stack.pop()
+                if node in seen:
+                    continue
+                seen.add(node)
+                stack.extend(children.get(node, []))
+            members = spark.createDataFrame([(m,) for m in sorted(seen)], "member string")
+        else:
+            edges = reg.where(F.col("parent_entity_reference").isNotNull()).select(
+                F.col("entity_reference").alias("child"),
+                F.col("parent_entity_reference").alias("parent"),
+            )
+            closure = ancestor_closure_iterative(edges)
+            members = (
+                closure.where(F.col("ancestor") == reporting_entity)
+                .select(F.col("descendant").alias("member"))
+                .unionByName(
+                    spark.createDataFrame([(reporting_entity,)], "member string")
+                )
+                .distinct()
+            )
 
     # SCP002: mapping rows naming an unregistered entity (ignored for
     # attribution, surfaced as errors)
@@ -195,5 +225,7 @@ def resolve_scope(
         # _filter_ccr/_filter_sft — booking + intragroup on the set)
         trades=_lending(raw.trades),
         sft_trades=_lending(raw.sft_trades),
+        ciu_holdings=_booking(raw.ciu_holdings),
+        failed_trades=_booking(raw.failed_trades),
     )
     return filtered, errors

@@ -933,6 +933,57 @@ def test_lending_group_threshold_crossing(spark):
     assert rows["L3"].exposure_class == "retail"
 
 
+def test_ciu_and_settlement_branches(spark):
+    """CIU look-through weights each holding by its underlying class
+    (CRR Art.132a); settlement risk charges failed trades by days-late band
+    (Art.378) — both now flow through the pipeline into the unified
+    summaries instead of living as standalone queries."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    ciu = _df(
+        spark,
+        [
+            ("FUND1", "H1", "sovereign", 1000.0, 1),  # sov CQS1 → 0%
+            ("FUND1", "H2", "corporate", 1000.0, 3),  # corp CQS3 → 100%
+            ("FUND1", "H3", "equity", 500.0, None),  # equity → 370% (CRR)
+        ],
+        "fund_reference string, holding_reference string, underlying_class string, "
+        "value double, holding_cqs int",
+    )
+    failed = _df(
+        spark,
+        [
+            ("T1", "CP1", 1000.0, 10),  # 8% band
+            ("T2", "CP1", 1000.0, 50),  # 100% band
+            ("T3", "CP1", 1000.0, 2),  # under 5 days → no row
+        ],
+        "trade_reference string, counterparty_reference string, amount double, days_late int",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, ciu_holdings=ciu, failed_trades=failed),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    assert rows["FUND1_CIU_H1"].rwa == pytest.approx(0.0)
+    assert rows["FUND1_CIU_H2"].rwa == pytest.approx(1000.0)
+    assert rows["FUND1_CIU_H3"].rwa == pytest.approx(500 * 3.7)
+    assert rows["T1_STL"].rwa == pytest.approx(1000 * 0.08 * 12.5)
+    assert rows["T2_STL"].rwa == pytest.approx(1000 * 1.0 * 12.5)
+    assert "T3_STL" not in rows
+    approaches = {r.approach for r in out.summary_by_approach.collect()}
+    assert approaches == {"SA", "CIU-LTA", "SETTLEMENT"}
+
+
 def test_securitisation_conservation(spark, sf_dir):
     """Σ pool allocations + retained = Σ exposure amounts (the reference's
     conservation property on pool splits)."""
