@@ -28,18 +28,16 @@ def run_aggregate(
 
     alpha = pack.scalar("output_floor_alpha")
     if alpha > 0.0:
-        # standardised-equivalent RWA for floor purposes: recompute all
-        # exposures at their SA risk weight is a full re-run in the
-        # reference; here the SA branch IS the standardised result and the
-        # IRB branch's floor proxy is ead_after_crm (RW 100%) — the floor
-        # *shape* (scalar agg → broadcast → uplift) is what matters.
+        # Art.92(3) output floor: floor the modelled total at alpha × the
+        # standardised-equivalent total. Every branch carries
+        # rwa_sa_equivalent (IRB rows re-weighted through the REAL SA
+        # ladder in run_irb — no flat proxy), so the floor base is the
+        # genuine dual-framework number the reference computes with its
+        # second pipeline run.
         tot = results.agg(
             scaled_sum(F.col("rwa"), 2).alias("modelled_total"),
             scaled_sum(
-                F.when(F.col("approach") == "IRB", F.col("ead_after_crm")).otherwise(
-                    F.col("rwa")
-                ),
-                2,
+                F.coalesce("rwa_sa_equivalent", F.col("rwa")), 2
             ).alias("std_total"),
         )
         results = results.crossJoin(F.broadcast(tot)).withColumn(

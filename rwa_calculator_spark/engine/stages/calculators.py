@@ -55,6 +55,10 @@ _RESULT_COLS = [
     "pd_used",
     "lgd_used",
     "maturity_used",
+    # the exposure's RWA under the STANDARDISED approach — the Art.92(3)
+    # output-floor base (own rwa for SA-family branches; IRB rows re-weighted
+    # through the real SA ladder, not a flat proxy)
+    "rwa_sa_equivalent",
 ]
 
 
@@ -178,10 +182,12 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     )
     exp = _el_columns(exp, F.lit(0.0))  # EL treatment is IRB-only; SA deducts
     exp = _param_cols(exp)  # SA uses CCF only
+    exp = exp.withColumn("rwa_sa_equivalent", F.col("rwa"))
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
 def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutput:
+    spark = crm.exposures.sparkSession
     exp = crm.exposures.where(
         F.col("has_irb_permission")
         & ~F.col("is_specialised")
@@ -190,6 +196,31 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
     exp = _crm_carry(exp)
     if "el_be" not in exp.columns:
         exp = exp.withColumn("el_be", F.lit(None).cast("double"))
+
+    # standardised-equivalent RWA for the Art.92(3) output floor: the SAME
+    # SA ladder the SA branch runs (class × CQS lookup + overrides), so the
+    # floor base is a genuine dual-framework number, not a flat proxy
+    sa_rw_table = pack.table_df(spark, "sa_rw").select(
+        F.col("exposure_class").alias("_sa_class"),
+        F.col("cqs").alias("_sa_cqs"),
+        F.col("rw").alias("_sa_rw"),
+    )
+    exp = exp.join(
+        F.broadcast(sa_rw_table),
+        (exp.exposure_class == F.col("_sa_class"))
+        & (F.coalesce(exp.cqs, F.lit(0)) == F.col("_sa_cqs")),
+        "left",
+    ).drop("_sa_class", "_sa_cqs")
+    sa_equiv_rw = (
+        F.when(F.col("is_defaulted"), pack.lit("defaulted_rw"))
+        .when(F.col("exposure_class") == "re_secured", pack.lit("re_secured_rw"))
+        .when(F.col("exposure_class") == "retail", pack.lit("retail_rw"))
+        .when(F.col("_sa_rw").isNotNull(), F.col("_sa_rw"))
+        .otherwise(pack.lit("unrated_corp_rw"))
+    )
+    exp = exp.withColumn(
+        "rwa_sa_equivalent", F.col("ead_after_crm") * sa_equiv_rw
+    ).drop("_sa_rw")
     exp = exp.withColumn(
         "pd_floored",
         F.when(F.col("is_defaulted"), F.lit(1.0)).otherwise(
@@ -283,6 +314,7 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     )
     exp = _el_columns(exp, F.lit(0.0))
     exp = _param_cols(exp)
+    exp = exp.withColumn("rwa_sa_equivalent", F.col("rwa"))
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
@@ -314,6 +346,7 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         exp, F.coalesce("el_rate", F.lit(0.0)) * F.col("ead_after_crm")
     )
     exp = _param_cols(exp)
+    exp = exp.withColumn("rwa_sa_equivalent", F.col("rwa"))
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
@@ -376,5 +409,6 @@ def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
         F.lit(None).cast("double").alias("pd_used"),
         F.lit(None).cast("double").alias("lgd_used"),
         F.lit(None).cast("double").alias("maturity_used"),
+        (mv * rw).alias("rwa_sa_equivalent"),
     )
     return CalcOutput(results=out)

@@ -42,6 +42,7 @@ def _ledger(df: DataFrame) -> DataFrame:
 
     for c, v in _ZERO_LEDGER.items():
         df = df.withColumn(c, F.lit(v))
+    df = df.withColumn("rwa_sa_equivalent", F.col("rwa"))
     for c in _RESULT_COLS:
         if c not in df.columns:
             df = df.withColumn(c, F.lit(None).cast("double"))

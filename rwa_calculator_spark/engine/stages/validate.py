@@ -95,4 +95,64 @@ def run_validation(raw: RawBundle) -> tuple[RawBundle, DataFrame]:
             )
         )
 
+    # --- DQ003 value-domain checks (ref contracts/validation.py VALID_*
+    # sets — distinct-offending-value grain, never exposure grain) ---------
+    cps = raw.counterparties
+    if "entity_type" in cps.columns:
+        bad_entity = (
+            cps.select("entity_type")
+            .where(
+                F.col("entity_type").isNotNull()
+                & ~F.col("entity_type").isin(
+                    "corporate", "individual", "institution", "sovereign"
+                )
+            )
+            .distinct()
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                bad_entity, "DQ003", "warning", "validate",
+                F.col("entity_type"), "entity_type outside the valid domain",
+            )
+        )
+    if "cqs" in cps.columns:
+        bad_cqs = (
+            cps.select("counterparty_reference", "cqs")
+            .where(F.col("cqs").isNotNull() & ~F.col("cqs").between(0, 6))
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                bad_cqs, "DQ003", "warning", "validate",
+                F.col("counterparty_reference"), "cqs outside 0-6",
+            )
+        )
+    if contingents is not None and "risk_bucket" in contingents.columns:
+        bad_bucket = (
+            contingents.select("risk_bucket")
+            .where(
+                F.col("risk_bucket").isNotNull()
+                & ~F.col("risk_bucket").isin(
+                    "full_risk", "medium_risk", "medium_low_risk", "low_risk"
+                )
+            )
+            .distinct()
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                bad_bucket, "DQ003", "warning", "validate",
+                F.col("risk_bucket"), "risk_bucket outside the CCF domain",
+            )
+        )
+    if raw.guarantees is not None and "coverage_pct" in raw.guarantees.columns:
+        bad_cov = raw.guarantees.select("exposure_reference", "coverage_pct").where(
+            F.col("coverage_pct").isNotNull()
+            & ~F.col("coverage_pct").between(0.0, 1.0)
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                bad_cov, "DQ003", "warning", "validate",
+                F.col("exposure_reference"), "guarantee coverage_pct outside [0,1]",
+            )
+        )
+
     return replace(raw, loans=loans, contingents=contingents), errors

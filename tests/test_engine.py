@@ -984,6 +984,73 @@ def test_ciu_and_settlement_branches(spark):
     assert approaches == {"SA", "CIU-LTA", "SETTLEMENT"}
 
 
+def test_output_floor_uses_real_sa_equivalent(spark):
+    """The Art.92(3) floor base is the IRB rows' RWA at their REAL SA
+    weights (class × CQS ladder), not a flat 100% proxy: a low-PD IRB
+    corporate cqs2 floors at 72.5% of ead·0.5."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, True)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, 0.001, 0.25, 2.5)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=B31_PACK)
+    )
+    row = out.results.collect()[0]
+    # SA-equivalent: corporate cqs2 → RW 0.5 → std base 500
+    assert row.rwa_sa_equivalent == pytest.approx(500.0)
+    # modelled IRB RWA is far below 0.725·500 → the floor binds exactly
+    p = out.portfolio.collect()[0]
+    assert p.total_rwa == pytest.approx(0.725 * 500.0, abs=0.02)  # ±cents rounding
+
+
+def test_value_domain_checks(spark):
+    """DQ003: out-of-domain entity_type / cqs / risk_bucket / coverage_pct
+    surface coded error rows (ref contracts/validation.py VALID_* sets)."""
+    cps = _df(
+        spark,
+        [
+            ("CP1", "corporate", 2, False, 0.0, False),
+            ("CP2", "hedge_fund", 9, False, 0.0, False),  # bad type + cqs
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 100.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    conts = _df(
+        spark,
+        [("C1", "CP1", 100.0, "mega_risk", False, None, None, None)],
+        "contingent_reference string, counterparty_reference string, nominal_amount double, "
+        "risk_bucket string, is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    guarantees = _df(
+        spark,
+        [("L1", 1.7, "corporate", 2)],
+        "exposure_reference string, coverage_pct double, guarantor_class string, guarantor_cqs int",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, contingents=conts, guarantees=guarantees),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    errs = {(r.code, r.key) for r in out.errors.collect()}
+    assert ("DQ003", "hedge_fund") in errs
+    assert ("DQ003", "CP2") in errs  # cqs 9
+    assert ("DQ003", "mega_risk") in errs
+    assert ("DQ003", "L1") in errs  # coverage 1.7
+
+
 def test_securitisation_conservation(spark, sf_dir):
     """Σ pool allocations + retained = Σ exposure amounts (the reference's
     conservation property on pool splits)."""
