@@ -36,6 +36,13 @@ class CalculationResponse:
     def scan_summary(self, dimension: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.cache_dir, f"summary_{dimension}"))
 
+    def scan_errors(self) -> DataFrame | None:
+        """The merged error channel (DQ/SCP codes), when the run produced one."""
+        path = os.path.join(self.cache_dir, "errors")
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
     def export_csv(self, out_dir: str) -> str:
         """Results ledger as CSV (ref api/export.py:88-473; Excel/workbook
         exports need xlsxwriter, not in this container — CSV/JSON only)."""
@@ -61,20 +68,54 @@ class CreditRiskCalc:
         self.pack = pack
         self.cache_dir = cache_dir or os.path.join("/tmp", "rwa_results_cache", str(os.getpid()))
 
-    def calculate(self, persist_edges: bool = True) -> CalculationResponse:
+    def calculate(
+        self,
+        persist_edges: bool = True,
+        validation: str = "merged",
+        reporting_entity: str | None = None,
+        reporting_basis: str = "consolidated",
+    ) -> CalculationResponse:
+        """Run the pipeline and seal the results cache, capturing a per-edge
+        event map (label → rows, wall_ms) plus the rulepack content hash —
+        the reference's run manifest (ref engine/materialise.py:74-98
+        EdgeEvent, engine/pipeline.py:467-572 manifest.json)."""
         t0 = time.perf_counter()
-        out = run_pipeline(self.bundle, PipelineConfig(pack=self.pack, persist_edges=persist_edges))
+        out = run_pipeline(
+            self.bundle,
+            PipelineConfig(
+                pack=self.pack,
+                persist_edges=persist_edges,
+                validation=validation,
+                reporting_entity=reporting_entity,
+                reporting_basis=reporting_basis,
+            ),
+        )
         os.makedirs(self.cache_dir, exist_ok=True)
-        out.results.write.mode("overwrite").parquet(os.path.join(self.cache_dir, "results"))
-        out.summary_by_class.write.mode("overwrite").parquet(
-            os.path.join(self.cache_dir, "summary_class")
-        )
-        out.summary_by_approach.write.mode("overwrite").parquet(
-            os.path.join(self.cache_dir, "summary_approach")
-        )
+        sc = self.spark.sparkContext
+        edges: dict[str, dict] = {}
+
+        def _seal(df: DataFrame, name: str) -> None:
+            te = time.perf_counter()
+            sc.setJobGroup(f"edge:{name}", f"seal {name} to results cache")
+            try:
+                path = os.path.join(self.cache_dir, name)
+                df.write.mode("overwrite").parquet(path)
+                rows = self.spark.read.parquet(path).count()  # footer-count, no recompute
+            finally:
+                sc.setJobGroup("", "")
+            edges[name] = {"rows": rows, "wall_ms": round((time.perf_counter() - te) * 1e3, 1)}
+
+        _seal(out.results, "results")
+        _seal(out.summary_by_class, "summary_class")
+        _seal(out.summary_by_approach, "summary_approach")
+        if out.errors is not None:
+            _seal(out.errors, "errors")
         manifest = {
             "regime": self.pack.regime,
+            "rulepack_version": self.pack.version,
             "rulepack_hash": self.pack.content_hash(),
+            "reporting_entity": reporting_entity,
+            "edges": edges,
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
         with open(os.path.join(self.cache_dir, "manifest.json"), "w") as f:

@@ -182,7 +182,11 @@ CRR_PACK = RulePack(
         "defaulted_rw": RuleEntry(_D("1.5"), "CRR Art.127"),
         "defaulted_rw_secured": RuleEntry(_D("1.0"), "CRR Art.127(1)"),
         "unrated_corp_rw": RuleEntry(_D("1.0"), "CRR Art.122(2)"),
-        "sme_supporting_factor": RuleEntry(_D("0.7619"), "CRR Art.501"),
+        # CRR2 Art.501 tiered SME factor: 0.7619 on the group drawn amount
+        # up to the threshold, 0.85 on the excess, blended per row
+        "sme_supporting_factor": RuleEntry(_D("0.7619"), "CRR2 Art.501 (tier 1)"),
+        "sme_factor_above_threshold": RuleEntry(_D("0.85"), "CRR2 Art.501 (tier 2)"),
+        "sme_exposure_threshold": RuleEntry(_D("2500000"), "CRR2 Art.501(2) EUR 2.5m"),
         "infra_supporting_factor": RuleEntry(_D("0.75"), "CRR Art.501a"),
         "pd_floor": RuleEntry(_D("0.0003"), "CRR Art.160(1)"),
         "lgd_floor_unsecured": RuleEntry(_D("0.0"), "CRR Art.161"),
@@ -226,6 +230,8 @@ B31_PACK = RulePack(
         "defaulted_rw_secured": RuleEntry(_D("1.0"), "BCBS CRE20.105"),
         "unrated_corp_rw": RuleEntry(_D("1.0"), "BCBS CRE20.25"),
         "sme_supporting_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
+        "sme_factor_above_threshold": RuleEntry(_D("1.0"), "removed in B3.1"),
+        "sme_exposure_threshold": RuleEntry(_D("2500000"), "n/a in B3.1"),
         "infra_supporting_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
         "pd_floor": RuleEntry(_D("0.0005"), "BCBS CRE36.79 (B3.1)"),
         "lgd_floor_unsecured": RuleEntry(_D("0.25"), "BCBS CRE36.86"),

@@ -168,12 +168,34 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         ).otherwise(F.col("rw_source")),
     )
 
-    sf = F.when(
+    # CRR2 Art.501 tiered SME factor blended over the group drawn amount,
+    # combined with the Art.501a infrastructure factor by most-beneficial
+    # min (ref supporting_factors.py get_effective_factor)
+    f1 = pack.scalar("sme_supporting_factor")
+    f2 = pack.scalar("sme_factor_above_threshold")
+    thr = pack.scalar("sme_exposure_threshold")
+    sme_cond = (
         (F.col("exposure_class") == "corporate")
         & (F.col("annual_revenue") > 0)
-        & (F.col("annual_revenue") <= 50_000_000),
-        pack.lit("sme_supporting_factor"),
+        & (F.col("annual_revenue") <= 50_000_000)
+    )
+    if f1 >= 1.0 and f2 >= 1.0:
+        sme_f = F.lit(1.0)  # factors removed (B3.1) — skip the blend
+    else:
+        gd = F.col("group_drawn")
+        blended = F.when(
+            gd > 0,
+            (
+                F.least(gd, F.lit(thr)) * F.lit(f1)
+                + F.greatest(gd - F.lit(thr), F.lit(0.0)) * F.lit(f2)
+            )
+            / gd,
+        ).otherwise(F.lit(f1))
+        sme_f = F.when(sme_cond, blended).otherwise(F.lit(1.0))
+    infra_f = F.when(
+        F.col("is_infrastructure"), pack.lit("infra_supporting_factor")
     ).otherwise(F.lit(1.0))
+    sf = F.least(sme_f, infra_f)
 
     exp = (
         exp.withColumn("approach", F.lit("SA"))

@@ -39,9 +39,19 @@ def run_classify(h: HierarchyOutput, pack: RulePack) -> ClassifiedOutput:
         total_exposure = F.when(
             F.col("lending_group_reference").isNotNull(), _cents_sum_over(amount, w_lg)
         ).otherwise(_cents_sum_over(amount, w_cp))
+        group_drawn = F.when(
+            F.col("lending_group_reference").isNotNull(),
+            _cents_sum_over(F.col("drawn_amount"), w_lg),
+        ).otherwise(_cents_sum_over(F.col("drawn_amount"), w_cp))
     else:
-        total_exposure = _cents_sum_over(amount, W.partitionBy("group_reference"))
+        w_grp = W.partitionBy("group_reference")
+        total_exposure = _cents_sum_over(amount, w_grp)
+        group_drawn = _cents_sum_over(F.col("drawn_amount"), w_grp)
     exp = exp.withColumn("group_exposure", total_exposure)
+    # group DRAWN total — the CRR2 Art.501 SME-factor tier base (E*: drawn
+    # owed by the group of connected clients; ref supporting_factors.py
+    # compute_e_star_group_drawn)
+    exp = exp.withColumn("group_drawn", group_drawn)
 
     is_retail = (
         (F.col("entity_type") == "individual") | F.col("is_managed_as_retail")

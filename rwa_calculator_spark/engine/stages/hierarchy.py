@@ -156,6 +156,11 @@ def run_hierarchy(
         F.coalesce("is_managed_as_retail", F.lit(False)).alias("is_managed_as_retail"),
         F.coalesce("annual_revenue", F.lit(0.0)).alias("annual_revenue"),
         F.coalesce("has_irb_permission", F.lit(False)).alias("has_irb_permission"),
+        (
+            F.coalesce("is_infrastructure", F.lit(False))
+            if "is_infrastructure" in raw.counterparties.columns
+            else F.lit(False)
+        ).alias("is_infrastructure"),
     )
 
     if raw.specialised_lending is not None:

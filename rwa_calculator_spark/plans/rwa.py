@@ -132,7 +132,9 @@ _SQL_BASE = """
     ), grouped AS (
         SELECT *,
                sum(CAST(round((drawn_amount + undrawn_amount) * 100.0, 0) AS BIGINT))
-                   OVER (PARTITION BY group_key) / CAST(100 AS DOUBLE) AS group_exposure
+                   OVER (PARTITION BY group_key) / CAST(100 AS DOUBLE) AS group_exposure,
+               sum(CAST(round(drawn_amount * 100.0, 0) AS BIGINT))
+                   OVER (PARTITION BY group_key) / CAST(100 AS DOUBLE) AS group_drawn
         FROM enriched
     ), classified AS (
         SELECT *,
@@ -151,6 +153,17 @@ _SQL_BASE = """
                AS hc(bucket, ccf) ON classified.risk_bucket = hc.bucket
     )
 """
+
+# CRR2 Art.501 tiered SME factor, blended over the group drawn amount —
+# identical float op order to the engine expression in run_sa
+_SQL_SME_SF = """CASE WHEN {p}exposure_class = 'corporate' AND {p}annual_revenue > 0
+                         AND {p}annual_revenue <= 50000000
+                    THEN CASE WHEN {p}group_drawn > 0
+                         THEN (least({p}group_drawn, 2500000.0) * 0.7619
+                               + greatest({p}group_drawn - 2500000.0, 0.0) * 0.85)
+                              / {p}group_drawn
+                         ELSE 0.7619 END
+                    ELSE 1.0 END"""
 
 _SQL_SA_RW = """(VALUES
     ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
@@ -177,8 +190,7 @@ _SQL_SA_RW = """(VALUES
                     WHEN w.exposure_class = 'retail' THEN 0.75
                     WHEN rwt.rw IS NOT NULL THEN rwt.rw
                     ELSE 1.0 END AS risk_weight,
-               CASE WHEN w.exposure_class = 'corporate' AND w.annual_revenue > 0
-                         AND w.annual_revenue <= 50000000 THEN 0.7619 ELSE 1.0 END AS sf
+               {_SQL_SME_SF.format(p='w.')} AS sf
         FROM with_ead w
         LEFT JOIN {_SQL_SA_RW}
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
@@ -215,8 +227,7 @@ def rwa_pipeline_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN w.exposure_class = 'retail' THEN 0.75
                     WHEN rwt.rw IS NOT NULL THEN rwt.rw
                     ELSE 1.0 END))
-                * (CASE WHEN w.exposure_class = 'corporate' AND w.annual_revenue > 0
-                         AND w.annual_revenue <= 50000000 THEN 0.7619 ELSE 1.0 END)) AS rwa
+                * ({_SQL_SME_SF.format(p='w.')})) AS rwa
         FROM routed w
         LEFT JOIN {_SQL_SA_RW}
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
@@ -364,7 +375,9 @@ _CCR_SFT_ORACLE = f"""
     ), grouped AS (
         SELECT *,
                sum(CAST(round((drawn_amount + undrawn_amount) * 100.0, 0) AS BIGINT))
-                   OVER (PARTITION BY group_key) / CAST(100 AS DOUBLE) AS group_exposure
+                   OVER (PARTITION BY group_key) / CAST(100 AS DOUBLE) AS group_exposure,
+               sum(CAST(round(drawn_amount * 100.0, 0) AS BIGINT))
+                   OVER (PARTITION BY group_key) / CAST(100 AS DOUBLE) AS group_drawn
         FROM enriched
     ), classified AS (
         SELECT *,
@@ -389,8 +402,7 @@ _CCR_SFT_ORACLE = f"""
                     WHEN w.exposure_class = 'retail' THEN 0.75
                     WHEN rwt.rw IS NOT NULL THEN rwt.rw
                     ELSE 1.0 END AS risk_weight,
-               CASE WHEN w.exposure_class = 'corporate' AND w.annual_revenue > 0
-                         AND w.annual_revenue <= 50000000 THEN 0.7619 ELSE 1.0 END AS sf,
+               {_SQL_SME_SF.format(p='w.')} AS sf,
                CASE WHEN w.exposure_class = 'securitisation' THEN 'SEC-SA'
                     ELSE 'SA' END AS approach
         FROM with_ead w
@@ -485,8 +497,7 @@ def rwa_pipeline_ccr_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN w.exposure_class = 'retail' THEN 0.75
                     WHEN rwt.rw IS NOT NULL THEN rwt.rw
                     ELSE 1.0 END AS risk_weight,
-               CASE WHEN w.exposure_class = 'corporate' AND w.annual_revenue > 0
-                         AND w.annual_revenue <= 50000000 THEN 0.7619 ELSE 1.0 END AS sf_crr
+               {_SQL_SME_SF.format(p='w.')} AS sf_crr
         FROM with_ead w
         LEFT JOIN {_SQL_SA_RW}
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs

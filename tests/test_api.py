@@ -44,3 +44,38 @@ def test_calculate_cache_scan_export(spark, tmp_path):
 
     js = json.loads(resp.export_summary_json("approach"))
     assert {row["approach"] for row in js} <= {"SA", "IRB"}
+
+
+def test_manifest_edge_events_and_errors(spark):
+    """The run manifest carries the per-edge event map (rows + wall) and the
+    rulepack hash (ref engine/materialise.py:74-98 EdgeEvent,
+    engine/pipeline.py manifest.json); validation errors seal to the cache
+    and re-scan lazily."""
+    import tempfile
+
+    from rwa_calculator_spark.api import CreditRiskCalc
+    from rwa_calculator_spark.engine.bundles import RawBundle
+
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [
+            ("L1", "CP1", 100.0, False, None, None, None),
+            ("L2", "CPMISSING", 100.0, False, None, None, None),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        calc = CreditRiskCalc(spark, RawBundle(counterparties=cps, loans=loans), cache_dir=d)
+        resp = calc.calculate()
+        m = resp.run_manifest
+        assert m["edges"]["results"]["rows"] == 2
+        assert m["edges"]["errors"]["rows"] >= 1  # DQ002 orphan CPMISSING
+        assert all("wall_ms" in e for e in m["edges"].values())
+        errs = resp.scan_errors()
+        codes = {r.code for r in errs.collect()}
+        assert "DQ002" in codes

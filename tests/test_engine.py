@@ -1051,6 +1051,62 @@ def test_value_domain_checks(spark):
     assert ("DQ003", "L1") in errs  # coverage 1.7
 
 
+def test_sme_factor_tiers_and_infra_min(spark):
+    """CRR2 Art.501 tiered SME factor blends 0.7619/0.85 around the EUR 2.5m
+    group-drawn threshold; Art.501a infrastructure combines by
+    most-beneficial min (ref supporting_factors.py get_effective_factor)."""
+    cps = _df(
+        spark,
+        [
+            ("CP1", "corporate", 2, False, 10_000_000.0, False, False),
+            ("CP2", "corporate", 2, False, 10_000_000.0, False, True),  # infra
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean, "
+        "is_infrastructure boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 2_000_000.0, False, None, None, None),
+            ("L2", "CP1", 2_000_000.0, False, None, None, None),
+            ("L3", "CP2", 1000.0, False, None, None, None),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    out = run_pipeline(RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=CRR_PACK))
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    # CP1 group drawn 4M > 2.5M: blended = (2.5M·0.7619 + 1.5M·0.85)/4M
+    blended = (2_500_000 * 0.7619 + 1_500_000 * 0.85) / 4_000_000
+    assert rows["L1"].rwa == pytest.approx(2_000_000 * 0.5 * blended)
+    assert rows["L2"].rwa == pytest.approx(2_000_000 * 0.5 * blended)
+    # CP2 qualifies for BOTH: min(SME 0.7619, infra 0.75) = 0.75 — the
+    # infrastructure factor is the more beneficial of the two
+    assert rows["L3"].rwa == pytest.approx(1000 * 0.5 * 0.75)
+
+
+def test_infra_factor_applies_without_sme(spark):
+    """Infrastructure factor 0.75 stands alone when the obligor is not an
+    SME (revenue above the EUR 50m cutoff)."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 60_000_000.0, False, True)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean, "
+        "is_infrastructure boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    out = run_pipeline(RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=CRR_PACK))
+    row = out.results.collect()[0]
+    assert row.rwa == pytest.approx(1000 * 0.5 * 0.75)
+
+
 def test_securitisation_conservation(spark, sf_dir):
     """Σ pool allocations + retained = Σ exposure amounts (the reference's
     conservation property on pool splits)."""
