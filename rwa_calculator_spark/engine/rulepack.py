@@ -139,38 +139,76 @@ _SACCR_SF_ROWS = (
     ("commodity", _D("0.18")),
 )
 
-# FCCM supervisory haircuts (CRR Art.224 Table 1, 10-business-day base;
-# ref engine/crm/haircut_tables.py / rulebook packs collateral_haircuts
-# DecisionTable). Keyed (collateral_type, cqs, maturity_band); non-bond
-# types key cqs=0 band='any'. CRR's 3 maturity bands (0-1y, 1-5y, 5y+).
+# FCCM supervisory haircuts (CRR Art.224 Table 1 / PS1/26 Art.224 Table 1,
+# 10-business-day base; ref engine/crm/haircut_tables.py / rulebook packs
+# collateral_haircuts DecisionTable). Keyed (collateral_type, cqs,
+# maturity_band); non-bond types key cqs=0 band='any'. The band STRUCTURE
+# is itself pack data ("haircut_bands": band, lo, hi) — CRR uses 3 bands
+# (0-1y, 1-5y, 5y+), Basel 3.1 uses 5 (0-1y, 1-3y, 3-5y, 5-10y, 10y+).
 _HAIRCUT_SCHEMA = "collateral_type string, cqs int, maturity_band string, haircut double"
+_HAIRCUT_BANDS_SCHEMA = "maturity_band string, lo double, hi double"
+
+_HAIRCUT_BANDS_CRR = (
+    ("0_1y", _D("-1"), _D("1")),
+    ("1_5y", _D("1"), _D("5")),
+    ("5y_plus", _D("5"), _D("1000000000")),
+)
+_HAIRCUT_BANDS_B31 = (
+    ("0_1y", _D("-1"), _D("1")),
+    ("1_3y", _D("1"), _D("3")),
+    ("3_5y", _D("3"), _D("5")),
+    ("5_10y", _D("5"), _D("10")),
+    ("10y_plus", _D("10"), _D("1000000000")),
+)
 
 
-def _haircut_rows(gold: str, eq_main: str, eq_other: str) -> tuple:
+def _haircut_rows(gold: str, eq_main: str, eq_other: str, bands: tuple, bonds: dict) -> tuple:
     rows = [
         ("cash", 0, "any", _D("0.00")),
         ("gold", 0, "any", _D(gold)),
         ("equity_main", 0, "any", _D(eq_main)),
         ("equity_other", 0, "any", _D(eq_other)),
     ]
-    govt = {1: ("0.005", "0.02", "0.04"), 2: ("0.01", "0.03", "0.06"),
-            3: ("0.01", "0.03", "0.06"), 4: ("0.15", "0.15", "0.15")}
-    corp = {1: ("0.01", "0.04", "0.08"), 2: ("0.02", "0.06", "0.12"),
-            3: ("0.02", "0.06", "0.12")}
-    for cqs, (b1, b2, b3) in govt.items():
-        rows += [("govt_bond", cqs, "0_1y", _D(b1)), ("govt_bond", cqs, "1_5y", _D(b2)),
-                 ("govt_bond", cqs, "5y_plus", _D(b3))]
-    for cqs, (b1, b2, b3) in corp.items():
-        rows += [("corp_bond", cqs, "0_1y", _D(b1)), ("corp_bond", cqs, "1_5y", _D(b2)),
-                 ("corp_bond", cqs, "5y_plus", _D(b3))]
+    for btype, per_cqs in bonds.items():
+        for cqs, values in per_cqs.items():
+            rows += [
+                (btype, cqs, band, _D(v)) for (band, _, _), v in zip(bands, values)
+            ]
     return tuple(rows)
 
 
-# B3.1 raises the non-bond haircuts (BCBS CRE22.52: gold 20%, main-index
-# equity 20%, other equity 30%); the 5-band bond split is distilled to the
-# shared 3-band structure (values coincide at the encoded bands).
-_HAIRCUT_ROWS_CRR = _haircut_rows(gold="0.15", eq_main="0.15", eq_other="0.25")
-_HAIRCUT_ROWS_B31 = _haircut_rows(gold="0.20", eq_main="0.20", eq_other="0.30")
+# CRR Art.224 Table 1 (3-band printed values, incl. the securitisation
+# column gated to CQS 1-3 per Art.197(1)(h))
+_HAIRCUT_ROWS_CRR = _haircut_rows(
+    gold="0.15", eq_main="0.15", eq_other="0.25", bands=_HAIRCUT_BANDS_CRR,
+    bonds={
+        "govt_bond": {1: ("0.005", "0.02", "0.04"), 2: ("0.01", "0.03", "0.06"),
+                      3: ("0.01", "0.03", "0.06"), 4: ("0.15", "0.15", "0.15")},
+        "corp_bond": {1: ("0.01", "0.04", "0.08"), 2: ("0.02", "0.06", "0.12"),
+                      3: ("0.02", "0.06", "0.12")},
+        "securitisation": {1: ("0.02", "0.08", "0.16"), 2: ("0.04", "0.12", "0.24"),
+                           3: ("0.04", "0.12", "0.24")},
+    },
+)
+
+# PS1/26 Art.224 Table 1 / BCBS CRE22.52: 5 maturity bands; corporate/
+# institution long-end steps up (CQS1 10y+ 12%, CQS2-3 10y+ 20%); sovereign
+# CQS2-3 caps at 6%; gold 20%, main-index equity 20%, other equity 30%.
+_HAIRCUT_ROWS_B31 = _haircut_rows(
+    gold="0.20", eq_main="0.20", eq_other="0.30", bands=_HAIRCUT_BANDS_B31,
+    bonds={
+        "govt_bond": {1: ("0.005", "0.02", "0.02", "0.04", "0.04"),
+                      2: ("0.01", "0.03", "0.03", "0.06", "0.06"),
+                      3: ("0.01", "0.03", "0.03", "0.06", "0.06"),
+                      4: ("0.15", "0.15", "0.15", "0.15", "0.15")},
+        "corp_bond": {1: ("0.01", "0.03", "0.04", "0.06", "0.12"),
+                      2: ("0.02", "0.04", "0.06", "0.12", "0.20"),
+                      3: ("0.02", "0.04", "0.06", "0.12", "0.20")},
+        "securitisation": {1: ("0.02", "0.08", "0.08", "0.16", "0.16"),
+                           2: ("0.04", "0.12", "0.12", "0.24", "0.24"),
+                           3: ("0.04", "0.12", "0.12", "0.24", "0.24")},
+    },
+)
 
 CRR_PACK = RulePack(
     regime="crr",
@@ -216,6 +254,7 @@ CRR_PACK = RulePack(
         "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
         "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
         "collateral_haircuts": (_HAIRCUT_SCHEMA, _HAIRCUT_ROWS_CRR),
+        "haircut_bands": (_HAIRCUT_BANDS_SCHEMA, _HAIRCUT_BANDS_CRR),
     },
 )
 
@@ -254,5 +293,6 @@ B31_PACK = RulePack(
         "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
         "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
         "collateral_haircuts": (_HAIRCUT_SCHEMA, _HAIRCUT_ROWS_B31),
+        "haircut_bands": (_HAIRCUT_BANDS_SCHEMA, _HAIRCUT_BANDS_B31),
     },
 )

@@ -231,12 +231,28 @@ def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
             else F.lit(None).cast("double")
         )
         if "collateral_type" in fin_coll.columns:
-            is_bond = F.col("collateral_type").isin("govt_bond", "corp_bond")
-            band_key = F.when(
-                ~is_bond, F.lit("any")
-            ).when(F.coalesce(resid, F.lit(0.0)) <= 1.0, "0_1y").when(
-                F.coalesce(resid, F.lit(0.0)) <= 5.0, "1_5y"
-            ).otherwise("5y_plus")
+            is_bond = F.col("collateral_type").isin(
+                "govt_bond", "corp_bond", "securitisation"
+            )
+            # the band STRUCTURE is pack data (CRR 3 bands / B3.1 5 bands,
+            # PS1/26 Art.224 Table 1) — a broadcast range join on the tiny
+            # (band, lo, hi) table, not a hardcoded when-chain
+            bands = pack.broadcast_table(spark, "haircut_bands").select(
+                F.col("maturity_band").alias("_band_name"),
+                F.col("lo").alias("_band_lo"),
+                F.col("hi").alias("_band_hi"),
+            )
+            fin_coll = fin_coll.withColumn(
+                "_m_band", F.coalesce(resid, F.lit(0.0))
+            ).join(
+                bands,
+                (F.col("_m_band") > F.col("_band_lo"))
+                & (F.col("_m_band") <= F.col("_band_hi")),
+                "left",
+            )
+            band_key = F.when(~is_bond, F.lit("any")).otherwise(
+                F.coalesce("_band_name", F.lit("any"))
+            )
             cqs_key = F.when(~is_bond, F.lit(0)).otherwise(
                 F.coalesce(F.col("collateral_cqs").cast("int"), F.lit(4))
                 if "collateral_cqs" in fin_coll.columns
@@ -263,7 +279,10 @@ def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
                     "_hc_derived",
                     F.coalesce("_hc_lookup", F.lit(0.25)),
                 )
-                .drop("_hc_type", "_hc_cqs", "_hc_band", "_band_key", "_cqs_key", "_hc_lookup")
+                .drop(
+                    "_hc_type", "_hc_cqs", "_hc_band", "_band_key", "_cqs_key",
+                    "_hc_lookup", "_band_name", "_band_lo", "_band_hi", "_m_band",
+                )
             )
         else:
             fin_coll = fin_coll.withColumn("_hc_derived", F.lit(0.0))

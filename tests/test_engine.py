@@ -816,6 +816,52 @@ def test_b31_haircuts_diverge(spark):
     assert b31["L1"].collateral_value == pytest.approx(500 * 0.80)
 
 
+def test_b31_five_band_haircuts(spark):
+    """B3.1's 5 maturity bands come from pack data, not code: a 7y corp
+    bond CQS1 takes 6% under B3.1 (5-10y band) vs 8% under CRR (5y+ band);
+    a 12y one takes 12% vs CRR's 8% (PS1/26 Art.224 Table 1 long-end
+    step-up)."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 1000.0, False, None, None, 20.0),
+            ("L2", "CP1", 1000.0, False, None, None, 20.0),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    collateral = _df(
+        spark,
+        [
+            ("C1", 100.0, False, "corp_bond", 1, 7.0),
+            ("C2", 100.0, False, "corp_bond", 1, 12.0),
+        ],
+        "collateral_reference string, market_value double, currency_mismatch boolean, "
+        "collateral_type string, collateral_cqs int, residual_maturity double",
+    )
+    links = _df(
+        spark,
+        [("C1", "L1"), ("C2", "L2")],
+        "collateral_reference string, exposure_reference string",
+    )
+    bundle = RawBundle(
+        counterparties=cps, loans=loans, collateral=collateral, collateral_links=links
+    )
+    # exposure maturity clips to 5y; collateral ≥ 5y → no maturity mismatch
+    crr = {r.exposure_reference: r for r in run_pipeline(bundle, PipelineConfig(pack=CRR_PACK)).results.collect()}
+    b31 = {r.exposure_reference: r for r in run_pipeline(bundle, PipelineConfig(pack=B31_PACK)).results.collect()}
+    assert crr["L1"].collateral_value == pytest.approx(100 * 0.92)  # 5y+ 8%
+    assert b31["L1"].collateral_value == pytest.approx(100 * 0.94)  # 5-10y 6%
+    assert crr["L2"].collateral_value == pytest.approx(100 * 0.92)  # 5y+ 8%
+    assert b31["L2"].collateral_value == pytest.approx(100 * 0.88)  # 10y+ 12%
+
+
 def test_validation_scrubs_and_reports(spark):
     """Bad input surfaces a coded error row instead of silently flowing
     through (ref contracts/validation.py, DQ011 non-finite scrub + DQ002
