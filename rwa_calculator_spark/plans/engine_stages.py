@@ -32,6 +32,7 @@ from rwa_calculator_spark.engine.stages.ratings import (
 from rwa_calculator_spark.operators.graph import resolve_ultimate_parent_iterative
 from rwa_calculator_spark.plans.registry import query
 from rwa_calculator_spark.sources.star import load_table
+from rwa_calculator_spark.utils import release_cached_blocks
 
 
 def _facility_frames(spark: SparkSession, sf_dir: str):
@@ -187,6 +188,7 @@ def facility_undrawn_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     root resolution, netting-aware drawn aggregation, per-sub allocation
     by descending CCF with residual and fallback rows — re-derived in
     DuckDB as a recursive CTE + ordered window cumsum."""
+    release_cached_blocks(spark)  # bound the one-session cached footprint
     facilities, loans, mappings = _facility_frames(spark, sf_dir)
     out = facility_undrawn_exposures(facilities, loans, None, mappings, CRR_PACK)
     return out.select(

@@ -22,6 +22,7 @@ from rwa_calculator_spark.functions.irb import sql_capital_k, sql_maturity_adj
 from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
 from rwa_calculator_spark.plans.registry import query
 from rwa_calculator_spark.sources.star import load_table
+from rwa_calculator_spark.utils import release_cached_blocks
 
 
 def _star_bundle(spark: SparkSession, sf_dir: str, irb: bool) -> RawBundle:
@@ -206,14 +207,15 @@ _SQL_SA_RW = """(VALUES
 def rwa_pipeline_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full SA pipeline through the engine (hierarchy → classify → CCF →
     SA RW chain → summaries), oracle re-derived end-to-end in DuckDB."""
+    release_cached_blocks(spark)  # bound the one-session cached footprint
     bundle = _star_bundle(spark, sf_dir, irb=False)
     out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
     return out.summary_by_class
 
 
-@query(
-    "rwa_pipeline_irb",
-    oracle=_SQL_BASE.format(irb_flag="c_custkey % 3 = 0") + f"""
+# SA+IRB routing core shared by rwa_pipeline_irb and pillar3_ov1 — ends at
+# `unioned` (approach, exposure_class, ead, rwa per row)
+_SQL_IRB_CORE = f"""
     , routed AS (
         SELECT *,
                CASE WHEN is_defaulted THEN 1.0
@@ -254,6 +256,12 @@ def rwa_pipeline_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'IRB' AS approach, * FROM irb_branch
     )
+"""
+
+
+@query(
+    "rwa_pipeline_irb",
+    oracle=_SQL_BASE.format(irb_flag="c_custkey % 3 = 0") + _SQL_IRB_CORE + f"""
     SELECT approach, count(*) AS n_exposures,
            {sql_scaled_sum('ead', 2)} AS total_ead,
            {sql_scaled_sum('rwa', 2)} AS total_rwa
@@ -265,9 +273,51 @@ def rwa_pipeline_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rwa_pipeline_irb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full SA+IRB pipeline with approach routing and the staged IRB K
     formula, summarised by approach; oracle mirrors every stage in SQL."""
+    release_cached_blocks(spark)  # bound the one-session cached footprint
     bundle = _star_bundle(spark, sf_dir, irb=True)
     out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
     return out.summary_by_approach
+
+
+@query(
+    "pillar3_ov1",
+    oracle=_SQL_BASE.format(irb_flag="c_custkey % 3 = 0") + _SQL_IRB_CORE + f"""
+    , by_approach AS (
+        SELECT CASE approach WHEN 'SA' THEN 'credit_risk_sa'
+               ELSE 'credit_risk_irb' END AS row_label,
+               {sql_scaled_sum('rwa', 2)} AS rwea
+        FROM unioned GROUP BY approach
+    )
+    SELECT row_label, rwea, round(rwea * 0.08, 2) AS own_funds_req FROM by_approach
+    UNION ALL
+    SELECT 'total', sum(rwea), round(sum(rwea) * 0.08, 2) FROM by_approach
+    """,
+    tags=("rwa", "reporting"),
+)
+def pillar3_ov1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 OV1-style overview-of-RWEA disclosure: RWEA by risk
+    category (credit risk SA / IRB here) with the 8% own-funds requirement
+    column and a total row (EBA ITS OV1 template shape; ref the reference's
+    Pillar 3 report generators alongside reporting/). Derived from the SAME
+    pipeline ledger the COREP cells read — one source of truth."""
+    release_cached_blocks(spark)  # bound the one-session cached footprint
+    bundle = _star_bundle(spark, sf_dir, irb=True)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    by_app = out.summary_by_approach.select(
+        F.when(F.col("approach") == "SA", "credit_risk_sa")
+        .otherwise("credit_risk_irb")
+        .alias("row_label"),
+        F.col("total_rwa").alias("rwea"),
+    )
+    rows = by_app.select(
+        "row_label", "rwea", F.round(F.col("rwea") * 0.08, 2).alias("own_funds_req")
+    )
+    total = by_app.agg(F.sum("rwea").alias("rwea")).select(
+        F.lit("total").alias("row_label"),
+        "rwea",
+        F.round(F.col("rwea") * 0.08, 2).alias("own_funds_req"),
+    )
+    return rows.unionByName(total)
 
 
 _CCR_SFT_ORACLE = f"""
@@ -429,6 +479,7 @@ def rwa_pipeline_ccr_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
     and return as SEC-SA pool rows. The oracle re-derives every stage —
     two-level add-on aggregation, leg netting, retained-share reduction —
     and the by-approach summary."""
+    release_cached_blocks(spark)  # bound the one-session cached footprint
     from dataclasses import replace as dc_replace
 
     bundle = _star_bundle(spark, sf_dir, irb=False)
@@ -537,6 +588,7 @@ def dual_framework_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     :337,504 — the reference's regime-delta workflow). The visible deltas at
     this slice are the removed SME supporting factor and the divergent B3.1
     CCFs (other commitments 20%→40%, UCC 0%→10%; BCBS CRE20.94-101)."""
+    release_cached_blocks(spark)  # bound the one-session cached footprint
     from rwa_calculator_spark.engine.rulepack import B31_PACK
 
     bundle = _star_bundle(spark, sf_dir, irb=False)

@@ -21,6 +21,7 @@ Endpoints (reference parity, minus the xlsx export the container can't do):
   GET  /api/templates/{id}               computed cells for one sheet
   GET  /api/validations                  published-rule tie-outs
   GET  /api/lineage?job=ID               manifest, rulepack hash, stages
+  GET  /api/errors?job=ID                merged DQ/SCP error channel
   GET  /api/comparison                   dual-framework per-class delta
   POST /api/reconcile                    {"job_a": ID, "job_b": ID}
   GET  /api/export/csv?job=ID            write ledger CSV, return path
@@ -127,6 +128,11 @@ class RwaApi:
             return 400, {"error": f"unknown regime {regime!r}"}
         pack = CRR_PACK if regime == "crr" else B31_PACK
         irb = bool(body.get("irb", True))
+        validation = body.get("validation", "merged")
+        if validation not in ("off", "merged", "immediate"):
+            return 400, {"error": f"unknown validation mode {validation!r}"}
+        reporting_entity = body.get("reporting_entity")
+        reporting_basis = body.get("reporting_basis", "consolidated")
         job = self.jobs.create()
         job["cache_dir"] = os.path.join(self.cache_root, job["job_id"])
 
@@ -135,7 +141,11 @@ class RwaApi:
             try:
                 bundle = _star_bundle(self.spark, self.sf_dir, irb=irb)
                 calc = CreditRiskCalc(self.spark, bundle, pack, cache_dir=job["cache_dir"])
-                resp = calc.calculate()
+                resp = calc.calculate(
+                    validation=validation,
+                    reporting_entity=reporting_entity,
+                    reporting_basis=reporting_basis,
+                )
                 job["manifest"] = resp.run_manifest
                 job["status"] = "done"
                 self.jobs.event(job, f"pipeline done in {resp.run_manifest['wall_sec']}s")
@@ -191,6 +201,18 @@ class RwaApi:
             "stages": list(_STAGES),
             "inputs": {"sf_dir": self.sf_dir},
         }
+
+    def errors(self, job_id: str):
+        """The run's merged error channel (DQ/SCP coded rows) — empty list
+        when the run produced none."""
+        job, err = self._done_job(job_id)
+        if err is not None:
+            return err
+        path = os.path.join(job["cache_dir"], "errors")
+        if not os.path.exists(path):
+            return 200, {"job_id": job_id, "errors": []}
+        df = self.spark.read.parquet(path)
+        return 200, {"job_id": job_id, "errors": _rows(df, limit=1000)}
 
     def export_csv(self, job_id: str):
         job, err = self._done_job(job_id)
@@ -289,6 +311,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/api/templates/(?P<template_id>[\w.]+)$"), "template"),
     ("GET", re.compile(r"^/api/validations$"), "validations"),
     ("GET", re.compile(r"^/api/lineage$"), "lineage"),
+    ("GET", re.compile(r"^/api/errors$"), "errors"),
     ("GET", re.compile(r"^/api/comparison$"), "comparison"),
     ("POST", re.compile(r"^/api/reconcile$"), "reconcile"),
     ("GET", re.compile(r"^/api/export/csv$"), "export_csv"),
@@ -314,7 +337,7 @@ def _make_handler(api: RwaApi):
                     length = int(self.headers.get("Content-Length") or 0)
                     body = json.loads(self.rfile.read(length) or b"{}")
                     kwargs["body"] = body
-                if name in ("results", "summary", "lineage", "export_csv"):
+                if name in ("results", "summary", "lineage", "export_csv", "errors"):
                     kwargs["job_id"] = qs.get("job", "")
                 if name == "results":
                     kwargs["limit"] = int(qs.get("limit", "100"))

@@ -31,3 +31,23 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
         shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "rwa_calculator_spark")
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(ctx_id)
+
+
+def release_cached_blocks(spark: SparkSession) -> None:
+    """Unpersist every cached DataFrame and persistent RDD left by EARLIER
+    queries in this session.
+
+    One-session multi-query drivers (the round driver, bench.py) run ~95
+    queries against one SparkSession; pipeline queries leave
+    localCheckpoint and persist blocks behind, and with a default-sized
+    driver heap the accumulation eventually OOMs during a later query's
+    broadcast. Called at the ENTRY of each heavy pipeline query — never
+    mid-query, so a query can never drop its own blocks — this bounds the
+    session's cached footprint to one query's working set.
+    """
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    rdds = jsc.getPersistentRDDs()
+    it = rdds.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)

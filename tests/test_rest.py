@@ -169,3 +169,14 @@ def test_comparison(server):
     status, body = _get(server, "/api/comparison")
     assert status == 200
     assert len(body["rows"]) > 0
+
+
+def test_errors_endpoint(server, done_job):
+    """GET /api/errors surfaces the run's merged DQ/SCP channel (empty for
+    the clean star bundle, but the endpoint and schema are live)."""
+    status, body = _get(server, f"/api/errors?job={done_job['job_id']}")
+    assert status == 200
+    assert body["job_id"] == done_job["job_id"]
+    assert isinstance(body["errors"], list)
+    for row in body["errors"]:
+        assert {"code", "severity", "stage", "key", "message"} <= set(row)
