@@ -228,6 +228,8 @@ CRR_PACK = RulePack(
         "infra_supporting_factor": RuleEntry(_D("0.75"), "CRR Art.501a"),
         "pd_floor": RuleEntry(_D("0.0003"), "CRR Art.160(1)"),
         "lgd_floor_unsecured": RuleEntry(_D("0.0"), "CRR Art.161"),
+        # CRR Art.153(1): RWA = 12.5 · 1.06 · K · EAD for non-defaulted IRB
+        "irb_scaling_factor": RuleEntry(_D("1.06"), "CRR Art.153(1)"),
         "output_floor_alpha": RuleEntry(_D("0.0"), "n/a in CRR"),
         "fx_haircut": RuleEntry(_D("0.08"), "CRR Art.224"),
         # IRB simple risk-weight method (CRR Art.155(2); ref
@@ -274,6 +276,8 @@ B31_PACK = RulePack(
         "infra_supporting_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
         "pd_floor": RuleEntry(_D("0.0005"), "BCBS CRE36.79 (B3.1)"),
         "lgd_floor_unsecured": RuleEntry(_D("0.25"), "BCBS CRE36.86"),
+        # scaling factor removed under Basel 3.1 (BCBS CRE30-36 / PS1/26)
+        "irb_scaling_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
         "output_floor_alpha": RuleEntry(_D("0.725"), "BCBS RBC20.11"),
         "fx_haircut": RuleEntry(_D("0.08"), "BCBS CRE22.52"),
         # B3.1 removed the IRB equity approaches — all equity uses SA

@@ -27,6 +27,10 @@ def run_aggregate(
         results = results.unionByName(b.results, allowMissingColumns=True)
 
     alpha = pack.scalar("output_floor_alpha")
+    # pre-floor RWA stays on the ledger (ref floor_impact frame,
+    # aggregator/_floor.py) — the attribution waterfall and the transitional
+    # floor schedule both read it back out
+    results = results.withColumn("rwa_pre_floor", F.col("rwa"))
     if alpha > 0.0:
         # Art.92(3) output floor: floor the modelled total at alpha × the
         # standardised-equivalent total. Every branch carries

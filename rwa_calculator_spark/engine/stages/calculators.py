@@ -270,8 +270,13 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
         perf = dictionary_apply(perf, ["pd_floored", "lgd_floored", "m_eff"], _k_ma)
     else:
         perf = _k_ma(perf)
+    # CRR Art.153(1): ×1.06 scaling on non-defaulted IRB (B3.1 sets it to
+    # 1.0 — the attribution waterfall decomposes exactly this removal)
     perf = (
-        perf.withColumn("risk_weight", F.col("k") * F.col("ma") * 12.5)
+        perf.withColumn(
+            "risk_weight",
+            F.col("k") * F.col("ma") * 12.5 * pack.lit("irb_scaling_factor"),
+        )
         .withColumn("rw_source", F.lit("irb_vasicek"))
     )
     perf = _el_columns(

@@ -247,7 +247,8 @@ _SQL_IRB_CORE = f"""
                {sql_maturity_adj('pd_f', 'm_eff')} AS ma
         FROM irb_g
     ), irb_branch AS (
-        SELECT exposure_class, ead, ead * ((k * ma) * 12.5) AS rwa FROM irb_k
+        SELECT exposure_class, ead,
+               ead * (((k * ma) * 12.5) * 1.06) AS rwa FROM irb_k
         UNION ALL
         SELECT exposure_class, ead, ead * 0.0 AS rwa FROM routed
         WHERE has_irb_permission AND pd_f >= 1.0

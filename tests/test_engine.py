@@ -152,7 +152,8 @@ def test_irb_k_matches_python_backend(spark):
     g_pd = py_normal_ppf(pd_f)
     k = capital_k_v(V(PyB, pd_f), V(PyB, 0.45), V(PyB, g_pd)).v
     ma = maturity_adj_v(V(PyB, pd_f), V(PyB, 2.5)).v
-    assert row.risk_weight == pytest.approx(k * ma * 12.5, rel=1e-9)
+    # CRR Art.153(1) 1.06 scaling applies to the non-defaulted IRB path
+    assert row.risk_weight == pytest.approx(k * ma * 12.5 * 1.06, rel=1e-9)
     assert 0.0 < row.risk_weight < 3.0
 
 
