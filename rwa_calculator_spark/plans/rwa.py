@@ -610,3 +610,205 @@ def dual_framework_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rwa_b31", F.lit(0.0)) - F.coalesce("rwa_crr", F.lit(0.0)), 2
         ).alias("delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capital-impact analysis (ref analysis/attribution.py, comparison.py,
+# transition.py) — both oracles re-derive the dual-regime pipeline in SQL.
+
+# CRR side of the attribution: SA with the tiered SME factor, IRB with the
+# Art.153(1) 1.06 scaling; per-class sums carry the scaled-IRB bucket the
+# scaling driver reads.
+_SQL_CRR_ATTR = f"""
+    , c_routed AS (
+        SELECT *,
+               CASE WHEN is_defaulted THEN 1.0
+                    ELSE greatest(coalesce(pd, 1.0), 0.0003) END AS pd_f,
+               greatest(coalesce(lgd, 0.45), 0.0) AS lgd_f,
+               least(greatest(coalesce(m, 2.5), 1.0), 5.0) AS m_eff
+        FROM with_ead
+    ), c_sa AS (
+        SELECT w.exposure_class,
+               ((w.ead * (CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END))
+                * ({_SQL_SME_SF.format(p='w.')})) AS rwa,
+               (w.ead * (CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END)) AS rwa_before_sf,
+               FALSE AS is_scaled
+        FROM c_routed w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+        WHERE NOT w.has_irb_permission
+    ), c_irb_perf AS (
+        SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM c_routed
+        WHERE has_irb_permission AND pd_f < 1.0
+    ), c_irb_g AS (
+        SELECT exposure_class, ead, pd_f, lgd_f, m_eff,
+               {sql_halley_step('x0', 'pd_f')} AS g_pd
+        FROM c_irb_perf
+    ), c_irb_k AS (
+        SELECT exposure_class, ead,
+               {sql_capital_k('pd_f', 'lgd_f', 'g_pd')} AS k,
+               {sql_maturity_adj('pd_f', 'm_eff')} AS ma
+        FROM c_irb_g
+    ), c_irb AS (
+        SELECT exposure_class, ead * (((k * ma) * 12.5) * 1.06) AS rwa,
+               ead * (((k * ma) * 12.5) * 1.06) AS rwa_before_sf,
+               TRUE AS is_scaled
+        FROM c_irb_k
+        UNION ALL
+        SELECT exposure_class, ead * 0.0, ead * 0.0, FALSE FROM c_routed
+        WHERE has_irb_permission AND pd_f >= 1.0
+    ), c_all AS (
+        SELECT * FROM c_sa UNION ALL SELECT * FROM c_irb
+    ), c_cls AS (
+        SELECT exposure_class,
+               {sql_scaled_sum('rwa', 2)} AS rwa_crr,
+               {sql_scaled_sum('rwa_before_sf', 2)} AS rwa_before_sf_crr,
+               {sql_scaled_sum('CASE WHEN is_scaled THEN rwa ELSE 0.0 END', 2)}
+                   AS rwa_irb_scaled
+        FROM c_all GROUP BY exposure_class
+    )
+"""
+
+# B3.1 side: divergent CCFs, PD floor 0.0005, LGD floor 0.25, no supporting
+# factor, no 1.06; carries the SA-equivalent per row (the Art.92(3) floor
+# base) and ends at the pre-floor union + portfolio totals.
+_SQL_B31_SIDE = f"""
+    , b_ead AS (
+        SELECT c.*, drawn_amount + coalesce(hc.ccf, 1.0) * undrawn_amount AS ead
+        FROM classified c
+        LEFT JOIN (VALUES ('full_risk', CAST(1.0 AS DOUBLE)), ('medium_risk', CAST(0.5 AS DOUBLE)),
+                          ('medium_low_risk', CAST(0.4 AS DOUBLE)), ('low_risk', CAST(0.1 AS DOUBLE)))
+               AS hc(bucket, ccf) ON c.risk_bucket = hc.bucket
+    ), b_routed AS (
+        SELECT *,
+               CASE WHEN is_defaulted THEN 1.0
+                    ELSE greatest(coalesce(pd, 1.0), 0.0005) END AS pd_f,
+               greatest(coalesce(lgd, 0.45), 0.25) AS lgd_f,
+               least(greatest(coalesce(m, 2.5), 1.0), 5.0) AS m_eff
+        FROM b_ead
+    ), b_rw AS (
+        SELECT w.*,
+               CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END AS sa_rw
+        FROM b_routed w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+    ), b_sa AS (
+        SELECT exposure_class, (ead * sa_rw) AS rwa, (ead * sa_rw) AS sa_equiv
+        FROM b_rw WHERE NOT has_irb_permission
+    ), b_irb_perf AS (
+        SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM b_rw
+        WHERE has_irb_permission AND pd_f < 1.0
+    ), b_irb_g AS (
+        SELECT exposure_class, ead, sa_rw, pd_f, lgd_f, m_eff,
+               {sql_halley_step('x0', 'pd_f')} AS g_pd
+        FROM b_irb_perf
+    ), b_irb_k AS (
+        SELECT exposure_class, ead, sa_rw,
+               {sql_capital_k('pd_f', 'lgd_f', 'g_pd')} AS k,
+               {sql_maturity_adj('pd_f', 'm_eff')} AS ma
+        FROM b_irb_g
+    ), b_irb AS (
+        SELECT exposure_class, ead * ((k * ma) * 12.5) AS rwa,
+               ead * sa_rw AS sa_equiv
+        FROM b_irb_k
+        UNION ALL
+        SELECT exposure_class, ead * 0.0, ead * sa_rw FROM b_rw
+        WHERE has_irb_permission AND pd_f >= 1.0
+    ), b_all AS (
+        SELECT * FROM b_sa UNION ALL SELECT * FROM b_irb
+    ), b_tot AS (
+        SELECT {sql_scaled_sum('rwa', 2)} AS modelled_total,
+               {sql_scaled_sum('sa_equiv', 2)} AS std_total
+        FROM b_all
+    )
+"""
+
+_SQL_B31_FLOORED = f"""
+    , b_floored AS (
+        SELECT exposure_class, rwa AS rwa_pre_floor,
+               rwa * (greatest(modelled_total, 0.725 * std_total)
+                      / nullif(modelled_total, 0.0)) AS rwa
+        FROM b_all, b_tot
+    ), b_cls AS (
+        SELECT exposure_class,
+               {sql_scaled_sum('rwa', 2)} AS rwa_b31,
+               {sql_scaled_sum('rwa_pre_floor', 2)} AS rwa_pre_floor_b31
+        FROM b_floored GROUP BY exposure_class
+    )
+"""
+
+
+@query(
+    "capital_attribution_waterfall",
+    oracle=_SQL_BASE.format(irb_flag="c_custkey % 3 = 0")
+    + _SQL_CRR_ATTR
+    + _SQL_B31_SIDE
+    + _SQL_B31_FLOORED
+    + """
+    SELECT c.exposure_class, c.rwa_crr, b.rwa_b31,
+           b.rwa_b31 - c.rwa_crr AS delta,
+           c.rwa_irb_scaled * (1.0 / 1.06 - 1.0) AS scaling_impact,
+           c.rwa_before_sf_crr - c.rwa_crr AS supporting_factor_impact,
+           b.rwa_b31 - b.rwa_pre_floor_b31 AS output_floor_impact,
+           (((b.rwa_b31 - c.rwa_crr) - c.rwa_irb_scaled * (1.0 / 1.06 - 1.0))
+            - (c.rwa_before_sf_crr - c.rwa_crr))
+           - (b.rwa_b31 - b.rwa_pre_floor_b31) AS methodology_impact
+    FROM c_cls c JOIN b_cls b ON c.exposure_class = b.exposure_class
+    """,
+    tags=("rwa", "comparison", "analysis", "tolerant"),
+)
+def capital_attribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR→Basel 3.1 capital-impact attribution: the reference's 4-driver
+    waterfall (scaling-factor removal, supporting-factor removal, output
+    floor, methodology residual; ref analysis/comparison.py:197-533,
+    attribution.py:40) per exposure class, over TWO full engine runs of the
+    same bundle. Drivers sum to the per-class delta by construction."""
+    release_cached_blocks(spark)  # bound the one-session cached footprint
+    from rwa_calculator_spark.engine.analysis import capital_attribution
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+
+    bundle = _star_bundle(spark, sf_dir, irb=True)
+    crr = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    b31 = run_pipeline(bundle, PipelineConfig(pack=B31_PACK, persist_edges=True))
+    return capital_attribution(crr, b31)
+
+
+@query(
+    "floor_transition_schedule",
+    oracle=_SQL_BASE.format(irb_flag="c_custkey % 3 = 0")
+    + _SQL_B31_SIDE
+    + """
+    SELECT s.year, s.floor_alpha, t.modelled_total, t.std_total,
+           greatest(t.modelled_total, s.floor_alpha * t.std_total) AS rwa_floored,
+           greatest(s.floor_alpha * t.std_total - t.modelled_total, 0.0) AS floor_addon,
+           s.floor_alpha * t.std_total > t.modelled_total AS floor_binding
+    FROM b_tot t, (VALUES (CAST(2027 AS INTEGER), CAST(0.60 AS DOUBLE)),
+                          (CAST(2028 AS INTEGER), CAST(0.65 AS DOUBLE)),
+                          (CAST(2029 AS INTEGER), CAST(0.70 AS DOUBLE)),
+                          (CAST(2030 AS INTEGER), CAST(0.725 AS DOUBLE)))
+         AS s(year, floor_alpha)
+    ORDER BY s.year
+    """,
+    tags=("rwa", "analysis", "tolerant"),
+)
+def floor_transition_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-floor phase-in timeline (PRA PS1/26 Art.92(5): 60%→72.5%,
+    2027-2030; ref analysis/transition.py TransitionalScheduleRunner): one
+    B3.1 engine run, the floor re-applied per transitional year from the
+    ledger's pre-floor modelled and SA-equivalent totals."""
+    release_cached_blocks(spark)  # bound the one-session cached footprint
+    from rwa_calculator_spark.engine.analysis import floor_transition_schedule as fts
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+
+    bundle = _star_bundle(spark, sf_dir, irb=True)
+    b31 = run_pipeline(bundle, PipelineConfig(pack=B31_PACK, persist_edges=True))
+    return fts(spark, b31)

@@ -1192,3 +1192,66 @@ def test_securitisation_conservation(spark, sf_dir):
         F.sum(F.round(F.col("allocated_amount") * 100, 0).cast("long"))
     ).collect()[0][0]
     assert abs(total_in - total_out) <= pools.count()  # ≤1 cent rounding per slice
+
+
+def test_capital_attribution_waterfall_invariant(spark):
+    """The four drivers sum to delta per class, scaling driver is negative
+    exactly on classes carrying scaled IRB RWA, and the supporting-factor
+    driver is non-negative (removal can only raise RWA)."""
+    from rwa_calculator_spark.engine.analysis import capital_attribution
+    from tests.engine_fixtures import build_bundle
+
+    bundle = build_bundle(spark, n_cp=300)
+    crr = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
+    b31 = run_pipeline(bundle, PipelineConfig(pack=B31_PACK))
+    rows = capital_attribution(crr, b31).collect()
+    assert rows
+    for r in rows:
+        total = (
+            r.scaling_impact
+            + r.supporting_factor_impact
+            + r.output_floor_impact
+            + r.methodology_impact
+        )
+        assert total == pytest.approx(r.delta, abs=1e-6)
+        assert r.scaling_impact <= 1e-9
+        assert r.supporting_factor_impact >= -1e-9
+
+
+def test_floor_transition_schedule_hand_computed(spark):
+    """One IRB loan whose modelled RWA sits between 60% and 72.5% of the
+    SA-equivalent: the floor must flip from non-binding to binding across
+    the transitional years with hand-computed floored totals."""
+    from rwa_calculator_spark.engine.analysis import floor_transition_schedule
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 3, False, 60_000_000.0, True)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    # low PD → modelled IRB RWA far below the 100% SA-equivalent weight
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, 0.001, 0.25, 1.0)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=B31_PACK),
+    )
+    sched = {r.year: r for r in floor_transition_schedule(spark, out).collect()}
+    assert set(sched) == {2027, 2028, 2029, 2030}
+    row = sched[2030]
+    assert row.std_total == pytest.approx(1000.0)  # CQS3 corporate → 100% RW
+    assert row.floor_alpha == 0.725
+    # modelled K(pd=0.001 floored to 0.0005... pd=0.001 > floor) is small →
+    # floor binds at every transitional percentage
+    assert row.modelled_total < 0.60 * row.std_total
+    for y, alpha in ((2027, 0.60), (2028, 0.65), (2029, 0.70), (2030, 0.725)):
+        r = sched[y]
+        assert r.floor_binding
+        assert r.rwa_floored == pytest.approx(alpha * r.std_total)
+        assert r.floor_addon == pytest.approx(alpha * r.std_total - r.modelled_total)
