@@ -36,9 +36,7 @@ TRANSITIONAL_FLOOR_SCHEDULE = (
 )
 
 
-def capital_attribution(
-    crr: AggregatedOutput, b31: AggregatedOutput
-) -> DataFrame:
+def capital_attribution(crr, b31, sequential: bool = False) -> DataFrame:
     """Decompose the CRR vs Basel 3.1 RWA delta into the reference's four
     regulatory drivers, per exposure class (ref analysis/comparison.py
     _ATTRIBUTION_DRIVERS:438-443 and the waterfall at :455-533):
@@ -50,21 +48,54 @@ def capital_attribution(
 
     The four drivers sum to delta per class by construction (the residual
     closes the waterfall — the reference's invariant at comparison.py:220).
+
+    crr/b31: AggregatedOutput, or (sequential mode) zero-arg callables
+    returning one — in sequential mode the SECOND pipeline's plan must not
+    exist before the first run's cache release (unpersisting a
+    checkpoint-marked-but-unmaterialised RDD truncates a lineage that can
+    then never be computed), so the callable defers plan construction.
     """
-    c = crr.results.groupBy("exposure_class").agg(
-        scaled_sum(F.col("rwa"), 2).alias("rwa_crr"),
-        scaled_sum(F.col("rwa_before_sf"), 2).alias("rwa_before_sf_crr"),
-        scaled_sum(
-            F.when(F.col("rw_source") == "irb_vasicek", F.col("rwa")).otherwise(
-                F.lit(0.0)
-            ),
-            2,
-        ).alias("rwa_irb_scaled"),
-    )
-    b = b31.results.groupBy(F.col("exposure_class").alias("b_class")).agg(
-        scaled_sum(F.col("rwa"), 2).alias("rwa_b31"),
-        scaled_sum(F.col("rwa_pre_floor"), 2).alias("rwa_pre_floor_b31"),
-    )
+
+    def _agg_c(out: AggregatedOutput) -> DataFrame:
+        return out.results.groupBy("exposure_class").agg(
+            scaled_sum(F.col("rwa"), 2).alias("rwa_crr"),
+            scaled_sum(F.col("rwa_before_sf"), 2).alias("rwa_before_sf_crr"),
+            scaled_sum(
+                F.when(F.col("rw_source") == "irb_vasicek", F.col("rwa")).otherwise(
+                    F.lit(0.0)
+                ),
+                2,
+            ).alias("rwa_irb_scaled"),
+        )
+
+    def _agg_b(out: AggregatedOutput) -> DataFrame:
+        return out.results.groupBy(F.col("exposure_class").alias("b_class")).agg(
+            scaled_sum(F.col("rwa"), 2).alias("rwa_b31"),
+            scaled_sum(F.col("rwa_pre_floor"), 2).alias("rwa_pre_floor_b31"),
+        )
+
+    if sequential:
+        # Shared-session posture: materialise each regime's CLASS-GRAIN
+        # aggregate (≤ dozens of rows — bounded like the graph driver-walk)
+        # and release cached blocks between the two runs, so peak heap
+        # holds ONE pipeline's lineage instead of two. The second
+        # pipeline's plan is built only AFTER the release (the callables),
+        # because unpersisting a checkpoint-marked-but-unmaterialised RDD
+        # truncates its lineage irrecoverably.
+        from rwa_calculator_spark.utils import release_cached_blocks
+
+        c = _agg_c(crr() if callable(crr) else crr)
+        spark = c.sparkSession
+        c_rows = c.collect()  # executes the first pipeline
+        release_cached_blocks(spark)
+        b = _agg_b(b31() if callable(b31) else b31)
+        b_rows = b.collect()  # executes the second pipeline
+        release_cached_blocks(spark)
+        c = spark.createDataFrame(c_rows, c.schema)
+        b = spark.createDataFrame(b_rows, b.schema)
+    else:
+        c = _agg_c(crr)
+        b = _agg_b(b31)
     j = c.join(b, c.exposure_class == F.col("b_class"), "inner")
     delta = F.col("rwa_b31") - F.col("rwa_crr")
     scaling = F.col("rwa_irb_scaled") * F.lit(_SCALING_REMOVAL)
@@ -86,6 +117,7 @@ def floor_transition_schedule(
     spark: SparkSession,
     b31: AggregatedOutput,
     schedule=TRANSITIONAL_FLOOR_SCHEDULE,
+    sequential: bool = False,
 ) -> DataFrame:
     """Model the output-floor phase-in (PRA PS1/26 Art.92(5): 60% in 2027
     rising to 72.5% steady-state) over ONE executed B3.1 run — the pre-floor
@@ -100,6 +132,14 @@ def floor_transition_schedule(
             F.coalesce("rwa_sa_equivalent", F.col("rwa_pre_floor")), 2
         ).alias("std_total"),
     )
+    if sequential:
+        # shared-session posture (see capital_attribution): the portfolio
+        # scalar is one row — materialise it and release the pipeline
+        from rwa_calculator_spark.utils import release_cached_blocks
+
+        tot_rows = tot.collect()
+        release_cached_blocks(spark)
+        tot = spark.createDataFrame(tot_rows, tot.schema)
     sched = spark.createDataFrame(
         [(int(y), float(a)) for y, a in schedule],
         "year int, floor_alpha double",

@@ -61,6 +61,14 @@ class RawBundle:
     # emits synthetic exposure rows into the unified ledger (ref
     # engine/stages/ccr.py:160)
     trades: Optional[DataFrame] = None
+    # (netting_set_reference, threshold, mta, nica) — margined netting sets
+    # take RC = max(V−C, TH+MTA−NICA, 0) (CRR Art.275(2); ref
+    # engine/ccr/rc.py compute_rc_margined; margin_agreements schemas:1484)
+    margin_agreements: Optional[DataFrame] = None
+    # (netting_set_reference, value[, haircut]) — collateral C netting
+    # against V in RC and driving the Art.278(3) PFE multiplier (ref
+    # ccr_collateral schemas:1506)
+    ccr_collateral: Optional[DataFrame] = None
     # SFT: (netting_set_reference, counterparty_reference, leg
     #  ('lent'|'collateral'), value, haircut[, book_code]) — FCCM E* per
     # netting set emits synthetic rows (ref engine/stages/sft.py:116)
@@ -70,6 +78,12 @@ class RawBundle:
     # (ref engine/securitisation/allocator.py:187,245,
     #  engine/stages/securitisation.py)
     securitisation_allocations: Optional[DataFrame] = None
+    # (pool_reference, tranche_reference, attachment, detachment
+    #  [, w_delinquent]) — when present, pools emit one synthetic exposure
+    # per tranche and the SEC-SA branch applies the full SSFA closed form
+    # (BCBS CRE41 / CRR Art.261-262; beyond the reference, which reports a
+    # placeholder per-pool RWA — see functions/secsa.py)
+    securitisation_tranches: Optional[DataFrame] = None
     # (fund_reference, holding_reference, underlying_class, value
     #  [, holding_cqs][, book_code]) — CIU look-through rows weighted by
     # their underlying class (CRR Art.132a; ref ciu_holdings schemas:1036)

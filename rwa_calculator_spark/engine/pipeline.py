@@ -86,7 +86,7 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         from rwa_calculator_spark.engine.stages.scope import resolve_scope
 
         raw, scope_errors = resolve_scope(
-            raw, config.reporting_entity, config.reporting_basis
+            raw, config.reporting_entity, config.reporting_basis, pack=config.pack
         )
 
     # FX-convert every monetary side frame before any stage consumes it
@@ -118,7 +118,14 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
     if raw.trades is not None:
         from rwa_calculator_spark.engine.stages.ccr_sft import ccr_exposures
 
-        extra.append(ccr_exposures(raw.trades, config.pack))
+        extra.append(
+            ccr_exposures(
+                raw.trades,
+                config.pack,
+                margin_agreements=raw.margin_agreements,
+                ccr_collateral=raw.ccr_collateral,
+            )
+        )
     if raw.sft_trades is not None:
         from rwa_calculator_spark.engine.stages.ccr_sft import sft_exposures
 

@@ -243,6 +243,15 @@ CRR_PACK = RulePack(
         "equity_el_other": RuleEntry(_D("0.024"), "CRR Art.158(7)"),
         # SA-CCR alpha (CRR Art.274(2)) and SFT FX add-on scale
         "saccr_alpha": RuleEntry(_D("1.4"), "CRR Art.274(2)"),
+        # PFE multiplier floor F (CRR Art.278(3); ref engine/ccr/pfe.py)
+        "pfe_multiplier_floor": RuleEntry(_D("0.05"), "CRR Art.278(3)"),
+        # CRR Art.113(6): 0% RW for intragroup exposures inside the
+        # core-UK-group perimeter, individual-basis runs only (ref
+        # engine/stages/scope/resolver.py:233 _cug_eligibility,
+        # engine/sa/rw_adjustments.py apply_intragroup_zero_rw)
+        "intragroup_zero_rw_enabled": RuleEntry(_D("1"), "CRR Art.113(6)"),
+        "intragroup_zero_rw_pct": RuleEntry(_D("0.0"), "CRR Art.113(6)"),
+
         # SEC-SA distillation: RW = max(floor, 12.5·K_SA·p) with the flat
         # pool capital K_SA = 8% and p = 1 (CRR Art.261; the full SSFA
         # tranche integral is out of scope — shape and floor are real)
@@ -287,6 +296,10 @@ B31_PACK = RulePack(
         "equity_standard_rw": RuleEntry(_D("2.5"), "PS1/26 Art.133(3)"),
         "equity_speculative_rw": RuleEntry(_D("4.0"), "PS1/26 Art.133(4)"),
         "saccr_alpha": RuleEntry(_D("1.4"), "BCBS CRE52.1"),
+        "pfe_multiplier_floor": RuleEntry(_D("0.05"), "BCBS CRE52.23"),
+        "intragroup_zero_rw_enabled": RuleEntry(_D("1"), "PS1/26 Art.113(6)"),
+        "intragroup_zero_rw_pct": RuleEntry(_D("0.0"), "PS1/26 Art.113(6)"),
+
         "secsa_ksa": RuleEntry(_D("0.08"), "BCBS CRE41 (distilled K_SA)"),
         "secsa_p": RuleEntry(_D("1.0"), "BCBS CRE41.18 p-factor"),
         "secsa_floor_rw": RuleEntry(_D("0.15"), "BCBS CRE41.43 15% floor"),

@@ -168,6 +168,22 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         ).otherwise(F.col("rw_source")),
     )
 
+    # CRR Art.113(6): 0% RW for core-UK-group intragroup exposures on an
+    # individual-basis run. The carrier is set (and authoritatively
+    # cleared) ONLY by resolve_scope — see engine/stages/scope.py (ref
+    # engine/sa/rw_adjustments.py apply_intragroup_zero_rw).
+    if "intragroup_zero_rw_eligible" in exp.columns:
+        elig = F.coalesce("intragroup_zero_rw_eligible", F.lit(False))
+        exp = exp.withColumn(
+            "risk_weight",
+            F.when(elig, pack.lit("intragroup_zero_rw_pct")).otherwise(
+                F.col("risk_weight")
+            ),
+        ).withColumn(
+            "rw_source",
+            F.when(elig, "intragroup_art113_6").otherwise(F.col("rw_source")),
+        )
+
     # CRR2 Art.501 tiered SME factor blended over the group drawn amount,
     # combined with the Art.501a infrastructure factor by most-beneficial
     # min (ref supporting_factors.py get_effective_factor)
@@ -323,19 +339,45 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
 
 
 def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
-    """SEC-SA branch for securitisation pool rows (ref
-    engine/aggregator/_securitisation.py; CRR Art.261 distilled — flat pool
-    K_SA × 12.5 × p with the 15% floor; the SSFA tranche integral is out of
-    scope, the routing/floor shape is real)."""
+    """SEC-SA branch for securitisation pool rows.
+
+    Pool-grain rows (no tranche attributes) take the flat distillation
+    RW = max(floor, 12.5·K_SA·p) (ref engine/aggregator/_securitisation.py
+    declares the framework out of scope; the routing/floor shape is real).
+    Tranche-grain rows (attachment/detachment present, emitted by
+    run_securitisation when the bundle carries securitisation_tranches)
+    take the FULL SSFA closed form (BCBS CRE41 / CRR Art.261-262,
+    functions/secsa.py) — beyond the reference. Pure exp/arithmetic, so
+    the branch stays inside whole-stage codegen."""
     exp = _crm_carry(crm.exposures.where(F.col("exposure_class") == "securitisation"))
-    rw = F.greatest(
+    flat_rw = F.greatest(
         pack.lit("secsa_floor_rw"),
         pack.lit("secsa_ksa") * F.lit(12.5) * pack.lit("secsa_p"),
     )
+    if "attachment" in exp.columns:
+        from rwa_calculator_spark.functions.secsa import ssfa_risk_weight
+
+        rw = F.when(
+            F.col("attachment").isNotNull(),
+            ssfa_risk_weight(
+                F.col("attachment"),
+                F.col("detachment"),
+                F.coalesce("w_delinquent", F.lit(0.0)),
+                ksa=pack.scalar("secsa_ksa"),
+                p=pack.scalar("secsa_p"),
+                floor=pack.scalar("secsa_floor_rw"),
+            ),
+        ).otherwise(flat_rw)
+        rw_src = F.when(F.col("attachment").isNotNull(), "sec_sa_ssfa").otherwise(
+            "sec_sa"
+        )
+    else:
+        rw = flat_rw
+        rw_src = F.lit("sec_sa")
     exp = (
         exp.withColumn("approach", F.lit("SEC-SA"))
         .withColumn("risk_weight", rw)
-        .withColumn("rw_source", F.lit("sec_sa"))
+        .withColumn("rw_source", rw_src)
         .withColumn("rwa_before_sf", F.col("ead_after_crm") * rw)
         .withColumn("rwa", F.col("ead_after_crm") * rw)
     )

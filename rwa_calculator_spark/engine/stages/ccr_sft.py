@@ -40,13 +40,28 @@ def _exposure_shape(df: DataFrame, ref_col, etype: str) -> DataFrame:
     )
 
 
-def ccr_exposures(trades: DataFrame, pack: RulePack) -> DataFrame:
+def ccr_exposures(
+    trades: DataFrame,
+    pack: RulePack,
+    margin_agreements: DataFrame | None = None,
+    ccr_collateral: DataFrame | None = None,
+) -> DataFrame:
     """SA-CCR synthetic exposures, one per netting set.
 
     trades: (trade_reference, netting_set_reference, counterparty_reference,
     mtm, notional, asset_class). The supervisory factor joins from the
     rulepack saccr_sf table (broadcast); unknown asset classes take the
     worst factor in the table via coalesce to credit-level 5%.
+
+    When margin_agreements / ccr_collateral are supplied, the full RC and
+    PFE treatment applies (ref engine/ccr/rc.py, pfe.py):
+      C           = Σ collateral value · (1 − haircut) per set
+      RC          = max(V−C, TH+MTA−NICA, 0)   margined (CRR Art.275(2))
+                  = max(V−C, 0)                unmargined (Art.275(1))
+      multiplier  = min(1, F + (1−F)·e^{(V−C)/(2(1−F)·AddOn)})  (Art.278(3))
+      EAD         = α·(RC + multiplier·AddOn)
+    Both side frames are netting-set-grain (dimension-sized) → broadcast
+    joins; the trade-grain work stays two keyed partial-agg group-bys.
     """
     spark = trades.sparkSession
     sf_table = pack.broadcast_table(spark, "saccr_sf")
@@ -63,10 +78,62 @@ def ccr_exposures(trades: DataFrame, pack: RulePack) -> DataFrame:
         scaled_sum(F.col("class_addon"), 2).alias("aggregate_addon"),
         F.max("counterparty_reference").alias("counterparty_reference"),
     )
+
+    if ccr_collateral is not None:
+        hc = (
+            F.coalesce("haircut", F.lit(0.0))
+            if "haircut" in ccr_collateral.columns
+            else F.lit(0.0)
+        )
+        c = ccr_collateral.groupBy("netting_set_reference").agg(
+            scaled_sum(F.col("value") * (1 - hc), 2).alias("c_net")
+        )
+        per_set = per_set.join(F.broadcast(c), "netting_set_reference", "left")
+    else:
+        per_set = per_set.withColumn("c_net", F.lit(None).cast("double"))
+    per_set = per_set.withColumn("c_net", F.coalesce("c_net", F.lit(0.0)))
+
+    v_minus_c = F.col("set_mtm") - F.col("c_net")
+    if margin_agreements is not None:
+        ma = margin_agreements.select(
+            "netting_set_reference",
+            F.col("threshold").cast("double").alias("_th"),
+            F.col("mta").cast("double").alias("_mta"),
+            F.col("nica").cast("double").alias("_nica"),
+        )
+        per_set = per_set.join(F.broadcast(ma), "netting_set_reference", "left")
+        rc = F.when(
+            F.col("_th").isNotNull(),
+            F.greatest(
+                v_minus_c,
+                F.col("_th") + F.coalesce("_mta", F.lit(0.0)) - F.coalesce("_nica", F.lit(0.0)),
+                F.lit(0.0),
+            ),
+        ).otherwise(F.greatest(v_minus_c, F.lit(0.0)))
+    else:
+        rc = F.greatest(v_minus_c, F.lit(0.0))
+
+    # Art.278(3) PFE multiplier: <1 only when V−C < 0; AddOn = 0
+    # degenerates to 1 (no PFE to scale). Engages only when CSA data was
+    # supplied — trades-only bundles keep the distilled α·(RC+AddOn) shape
+    # (C is unknown without a collateral feed, so a multiplier computed
+    # from V alone would overstate the benefit of negative MTM).
+    if margin_agreements is not None or ccr_collateral is not None:
+        fl = pack.lit("pfe_multiplier_floor")
+        mult = F.when(
+            (v_minus_c < 0) & (F.col("aggregate_addon") > 0),
+            F.least(
+                F.lit(1.0),
+                fl
+                + (1 - fl)
+                * F.exp(v_minus_c / (2 * (1 - fl) * F.col("aggregate_addon"))),
+            ),
+        ).otherwise(F.lit(1.0))
+    else:
+        mult = F.lit(1.0)
+
     ead = per_set.withColumn(
-        "ead",
-        pack.lit("saccr_alpha")
-        * (F.greatest(F.col("set_mtm"), F.lit(0.0)) + F.col("aggregate_addon")),
+        "ead", pack.lit("saccr_alpha") * (rc + mult * F.col("aggregate_addon"))
     )
     return _exposure_shape(
         ead, F.concat(F.col("netting_set_reference"), F.lit("_CCR")), "ccr"

@@ -287,13 +287,18 @@ def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
         else:
             fin_coll = fin_coll.withColumn("_hc_derived", F.lit(0.0))
 
+        ccy_mm = (
+            F.coalesce("currency_mismatch", F.lit(False))
+            if "currency_mismatch" in fin_coll.columns
+            else F.lit(False)
+        )
         coll = fin_coll.select(
             "collateral_reference",
             resid.alias("_coll_maturity"),
             (
                 F.coalesce("market_value", F.lit(0.0))
                 * (1 - F.coalesce(supplied, F.col("_hc_derived")))
-                * (1 - F.when(F.coalesce("currency_mismatch", F.lit(False)), pack.lit("fx_haircut")).otherwise(0.0))
+                * (1 - F.when(ccy_mm, pack.lit("fx_haircut")).otherwise(0.0))
             ).alias("adjusted_value"),
         )
         links = raw.collateral_links.select(

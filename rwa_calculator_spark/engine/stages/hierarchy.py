@@ -84,6 +84,9 @@ def run_hierarchy(
     # ref engine/irb/adjustments.py apply_defaulted_treatment)
     if "el_be" in raw.loans.columns:
         loan_cols.append(F.col("el_be"))
+    # Art.113(6) carrier set by resolve_scope rides into the unified ledger
+    if "intragroup_zero_rw_eligible" in raw.loans.columns:
+        loan_cols.append(F.col("intragroup_zero_rw_eligible"))
     loans = loans_src.select(*loan_cols)
     frames = [loans]
     if raw.contingents is not None:

@@ -58,12 +58,21 @@ def _error_frame(df: DataFrame, code: str, severity: str, stage: str, key_col, m
 
 
 def resolve_scope(
-    raw: RawBundle, reporting_entity: str, basis: str = "consolidated"
+    raw: RawBundle, reporting_entity: str, basis: str = "consolidated", pack=None
 ) -> tuple[RawBundle, DataFrame]:
     """Filter the bundle to the reporting scope; returns (filtered bundle,
     SCP error frame). Requires raw.reporting_entities
     (entity_reference, parent_entity_reference) and raw.book_entity_mappings
-    (book_code, entity_reference)."""
+    (book_code, entity_reference).
+
+    When `pack` enables intragroup_zero_rw and the registry carries
+    core_uk_group, individual-basis runs additionally set the
+    `intragroup_zero_rw_eligible` carrier on lending rows whose
+    intragroup_entity_reference names a core-UK-group member — the CRR
+    Art.113(6) 0% RW override fires in run_sa (ref
+    engine/stages/scope/resolver.py:233 _cug_eligibility). The carrier is
+    OVERWRITTEN on every run the stage sees (False everywhere it doesn't
+    apply), closing the user-loadable bypass."""
     spark = raw.counterparties.sparkSession
     reg = raw.reporting_entities.select("entity_reference", "parent_entity_reference")
     mapping = raw.book_entity_mappings.select("book_code", "entity_reference")
@@ -180,8 +189,53 @@ def resolve_scope(
             members_b, df.intragroup_entity_reference == F.col("member"), "anti"
         )
 
+    # CRR Art.113(6) core-UK-group eligibility (individual basis only —
+    # consolidated runs eliminate intragroup rows before weighting, so the
+    # override cannot fire there; ref resolver.py _cug_eligibility)
+    cug_active = (
+        pack is not None
+        and "intragroup_zero_rw_enabled" in pack.scalars
+        and pack.scalar("intragroup_zero_rw_enabled") >= 1.0
+        and "core_uk_group" in raw.reporting_entities.columns
+        and basis == "individual"
+        and requested_known
+    )
+    if cug_active:
+        cug = raw.reporting_entities.where(
+            F.coalesce("core_uk_group", F.lit(False))
+        ).select(F.col("entity_reference").alias("_cug"))
+        # condition 2: the reporting entity must itself be in the core group
+        requested_in_cug = (
+            cug.where(F.col("_cug") == reporting_entity).limit(1).count() > 0
+        )
+        cug_b = F.broadcast(cug)
+    else:
+        requested_in_cug = False
+        cug_b = None
+
+    def _cug_carrier(df: DataFrame | None) -> DataFrame | None:
+        if df is None:
+            return None
+        if (
+            cug_active
+            and requested_in_cug
+            and "intragroup_entity_reference" in df.columns
+        ):
+            df = df.join(
+                cug_b, df.intragroup_entity_reference == F.col("_cug"), "left"
+            )
+            return df.withColumn(
+                "intragroup_zero_rw_eligible", F.col("_cug").isNotNull()
+            ).drop("_cug")
+        # authoritative clear everywhere the override cannot fire
+        if "intragroup_zero_rw_eligible" in df.columns or (
+            cug_active and "intragroup_entity_reference" in df.columns
+        ):
+            return df.withColumn("intragroup_zero_rw_eligible", F.lit(False))
+        return df
+
     def _lending(df: DataFrame | None) -> DataFrame | None:
-        return _intragroup(_booking(df))
+        return _cug_carrier(_intragroup(_booking(df)))
 
     # SCP001: unattributable books on lending frames (blank or unmapped) —
     # aggregated at DISTINCT book grain, not exposure grain

@@ -73,6 +73,39 @@ def run_securitisation(raw: RawBundle, pack: RulePack) -> tuple[RawBundle, DataF
         .groupBy("pool_reference")
         .agg(scaled_sum(F.col("_drawn") * F.col("_eff_pct"), 2).alias("_pool_amount"))
     )
+    if raw.securitisation_tranches is not None:
+        # tranche grain: one synthetic exposure per (pool, tranche) carrying
+        # attachment/detachment/W so the SEC-SA branch can run the full
+        # SSFA closed form (functions/secsa.py). Tranche nominal = pool
+        # amount × tranche width; the tranche table is dimension-sized so
+        # the join broadcasts.
+        tr = raw.securitisation_tranches
+        if "w_delinquent" not in tr.columns:
+            tr = tr.withColumn("w_delinquent", F.lit(0.0))
+        tranched = pool_amounts.join(F.broadcast(tr), "pool_reference")
+        pools = tranched.select(
+            F.concat(
+                F.lit("SEC_"), F.col("pool_reference"), F.lit("_"), F.col("tranche_reference")
+            ).alias("exposure_reference"),
+            F.lit("securitisation_pool").alias("exposure_type"),
+            F.lit(None).cast("string").alias("counterparty_reference"),
+            (F.col("_pool_amount") * (F.col("detachment") - F.col("attachment"))).alias(
+                "drawn_amount"
+            ),
+            F.lit(0.0).alias("undrawn_amount"),
+            F.lit(None).cast("string").alias("risk_bucket"),
+            F.lit(False).alias("is_defaulted"),
+            F.lit(None).cast("double").alias("pd"),
+            F.lit(None).cast("double").alias("lgd"),
+            F.lit(None).cast("double").alias("effective_maturity"),
+            F.col("attachment").cast("double").alias("attachment"),
+            F.col("detachment").cast("double").alias("detachment"),
+            F.coalesce(F.col("w_delinquent").cast("double"), F.lit(0.0)).alias(
+                "w_delinquent"
+            ),
+        )
+        return replace(raw, loans=retained), pools
+
     pools = pool_amounts.select(
         F.concat(F.lit("SEC_"), F.col("pool_reference")).alias("exposure_reference"),
         F.lit("securitisation_pool").alias("exposure_type"),

@@ -46,7 +46,9 @@ def test_results_ledger_carries_audit_columns(spark):
 
     bundle = build_bundle(spark, n_cp=100)
     out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
-    assert out.results.columns == _RESULT_COLS
+    # the aggregator appends rwa_pre_floor (pre-floor RWA stays on the
+    # ledger for the attribution waterfall / transitional schedule)
+    assert out.results.columns == _RESULT_COLS + ["rwa_pre_floor"]
     for required in (
         "ead",
         "ead_after_crm",

@@ -454,6 +454,81 @@ def test_scope_individual_keeps_intragroup(spark, scope_bundle):
     assert refs == {"L1", "L4"}
 
 
+def test_intragroup_zero_rw_art113_6(spark):
+    """CRR Art.113(6) core-UK-group 0% RW (ref scope/resolver.py:233
+    _cug_eligibility + sa/rw_adjustments.py): fires ONLY on an individual
+    run where both the reporting entity and the tagged entity carry
+    core_uk_group=True; the user-loadable carrier is clobbered."""
+    from dataclasses import replace as dc_replace
+
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            # intragroup to core-group member E2 → eligible on individual run
+            ("L1", "CP1", 100.0, False, None, None, None, "B1", "E2", True),
+            # intragroup to NON-core E3 → not eligible
+            ("L2", "CP1", 100.0, False, None, None, None, "B1", "E3", False),
+            # plain third-party row; smuggled True carrier must be clobbered
+            ("L3", "CP1", 100.0, False, None, None, None, "B1", None, True),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double, "
+        "book_code string, intragroup_entity_reference string, "
+        "intragroup_zero_rw_eligible boolean",
+    )
+    registry = _df(
+        spark,
+        [("E0", None, True), ("E1", "E0", True), ("E2", "E1", True), ("E3", "E1", False)],
+        "entity_reference string, parent_entity_reference string, core_uk_group boolean",
+    )
+    mapping = _df(
+        spark,
+        [("B1", "E1")],
+        "book_code string, entity_reference string",
+    )
+    bundle = RawBundle(
+        counterparties=cps,
+        loans=loans,
+        reporting_entities=registry,
+        book_entity_mappings=mapping,
+    )
+    out = run_pipeline(
+        bundle,
+        PipelineConfig(pack=CRR_PACK, reporting_entity="E1", reporting_basis="individual"),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    assert rows["L1"].risk_weight == pytest.approx(0.0)
+    assert rows["L1"].rw_source == "intragroup_art113_6"
+    assert rows["L2"].risk_weight == pytest.approx(0.5)  # corporate cqs2
+    assert rows["L3"].risk_weight == pytest.approx(0.5)  # smuggled True cleared
+    assert rows["L3"].rw_source == "sa_cqs_lookup"
+
+    # consolidated run: L1 is eliminated entirely; the carrier never fires
+    out_c = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, reporting_entity="E1"))
+    rows_c = {r.exposure_reference: r for r in out_c.results.collect()}
+    assert "L1" not in rows_c  # intragroup row eliminated on consolidation
+    assert rows_c["L3"].risk_weight == pytest.approx(0.5)
+
+    # reporting entity NOT in the core group → nothing eligible even solo
+    registry_nc = _df(
+        spark,
+        [("E0", None, False), ("E1", "E0", False), ("E2", "E1", True)],
+        "entity_reference string, parent_entity_reference string, core_uk_group boolean",
+    )
+    out_nc = run_pipeline(
+        dc_replace(bundle, reporting_entities=registry_nc),
+        PipelineConfig(pack=CRR_PACK, reporting_entity="E1", reporting_basis="individual"),
+    )
+    rows_nc = {r.exposure_reference: r for r in out_nc.results.collect()}
+    assert rows_nc["L1"].risk_weight == pytest.approx(0.5)
+
+
 def test_scope_unknown_entity_empties_selection(spark, scope_bundle):
     out = run_pipeline(
         scope_bundle, PipelineConfig(pack=CRR_PACK, reporting_entity="EX")
@@ -518,6 +593,71 @@ def test_ccr_sft_rows_enter_ledger(spark):
     assert out.results.count() == 4  # loan + 2 CCR sets + 1 SFT set
 
 
+def test_saccr_margined_rc_and_pfe_multiplier(spark):
+    """Margined RC (CRR Art.275(2)) and the Art.278(3) PFE multiplier inside
+    the pipeline stage (ref engine/ccr/rc.py compute_rc_margined, pfe.py):
+    RC = max(V−C, TH+MTA−NICA, 0); over-collateralised sets shrink PFE via
+    min(1, F + (1−F)·e^{(V−C)/(2(1−F)·AddOn)})."""
+    import math
+
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    trades = _df(
+        spark,
+        [
+            # NS1 margined, under-collateralised: V=100, C=30
+            ("T1", "NS1", "CP1", 100.0, 10000.0, "ir"),
+            # NS2 margined, over-collateralised: V=100, C=400 → multiplier <1
+            ("T2", "NS2", "CP1", 100.0, 10000.0, "ir"),
+            # NS3 unmargined with collateral: RC = max(V−C, 0)
+            ("T3", "NS3", "CP1", 100.0, 10000.0, "ir"),
+        ],
+        "trade_reference string, netting_set_reference string, counterparty_reference string, "
+        "mtm double, notional double, asset_class string",
+    )
+    margins = _df(
+        spark,
+        [("NS1", 80.0, 10.0, 5.0), ("NS2", 0.0, 0.0, 0.0)],
+        "netting_set_reference string, threshold double, mta double, nica double",
+    )
+    coll = _df(
+        spark,
+        [("NS1", 30.0, None), ("NS2", 400.0, 0.0), ("NS3", 40.0, None)],
+        "netting_set_reference string, value double, haircut double",
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps,
+            loans=loans,
+            trades=trades,
+            margin_agreements=margins,
+            ccr_collateral=coll,
+        ),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    addon = 0.005 * 10000.0  # ir SF × notional = 50
+
+    # NS1: RC = max(100−30, 80+10−5, 0) = max(70, 85) = 85; V−C=70>0 → mult 1
+    assert rows["NS1_CCR"].ead == pytest.approx(1.4 * (85 + addon))
+    # NS2: V−C = −300 → RC = 0, mult = min(1, .05+.95·e^{−300/(2·0.95·50)})
+    m2 = min(1.0, 0.05 + 0.95 * math.exp(-300.0 / (2 * 0.95 * addon)))
+    assert rows["NS2_CCR"].ead == pytest.approx(1.4 * m2 * addon)
+    assert m2 < 1.0  # the multiplier genuinely engaged
+    # NS3 (no margin row): RC = max(100−40, 0) = 60, mult 1
+    assert rows["NS3_CCR"].ead == pytest.approx(1.4 * (60 + addon))
+
+
 def test_securitisation_stage_conserves_and_routes(spark):
     """Allocated slices leave the loan book, pools route to SEC-SA (ref
     engine/stages/securitisation.py, aggregator/_securitisation.py):
@@ -551,6 +691,82 @@ def test_securitisation_stage_conserves_and_routes(spark):
     assert rows["SEC_P1"].risk_weight == pytest.approx(1.0)  # max(0.15, 0.08·12.5·1)
     total_ead = sum(r.ead for r in rows.values())
     assert total_ead == pytest.approx(1000.0)  # conservation across the split
+
+
+def test_secsa_ssfa_tranches(spark):
+    """Full SSFA tranche closed form (BCBS CRE41.16-18 / CRR Art.261-262,
+    functions/secsa.py — beyond the reference's placeholder pool RWA):
+    with W=0.1, K_A = 0.9·0.08 + 0.05 = 0.122, the three tranches cover
+    all three branches — D ≤ K_A (1250%), straddle, A ≥ K_A — and the
+    nominal splits by tranche width so EAD conservation still holds."""
+    import math
+
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    allocs = _df(
+        spark,
+        [("L1", "P1", 0.5)],
+        "exposure_reference string, pool_reference string, allocation_pct double",
+    )
+    tranches = _df(
+        spark,
+        [
+            ("P1", "JUN", 0.0, 0.05, 0.1),
+            ("P1", "MEZ", 0.05, 0.15, 0.1),
+            ("P1", "SEN", 0.15, 1.0, 0.1),
+        ],
+        "pool_reference string, tranche_reference string, attachment double, "
+        "detachment double, w_delinquent double",
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps,
+            loans=loans,
+            securitisation_allocations=allocs,
+            securitisation_tranches=tranches,
+        ),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+
+    ka = 0.9 * 0.08 + 0.5 * 0.1  # 0.122
+    a = -1.0 / ka
+
+    def kssfa(lo, u):
+        return (math.exp(a * u) - math.exp(a * lo)) / (a * (u - lo))
+
+    # junior: fully below K_A → 1250%
+    assert rows["SEC_P1_JUN"].risk_weight == pytest.approx(12.5)
+    # mezzanine straddles K_A: sub-K_A slice at 1250%, rest at 12.5·K_SSFA
+    ks_mez = kssfa(0.0, 0.15 - ka)
+    exp_mez = ((ka - 0.05) + (0.15 - ka) * ks_mez) * 12.5 / 0.10
+    assert rows["SEC_P1_MEZ"].risk_weight == pytest.approx(exp_mez, rel=1e-12)
+    # senior: entirely above K_A
+    exp_sen = max(12.5 * kssfa(0.15 - ka, 1.0 - ka), 0.15)
+    assert rows["SEC_P1_SEN"].risk_weight == pytest.approx(exp_sen, rel=1e-12)
+    for t in ("JUN", "MEZ", "SEN"):
+        assert rows[f"SEC_P1_{t}"].rw_source == "sec_sa_ssfa"
+        assert rows[f"SEC_P1_{t}"].approach == "SEC-SA"
+    # tranche nominal = pool amount × width; conservation across the split
+    assert rows["SEC_P1_JUN"].ead == pytest.approx(500.0 * 0.05)
+    assert rows["SEC_P1_SEN"].ead == pytest.approx(500.0 * 0.85)
+    assert sum(r.ead for r in rows.values()) == pytest.approx(1000.0)
+    # monotonicity: seniority never increases the risk weight
+    assert (
+        rows["SEC_P1_JUN"].risk_weight
+        >= rows["SEC_P1_MEZ"].risk_weight
+        >= rows["SEC_P1_SEN"].risk_weight
+    )
 
 
 def test_re_split_stage(spark):
@@ -900,6 +1116,117 @@ def test_validation_scrubs_and_reports(spark):
             RawBundle(counterparties=cps, loans=loans),
             PipelineConfig(pack=CRR_PACK, validation="immediate"),
         )
+
+
+def test_pipeline_monotonicity_ladders(spark):
+    """Pipeline-level perturbation ladders (ref tests/properties/
+    test_monotonicity.py — stated on the full engine output, not the bare
+    kernel): raising PD on a performing IRB loan never lowers its RWA in
+    the pre-peak region; adding eligible collateral to an SA loan never
+    raises RWA."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, True)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+
+    def run_pd(pd):
+        loans = _df(
+            spark,
+            [("L1", "CP1", 1000.0, False, pd, 0.45, 2.5)],
+            "loan_reference string, counterparty_reference string, drawn_amount double, "
+            "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+        )
+        out = run_pipeline(
+            RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=CRR_PACK)
+        )
+        return out.results.collect()[0].rwa
+
+    rwas = [run_pd(p) for p in (0.005, 0.01, 0.03)]
+    assert rwas[0] < rwas[1] < rwas[2]
+
+    cps_sa = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+
+    def run_coll(mv):
+        loans = _df(
+            spark,
+            [("L1", "CP1", 1000.0, False, None, None, None)],
+            "loan_reference string, counterparty_reference string, drawn_amount double, "
+            "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+        )
+        coll = _df(
+            spark,
+            [("C1", "cash", mv, None)],
+            "collateral_reference string, collateral_type string, market_value double, "
+            "maturity_years double",
+        )
+        links = _df(
+            spark,
+            [("C1", "L1", 1.0)],
+            "collateral_reference string, exposure_reference string, allocation_pct double",
+        )
+        out = run_pipeline(
+            RawBundle(
+                counterparties=cps_sa, loans=loans, collateral=coll, collateral_links=links
+            ),
+            PipelineConfig(pack=CRR_PACK),
+        )
+        return out.results.collect()[0].rwa
+
+    rwas_c = [run_coll(v) for v in (0.0, 300.0, 700.0)]
+    assert rwas_c[0] >= rwas_c[1] >= rwas_c[2]
+    assert rwas_c[2] < rwas_c[0]  # the ladder genuinely engaged
+
+
+def test_validation_duplicate_keys_and_negative_amounts(spark):
+    """DQ004 duplicate keys + DQ012 negative principal (ref
+    engine/stages/hierarchy/graph.py:437-488 first-wins edge dedup with
+    DQ004): a duplicated org edge is warned AND deduplicated so the
+    hierarchy closure cannot row-explode; duplicate loan keys and negative
+    drawn amounts surface as warnings."""
+    cps = _df(
+        spark,
+        [
+            ("CP1", "corporate", 2, False, 0.0, False),
+            ("P1", "corporate", 2, False, 0.0, False),
+            ("P2", "corporate", 2, False, 0.0, False),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 100.0, False, None, None, None),
+            ("L1", "CP1", 100.0, False, None, None, None),  # duplicate key
+            ("L2", "CP1", -50.0, False, None, None, None),  # negative drawn
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    org = _df(
+        spark,
+        [("CP1", "P1"), ("CP1", "P2")],  # conflicting duplicate edge
+        "child_reference string, parent_reference string",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, org_mappings=org),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    errs = {(r.code, r.key) for r in out.errors.collect()}
+    assert ("DQ004", "L1") in errs
+    assert ("DQ004", "CP1") in errs
+    assert ("DQ012", "L2") in errs
+    # deterministic first edge (min parent) kept; no closure row explosion:
+    # both L1 rows resolve to group P1, each appearing exactly once
+    rows = out.results.collect()
+    assert len(rows) == 3  # 2×L1 (duplicate keys flow, warned) + L2
 
 
 def test_art138_agency_truth_table(spark):
