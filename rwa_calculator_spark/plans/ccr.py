@@ -83,6 +83,113 @@ def saccr_ead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "saccr_margined_rc",
+    oracle=f"""
+    WITH trades AS (
+        SELECT 'NS' || l_orderkey AS ns,
+               l_extendedprice * (1 - l_discount) - 35000.0 AS mtm,
+               l_quantity * 1000.0 AS notional,
+               CASE l_returnflag WHEN 'A' THEN 'ir' WHEN 'N' THEN 'fx' ELSE 'credit' END AS asset_class,
+               CAST(CASE l_returnflag WHEN 'A' THEN 0.005 WHEN 'N' THEN 0.04 ELSE 0.05 END AS DOUBLE) AS sf
+        FROM lineitem
+    ), per_class AS (
+        SELECT ns, asset_class,
+               {sql_scaled_sum('mtm', 2)} AS class_mtm,
+               {sql_scaled_sum('sf * notional', 2)} AS class_addon
+        FROM trades GROUP BY 1, 2
+    ), per_set AS (
+        SELECT ns,
+               {sql_scaled_sum('class_mtm', 2)} AS set_mtm,
+               {sql_scaled_sum('class_addon', 2)} AS addon
+        FROM per_class GROUP BY ns
+    ), margins AS (
+        SELECT 'NS' || o_orderkey AS ns,
+               CAST((o_orderkey % 5) * 2000 AS DOUBLE) AS th,
+               CAST((o_orderkey % 3) * 500 AS DOUBLE) AS mta,
+               CAST((o_orderkey % 4) * 250 AS DOUBLE) AS nica
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), coll AS (
+        SELECT 'NS' || o_orderkey AS ns,
+               {sql_scaled_sum('''(o_totalprice * 0.4) * (1 - CAST(CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 0.005 WHEN '2-HIGH' THEN 0.02
+                    ELSE 0.04 END AS DOUBLE))''', 2)} AS c_net
+        FROM orders WHERE o_orderkey % 3 = 0
+        GROUP BY 1
+    ), joined AS (
+        SELECT p.ns, p.set_mtm, p.addon, m.th, m.mta, m.nica,
+               coalesce(c.c_net, 0.0) AS c_net,
+               p.set_mtm - coalesce(c.c_net, 0.0) AS vc
+        FROM per_set p
+        LEFT JOIN margins m ON p.ns = m.ns
+        LEFT JOIN coll c ON p.ns = c.ns
+    ), computed AS (
+        SELECT ns,
+               CASE WHEN th IS NOT NULL
+                    THEN greatest(vc, (th + coalesce(mta, 0.0)) - coalesce(nica, 0.0), 0.0)
+                    ELSE greatest(vc, 0.0) END AS rc,
+               CASE WHEN vc < 0 AND addon > 0
+                    THEN least(1.0, 0.05 + (1 - 0.05) * exp(vc / ((2 * (1 - 0.05)) * addon)))
+                    ELSE 1.0 END AS mult,
+               addon
+        FROM joined
+    )
+    SELECT ns || '_CCR' AS exposure_reference,
+           round(1.4 * (rc + mult * addon), 2) AS ead
+    FROM computed
+    """,
+    tags=("ccr", "engine"),
+)
+def saccr_margined_rc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full margined SA-CCR through the REAL pipeline operator
+    (engine/stages/ccr_sft.py ccr_exposures; ref engine/ccr/rc.py
+    compute_rc_margined + pfe.py Art.278(3) multiplier): RC =
+    max(V−C, TH+MTA−NICA, 0) for margined sets, collateral nets at
+    (1−haircut), over-collateralised sets shrink PFE via
+    min(1, F + (1−F)·e^{(V−C)/(2(1−F)·AddOn)}). The oracle re-derives the
+    identical two-level fixed-point aggregation and multiplier arithmetic;
+    the per-set 2-dp rounding absorbs exp() libm noise."""
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.engine.stages.ccr_sft import ccr_exposures
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    trades = li.select(
+        F.concat(F.lit("T"), F.col("l_orderkey"), F.lit("_"), F.col("l_linenumber")).alias(
+            "trade_reference"
+        ),
+        F.concat(F.lit("NS"), F.col("l_orderkey")).alias("netting_set_reference"),
+        F.lit("CP1").alias("counterparty_reference"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) - 35000.0).alias("mtm"),
+        (F.col("l_quantity") * 1000.0).alias("notional"),
+        F.when(F.col("l_returnflag") == "A", "ir")
+        .when(F.col("l_returnflag") == "N", "fx")
+        .otherwise("credit")
+        .alias("asset_class"),
+    )
+    margins = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.concat(F.lit("NS"), F.col("o_orderkey")).alias("netting_set_reference"),
+        ((F.col("o_orderkey") % 5) * 2000).cast("double").alias("threshold"),
+        ((F.col("o_orderkey") % 3) * 500).cast("double").alias("mta"),
+        ((F.col("o_orderkey") % 4) * 250).cast("double").alias("nica"),
+    )
+    hc = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 0.005)
+        .when(F.col("o_orderpriority") == "2-HIGH", 0.02)
+        .otherwise(0.04)
+        .cast("double")
+    )
+    coll = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.concat(F.lit("NS"), F.col("o_orderkey")).alias("netting_set_reference"),
+        (F.col("o_totalprice") * 0.4).alias("value"),
+        hc.alias("haircut"),
+    )
+    out = ccr_exposures(trades, CRR_PACK, margin_agreements=margins, ccr_collateral=coll)
+    return out.select(
+        "exposure_reference", F.round(F.col("drawn_amount"), 2).alias("ead")
+    )
+
+
+@query(
     "sft_fccm",
     oracle=f"""
     WITH legs AS (
@@ -189,6 +296,344 @@ def ba_cva(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k_cva"),
         F.count("*").alias("n_counterparties"),
         F.round(F.sum("s_cva"), 2).alias("total_scva"),
+    )
+
+
+def _sql_supervisory_delta() -> str:
+    from rwa_calculator_spark.functions.stats import sql_normal_cdf
+
+    return f"""
+    WITH trades AS (
+        SELECT CASE l_returnflag WHEN 'A' THEN 'ir' WHEN 'N' THEN 'fx'
+                    ELSE 'credit' END AS asset_class,
+               l_returnflag <> 'R' AS is_long,
+               CASE WHEN l_linenumber <= 3 THEN
+                    CASE WHEN l_linestatus = 'O' THEN 'call' ELSE 'put' END
+               END AS option_type,
+               CASE WHEN l_linenumber <= 3
+                    THEN l_extendedprice / l_quantity END AS k_strike,
+               CASE WHEN l_linenumber <= 3
+                    THEN (l_extendedprice / l_quantity)
+                         * (0.8 + CAST(l_orderkey % 5 AS DOUBLE) * 0.1) END AS p_under,
+               (1.0 + CAST(l_suppkey % 8 AS DOUBLE)) / 4.0 AS t_years,
+               CAST(CASE l_returnflag WHEN 'A' THEN 0.5 WHEN 'N' THEN 0.15
+                    ELSE 1.0 END AS DOUBLE) AS sigma
+        FROM lineitem
+    ), staged AS (
+        SELECT *,
+               CASE WHEN k_strike IS NOT NULL THEN
+                    (ln(p_under / k_strike) + (0.5 * sigma * sigma) * t_years)
+                        / (sigma * sqrt(t_years)) END AS d1
+        FROM trades
+    ), with_phi AS (
+        SELECT asset_class, is_long, option_type,
+               {sql_normal_cdf('d1')} AS phi_d1,
+               {sql_normal_cdf('(- d1)')} AS phi_neg_d1
+        FROM staged
+    ), deltas AS (
+        SELECT asset_class,
+               coalesce(option_type, 'linear') AS instrument,
+               CASE WHEN option_type IS NULL THEN
+                         CASE WHEN is_long THEN 1.0 ELSE -1.0 END
+                    WHEN option_type = 'call' THEN
+                         CASE WHEN is_long THEN phi_d1 ELSE - phi_d1 END
+                    ELSE CASE WHEN is_long THEN - phi_neg_d1 ELSE phi_neg_d1 END
+               END AS delta
+        FROM with_phi
+    )
+    SELECT asset_class, instrument, count(*) AS n_trades,
+           sum(CAST(round(delta * 10000000000.0, 0) AS BIGINT))
+               / CAST(10000000000 AS DOUBLE) AS total_delta
+    FROM deltas GROUP BY 1, 2
+    """
+
+
+@query(
+    "saccr_supervisory_delta",
+    oracle=_sql_supervisory_delta(),
+    tags=("ccr", "stats", "tolerant"),
+)
+def saccr_supervisory_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA-CCR supervisory delta (CRR Art.279a / BCBS CRE52.42; ref
+    engine/ccr/supervisory_delta.py): ±1 for linear trades, Black-Scholes
+    ±Φ(±d1) for European options with d1 = (ln(P/K) + 0.5σ²T)/(σ√T) and
+    the supervisory per-asset-class volatility (CRE52.47). Φ is the same
+    pure-Column Cody kernel as the IRB pipeline (functions/stats.py) —
+    staged as a projection column so the expression tree stays bounded."""
+    from rwa_calculator_spark.functions.stats import spark_expr_normal_cdf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    is_opt = F.col("l_linenumber") <= 3
+    k = F.col("l_extendedprice") / F.col("l_quantity")
+    trades = li.select(
+        F.when(F.col("l_returnflag") == "A", "ir")
+        .when(F.col("l_returnflag") == "N", "fx")
+        .otherwise("credit")
+        .alias("asset_class"),
+        (F.col("l_returnflag") != "R").alias("is_long"),
+        F.when(is_opt, F.when(F.col("l_linestatus") == "O", "call").otherwise("put")).alias(
+            "option_type"
+        ),
+        F.when(is_opt, k).alias("k_strike"),
+        F.when(is_opt, k * (0.8 + (F.col("l_orderkey") % 5).cast("double") * 0.1)).alias(
+            "p_under"
+        ),
+        ((1.0 + (F.col("l_suppkey") % 8).cast("double")) / 4.0).alias("t_years"),
+        F.when(F.col("l_returnflag") == "A", 0.5)
+        .when(F.col("l_returnflag") == "N", 0.15)
+        .otherwise(1.0)
+        .cast("double")
+        .alias("sigma"),
+    )
+    d1 = F.when(
+        F.col("k_strike").isNotNull(),
+        (F.log(F.col("p_under") / F.col("k_strike")) + (0.5 * F.col("sigma") * F.col("sigma")) * F.col("t_years"))
+        / (F.col("sigma") * F.sqrt("t_years")),
+    )
+    staged = trades.withColumn("d1", d1).withColumn("neg_d1", -F.col("d1"))
+    with_phi = staged.withColumn("phi_d1", spark_expr_normal_cdf("d1")).withColumn(
+        "phi_neg_d1", spark_expr_normal_cdf("neg_d1")
+    )
+    delta = (
+        F.when(
+            F.col("option_type").isNull(),
+            F.when(F.col("is_long"), 1.0).otherwise(-1.0),
+        )
+        .when(
+            F.col("option_type") == "call",
+            F.when(F.col("is_long"), F.col("phi_d1")).otherwise(-F.col("phi_d1")),
+        )
+        .otherwise(
+            F.when(F.col("is_long"), -F.col("phi_neg_d1")).otherwise(F.col("phi_neg_d1"))
+        )
+    )
+    return (
+        with_phi.select(
+            "asset_class",
+            F.coalesce("option_type", F.lit("linear")).alias("instrument"),
+            delta.alias("delta"),
+        )
+        .groupBy("asset_class", "instrument")
+        .agg(
+            F.count("*").alias("n_trades"),
+            scaled_sum(F.col("delta"), 10).alias("total_delta"),
+        )
+    )
+
+
+@query(
+    "saccr_adjusted_notional",
+    oracle=f"""
+    WITH trades AS (
+        SELECT CASE l_returnflag WHEN 'A' THEN 'ir' ELSE 'credit' END AS asset_class,
+               l_quantity * 1000.0 AS trade_notional,
+               CAST(l_orderkey % 3 AS DOUBLE) AS s_years,
+               CAST(l_orderkey % 3 AS DOUBLE)
+                   + 0.5 + CAST(l_suppkey % 10 AS DOUBLE) / 2.0 AS e_years
+        FROM lineitem WHERE l_returnflag <> 'N'
+    ), sd AS (
+        SELECT asset_class, trade_notional,
+               (exp(-0.05 * s_years) - exp(-0.05 * e_years)) / 0.05 AS duration
+        FROM trades
+    )
+    SELECT asset_class, count(*) AS n_trades,
+           {sql_scaled_sum('trade_notional * duration', 2)} AS adjusted_notional
+    FROM sd GROUP BY asset_class
+    """,
+    tags=("ccr", "tolerant"),
+)
+def saccr_adjusted_notional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA-CCR supervisory-duration adjusted notional for IR/credit trades
+    (CRR Art.279b(1)(a) / BCBS CRE52.34; ref
+    engine/ccr/adjusted_notional.py): SD(S,E) = (e^{−0.05·S} − e^{−0.05·E})
+    / 0.05, adjusted notional = trade notional × SD, summed per asset
+    class. Pure expression arithmetic in whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    trades = li.where(F.col("l_returnflag") != "N").select(
+        F.when(F.col("l_returnflag") == "A", "ir").otherwise("credit").alias("asset_class"),
+        (F.col("l_quantity") * 1000.0).alias("trade_notional"),
+        (F.col("l_orderkey") % 3).cast("double").alias("s_years"),
+        (
+            (F.col("l_orderkey") % 3).cast("double")
+            + 0.5
+            + (F.col("l_suppkey") % 10).cast("double") / 2.0
+        ).alias("e_years"),
+    )
+    duration = (F.exp(-0.05 * F.col("s_years")) - F.exp(-0.05 * F.col("e_years"))) / F.lit(
+        0.05
+    )
+    return (
+        trades.select("asset_class", "trade_notional", duration.alias("duration"))
+        .groupBy("asset_class")
+        .agg(
+            F.count("*").alias("n_trades"),
+            scaled_sum(F.col("trade_notional") * F.col("duration"), 2).alias(
+                "adjusted_notional"
+            ),
+        )
+    )
+
+
+_CVA_DF = "((1 - exp(-0.05 * {m})) / (0.05 * {m}))"
+
+
+@query(
+    "ba_cva_hedged",
+    oracle=f"""
+    WITH scva AS (
+        SELECT n.n_name,
+               (1.0 / 1.4)
+                   * CAST(CASE WHEN r.r_name = 'EUROPE' THEN 0.01 ELSE 0.03 END AS DOUBLE)
+                   * (1.0 + CAST(n.n_nationkey % 5 AS DOUBLE))
+                   * ({sql_scaled_sum('o.o_totalprice', 2)})
+                   * {_CVA_DF.format(m='(1.0 + CAST(n.n_nationkey % 5 AS DOUBLE))')} AS s_cva,
+               CAST(n.n_nationkey AS BIGINT) AS nk
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name, n.n_nationkey
+    ), hedges AS (
+        SELECT n.n_name,
+               CAST(CASE n.n_nationkey % 3 WHEN 0 THEN 0.5 WHEN 1 THEN 0.8
+                    ELSE 0.9 END AS DOUBLE) AS r_hc,
+               CAST(0.02 AS DOUBLE)
+                   * (1.0 + CAST(n.n_nationkey % 3 AS DOUBLE))
+                   * ({sql_scaled_sum('greatest(s.s_acctbal, 0.0)', 2)})
+                   * {_CVA_DF.format(m='(1.0 + CAST(n.n_nationkey % 3 AS DOUBLE))')} AS h_term
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, n.n_nationkey
+    ), per_cp AS (
+        SELECT s.n_name, s.s_cva,
+               coalesce(h.r_hc * h.h_term, 0.0) AS snh,
+               coalesce((1 - h.r_hc * h.r_hc) * h.h_term * h.h_term, 0.0) AS hma
+        FROM scva s LEFT JOIN hedges h ON s.n_name = h.n_name
+    ), ih AS (
+        SELECT sum((0.02 * 0.70) * 2.0
+                   * (CAST(round(reg_total * 0.001 * 100.0, 0) AS BIGINT) / CAST(100 AS DOUBLE))
+                   * {_CVA_DF.format(m='2.0')}) AS ih_total
+        FROM (
+            SELECT r.r_name, {sql_scaled_sum('o.o_totalprice', 2)} AS reg_total
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        )
+    ), k AS (
+        SELECT sqrt(power(0.5 * sum(s_cva), 2) + 0.75 * sum(s_cva * s_cva)) AS k_reduced,
+               sqrt(power(0.5 * sum(s_cva - snh) - (SELECT ih_total FROM ih), 2)
+                    + 0.75 * sum((s_cva - snh) * (s_cva - snh))
+                    + sum(hma)) AS k_hedged,
+               count(*) AS n_counterparties
+        FROM per_cp
+    )
+    SELECT round(k_reduced, 2) AS k_reduced,
+           round(k_hedged, 2) AS k_hedged,
+           round(0.25 * k_reduced + 0.75 * k_hedged, 2) AS k_full,
+           round((0.25 * k_reduced + 0.75 * k_hedged) * 0.65 * 12.5, 2) AS rwea_cva,
+           n_counterparties
+    FROM k
+    """,
+    tags=("ccr", "cva", "tolerant"),
+)
+def ba_cva_hedged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BA-CVA with eligible hedges (PRA PS1/26 CVA 4.5-4.10; ref
+    engine/cva/ba_cva.py full-version path): SCVA_c carries 1/α and the
+    supervisory discount factor DF = (1−e^{−0.05M})/(0.05M); single-name
+    hedges SNH_c = r_hc·RW_h·M_h·B_h·DF_h (NO 1/α — the reference flags
+    this asymmetry as CRITICAL); HMA_c = (1−r²)·(term)²; index hedges get
+    the 0.70 diversification factor; K_full = β·K_reduced + (1−β)·K_hedged
+    with β=0.25; RWEA = 0.65·K_full·12.5. Customers are counterparties
+    (nation grain), suppliers provide the hedge book."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def df_factor(m):
+        return (1 - F.exp(-0.05 * m)) / (0.05 * m)
+
+    rw = F.when(F.col("r_name") == "EUROPE", 0.01).otherwise(0.03).cast("double")
+    m_cp = 1.0 + (F.col("n_nationkey") % 5).cast("double")
+    scva = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("n_name", "r_name", "n_nationkey")
+        .agg(scaled_sum(F.col("o_totalprice"), 2).alias("ead"))
+        .select(
+            "n_name",
+            ((1.0 / 1.4) * rw * m_cp * F.col("ead") * df_factor(m_cp)).alias("s_cva"),
+        )
+    )
+    r_hc = (
+        F.when(F.col("n_nationkey") % 3 == 0, 0.5)
+        .when(F.col("n_nationkey") % 3 == 1, 0.8)
+        .otherwise(0.9)
+        .cast("double")
+    )
+    m_h = 1.0 + (F.col("n_nationkey") % 3).cast("double")
+    hedges = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "n_nationkey")
+        .agg(scaled_sum(F.greatest(F.col("s_acctbal"), F.lit(0.0)), 2).alias("b_h"))
+        .select(
+            "n_name",
+            r_hc.alias("r_hc"),
+            (F.lit(0.02) * m_h * F.col("b_h") * df_factor(m_h)).alias("h_term"),
+        )
+    )
+    per_cp = scva.join(hedges, "n_name", "left").select(
+        "s_cva",
+        F.coalesce(F.col("r_hc") * F.col("h_term"), F.lit(0.0)).alias("snh"),
+        F.coalesce(
+            (1 - F.col("r_hc") * F.col("r_hc")) * F.col("h_term") * F.col("h_term"),
+            F.lit(0.0),
+        ).alias("hma"),
+    )
+    reg_totals = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(scaled_sum(F.col("o_totalprice"), 2).alias("reg_total"))
+    )
+    b_i = F.round(F.col("reg_total") * 0.001 * 100.0, 0).cast("long") / F.lit(100.0)
+    ih = reg_totals.agg(
+        F.sum(F.lit(0.02 * 0.70) * 2.0 * b_i * df_factor(F.lit(2.0))).alias("ih_total")
+    )
+    agg = per_cp.crossJoin(F.broadcast(ih)).agg(
+        F.sqrt(
+            F.pow(F.lit(0.5) * F.sum("s_cva"), 2)
+            + F.lit(0.75) * F.sum(F.col("s_cva") * F.col("s_cva"))
+        ).alias("k_reduced"),
+        F.sqrt(
+            F.pow(
+                F.lit(0.5) * F.sum(F.col("s_cva") - F.col("snh")) - F.first("ih_total"),
+                2,
+            )
+            + F.lit(0.75)
+            * F.sum((F.col("s_cva") - F.col("snh")) * (F.col("s_cva") - F.col("snh")))
+            + F.sum("hma")
+        ).alias("k_hedged"),
+        F.count("*").alias("n_counterparties"),
+    )
+    return agg.select(
+        F.round("k_reduced", 2).alias("k_reduced"),
+        F.round("k_hedged", 2).alias("k_hedged"),
+        F.round(F.lit(0.25) * F.col("k_reduced") + F.lit(0.75) * F.col("k_hedged"), 2).alias(
+            "k_full"
+        ),
+        F.round(
+            (F.lit(0.25) * F.col("k_reduced") + F.lit(0.75) * F.col("k_hedged"))
+            * 0.65
+            * 12.5,
+            2,
+        ).alias("rwea_cva"),
+        "n_counterparties",
     )
 
 

@@ -303,6 +303,110 @@ def securitisation_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSFA_TRANCHES = [("JUN", 0.0, 0.05), ("MEZ", 0.05, 0.15), ("SEN", 0.15, 1.0)]
+
+
+def _sql_ssfa() -> str:
+    from rwa_calculator_spark.functions.secsa import sql_ssfa_rw
+
+    values = ", ".join(
+        f"('{t}', CAST({a} AS DOUBLE), CAST({d} AS DOUBLE))"
+        for t, a, d in _SSFA_TRANCHES
+    )
+    rw = sql_ssfa_rw("attachment", "detachment", "w_pool", 0.08, 1.0, 0.15)
+    return f"""
+    WITH pools AS (
+        SELECT 'POOL' || (o_orderkey % 7) AS pool_reference,
+               {sql_scaled_sum('o_totalprice * 0.25', 2)} AS pool_amount,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS w_pool
+        FROM orders WHERE o_orderkey % 10 = 0
+        GROUP BY o_orderkey % 7
+    ), tranched AS (
+        SELECT p.*, t.tranche_reference, t.attachment, t.detachment
+        FROM pools p CROSS JOIN (VALUES {values})
+             AS t(tranche_reference, attachment, detachment)
+    ), weighted AS (
+        SELECT pool_reference, tranche_reference, attachment, detachment,
+               round(w_pool, 12) AS w_pool,
+               round({rw}, 10) AS risk_weight,
+               pool_amount
+        FROM tranched
+    )
+    SELECT pool_reference, tranche_reference, attachment, detachment, w_pool,
+           risk_weight,
+           floor(pool_amount * (detachment - attachment) * risk_weight * 100.0 + 0.5)
+               / 100.0 AS rwa
+    FROM weighted
+    """
+
+
+@query(
+    "sec_sa_ssfa",
+    oracle=_sql_ssfa(),
+    tags=("domain", "securitisation", "stats"),
+)
+def sec_sa_ssfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SSFA tranche risk weight (BCBS CRE41.16-18 / CRR Art.261-262;
+    functions/secsa.py — beyond the reference, whose aggregator reports a
+    placeholder per-pool RWA). Pools aggregate from orders with a
+    data-derived delinquency ratio W; three constant tranches per pool
+    cover all three SSFA branches (D ≤ K_A at 1250%, straddle, senior).
+    Pure exp/arithmetic → whole-stage codegen; the oracle runs the same
+    V-node formula through the SQL backend, output-rounded to absorb
+    exp() libm last-ulp noise."""
+    from rwa_calculator_spark.functions.secsa import ssfa_risk_weight
+
+    o = load_table(spark, sf_dir, "orders")
+    pools = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .groupBy(
+            F.concat(F.lit("POOL"), F.col("o_orderkey") % 7).alias("pool_reference")
+        )
+        .agg(
+            scaled_sum(F.col("o_totalprice") * 0.25, 2).alias("pool_amount"),
+            (
+                F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*").cast("double")
+            ).alias("w_pool"),
+        )
+    )
+    tranches = spark.createDataFrame(
+        _SSFA_TRANCHES, "tranche_reference string, attachment double, detachment double"
+    )
+    tranched = pools.crossJoin(F.broadcast(tranches))
+    rw = ssfa_risk_weight(
+        F.col("attachment"),
+        F.col("detachment"),
+        F.col("w_pool"),
+        ksa=0.08,
+        p=1.0,
+        floor=0.15,
+    )
+    # rwa derives from the ROUNDED risk weight so both engines multiply
+    # bit-identical doubles, and the final 2-dp rounding is an explicit
+    # floor(x·100 + 0.5)/100 half-up: flat-12.5 RW × 2-dp pool × 0.10 width
+    # makes EXACT decimal cent ties routine, and DuckDB's round() resolves
+    # such ties differently from Spark's on doubles.
+    staged = tranched.withColumn("risk_weight", F.round(rw, 10))
+    rwa_raw = (
+        F.col("pool_amount")
+        * (F.col("detachment") - F.col("attachment"))
+        * F.col("risk_weight")
+    )
+    return staged.select(
+        "pool_reference",
+        "tranche_reference",
+        "attachment",
+        "detachment",
+        F.round("w_pool", 12).alias("w_pool"),
+        "risk_weight",
+        (F.floor(rwa_raw * 100.0 + 0.5).cast("double") / 100.0).alias("rwa"),
+    )
+
+
 @query(
     "asof_join_events",
     oracle=f"""

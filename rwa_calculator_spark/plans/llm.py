@@ -752,3 +752,177 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("qid", "cid", "rank", F.round("cosine", 9).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: Gopher-style rule filter + intra-document repetition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS alpha_frac,
+               CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS symbol_ratio,
+               CAST(len(regexp_extract_all(text, '(^| )(the|a|of|and|to)( |$)')) AS BIGINT) AS n_stop
+        FROM documents
+    ), ruled AS (
+        SELECT lang,
+               CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+                    WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len'
+                    WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+                    WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+                    WHEN n_stop < 2 THEN 'stop_words'
+                    ELSE 'pass' END AS first_failed_rule,
+               n_words, mean_word_len
+        FROM feats
+    )
+    SELECT lang, first_failed_rule, count(*) AS n_docs,
+           sum(n_words)::BIGINT AS total_words,
+           {sql_scaled_sum('mean_word_len', 6)} AS total_mwl
+    FROM ruled GROUP BY 1, 2
+    """,
+    tags=("llm", "text"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule ladder (Rae et al. 2021 §A1.1, public):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, stop-word minimum — first failing rule wins
+    (the case-when ladder IS the production shape; line-level rules are
+    vacuous on the single-line testdata and are deliberately omitted).
+    Pure row expressions → whole-stage codegen, embarrassingly parallel
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    mwl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words.cast(
+        "double"
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / n_words.cast("double")
+    )
+    symbol_ratio = F.regexp_count("text", F.lit(r"(#|\.\.\.)")).cast(
+        "double"
+    ) / n_words.cast("double")
+    n_stop = F.regexp_count("text", F.lit("(^| )(the|a|of|and|to)( |$)")).cast("long")
+    feats = d.select(
+        "lang",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_stop"),
+    )
+    rule = (
+        F.when((F.col("n_words") < 50) | (F.col("n_words") > 100000), "word_count")
+        .when(
+            (F.col("mean_word_len") < 3.0) | (F.col("mean_word_len") > 10.0),
+            "mean_word_len",
+        )
+        .when(F.col("symbol_ratio") > 0.1, "symbol_ratio")
+        .when(F.col("alpha_frac") < 0.8, "alpha_frac")
+        .when(F.col("n_stop") < 2, "stop_words")
+        .otherwise("pass")
+    )
+    return (
+        feats.select("lang", rule.alias("first_failed_rule"), "n_words", "mean_word_len")
+        .groupBy("lang", "first_failed_rule")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            scaled_sum(F.col("mean_word_len"), 6).alias("total_mwl"),
+        )
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, lang, unnest(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+               )) AS gram
+        FROM documents
+    ), per_gram AS (
+        SELECT doc_id, lang, gram, count(*) AS cnt
+        FROM grams GROUP BY 1, 2, 3
+    ), per_doc AS (
+        SELECT doc_id, lang,
+               sum(cnt)::BIGINT AS total_grams,
+               count(*) AS distinct_grams,
+               max(cnt)::BIGINT AS top_gram_count
+        FROM per_gram GROUP BY 1, 2
+    ), scored AS (
+        SELECT lang,
+               CAST(total_grams - distinct_grams AS DOUBLE)
+                   / CAST(total_grams AS DOUBLE) AS dup_frac,
+               CAST(top_gram_count AS DOUBLE) / CAST(total_grams AS DOUBLE) AS top_frac
+        FROM per_doc
+    )
+    SELECT lang,
+           CASE WHEN dup_frac > 0.3 THEN 'high'
+                WHEN dup_frac > 0.1 THEN 'medium'
+                ELSE 'low' END AS repetition_bucket,
+           count(*) AS n_docs,
+           sum(CAST(round(dup_frac * 1000000.0, 0) AS BIGINT)) / CAST(1000000 AS DOUBLE) AS total_dup_frac,
+           sum(CAST(round(top_frac * 1000000.0, 0) AS BIGINT)) / CAST(1000000 AS DOUBLE) AS total_top_frac
+    FROM scored GROUP BY 1, 2
+    """,
+    tags=("llm", "text"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (Gopher §A1.2 duplicate-n-gram
+    fractions, public): word-bigram duplicate fraction
+    (1 − distinct/total) and top-bigram mass per doc, bucketed per lang.
+    Bigrams build as a pure array transform (no self-join, no shuffle at
+    the doc grain beyond the per-doc aggregate), so the plan is two keyed
+    partial aggregations — the 100 TB shape."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "lang", "gram").agg(F.count("*").alias("cnt"))
+    per_doc = per_gram.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("total_grams"),
+        F.count("*").alias("distinct_grams"),
+        F.max("cnt").alias("top_gram_count"),
+    )
+    scored = per_doc.select(
+        "lang",
+        (
+            (F.col("total_grams") - F.col("distinct_grams")).cast("double")
+            / F.col("total_grams").cast("double")
+        ).alias("dup_frac"),
+        (
+            F.col("top_gram_count").cast("double") / F.col("total_grams").cast("double")
+        ).alias("top_frac"),
+    )
+    bucket = (
+        F.when(F.col("dup_frac") > 0.3, "high")
+        .when(F.col("dup_frac") > 0.1, "medium")
+        .otherwise("low")
+    )
+    return scored.select("lang", bucket.alias("repetition_bucket"), "dup_frac", "top_frac").groupBy(
+        "lang", "repetition_bucket"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        scaled_sum(F.col("dup_frac"), 6).alias("total_dup_frac"),
+        scaled_sum(F.col("top_frac"), 6).alias("total_top_frac"),
+    )

@@ -593,14 +593,25 @@ def dual_framework_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rwa_calculator_spark.engine.rulepack import B31_PACK
 
     bundle = _star_bundle(spark, sf_dir, irb=False)
+    # sequential materialisation of the class-grain summaries (≤ dozens of
+    # rows) with a cache release between the two regime runs — peak heap
+    # holds one checkpointed pipeline, not two. The B31 plan is built only
+    # AFTER the release: unpersisting a checkpoint-marked-but-
+    # unmaterialised RDD truncates its lineage irrecoverably.
     crr = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
-    b31 = run_pipeline(bundle, PipelineConfig(pack=B31_PACK, persist_edges=True))
     c = crr.summary_by_class.select(
         "exposure_class", F.col("total_rwa").alias("rwa_crr")
     )
+    c_rows = c.collect()
+    release_cached_blocks(spark)
+    b31 = run_pipeline(bundle, PipelineConfig(pack=B31_PACK, persist_edges=True))
     b = b31.summary_by_class.select(
         F.col("exposure_class").alias("b_class"), F.col("total_rwa").alias("rwa_b31")
     )
+    b_rows = b.collect()
+    release_cached_blocks(spark)
+    c = spark.createDataFrame(c_rows, c.schema)
+    b = spark.createDataFrame(b_rows, b.schema)
     j = c.join(b, c.exposure_class == F.col("b_class"), "full")
     return j.select(
         F.coalesce("exposure_class", "b_class").alias("exposure_class"),
@@ -777,9 +788,16 @@ def capital_attribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame
     from rwa_calculator_spark.engine.rulepack import B31_PACK
 
     bundle = _star_bundle(spark, sf_dir, irb=True)
-    crr = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
-    b31 = run_pipeline(bundle, PipelineConfig(pack=B31_PACK, persist_edges=True))
-    return capital_attribution(crr, b31)
+    # sequential=True: the registry's peak-memory query in the driver's
+    # single shared session — each regime's class-grain aggregate is
+    # materialised (≤ dozens of rows) with a cache release in between, so
+    # peak heap holds ONE checkpointed pipeline, not two (a 1g-heap
+    # session OOMed here when both lineages stayed live)
+    return capital_attribution(
+        lambda: run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True)),
+        lambda: run_pipeline(bundle, PipelineConfig(pack=B31_PACK, persist_edges=True)),
+        sequential=True,
+    )
 
 
 @query(
@@ -811,4 +829,4 @@ def floor_transition_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bundle = _star_bundle(spark, sf_dir, irb=True)
     b31 = run_pipeline(bundle, PipelineConfig(pack=B31_PACK, persist_edges=True))
-    return fts(spark, b31)
+    return fts(spark, b31, sequential=True)
