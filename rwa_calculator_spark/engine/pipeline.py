@@ -115,12 +115,14 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
     # --- CCR / SFT netting-set EADs as synthetic exposure rows ------------
     extra = [] if pools is None else [pools]
+    wwr_errors = None
     if raw.trades is not None:
-        from rwa_calculator_spark.engine.stages.ccr_sft import ccr_exposures
+        from rwa_calculator_spark.engine.stages.ccr_sft import ccr_exposures, wwr_gate
 
+        trades, wwr_errors = wwr_gate(raw.trades)
         extra.append(
             ccr_exposures(
-                raw.trades,
+                trades,
                 config.pack,
                 margin_agreements=raw.margin_agreements,
                 ccr_collateral=raw.ccr_collateral,
@@ -169,8 +171,9 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
         branches.append(run_settlement(raw.failed_trades, config.pack))
 
-    if all_errors is not None and scope_errors is not None:
-        errors = all_errors.unionByName(scope_errors)
-    else:
-        errors = scope_errors if all_errors is None else all_errors
+    errors = None
+    for frame in (all_errors, scope_errors, wwr_errors):
+        if frame is None:
+            continue
+        errors = frame if errors is None else errors.unionByName(frame)
     return run_aggregate(*branches, pack=config.pack, errors=errors)

@@ -67,6 +67,20 @@ def _to_py(v):
     return float(v) if isinstance(v, Decimal) else v
 
 
+# EU member-state -> domestic currency (CRR Art.114(4)/(7), Art.141; ref
+# rulebook CategoryMap eu_country_domestic_currency, engine/eu_sovereign.py):
+# central-government/central-bank exposures denominated and funded in the
+# member state's domestic currency take a 0% risk weight. Regime-invariant
+# (CRE20.9 carries the equivalent Basel 3.1 domestic treatment).
+_EU_DOMESTIC_CCY_SCHEMA = "country string, domestic_ccy string"
+_EU_DOMESTIC_CCY_ROWS = (
+    ("DE", "EUR"), ("FR", "EUR"), ("IT", "EUR"), ("ES", "EUR"),
+    ("NL", "EUR"), ("BE", "EUR"), ("AT", "EUR"), ("IE", "EUR"),
+    ("PT", "EUR"), ("GR", "EUR"), ("FI", "EUR"), ("LU", "EUR"),
+    ("PL", "PLN"), ("SE", "SEK"), ("DK", "DKK"), ("CZ", "CZK"),
+    ("HU", "HUF"), ("RO", "RON"), ("BG", "BGN"),
+)
+
 _D = Decimal
 
 # CRR standardised risk weights by (exposure_class, cqs); cqs 0 = unrated.
@@ -266,6 +280,7 @@ CRR_PACK = RulePack(
         "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
         "collateral_haircuts": (_HAIRCUT_SCHEMA, _HAIRCUT_ROWS_CRR),
         "haircut_bands": (_HAIRCUT_BANDS_SCHEMA, _HAIRCUT_BANDS_CRR),
+        "eu_domestic_ccy": (_EU_DOMESTIC_CCY_SCHEMA, _EU_DOMESTIC_CCY_ROWS),
     },
 )
 
@@ -311,5 +326,6 @@ B31_PACK = RulePack(
         "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
         "collateral_haircuts": (_HAIRCUT_SCHEMA, _HAIRCUT_ROWS_B31),
         "haircut_bands": (_HAIRCUT_BANDS_SCHEMA, _HAIRCUT_BANDS_B31),
+        "eu_domestic_ccy": (_EU_DOMESTIC_CCY_SCHEMA, _EU_DOMESTIC_CCY_ROWS),
     },
 )

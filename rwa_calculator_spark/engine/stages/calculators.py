@@ -141,7 +141,29 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         .when(F.col("rw").isNotNull(), "sa_cqs_lookup")
         .otherwise("sa_unrated")
     )
-    exp = exp.withColumn("own_rw", base_rw).withColumn("rw_source", rw_source)
+    # CRR Art.114(4)/(7) + Art.141: EU central-government exposures
+    # denominated in the member state's domestic currency take 0% RW,
+    # overriding the CQS ladder (ref engine/eu_sovereign.py — consumed by
+    # the SA risk-weight path; the country→currency map is pack data).
+    if "country" in exp.columns and "currency" in exp.columns:
+        eu = pack.broadcast_table(spark, "eu_domestic_ccy").select(
+            F.col("country").alias("_eu_country"),
+            F.col("domestic_ccy").alias("_eu_ccy"),
+        )
+        exp = exp.join(eu, exp.country == F.col("_eu_country"), "left")
+        eu_match = (
+            (F.col("exposure_class") == "sovereign")
+            & ~F.col("is_defaulted")
+            & F.col("_eu_ccy").isNotNull()
+            & (F.col("currency") == F.col("_eu_ccy"))
+        )
+        base_rw = F.when(eu_match, F.lit(0.0)).otherwise(base_rw)
+        rw_source = F.when(eu_match, "sovereign_eu_domestic").otherwise(rw_source)
+        exp = exp.withColumn("own_rw", base_rw).withColumn("rw_source", rw_source).drop(
+            "_eu_country", "_eu_ccy"
+        )
+    else:
+        exp = exp.withColumn("own_rw", base_rw).withColumn("rw_source", rw_source)
 
     # guarantee substitution on the covered share (ref crm/guarantees.py)
     g_rw_table = pack.table_df(spark, "sa_rw").select(

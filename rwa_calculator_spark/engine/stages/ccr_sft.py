@@ -24,7 +24,7 @@ from rwa_calculator_spark.engine.rulepack import RulePack
 from rwa_calculator_spark.functions.exact import scaled_sum
 
 
-def _exposure_shape(df: DataFrame, ref_col, etype: str) -> DataFrame:
+def _exposure_shape(df: DataFrame, ref_col, etype: str, lgd_col=None) -> DataFrame:
     """Project to the unified exposure-union shape used by run_hierarchy."""
     return df.select(
         ref_col.alias("exposure_reference"),
@@ -35,9 +35,75 @@ def _exposure_shape(df: DataFrame, ref_col, etype: str) -> DataFrame:
         F.lit(None).cast("string").alias("risk_bucket"),
         F.lit(False).alias("is_defaulted"),
         F.lit(None).cast("double").alias("pd"),
-        F.lit(None).cast("double").alias("lgd"),
+        (F.lit(None).cast("double") if lgd_col is None else lgd_col.cast("double")).alias(
+            "lgd"
+        ),
         F.lit(None).cast("double").alias("effective_maturity"),
     )
+
+
+def wwr_gate(trades: DataFrame):
+    """Wrong-way-risk identification gate (CRR Art.291; ref
+    engine/ccr/wwr.py): each specific-WWR trade (Art.291(1)(b)) breaks out
+    into its own single-trade synthetic netting set
+    `<ns>__wwr__<trade>` (Art.291(5)(a)) carrying an LGD = 100% override
+    (Art.291(5)(c)); general-WWR netting sets are flagged diagnostically.
+    Returns (re-keyed trades, error frame | None) — CCR010 per original
+    netting set with ≥1 specific-WWR trade, CCR011 per general-WWR set,
+    both aggregated at netting-set grain (never trade grain)."""
+    has_spec = "is_specific_wwr" in trades.columns
+    has_gen = "has_general_wwr_flag" in trades.columns
+    if not has_spec and not has_gen:
+        return trades, None
+
+    from rwa_calculator_spark.engine.stages.scope import _error_frame
+
+    spark = trades.sparkSession
+    errors = spark.createDataFrame(
+        [], "code string, severity string, stage string, key string, message string"
+    )
+    out = trades
+    if has_spec:
+        spec = F.coalesce("is_specific_wwr", F.lit(False))
+        errors = errors.unionByName(
+            _error_frame(
+                trades.where(spec).select("netting_set_reference").distinct(),
+                "CCR010",
+                "warning",
+                "ccr",
+                F.col("netting_set_reference"),
+                "specific wrong-way-risk trades carved into own netting sets "
+                "with LGD=100% (Art.291(5))",
+            )
+        )
+        out = out.withColumn(
+            "netting_set_reference",
+            F.when(
+                spec,
+                F.concat(
+                    F.col("netting_set_reference"),
+                    F.lit("__wwr__"),
+                    F.col("trade_reference"),
+                ),
+            ).otherwise(F.col("netting_set_reference")),
+        ).withColumn(
+            "_wwr_lgd_override",
+            F.when(spec, F.lit(1.0)).cast("double"),
+        )
+    if has_gen:
+        errors = errors.unionByName(
+            _error_frame(
+                trades.where(F.coalesce("has_general_wwr_flag", F.lit(False)))
+                .select("netting_set_reference")
+                .distinct(),
+                "CCR011",
+                "warning",
+                "ccr",
+                F.col("netting_set_reference"),
+                "netting set flagged for general wrong-way risk (Art.291(6))",
+            )
+        )
+    return out, errors
 
 
 def ccr_exposures(
@@ -68,16 +134,22 @@ def ccr_exposures(
     t = trades.join(sf_table, "asset_class", "left").withColumn(
         "sf", F.coalesce("sf", F.lit(0.05))
     )
-    per_class = t.groupBy("netting_set_reference", "asset_class").agg(
+    has_wwr = "_wwr_lgd_override" in t.columns
+    class_aggs = [
         scaled_sum(F.col("mtm"), 2).alias("class_mtm"),
         scaled_sum(F.col("sf") * F.col("notional"), 2).alias("class_addon"),
         F.max("counterparty_reference").alias("counterparty_reference"),
-    )
-    per_set = per_class.groupBy("netting_set_reference").agg(
+    ]
+    set_aggs = [
         scaled_sum(F.col("class_mtm"), 2).alias("set_mtm"),
         scaled_sum(F.col("class_addon"), 2).alias("aggregate_addon"),
         F.max("counterparty_reference").alias("counterparty_reference"),
-    )
+    ]
+    if has_wwr:
+        class_aggs.append(F.max("_wwr_lgd_override").alias("_wwr_lgd_override"))
+        set_aggs.append(F.max("_wwr_lgd_override").alias("_wwr_lgd_override"))
+    per_class = t.groupBy("netting_set_reference", "asset_class").agg(*class_aggs)
+    per_set = per_class.groupBy("netting_set_reference").agg(*set_aggs)
 
     if ccr_collateral is not None:
         hc = (
@@ -136,7 +208,10 @@ def ccr_exposures(
         "ead", pack.lit("saccr_alpha") * (rc + mult * F.col("aggregate_addon"))
     )
     return _exposure_shape(
-        ead, F.concat(F.col("netting_set_reference"), F.lit("_CCR")), "ccr"
+        ead,
+        F.concat(F.col("netting_set_reference"), F.lit("_CCR")),
+        "ccr",
+        lgd_col=F.col("_wwr_lgd_override") if has_wwr else None,
     )
 
 

@@ -87,6 +87,11 @@ def run_hierarchy(
     # Art.113(6) carrier set by resolve_scope rides into the unified ledger
     if "intragroup_zero_rw_eligible" in raw.loans.columns:
         loan_cols.append(F.col("intragroup_zero_rw_eligible"))
+    # denomination currency rides along for the Art.114(4) EU domestic-
+    # currency sovereign test (the AMOUNT converts to reporting ccy above;
+    # the test is on the denomination, CRR Art.141)
+    if "currency" in raw.loans.columns:
+        loan_cols.append(F.col("currency"))
     loans = loans_src.select(*loan_cols)
     frames = [loans]
     if raw.contingents is not None:
@@ -155,6 +160,11 @@ def run_hierarchy(
     dim = raw.counterparties.select(
         "counterparty_reference",
         "entity_type",
+        (
+            F.col("country")
+            if "country" in raw.counterparties.columns
+            else F.lit(None).cast("string")
+        ).alias("country"),
         F.col("cqs").cast("int").alias("cqs"),
         F.coalesce("is_managed_as_retail", F.lit(False)).alias("is_managed_as_retail"),
         F.coalesce("annual_revenue", F.lit(0.0)).alias("annual_revenue"),

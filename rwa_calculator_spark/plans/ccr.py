@@ -846,3 +846,104 @@ def saccr_mpor_mf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_netting_sets"),
         F.sum("n_trades").alias("n_trades_total"),
     )
+
+
+@query(
+    "saccr_ir_hedging_sets",
+    oracle=f"""
+    WITH trades AS (
+        SELECT 'NS' || (l_orderkey % 500) AS netting_set,
+               CASE l_linenumber % 3 WHEN 0 THEN 'GBP' WHEN 1 THEN 'EUR'
+                    ELSE 'USD' END AS ccy,
+               (1.0 + CAST(l_suppkey % 10 AS DOUBLE)) / 2.0 AS m_years,
+               CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE -1.0 END AS delta,
+               l_quantity * 1000.0 AS notional
+        FROM lineitem WHERE l_returnflag = 'A'
+    ), staged AS (
+        SELECT netting_set, ccy,
+               CASE WHEN m_years < 1.0 THEN 1 WHEN m_years <= 5.0 THEN 2
+                    ELSE 3 END AS bucket,
+               delta
+                   * (notional * ((exp(-0.05 * 0.0) - exp(-0.05 * m_years)) / 0.05))
+                   * sqrt(least(m_years, 1.0) / 1.0) AS eff_contrib
+        FROM trades
+    ), per_bucket AS (
+        SELECT netting_set, ccy, bucket,
+               {sql_scaled_sum('eff_contrib', 2)} AS d_k
+        FROM staged GROUP BY 1, 2, 3
+    ), per_hs AS (
+        SELECT netting_set, ccy,
+               coalesce(max(CASE WHEN bucket = 1 THEN d_k END), 0.0) AS d1,
+               coalesce(max(CASE WHEN bucket = 2 THEN d_k END), 0.0) AS d2,
+               coalesce(max(CASE WHEN bucket = 3 THEN d_k END), 0.0) AS d3
+        FROM per_bucket GROUP BY 1, 2
+    ), eff AS (
+        SELECT netting_set, ccy,
+               sqrt(((((d1 * d1) + (d2 * d2)) + (d3 * d3))
+                     + (1.4 * ((d1 * d2) + (d2 * d3)))) + (0.6 * (d1 * d3))) AS eff_notional
+        FROM per_hs
+    )
+    SELECT count(*) AS n_hedging_sets,
+           {sql_scaled_sum('eff_notional', 2)} AS total_eff_notional,
+           round({sql_scaled_sum('0.005 * eff_notional', 4)}, 2) AS addon_ir
+    FROM eff
+    """,
+    tags=("ccr", "tolerant"),
+)
+def saccr_ir_hedging_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA-CCR interest-rate hedging sets with maturity-bucket partial
+    offset (CRR Art.277(2)/280a / BCBS CRE52.57; ref
+    engine/ccr/hedging_sets.py): one hedging set per (netting set,
+    currency); per-bucket effective notionals D_k = Σ δ·d·MF (supervisory
+    duration d, unmargined MF = √(min(M,1y)/1y)), aggregated with the
+    prescribed cross-bucket correlations EffN = √(ΣD_k² + 1.4(D₁D₂+D₂D₃)
+    + 0.6·D₁D₃); AddOn_IR = SF·ΣEffN. Two keyed partial aggregations plus
+    pure arithmetic — map-side combinable at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    trades = li.where(F.col("l_returnflag") == "A").select(
+        F.concat(F.lit("NS"), F.col("l_orderkey") % 500).alias("netting_set"),
+        F.when(F.col("l_linenumber") % 3 == 0, "GBP")
+        .when(F.col("l_linenumber") % 3 == 1, "EUR")
+        .otherwise("USD")
+        .alias("ccy"),
+        ((1.0 + (F.col("l_suppkey") % 10).cast("double")) / 2.0).alias("m_years"),
+        F.when(F.col("l_linestatus") == "O", 1.0).otherwise(-1.0).alias("delta"),
+        (F.col("l_quantity") * 1000.0).alias("notional"),
+    )
+    bucket = (
+        F.when(F.col("m_years") < 1.0, 1).when(F.col("m_years") <= 5.0, 2).otherwise(3)
+    )
+    duration = (F.exp(F.lit(-0.05) * 0.0) - F.exp(-0.05 * F.col("m_years"))) / F.lit(0.05)
+    mf = F.sqrt(F.least(F.col("m_years"), F.lit(1.0)) / F.lit(1.0))
+    staged = trades.select(
+        "netting_set",
+        "ccy",
+        bucket.alias("bucket"),
+        (F.col("delta") * (F.col("notional") * duration) * mf).alias("eff_contrib"),
+    )
+    per_bucket = staged.groupBy("netting_set", "ccy", "bucket").agg(
+        scaled_sum(F.col("eff_contrib"), 2).alias("d_k")
+    )
+    per_hs = per_bucket.groupBy("netting_set", "ccy").agg(
+        F.coalesce(F.max(F.when(F.col("bucket") == 1, F.col("d_k"))), F.lit(0.0)).alias("d1"),
+        F.coalesce(F.max(F.when(F.col("bucket") == 2, F.col("d_k"))), F.lit(0.0)).alias("d2"),
+        F.coalesce(F.max(F.when(F.col("bucket") == 3, F.col("d_k"))), F.lit(0.0)).alias("d3"),
+    )
+    eff = per_hs.select(
+        F.sqrt(
+            (
+                (
+                    (F.col("d1") * F.col("d1"))
+                    + (F.col("d2") * F.col("d2"))
+                    + (F.col("d3") * F.col("d3"))
+                )
+                + (1.4 * ((F.col("d1") * F.col("d2")) + (F.col("d2") * F.col("d3"))))
+            )
+            + (0.6 * (F.col("d1") * F.col("d3")))
+        ).alias("eff_notional")
+    )
+    return eff.agg(
+        F.count("*").alias("n_hedging_sets"),
+        scaled_sum(F.col("eff_notional"), 2).alias("total_eff_notional"),
+        F.round(scaled_sum(F.lit(0.005) * F.col("eff_notional"), 4), 2).alias("addon_ir"),
+    )

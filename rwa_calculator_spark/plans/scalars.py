@@ -190,3 +190,114 @@ def equity_rw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_holdings"),
         scaled_sum(F.abs("c_acctbal") * rw, 2).alias("total_rwa"),
     )
+
+
+def _sql_eu_sovereign() -> str:
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    values = ", ".join(
+        f"('{c}', '{m}')" for c, m in CRR_PACK.tables["eu_domestic_ccy"][1]
+    )
+    return f"""
+    WITH sovs AS (
+        SELECT c.c_custkey,
+               CASE n.n_nationkey % 6 WHEN 0 THEN 'DE' WHEN 1 THEN 'FR'
+                    WHEN 2 THEN 'RO' WHEN 3 THEN 'PL' WHEN 4 THEN 'US'
+                    ELSE 'RU' END AS country
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_mktsegment = 'HOUSEHOLD'
+    ), expo AS (
+        SELECT s.country,
+               CASE o.o_orderkey % 4 WHEN 0 THEN 'EUR' WHEN 1 THEN 'USD'
+                    WHEN 2 THEN 'RON' ELSE 'PLN' END AS currency,
+               o.o_totalprice AS ead,
+               CAST(1 + s.c_custkey % 6 AS INTEGER) AS cqs
+        FROM orders o JOIN sovs s ON o.o_custkey = s.c_custkey
+    ), weighted AS (
+        SELECT e.country, e.currency,
+               CASE WHEN m.domestic_ccy IS NOT NULL AND e.currency = m.domestic_ccy
+                    THEN 0.0
+                    ELSE CASE WHEN e.cqs <= 1 THEN 0.0 WHEN e.cqs = 2 THEN 0.2
+                              WHEN e.cqs = 3 THEN 0.5 WHEN e.cqs <= 5 THEN 1.0
+                              ELSE 1.5 END END AS rw,
+               CASE WHEN m.domestic_ccy IS NOT NULL AND e.currency = m.domestic_ccy
+                    THEN 'eu_domestic' ELSE 'cqs_ladder' END AS rw_source,
+               e.ead
+        FROM expo e
+        LEFT JOIN (VALUES {values}) AS m(country, domestic_ccy)
+          ON e.country = m.country
+    )
+    SELECT country, rw_source, count(*) AS n_exposures,
+           {sql_scaled_sum('ead', 2)} AS total_ead,
+           {sql_scaled_sum('ead * rw', 2)} AS total_rwa
+    FROM weighted GROUP BY 1, 2
+    """
+
+
+@query(
+    "sovereign_eu_domestic",
+    oracle=_sql_eu_sovereign(),
+    tags=("rwa", "sovereign"),
+)
+def sovereign_eu_domestic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EU member-state sovereign domestic-currency 0% RW (CRR Art.114(4)/
+    (7) + Art.141; ref engine/eu_sovereign.py + engine/stages/calculators
+    run_sa override): exposures to an EU central government denominated in
+    the member state's domestic currency override the CQS ladder to 0%;
+    foreign-currency and non-EU sovereigns keep the ladder weight. The
+    country→currency map is rulepack data broadcast into the join — the
+    oracle VALUES are generated from the SAME pack table."""
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    country = (
+        F.when(F.col("n_nationkey") % 6 == 0, "DE")
+        .when(F.col("n_nationkey") % 6 == 1, "FR")
+        .when(F.col("n_nationkey") % 6 == 2, "RO")
+        .when(F.col("n_nationkey") % 6 == 3, "PL")
+        .when(F.col("n_nationkey") % 6 == 4, "US")
+        .otherwise("RU")
+    )
+    sovs = (
+        c.where(F.col("c_mktsegment") == "HOUSEHOLD")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", country.alias("country"))
+    )
+    currency = (
+        F.when(F.col("o_orderkey") % 4 == 0, "EUR")
+        .when(F.col("o_orderkey") % 4 == 1, "USD")
+        .when(F.col("o_orderkey") % 4 == 2, "RON")
+        .otherwise("PLN")
+    )
+    expo = o.join(sovs, o.o_custkey == F.col("c_custkey")).select(
+        "country",
+        currency.alias("currency"),
+        F.col("o_totalprice").alias("ead"),
+        (1 + F.col("c_custkey") % 6).cast("int").alias("cqs"),
+    )
+    eu = CRR_PACK.broadcast_table(spark, "eu_domestic_ccy").select(
+        F.col("country").alias("_eu_country"),
+        F.col("domestic_ccy").alias("_eu_ccy"),
+    )
+    expo = expo.join(eu, expo.country == F.col("_eu_country"), "left")
+    eu_match = F.col("_eu_ccy").isNotNull() & (F.col("currency") == F.col("_eu_ccy"))
+    ladder = (
+        F.when(F.col("cqs") <= 1, 0.0)
+        .when(F.col("cqs") == 2, 0.2)
+        .when(F.col("cqs") == 3, 0.5)
+        .when(F.col("cqs") <= 5, 1.0)
+        .otherwise(1.5)
+    )
+    rw = F.when(eu_match, F.lit(0.0)).otherwise(ladder)
+    src = F.when(eu_match, "eu_domestic").otherwise("cqs_ladder")
+    return (
+        expo.select("country", "currency", rw.alias("rw"), src.alias("rw_source"), "ead")
+        .groupBy("country", "rw_source")
+        .agg(
+            F.count("*").alias("n_exposures"),
+            scaled_sum(F.col("ead"), 2).alias("total_ead"),
+            scaled_sum(F.col("ead") * F.col("rw"), 2).alias("total_rwa"),
+        )
+    )

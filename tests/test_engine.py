@@ -1118,6 +1118,95 @@ def test_validation_scrubs_and_reports(spark):
         )
 
 
+def test_eu_sovereign_domestic_currency_zero_rw(spark):
+    """CRR Art.114(4)/(7) + Art.141 (ref engine/eu_sovereign.py): an EU
+    central-government exposure denominated in the member state's domestic
+    currency takes 0% RW; a foreign-currency exposure to the same
+    sovereign keeps the CQS-ladder weight; non-EU sovereigns are
+    unaffected."""
+    cps = _df(
+        spark,
+        [
+            ("SOV_DE", "sovereign", 3, False, 0.0, False, "DE"),
+            ("SOV_US", "sovereign", 3, False, 0.0, False, "US"),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean, "
+        "country string",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "SOV_DE", 1000.0, False, None, None, None, "EUR"),  # domestic
+            ("L2", "SOV_DE", 1000.0, False, None, None, None, "USD"),  # foreign ccy
+            ("L3", "SOV_US", 1000.0, False, None, None, None, "USD"),  # non-EU
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double, "
+        "currency string",
+    )
+    out = run_pipeline(RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=CRR_PACK))
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    assert rows["L1"].risk_weight == pytest.approx(0.0)
+    assert rows["L1"].rw_source == "sovereign_eu_domestic"
+    assert rows["L2"].risk_weight == pytest.approx(0.5)  # sovereign cqs3
+    assert rows["L3"].risk_weight == pytest.approx(0.5)
+    assert rows["L2"].rw_source == "sa_cqs_lookup"
+
+
+def test_wwr_gate_splits_netting_sets(spark):
+    """Wrong-way-risk gate (CRR Art.291; ref engine/ccr/wwr.py): a
+    specific-WWR trade leaves its netting set into a single-trade
+    synthetic set with LGD=100% override; CCR010/CCR011 warnings land on
+    the error channel at netting-set grain."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    trades = _df(
+        spark,
+        [
+            ("T1", "NS1", "CP1", 100.0, 10000.0, "ir", False, False),
+            ("T2", "NS1", "CP1", 50.0, 20000.0, "ir", True, False),  # specific WWR
+            ("T3", "NS2", "CP1", -10.0, 10000.0, "fx", False, True),  # general WWR
+        ],
+        "trade_reference string, netting_set_reference string, counterparty_reference string, "
+        "mtm double, notional double, asset_class string, is_specific_wwr boolean, "
+        "has_general_wwr_flag boolean",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, trades=trades),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    # T2 carved out: NS1 keeps only T1 (RC=100, addon=0.005·10000=50);
+    # the synthetic set carries T2 alone (RC=50, addon=0.005·20000=100)
+    assert rows["NS1_CCR"].ead == pytest.approx(1.4 * (100 + 50))
+    assert rows["NS1__wwr__T2_CCR"].ead == pytest.approx(1.4 * (50 + 100))
+    errs = {(r.code, r.key) for r in out.errors.collect()}
+    assert ("CCR010", "NS1") in errs
+    assert ("CCR011", "NS2") in errs
+
+    # Art.291(5)(c) LGD=100% carrier rides the synthetic exposure row
+    # (consumed downstream by IRB; SA leaves lgd_used null by design)
+    from rwa_calculator_spark.engine.stages.ccr_sft import ccr_exposures, wwr_gate
+
+    gated, _ = wwr_gate(trades)
+    shaped = {
+        r.exposure_reference: r for r in ccr_exposures(gated, CRR_PACK).collect()
+    }
+    assert shaped["NS1__wwr__T2_CCR"].lgd == pytest.approx(1.0)
+    assert shaped["NS1_CCR"].lgd is None
+
+
 def test_pipeline_monotonicity_ladders(spark):
     """Pipeline-level perturbation ladders (ref tests/properties/
     test_monotonicity.py — stated on the full engine output, not the bare
