@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from rwa_calculator_spark.engine.bundles import AggregatedOutput, RawBundle
 from rwa_calculator_spark.engine.rulepack import CRR_PACK, RulePack
@@ -89,6 +90,25 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
             raw, config.reporting_entity, config.reporting_basis, pack=config.pack
         )
 
+    # EUR/reporting rate sync for EUR-based CRR monetary thresholds (ref
+    # engine/fx_rate_sync.py + thresholds.py "the FX seam": CRR thresholds
+    # = EUR base × rate, B3.1 native — the rate is a market input read
+    # from fx_rates, a bounded one-row driver lookup)
+    threshold_scale = 1.0
+    if (
+        raw.fx_rates is not None
+        and "thresholds_fx_derived" in config.pack.scalars
+        and config.pack.scalar("thresholds_fx_derived") >= 1.0
+    ):
+        eur = (
+            raw.fx_rates.where(F.col("currency") == "EUR")
+            .select("rate_to_reporting")
+            .limit(1)
+            .collect()
+        )
+        if eur and eur[0][0] is not None:
+            threshold_scale = float(eur[0][0])
+
     # FX-convert every monetary side frame before any stage consumes it
     # (ref engine/stages/fx/conversion.py five-frame conversion; loans /
     # contingents / facility limits convert inline in run_hierarchy)
@@ -134,7 +154,7 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         extra.append(sft_exposures(raw.sft_trades, config.pack))
 
     h = run_hierarchy(raw, config.pack, extra_exposures=extra or None)
-    classified = run_classify(h, config.pack)
+    classified = run_classify(h, config.pack, threshold_scale=threshold_scale)
     crm = run_crm(raw, classified, config.pack)
 
     # --- RE split: secured tranche vs unsecured remainder (ref
@@ -151,7 +171,7 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         crm = CRMOutput(exposures=exposures)
 
     branches = [
-        run_sa(crm, config.pack),
+        run_sa(crm, config.pack, threshold_scale=threshold_scale),
         run_irb(crm, config.pack, dictionary=config.irb_dictionary),
     ]
     if pools is not None:

@@ -229,7 +229,14 @@ CRR_PACK = RulePack(
     version="2026-01",
     scalars={
         "retail_rw": RuleEntry(_D("0.75"), "CRR Art.123"),
-        "retail_threshold": RuleEntry(_D("1000000"), "CRR Art.123(c)"),
+        "retail_threshold": RuleEntry(_D("1000000"), "CRR Art.123(c) EUR 1m"),
+        # CRR monetary thresholds are EUR source amounts converted to the
+        # reporting currency at the run's EUR rate (ref engine/thresholds.py
+        # "the FX seam", fx_rate_sync.py); B3.1 values are PRA-native GBP
+        # (Feature off). The rate is a market input from fx_rates, never
+        # pack data.
+        "thresholds_fx_derived": RuleEntry(_D("1"), "CRR Art.123/501 EUR bases"),
+        "sme_revenue_cap": RuleEntry(_D("50000000"), "CRR2 Art.501(2)(b) EUR 50m"),
         "re_secured_rw": RuleEntry(_D("0.35"), "CRR Art.125"),
         "defaulted_rw": RuleEntry(_D("1.5"), "CRR Art.127"),
         "defaulted_rw_secured": RuleEntry(_D("1.0"), "CRR Art.127(1)"),
@@ -289,7 +296,9 @@ B31_PACK = RulePack(
     version="2026-01",
     scalars={
         "retail_rw": RuleEntry(_D("0.75"), "BCBS CRE20.65"),
-        "retail_threshold": RuleEntry(_D("1000000"), "BCBS CRE20.65"),
+        "retail_threshold": RuleEntry(_D("1000000"), "BCBS CRE20.65 (native)"),
+        "thresholds_fx_derived": RuleEntry(_D("0"), "PS1/26 native GBP thresholds"),
+        "sme_revenue_cap": RuleEntry(_D("50000000"), "PS1/26 Art.501 native"),
         "re_secured_rw": RuleEntry(_D("0.30"), "BCBS CRE20.71 (LTV<60%)"),
         "defaulted_rw": RuleEntry(_D("1.5"), "BCBS CRE20.104"),
         "defaulted_rw_secured": RuleEntry(_D("1.0"), "BCBS CRE20.105"),

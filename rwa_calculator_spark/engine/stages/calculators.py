@@ -103,7 +103,7 @@ def _el_columns(exp: DataFrame, expected_loss: Column) -> DataFrame:
     )
 
 
-def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
+def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> CalcOutput:
     spark = crm.exposures.sparkSession
     exp = crm.exposures.where(
         ~F.col("has_irb_permission")
@@ -211,11 +211,14 @@ def run_sa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     # min (ref supporting_factors.py get_effective_factor)
     f1 = pack.scalar("sme_supporting_factor")
     f2 = pack.scalar("sme_factor_above_threshold")
-    thr = pack.scalar("sme_exposure_threshold")
+    # EUR-based CRR monetary thresholds scale by the run's EUR rate (ref
+    # engine/thresholds.py FX seam); B3.1 passes 1.0 (native values)
+    thr = pack.scalar("sme_exposure_threshold") * threshold_scale
+    revenue_cap = pack.scalar("sme_revenue_cap") * threshold_scale
     sme_cond = (
         (F.col("exposure_class") == "corporate")
         & (F.col("annual_revenue") > 0)
-        & (F.col("annual_revenue") <= 50_000_000)
+        & (F.col("annual_revenue") <= revenue_cap)
     )
     if f1 >= 1.0 and f2 >= 1.0:
         sme_f = F.lit(1.0)  # factors removed (B3.1) — skip the blend

@@ -27,7 +27,14 @@ def _cents_sum_over(expr, w):
     return F.sum(F.round(expr * 100.0, 0).cast("long")).over(w) / F.lit(100.0)
 
 
-def run_classify(h: HierarchyOutput, pack: RulePack) -> ClassifiedOutput:
+def run_classify(
+    h: HierarchyOutput, pack: RulePack, threshold_scale: float = 1.0
+) -> ClassifiedOutput:
+    """threshold_scale: the run's EUR→reporting conversion applied to
+    EUR-based CRR monetary thresholds (ref engine/thresholds.py — "CRR
+    thresholds are EUR base × rate; Basel 3.1 thresholds are native").
+    1.0 when the pack's thresholds_fx_derived Feature is off or no EUR
+    rate is supplied."""
     exp = h.exposures
     amount = F.col("drawn_amount") + F.col("undrawn_amount")
 
@@ -55,7 +62,7 @@ def run_classify(h: HierarchyOutput, pack: RulePack) -> ClassifiedOutput:
 
     is_retail = (
         (F.col("entity_type") == "individual") | F.col("is_managed_as_retail")
-    ) & (F.col("group_exposure") <= pack.lit("retail_threshold"))
+    ) & (F.col("group_exposure") <= pack.lit("retail_threshold") * F.lit(threshold_scale))
 
     cls = (
         F.when(F.col("exposure_type") == "securitisation_pool", "securitisation")

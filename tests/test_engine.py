@@ -1118,6 +1118,44 @@ def test_validation_scrubs_and_reports(spark):
         )
 
 
+def test_threshold_fx_seam(spark):
+    """CRR monetary thresholds are EUR bases × the run's EUR rate; B3.1
+    thresholds are native (ref engine/thresholds.py "the FX seam" +
+    fx_rate_sync.py). A 900k group sits under the EUR 1m retail threshold
+    at rate 1.0, but above it at rate 0.85 (threshold 850k) — so the CRR
+    classification flips to corporate while B3.1 (Feature off) keeps
+    retail regardless of the supplied rate."""
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+
+    cps = _df(
+        spark,
+        [("CP1", "individual", 2, True, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 900_000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    fx = _df(
+        spark,
+        [("EUR", 0.85)],
+        "currency string, rate_to_reporting double",
+    )
+
+    def cls(bundle, pack):
+        out = run_pipeline(bundle, PipelineConfig(pack=pack))
+        return out.results.collect()[0].exposure_class
+
+    plain = RawBundle(counterparties=cps, loans=loans)
+    with_fx = RawBundle(counterparties=cps, loans=loans, fx_rates=fx)
+    assert cls(plain, CRR_PACK) == "retail"  # 900k ≤ 1m at rate 1.0
+    assert cls(with_fx, CRR_PACK) == "corporate"  # 900k > 850k scaled
+    assert cls(with_fx, B31_PACK) == "retail"  # native threshold, rate ignored
+
+
 def test_eu_sovereign_domestic_currency_zero_rw(spark):
     """CRR Art.114(4)/(7) + Art.141 (ref engine/eu_sovereign.py): an EU
     central-government exposure denominated in the member state's domestic
