@@ -892,9 +892,13 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(
+            # CASE guard: sequence(1, 0) descends in Spark, so 1-word docs
+            # short-circuit to an empty gram array
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
                 " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+                " ELSE array() END"
             )
         ).alias("gram"),
     )
@@ -925,4 +929,81 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         scaled_sum(F.col("dup_frac"), 6).alias("total_dup_frac"),
         scaled_sum(F.col("top_frac"), 6).alias("total_top_frac"),
+    )
+
+
+_SQL_5GRAM = """list_transform(
+        generate_series(1, len(string_split(text, ' ')) - 4),
+        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+             || ' ' || string_split(text, ' ')[i + 2] || ' ' || string_split(text, ' ')[i + 3]
+             || ' ' || string_split(text, ' ')[i + 4])"""
+
+
+@query(
+    "decontamination_ngram_overlap",
+    oracle=f"""
+    WITH eval_grams AS (
+        SELECT DISTINCT unnest({_SQL_5GRAM}) AS gram
+        FROM documents WHERE doc_id % 10 = 0
+    ), train_grams AS (
+        SELECT DISTINCT doc_id, lang, unnest({_SQL_5GRAM}) AS gram
+        FROM documents WHERE doc_id % 10 <> 0
+    ), contaminated AS (
+        SELECT DISTINCT t.doc_id, t.lang
+        FROM train_grams t JOIN eval_grams e ON t.gram = e.gram
+    ), train_docs AS (
+        SELECT doc_id, lang FROM documents WHERE doc_id % 10 <> 0
+    )
+    SELECT d.lang,
+           count(*) AS n_train_docs,
+           sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+           round(CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
+    FROM train_docs d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    GROUP BY d.lang
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by exact 5-gram overlap (the public
+    GPT-3 Appendix C / PaLM pipeline shape): a training document is
+    contaminated when it shares ANY word 5-gram with the held-out
+    evaluation set (here: doc_id % 10 == 0). The eval gram set is
+    dimension-sized → broadcast semi-join against exploded training
+    grams; at 100 TB the eval set stays benchmark-sized so the plan is
+    one broadcast probe + a distinct at doc grain — no shuffle of the
+    corpus beyond the per-doc flag aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    # CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than
+    # returning empty, so sub-5-word docs must short-circuit to array()
+    gram_expr = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 5 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 4),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+        " ELSE array() END"
+    )
+    eval_grams = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(F.explode(gram_expr).alias("gram"))
+        .distinct()
+    )
+    train = d.where(F.col("doc_id") % 10 != 0)
+    train_grams = train.select(
+        "doc_id", "lang", F.explode(gram_expr).alias("gram")
+    ).distinct()
+    contaminated = (
+        train_grams.join(F.broadcast(eval_grams), "gram", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    flagged = train.select("doc_id", "lang").join(contaminated, "doc_id", "left")
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("contamination_rate"),
     )
