@@ -149,3 +149,27 @@ def test_ann_broadcast_query_guard(spark):
     assert guard_broadcast_query(q).count() == 10  # under limit: passthrough
     with pytest.raises(ValueError, match="ann_ivf_probe"):
         guard_broadcast_query(q, limit=5)
+
+
+def test_decontamination_plan_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-set gram table must reach the semi-join as a BROADCAST —
+    at 100 TB the corpus side must never shuffle on the gram key."""
+    from rwa_calculator_spark.plans.llm import decontamination_ngram_overlap
+
+    df = decontamination_ngram_overlap(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert df.count() > 0
+
+
+def test_hedging_set_plan_two_aggregations_no_join(spark, sf_dir):
+    """saccr_ir_hedging_sets is two keyed partial aggregations plus pure
+    arithmetic — its physical plan must contain NO join at all and keep
+    the bucket pivot map-side combinable (partial_ aggregates present)."""
+    from rwa_calculator_spark.plans.ccr import saccr_ir_hedging_sets
+
+    df = saccr_ir_hedging_sets(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "partial_" in plan, plan  # map-side combine before each exchange
+    assert df.count() == 1
