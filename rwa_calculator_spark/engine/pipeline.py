@@ -155,6 +155,22 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
     h = run_hierarchy(raw, config.pack, extra_exposures=extra or None)
     classified = run_classify(h, config.pack, threshold_scale=threshold_scale)
+
+    # --- model-permission approach routing (ref classify/permissions.py +
+    # approach.py: per-model AIRB/FIRB/slotting grants with SA-precedence
+    # PPU carve-out, FIRB LGD clearing, B3.1 Art.147A restrictions) -------
+    perm_errors = None
+    if raw.model_permissions is not None:
+        from rwa_calculator_spark.engine.bundles import ClassifiedOutput
+        from rwa_calculator_spark.engine.stages.permissions import (
+            apply_model_permissions,
+        )
+
+        routed, perm_errors = apply_model_permissions(
+            classified.exposures, raw.model_permissions, config.pack
+        )
+        classified = ClassifiedOutput(exposures=routed)
+
     crm = run_crm(raw, classified, config.pack)
 
     # --- RE split: secured tranche vs unsecured remainder (ref
@@ -192,7 +208,7 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         branches.append(run_settlement(raw.failed_trades, config.pack))
 
     errors = None
-    for frame in (all_errors, scope_errors, wwr_errors):
+    for frame in (all_errors, scope_errors, wwr_errors, perm_errors):
         if frame is None:
             continue
         errors = frame if errors is None else errors.unionByName(frame)

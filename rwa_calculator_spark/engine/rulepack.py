@@ -278,7 +278,16 @@ CRR_PACK = RulePack(
         # tranche integral is out of scope — shape and floor are real)
         "secsa_ksa": RuleEntry(_D("0.08"), "CRR Art.261 (distilled K_SA)"),
         "secsa_p": RuleEntry(_D("1.0"), "CRR Art.261(1) p-factor"),
+        "secsa_p_sts": RuleEntry(_D("0.5"), "CRR Art.262(1) STS p-factor"),
         "secsa_floor_rw": RuleEntry(_D("0.15"), "CRR Art.261(1) 15% floor"),
+        # SEC-IRBA supervisory-p coefficients, senior granular wholesale
+        # row of the CRR Art.259(1) table; p floors at 0.3
+        "secirba_p_floor": RuleEntry(_D("0.3"), "CRR Art.259(1)"),
+        "secirba_coef_a": RuleEntry(_D("0"), "CRR Art.259(1) Table 1"),
+        "secirba_coef_b": RuleEntry(_D("3.56"), "CRR Art.259(1) Table 1"),
+        "secirba_coef_c": RuleEntry(_D("-1.85"), "CRR Art.259(1) Table 1"),
+        "secirba_coef_d": RuleEntry(_D("0.55"), "CRR Art.259(1) Table 1"),
+        "secirba_coef_e": RuleEntry(_D("0.07"), "CRR Art.259(1) Table 1"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
@@ -323,10 +332,28 @@ B31_PACK = RulePack(
         "pfe_multiplier_floor": RuleEntry(_D("0.05"), "BCBS CRE52.23"),
         "intragroup_zero_rw_enabled": RuleEntry(_D("1"), "PS1/26 Art.113(6)"),
         "intragroup_zero_rw_pct": RuleEntry(_D("0.0"), "PS1/26 Art.113(6)"),
+        # Art.147A approach restrictions are a B3.1-only Feature (ref
+        # rulebook approach_restrictions_b31_applicable; CRR pack omits it)
+        "b31_approach_restrictions": RuleEntry(_D("1"), "PS1/26 Art.147A(1)"),
+        "large_corporate_revenue_threshold": RuleEntry(
+            _D("440000000"), "PS1/26 Art.147(4C)(b)(ii) (GBP 440m native)"
+        ),
+        "sme_balance_sheet_threshold": RuleEntry(
+            _D("43000000"), "Commission Rec 2003/361/EC Art.2 (SME assets cap)"
+        ),
 
         "secsa_ksa": RuleEntry(_D("0.08"), "BCBS CRE41 (distilled K_SA)"),
         "secsa_p": RuleEntry(_D("1.0"), "BCBS CRE41.18 p-factor"),
+        "secsa_p_sts": RuleEntry(_D("0.5"), "BCBS CRE41.19 STC p-factor"),
         "secsa_floor_rw": RuleEntry(_D("0.15"), "BCBS CRE41.43 15% floor"),
+        # SEC-IRBA supervisory-p coefficients (CRE44.23, senior granular
+        # wholesale row); p floors at 0.3
+        "secirba_p_floor": RuleEntry(_D("0.3"), "BCBS CRE44.22"),
+        "secirba_coef_a": RuleEntry(_D("0"), "BCBS CRE44.23"),
+        "secirba_coef_b": RuleEntry(_D("3.56"), "BCBS CRE44.23"),
+        "secirba_coef_c": RuleEntry(_D("-1.85"), "BCBS CRE44.23"),
+        "secirba_coef_d": RuleEntry(_D("0.55"), "BCBS CRE44.23"),
+        "secirba_coef_e": RuleEntry(_D("0.07"), "BCBS CRE44.23"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),

@@ -218,7 +218,9 @@ def run_hierarchy(
         ipd = resolve_internal_pd(raw.ratings, ups)
         dim = dim.join(ipd, "counterparty_reference", "left")
     else:
-        dim = dim.withColumn("internal_pd", F.lit(None).cast("double"))
+        dim = dim.withColumn("internal_pd", F.lit(None).cast("double")).withColumn(
+            "model_id", F.lit(None).cast("string")
+        )
 
     if raw.lending_mappings is not None:
         # membership = children + parents-as-members (CRR Art.4(1)(39));

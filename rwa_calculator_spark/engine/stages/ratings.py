@@ -80,13 +80,18 @@ def resolve_internal_pd(ratings: DataFrame, ultimate_parents: DataFrame | None) 
         & F.col("pd").isNotNull()
         & F.col("counterparty_reference").isNotNull()
     )
+    if "model_id" not in internal.columns:
+        internal = internal.withColumn("model_id", F.lit(None).cast("string"))
     w_latest = W.partitionBy("counterparty_reference").orderBy(
         F.col("rating_date").desc(), F.col("rating_reference").desc()
     )
     own = (
         internal.withColumn("_rn", F.row_number().over(w_latest))
         .where(F.col("_rn") == 1)
-        .select("counterparty_reference", F.col("pd").alias("internal_pd"))
+        # model_id travels WITH the winning rating (ref permissions.py:
+        # "model_id originates on internal ratings and is propagated by
+        # the rating inheritance pipeline")
+        .select("counterparty_reference", F.col("pd").alias("internal_pd"), "model_id")
     )
     if ultimate_parents is None:
         return own
@@ -94,6 +99,7 @@ def resolve_internal_pd(ratings: DataFrame, ultimate_parents: DataFrame | None) 
     parent_pd = own.select(
         F.col("counterparty_reference").alias("_p_ref"),
         F.col("internal_pd").alias("parent_internal_pd"),
+        F.col("model_id").alias("parent_model_id"),
     )
     with_parent = (
         ultimate_parents.select("counterparty_reference", "group_reference")
@@ -103,4 +109,9 @@ def resolve_internal_pd(ratings: DataFrame, ultimate_parents: DataFrame | None) 
     return with_parent.select(
         "counterparty_reference",
         F.coalesce("internal_pd", "parent_internal_pd").alias("internal_pd"),
+        # the model inherits with the PD: an exposure rated only via its
+        # parent's model resolves that model's permission row
+        F.when(F.col("internal_pd").isNotNull(), F.col("model_id"))
+        .otherwise(F.col("parent_model_id"))
+        .alias("model_id"),
     ).where(F.col("internal_pd").isNotNull())

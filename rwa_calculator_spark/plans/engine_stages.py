@@ -380,4 +380,124 @@ def ratings_internal_pd_inheritance(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("group_reference", "counterparty_reference"),
         )
     )
-    return resolve_internal_pd(internal, ups)
+    return resolve_internal_pd(internal, ups).select(
+        "counterparty_reference", "internal_pd"
+    )
+
+
+_MODEL_PERMISSION_ORACLE = """
+WITH exp AS (
+    SELECT 'E' || c_custkey AS exposure_reference,
+           CASE WHEN c_custkey % 11 = 0 THEN NULL
+                ELSE 'M' || (c_custkey % 6) END AS model_id,
+           CASE c_mktsegment
+                WHEN 'BUILDING' THEN 'corporate'
+                WHEN 'AUTOMOBILE' THEN 'retail'
+                WHEN 'MACHINERY' THEN 'institution'
+                WHEN 'FURNITURE' THEN 'specialised'
+                ELSE 'corporate' END AS exposure_class,
+           'C' || (c_nationkey % 5) AS country,
+           'B' || (c_custkey % 4) AS book_code
+    FROM customer
+), mp AS (
+    SELECT 'M' || (n_nationkey % 5) AS model_id,
+           CASE (n_nationkey // 5) % 3
+                WHEN 0 THEN 'corporate'
+                WHEN 1 THEN 'retail'
+                ELSE 'institution' END AS exposure_class,
+           CASE n_nationkey % 4
+                WHEN 0 THEN 'AIRB' WHEN 1 THEN 'FIRB'
+                WHEN 2 THEN 'SLOTTING' ELSE 'SA' END AS approach,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'C0,C2,C4' END AS country_codes,
+           CASE WHEN n_nationkey % 5 = 0 THEN 'B3' END AS excluded_book_codes,
+           CASE WHEN n_nationkey % 4 = 3 THEN 'ppu' END AS ppu_reason
+    FROM nation
+), j AS (
+    SELECT e.exposure_reference, e.model_id,
+           m.model_id IS NOT NULL AS joined,
+           m.approach, m.ppu_reason,
+           (e.exposure_class = m.exposure_class
+            AND (m.country_codes IS NULL
+                 OR (e.country IS NOT NULL
+                     AND position(e.country IN m.country_codes) > 0))
+            AND (m.excluded_book_codes IS NULL
+                 OR NOT coalesce(
+                        position(e.book_code IN m.excluded_book_codes) > 0,
+                        FALSE))) AS valid
+    FROM exp e LEFT JOIN mp m ON e.model_id = m.model_id
+), g AS (
+    SELECT exposure_reference, model_id,
+           coalesce(bool_or(valid AND approach = 'AIRB'), FALSE) AS airb_any,
+           coalesce(bool_or(valid AND approach = 'FIRB'), FALSE) AS firb_any,
+           coalesce(bool_or(valid AND approach = 'SLOTTING'), FALSE) AS slot_any,
+           coalesce(bool_or(valid AND approach = 'SA'), FALSE) AS sa_block,
+           coalesce(bool_or(joined), FALSE) AS joined_any,
+           max(CASE WHEN valid AND approach = 'SA' THEN ppu_reason END) AS ppu_reason
+    FROM j GROUP BY exposure_reference, model_id
+)
+SELECT exposure_reference,
+       airb_any AND NOT sa_block AS model_airb_permitted,
+       firb_any AND NOT sa_block AS model_firb_permitted,
+       slot_any AND NOT sa_block AS model_slotting_permitted,
+       ppu_reason,
+       CASE WHEN (airb_any OR firb_any OR slot_any) AND NOT sa_block THEN NULL
+            WHEN model_id IS NULL THEN 'null_model_id'
+            WHEN NOT joined_any THEN 'unmatched_model_id'
+            ELSE 'filter_rejected' END AS permission_diagnostic
+FROM g
+"""
+
+
+@query("model_permission_routing", oracle=_MODEL_PERMISSION_ORACLE, tags=("engine", "classify"))
+def model_permission_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-permission resolution through the REAL engine operator
+    (engine/stages/permissions.py resolve_model_permissions; ref
+    engine/stages/classify/permissions.py, CRR Art.143/148/150):
+    per-model AIRB/FIRB/SLOTTING grants joined onto exposures, class /
+    geography / book-code validity filters with null-safe three-valued
+    guards, SA-precedence PPU carve-out, and the per-cause diagnostic
+    (null_model_id / unmatched_model_id / filter_rejected)."""
+    from rwa_calculator_spark.engine.stages.permissions import (
+        resolve_model_permissions,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    exposures = c.select(
+        F.concat(F.lit("E"), F.col("c_custkey")).alias("exposure_reference"),
+        F.when(
+            F.col("c_custkey") % 11 != 0,
+            F.concat(F.lit("M"), F.col("c_custkey") % 6),
+        ).alias("model_id"),
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", "retail")
+        .when(F.col("c_mktsegment") == "MACHINERY", "institution")
+        .when(F.col("c_mktsegment") == "FURNITURE", "specialised")
+        .otherwise("corporate")
+        .alias("exposure_class"),
+        F.concat(F.lit("C"), F.col("c_nationkey") % 5).alias("country"),
+        F.concat(F.lit("B"), F.col("c_custkey") % 4).alias("book_code"),
+    )
+    nk = F.col("n_nationkey")
+    mp = n.select(
+        F.concat(F.lit("M"), nk % 5).alias("model_id"),
+        F.when((nk / 5).cast("int") % 3 == 0, "corporate")
+        .when((nk / 5).cast("int") % 3 == 1, "retail")
+        .otherwise("institution")
+        .alias("exposure_class"),
+        F.when(nk % 4 == 0, "AIRB")
+        .when(nk % 4 == 1, "FIRB")
+        .when(nk % 4 == 2, "SLOTTING")
+        .otherwise("SA")
+        .alias("approach"),
+        F.when(nk % 2 == 0, "C0,C2,C4").alias("country_codes"),
+        F.when(nk % 5 == 0, "B3").alias("excluded_book_codes"),
+        F.when(nk % 4 == 3, "ppu").alias("ppu_reason"),
+    )
+    return resolve_model_permissions(exposures, mp).select(
+        "exposure_reference",
+        "model_airb_permitted",
+        "model_firb_permitted",
+        "model_slotting_permitted",
+        "ppu_reason",
+        "permission_diagnostic",
+    )

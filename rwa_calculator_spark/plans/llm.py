@@ -1007,3 +1007,163 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("contamination_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level segment dedup (C4-style line dedup)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_lines_corpus",
+    oracle="""
+    WITH segs AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(w, (i-1)*8+1, (i-1)*8+8), ' ') AS seg
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(generate_series(1,
+                 CAST(ceil(CAST(len(w) AS DOUBLE)/8.0) AS BIGINT))) AS i)
+    ), freq AS (
+        SELECT seg, count(*) AS n FROM segs GROUP BY seg
+    ), kept AS (
+        SELECT s.doc_id, s.pos, s.seg, f.n >= 2 AS dup
+        FROM segs s JOIN freq f ON s.seg = f.seg
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT dup THEN seg END, ' ' ORDER BY pos), '') AS text_kept
+    FROM kept GROUP BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level segment (line) deduplication — the C4/CCNet rule:
+    drop any line occurring >= 2 times ACROSS the whole corpus, keeping
+    the document otherwise (C4 uses three-sentence spans, CCNet hashed
+    paragraphs; same dataflow). Spark shape: posexplode segments →
+    global segment-frequency aggregation (map-side combinable count) →
+    join back on the segment key → filter → ordered reassembly via
+    sort_array(collect_list(struct(pos, seg))). Two shuffles (segment
+    key, doc key), both on bounded-width rows; no driver collect — the
+    100 TB plan is identical with the frequency side optionally
+    broadcast after a min-count pre-filter."""
+    d = load_table(spark, sf_dir, "documents")
+    segs_expr = F.expr(
+        "transform(sequence(1, cast(ceil(size(split(text, ' '))/8.0) as int)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), (i-1)*8+1, 8)))"
+    )
+    segs = d.select(
+        "doc_id", F.posexplode(segs_expr).alias("pos0", "seg")
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
+    freq = segs.groupBy("seg").agg(F.count("*").alias("n"))
+    kept = segs.join(freq, "seg").withColumn("dup", F.col("n") >= 2)
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("dup").cast("int")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(~F.col("dup"), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, lang,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                       ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_IP_RE}')) AS INT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_IP_RE}', '<IP>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM seeded
+    """,
+    tags=("llm", "pii"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection and redaction over a deterministically PII-seeded
+    corpus (the testdata is synthetic word soup, so both engines inject
+    the same emails/phones/IPs first — the operator under test is the
+    detect/redact pass). Pure JVM regexp expressions (regexp_extract_all
+    + regexp_replace), no UDF: per-row, shuffle-free, whole-stage
+    codegen; the identical plan holds at 100 TB. Order of replacement is
+    email → IP → phone so an IP octet pair is never half-eaten by the
+    phone pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    F.col("doc_id") % 256,
+                    F.lit("."),
+                    (F.col("doc_id") * 7) % 256,
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(_IP_RE), 0)).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+                _IP_RE,
+                "<IP>",
+            ),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
