@@ -61,7 +61,7 @@ def capital_attribution(crr, b31, sequential: bool = False) -> DataFrame:
             scaled_sum(F.col("rwa"), 2).alias("rwa_crr"),
             scaled_sum(F.col("rwa_before_sf"), 2).alias("rwa_before_sf_crr"),
             scaled_sum(
-                F.when(F.col("rw_source") == "irb_vasicek", F.col("rwa")).otherwise(
+                F.when(F.col("rw_source").startswith("irb_vasicek"), F.col("rwa")).otherwise(
                     F.lit(0.0)
                 ),
                 2,

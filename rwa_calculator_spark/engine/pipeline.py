@@ -50,6 +50,10 @@ class PipelineConfig:
     # rows onto AggregatedOutput.errors; "immediate" additionally raises
     # PipelineHalt when any error exists (one deliberate driver action).
     validation: str = "merged"
+    # CRM method selection (CRR Art.191A; ref contracts/config.py
+    # collateral method): "comprehensive" = FCCM EAD reduction (default);
+    # "simple" = Art.222 FCSM risk-weight substitution, no EAD reduction.
+    collateral_method: str = "comprehensive"
     # Dictionary-evaluate the IRB K kernel on distinct (PD, LGD, M) combos.
     # Right when parameters are banded (rating master scales — the usual
     # case); switch off for continuous parameters, where distinct ≈ rows
@@ -171,7 +175,9 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         )
         classified = ClassifiedOutput(exposures=routed)
 
-    crm = run_crm(raw, classified, config.pack)
+    crm = run_crm(
+        raw, classified, config.pack, collateral_method=config.collateral_method
+    )
 
     # --- RE split: secured tranche vs unsecured remainder (ref
     # engine/stages/re_split/splitter.py:323, between CRM and calculators) -

@@ -83,6 +83,16 @@ _EU_DOMESTIC_CCY_ROWS = (
 
 _D = Decimal
 
+# CRR Art.232(3) life-insurance secured-RW map (insurer institution RW ->
+# secured-portion RW); regime-invariant, PS1/26 Art.232(3) retains it.
+_LIFE_INS_RW_SCHEMA = "insurer_rw double, secured_rw double"
+_LIFE_INS_RW_ROWS = (
+    (_D("0.2"), _D("0.2")),
+    (_D("0.5"), _D("0.35")),
+    (_D("1.0"), _D("0.7")),
+    (_D("1.5"), _D("1.5")),
+)
+
 # CRR standardised risk weights by (exposure_class, cqs); cqs 0 = unrated.
 # Public CRR Art. 114-122 tables (ref engine/sa/risk_weights.py).
 _SA_RW_ROWS = tuple(
@@ -253,6 +263,7 @@ CRR_PACK = RulePack(
         "irb_scaling_factor": RuleEntry(_D("1.06"), "CRR Art.153(1)"),
         "output_floor_alpha": RuleEntry(_D("0.0"), "n/a in CRR"),
         "fx_haircut": RuleEntry(_D("0.08"), "CRR Art.224"),
+        "fcsm_rw_floor": RuleEntry(_D("0.2"), "CRR Art.222(3) FCSM 20% floor"),
         # IRB simple risk-weight method (CRR Art.155(2); ref
         # engine/equity/calculator.py:760-762): diversified private equity
         # 190% / exchange-traded 290% / other 370%, EL 0.8%/0.8%/2.4%
@@ -297,6 +308,7 @@ CRR_PACK = RulePack(
         "collateral_haircuts": (_HAIRCUT_SCHEMA, _HAIRCUT_ROWS_CRR),
         "haircut_bands": (_HAIRCUT_BANDS_SCHEMA, _HAIRCUT_BANDS_CRR),
         "eu_domestic_ccy": (_EU_DOMESTIC_CCY_SCHEMA, _EU_DOMESTIC_CCY_ROWS),
+        "life_ins_rw_map": (_LIFE_INS_RW_SCHEMA, _LIFE_INS_RW_ROWS),
     },
 )
 
@@ -322,6 +334,7 @@ B31_PACK = RulePack(
         "irb_scaling_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
         "output_floor_alpha": RuleEntry(_D("0.725"), "BCBS RBC20.11"),
         "fx_haircut": RuleEntry(_D("0.08"), "BCBS CRE22.52"),
+        "fcsm_rw_floor": RuleEntry(_D("0.2"), "PS1/26 Art.222 FCSM 20% floor"),
         # B3.1 removed the IRB equity approaches — all equity uses SA
         # (PS1/26 Art.133(3)-(5); ref rulebook/packs/b31.py:513-529):
         # standard 250%, speculative unlisted 400%, no slotting-style EL
@@ -363,5 +376,6 @@ B31_PACK = RulePack(
         "collateral_haircuts": (_HAIRCUT_SCHEMA, _HAIRCUT_ROWS_B31),
         "haircut_bands": (_HAIRCUT_BANDS_SCHEMA, _HAIRCUT_BANDS_B31),
         "eu_domestic_ccy": (_EU_DOMESTIC_CCY_SCHEMA, _EU_DOMESTIC_CCY_ROWS),
+        "life_ins_rw_map": (_LIFE_INS_RW_SCHEMA, _LIFE_INS_RW_ROWS),
     },
 )

@@ -190,6 +190,38 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         ).otherwise(F.col("rw_source")),
     )
 
+    # other-funded-protection RW substitution (CRR Art.222/232; ref
+    # engine/crm/{simple_method,life_insurance,third_party_deposit}.py):
+    # each channel's covered fraction takes min(own RW, substitute RW) —
+    # the blend composes as a subtraction of each channel's benefit from
+    # the guarantee-blended RW; channels claim the unguaranteed remainder
+    # in order (life insurance, third-party deposit, FCSM)
+    if "li_value" in exp.columns:
+        own = F.col("own_rw")
+        ead_nz = F.nullif(F.col("ead_after_crm"), F.lit(0.0))
+        avail = F.greatest(1 - F.col("g_coverage"), F.lit(0.0))
+        benefit = F.lit(0.0)
+        for vcol, rcol in (
+            ("li_value", "li_rw"),
+            ("tpd_value", "tpd_rw"),
+            ("fcsm_value", "fcsm_rw"),
+        ):
+            frac = F.least(
+                F.coalesce(F.col(vcol) / ead_nz, F.lit(0.0)), avail
+            )
+            benefit = benefit + frac * F.greatest(
+                own - F.coalesce(F.col(rcol), own), F.lit(0.0)
+            )
+            avail = avail - frac
+        exp = exp.withColumn(
+            "risk_weight", F.col("risk_weight") - benefit
+        ).withColumn(
+            "rw_source",
+            F.when(
+                benefit > 0, F.concat(F.col("rw_source"), F.lit("+ofcp"))
+            ).otherwise(F.col("rw_source")),
+        )
+
     # CRR Art.113(6): 0% RW for core-UK-group intragroup exposures on an
     # individual-basis run. The carrier is set (and authoritatively
     # cleared) ONLY by resolve_scope — see engine/stages/scope.py (ref
@@ -318,7 +350,20 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
             "risk_weight",
             F.col("k") * F.col("ma") * 12.5 * pack.lit("irb_scaling_factor"),
         )
-        .withColumn("rw_source", F.lit("irb_vasicek"))
+        .withColumn(
+            "rw_source",
+            # permission-routed runs record WHICH IRB variant priced the
+            # row (airb = own LGD, firb = supervisory LGD) — the
+            # model-permissions stage sets irb_subapproach
+            (
+                F.when(
+                    F.col("irb_subapproach").isNotNull(),
+                    F.concat(F.lit("irb_vasicek_"), F.col("irb_subapproach")),
+                ).otherwise("irb_vasicek")
+                if "irb_subapproach" in perf.columns
+                else F.lit("irb_vasicek")
+            ),
+        )
     )
     perf = _el_columns(
         perf, F.col("pd_floored") * F.col("lgd_floored") * F.col("ead_after_crm")
@@ -380,27 +425,70 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         pack.lit("secsa_ksa") * F.lit(12.5) * pack.lit("secsa_p"),
     )
     if "attachment" in exp.columns:
-        from rwa_calculator_spark.functions.secsa import ssfa_risk_weight
+        from rwa_calculator_spark.functions.secsa import (
+            ssfa_risk_weight_cols,
+        )
 
-        rw = F.when(
-            F.col("attachment").isNotNull(),
-            ssfa_risk_weight(
-                F.col("attachment"),
-                F.col("detachment"),
-                F.coalesce("w_delinquent", F.lit(0.0)),
-                ksa=pack.scalar("secsa_ksa"),
-                p=pack.scalar("secsa_p"),
-                floor=pack.scalar("secsa_floor_rw"),
-            ),
-        ).otherwise(flat_rw)
+        # STS pools take the halved supervisory p (CRR Art.262(1));
+        # column-valued so STS and non-STS tranches share one plan
+        p_sa = (
+            F.when(F.col("is_sts"), pack.lit("secsa_p_sts")).otherwise(
+                pack.lit("secsa_p")
+            )
+            if "is_sts" in exp.columns
+            else pack.lit("secsa_p")
+        )
+        rw_sa = ssfa_risk_weight_cols(
+            F.col("attachment"),
+            F.col("detachment"),
+            F.coalesce("w_delinquent", F.lit(0.0)),
+            pack.lit("secsa_ksa"),
+            p_sa,
+            floor=pack.scalar("secsa_floor_rw"),
+        )
+        rw = F.when(F.col("attachment").isNotNull(), rw_sa).otherwise(flat_rw)
         rw_src = F.when(F.col("attachment").isNotNull(), "sec_sa_ssfa").otherwise(
             "sec_sa"
         )
+        # Art.92(3) floor base: SEC-IRBA rows floor against their SEC-SA
+        # equivalent, so the SA-side RW is kept regardless of routing
+        sa_equiv_rw = rw
+        if "k_irb" in exp.columns:
+            # SEC-IRBA (CRR Art.259): same SSFA closed form with the
+            # pool's own K_IRB and the supervisory p-formula
+            # p = max(floor, A + B/N + C·K_IRB + D·LGD + E·M_T).
+            # K_IRB already reflects pool quality, so W does not re-adjust.
+            p_irba = F.greatest(
+                pack.lit("secirba_p_floor"),
+                pack.lit("secirba_coef_a")
+                + pack.lit("secirba_coef_b") / F.col("pool_n")
+                + pack.lit("secirba_coef_c") * F.col("k_irb")
+                + pack.lit("secirba_coef_d") * F.col("pool_lgd")
+                + pack.lit("secirba_coef_e") * F.col("pool_maturity"),
+            )
+            rw_irba = ssfa_risk_weight_cols(
+                F.col("attachment"),
+                F.col("detachment"),
+                F.lit(0.0),
+                F.col("k_irb"),
+                p_irba,
+                floor=pack.scalar("secsa_floor_rw"),
+            )
+            rw = F.when(F.col("k_irb").isNotNull(), rw_irba).otherwise(rw)
+            rw_src = F.when(F.col("k_irb").isNotNull(), "sec_irba_ssfa").otherwise(
+                rw_src
+            )
+            approach_col = F.when(F.col("k_irb").isNotNull(), "SEC-IRBA").otherwise(
+                F.lit("SEC-SA")
+            )
     else:
         rw = flat_rw
         rw_src = F.lit("sec_sa")
+        sa_equiv_rw = rw
+    if "k_irb" not in exp.columns:
+        approach_col = F.lit("SEC-SA")
     exp = (
-        exp.withColumn("approach", F.lit("SEC-SA"))
+        exp.withColumn("approach", approach_col)
         .withColumn("risk_weight", rw)
         .withColumn("rw_source", rw_src)
         .withColumn("rwa_before_sf", F.col("ead_after_crm") * rw)
@@ -408,7 +496,7 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     )
     exp = _el_columns(exp, F.lit(0.0))
     exp = _param_cols(exp)
-    exp = exp.withColumn("rwa_sa_equivalent", F.col("rwa"))
+    exp = exp.withColumn("rwa_sa_equivalent", F.col("ead_after_crm") * sa_equiv_rw)
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 

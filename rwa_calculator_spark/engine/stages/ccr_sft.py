@@ -135,6 +135,13 @@ def ccr_exposures(
         "sf", F.coalesce("sf", F.lit(0.05))
     )
     has_wwr = "_wwr_lgd_override" in t.columns
+    # MPOR cascade inputs (CRR Art.285; ref engine/ccr/maturity_factor.py):
+    # engaged only when the margin frame carries remargin_days — bundles
+    # without margining cadence keep the distilled MF = 1 shape
+    has_mpor = (
+        margin_agreements is not None
+        and "remargin_days" in margin_agreements.columns
+    )
     class_aggs = [
         scaled_sum(F.col("mtm"), 2).alias("class_mtm"),
         scaled_sum(F.col("sf") * F.col("notional"), 2).alias("class_addon"),
@@ -148,6 +155,27 @@ def ccr_exposures(
     if has_wwr:
         class_aggs.append(F.max("_wwr_lgd_override").alias("_wwr_lgd_override"))
         set_aggs.append(F.max("_wwr_lgd_override").alias("_wwr_lgd_override"))
+    if has_mpor:
+        illiquid = (
+            F.coalesce("is_illiquid", F.lit(False))
+            if "is_illiquid" in t.columns
+            else F.lit(False)
+        )
+        disputed = (
+            F.coalesce("is_disputed", F.lit(False)).cast("int")
+            if "is_disputed" in t.columns
+            else F.lit(0)
+        )
+        class_aggs += [
+            F.count("*").alias("class_n_trades"),
+            F.bool_or(illiquid).alias("class_illiquid"),
+            F.sum(disputed).alias("class_disputes"),
+        ]
+        set_aggs += [
+            F.sum("class_n_trades").alias("set_n_trades"),
+            F.bool_or("class_illiquid").alias("set_illiquid"),
+            F.sum("class_disputes").alias("set_disputes"),
+        ]
     per_class = t.groupBy("netting_set_reference", "asset_class").agg(*class_aggs)
     per_set = per_class.groupBy("netting_set_reference").agg(*set_aggs)
 
@@ -167,12 +195,24 @@ def ccr_exposures(
 
     v_minus_c = F.col("set_mtm") - F.col("c_net")
     if margin_agreements is not None:
-        ma = margin_agreements.select(
+        ma_cols = [
             "netting_set_reference",
             F.col("threshold").cast("double").alias("_th"),
             F.col("mta").cast("double").alias("_mta"),
             F.col("nica").cast("double").alias("_nica"),
-        )
+        ]
+        if has_mpor:
+            ma_cols.append(
+                F.col("remargin_days").cast("double").alias("_remargin_days")
+            )
+            ma_cols.append(
+                (
+                    F.col("mpor_floor_days").cast("double")
+                    if "mpor_floor_days" in margin_agreements.columns
+                    else F.lit(None).cast("double")
+                ).alias("_mpor_floor")
+            )
+        ma = margin_agreements.select(*ma_cols)
         per_set = per_set.join(F.broadcast(ma), "netting_set_reference", "left")
         rc = F.when(
             F.col("_th").isNotNull(),
@@ -204,8 +244,28 @@ def ccr_exposures(
     else:
         mult = F.lit(1.0)
 
+    # Art.285(2)-(5) MPOR cascade → Art.279c(2) margined maturity factor
+    # MF = 1.5·√(MPOR_eff/250), scaling the netting-set add-on (the MPOR is
+    # a netting-set attribute, so set-level scaling ≡ per-trade scaling).
+    # Unmargined sets (null threshold/remargin) keep MF = 1.
+    if has_mpor:
+        base = F.when(
+            (F.col("set_n_trades") > 5000) | F.col("set_illiquid"), F.lit(20.0)
+        ).otherwise(F.lit(10.0))
+        doubled = F.when(F.col("set_disputes") > 2, F.lit(2.0)).otherwise(F.lit(1.0)) * base
+        mpor_eff = F.greatest(
+            doubled + F.col("_remargin_days") - 1,
+            F.coalesce("_mpor_floor", F.lit(0.0)),
+        )
+        mf = F.when(
+            F.col("_th").isNotNull() & F.col("_remargin_days").isNotNull(),
+            F.lit(1.5) * F.sqrt(mpor_eff / F.lit(250.0)),
+        ).otherwise(F.lit(1.0))
+    else:
+        mf = F.lit(1.0)
+
     ead = per_set.withColumn(
-        "ead", pack.lit("saccr_alpha") * (rc + mult * F.col("aggregate_addon"))
+        "ead", pack.lit("saccr_alpha") * (rc + mult * mf * F.col("aggregate_addon"))
     )
     return _exposure_shape(
         ead,

@@ -162,7 +162,54 @@ def _resolve_provisions(
     )
 
 
-def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
+_OFCP_TYPES = ("life_insurance", "third_party_deposit")
+
+
+def _allocate_items(exp: DataFrame, items: DataFrame, links: DataFrame):
+    """Pro-rata allocation of item values across linked exposures by EAD,
+    returning per-exposure (value total, value-weighted item RW) — the
+    kernels/allocation.py shape shared by every funded-protection channel.
+    items: (collateral_reference, _val, _item_rw)."""
+    linked = links.join(
+        exp.select("exposure_reference", "ead"), "exposure_reference"
+    ).join(F.broadcast(items), "collateral_reference")
+    wcoll = W.partitionBy("collateral_reference")
+    denom = F.sum(F.round(F.col("ead") * 100.0, 0).cast("long")).over(wcoll) / F.lit(100.0)
+    allocated = linked.withColumn(
+        "_alloc_val",
+        F.col("_val") * (F.col("ead") / F.nullif(denom, F.lit(0.0))),
+    )
+    return allocated.groupBy("exposure_reference").agg(
+        F.sum("_alloc_val").alias("_ch_value"),
+        (
+            F.sum(F.col("_alloc_val") * F.col("_item_rw"))
+            / F.nullif(F.sum("_alloc_val"), F.lit(0.0))
+        ).alias("_ch_rw"),
+    )
+
+
+def _join_issuer_rw(df: DataFrame, pack: RulePack, cls_col, cqs_col, out: str) -> DataFrame:
+    """Broadcast sa_rw lookup: (issuer class, CQS) → SA risk weight."""
+    spark = df.sparkSession
+    tbl = pack.table_df(spark, "sa_rw").select(
+        F.col("exposure_class").alias("_irw_cls"),
+        F.col("cqs").alias("_irw_cqs"),
+        F.col("rw").alias(out),
+    )
+    return df.join(
+        F.broadcast(tbl),
+        (cls_col == F.col("_irw_cls"))
+        & (F.coalesce(cqs_col.cast("int"), F.lit(0)) == F.col("_irw_cqs")),
+        "left",
+    ).drop("_irw_cls", "_irw_cqs")
+
+
+def run_crm(
+    raw: RawBundle,
+    c: ClassifiedOutput,
+    pack: RulePack,
+    collateral_method: str = "comprehensive",
+) -> CRMOutput:
     spark = c.exposures.sparkSession
     exp = c.exposures
 
@@ -210,11 +257,21 @@ def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
     # real-estate items are NOT FCCM-netted — they route to the RE-split
     # stage instead (ref engine/stages/re_split; CRR Art.124-126), so the
     # same property can never both reduce EAD here and secure a tranche
-    if raw.collateral is not None and raw.collateral_links is not None:
+    if (
+        raw.collateral is not None
+        and raw.collateral_links is not None
+        and collateral_method != "simple"
+    ):
         fin_coll = raw.collateral
         if "collateral_type" in fin_coll.columns:
+            # real estate routes to RE-split; life insurance and
+            # third-party deposits are OTHER funded protection (RW
+            # substitution channels below, CRR Art.232) — none may also
+            # FCCM-net, or the same item would count twice
             fin_coll = fin_coll.where(
-                F.coalesce("collateral_type", F.lit("")) != "real_estate"
+                ~F.coalesce("collateral_type", F.lit("")).isin(
+                    "real_estate", *_OFCP_TYPES
+                )
             )
 
         # haircut: supplied column wins; else the banded supervisory lookup
@@ -340,6 +397,140 @@ def run_crm(raw: RawBundle, c: ClassifiedOutput, pack: RulePack) -> CRMOutput:
     exp = exp.withColumn(
         "ead_after_crm", F.greatest(F.col("ead") - F.col("collateral_value"), F.lit(0.0))
     )
+
+    # --- other funded credit protection: RW-substitution channels ---------
+    # (no EAD reduction — the value carries a substitute risk weight that
+    # the SA calculator blends over the covered fraction)
+    li_done = tpd_done = fcsm_done = False
+    if (
+        raw.collateral is not None
+        and raw.collateral_links is not None
+        and "collateral_type" in raw.collateral.columns
+    ):
+        links = raw.collateral_links.select(
+            "collateral_reference", "exposure_reference"
+        )
+        coll = raw.collateral
+        ccy_mm = (
+            F.coalesce("currency_mismatch", F.lit(False))
+            if "currency_mismatch" in coll.columns
+            else F.lit(False)
+        )
+        cqs_col = (
+            F.col("collateral_cqs")
+            if "collateral_cqs" in coll.columns
+            else F.lit(None).cast("int")
+        )
+
+        # life insurance (CRR Art.232(3)/233(3); ref engine/crm/
+        # life_insurance.py): surrender value less the 8% FX volatility
+        # haircut on currency mismatch; the insurer's institution RW maps
+        # through the Art.232(3) table to the secured-portion RW
+        li = coll.where(F.col("collateral_type") == "life_insurance")
+        li = _join_issuer_rw(li, pack, F.lit("institution"), cqs_col, "_insurer_rw")
+        li_map = pack.table_df(spark, "life_ins_rw_map").select(
+            F.col("insurer_rw").alias("_lim_in"),
+            F.col("secured_rw").alias("_lim_out"),
+        )
+        li = li.join(
+            F.broadcast(li_map), F.col("_insurer_rw") == F.col("_lim_in"), "left"
+        ).select(
+            "collateral_reference",
+            (
+                F.coalesce("market_value", F.lit(0.0))
+                * (1 - F.when(ccy_mm, pack.lit("fx_haircut")).otherwise(0.0))
+            ).alias("_val"),
+            # unmapped insurer RW falls back to itself (identity — the
+            # map only ever improves; ref life_insurance.py table misses)
+            F.coalesce("_lim_out", "_insurer_rw", F.lit(1.5)).alias("_item_rw"),
+        )
+        exp = exp.join(
+            _allocate_items(exp, li, links)
+            .withColumnRenamed("_ch_value", "li_value")
+            .withColumnRenamed("_ch_rw", "li_rw"),
+            "exposure_reference",
+            "left",
+        )
+        li_done = True
+
+        # third-party deposit (CRR Art.200(a)/232(2); ref engine/crm/
+        # third_party_deposit.py): cash held at a THIRD-party institution
+        # is a guarantee by the holder — the holder's own institution RW
+        # substitutes; it is NOT 0%-haircut own-bank cash
+        tpd = coll.where(F.col("collateral_type") == "third_party_deposit")
+        tpd = _join_issuer_rw(
+            tpd, pack, F.lit("institution"), cqs_col, "_holder_rw"
+        ).select(
+            "collateral_reference",
+            F.coalesce("market_value", F.lit(0.0)).alias("_val"),
+            F.coalesce("_holder_rw", F.lit(0.5)).alias("_item_rw"),
+        )
+        exp = exp.join(
+            _allocate_items(exp, tpd, links)
+            .withColumnRenamed("_ch_value", "tpd_value")
+            .withColumnRenamed("_ch_rw", "tpd_rw"),
+            "exposure_reference",
+            "left",
+        )
+        tpd_done = True
+
+        # financial collateral simple method (CRR Art.222; ref engine/crm/
+        # simple_method.py): raw market value (no haircuts), collateral RW
+        # from issuer class × CQS floored at 20% per item, same-currency
+        # cash at 0% (Art.222(4)); no EAD reduction
+        if collateral_method == "simple":
+            fc = coll.where(
+                ~F.coalesce("collateral_type", F.lit("")).isin(
+                    "real_estate", *_OFCP_TYPES
+                )
+            )
+            issuer_cls = (
+                F.when(F.col("collateral_type") == "govt_bond", "sovereign")
+                .when(F.col("collateral_type") == "corp_bond", "corporate")
+                .when(F.col("collateral_type") == "securitisation", "corporate")
+                .otherwise(F.lit(None).cast("string"))
+            )
+            fc = _join_issuer_rw(fc, pack, issuer_cls, cqs_col, "_iss_rw")
+            item_rw = (
+                F.when(
+                    (F.col("collateral_type") == "cash") & ~ccy_mm, F.lit(0.0)
+                )
+                .when(F.col("collateral_type") == "cash", pack.lit("fcsm_rw_floor"))
+                .otherwise(
+                    F.greatest(
+                        F.coalesce("_iss_rw", F.lit(1.0)),
+                        pack.lit("fcsm_rw_floor"),
+                    )
+                )
+            )
+            fc = fc.select(
+                "collateral_reference",
+                F.coalesce("market_value", F.lit(0.0)).alias("_val"),
+                item_rw.alias("_item_rw"),
+            )
+            exp = exp.join(
+                _allocate_items(exp, fc, links)
+                .withColumnRenamed("_ch_value", "fcsm_value")
+                .withColumnRenamed("_ch_rw", "fcsm_rw"),
+                "exposure_reference",
+                "left",
+            )
+            fcsm_done = True
+    # Only materialise the channel columns when at least one channel ran:
+    # bundles without typed collateral keep their pre-OFCP plan (and the SA
+    # blend, gated on the columns, stays out of the when-tree entirely)
+    if li_done or tpd_done or fcsm_done:
+        for flag, (vcol, rcol) in (
+            (li_done, ("li_value", "li_rw")),
+            (tpd_done, ("tpd_value", "tpd_rw")),
+            (fcsm_done, ("fcsm_value", "fcsm_rw")),
+        ):
+            if not flag:
+                exp = exp.withColumn(vcol, F.lit(0.0)).withColumn(
+                    rcol, F.lit(None).cast("double")
+                )
+            else:
+                exp = exp.withColumn(vcol, F.coalesce(vcol, F.lit(0.0)))
 
     # --- guarantees: coverage share + guarantor class ---------------------
     if raw.guarantees is not None:

@@ -83,7 +83,7 @@ def run_securitisation(raw: RawBundle, pack: RulePack) -> tuple[RawBundle, DataF
         if "w_delinquent" not in tr.columns:
             tr = tr.withColumn("w_delinquent", F.lit(0.0))
         tranched = pool_amounts.join(F.broadcast(tr), "pool_reference")
-        pools = tranched.select(
+        cols = [
             F.concat(
                 F.lit("SEC_"), F.col("pool_reference"), F.lit("_"), F.col("tranche_reference")
             ).alias("exposure_reference"),
@@ -103,7 +103,28 @@ def run_securitisation(raw: RawBundle, pack: RulePack) -> tuple[RawBundle, DataF
             F.coalesce(F.col("w_delinquent").cast("double"), F.lit(0.0)).alias(
                 "w_delinquent"
             ),
-        )
+        ]
+        # optional SEC-IRBA pool parameters (k_irb + supervisory-p inputs,
+        # CRR Art.259) and the STS flag (Art.262) travel with the tranche
+        if "is_sts" in tr.columns:
+            cols.append(
+                F.coalesce(F.col("is_sts").cast("boolean"), F.lit(False)).alias("is_sts")
+            )
+        if "k_irb" in tr.columns:
+            cols.append(F.col("k_irb").cast("double").alias("k_irb"))
+            for c, default in (
+                ("pool_n", 25.0),
+                ("pool_lgd", 0.45),
+                ("pool_maturity", 2.5),
+            ):
+                cols.append(
+                    (
+                        F.coalesce(F.col(c).cast("double"), F.lit(default))
+                        if c in tr.columns
+                        else F.lit(default)
+                    ).alias(c)
+                )
+        pools = tranched.select(*cols)
         return replace(raw, loans=retained), pools
 
     pools = pool_amounts.select(

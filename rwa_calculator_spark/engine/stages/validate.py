@@ -201,6 +201,53 @@ def run_validation(raw: RawBundle) -> tuple[RawBundle, DataFrame]:
             "child_reference", "parent_reference"
         ).localCheckpoint(eager=False)
 
+    # --- DQ005 orphan CRM links (ref contracts/validation.py:742,767
+    # anti-join orphan detection): a collateral link naming an unknown item
+    # or an unknown exposure silently vanishes in CRM's inner joins — the
+    # validation surfaces each distinct dangling reference instead ---------
+    if raw.collateral_links is not None:
+        links = raw.collateral_links
+        if raw.collateral is not None:
+            dangling_item = (
+                links.select("collateral_reference")
+                .distinct()
+                .join(
+                    raw.collateral.select("collateral_reference"),
+                    "collateral_reference",
+                    "anti",
+                )
+            )
+            errors = errors.unionByName(
+                _error_frame(
+                    dangling_item, "DQ005", "warning", "validate",
+                    F.col("collateral_reference"),
+                    "collateral link references an item absent from the collateral table",
+                )
+            )
+        exp_keys = None
+        if loans is not None:
+            exp_keys = loans.select(
+                F.col("loan_reference").alias("exposure_reference")
+            )
+        if contingents is not None:
+            ck = contingents.select(
+                F.col("contingent_reference").alias("exposure_reference")
+            )
+            exp_keys = ck if exp_keys is None else exp_keys.unionByName(ck)
+        if exp_keys is not None:
+            dangling_exp = (
+                links.select("exposure_reference")
+                .distinct()
+                .join(exp_keys, "exposure_reference", "anti")
+            )
+            errors = errors.unionByName(
+                _error_frame(
+                    dangling_exp, "DQ005", "warning", "validate",
+                    F.col("exposure_reference"),
+                    "collateral link references an unknown exposure",
+                )
+            )
+
     # --- DQ012 negative principal amounts (warning; CRM clips downstream
     # per the Art.111 greatest(drawn,0) basis) -----------------------------
     if loans is not None and "drawn_amount" in loans.columns:

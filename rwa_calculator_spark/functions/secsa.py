@@ -70,6 +70,23 @@ def ssfa_risk_weight(
     ).v
 
 
+def ssfa_risk_weight_cols(
+    attach: Column, detach: Column, w: Column, k: Column, p: Column, floor: float
+) -> Column:
+    """SSFA with COLUMN-valued pool capital and supervisory p — the
+    SEC-IRBA surface (CRR Art.259: K = K_IRB per pool, p from the
+    supervisory formula). Same closed form; the V nodes are polymorphic
+    over scalar and column operands so the generated plan is identical."""
+    return ssfa_rw_v(
+        V(SparkB, attach),
+        V(SparkB, detach),
+        V(SparkB, w),
+        V(SparkB, k),
+        V(SparkB, p),
+        floor,
+    ).v
+
+
 # --- DuckDB SQL surface ----------------------------------------------------
 
 
@@ -77,3 +94,11 @@ def sql_ssfa_rw(
     attach: str, detach: str, w: str, ksa: float, p: float, floor: float
 ) -> str:
     return ssfa_rw_v(V(SqlB, attach), V(SqlB, detach), V(SqlB, w), ksa, p, floor).v
+
+
+def sql_ssfa_rw_cols(
+    attach: str, detach: str, w: str, k: str, p: str, floor: float
+) -> str:
+    return ssfa_rw_v(
+        V(SqlB, attach), V(SqlB, detach), V(SqlB, w), V(SqlB, k), V(SqlB, p), floor
+    ).v

@@ -501,3 +501,152 @@ def model_permission_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ppu_reason",
         "permission_diagnostic",
     )
+
+
+_OFCP_ORACLE = """
+WITH exp AS (
+    SELECT 'E' || o_orderkey || 'A' AS exposure_reference,
+           floor(o_totalprice * 0.6) AS ead, o_orderkey AS k
+    FROM orders
+    UNION ALL
+    SELECT 'E' || o_orderkey || 'B', floor(o_totalprice * 0.4), o_orderkey
+    FROM orders
+), items AS (
+    -- duplicate (l_orderkey, l_linenumber) pairs exist in the testdata:
+    -- aggregate to one item per order deterministically
+    SELECT 'I' || l_orderkey AS cref, l_orderkey AS k,
+           CASE WHEN l_orderkey % 2 = 0
+                THEN 'life_insurance' ELSE 'third_party_deposit' END AS channel,
+           floor(min(l_extendedprice)) * 0.25 AS mv,
+           CAST(1 + min(l_suppkey) % 6 AS INT) AS cqs,
+           bool_or(l_returnflag = 'R') AS mm
+    FROM lineitem WHERE l_linenumber = 1
+    GROUP BY l_orderkey
+), rated AS (
+    SELECT *,
+           CASE cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 0.5
+                WHEN 4 THEN 1.0 WHEN 5 THEN 1.0 ELSE 1.5 END AS inst_rw
+    FROM items
+), final_items AS (
+    SELECT cref, k, channel,
+           CASE WHEN channel = 'life_insurance'
+                THEN mv * (1.0 - CASE WHEN mm THEN 0.08 ELSE 0.0 END)
+                ELSE mv END AS val,
+           CASE WHEN channel = 'life_insurance' THEN
+                CASE inst_rw WHEN 0.2 THEN 0.2 WHEN 0.5 THEN 0.35
+                     WHEN 1.0 THEN 0.7 ELSE 1.5 END
+                ELSE inst_rw END AS item_rw
+    FROM rated
+), linked AS (
+    SELECT e.exposure_reference, e.ead, i.cref, i.channel, i.val, i.item_rw,
+           sum(CAST(floor(e.ead * 100.0 + 0.5) AS BIGINT))
+               OVER (PARTITION BY i.cref) / 100.0 AS denom
+    FROM final_items i JOIN exp e ON i.k = e.k
+), alloc AS (
+    SELECT exposure_reference, channel,
+           val * (ead / denom) AS alloc_val, item_rw
+    FROM linked
+)
+SELECT exposure_reference, channel,
+       floor(sum(alloc_val) * 100.0 + 0.5) / 100.0 AS ofcp_value,
+       round(sum(alloc_val * item_rw) / sum(alloc_val), 10) AS ofcp_rw
+FROM alloc
+GROUP BY exposure_reference, channel
+"""
+
+
+@query("crm_ofcp_substitution", oracle=_OFCP_ORACLE, tags=("engine", "crm"))
+def crm_ofcp_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Other-funded-credit-protection channels through the REAL engine
+    helpers (engine/stages/crm.py _allocate_items + _join_issuer_rw; ref
+    engine/crm/life_insurance.py, third_party_deposit.py): life-insurance
+    surrender value (8% Hfx on currency mismatch, CRR Art.233(3)) maps
+    the insurer's institution RW through the Art.232(3) secured-RW table;
+    a third-party deposit substitutes the holder's institution RW
+    (Art.232(2)). Each item pro-rates across two linked exposures by
+    cents-exact EAD weights (kernels/allocation.py shape)."""
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.engine.stages.crm import (
+        _allocate_items,
+        _join_issuer_rw,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    exp = o.select(
+        F.concat(F.lit("E"), F.col("o_orderkey"), F.lit("A")).alias(
+            "exposure_reference"
+        ),
+        F.floor(F.col("o_totalprice") * 0.6).cast("double").alias("ead"),
+        F.col("o_orderkey").alias("k"),
+    ).unionByName(
+        o.select(
+            F.concat(F.lit("E"), F.col("o_orderkey"), F.lit("B")).alias(
+                "exposure_reference"
+            ),
+            F.floor(F.col("o_totalprice") * 0.4).cast("double").alias("ead"),
+            F.col("o_orderkey").alias("k"),
+        )
+    )
+    # duplicate (l_orderkey, l_linenumber) pairs exist in the testdata:
+    # aggregate to one item per order deterministically
+    items = (
+        li.where(F.col("l_linenumber") == 1)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            (F.floor(F.min("l_extendedprice")) * 0.25).alias("mv"),
+            (1 + F.min("l_suppkey") % 6).cast("int").alias("cqs"),
+            F.bool_or(F.col("l_returnflag") == "R").alias("mm"),
+        )
+        .select(
+            F.concat(F.lit("I"), F.col("k")).alias("collateral_reference"),
+            "k",
+            F.when(F.col("k") % 2 == 0, "life_insurance")
+            .otherwise("third_party_deposit")
+            .alias("channel"),
+            "mv",
+            "cqs",
+            "mm",
+        )
+    )
+    items = _join_issuer_rw(
+        items, CRR_PACK, F.lit("institution"), F.col("cqs"), "_inst_rw"
+    )
+    li_map = CRR_PACK.table_df(spark, "life_ins_rw_map").select(
+        F.col("insurer_rw").alias("_lim_in"), F.col("secured_rw").alias("_lim_out")
+    )
+    items = items.join(
+        F.broadcast(li_map), F.col("_inst_rw") == F.col("_lim_in"), "left"
+    ).select(
+        "collateral_reference",
+        "k",
+        "channel",
+        F.when(
+            F.col("channel") == "life_insurance",
+            F.col("mv") * (1.0 - F.when(F.col("mm"), 0.08).otherwise(0.0)),
+        )
+        .otherwise(F.col("mv"))
+        .alias("_val"),
+        F.when(F.col("channel") == "life_insurance", F.col("_lim_out"))
+        .otherwise(F.col("_inst_rw"))
+        .alias("_item_rw"),
+    )
+    links = items.select("collateral_reference", "k").join(
+        exp.select("exposure_reference", "k"), "k"
+    ).select("collateral_reference", "exposure_reference")
+    alloc = _allocate_items(
+        exp.select("exposure_reference", "ead"),
+        items.select("collateral_reference", "_val", "_item_rw"),
+        links,
+    )
+    chan = links.join(
+        items.select("collateral_reference", "channel"), "collateral_reference"
+    ).select("exposure_reference", "channel")
+    return alloc.join(chan, "exposure_reference").select(
+        "exposure_reference",
+        "channel",
+        (F.floor(F.col("_ch_value") * 100.0 + 0.5).cast("double") / 100.0).alias(
+            "ofcp_value"
+        ),
+        F.round("_ch_rw", 10).alias("ofcp_rw"),
+    )

@@ -605,3 +605,117 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("chunk_text", " "))).cast("long").alias("total_chunk_tokens"),
         F.countDistinct(hash32(F.col("chunk_text"))).alias("n_distinct_chunks"),
     )
+
+
+def _sql_sec_irba() -> str:
+    from rwa_calculator_spark.functions.secsa import sql_ssfa_rw_cols
+
+    values = ", ".join(
+        f"('{t}', CAST({a} AS DOUBLE), CAST({d} AS DOUBLE))"
+        for t, a, d in _SSFA_TRANCHES
+    )
+    p_expr = (
+        "greatest(0.3, 0.0 + 3.56 / pool_n + (-1.85) * k_irb"
+        " + 0.55 * pool_lgd + 0.07 * pool_m)"
+    )
+    rw = sql_ssfa_rw_cols(
+        "attachment", "detachment", "0.0", "k_irb", "p_irba", 0.15
+    )
+    return f"""
+    WITH pools AS (
+        SELECT 'POOL' || ((o_orderkey % 50 - 5) // 10) AS pool_reference,
+               {sql_scaled_sum('o_totalprice * 0.25', 2)} AS pool_amount,
+               0.04 + CAST((o_orderkey % 50 - 5) // 10 AS DOUBLE) / 50.0 AS k_irb,
+               10.0 + CAST((o_orderkey % 50 - 5) // 10 AS DOUBLE) * 8.0 AS pool_n,
+               0.25 + CAST((o_orderkey % 50 - 5) // 10 AS DOUBLE) / 20.0 AS pool_lgd,
+               1.0 + CAST((o_orderkey % 50 - 5) // 10 AS DOUBLE) AS pool_m
+        FROM orders WHERE o_orderkey % 10 = 5
+        GROUP BY 1, 3, 4, 5, 6
+    ), tranched AS (
+        SELECT p.*, round({p_expr}, 12) AS p_irba,
+               t.tranche_reference, t.attachment, t.detachment
+        FROM pools p CROSS JOIN (VALUES {values})
+             AS t(tranche_reference, attachment, detachment)
+    ), weighted AS (
+        SELECT pool_reference, tranche_reference, attachment, detachment,
+               k_irb, p_irba,
+               round({rw}, 10) AS risk_weight,
+               pool_amount
+        FROM tranched
+    )
+    SELECT pool_reference, tranche_reference, attachment, detachment,
+           k_irb, p_irba, risk_weight,
+           floor(pool_amount * (detachment - attachment) * risk_weight * 100.0 + 0.5)
+               / 100.0 AS rwa
+    FROM weighted
+    """
+
+
+@query(
+    "sec_irba_ssfa",
+    oracle=_sql_sec_irba(),
+    tags=("domain", "securitisation", "stats"),
+)
+def sec_irba_ssfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEC-IRBA tranche risk weight (CRR Art.259 / BCBS CRE44; engine
+    twin: calculators.run_secsa k_irb branch): the SSFA closed form with
+    the pool's own K_IRB and the supervisory p-formula
+    p = max(0.3, A + B/N + C·K_IRB + D·LGD + E·M_T) using the senior
+    granular wholesale coefficient row (CRE44.23). Column-valued K and p
+    exercise functions/secsa.ssfa_risk_weight_cols; both engines run the
+    identical V-node arithmetic, output-rounded to absorb exp() last-ulp
+    noise."""
+    from rwa_calculator_spark.functions.secsa import ssfa_risk_weight_cols
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.floor((F.col("o_orderkey") % 50 - 5) / 10).cast("long")
+    pools = (
+        o.where(F.col("o_orderkey") % 10 == 5)
+        .groupBy(
+            F.concat(F.lit("POOL"), key).alias("pool_reference"),
+            (0.04 + key.cast("double") / 50.0).alias("k_irb"),
+            (10.0 + key.cast("double") * 8.0).alias("pool_n"),
+            (0.25 + key.cast("double") / 20.0).alias("pool_lgd"),
+            (1.0 + key.cast("double")).alias("pool_m"),
+        )
+        .agg(scaled_sum(F.col("o_totalprice") * 0.25, 2).alias("pool_amount"))
+    )
+    p_irba = F.round(
+        F.greatest(
+            F.lit(0.3),
+            F.lit(0.0)
+            + F.lit(3.56) / F.col("pool_n")
+            + F.lit(-1.85) * F.col("k_irb")
+            + F.lit(0.55) * F.col("pool_lgd")
+            + F.lit(0.07) * F.col("pool_m"),
+        ),
+        12,
+    )
+    tranches = spark.createDataFrame(
+        _SSFA_TRANCHES, "tranche_reference string, attachment double, detachment double"
+    )
+    tranched = pools.crossJoin(F.broadcast(tranches)).withColumn("p_irba", p_irba)
+    rw = ssfa_risk_weight_cols(
+        F.col("attachment"),
+        F.col("detachment"),
+        F.lit(0.0),
+        F.col("k_irb"),
+        F.col("p_irba"),
+        floor=0.15,
+    )
+    staged = tranched.withColumn("risk_weight", F.round(rw, 10))
+    rwa_raw = (
+        F.col("pool_amount")
+        * (F.col("detachment") - F.col("attachment"))
+        * F.col("risk_weight")
+    )
+    return staged.select(
+        "pool_reference",
+        "tranche_reference",
+        "attachment",
+        "detachment",
+        "k_irb",
+        "p_irba",
+        "risk_weight",
+        (F.floor(rwa_raw * 100.0 + 0.5).cast("double") / 100.0).alias("rwa"),
+    )

@@ -1709,3 +1709,284 @@ def test_floor_transition_schedule_hand_computed(spark):
         assert r.floor_binding
         assert r.rwa_floored == pytest.approx(alpha * r.std_total)
         assert r.floor_addon == pytest.approx(alpha * r.std_total - r.modelled_total)
+
+
+def test_saccr_mpor_maturity_factor_in_pipeline(spark):
+    """Art.285 MPOR cascade → Art.279c(2) margined MF inside ccr_exposures
+    (ref engine/ccr/maturity_factor.py): engaged only when the margin frame
+    carries remargin_days; illiquid trades upgrade the 10-BD base to 20,
+    disputes double it, the remargining cadence adds (N−1), and the
+    firm-supplied floor binds from below. MF scales the PFE add-on only."""
+    import math
+
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    trades = _df(
+        spark,
+        [
+            # NS1: margined weekly, liquid, no disputes → MPOR 10+5−1 = 14
+            ("T1", "NS1", "CP1", 100.0, 10000.0, "ir", False, False),
+            # NS2: margined daily but illiquid + 3 disputed trades
+            #      → base 20, doubled 40, +1−1 → 40
+            ("T2", "NS2", "CP1", 100.0, 10000.0, "ir", True, True),
+            ("T3", "NS2", "CP1", 0.0, 0.0, "ir", False, True),
+            ("T4", "NS2", "CP1", 0.0, 0.0, "ir", False, True),
+            # NS3: unmargined → MF stays 1
+            ("T5", "NS3", "CP1", 100.0, 10000.0, "ir", False, False),
+        ],
+        "trade_reference string, netting_set_reference string, counterparty_reference string, "
+        "mtm double, notional double, asset_class string, is_illiquid boolean, is_disputed boolean",
+    )
+    margins = _df(
+        spark,
+        # (set, TH, MTA, NICA, remargin_days, mpor_floor_days)
+        [("NS1", 0.0, 0.0, 0.0, 5.0, None), ("NS2", 0.0, 0.0, 0.0, 1.0, 45.0)],
+        "netting_set_reference string, threshold double, mta double, nica double, "
+        "remargin_days double, mpor_floor_days double",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, trades=trades, margin_agreements=margins),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    addon = 0.005 * 10000.0  # ir SF × notional = 50
+
+    mf1 = 1.5 * math.sqrt(14.0 / 250.0)
+    assert rows["NS1_CCR"].ead == pytest.approx(1.4 * (100.0 + mf1 * addon))
+    # NS2: cascade gives 40 but the firm floor 45 binds
+    mf2 = 1.5 * math.sqrt(45.0 / 250.0)
+    assert rows["NS2_CCR"].ead == pytest.approx(1.4 * (100.0 + mf2 * addon))
+    # NS3 unmargined: RC = 100, MF = 1
+    assert rows["NS3_CCR"].ead == pytest.approx(1.4 * (100.0 + addon))
+
+
+def test_sec_irba_and_sts_variants(spark):
+    """SEC-IRBA (CRR Art.259: SSFA with the pool's K_IRB and the
+    supervisory p-formula p = max(0.3, A + B/N + C·K_IRB + D·LGD + E·M_T))
+    and the STS SEC-SA halved p (Art.262(1)). The SEC-IRBA row's
+    rwa_sa_equivalent keeps the SEC-SA-side number — the genuine
+    Art.92(3) output-floor base."""
+    import math
+
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    allocs = _df(
+        spark,
+        [("L1", "P1", 0.3), ("L1", "P2", 0.3)],
+        "exposure_reference string, pool_reference string, allocation_pct double",
+    )
+    tranches = _df(
+        spark,
+        [
+            # P1: SEC-IRBA senior tranche (k_irb supplied)
+            ("P1", "SEN", 0.2, 1.0, 0.0, False, 0.10, 20.0, 0.40, 3.0),
+            # P2: SEC-SA STS senior tranche (no k_irb)
+            ("P2", "SEN", 0.2, 1.0, 0.0, True, None, None, None, None),
+        ],
+        "pool_reference string, tranche_reference string, attachment double, "
+        "detachment double, w_delinquent double, is_sts boolean, k_irb double, "
+        "pool_n double, pool_lgd double, pool_maturity double",
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps,
+            loans=loans,
+            securitisation_allocations=allocs,
+            securitisation_tranches=tranches,
+        ),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+
+    def kssfa(a, lo, u):
+        return (math.exp(a * u) - math.exp(a * lo)) / (a * (u - lo))
+
+    def ssfa_rw(k, p, att, det):
+        a = -1.0 / (p * k)
+        if det <= k:
+            return 12.5
+        if att >= k:
+            return max(12.5 * kssfa(a, att - k, det - k), 0.15)
+        return max(((k - att) + (det - k) * kssfa(a, 0.0, det - k)) * 12.5 / (det - att), 0.15)
+
+    # SEC-IRBA: p = max(0.3, 3.56/20 − 1.85·0.1 + 0.55·0.4 + 0.07·3) = 0.423
+    p_irba = max(0.3, 3.56 / 20.0 - 1.85 * 0.10 + 0.55 * 0.40 + 0.07 * 3.0)
+    assert p_irba == pytest.approx(0.423)
+    r1 = rows["SEC_P1_SEN"]
+    assert r1.approach == "SEC-IRBA" and r1.rw_source == "sec_irba_ssfa"
+    assert r1.risk_weight == pytest.approx(ssfa_rw(0.10, p_irba, 0.2, 1.0), rel=1e-12)
+    # floor base stays SEC-SA: K_A = 0.08, p = 1 (non-STS path of the SA rw)
+    sa_rw_p1 = ssfa_rw(0.08, 1.0, 0.2, 1.0)
+    assert r1.rwa_sa_equivalent == pytest.approx(r1.ead * sa_rw_p1, rel=1e-12)
+
+    # STS SEC-SA: p halves → lower RW than the non-STS equivalent
+    r2 = rows["SEC_P2_SEN"]
+    assert r2.approach == "SEC-SA" and r2.rw_source == "sec_sa_ssfa"
+    assert r2.risk_weight == pytest.approx(ssfa_rw(0.08, 0.5, 0.2, 1.0), rel=1e-12)
+    assert r2.risk_weight <= sa_rw_p1
+
+
+def test_ofcp_life_insurance_and_third_party_deposit(spark):
+    """Other funded credit protection (ref engine/crm/life_insurance.py,
+    third_party_deposit.py): life-insurance surrender value maps the
+    insurer's institution RW through the Art.232(3) table onto the covered
+    fraction (8% Hfx on currency mismatch, Art.233(3)); a third-party
+    deposit substitutes the HOLDER's institution RW (Art.232(2)). Neither
+    channel FCCM-nets — EAD is untouched."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False),
+         ("CP2", "corporate", 2, False, 0.0, False),
+         ("CP3", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None),
+         ("L2", "CP2", 1000.0, False, None, None, None),
+         ("L3", "CP3", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    coll = _df(
+        spark,
+        [
+            # insurer CQS 1 → institution 20% → Art.232(3) map → 20%
+            ("POL1", 200.0, "life_insurance", 1, False),
+            # holder CQS 6 → institution 150% ≥ own 50% → no benefit
+            ("DEP1", 100.0, "third_party_deposit", 6, False),
+            # currency-mismatched policy: 8% Hfx on the value
+            ("POL2", 100.0, "life_insurance", 1, True),
+        ],
+        "collateral_reference string, market_value double, collateral_type string, "
+        "collateral_cqs int, currency_mismatch boolean",
+    )
+    links = _df(
+        spark,
+        [("POL1", "L1"), ("DEP1", "L2"), ("POL2", "L3")],
+        "collateral_reference string, exposure_reference string",
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps, loans=loans, collateral=coll, collateral_links=links
+        ),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    # own RW corporate CQS2 = 50%; L1 covered 20% at 20%
+    assert rows["L1"].ead_after_crm == pytest.approx(1000.0)  # no FCCM netting
+    assert rows["L1"].risk_weight == pytest.approx(0.5 - 0.2 * (0.5 - 0.2))
+    assert rows["L1"].rw_source.endswith("+ofcp")
+    # L2: holder RW 150% never substitutes upward
+    assert rows["L2"].risk_weight == pytest.approx(0.5)
+    assert not rows["L2"].rw_source.endswith("+ofcp")
+    # L3: value 100·0.92 = 92 → fraction 0.092
+    assert rows["L3"].risk_weight == pytest.approx(0.5 - 0.092 * (0.5 - 0.2))
+
+
+def test_fcsm_simple_method(spark):
+    """Financial collateral simple method (CRR Art.222; ref
+    engine/crm/simple_method.py): raw market values, collateral RW floored
+    at 20% per item, same-currency cash at 0% (Art.222(4)), risk-weight
+    substitution with NO EAD reduction — the comprehensive run of the same
+    bundle nets EAD instead."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    coll = _df(
+        spark,
+        [
+            ("C1", 300.0, "cash", None, False),      # same-ccy cash → 0%
+            ("B1", 200.0, "govt_bond", 1, False),    # sov CQS1 0% → floor 20%
+        ],
+        "collateral_reference string, market_value double, collateral_type string, "
+        "collateral_cqs int, currency_mismatch boolean",
+    )
+    links = _df(
+        spark,
+        [("C1", "L1"), ("B1", "L1")],
+        "collateral_reference string, exposure_reference string",
+    )
+    bundle = RawBundle(
+        counterparties=cps, loans=loans, collateral=coll, collateral_links=links
+    )
+    simple = run_pipeline(
+        bundle, PipelineConfig(pack=CRR_PACK, collateral_method="simple")
+    )
+    r = {x.exposure_reference: x for x in simple.results.collect()}["L1"]
+    # no EAD reduction; RW = 0.5 − 0.3·(0.5−0) − 0.2·(0.5−0.2) = 0.29
+    assert r.ead_after_crm == pytest.approx(1000.0)
+    assert r.risk_weight == pytest.approx(0.5 - 0.3 * 0.5 - 0.2 * 0.3)
+    assert r.rw_source.endswith("+ofcp")
+
+    comp = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
+    rc = {x.exposure_reference: x for x in comp.results.collect()}["L1"]
+    # comprehensive method nets EAD instead (cash 0% haircut, bond CQS1
+    # banded haircut) and leaves the RW at the unsubstituted 50%
+    assert rc.ead_after_crm < 1000.0
+    assert rc.risk_weight == pytest.approx(0.5)
+
+
+def test_dq005_orphan_collateral_links(spark):
+    """DQ005 (ref contracts/validation.py anti-join orphan detection): a
+    collateral link naming an unknown item or an unknown exposure surfaces
+    a coded warning instead of silently vanishing in CRM's inner joins."""
+    from rwa_calculator_spark.engine.stages.validate import run_validation
+
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    coll = _df(
+        spark,
+        [("COL1", 100.0, 0.0, False)],
+        "collateral_reference string, market_value double, haircut double, currency_mismatch boolean",
+    )
+    links = _df(
+        spark,
+        [("COL1", "L1"), ("COLX", "L1"), ("COL1", "LX")],
+        "collateral_reference string, exposure_reference string",
+    )
+    _bundle, errors = run_validation(
+        RawBundle(counterparties=cps, loans=loans, collateral=coll, collateral_links=links)
+    )
+    dq5 = {(r.key) for r in errors.collect() if r.code == "DQ005"}
+    assert dq5 == {"COLX", "LX"}

@@ -240,6 +240,7 @@ def test_pipeline_consumes_model_permissions(spark):
     out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, validation="off"))
     rows = {r["exposure_reference"]: r for r in out.results.collect()}
     assert rows["L1"]["approach"] == "IRB"
+    assert rows["L1"]["rw_source"] == "irb_vasicek_airb"  # routed variant on the ledger
     assert rows["L2"]["approach"] == "SA"  # M9 unmatched → SA fallback
     assert rows["L3"]["approach"] == "SA"
     errs = out.errors.collect()
