@@ -44,8 +44,7 @@ class CalculationResponse:
         return self.spark.read.parquet(path)
 
     def export_csv(self, out_dir: str) -> str:
-        """Results ledger as CSV (ref api/export.py:88-473; Excel/workbook
-        exports need xlsxwriter, not in this container — CSV/JSON only)."""
+        """Results ledger as CSV (ref api/export.py:88-473)."""
         path = os.path.join(out_dir, "results_csv")
         self.scan_results().write.mode("overwrite").option("header", True).csv(path)
         return path
@@ -53,6 +52,28 @@ class CalculationResponse:
     def export_summary_json(self, dimension: str) -> str:
         rows = [r.asDict() for r in self.scan_summary(dimension).collect()]
         return json.dumps(rows, sort_keys=True)
+
+    def export_excel(self, path: str, dimensions: tuple[str, ...] = ("class", "approach")) -> str:
+        """Summary workbook as .xlsx, one sheet per summary dimension plus
+        the run manifest (ref api/export.py:88-473 + reporting/kernel/
+        excel.py — written with the stdlib OOXML writer in sources/xlsx.py;
+        the reference uses xlsxwriter, absent here). Driver-sized frames
+        only: summaries are dimension-grain; the full ledger exports via
+        parquet/CSV."""
+        from rwa_calculator_spark.sources.xlsx import write_xlsx
+
+        sheets: dict[str, list[list]] = {}
+        for dim in dimensions:
+            df = self.scan_summary(dim)
+            cols = df.columns
+            sheets[f"summary_{dim}"] = [cols] + [
+                [row[c] for c in cols] for row in df.collect()
+            ]
+        sheets["manifest"] = [["key", "value"]] + [
+            [k, json.dumps(v, sort_keys=True) if isinstance(v, (dict, list)) else v]
+            for k, v in sorted(self.run_manifest.items())
+        ]
+        return write_xlsx(path, sheets)
 
 
 class CreditRiskCalc:

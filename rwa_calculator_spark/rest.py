@@ -76,6 +76,10 @@ class JobIndex:
         with self._lock:
             return self._jobs.get(job_id)
 
+    def list(self) -> list[tuple[str, dict]]:
+        with self._lock:
+            return sorted(self._jobs.items())
+
     def event(self, job: dict, msg: str) -> None:
         with self._lock:
             job["events"].append({"ts": round(time.time(), 3), "msg": msg})
@@ -223,6 +227,86 @@ class RwaApi:
         df.write.mode("overwrite").option("header", True).csv(out)
         return 200, {"path": out, "format": "csv"}
 
+    def export_xlsx(self, job_id: str):
+        """Summary workbook export (ref api/export.py workbook paths),
+        written with the stdlib OOXML writer — driver-sized sheets only."""
+        job, err = self._done_job(job_id)
+        if err:
+            return err
+        from rwa_calculator_spark.sources.xlsx import write_xlsx
+
+        sheets = {}
+        for dim in ("class", "approach"):
+            df = self.spark.read.parquet(
+                os.path.join(job["cache_dir"], f"summary_{dim}")
+            )
+            cols = df.columns
+            sheets[f"summary_{dim}"] = [cols] + [
+                [row[c] for c in cols] for row in df.collect()
+            ]
+        out = os.path.join(job["cache_dir"], "summary.xlsx")
+        write_xlsx(out, sheets)
+        return 200, {"path": out, "format": "xlsx"}
+
+    def ui(self, job_id: str):
+        """Server-rendered dashboard (ref ui/app/main.py:218-840 — the
+        reference renders job status + summaries server-side; same idea,
+        stdlib-only): one HTML page with run status, the two summary
+        tables, and the error-channel head."""
+        from html import escape as h
+
+        job = self.jobs.get(job_id)
+        parts = ["<!doctype html><html><head><title>RWA runs</title>",
+                 "<style>table{border-collapse:collapse}td,th{border:1px solid "
+                 "#999;padding:4px 8px;font-family:monospace}</style></head><body>"]
+        if job_id and job is None:
+            parts.append(f"<p>no such job {h(job_id)}</p>")
+        elif job is None:
+            parts.append("<h1>RWA calculator</h1><p>POST /api/calculate to "
+                         "start a run, then /ui?job=&lt;id&gt;.</p>")
+            parts.append("<ul>")
+            for jid, j in self.jobs.list():
+                parts.append(
+                    f'<li><a href="/ui?job={h(jid)}">{h(jid)}</a>: '
+                    f'{h(j["status"])}</li>'
+                )
+            parts.append("</ul>")
+        else:
+            parts.append(f"<h1>job {h(job_id)} — {h(job['status'])}</h1>")
+            if job["status"] == "done":
+                for dim in ("class", "approach"):
+                    df = self.spark.read.parquet(
+                        os.path.join(job["cache_dir"], f"summary_{dim}")
+                    )
+                    rows = _rows(df)
+                    parts.append(f"<h2>summary by {dim}</h2><table><tr>")
+                    if rows:
+                        cols = list(rows[0])
+                        parts.append(
+                            "".join(f"<th>{h(str(c))}</th>" for c in cols)
+                            + "</tr>"
+                        )
+                        for r in rows:
+                            parts.append(
+                                "<tr>"
+                                + "".join(f"<td>{h(str(r[c]))}</td>" for c in cols)
+                                + "</tr>"
+                            )
+                    parts.append("</table>")
+                epath = os.path.join(job["cache_dir"], "errors")
+                if os.path.exists(epath):
+                    errs = _rows(self.spark.read.parquet(epath), limit=20)
+                    parts.append(f"<h2>errors (first {len(errs)})</h2><table>")
+                    for r in errs:
+                        parts.append(
+                            f'<tr><td>{h(str(r["code"]))}</td>'
+                            f'<td>{h(str(r["key"]))}</td>'
+                            f'<td>{h(str(r["message"]))}</td></tr>'
+                        )
+                    parts.append("</table>")
+        parts.append("</body></html>")
+        return 200, "".join(parts)
+
     # -- reporting ------------------------------------------------------------
 
     def templates(self):
@@ -315,6 +399,8 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/api/comparison$"), "comparison"),
     ("POST", re.compile(r"^/api/reconcile$"), "reconcile"),
     ("GET", re.compile(r"^/api/export/csv$"), "export_csv"),
+    ("GET", re.compile(r"^/api/export/xlsx$"), "export_xlsx"),
+    ("GET", re.compile(r"^/ui$"), "ui"),
 ]
 
 
@@ -337,7 +423,10 @@ def _make_handler(api: RwaApi):
                     length = int(self.headers.get("Content-Length") or 0)
                     body = json.loads(self.rfile.read(length) or b"{}")
                     kwargs["body"] = body
-                if name in ("results", "summary", "lineage", "export_csv", "errors"):
+                if name in (
+                    "results", "summary", "lineage", "export_csv",
+                    "export_xlsx", "errors", "ui",
+                ):
                     kwargs["job_id"] = qs.get("job", "")
                 if name == "results":
                     kwargs["limit"] = int(qs.get("limit", "100"))
@@ -345,6 +434,14 @@ def _make_handler(api: RwaApi):
                     status, payload = getattr(api, name)(**kwargs)
                 except Exception as e:  # defensive: a handler bug is a 500, not a hang
                     status, payload = 500, {"error": str(e)}
+                if isinstance(payload, str):  # server-rendered HTML (/ui)
+                    data = payload.encode()
+                    self.send_response(status)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
                 data = json.dumps(payload, sort_keys=True, default=str).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")

@@ -180,3 +180,42 @@ def test_errors_endpoint(server, done_job):
     assert isinstance(body["errors"], list)
     for row in body["errors"]:
         assert {"code", "severity", "stage", "key", "message"} <= set(row)
+
+
+def _get_raw(base: str, path: str) -> tuple[int, str, str]:
+    with urllib.request.urlopen(base + path) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read().decode()
+
+
+def test_ui_dashboard(server, done_job):
+    """Server-rendered HTML dashboard (ref ui/app/main.py): the run index
+    lists jobs; the per-job page renders both summary tables."""
+    status, ctype, html = _get_raw(server, "/ui")
+    assert status == 200 and ctype.startswith("text/html")
+    assert done_job["job_id"] in html
+    status, ctype, html = _get_raw(server, f"/ui?job={done_job['job_id']}")
+    assert status == 200 and ctype.startswith("text/html")
+    assert "summary by class" in html and "summary by approach" in html
+    assert "total_rwa" in html
+    # unknown job renders a message, not a 500
+    status, _ctype, html = _get_raw(server, "/ui?job=nope")
+    assert status == 200 and "no such job" in html
+
+
+def test_export_xlsx(server, done_job):
+    """Workbook export via the stdlib OOXML writer, re-read with the
+    stdlib reader — numbers tie out with the JSON summary endpoint."""
+    from rwa_calculator_spark.sources.xlsx import read_xlsx
+
+    status, body = _get(server, f"/api/export/xlsx?job={done_job['job_id']}")
+    assert status == 200 and body["format"] == "xlsx"
+    back = read_xlsx(body["path"])
+    assert set(back) == {"summary_class", "summary_approach"}
+    _status, js = _get(
+        server, f"/api/results/summary/class?job={done_job['job_id']}"
+    )
+    by_class = {r["exposure_class"]: r["total_rwa"] for r in js["rows"]}
+    header = back["summary_class"][0]
+    ci, cv = header.index("exposure_class"), header.index("total_rwa")
+    for row in back["summary_class"][1:]:
+        assert by_class[row[ci]] == row[cv]
