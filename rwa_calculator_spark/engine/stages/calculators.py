@@ -37,6 +37,10 @@ _RESULT_COLS = [
     "counterparty_reference",
     "exposure_class",
     "approach",
+    # gross pre-CF/CCF carriers (Pillar 3 CR4 cols a/b, COREP C07 col 0010
+    # "original exposure" — ref reporting/pillar3/cr4.py gross on/off-BS)
+    "drawn_amount",
+    "undrawn_amount",
     "ead",
     "ead_after_crm",
     "provision_allocated",
@@ -575,6 +579,8 @@ def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
         "counterparty_reference",
         F.lit("equity").alias("exposure_class"),
         F.lit("EQUITY").alias("approach"),
+        mv.alias("drawn_amount"),
+        F.lit(0.0).alias("undrawn_amount"),
         mv.alias("ead"),
         mv.alias("ead_after_crm"),
         F.lit(0.0).alias("provision_allocated"),

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from rwa_calculator_spark.functions.text import hash32, sql_hash32
+from rwa_calculator_spark.functions.text import (
+    hash32,
+    seeded_hash32,
+    sql_hash32,
+    sql_seeded_hash32,
+)
 from rwa_calculator_spark.plans.registry import query
 from rwa_calculator_spark.sources.star import load_table
 
@@ -169,4 +174,61 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").cast("long").alias("n_tokens"),
             F.min("doc_id").alias("first_doc"),
         )
+    )
+
+
+@query(
+    "quality_importance_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+               least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+                   AS len_score
+        FROM documents
+    ), weighted AS (
+        SELECT *,
+               round(len_score * uniq_ratio * len_score * uniq_ratio, 12) AS p_accept,
+               CAST({sql_seeded_hash32(7, "CAST(doc_id AS VARCHAR)")} % 1000000
+                    AS DOUBLE) / 1000000.0 AS u
+        FROM scored
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN u < p_accept THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+           sum(CAST(round(p_accept * 1000000.0, 0) AS BIGINT)) / 1000000.0
+               AS expected_sample_size
+    FROM weighted GROUP BY lang
+    """,
+    tags=("llm", "curation"),
+)
+def quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (the DSIR/DCLM-style soft
+    filter, in contrast to sample_stratified's hard quotas): each document
+    gets an acceptance probability p = (length_score · uniqueness_ratio)²
+    — quadratic up-weighting of high-quality docs — and a deterministic
+    uniform draw from a seeded hash of its id, so the SAME documents are
+    selected on every engine and every run (re-shardable at 100 TB: the
+    decision is a pure row function, no global state, no RNG)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    uniq_ratio = F.size(F.array_distinct(w)).cast("double") / n_words.cast("double")
+    len_score = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    p = F.round(len_score * uniq_ratio * len_score * uniq_ratio, 12)
+    u = (
+        seeded_hash32(7, F.col("doc_id").cast("string")) % 1000000
+    ).cast("double") / 1000000.0
+    scored = d.select("doc_id", "lang", p.alias("p_accept"), u.alias("u"))
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("u") < F.col("p_accept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+        (
+            F.sum(F.round(F.col("p_accept") * 1000000.0, 0).cast("long"))
+            / 1000000.0
+        ).alias("expected_sample_size"),
     )

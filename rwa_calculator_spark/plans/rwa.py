@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from rwa_calculator_spark.engine.bundles import RawBundle
 from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
 from rwa_calculator_spark.engine.rulepack import CRR_PACK
-from rwa_calculator_spark.functions.exact import sql_scaled_sum
+from rwa_calculator_spark.functions.exact import scaled_sum, sql_scaled_sum
 from rwa_calculator_spark.functions.irb import sql_capital_k, sql_maturity_adj
 from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
 from rwa_calculator_spark.plans.registry import query
@@ -830,3 +830,94 @@ def floor_transition_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     bundle = _star_bundle(spark, sf_dir, irb=True)
     b31 = run_pipeline(bundle, PipelineConfig(pack=B31_PACK, persist_edges=True))
     return fts(spark, b31, sequential=True)
+
+
+_SQL_CR45_RW = f"""
+    , with_rw AS (
+        SELECT w.*,
+               CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END AS risk_weight,
+               {_SQL_SME_SF.format(p='w.')} AS sf
+        FROM with_ead w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+    )
+"""
+
+
+@query(
+    "pillar3_cr4",
+    oracle=_SQL_BASE.format(irb_flag="FALSE") + _SQL_CR45_RW + f"""
+    SELECT exposure_class,
+           {sql_scaled_sum('drawn_amount', 2)} AS gross_on_bs,
+           {sql_scaled_sum('undrawn_amount', 2)} AS gross_off_bs,
+           {sql_scaled_sum('ead', 2)} AS ead_post,
+           {sql_scaled_sum('(ead * risk_weight) * sf', 2)} AS rwea,
+           round(({sql_scaled_sum('(ead * risk_weight) * sf', 2)})
+                 / ({sql_scaled_sum('ead', 2)}), 10) AS rw_density
+    FROM with_rw GROUP BY exposure_class
+    """,
+    tags=("rwa", "reporting"),
+)
+def pillar3_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 CR4 — SA exposure and CRM effects (ref
+    reporting/pillar3/cr4.py; CRR Art.444(e), COREP Annex II C07.00
+    ¶40-43): per exposure class, gross on/off-balance exposure before
+    CF/CCF and CRM (the ledger's new drawn/undrawn carriers), the
+    post-CCF/CRM exposure value, RWEA, and the RW density e/(c+d). Runs
+    the REAL SA pipeline and aggregates the audit ledger."""
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=False)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    r = out.results
+    rwea = scaled_sum(F.col("rwa"), 2)
+    ead_post = scaled_sum(F.col("ead_after_crm"), 2)
+    return r.groupBy("exposure_class").agg(
+        scaled_sum(F.col("drawn_amount"), 2).alias("gross_on_bs"),
+        scaled_sum(F.col("undrawn_amount"), 2).alias("gross_off_bs"),
+        ead_post.alias("ead_post"),
+        rwea.alias("rwea"),
+        F.round(rwea / ead_post, 10).alias("rw_density"),
+    )
+
+
+@query(
+    "pillar3_cr5",
+    oracle=_SQL_BASE.format(irb_flag="FALSE") + _SQL_CR45_RW + f"""
+    SELECT exposure_class,
+           CASE CAST(round(risk_weight * 100.0, 0) AS INTEGER)
+                WHEN 0 THEN 'rw_0' WHEN 20 THEN 'rw_20' WHEN 50 THEN 'rw_50'
+                WHEN 75 THEN 'rw_75' WHEN 100 THEN 'rw_100'
+                WHEN 150 THEN 'rw_150' ELSE 'rw_other' END AS rw_band,
+           count(*) AS n_exposures,
+           {sql_scaled_sum('ead', 2)} AS ead
+    FROM with_rw GROUP BY 1, 2
+    """,
+    tags=("rwa", "reporting"),
+)
+def pillar3_cr5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 CR5 — SA post-CCF/post-CRM exposure values allocated to
+    risk-weight bands (ref reporting/pillar3/cr5.py — band columns on the
+    derived rw bucket; CRR Art.444(e)). Long form (class, band) so the
+    result is pivot-free and deterministic; bands key on the ledger's
+    pre-supporting-factor risk weight exactly as the reference bands on
+    the pre-multiplier RW."""
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=False)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    r = out.results
+    band = (
+        F.when(F.round(F.col("risk_weight") * 100.0, 0) == 0, "rw_0")
+        .when(F.round(F.col("risk_weight") * 100.0, 0) == 20, "rw_20")
+        .when(F.round(F.col("risk_weight") * 100.0, 0) == 50, "rw_50")
+        .when(F.round(F.col("risk_weight") * 100.0, 0) == 75, "rw_75")
+        .when(F.round(F.col("risk_weight") * 100.0, 0) == 100, "rw_100")
+        .when(F.round(F.col("risk_weight") * 100.0, 0) == 150, "rw_150")
+        .otherwise("rw_other")
+    )
+    return r.groupBy("exposure_class", band.alias("rw_band")).agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("ead"),
+    )

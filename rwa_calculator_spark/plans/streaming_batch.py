@@ -190,3 +190,31 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             scaled_sum(F.col("purchase_value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT CAST(floor(epoch(e.ts) / 3600.0) * 3600 AS BIGINT) AS window_start,
+           coalesce(c.c_mktsegment, 'unknown') AS segment,
+           count(*) AS n_events,
+           {sql_scaled_sum('e.value', 2)} AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (streaming/joins.py
+    static_enrich): events join the customer dimension on user_id, then
+    windowed per-segment aggregation. The STREAMING execution of the
+    identical pipeline (readStream events × static customer frame) is
+    proven equal in tests/test_streaming.py — the batch analogue here
+    gives the DuckDB oracle the same plan to pin."""
+    from rwa_calculator_spark.streaming.joins import static_enrich
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return static_enrich(ev, dim)

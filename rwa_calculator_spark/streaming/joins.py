@@ -50,3 +50,35 @@ def attribution_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
             """
         ),
     )
+
+
+def static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: the unbounded event stream joins a BATCH
+    dimension frame (Spark re-plans the static side per micro-batch, so a
+    slowly-refreshed dimension table is picked up without restarting the
+    query) and aggregates value by segment per 1-hour event-time window.
+
+    `events` may be a streaming or batch frame — the plan is identical,
+    which is what the equivalence test pins. The dimension is broadcast:
+    stream-static joins never shuffle the stream side on the join key.
+    dim: (user_id, segment).
+    """
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    joined = events.join(F.broadcast(dim), "user_id", "left")
+    return (
+        joined.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.coalesce("segment", F.lit("unknown")).alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            scaled_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

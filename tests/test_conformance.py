@@ -109,3 +109,112 @@ def test_classifier_threshold_boundary(spark):
     got = {r.exposure_reference: r.exposure_class for r in out.exposures.collect()}
     assert got["AT"] == "retail"
     assert got["OVER"] == "corporate"
+
+
+# ---------------------------------------------------------------------------
+# Approach-routing conformance (ref tests/conformance layer applied to
+# engine/stages/classify/{permissions,approach}.py semantics)
+# ---------------------------------------------------------------------------
+
+GRANTS = (
+    (), ("AIRB",), ("FIRB",), ("SLOTTING",), ("SA",),
+    ("AIRB", "FIRB"), ("AIRB", "SA"), ("FIRB", "SA"), ("SLOTTING", "SA"),
+    ("AIRB", "FIRB", "SLOTTING"), ("AIRB", "FIRB", "SA"),
+    ("AIRB", "SLOTTING"), ("FIRB", "SLOTTING"),
+    ("AIRB", "FIRB", "SLOTTING", "SA"),
+)
+
+
+def expected_route(grants, has_pd, has_lgd, spec, b31, sovereign_like, large):
+    """Externally-authored ladder (CRR Art.143/148/150 + PS1/26 Art.147A):
+    a valid SA permission row blocks every IRB grant (Art.150(1) PPU
+    precedence); AIRB needs an internal rating AND a modelled LGD
+    (Art.143/Art.179), FIRB needs the rating only; under Basel 3.1 a
+    sovereign-like obligor is SA-only (Art.147A(1)(a)) and a large
+    corporate loses A-IRB but keeps F-IRB (Art.147A(1)(e)); slotting
+    requires its own registry grant (Art.153(5))."""
+    sa_block = "SA" in grants
+    airb = "AIRB" in grants and not sa_block and has_pd and has_lgd
+    firb = "FIRB" in grants and not sa_block and has_pd
+    slot = "SLOTTING" in grants and not sa_block
+    if b31:
+        if sovereign_like:
+            airb = firb = False
+        elif large:
+            airb = False
+    sub = "airb" if airb else ("firb" if firb else None)
+    return {
+        "irb": airb or firb,
+        "sub": sub,
+        "specialised": spec and slot,
+        "lgd_cleared": (sub == "firb") and has_lgd,
+    }
+
+
+@pytest.mark.parametrize("pack_name", ["crr", "b31"])
+def test_approach_routing_full_combination_space(spark, pack_name):
+    import itertools
+
+    from rwa_calculator_spark.engine.stages.permissions import (
+        apply_model_permissions,
+    )
+
+    b31 = pack_name == "b31"
+    pack = B31_PACK if b31 else CRR_PACK
+    combos = list(
+        itertools.product(
+            range(len(GRANTS)),  # model grant set
+            (True, False),       # has_pd
+            (True, False),       # has_lgd
+            (True, False),       # is_specialised
+            (False, True),       # sovereign_like entity
+            (False, True),       # large corporate group
+        )
+    )
+    exp_rows, mp_rows = [], []
+    for i, (gi, has_pd, has_lgd, spec, sov, large) in enumerate(combos):
+        exp_rows.append(
+            (
+                f"E{i}",
+                f"M{gi}",
+                "corporate",
+                None,
+                None,
+                0.01 if has_pd else None,
+                0.4 if has_lgd else None,
+                spec,
+                False,
+                "rgla" if sov else "corporate",
+                f"G{i}",
+                500e6 if large else 1e6,
+            )
+        )
+    for gi, grants in enumerate(GRANTS):
+        for g in grants:
+            mp_rows.append((f"M{gi}", "corporate", g, None, None, None))
+    exposures = spark.createDataFrame(
+        exp_rows,
+        "exposure_reference string, model_id string, exposure_class string, "
+        "country string, book_code string, pd double, lgd double, "
+        "is_specialised boolean, has_irb_permission boolean, "
+        "entity_type string, group_reference string, annual_revenue double",
+    )
+    mp = spark.createDataFrame(
+        mp_rows,
+        "model_id string, exposure_class string, approach string, "
+        "country_codes string, excluded_book_codes string, ppu_reason string",
+    )
+    routed, _w = apply_model_permissions(exposures, mp, pack)
+    got = {r["exposure_reference"]: r for r in routed.collect()}
+    assert len(got) == len(combos)  # every combination covered, none lost
+    for i, (gi, has_pd, has_lgd, spec, sov, large) in enumerate(combos):
+        want = expected_route(GRANTS[gi], has_pd, has_lgd, spec, b31, sov, large)
+        r = got[f"E{i}"]
+        ctx = f"E{i} grants={GRANTS[gi]} pd={has_pd} lgd={has_lgd} spec={spec} sov={sov} large={large} pack={pack_name}"
+        assert r["has_irb_permission"] == want["irb"], ctx
+        assert r["irb_subapproach"] == want["sub"], ctx
+        assert r["is_specialised"] == want["specialised"], ctx
+        if want["lgd_cleared"]:
+            assert r["lgd"] is None, ctx
+        elif has_lgd:
+            assert r["lgd"] == 0.4, ctx

@@ -124,3 +124,24 @@ def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
     # simulate post-crash replay of batch 0: same batch_id, same data
     idempotent_batch_writer(out)(batch, 0)
     assert spark.read.parquet(out).count() == n_expected
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join + windowed agg: the streaming run over
+    the same events must produce exactly the batch-plan rows."""
+    from rwa_calculator_spark.sources.star import load_table
+    from rwa_calculator_spark.streaming.joins import static_enrich
+    from rwa_calculator_spark.streaming.windows import read_events_stream, run_to_memory
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    run_to_memory(
+        static_enrich(read_events_stream(spark, sf_dir), dim),
+        "t_static_enrich",
+        complete=True,
+    )
+    got = _rows(spark.table("t_static_enrich"))
+    want = _rows(static_enrich(load_table(spark, sf_dir, "events"), dim))
+    assert len(want) > 0
+    assert got == want
