@@ -921,3 +921,92 @@ def pillar3_cr5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_exposures"),
         scaled_sum(F.col("ead_after_crm"), 2).alias("ead"),
     )
+
+
+# CR6 PD-band ladder (Pillar 3 CR6 "PD scale" rows; ref
+# reporting/pillar3/cr6.py and corep/pd_scale.py): thresholds in decimal PD
+_CR6_BANDS = (
+    ("pd_0.00_0.15", 0.0, 0.0015),
+    ("pd_0.15_0.25", 0.0015, 0.0025),
+    ("pd_0.25_0.50", 0.0025, 0.005),
+    ("pd_0.50_0.75", 0.005, 0.0075),
+    ("pd_0.75_2.50", 0.0075, 0.025),
+    ("pd_2.50_10.0", 0.025, 0.10),
+    ("pd_10.0_100", 0.10, 1.0),
+)
+
+
+def _cr6_band_sql() -> str:
+    whens = " ".join(
+        f"WHEN pd_f >= {lo!r} AND pd_f < {hi!r} THEN '{name}'"
+        for name, lo, hi in _CR6_BANDS
+    )
+    return f"CASE WHEN pd_f >= 1.0 THEN 'pd_default' {whens} ELSE 'pd_default' END"
+
+
+def _cr6_band_col():
+    c = F.when(F.col("pd_used") >= 1.0, "pd_default")
+    for name, lo, hi in _CR6_BANDS:
+        c = c.when((F.col("pd_used") >= lo) & (F.col("pd_used") < hi), name)
+    return c.otherwise("pd_default")
+
+
+@query(
+    "pillar3_cr6",
+    oracle=_SQL_BASE.format(irb_flag="c_custkey % 3 = 0") + _SQL_IRB_CORE + f"""
+    , cr6_k AS (
+        SELECT exposure_class, ead, pd_f, lgd_f,
+               {sql_capital_k('pd_f', 'lgd_f', 'g_pd')} AS k,
+               {sql_maturity_adj('pd_f', 'm_eff')} AS ma
+        FROM irb_g
+    ), cr6_rows AS (
+        SELECT exposure_class, ead, pd_f, lgd_f,
+               ead * (((k * ma) * 12.5) * 1.06) AS rwa
+        FROM cr6_k
+        UNION ALL
+        SELECT exposure_class, ead, 1.0 AS pd_f, lgd_f, ead * 0.0 AS rwa
+        FROM routed WHERE has_irb_permission AND pd_f >= 1.0
+    ), banded AS (
+        SELECT exposure_class, {_cr6_band_sql()} AS pd_band,
+               ead, pd_f, lgd_f, rwa
+        FROM cr6_rows
+    )
+    SELECT exposure_class, pd_band,
+           count(*) AS n_obligors,
+           {sql_scaled_sum('ead', 2)} AS ead_total,
+           round(({sql_scaled_sum('pd_f * ead', 2)})
+                 / ({sql_scaled_sum('ead', 2)}), 10) AS pd_avg_w,
+           round(({sql_scaled_sum('lgd_f * ead', 2)})
+                 / ({sql_scaled_sum('ead', 2)}), 10) AS lgd_avg_w,
+           {sql_scaled_sum('rwa', 2)} AS rwea,
+           round(({sql_scaled_sum('rwa', 2)})
+                 / ({sql_scaled_sum('ead', 2)}), 10) AS rw_density
+    FROM banded GROUP BY 1, 2
+    """,
+    tags=("rwa", "reporting"),
+)
+def pillar3_cr6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 CR6 — IRB exposures by PD scale (ref
+    reporting/pillar3/cr6.py + corep/pd_scale.py; CRR Art.452(g)): per
+    (class, PD band), obligor count, EAD, EAD-weighted average PD and
+    LGD, RWEA and density — aggregated from the REAL IRB pipeline run's
+    audit ledger (pd_used/lgd_used are the floored parameters the kernel
+    actually consumed; defaulted obligors band to 'pd_default')."""
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=True)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    r = out.results.where(F.col("approach") == "IRB")
+    ead = scaled_sum(F.col("ead_after_crm"), 2)
+    rwea = scaled_sum(F.col("rwa"), 2)
+    return r.groupBy("exposure_class", _cr6_band_col().alias("pd_band")).agg(
+        F.count("*").alias("n_obligors"),
+        ead.alias("ead_total"),
+        F.round(
+            scaled_sum(F.col("pd_used") * F.col("ead_after_crm"), 2) / ead, 10
+        ).alias("pd_avg_w"),
+        F.round(
+            scaled_sum(F.col("lgd_used") * F.col("ead_after_crm"), 2) / ead, 10
+        ).alias("lgd_avg_w"),
+        rwea.alias("rwea"),
+        F.round(rwea / ead, 10).alias("rw_density"),
+    )

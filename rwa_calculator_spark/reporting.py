@@ -95,3 +95,44 @@ def evaluate_validations(
     return spark.createDataFrame(
         rows, "rule_id string, status string, left_value double, right_value double, diff double"
     )
+
+
+def cell_lineage(
+    df: DataFrame, spec: CellSpec, key_cols: Sequence[str], limit: int = 1000
+) -> tuple[DataFrame, float | None]:
+    """Drill a reported cell back to the ledger legs that fed it (ref
+    reporting/lineage.py — "a cell's lineage IS its spec": the drilldown
+    re-runs the cell's own predicate over the same frame the kernel
+    aggregated, never a second hand-maintained copy that could silently
+    disagree with the reported figure).
+
+    Returns (legs DataFrame ordered by |contribution| descending, the
+    cell's value recomputed from the SAME fixed-point arithmetic as
+    compute_cells — None when the cell is absent). The legs frame carries
+    `contribution` so Σ legs reconciles to the cell value exactly.
+    """
+    cond = F.expr(spec.filter_sql)
+    m = float(10**spec.scale)
+    legs = (
+        df.where(cond)
+        .select(
+            *key_cols,
+            (F.round(F.expr(spec.measure_sql) * m, 0).cast("long") / F.lit(m)).alias(
+                "contribution"
+            ),
+        )
+        .orderBy(F.abs(F.col("contribution")).desc(), *key_cols)
+        .limit(limit)
+    )
+    total_row = (
+        df.agg(
+            (
+                F.sum(
+                    F.when(cond, F.round(F.expr(spec.measure_sql) * m, 0).cast("long"))
+                )
+                / F.lit(m)
+            ).alias("v")
+        )
+        .collect()[0]
+    )
+    return legs, (None if total_row["v"] is None else float(total_row["v"]))

@@ -206,6 +206,38 @@ class RwaApi:
             "inputs": {"sf_dir": self.sf_dir},
         }
 
+    def lineage_cell(self, job_id: str, cell: str):
+        """Report-cell drilldown (ref reporting/lineage.py): re-run the
+        cell's own predicate over the job's ledger and return the
+        contributing legs + the reconciling total. A cell whose spec
+        references columns the ledger lacks is honestly 'no lineage'
+        (404), never a re-derived guess."""
+        job, err = self._done_job(job_id)
+        if err:
+            return err
+        from rwa_calculator_spark.reporting import cell_lineage
+        from rwa_calculator_spark.reporting_templates import TEMPLATE_CELLS
+
+        spec = next((s for s in TEMPLATE_CELLS if s.cell_id == cell), None)
+        if spec is None:
+            return 404, {"error": f"unknown cell {cell!r}"}
+        df = self.spark.read.parquet(os.path.join(job["cache_dir"], "results"))
+        try:
+            legs, total = cell_lineage(
+                df, spec, ["exposure_reference"], limit=100
+            )
+            rows = _rows(legs)
+        except Exception:
+            return 404, {"error": f"cell {cell!r} has no lineage over this ledger"}
+        return 200, {
+            "cell": cell,
+            "filter": spec.filter_sql,
+            "measure": spec.measure_sql,
+            "cell_value": total,
+            "n_legs": len(rows),
+            "legs": rows,
+        }
+
     def errors(self, job_id: str):
         """The run's merged error channel (DQ/SCP coded rows) — empty list
         when the run produced none."""
@@ -395,6 +427,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/api/templates/(?P<template_id>[\w.]+)$"), "template"),
     ("GET", re.compile(r"^/api/validations$"), "validations"),
     ("GET", re.compile(r"^/api/lineage$"), "lineage"),
+    ("GET", re.compile(r"^/api/lineage/cell$"), "lineage_cell"),
     ("GET", re.compile(r"^/api/errors$"), "errors"),
     ("GET", re.compile(r"^/api/comparison$"), "comparison"),
     ("POST", re.compile(r"^/api/reconcile$"), "reconcile"),
@@ -424,10 +457,12 @@ def _make_handler(api: RwaApi):
                     body = json.loads(self.rfile.read(length) or b"{}")
                     kwargs["body"] = body
                 if name in (
-                    "results", "summary", "lineage", "export_csv",
-                    "export_xlsx", "errors", "ui",
+                    "results", "summary", "lineage", "lineage_cell",
+                    "export_csv", "export_xlsx", "errors", "ui",
                 ):
                     kwargs["job_id"] = qs.get("job", "")
+                if name == "lineage_cell":
+                    kwargs["cell"] = qs.get("cell", "")
                 if name == "results":
                     kwargs["limit"] = int(qs.get("limit", "100"))
                 try:

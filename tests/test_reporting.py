@@ -84,3 +84,31 @@ def test_validation_parser_rejects_garbage():
 
     with pytest.raises(ValueError):
         parse_validation_rules("v1: {C02.00,0010,0010} = {bad}")
+
+
+def test_cell_lineage_reconciles_to_cell_value(spark):
+    """Drilldown legs must re-sum to the reported figure bit-exactly (ref
+    reporting/lineage.py honesty rules: the clicked number is ground truth;
+    contribution_total reconciles explicitly)."""
+    from rwa_calculator_spark.reporting import CellSpec, cell_lineage, compute_cells
+
+    df = spark.createDataFrame(
+        [
+            ("E1", "corporate", 100.25),
+            ("E2", "corporate", 50.50),
+            ("E3", "retail", 10.00),
+        ],
+        "exposure_reference string, exposure_class string, rwa double",
+    )
+    spec = CellSpec("C02.00", "r0010", "c0010", "exposure_class = 'corporate'", "rwa")
+    facts = compute_cells(df, [spec])
+    reported = facts.collect()[0]["value"]
+    legs, total = cell_lineage(df, spec, ["exposure_reference"])
+    rows = legs.collect()
+    assert total == reported == 150.75
+    assert [r["exposure_reference"] for r in rows] == ["E1", "E2"]  # |contribution| desc
+    assert sum(r["contribution"] for r in rows) == reported
+    # absent cell (empty population) → None, empty legs — never zero
+    empty_spec = CellSpec("C02.00", "r0020", "c0010", "exposure_class = 'sovereign'", "rwa")
+    legs2, total2 = cell_lineage(df, empty_spec, ["exposure_reference"])
+    assert total2 is None and legs2.count() == 0

@@ -219,3 +219,20 @@ def test_export_xlsx(server, done_job):
     ci, cv = header.index("exposure_class"), header.index("total_rwa")
     for row in back["summary_class"][1:]:
         assert by_class[row[ci]] == row[cv]
+
+
+def test_lineage_cell_drilldown(server, done_job):
+    """Cell drilldown over real HTTP: the legs re-sum to the cell value
+    (reporting/lineage.py honesty rule), unknown cells 404."""
+    jid = done_job["job_id"]
+    cell = "C02.00|0060|0010"  # SA total RWA
+    status, body = _get(
+        server, f"/api/lineage/cell?job={jid}&cell={urllib.parse.quote(cell)}"
+    )
+    assert status == 200 and body["cell"] == cell
+    assert body["n_legs"] > 0
+    assert round(sum(l["contribution"] for l in body["legs"]), 2) <= round(
+        body["cell_value"], 2
+    )  # top-100 legs never exceed the full total
+    status, _body = _get(server, f"/api/lineage/cell?job={jid}&cell=NOPE")
+    assert status == 404

@@ -173,3 +173,32 @@ def test_hedging_set_plan_two_aggregations_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "partial_" in plan, plan  # map-side combine before each exchange
     assert df.count() == 1
+
+
+def test_stream_static_enrich_broadcasts_dimension(spark, sf_dir):
+    """The stream-static join must broadcast the dimension side — a
+    shuffle on the stream key would be the 100 TB bottleneck."""
+    from rwa_calculator_spark.plans.streaming_batch import stream_static_enrich
+
+    plan = stream_static_enrich(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_corpus_line_dedup_plan_shape(spark, sf_dir):
+    """Segment-frequency dedup: the reassembly aggregation must be a plain
+    two-shuffle plan (segment key, then doc key) with no cartesian or
+    nested-loop join anywhere."""
+    from rwa_calculator_spark.plans.llm import dedup_lines_corpus
+
+    plan = dedup_lines_corpus(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pii_redaction_stays_codegen(spark, sf_dir):
+    """PII detect/redact is pure row expressions: no exchange, no UDF —
+    the whole plan is a single whole-stage-codegen scan+project."""
+    from rwa_calculator_spark.plans.llm import pii_redaction
+
+    plan = pii_redaction(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
