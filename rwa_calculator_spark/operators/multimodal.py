@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata structs.
 The Spark-side machinery — schema, partition-preserving mapInPandas with
-Arrow batches, UDF signatures, batch shapes — is real and tested; the
-actual media decode is STUBBED (image/audio libraries are not in this
-container): `decode_image` raises NotImplementedError and
-`fake_image_features` is the deterministic stand-in used by tests and the
-`multimodal_features` query.
+Arrow batches, UDF signatures, batch shapes — is real and tested. PNG
+pixel decode is REAL (decode_png below: stdlib zlib + the five PNG row
+filters; encode_png writes genuine files) — `multimodal_pixel_stats`
+round-trips pixel arrays through it distributed. JPEG entropy decoding
+genuinely needs a codec library absent from this container and stays a
+declared stub (`decode_image` raises for non-PNG; header metadata still
+parses via parse_image_header).
 
 At 100 TB: binary payloads never pass through the driver; mapInPandas
 streams Arrow batches executor-side, and `spark.sql.files.maxPartitionBytes`
@@ -26,10 +28,15 @@ FEATURE_SCHEMA = "doc_id long, n_bytes long, first_byte long, checksum long"
 
 
 def decode_image(payload: bytes):
-    """Real decode (PIL/libvips) — not available in this container."""
+    """Image decode. PNG decodes FOR REAL via the stdlib zlib codec below
+    (decode_png — 8-bit grey/RGB/RGBA, all five row filters); JPEG entropy
+    decoding genuinely requires a codec library absent from this container
+    and stays a declared stub (header metadata still parses)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "media decode requires an image library not present in this environment; "
-        "swap this stub for PIL.Image.open(io.BytesIO(payload)) in production"
+        "non-PNG decode requires an image library not present in this "
+        "environment; swap for PIL.Image.open(io.BytesIO(payload)) in production"
     )
 
 
@@ -128,3 +135,173 @@ def extract_image_metadata(binary_df: DataFrame, id_col: str = "doc_id", bin_col
             )
 
     return binary_df.mapInPandas(batches, schema=IMAGE_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec — stdlib zlib + numpy only (no PIL in this container).
+# PNG pixel data is zlib-deflated scanlines with 5 per-row filters; that is
+# fully decodable with the standard library, so `decode_image` is REAL for
+# PNG. JPEG entropy decoding genuinely needs a codec library and stays
+# honestly out of scope (parse_image_header still reads its dimensions).
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # grey, RGB, grey+A, RGBA
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """Minimal PNG writer for uint8 (H, W) grey or (H, W, 3|4) arrays —
+    filter 0 rows, one IDAT. Used to synthesise genuine decodable test
+    payloads; also the sink half of a real thumbnail pipeline."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, h, w = 0, *arr.shape
+        rows = arr.reshape(h, w, 1)
+    else:
+        h, w, ch = arr.shape
+        color_type = {1: 0, 3: 2, 4: 6}[ch]
+        rows = arr
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, w: int, h: int, ch: int) -> "np.ndarray":
+    """Reverse the five PNG row filters (spec §9): None/Sub/Up/Average/Paeth.
+    Row-sequential by construction; per-row work is vectorised numpy."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.uint16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = row
+    return out.reshape(h, w, ch)
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Real PNG decode (8-bit, non-interlaced, grey/RGB/grey+A/RGBA) —
+    returns a uint8 (H, W, C) array. Raises on the PNG features that
+    genuinely need more spec surface (16-bit, palette, interlace)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color_type not in _CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, color={color_type}, "
+                    f"interlace={interlace}) — 8-bit non-interlaced only"
+                )
+            ch = _CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    return _unfilter(zlib.decompress(idat), w, h, ch)
+
+
+def image_features(payload: bytes) -> tuple[int, int, int, float, float]:
+    """decode → feature-extract for real: (width, height, channels,
+    mean_luma, pixel_std) from the decoded pixel array."""
+    px = decode_png(payload)
+    h, w, ch = px.shape
+    if ch >= 3:
+        luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    else:
+        luma = px[:, :, 0].astype(np.float64)
+    return (w, h, ch, round(float(luma.mean()), 6), round(float(px.std()), 6))
+
+
+def resize_nearest(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbour resize — the thumbnail step of an image-curation
+    pipeline, pure numpy indexing."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys][:, xs]
+
+
+PIXEL_FEATURE_SCHEMA = (
+    "doc_id long, width long, height long, channels long, "
+    "mean_luma double, pixel_std double"
+)
+
+
+def extract_pixel_features(
+    binary_df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas over REAL PNG payloads → decoded pixel statistics.
+    Same Arrow-batch shape as extract_features, but the decode is genuine."""
+    from rwa_calculator_spark.utils import ensure_workers_can_import
+
+    ensure_workers_can_import(binary_df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf[bin_col].map(image_features)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": feats.map(lambda t: t[0]),
+                    "height": feats.map(lambda t: t[1]),
+                    "channels": feats.map(lambda t: t[2]),
+                    "mean_luma": feats.map(lambda t: t[3]),
+                    "pixel_std": feats.map(lambda t: t[4]),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=PIXEL_FEATURE_SCHEMA)

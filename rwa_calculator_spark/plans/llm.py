@@ -1167,3 +1167,72 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: REAL PNG decode round-trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_pixel_stats",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 20 = 0
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h,
+               CAST((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS DOUBLE) AS v
+        FROM docs d,
+             LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+             LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           round(avg(v), 6) AS mean_luma,
+           round(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS pixel_std
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the stdlib PNG codec
+    (operators/multimodal.py decode_png — zlib inflate + all five row
+    filters, no image library): deterministic grayscale images are
+    synthesised per document, ENCODED to genuine PNG bytes, shipped as a
+    binary column through mapInPandas, DECODED back, and reduced to pixel
+    statistics. The oracle computes the same statistics directly from the
+    pixel formula — a hash match proves the codec round-trips the pixel
+    array bit-exactly. Payloads never touch the driver; both hops are
+    Arrow-batched mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from rwa_calculator_spark.operators.multimodal import (
+        encode_png,
+        extract_pixel_features,
+    )
+    from rwa_calculator_spark.utils import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + int(doc_id) % 9
+                h = 8 + int(doc_id) % 7
+                y, x = np.mgrid[0:h, 0:w]
+                px = ((int(doc_id) * 31 + x * 7 + y * 13) % 256).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    binary = d.select("doc_id").mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    return extract_pixel_features(binary)
