@@ -1020,3 +1020,72 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_orders"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
+               AS grouping_level,
+           count(*) AS n_rows,
+           {sql_scaled_sum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — a Spark-native widening beyond
+    the reference's plain single-level group-bys (SURVEY §2.4: "no
+    grouping sets/cube/rollup" in the reference; its summary tables
+    re-aggregate per level instead). One pass produces per-(flag, status)
+    rows, per-flag subtotals, and the grand total, with grouping() tagging
+    each level — on a cluster this replaces three separate scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).cast("int").alias("grouping_level"),
+            F.count("*").alias("n_rows"),
+            scaled_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "grouping_level",
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+           round(quantile_cont(l_quantity, 0.95), 6) AS qty_p95,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    `percentile` ≡ DuckDB `quantile_cont` — both the type-7 estimator).
+    The scale path swaps in percentile_approx (t-digest, mergeable
+    map-side sketch) when an exact sort-based percentile would shuffle
+    too much — that variant is plan-compatible but approximate, so the
+    ORACLED query pins the exact form."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("qty_p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("price_p99"),
+    )
