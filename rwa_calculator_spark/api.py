@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,11 +84,16 @@ class CreditRiskCalc:
         bundle: RawBundle,
         pack: RulePack = CRR_PACK,
         cache_dir: str | None = None,
+        audit_cache_dir: str | None = None,
+        audit_cache_max_runs: int = 20,
     ):
         self.spark = spark
         self.bundle = bundle
         self.pack = pack
         self.cache_dir = cache_dir or os.path.join("/tmp", "rwa_results_cache", str(os.getpid()))
+        # opt-in per-run diagnostics cache (ref observability/audit_cache.py)
+        self.audit_cache_dir = audit_cache_dir
+        self.audit_cache_max_runs = audit_cache_max_runs
 
     def calculate(
         self,
@@ -100,17 +106,29 @@ class CreditRiskCalc:
         event map (label → rows, wall_ms) plus the rulepack content hash —
         the reference's run manifest (ref engine/materialise.py:74-98
         EdgeEvent, engine/pipeline.py:467-572 manifest.json)."""
+        from rwa_calculator_spark.observability import run_context
+
         t0 = time.perf_counter()
-        out = run_pipeline(
-            self.bundle,
-            PipelineConfig(
-                pack=self.pack,
-                persist_edges=persist_edges,
-                validation=validation,
-                reporting_entity=reporting_entity,
-                reporting_basis=reporting_basis,
-            ),
-        )
+        run_id = f"run_{uuid.uuid4().hex[:12]}"
+        audit_sink = None
+        if self.audit_cache_dir is not None:
+            from rwa_calculator_spark.observability import sink_audit
+
+            def audit_sink(name: str, df: DataFrame) -> None:
+                sink_audit(df, self.audit_cache_dir, run_id, name)
+
+        with run_context(run_id):  # log-record correlation for the run
+            out = run_pipeline(
+                self.bundle,
+                PipelineConfig(
+                    pack=self.pack,
+                    persist_edges=persist_edges,
+                    validation=validation,
+                    reporting_entity=reporting_entity,
+                    reporting_basis=reporting_basis,
+                    audit_sink=audit_sink,
+                ),
+            )
         os.makedirs(self.cache_dir, exist_ok=True)
         sc = self.spark.sparkContext
         edges: dict[str, dict] = {}
@@ -132,6 +150,7 @@ class CreditRiskCalc:
         if out.errors is not None:
             _seal(out.errors, "errors")
         manifest = {
+            "run_id": run_id,
             "regime": self.pack.regime,
             "rulepack_version": self.pack.version,
             "rulepack_hash": self.pack.content_hash(),
@@ -141,4 +160,8 @@ class CreditRiskCalc:
         }
         with open(os.path.join(self.cache_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, sort_keys=True)
+        if self.audit_cache_dir is not None:
+            from rwa_calculator_spark.observability import prune_audit_cache
+
+            prune_audit_cache(self.audit_cache_dir, self.audit_cache_max_runs)
         return CalculationResponse(self.spark, self.cache_dir, manifest)

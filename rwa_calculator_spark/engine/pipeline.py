@@ -16,6 +16,7 @@ Spark differences, deliberately (SURVEY §4):
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
+from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,6 +60,13 @@ class PipelineConfig:
     # case); switch off for continuous parameters, where distinct ≈ rows
     # and per-row evaluation is cheaper.
     irb_dictionary: bool = True
+    # Opt-in audit-cache sink (ref observability/audit_cache.py): a
+    # cross-cutting diagnostics side-effect called with (name, frame) at
+    # existing hook points. None (default) = no-op. The sink materialises
+    # each intermediate (one Spark write job), so enabling it trades run
+    # time for drilldown; the sink itself must swallow failures — a
+    # diagnostics side-effect never perturbs a run.
+    audit_sink: "Callable[[str, DataFrame], None] | None" = None
 
 
 def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> AggregatedOutput:
@@ -158,6 +166,8 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         extra.append(sft_exposures(raw.sft_trades, config.pack))
 
     h = run_hierarchy(raw, config.pack, extra_exposures=extra or None)
+    if config.audit_sink is not None:
+        config.audit_sink("unified_exposures", h.exposures)
     classified = run_classify(h, config.pack, threshold_scale=threshold_scale)
 
     # --- model-permission approach routing (ref classify/permissions.py +
@@ -175,9 +185,13 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
         )
         classified = ClassifiedOutput(exposures=routed)
 
+    if config.audit_sink is not None:
+        config.audit_sink("classified_exposures", classified.exposures)
     crm = run_crm(
         raw, classified, config.pack, collateral_method=config.collateral_method
     )
+    if config.audit_sink is not None:
+        config.audit_sink("post_crm_exposures", crm.exposures)
 
     # --- RE split: secured tranche vs unsecured remainder (ref
     # engine/stages/re_split/splitter.py:323, between CRM and calculators) -

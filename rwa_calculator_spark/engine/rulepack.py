@@ -38,6 +38,9 @@ class RulePack:
     scalars: Mapping[str, RuleEntry]
     # table name -> list of (key tuple ..., value) rows; schema per table
     tables: Mapping[str, tuple[str, tuple]]  # (schema_ddl, rows)
+    # table name -> governing article (audit provenance; ref rulebook/audit.py
+    # — every rule entry carries a mandatory citation)
+    table_citations: Mapping[str, str] = field(default_factory=dict)
 
     def content_hash(self) -> str:
         payload = {
@@ -45,6 +48,7 @@ class RulePack:
             "version": self.version,
             "scalars": {k: [str(v.value), v.citation] for k, v in sorted(self.scalars.items())},
             "tables": {k: [self.tables[k][0], [list(map(str, r)) for r in self.tables[k][1]]] for k in sorted(self.tables)},
+            "table_citations": dict(sorted(self.table_citations.items())),
         }
         return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
@@ -61,6 +65,50 @@ class RulePack:
 
     def broadcast_table(self, spark: SparkSession, name: str) -> DataFrame:
         return F.broadcast(self.table_df(spark, name))
+
+    def audit_rows(self) -> list[tuple]:
+        """The full rule catalogue as provenance rows (ref rulebook/audit.py
+        — the regime-as-data audit trail: every regulatory value with its
+        citation and the pack content hash, so a reviewer can answer "which
+        published number produced this figure, under which pack version").
+
+        Schema-driven value extraction: a table's ``double`` columns are its
+        VALUE columns (one audit row each), the rest form the lookup key;
+        a table with only double columns keys on its first column. Rows:
+        (regime, version, kind, name, entry_key, value, value_text,
+        citation, pack_hash).
+        """
+        h = self.content_hash()
+        rows: list[tuple] = [
+            (self.regime, self.version, "scalar", k, "", float(e.value), str(e.value), e.citation, h)
+            for k, e in sorted(self.scalars.items())
+        ]
+        for tname in sorted(self.tables):
+            schema, trows = self.tables[tname]
+            cols = [c.strip().split() for c in schema.split(",")]
+            names = [c[0] for c in cols]
+            kinds = [c[1].lower() for c in cols]
+            value_ix = [i for i, k in enumerate(kinds) if k == "double"]
+            key_ix = [i for i in range(len(cols)) if i not in value_ix]
+            if not key_ix:  # all-double row: first column is the key
+                key_ix, value_ix = [0], value_ix[1:]
+            cite = self.table_citations.get(tname, "")
+            for r in trows:
+                key = "|".join(str(r[i]) for i in key_ix)
+                if not value_ix:  # pure category map: last column is the text value
+                    key = "|".join(str(r[i]) for i in key_ix[:-1])
+                    rows.append(
+                        (self.regime, self.version, "table", tname, key,
+                         None, str(r[key_ix[-1]]), cite, h)
+                    )
+                    continue
+                for i in value_ix:
+                    rows.append(
+                        (self.regime, self.version, "table",
+                         f"{tname}.{names[i]}", key,
+                         float(r[i]), str(r[i]), cite, h)
+                    )
+        return rows
 
 
 def _to_py(v):
@@ -310,6 +358,16 @@ CRR_PACK = RulePack(
         "eu_domestic_ccy": (_EU_DOMESTIC_CCY_SCHEMA, _EU_DOMESTIC_CCY_ROWS),
         "life_ins_rw_map": (_LIFE_INS_RW_SCHEMA, _LIFE_INS_RW_ROWS),
     },
+    table_citations={
+        "sa_rw": "CRR Art.114-122",
+        "ccf": "CRR Annex I",
+        "slotting_rw": "CRR Art.153(5) Table A / Art.158(6) Table B",
+        "saccr_sf": "CRR Art.280a-280f",
+        "collateral_haircuts": "CRR Art.224 Table 1",
+        "haircut_bands": "CRR Art.224 (3 maturity bands)",
+        "eu_domestic_ccy": "CRR Art.114(4)/(7), Art.141",
+        "life_ins_rw_map": "CRR Art.232(3)/233(3)",
+    },
 )
 
 B31_PACK = RulePack(
@@ -378,4 +436,81 @@ B31_PACK = RulePack(
         "eu_domestic_ccy": (_EU_DOMESTIC_CCY_SCHEMA, _EU_DOMESTIC_CCY_ROWS),
         "life_ins_rw_map": (_LIFE_INS_RW_SCHEMA, _LIFE_INS_RW_ROWS),
     },
+    table_citations={
+        "sa_rw": "BCBS CRE20 / PS1/26 Art.114-122",
+        "ccf": "BCBS CRE20.94-101 / PS1/26 Art.111",
+        "slotting_rw": "PS1/26 Art.153(5) / BCBS CRE33.13",
+        "saccr_sf": "BCBS CRE52.72 Table 2",
+        "collateral_haircuts": "PS1/26 Art.224 Table 1 / BCBS CRE22.52",
+        "haircut_bands": "PS1/26 Art.224 (5 maturity bands)",
+        "eu_domestic_ccy": "BCBS CRE20.9 (domestic-currency treatment)",
+        "life_ins_rw_map": "PS1/26 Art.232(3)",
+    },
 )
+
+
+# ---------------------------------------------------------------------------
+# Pack resolution / completeness (ref rulebook/resolve.py: the compile-time
+# guarantee that a regime layer supplies every entry the engine reads, with
+# a citation — a missing rule is a configuration error at startup, never a
+# silent KeyError mid-pipeline)
+# ---------------------------------------------------------------------------
+
+#: Every scalar the engine stages read unconditionally (presence-gated
+#: features like b31_approach_restrictions are deliberately absent here).
+REQUIRED_SCALARS = (
+    "retail_rw", "retail_threshold", "re_secured_rw", "defaulted_rw",
+    "defaulted_rw_secured", "unrated_corp_rw", "sme_supporting_factor",
+    "sme_factor_above_threshold", "sme_exposure_threshold",
+    "infra_supporting_factor", "pd_floor", "lgd_floor_unsecured",
+    "irb_scaling_factor", "output_floor_alpha", "fx_haircut",
+    "fcsm_rw_floor", "saccr_alpha", "pfe_multiplier_floor",
+    "secsa_ksa", "secsa_p", "secsa_p_sts", "secsa_floor_rw",
+)
+
+#: Table name -> exact schema DDL the stage joins expect.
+REQUIRED_TABLES = {
+    "sa_rw": "exposure_class string, cqs int, rw double",
+    "ccf": "risk_bucket string, ccf double",
+    "slotting_rw": _SLOTTING_SCHEMA,
+    "saccr_sf": "asset_class string, sf double",
+    "collateral_haircuts": _HAIRCUT_SCHEMA,
+    "haircut_bands": _HAIRCUT_BANDS_SCHEMA,
+}
+
+
+def resolve_pack(pack: RulePack) -> RulePack:
+    """Validate a pack against the engine's required-entry registry and
+    return it (ref rulebook/resolve.py ResolvedRulepack). Raises ValueError
+    listing EVERY problem at once — missing scalars, missing/mis-schema'd
+    tables, entries without citations — so a pack author fixes one report,
+    not a whack-a-mole of KeyErrors."""
+    problems: list[str] = []
+    for name in REQUIRED_SCALARS:
+        if name not in pack.scalars:
+            problems.append(f"missing scalar {name!r}")
+    for k, e in pack.scalars.items():
+        if not e.citation:
+            problems.append(f"scalar {k!r} has no citation")
+    for name, ddl in REQUIRED_TABLES.items():
+        if name not in pack.tables:
+            problems.append(f"missing table {name!r}")
+        elif pack.tables[name][0] != ddl:
+            problems.append(
+                f"table {name!r} schema {pack.tables[name][0]!r} != required {ddl!r}"
+            )
+    for name in pack.tables:
+        if name not in pack.table_citations or not pack.table_citations[name]:
+            problems.append(f"table {name!r} has no citation")
+    if problems:
+        raise ValueError(
+            f"rulepack {pack.regime}/{pack.version} failed to resolve: "
+            + "; ".join(sorted(problems))
+        )
+    return pack
+
+
+# Both shipped packs must resolve at import — a broken pack is unusable
+# everywhere, so fail here, not mid-pipeline.
+resolve_pack(CRR_PACK)
+resolve_pack(B31_PACK)

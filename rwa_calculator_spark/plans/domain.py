@@ -381,6 +381,72 @@ def _template_library_oracle() -> str:
     return catalog_oracle_sql()
 
 
+def _validation_rules_oracle() -> str:
+    """Generated from the SAME parsed rule catalogue the Spark query
+    evaluates (like catalog_oracle_sql — spec and oracle cannot drift)."""
+    from rwa_calculator_spark.reporting_templates import (
+        VALIDATION_RULES_TEXT,
+        catalog_oracle_sql,
+        parse_validation_rules,
+    )
+
+    rules = [r for r in parse_validation_rules(VALIDATION_RULES_TEXT) if r.enforced]
+
+    def cell_sq(cid: str) -> str:
+        t, row, col = cid.split("|")
+        return (
+            f"(SELECT value FROM facts WHERE template = '{t}' "
+            f"AND row_id = '{row}' AND col_id = '{col}')"
+        )
+
+    selects = []
+    for r in rules:
+        lv = cell_sq(r.left)
+        rvs = [cell_sq(c) for c in r.right]
+        if r.missing_policy == "zero":
+            lv = f"coalesce({lv}, 0.0)"
+            rvs = [f"coalesce({v}, 0.0)" for v in rvs]
+        rsum = " + ".join(rvs)  # left-to-right: same fp op order as Python sum
+        any_null = " OR ".join(f"({v}) IS NULL" for v in [lv, *rvs])
+        selects.append(
+            f"SELECT '{r.rule_id}' AS rule_id, '{r.severity}' AS severity, "
+            f"CASE WHEN {any_null} THEN 'not_evaluable' "
+            f"WHEN abs(({lv}) - ({rsum})) <= {r.tolerance!r} THEN 'pass' "
+            f"ELSE 'fail' END AS status, "
+            f"{lv} AS left_value, "
+            f"CASE WHEN {any_null} THEN NULL ELSE ({rsum}) END AS right_value, "
+            f"CASE WHEN {any_null} THEN NULL ELSE (({lv}) - ({rsum})) END AS diff"
+        )
+    body = "\n    UNION ALL\n    ".join(selects)
+    return f"WITH facts AS ({catalog_oracle_sql()})\n    {body}"
+
+
+@query(
+    "report_validation_rules",
+    oracle=_validation_rules_oracle(),
+    tags=("domain", "reporting"),
+)
+def report_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervisory validation-rule catalogue evaluated over the template
+    estate (ref reporting/validations/{rules,evaluate}.py): the parsed
+    EBA-grammar rules with publisher semantics — liveness (live OR
+    reactivated, excluding deleted; a deleted rule never runs), severity
+    (error/warning), and the per-rule missing-value policy (skip →
+    not_evaluable, zero → EBA treat-as-zero / BoE dv:0). One row per
+    ENFORCED rule."""
+    from rwa_calculator_spark.reporting import compute_cells, evaluate_validations
+    from rwa_calculator_spark.reporting_templates import (
+        TEMPLATE_CELLS,
+        VALIDATION_RULES_TEXT,
+        parse_validation_rules,
+        star_ledger,
+    )
+
+    facts = compute_cells(star_ledger(spark, sf_dir), TEMPLATE_CELLS)
+    rules = parse_validation_rules(VALIDATION_RULES_TEXT)
+    return evaluate_validations(facts, rules)
+
+
 @query(
     "corep_template_library",
     oracle=_template_library_oracle(),

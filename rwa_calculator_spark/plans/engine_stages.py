@@ -650,3 +650,54 @@ def crm_ofcp_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("_ch_rw", 10).alias("ofcp_rw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rulebook audit trail (ref rulebook/audit.py)
+# ---------------------------------------------------------------------------
+
+_AUDIT_SCHEMA = (
+    "regime string, version string, kind string, name string, entry_key string, "
+    "value double, value_text string, citation string, pack_hash string"
+)
+
+
+def _rulebook_audit_oracle() -> str:
+    """Generated VALUES from the SAME pack data the Spark query emits.
+    Numeric values are re-parsed by DuckDB from the at-rest Decimal TEXT
+    (CAST('0.7619' AS DOUBLE)) — an independent cross-check that the
+    pack's single Decimal->float boundary is the IEEE-correct rounding."""
+    from rwa_calculator_spark.engine.rulepack import B31_PACK, CRR_PACK
+
+    def esc(s):
+        return s.replace("'", "''")
+
+    values = []
+    for pack in (CRR_PACK, B31_PACK):
+        for (regime, version, kind, name, key, value, vtext, cite, h) in pack.audit_rows():
+            v = "CAST(NULL AS DOUBLE)" if value is None else f"CAST('{vtext}' AS DOUBLE)"
+            values.append(
+                f"('{regime}', '{version}', '{kind}', '{esc(name)}', '{esc(key)}', "
+                f"{v}, '{esc(vtext)}', '{esc(cite)}', '{h}')"
+            )
+    body = ",\n        ".join(values)
+    return f"""
+    SELECT * FROM (VALUES
+        {body}
+    ) AS t(regime, version, kind, name, entry_key, value, value_text, citation, pack_hash)
+    """
+
+
+@query("rulebook_audit", oracle=_rulebook_audit_oracle(), tags=("engine", "rulebook"))
+def rulebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regime-as-data audit trail (ref rulebook/audit.py, model.py):
+    every regulatory value in both packs — scalars and table rows — as one
+    provenance frame carrying the mandatory article citation and the pack
+    content hash, so any reported figure traces to a published number under
+    a content-addressed pack version. Value columns are derived from each
+    table's schema (double columns are values, the rest key), mirroring the
+    reference's fixed rule-shape vocabulary."""
+    from rwa_calculator_spark.engine.rulepack import B31_PACK, CRR_PACK
+
+    rows = CRR_PACK.audit_rows() + B31_PACK.audit_rows()
+    return spark.createDataFrame(rows, _AUDIT_SCHEMA)

@@ -1010,3 +1010,285 @@ def pillar3_cr6(spark: SparkSession, sf_dir: str) -> DataFrame:
         rwea.alias("rwea"),
         F.round(rwea / ead, 10).alias("rw_density"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-template tie-outs (ref reporting/tieouts.py)
+# ---------------------------------------------------------------------------
+
+# DuckDB expressions for each curated tie's two sides, over the CTEs built in
+# _tieouts_oracle_sql(). Generated from the SAME TIE_OUTS data the Spark query
+# evaluates, so the spec and the oracle cannot drift apart.
+_TIE_EXPRS = {
+    "total_rwea_c02_vs_ov1": (
+        "(SELECT rwa FROM tot)",
+        "(SELECT rwa FROM sa_app) + (SELECT rwa FROM irb_app)",
+    ),
+    "credit_risk_rollup_c02": (
+        "(SELECT rwa FROM tot)",
+        "(SELECT rwa FROM sa_app) + (SELECT rwa FROM irb_app)",
+    ),
+    "sa_rwea_c07_vs_c02": (
+        "(SELECT rwa FROM sa_cls)",
+        "(SELECT rwa FROM sa_app)",
+    ),
+    "irb_rwea_c08_01_vs_c02": (
+        "(SELECT rwa FROM irb_cls)",
+        "(SELECT rwa FROM irb_app)",
+    ),
+    "irb_rwea_c08_01_vs_ov1": (
+        "(SELECT rwa FROM irb_cls)",
+        "(SELECT rwa FROM irb_app)",
+    ),
+}
+
+
+def _tieouts_oracle_sql() -> str:
+    from rwa_calculator_spark.reporting_tieouts import TIE_OUTS
+
+    selects = []
+    for tie in TIE_OUTS:
+        lhs, rhs = _TIE_EXPRS[tie.name]
+        selects.append(
+            f"SELECT '{tie.name}' AS tie_name, '{tie.lhs_label}' AS lhs_label, "
+            f"'{tie.rhs_label}' AS rhs_label, {lhs} AS lhs, {rhs} AS rhs, "
+            f"CAST({tie.atol!r} AS DOUBLE) AS atol, CAST({tie.rtol!r} AS DOUBLE) AS rtol"
+        )
+    body = "\n        UNION ALL\n        ".join(selects)
+    return (
+        _SQL_BASE.format(irb_flag="c_custkey % 3 = 0")
+        + _SQL_IRB_CORE
+        + f"""
+    , per_app AS (
+        SELECT approach, {sql_scaled_sum('rwa', 2)} AS rwa
+        FROM unioned GROUP BY approach
+    ), tot AS (
+        SELECT {sql_scaled_sum('rwa', 2)} AS rwa FROM unioned
+    ), per_cls AS (
+        SELECT approach, exposure_class, {sql_scaled_sum('rwa', 2)} AS rwa
+        FROM unioned GROUP BY 1, 2
+    ), cls_sum AS (
+        SELECT approach,
+               sum(CAST(round(rwa * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE) AS rwa
+        FROM per_cls GROUP BY approach
+    ), sa_app AS (SELECT rwa FROM per_app WHERE approach = 'SA'
+    ), irb_app AS (SELECT rwa FROM per_app WHERE approach = 'IRB'
+    ), sa_cls AS (SELECT rwa FROM cls_sum WHERE approach = 'SA'
+    ), irb_cls AS (SELECT rwa FROM cls_sum WHERE approach = 'IRB'
+    ), ties AS (
+        {body}
+    )
+    SELECT tie_name,
+           CASE WHEN abs(lhs - rhs) <= atol + rtol * greatest(abs(lhs), abs(rhs))
+                THEN 'tie' ELSE 'break' END AS status,
+           lhs_label, rhs_label, lhs, rhs
+    FROM ties
+    """
+    )
+
+
+@query(
+    "report_tieouts",
+    oracle=_tieouts_oracle_sql(),
+    tags=("rwa", "reporting"),
+)
+def report_tieouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-template consistency over the REAL pipeline run (ref
+    reporting/tieouts.py check_cross_template_consistency): the C 02.00
+    roll-up, the C 07.00 / C 08.01 class sheets and the OV1 rows are
+    generated through three INDEPENDENT aggregation paths over the sealed
+    ledger (portfolio scalar agg, by-approach summary, by-(approach, class)
+    re-aggregation), then the curated tie pairs are asserted within the
+    golden tolerance. Accumulate-don't-throw: every tie is reported as a
+    row with status tie/break/skipped, never an exception."""
+    from rwa_calculator_spark.reporting_tieouts import (
+        check_cross_template_consistency,
+        findings_frame,
+    )
+
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=True)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    # Three independently-generated template aggregates (all driver-sized
+    # by design — O(#classes) scalars, never exposure rows):
+    total = out.portfolio.collect()[0]["total_rwa"]  # C 02.00 [0010]
+    per_app = {
+        r["approach"]: r["total_rwa"] for r in out.summary_by_approach.collect()
+    }
+    per_cls = (
+        out.results.groupBy("approach", "exposure_class")
+        .agg(scaled_sum(F.col("rwa"), 2).alias("rwa"))
+        .collect()
+    )
+    corep: dict[str, float] = {"C02.00|total": total}
+    if "SA" in per_app:
+        corep["C02.00|sa"] = per_app["SA"]
+    if "IRB" in per_app:
+        corep["C02.00|irb"] = per_app["IRB"]
+    for r in per_cls:
+        sheet = "C07.00" if r["approach"] == "SA" else "C08.01"
+        corep[f"{sheet}|{r['exposure_class']}"] = r["rwa"]
+    pillar3: dict[str, float] = {}
+    if "SA" in per_app:
+        pillar3["OV1|credit_risk_sa"] = per_app["SA"]
+    if "IRB" in per_app:
+        pillar3["OV1|credit_risk_irb"] = per_app["IRB"]
+    if "SA" in per_app and "IRB" in per_app:
+        pillar3["OV1|total"] = per_app["SA"] + per_app["IRB"]
+    findings = check_cross_template_consistency(corep, pillar3)
+    return findings_frame(spark, findings)
+
+
+# ---------------------------------------------------------------------------
+# Parallel-run reconciliation over the component registry (ref
+# analysis/recon_registry.py + reconciliation.py)
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = _SQL_BASE.format(irb_flag="FALSE") + f"""
+    , with_rw AS (
+        SELECT w.*,
+               CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END AS risk_weight,
+               {_SQL_SME_SF.format(p='w.')} AS sf
+        FROM with_ead w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+    ), ours AS (
+        SELECT exposure_reference, exposure_class, 'SA' AS approach, ead,
+               (ead * risk_weight) * sf AS rwa,
+               CAST(substr(exposure_reference, 2) AS BIGINT) AS key_num
+        FROM with_rw
+    ), legacy AS (
+        SELECT exposure_reference,
+               ead AS legacy_ead,
+               rwa + CASE WHEN key_num % 10 = 3 THEN 0.05 ELSE 0.0 END AS legacy_rwa,
+               CASE WHEN key_num % 31 = 0 THEN 'misc'
+                    ELSE upper(exposure_class) END AS legacy_class,
+               lower(approach) AS legacy_approach
+        FROM ours WHERE key_num % 97 <> 0
+        UNION ALL
+        SELECT 'X' || n_nationkey, 1000.0 + n_nationkey, 800.0,
+               'corporate', 'sa'
+        FROM nation
+    ), j AS (
+        SELECT o.exposure_reference AS lk, l.exposure_reference AS rk,
+               o.ead AS l_ead, o.rwa AS l_rwa,
+               o.exposure_class AS l_class, o.approach AS l_app,
+               l.legacy_ead, l.legacy_rwa, l.legacy_class, l.legacy_approach
+        FROM ours o FULL OUTER JOIN legacy l
+          ON o.exposure_reference = l.exposure_reference
+    ), detail AS (
+        SELECT 'ead' AS component,
+               CASE WHEN lk IS NULL THEN 'missing_ours'
+                    WHEN rk IS NULL THEN 'missing_theirs'
+                    WHEN abs(l_ead - legacy_ead) <= 0.01 THEN 'exact'
+                    ELSE 'break' END AS bucket,
+               l_ead - legacy_ead AS diff
+        FROM j
+        UNION ALL
+        SELECT 'rwa',
+               CASE WHEN lk IS NULL THEN 'missing_ours'
+                    WHEN rk IS NULL THEN 'missing_theirs'
+                    WHEN abs(l_rwa - legacy_rwa) <= 0.01 THEN 'exact'
+                    WHEN abs(l_rwa - legacy_rwa)
+                         <= 1e-05 * greatest(abs(l_rwa), abs(legacy_rwa))
+                         THEN 'tolerance'
+                    ELSE 'break' END,
+               l_rwa - legacy_rwa
+        FROM j
+        UNION ALL
+        SELECT 'exposure_class',
+               CASE WHEN lk IS NULL THEN 'missing_ours'
+                    WHEN rk IS NULL THEN 'missing_theirs'
+                    WHEN upper(trim(l_class)) = upper(trim(legacy_class))
+                         THEN 'exact'
+                    ELSE 'break' END,
+               CAST(NULL AS DOUBLE)
+        FROM j
+        UNION ALL
+        SELECT 'approach',
+               CASE WHEN lk IS NULL THEN 'missing_ours'
+                    WHEN rk IS NULL THEN 'missing_theirs'
+                    WHEN upper(trim(l_app)) = upper(trim(legacy_approach))
+                         THEN 'exact'
+                    ELSE 'break' END,
+               CAST(NULL AS DOUBLE)
+        FROM j
+    )
+    SELECT component, bucket, count(*) AS n,
+           sum(CAST(round(abs(coalesce(diff, 0.0)) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_abs_diff
+    FROM detail GROUP BY 1, 2
+"""
+
+
+@query(
+    "parallel_run_recon",
+    oracle=_RECON_ORACLE,
+    tags=("rwa", "analysis"),
+)
+def parallel_run_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-run reconciliation through the component REGISTRY (ref
+    analysis/recon_registry.py ReconcilableComponent / LegacyColumnMapping,
+    reconciliation.py): the engine's audit ledger is reconciled against a
+    simulated legacy calculator whose output diverges deterministically —
+    dropped rows (missing_theirs), extra rows (missing_ours), an additive
+    RWA drift bucketed exact/tolerance/break by the component's tolerances,
+    case-different categorical labels that normalised equality must accept,
+    and a flipped class it must flag. Returns the component × bucket
+    summary; the full detail/worklist frames back the REST reconcile
+    surface."""
+    from rwa_calculator_spark.operators.recon_registry import (
+        COMPONENT_REGISTRY,
+        LegacyColumnMapping,
+        reconcile_parallel_run,
+        select_legacy,
+        select_ours,
+    )
+
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=False)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    ours = out.results
+    keyn = F.substring(F.col("exposure_reference"), 2, 18).cast("long")
+    legacy = ours.where(keyn % 97 != 0).select(
+        "exposure_reference",
+        F.col("ead_after_crm").alias("legacy_ead"),
+        (
+            F.col("rwa")
+            + F.when(keyn % 10 == 3, F.lit(0.05)).otherwise(F.lit(0.0))
+        ).alias("legacy_rwa"),
+        F.when(keyn % 31 == 0, "misc")
+        .otherwise(F.upper(F.col("exposure_class")))
+        .alias("legacy_class"),
+        F.lower(F.col("approach")).alias("legacy_approach"),
+    )
+    extras = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("X"), F.col("n_nationkey")).alias("exposure_reference"),
+        (F.lit(1000.0) + F.col("n_nationkey")).alias("legacy_ead"),
+        F.lit(800.0).alias("legacy_rwa"),
+        F.lit("corporate").alias("legacy_class"),
+        F.lit("sa").alias("legacy_approach"),
+    )
+    legacy = legacy.unionByName(extras)
+    mapping = LegacyColumnMapping(
+        {
+            "legacy_ead": "ead",
+            "legacy_rwa": "rwa",
+            "legacy_class": "exposure_class",
+            "legacy_approach": "approach",
+        }
+    )
+    comps = [
+        COMPONENT_REGISTRY[n]
+        for n in ("ead", "rwa", "exposure_class", "approach")
+    ]
+    res = reconcile_parallel_run(
+        select_ours(ours, comps, ["exposure_reference"]),
+        select_legacy(legacy, mapping, ["exposure_reference"]),
+        ["exposure_reference"],
+        comps,
+    )
+    return res.summary

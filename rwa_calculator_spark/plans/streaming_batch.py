@@ -218,3 +218,56 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     return static_enrich(ev, dim)
+
+
+@query(
+    "stream_late_data_watermark",
+    oracle=f"""
+    WITH arrivals AS (
+        SELECT event_id, ts, value,
+               max(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS frontier
+        FROM events
+    ), flagged AS (
+        SELECT CAST(floor(epoch(ts) / 3600.0) * 3600 AS BIGINT) AS window_start,
+               value,
+               (epoch(ts) < epoch(frontier) - 600.0) AS is_late
+        FROM arrivals
+    )
+    SELECT window_start,
+           count(*) FILTER (WHERE NOT is_late) AS n_events,
+           {sql_scaled_sum('CASE WHEN NOT is_late THEN value END', 2)} AS total_value,
+           count(*) FILTER (WHERE is_late) AS n_late_dropped
+    FROM flagged GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def stream_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, batch-simulated (Structured Streaming
+    `withWatermark("ts", "10 minutes")` §2.12): the ingestion order is the
+    monotone event_id; the watermark frontier is the running max event time
+    over arrivals; an event whose timestamp trails the frontier by more
+    than the 10-minute delay is LATE and dropped from its tumbling window,
+    and counted in n_late_dropped. The streaming twin drops exactly these
+    rows once the watermark passes; the batch analogue pins the semantics
+    for the DuckDB oracle (running-max window function — one shuffle-free
+    sort-based window pass; at scale the frontier is per-partition
+    monotone, matching Spark's per-executor watermark accounting)."""
+    ev = load_table(spark, sf_dir, "events")
+    frontier = F.max("ts").over(
+        W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.select(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long").alias("window_start"),
+        "value",
+        (
+            F.unix_timestamp("ts")
+            < F.unix_timestamp(frontier) - F.lit(600.0)
+        ).alias("is_late"),
+    )
+    return flagged.groupBy("window_start").agg(
+        F.count(F.when(~F.col("is_late"), 1)).alias("n_events"),
+        scaled_sum(F.when(~F.col("is_late"), F.col("value")), 2).alias("total_value"),
+        F.count(F.when(F.col("is_late"), 1)).alias("n_late_dropped"),
+    )

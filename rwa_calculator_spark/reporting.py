@@ -60,21 +60,48 @@ def compute_cells(df: DataFrame, specs: Sequence[CellSpec]) -> DataFrame:
 
 @dataclass(frozen=True)
 class ValidationRule:
-    """left == sum(right cells) within tolerance, null-aware: if any
-    referenced cell is absent the rule is 'not_evaluable', never 'pass'
-    (ref reporting/validations/evaluate.py: absent-cell ≠ zero,
-    vacuous ≠ pass)."""
+    """left == sum(right cells) within tolerance, carrying the publisher
+    semantics the reference normalises onto ONE rule shape (ref
+    reporting/validations/rules.py):
+
+    - ``missing_policy``: the publisher's missing-value policy. ``"skip"``
+      (the default) is null-aware — any absent referenced cell makes the
+      rule 'not_evaluable', never 'pass' (absent-cell ≠ zero, vacuous ≠
+      pass). ``"zero"`` is the EBA "If value missing: treat as zero" /
+      BoE ``dv: 0`` policy — absent cells substitute 0 and the rule still
+      evaluates.
+    - ``severity``: publisher severity ('error' rejects a submission,
+      'warning' flags it).
+    - ``liveness`` + ``reactivated_on``: publication status. A rule is
+      *currently enforced* when it is live **or** carries a reactivated
+      date, in both cases excluding deleted — filtering on liveness alone
+      silently drops rules that were deactivated and later switched back
+      on (the reference's 153-EBA-rule trap).
+    """
 
     rule_id: str
     left: str  # cell_id
     right: Sequence[str]  # cell_ids summed
     tolerance: float = 0.01
+    severity: str = "error"  # error | warning
+    liveness: str = "live"  # live | deactivated | deleted
+    reactivated_on: str | None = None  # ISO date the rule was switched back on
+    missing_policy: str = "skip"  # skip -> not_evaluable; zero -> treat as 0
+
+    @property
+    def enforced(self) -> bool:
+        """Currently enforced: live OR reactivated, excluding deleted."""
+        if self.liveness == "deleted":
+            return False
+        return self.liveness == "live" or self.reactivated_on is not None
 
 
 def evaluate_validations(
     facts: DataFrame, rules: Sequence[ValidationRule]
 ) -> DataFrame:
-    """Returns (rule_id, status, left_value, right_value, diff) per rule.
+    """Returns (rule_id, severity, status, left_value, right_value, diff)
+    per ENFORCED rule (deleted / deactivated-and-never-reactivated rules
+    are excluded up front, mirroring the reference's liveness filter).
     status ∈ {pass, fail, not_evaluable}."""
     spark = facts.sparkSession
     cells = {
@@ -83,17 +110,24 @@ def evaluate_validations(
     }
     rows = []
     for rule in rules:
+        if not rule.enforced:
+            continue
         lv = cells.get(rule.left)
         rvs = [cells.get(c) for c in rule.right]
+        if rule.missing_policy == "zero":
+            lv = 0.0 if lv is None else lv
+            rvs = [0.0 if v is None else v for v in rvs]
         if lv is None or any(v is None for v in rvs):
-            rows.append((rule.rule_id, "not_evaluable", lv, None, None))
+            rows.append((rule.rule_id, rule.severity, "not_evaluable", lv, None, None))
             continue
         rv = sum(rvs)
         diff = lv - rv
         status = "pass" if abs(diff) <= rule.tolerance else "fail"
-        rows.append((rule.rule_id, status, lv, rv, diff))
+        rows.append((rule.rule_id, rule.severity, status, lv, rv, diff))
     return spark.createDataFrame(
-        rows, "rule_id string, status string, left_value double, right_value double, diff double"
+        rows,
+        "rule_id string, severity string, status string, "
+        "left_value double, right_value double, diff double",
     )
 
 

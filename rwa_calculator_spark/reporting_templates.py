@@ -129,19 +129,28 @@ def catalog_oracle_sql() -> str:
 # ---------------------------------------------------------------------------
 
 #: EBA-grammar-shaped tie-out rules across the sheets (ref
-#: reporting/validations/evaluate.py parses the publishers' own grammars).
+#: reporting/validations/rules.py — the publishers' own grammars normalised
+#: onto one rule shape, WITH the publisher semantics: severity, the
+#: missing-value policy (EBA "If value missing: treat as zero" / BoE dv:0),
+#: and liveness (a deactivated rule with a reactivated date IS enforced; a
+#: deleted rule never is).
 VALIDATION_RULES_TEXT = """
 v0200_1: {C02.00,0010,0010} == {C02.00,0060,0010} + {C02.00,0250,0010}
 v0700_1: {C02.00,0060,0010} == {C07.00,0010,0020} + {C07.00,0020,0020} + {C07.00,0030,0020} + {C07.00,0040,0020} + {C07.00,0050,0020}
 v0801_1: {C02.00,0250,0010} == {C08.01,0010,0020} + {C08.01,0020,0020} + {C08.01,0030,0020} + {C08.01,0040,0020} + {C08.01,0050,0020}
 v0901_1: {C09.01,0010,0010} == {C09.01,0010,0010} tol 0.0
 v_absent: {C07.00,0090,0010} == {C02.00,0010,0010}
+v_absent_zero: {C07.00,0090,0010} == {C07.00,0090,0010} missing zero severity warning
+v_react: {C02.00,0010,0010} == {C02.00,0060,0010} + {C02.00,0250,0010} status deactivated reactivated 2025-06-01
+v_deleted: {C02.00,0010,0010} == {C09.01,0010,0010} status deleted
 """
 
 _CELL_RE = re.compile(r"\{([^,}]+),([^,}]+),([^,}]+)\}")
 _RULE_RE = re.compile(
-    r"^\s*(?P<id>[\w.]+)\s*:\s*(?P<left>\{[^}]+\})\s*==\s*(?P<right>.+?)\s*(?:tol\s+(?P<tol>[\d.]+))?\s*$"
+    r"^\s*(?P<id>[\w.]+)\s*:\s*(?P<left>\{[^}]+\})\s*==\s*(?P<right>.+?)"
+    r"\s*(?P<attrs>(?:(?:tol|severity|missing|status|reactivated)\s+\S+\s*)*)$"
 )
+_ATTR_RE = re.compile(r"(tol|severity|missing|status|reactivated)\s+(\S+)")
 
 
 def _cell_id(token: str) -> str:
@@ -153,9 +162,11 @@ def _cell_id(token: str) -> str:
 
 def parse_validation_rules(text: str) -> list[ValidationRule]:
     """Parse the published-rule grammar: one rule per line,
-    `rule_id: {T,row,col} == {T,row,col} + ... [tol X]`. Unparseable
-    non-empty lines are hard errors (the reference refuses to silently skip
-    supervisory rules)."""
+    `rule_id: {T,row,col} == {T,row,col} + ... [tol X] [severity S]
+    [missing zero|skip] [status live|deactivated|deleted]
+    [reactivated YYYY-MM-DD]`. Unparseable non-empty lines or unknown
+    attribute values are hard errors (the reference refuses to silently
+    skip or misread supervisory rules)."""
     rules: list[ValidationRule] = []
     for line in text.splitlines():
         if not line.strip():
@@ -164,13 +175,26 @@ def parse_validation_rules(text: str) -> list[ValidationRule]:
         if not m:
             raise ValueError(f"unparseable validation rule: {line!r}")
         right = [_cell_id(tok) for tok in m.group("right").split("+")]
-        tol = float(m.group("tol")) if m.group("tol") else 0.01
+        attrs = dict(_ATTR_RE.findall(m.group("attrs") or ""))
+        severity = attrs.get("severity", "error")
+        missing = attrs.get("missing", "skip")
+        liveness = attrs.get("status", "live")
+        if severity not in ("error", "warning"):
+            raise ValueError(f"bad severity in rule: {line!r}")
+        if missing not in ("skip", "zero"):
+            raise ValueError(f"bad missing policy in rule: {line!r}")
+        if liveness not in ("live", "deactivated", "deleted"):
+            raise ValueError(f"bad status in rule: {line!r}")
         rules.append(
             ValidationRule(
                 rule_id=m.group("id"),
                 left=_cell_id(m.group("left")),
                 right=right,
-                tolerance=tol,
+                tolerance=float(attrs.get("tol", 0.01)),
+                severity=severity,
+                liveness=liveness,
+                reactivated_on=attrs.get("reactivated"),
+                missing_policy=missing,
             )
         )
     return rules

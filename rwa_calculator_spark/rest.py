@@ -96,6 +96,12 @@ class RwaApi:
             "/tmp", "rwa_rest_cache", uuid.uuid4().hex[:8]
         )
         self.jobs = JobIndex()
+        # "has this exact calculation already been run?" (ref
+        # api/run_index.py) — fingerprint params + input-file stats,
+        # persisted under the cache root so reuse survives restarts
+        from rwa_calculator_spark.observability import RunIndex
+
+        self.run_index = RunIndex(state_dir=self.cache_root)
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -137,6 +143,32 @@ class RwaApi:
             return 400, {"error": f"unknown validation mode {validation!r}"}
         reporting_entity = body.get("reporting_entity")
         reporting_basis = body.get("reporting_basis", "consolidated")
+
+        # Run-index reuse (ref api/run_index.py): fingerprint BEFORE running;
+        # a registered successful run with the same params + unchanged input
+        # files is handed back instead of re-running the pipeline.
+        from rwa_calculator_spark.observability import compute_fingerprint
+
+        params = {
+            "regime": regime,
+            "irb": irb,
+            "validation": validation,
+            "reporting_entity": reporting_entity,
+            "reporting_basis": reporting_basis,
+        }
+        fingerprint = compute_fingerprint(params, [self.sf_dir])
+        reusable = self.run_index.find_reusable(
+            fingerprint, params, [self.sf_dir]
+        )
+        if reusable is not None and not body.get("force", False):
+            prior = self.jobs.get(reusable["job_id"])
+            if prior is not None and prior["status"] == "done":
+                return 200, {
+                    "job_id": reusable["job_id"],
+                    "status": "done",
+                    "reused": True,
+                }
+
         job = self.jobs.create()
         job["cache_dir"] = os.path.join(self.cache_root, job["job_id"])
 
@@ -152,6 +184,8 @@ class RwaApi:
                 )
                 job["manifest"] = resp.run_manifest
                 job["status"] = "done"
+                # only SUCCESSFUL runs register for reuse
+                self.run_index.register(fingerprint, {"job_id": job["job_id"]})
                 self.jobs.event(job, f"pipeline done in {resp.run_manifest['wall_sec']}s")
             except Exception as e:  # surfaced via the job, never swallowed
                 job["status"] = "failed"

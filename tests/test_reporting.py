@@ -69,14 +69,43 @@ def test_template_library_tieouts(spark, sf_dir):
 
     facts = compute_cells(star_ledger(spark, sf_dir), TEMPLATE_CELLS)
     rules = parse_validation_rules(VALIDATION_RULES_TEXT)
-    statuses = {r.rule_id: r.status for r in evaluate_validations(facts, rules).collect()}
+    rows = evaluate_validations(facts, rules).collect()
+    statuses = {r.rule_id: r.status for r in rows}
     assert statuses == {
         "v0200_1": "pass",
         "v0700_1": "pass",
         "v0801_1": "pass",
         "v0901_1": "pass",
+        # skip policy: absent cell never passes
         "v_absent": "not_evaluable",
+        # EBA treat-as-zero policy: the same absent cell evaluates as 0
+        "v_absent_zero": "pass",
+        # deactivated-then-reactivated rule IS enforced (the liveness trap)
+        "v_react": "pass",
+        # v_deleted must be absent entirely — deleted rules are never run
     }
+    severities = {r.rule_id: r.severity for r in rows}
+    assert severities["v_absent_zero"] == "warning"
+    assert severities["v0200_1"] == "error"
+
+
+def test_rule_liveness_and_policy_semantics():
+    """The publisher-semantics truth table (ref validations/rules.py): a
+    rule is enforced when live OR reactivated, excluding deleted; unknown
+    attribute values are hard parse errors."""
+    from rwa_calculator_spark.reporting_templates import parse_validation_rules
+
+    r = parse_validation_rules(
+        "v1: {T,1,1} == {T,2,1} status deactivated reactivated 2025-06-01"
+    )[0]
+    assert r.enforced and r.liveness == "deactivated"
+    assert not parse_validation_rules("v2: {T,1,1} == {T,2,1} status deactivated")[0].enforced
+    assert not parse_validation_rules("v3: {T,1,1} == {T,2,1} status deleted")[0].enforced
+    assert parse_validation_rules("v4: {T,1,1} == {T,2,1}")[0].enforced
+    with pytest.raises(ValueError):
+        parse_validation_rules("v5: {T,1,1} == {T,2,1} missing maybe")
+    with pytest.raises(ValueError):
+        parse_validation_rules("v6: {T,1,1} == {T,2,1} severity fatal")
 
 
 def test_validation_parser_rejects_garbage():

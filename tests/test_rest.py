@@ -236,3 +236,17 @@ def test_lineage_cell_drilldown(server, done_job):
     )  # top-100 legs never exceed the full total
     status, _body = _get(server, f"/api/lineage/cell?job={jid}&cell=NOPE")
     assert status == 404
+
+
+def test_calculate_run_index_reuse(server, done_job):
+    """ref api/run_index.py: an identical request with unchanged inputs is
+    handed the cached run (200 + reused), never re-run; force overrides."""
+    status, resp = _post(server, "/api/calculate", {"regime": "crr", "irb": True})
+    assert status == 200
+    assert resp["reused"] is True
+    assert resp["job_id"] == done_job["job_id"]
+    status2, resp2 = _post(
+        server, "/api/calculate", {"regime": "crr", "irb": True, "force": True}
+    )
+    assert status2 == 202  # forced: a fresh background job
+    assert resp2["job_id"] != done_job["job_id"]
