@@ -183,3 +183,110 @@ def test_incremental_multi_batch_processing(spark, sf_dir, tmp_path):
     got = _rows(spark.table("t_multibatch"))
     want = _rows(tumbling_counts(load_table(spark, sf_dir, "events")))
     assert got == want
+
+
+def test_watermark_append_drops_late_windows(spark, sf_dir, tmp_path):
+    """Pin REAL watermark drop semantics (withWatermark + append mode)
+    against a hand-computed batch mirror. Spark keeps TWO watermarks
+    (SPARK-40925): the EVICTION watermark (running max event time over
+    previous batches minus the delay, millisecond-truncated) decides which
+    windows finalize and emit, while the LATE-EVENT filter uses the
+    PREVIOUS batch's eviction watermark — one batch of extra lag, so rows
+    arriving in the same batch where their window closes still aggregate
+    before emission. A row is dropped iff its window end <= that lagged
+    watermark. A far-future sentinel batch closes every real window so
+    append mode emits them all."""
+    import os
+    import shutil
+    from collections import Counter
+    from datetime import timedelta, timezone
+
+    from rwa_calculator_spark.sources.star import STAR_SCHEMAS, load_table
+
+    # Arrival order deliberately SCRAMBLED vs event time (hash-bucketed),
+    # so batches genuinely interleave timestamps and late rows exist —
+    # an event_id-ordered feed would never exercise the drop branch.
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(200)
+        .orderBy((F.col("event_id") % 7), "event_id")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .collect()
+    )
+    assert len(rows) == 200
+    batches = [rows[i : i + 50] for i in range(0, 200, 50)]
+    sentinel_ts = max(r.ts for r in rows) + timedelta(days=3)
+    batches.append(
+        [type(rows[0])(event_id=10**9, ts=sentinel_ts, user_id=0,
+                       event_type="sentinel", value=0.0, props=None)]
+    )
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    for i, batch in enumerate(batches):
+        part_dir = str(tmp_path / f"part_{i}")
+        spark.createDataFrame(batch, STAR_SCHEMAS["events"]).coalesce(1).write.parquet(part_dir)
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # arrival order = batch order
+
+    raw = (
+        spark.readStream.schema(STAR_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_watermark")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got: Counter = Counter()
+    for r in spark.table("t_watermark").collect():
+        got[r.window_start] += r.n
+
+    # hand-computed mirror of the semantics above
+    import math
+
+    def epoch(dt):
+        return dt.replace(tzinfo=timezone.utc).timestamp()
+
+    def late_wm(frontier):
+        # ms-truncated (Spark stores event-time stats in milliseconds)
+        if frontier is None:
+            return None
+        return math.floor(epoch(frontier) * 1000) / 1000.0 - 600.0
+
+    expected: Counter = Counter()
+    fr_prev2 = fr_prev1 = None  # frontiers: two batches back / one back
+    for batch in batches:
+        wm = late_wm(fr_prev2)
+        for r in batch:
+            if r.event_type == "sentinel":
+                continue
+            wstart = int(epoch(r.ts) // 3600) * 3600
+            if wm is None or wstart + 3600 > wm:
+                expected[wstart] += 1
+        top = max(r.ts for r in batch)
+        if fr_prev1 is not None and (fr_prev2 is None or fr_prev1 > fr_prev2):
+            fr_prev2 = fr_prev1
+        if fr_prev1 is None or top > fr_prev1:
+            fr_prev1 = top
+    assert dict(got) == dict(expected)
+    # non-vacuous: the scrambled arrival order must actually drop rows,
+    # otherwise the mirror proves nothing about late-data semantics
+    total_kept = sum(expected.values())
+    assert total_kept < 200, "no late rows were dropped — drop branch unexercised"
