@@ -201,6 +201,46 @@ def _slotting_rows() -> tuple:
 
 _SLOTTING_ROWS = _slotting_rows()
 
+# Covered-bond RW by the BOND's own CQS (CRR Art.129(4) Table 6A; PS1/26
+# Art.129(4) Table 7 is value-identical). Rated path of the Art.129 branch
+# (ref engine/sa/covered_bond.py, rulebook covered_bond_risk_weights).
+_COVERED_BOND_RW_SCHEMA = "cqs int, rw double"
+_COVERED_BOND_RW_ROWS = (
+    (1, _D("0.10")), (2, _D("0.20")), (3, _D("0.20")),
+    (4, _D("0.50")), (5, _D("0.50")), (6, _D("1.00")),
+)
+
+# Unrated covered-bond RW derived from the ISSUING INSTITUTION's senior
+# unsecured weight (two-step chain: issuer CQS -> issuer RW -> CB RW). The
+# two regimes read DIFFERENT derivation tables — CRR Art.129(5)(b) maps a
+# 50% issuer weight to 20% where PS1/26 maps it to 25%, so the CRR arm
+# must never be reused under B3.1 (ref engine/sa/covered_bond.py header).
+_CB_DERIVATION_SCHEMA = "issuer_rw double, cb_rw double"
+_CB_DERIVATION_CRR = (
+    (_D("0.20"), _D("0.10")), (_D("0.50"), _D("0.20")),
+    (_D("1.00"), _D("0.50")), (_D("1.50"), _D("1.00")),
+)
+# PS1/26 7-input chain incl. ECRA CQS2 (0.30->0.15) and SCRA Grade A
+# (0.40->0.20) / B (0.75->0.35) issuer weights.
+_CB_DERIVATION_B31 = (
+    (_D("0.20"), _D("0.10")), (_D("0.30"), _D("0.15")),
+    (_D("0.40"), _D("0.20")), (_D("0.50"), _D("0.25")),
+    (_D("0.75"), _D("0.35")), (_D("1.00"), _D("0.50")),
+    (_D("1.50"), _D("1.00")),
+)
+
+# CRR Art.121 Table 5: unrated institutions take the RW derived from their
+# CENTRAL GOVERNMENT's credit step (sovereign-derived method). Removed
+# under Basel 3.1, which grades unrated institutions via SCRA (PS1/26 /
+# BCBS CRE20.21: Grade A 40%, B 75%, C 150%).
+_SOV_DERIVED_INST_SCHEMA = "cqs int, rw double"
+_SOV_DERIVED_INST_ROWS = (
+    (1, _D("0.20")), (2, _D("0.50")), (3, _D("1.00")),
+    (4, _D("1.00")), (5, _D("1.00")), (6, _D("1.50")),
+)
+_SCRA_INST_SCHEMA = "grade string, rw double"
+_SCRA_INST_ROWS = (("A", _D("0.40")), ("B", _D("0.75")), ("C", _D("1.50")))
+
 # SA-CCR supervisory factors by asset class (BCBS CRE52.72 Table 2 /
 # CRR Art.280a-280f; ref engine/ccr/addons.py supervisory factor tables).
 _SACCR_SF_ROWS = (
@@ -347,6 +387,9 @@ CRR_PACK = RulePack(
         "secirba_coef_c": RuleEntry(_D("-1.85"), "CRR Art.259(1) Table 1"),
         "secirba_coef_d": RuleEntry(_D("0.55"), "CRR Art.259(1) Table 1"),
         "secirba_coef_e": RuleEntry(_D("0.07"), "CRR Art.259(1) Table 1"),
+        # Art.121 sovereign-derived unrated-institution method is a
+        # CRR-only Feature (B3.1 replaces it with SCRA grading)
+        "sovereign_derived_institutions": RuleEntry(_D("1"), "CRR Art.121"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
@@ -357,9 +400,15 @@ CRR_PACK = RulePack(
         "haircut_bands": (_HAIRCUT_BANDS_SCHEMA, _HAIRCUT_BANDS_CRR),
         "eu_domestic_ccy": (_EU_DOMESTIC_CCY_SCHEMA, _EU_DOMESTIC_CCY_ROWS),
         "life_ins_rw_map": (_LIFE_INS_RW_SCHEMA, _LIFE_INS_RW_ROWS),
+        "covered_bond_rw": (_COVERED_BOND_RW_SCHEMA, _COVERED_BOND_RW_ROWS),
+        "covered_bond_unrated_derivation": (_CB_DERIVATION_SCHEMA, _CB_DERIVATION_CRR),
+        "institution_rw_sovereign_derived": (_SOV_DERIVED_INST_SCHEMA, _SOV_DERIVED_INST_ROWS),
     },
     table_citations={
         "sa_rw": "CRR Art.114-122",
+        "covered_bond_rw": "CRR Art.129(4) Table 6A",
+        "covered_bond_unrated_derivation": "CRR Art.129(5)(a)-(d)",
+        "institution_rw_sovereign_derived": "CRR Art.121 Table 5",
         "ccf": "CRR Annex I",
         "slotting_rw": "CRR Art.153(5) Table A / Art.158(6) Table B",
         "saccr_sf": "CRR Art.280a-280f",
@@ -425,6 +474,9 @@ B31_PACK = RulePack(
         "secirba_coef_c": RuleEntry(_D("-1.85"), "BCBS CRE44.23"),
         "secirba_coef_d": RuleEntry(_D("0.55"), "BCBS CRE44.23"),
         "secirba_coef_e": RuleEntry(_D("0.07"), "BCBS CRE44.23"),
+        "sovereign_derived_institutions": RuleEntry(
+            _D("0"), "PS1/26 Art.121A — SCRA replaces sovereign-derived"
+        ),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
@@ -435,9 +487,15 @@ B31_PACK = RulePack(
         "haircut_bands": (_HAIRCUT_BANDS_SCHEMA, _HAIRCUT_BANDS_B31),
         "eu_domestic_ccy": (_EU_DOMESTIC_CCY_SCHEMA, _EU_DOMESTIC_CCY_ROWS),
         "life_ins_rw_map": (_LIFE_INS_RW_SCHEMA, _LIFE_INS_RW_ROWS),
+        "covered_bond_rw": (_COVERED_BOND_RW_SCHEMA, _COVERED_BOND_RW_ROWS),
+        "covered_bond_unrated_derivation": (_CB_DERIVATION_SCHEMA, _CB_DERIVATION_B31),
+        "institution_scra_rw": (_SCRA_INST_SCHEMA, _SCRA_INST_ROWS),
     },
     table_citations={
         "sa_rw": "BCBS CRE20 / PS1/26 Art.114-122",
+        "covered_bond_rw": "PS1/26 Art.129(4) Table 7",
+        "covered_bond_unrated_derivation": "PS1/26 Art.129(5) (7-input chain)",
+        "institution_scra_rw": "PS1/26 Art.121A / BCBS CRE20.21",
         "ccf": "BCBS CRE20.94-101 / PS1/26 Art.111",
         "slotting_rw": "PS1/26 Art.153(5) / BCBS CRE33.13",
         "saccr_sf": "BCBS CRE52.72 Table 2",
@@ -476,6 +534,8 @@ REQUIRED_TABLES = {
     "saccr_sf": "asset_class string, sf double",
     "collateral_haircuts": _HAIRCUT_SCHEMA,
     "haircut_bands": _HAIRCUT_BANDS_SCHEMA,
+    "covered_bond_rw": _COVERED_BOND_RW_SCHEMA,
+    "covered_bond_unrated_derivation": _CB_DERIVATION_SCHEMA,
 }
 
 

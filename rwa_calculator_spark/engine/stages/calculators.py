@@ -145,6 +145,78 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         .when(F.col("rw").isNotNull(), "sa_cqs_lookup")
         .otherwise("sa_unrated")
     )
+    # CRR Art.129 covered bonds (ref engine/sa/covered_bond.py): rated
+    # bonds price on the bond's OWN CQS (Art.129(4) Table 6A); unrated
+    # bonds derive from the issuing institution's senior unsecured weight
+    # (the class-ladder RW already joined above) through the regime's
+    # derivation table — the tables genuinely diverge (CRR (5)(b) maps a
+    # 50% issuer weight to 20%, PS1/26 to 25%), which is why the table is
+    # pack data, never shared code.
+    if "is_covered_bond" in exp.columns:
+        cbt = pack.table_df(spark, "covered_bond_rw").select(
+            F.col("cqs").alias("_cb_cqs_t"), F.col("rw").alias("_cb_rated_rw")
+        )
+        exp = exp.join(
+            F.broadcast(cbt),
+            F.coalesce(F.col("cb_cqs"), F.lit(0)) == F.col("_cb_cqs_t"),
+            "left",
+        ).drop("_cb_cqs_t")
+        der = pack.table_df(spark, "covered_bond_unrated_derivation").select(
+            F.col("issuer_rw").alias("_cb_issuer_rw"),
+            F.col("cb_rw").alias("_cb_derived"),
+        )
+        exp = exp.join(
+            F.broadcast(der), F.col("rw") == F.col("_cb_issuer_rw"), "left"
+        ).drop("_cb_issuer_rw")
+        is_cb = F.coalesce(F.col("is_covered_bond"), F.lit(False)) & ~F.col(
+            "is_defaulted"
+        )
+        base_rw = (
+            F.when(is_cb & F.col("_cb_rated_rw").isNotNull(), F.col("_cb_rated_rw"))
+            # derivation default 1.00 (CRR Art.129(5) residual sub-para)
+            .when(is_cb, F.coalesce(F.col("_cb_derived"), F.lit(1.0)))
+            .otherwise(base_rw)
+        )
+        rw_source = (
+            F.when(is_cb & F.col("_cb_rated_rw").isNotNull(), "sa_covered_bond_rated")
+            .when(is_cb, "sa_covered_bond_unrated_derived")
+            .otherwise(rw_source)
+        )
+
+    # Unrated-institution RW: CRR Art.121 derives it from the CENTRAL
+    # GOVERNMENT's credit step (sovereign_cqs carrier); Basel 3.1 removed
+    # that method in favour of SCRA grading (PS1/26 Art.121A: Grade A 40%,
+    # B 75%, C 150%). Feature-gated per pack, column-gated per bundle.
+    _unrated_inst = (
+        (F.col("exposure_class") == "institution")
+        & (F.coalesce(F.col("cqs"), F.lit(0)) == 0)
+        & ~F.col("is_defaulted")
+    )
+    if (
+        "sovereign_cqs" in exp.columns
+        and "sovereign_derived_institutions" in pack.scalars
+        and pack.scalar("sovereign_derived_institutions") >= 1.0
+    ):
+        sd = pack.table_df(spark, "institution_rw_sovereign_derived").select(
+            F.col("cqs").alias("_sd_cqs"), F.col("rw").alias("_sd_rw")
+        )
+        exp = exp.join(
+            F.broadcast(sd), F.col("sovereign_cqs") == F.col("_sd_cqs"), "left"
+        ).drop("_sd_cqs")
+        sd_match = _unrated_inst & F.col("_sd_rw").isNotNull()
+        base_rw = F.when(sd_match, F.col("_sd_rw")).otherwise(base_rw)
+        rw_source = F.when(sd_match, "sa_sovereign_derived").otherwise(rw_source)
+    if "scra_grade" in exp.columns and "institution_scra_rw" in pack.tables:
+        sc = pack.table_df(spark, "institution_scra_rw").select(
+            F.col("grade").alias("_scra_grade_t"), F.col("rw").alias("_scra_rw")
+        )
+        exp = exp.join(
+            F.broadcast(sc), F.col("scra_grade") == F.col("_scra_grade_t"), "left"
+        ).drop("_scra_grade_t")
+        scra_match = _unrated_inst & F.col("_scra_rw").isNotNull()
+        base_rw = F.when(scra_match, F.col("_scra_rw")).otherwise(base_rw)
+        rw_source = F.when(scra_match, "sa_scra").otherwise(rw_source)
+
     # CRR Art.114(4)/(7) + Art.141: EU central-government exposures
     # denominated in the member state's domestic currency take 0% RW,
     # overriding the CQS ladder (ref engine/eu_sovereign.py — consumed by

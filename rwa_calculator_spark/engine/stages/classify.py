@@ -67,6 +67,13 @@ def run_classify(
     cls = (
         F.when(F.col("exposure_type") == "securitisation_pool", "securitisation")
         .when(F.col("entity_type") == "sovereign", "sovereign")
+        # CRR Art.115(2)/(4): RGLAs on the equivalence lists are "treated
+        # as exposures to the central government" — priced on the Art.114
+        # CGCB ladder, NOT pinned to 0% (ref engine/sa/rgla.py: 0% only
+        # arrives via Table 1 at CQS1)
+        .when(F.col("entity_type") == "rgla_sovereign", "sovereign")
+        # Art.115(1): every other RGLA takes the institution treatment
+        .when(F.col("entity_type") == "rgla", "institution")
         .when(F.col("entity_type") == "institution", "institution")
         .when(is_retail, "retail")
         .otherwise("corporate")

@@ -92,6 +92,17 @@ def run_hierarchy(
     # the test is on the denomination, CRR Art.141)
     if "currency" in raw.loans.columns:
         loan_cols.append(F.col("currency"))
+    # Art.129 covered-bond instrument flag + the BOND's own CQS (distinct
+    # from the issuer's counterparty CQS; ref engine/sa/covered_bond.py)
+    if "is_covered_bond" in raw.loans.columns:
+        loan_cols.append(F.col("is_covered_bond"))
+        loan_cols.append(
+            (
+                F.col("cb_cqs").cast("int")
+                if "cb_cqs" in raw.loans.columns
+                else F.lit(None).cast("int")
+            ).alias("cb_cqs")
+        )
     loans = loans_src.select(*loan_cols)
     frames = [loans]
     if raw.contingents is not None:
@@ -157,9 +168,9 @@ def run_hierarchy(
     # slotting, resolved hierarchy, derived ratings, lending group) keys on
     # counterparty_reference, so they pre-join on the SMALL side and the
     # fact table pays ONE broadcast hash probe per row instead of five.
-    dim = raw.counterparties.select(
-        "counterparty_reference",
-        "entity_type",
+    dim_cols = [
+        F.col("counterparty_reference"),
+        F.col("entity_type"),
         (
             F.col("country")
             if "country" in raw.counterparties.columns
@@ -174,7 +185,15 @@ def run_hierarchy(
             if "is_infrastructure" in raw.counterparties.columns
             else F.lit(False)
         ).alias("is_infrastructure"),
-    )
+    ]
+    # Art.121 sovereign-derived (CRR) / SCRA grade (B3.1) carriers for the
+    # unrated-institution RW path — column-gated so bundles without them
+    # keep their exact plan shape
+    if "sovereign_cqs" in raw.counterparties.columns:
+        dim_cols.append(F.col("sovereign_cqs").cast("int").alias("sovereign_cqs"))
+    if "scra_grade" in raw.counterparties.columns:
+        dim_cols.append(F.col("scra_grade"))
+    dim = raw.counterparties.select(*dim_cols)
 
     if raw.specialised_lending is not None:
         sl = raw.specialised_lending.select("counterparty_reference", "slot_category")

@@ -701,3 +701,264 @@ def rulebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = CRR_PACK.audit_rows() + B31_PACK.audit_rows()
     return spark.createDataFrame(rows, _AUDIT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# SA risk-weight ladder depth: covered bonds, RGLA, unrated institutions
+# (ref engine/sa/{covered_bond,rgla,risk_weights}.py, CRR Art.129/115/121)
+# ---------------------------------------------------------------------------
+
+_INST_LADDER_SQL = """CASE coalesce({cqs}, 0)
+    WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 0.5
+    WHEN 4 THEN 1.0 WHEN 5 THEN 1.0 WHEN 6 THEN 1.5 ELSE 0.5 END"""
+
+_CB_ORACLE = f"""
+    WITH cps AS (
+        SELECT c_custkey AS cp, CAST(c_custkey % 7 AS INTEGER) AS cqs FROM customer
+    ), loans AS (
+        SELECT o_orderkey AS k, o_custkey AS cp, o_totalprice AS ead,
+               (o_orderkey % 3 = 0) AS is_cb,
+               CAST(o_orderkey % 9 AS INTEGER) AS cb_cqs
+        FROM orders
+    ), j AS (
+        SELECT l.*, c.cqs FROM loans l JOIN cps c ON l.cp = c.cp
+    ), w AS (
+        SELECT *,
+               {_INST_LADDER_SQL.format(cqs='cqs')} AS inst_rw,
+               CASE cb_cqs WHEN 1 THEN 0.1 WHEN 2 THEN 0.2 WHEN 3 THEN 0.2
+                    WHEN 4 THEN 0.5 WHEN 5 THEN 0.5 WHEN 6 THEN 1.0 END AS cb_rated
+        FROM j
+    ), rwm AS (
+        SELECT *,
+               CASE WHEN is_cb AND cb_rated IS NOT NULL THEN cb_rated
+                    WHEN is_cb THEN
+                        CASE inst_rw WHEN 0.2 THEN 0.1 WHEN 0.5 THEN 0.2
+                             WHEN 1.0 THEN 0.5 WHEN 1.5 THEN 1.0 ELSE 1.0 END
+                    ELSE inst_rw END AS rw,
+               CASE WHEN is_cb AND cb_rated IS NOT NULL THEN 'sa_covered_bond_rated'
+                    WHEN is_cb THEN 'sa_covered_bond_unrated_derived'
+                    ELSE 'sa_cqs_lookup' END AS rw_source
+        FROM w
+    )
+    SELECT rw_source, rw AS risk_weight, count(*) AS n_exposures,
+           {{ss_rwa}} AS total_rwa
+    FROM rwm GROUP BY 1, 2
+""".format(ss_rwa="sum(CAST(round((ead * rw) * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)")
+
+
+@query("sa_covered_bond_rw", oracle=_CB_ORACLE, tags=("engine", "sa"))
+def sa_covered_bond_rw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR Art.129 covered bonds through the REAL engine SA ladder (ref
+    engine/sa/covered_bond.py): rated bonds price on the bond's own CQS
+    (Art.129(4) Table 6A), unrated bonds derive from the issuing
+    institution's senior unsecured weight through the Art.129(5)
+    derivation table (regime-divergent pack data — the CRR arm maps a 50%
+    issuer weight to 20% where PS1/26 maps it to 25%). Star mapping:
+    every counterparty an institution (CQS = custkey % 7), every third
+    order a covered bond, the bond's own CQS = orderkey % 9 (7, 8, 0 =
+    unrated). Aggregated by rw_source × risk weight from the audit
+    ledger."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("institution").alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        (F.col("o_orderkey") % 3 == 0).alias("is_covered_bond"),
+        (F.col("o_orderkey") % 9).cast("int").alias("cb_cqs"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("rw_source", "risk_weight").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )
+
+
+_RGLA_ORACLE = f"""
+    WITH cps AS (
+        SELECT c_custkey AS cp, CAST(c_custkey % 7 AS INTEGER) AS cqs,
+               CASE c_mktsegment
+                    WHEN 'BUILDING' THEN 'rgla_sovereign'
+                    WHEN 'FURNITURE' THEN 'rgla'
+                    WHEN 'HOUSEHOLD' THEN 'sovereign'
+                    WHEN 'AUTOMOBILE' THEN 'institution'
+                    ELSE 'corporate' END AS entity_type
+        FROM customer
+    ), j AS (
+        SELECT o.o_totalprice AS ead, c.cqs, c.entity_type,
+               CASE WHEN c.entity_type IN ('rgla_sovereign', 'sovereign')
+                    THEN 'sovereign'
+                    WHEN c.entity_type IN ('rgla', 'institution')
+                    THEN 'institution'
+                    ELSE 'corporate' END AS exposure_class
+        FROM orders o JOIN cps c ON o.o_custkey = c.cp
+    ), w AS (
+        SELECT *,
+               CASE exposure_class
+                    WHEN 'sovereign' THEN
+                        CASE coalesce(cqs, 0) WHEN 1 THEN 0.0 WHEN 2 THEN 0.2
+                             WHEN 3 THEN 0.5 WHEN 4 THEN 1.0 WHEN 5 THEN 1.0
+                             WHEN 6 THEN 1.5 ELSE 1.0 END
+                    WHEN 'institution' THEN {_INST_LADDER_SQL.format(cqs='cqs')}
+                    ELSE
+                        CASE coalesce(cqs, 0) WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+                             WHEN 3 THEN 1.0 WHEN 4 THEN 1.0 WHEN 5 THEN 1.5
+                             WHEN 6 THEN 1.5 ELSE 1.0 END
+               END AS rw
+        FROM j
+    )
+    SELECT exposure_class, rw AS risk_weight, count(*) AS n_exposures,
+           sum(CAST(round((ead * rw) * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_rwa
+    FROM w GROUP BY 1, 2
+"""
+
+
+@query("sa_rgla_treatment", oracle=_RGLA_ORACLE, tags=("engine", "sa"))
+def sa_rgla_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR Art.115 RGLA split through the REAL classifier + SA ladder (ref
+    engine/sa/rgla.py): rgla_sovereign rows (Art.115(2)/(4) equivalence
+    lists) are 'treated as exposures to the central government' — priced
+    on the Art.114 CGCB ladder by the RGLA's own CQS, NOT pinned to 0%;
+    every other RGLA (Art.115(1)) takes the institution treatment. Star
+    mapping keys entity_type off c_mktsegment; corporate rows carry zero
+    revenue so no SME factor perturbs the ladder."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    entity = (
+        F.when(F.col("c_mktsegment") == "BUILDING", "rgla_sovereign")
+        .when(F.col("c_mktsegment") == "FURNITURE", "rgla")
+        .when(F.col("c_mktsegment") == "HOUSEHOLD", "sovereign")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "institution")
+        .otherwise("corporate")
+    )
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        entity.alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("exposure_class", "risk_weight").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )
+
+
+_SOV_DERIVED_ORACLE = """
+    WITH cps AS (
+        SELECT c_custkey AS cp,
+               CAST(CASE WHEN c_custkey % 2 = 0 THEN 0
+                    ELSE (c_custkey % 6) + 1 END AS INTEGER) AS cqs,
+               CAST(c_custkey % 8 AS INTEGER) AS sovereign_cqs
+        FROM customer
+    ), j AS (
+        SELECT o.o_totalprice AS ead, c.cqs, c.sovereign_cqs
+        FROM orders o JOIN cps c ON o.o_custkey = c.cp
+    ), w AS (
+        SELECT *,
+               CASE WHEN cqs = 0 AND sovereign_cqs BETWEEN 1 AND 6 THEN
+                    CASE sovereign_cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+                         WHEN 3 THEN 1.0 WHEN 4 THEN 1.0 WHEN 5 THEN 1.0
+                         ELSE 1.5 END
+                    ELSE
+                    CASE cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 0.5
+                         WHEN 4 THEN 1.0 WHEN 5 THEN 1.0 WHEN 6 THEN 1.5
+                         ELSE 0.5 END
+               END AS rw,
+               CASE WHEN cqs = 0 AND sovereign_cqs BETWEEN 1 AND 6
+                    THEN 'sa_sovereign_derived' ELSE 'sa_cqs_lookup'
+               END AS rw_source
+        FROM j
+    )
+    SELECT rw_source, rw AS risk_weight, count(*) AS n_exposures,
+           sum(CAST(round((ead * rw) * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_rwa
+    FROM w GROUP BY 1, 2
+"""
+
+
+@query(
+    "sa_sovereign_derived_unrated",
+    oracle=_SOV_DERIVED_ORACLE,
+    tags=("engine", "sa"),
+)
+def sa_sovereign_derived_unrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR Art.121 Table 5: an UNRATED institution's RW derives from its
+    central government's credit step — a CRR-only Feature (Basel 3.1
+    grades unrated institutions via SCRA instead; the B3.1 arm is engine-
+    tested). Star mapping: even custkeys unrated (CQS 0) carrying
+    sovereign_cqs = custkey % 8 (0 and 7 have no Table 5 row and fall
+    back to the ordinary unrated-institution 50%)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("institution").alias("entity_type"),
+        F.when(F.col("c_custkey") % 2 == 0, 0)
+        .otherwise((F.col("c_custkey") % 6) + 1)
+        .cast("int")
+        .alias("cqs"),
+        (F.col("c_custkey") % 8).cast("int").alias("sovereign_cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("rw_source", "risk_weight").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )

@@ -1236,3 +1236,111 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_payloads, schema="doc_id long, payload binary"
     )
     return extract_pixel_features(binary)
+
+
+_SEMDEDUP_TAU = 0.9
+_SEMDEDUP_K = 16  # coarse clusters (same deterministic quantizer as IVF)
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+        WHERE vec_id < {_SEMDEDUP_K}
+    ), assigned AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               round({sql_dot('e.embedding', 'c.cv')}
+                     / sqrt({sql_dot('e.embedding', 'e.embedding')} * {sql_dot('c.cv', 'c.cv')}), 12) AS sim
+        FROM embeddings e CROSS JOIN cent c
+    ), cells AS (
+        SELECT vec_id, embedding, centroid_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM assigned)
+        WHERE rn = 1
+    ), pruned AS (
+        SELECT DISTINCT b.cell, b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round({sql_dot('a.embedding', 'b.embedding')}
+                    / sqrt({sql_dot('a.embedding', 'a.embedding')}
+                           * {sql_dot('b.embedding', 'b.embedding')}), 12) >= {_SEMDEDUP_TAU}
+    )
+    SELECT c.cell, count(*) AS n_members,
+           CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
+           CAST(count(*) - count(p.vec_id) AS BIGINT) AS n_kept
+    FROM cells c LEFT JOIN pruned p ON c.cell = p.cell AND c.vec_id = p.vec_id
+    GROUP BY c.cell
+    """
+
+
+@query("semdedup_prune", oracle=_semdedup_oracle(), tags=("llm", "dedup"))
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, the DCLM-scale
+    recipe): embeddings are coarse-clustered by the SAME deterministic
+    16-centroid quantizer as ann_ivf_probe, then near-duplicate pairs are
+    detected ONLY within a cluster (cosine >= 0.9) and the higher-id member
+    of each pair is pruned (keep-lowest-id, deterministic). Returns the
+    per-cluster member/pruned/kept counts.
+
+    Scale shape: the pairwise pass is per-cluster, so the quadratic term is
+    bounded by the largest cluster — at 100 TB you raise K so cluster sizes
+    stay ~constant (K ∝ corpus size), keeping cost ~linear; the cluster
+    equi-join shuffles once on cell id and the centroid assignment is one
+    broadcast of K rows. No driver collect anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    sim = F.round(
+        spark_dot(F.col("embedding"), F.col("cv"))
+        / F.sqrt(
+            spark_dot(F.col("embedding"), F.col("embedding"))
+            * spark_dot(F.col("cv"), F.col("cv"))
+        ),
+        12,
+    )
+    assigned = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "centroid_id", sim.alias("sim")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "centroid_id")
+    )
+    cells = (
+        assigned.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+    a = cells.select(
+        F.col("cell"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("av")
+    )
+    b = cells.select(
+        F.col("cell").alias("b_cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("bv"),
+    )
+    pair_cos = F.round(
+        spark_dot(F.col("av"), F.col("bv"))
+        / F.sqrt(
+            spark_dot(F.col("av"), F.col("av")) * spark_dot(F.col("bv"), F.col("bv"))
+        ),
+        12,
+    )
+    pruned = (
+        a.join(b, (a.cell == b.b_cell) & (F.col("a_id") < F.col("b_id")))
+        .where(pair_cos >= _SEMDEDUP_TAU)
+        .select(F.col("cell"), F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    members = cells.groupBy("cell").agg(F.count("*").alias("n_members"))
+    pruned_n = pruned.groupBy("cell").agg(F.count("*").alias("_np"))
+    return (
+        members.join(pruned_n, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce("_np", F.lit(0)).cast("long").alias("n_pruned"),
+            (F.col("n_members") - F.coalesce("_np", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

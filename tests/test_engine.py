@@ -1990,3 +1990,135 @@ def test_dq005_orphan_collateral_links(spark):
     )
     dq5 = {(r.key) for r in errors.collect() if r.code == "DQ005"}
     assert dq5 == {"COLX", "LX"}
+
+
+def test_covered_bond_derivation_diverges_by_regime(spark):
+    """CRR Art.129(5)(b) maps a 50% issuer weight to 20%; PS1/26 maps it
+    to 25% — the derivation table is pack data, and reusing the CRR arm
+    under B3.1 would understate by 5pp. Rated covered bonds price on the
+    bond's OWN CQS (10% at CQS1) in both regimes; defaulted rows keep the
+    defaulted weight."""
+    from rwa_calculator_spark.engine.bundles import RawBundle
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK, CRR_PACK
+
+    cps = spark.createDataFrame(
+        [("CP1", "institution", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        # (ref, cp, drawn, defaulted, is_cb, cb_cqs): unrated CB (issuer CQS2
+        # -> 50% senior unsecured), rated CB at CQS1, plain loan, defaulted CB
+        [
+            ("L1", "CP1", 1000.0, False, True, 0),
+            ("L2", "CP1", 1000.0, False, True, 1),
+            ("L3", "CP1", 1000.0, False, False, 0),
+            ("L4", "CP1", 1000.0, True, True, 1),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, is_covered_bond boolean, cb_cqs int",
+    ).selectExpr(
+        "*", "CAST(NULL AS DOUBLE) AS pd", "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    bundle = RawBundle(counterparties=cps, loans=loans)
+
+    def rw_by_ref(pack):
+        out = run_pipeline(bundle, PipelineConfig(pack=pack))
+        return {
+            r.exposure_reference: (round(r.risk_weight, 6), r.rw_source)
+            for r in out.results.collect()
+        }
+
+    crr = rw_by_ref(CRR_PACK)
+    assert crr["L1"] == (0.2, "sa_covered_bond_unrated_derived")  # 50% -> 20%
+    assert crr["L2"] == (0.1, "sa_covered_bond_rated")
+    assert crr["L3"] == (0.5, "sa_cqs_lookup")  # plain institution CQS2
+    assert crr["L4"][1] == "sa_defaulted"  # defaulted beats the CB override
+
+    b31 = rw_by_ref(B31_PACK)
+    assert b31["L1"] == (0.25, "sa_covered_bond_unrated_derived")  # 50% -> 25%
+    assert b31["L2"] == (0.1, "sa_covered_bond_rated")
+
+
+def test_unrated_institution_sovereign_derived_vs_scra(spark):
+    """CRR Art.121: unrated institutions take the sovereign-derived Table 5
+    weight (CQS2 sovereign -> 50%). Basel 3.1 removed that Feature — the
+    same bundle under B31 ignores sovereign_cqs and grades via SCRA when
+    the carrier is present (Grade A 40%, B 75%, C 150%)."""
+    from rwa_calculator_spark.engine.bundles import RawBundle
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK, CRR_PACK
+
+    cps = spark.createDataFrame(
+        # unrated (CQS 0) institutions with sovereign_cqs + scra_grade carriers
+        [
+            ("CP1", "institution", 0, 2, "A", False, 0.0, False),
+            ("CP2", "institution", 0, 6, "C", False, 0.0, False),
+            ("CP3", "institution", 1, 2, "B", False, 0.0, False),  # rated: ladder wins
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "sovereign_cqs int, scra_grade string, is_managed_as_retail boolean, "
+        "annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 1000.0), ("L2", "CP2", 1000.0), ("L3", "CP3", 1000.0)],
+        "loan_reference string, counterparty_reference string, drawn_amount double",
+    ).selectExpr(
+        "*", "CAST(FALSE AS BOOLEAN) AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd", "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    bundle = RawBundle(counterparties=cps, loans=loans)
+
+    crr = {
+        r.exposure_reference: (round(r.risk_weight, 6), r.rw_source)
+        for r in run_pipeline(bundle, PipelineConfig(pack=CRR_PACK)).results.collect()
+    }
+    assert crr["L1"] == (0.5, "sa_sovereign_derived")  # sov CQS2 -> 50%
+    assert crr["L2"] == (1.5, "sa_sovereign_derived")  # sov CQS6 -> 150%
+    assert crr["L3"] == (0.2, "sa_cqs_lookup")  # rated: own CQS1 -> 20%
+
+    b31 = {
+        r.exposure_reference: (round(r.risk_weight, 6), r.rw_source)
+        for r in run_pipeline(bundle, PipelineConfig(pack=B31_PACK)).results.collect()
+    }
+    assert b31["L1"] == (0.4, "sa_scra")  # Grade A -> 40%; sovereign_cqs ignored
+    assert b31["L2"] == (1.5, "sa_scra")  # Grade C -> 150%
+    assert b31["L3"] == (0.2, "sa_cqs_lookup")
+
+
+def test_rgla_sovereign_not_pinned_to_zero(spark):
+    """ref engine/sa/rgla.py: Art.115(2) RGLAs are priced on the Art.114
+    CGCB ladder by their OWN CQS — 0% only at CQS1, 20% at CQS2 — while
+    Art.115(1) RGLAs take the institution treatment."""
+    from rwa_calculator_spark.engine.bundles import RawBundle
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    cps = spark.createDataFrame(
+        [
+            ("CP1", "rgla_sovereign", 1, False, 0.0, False),
+            ("CP2", "rgla_sovereign", 2, False, 0.0, False),
+            ("CP3", "rgla", 1, False, 0.0, False),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 1000.0), ("L2", "CP2", 1000.0), ("L3", "CP3", 1000.0)],
+        "loan_reference string, counterparty_reference string, drawn_amount double",
+    ).selectExpr(
+        "*", "CAST(FALSE AS BOOLEAN) AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd", "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=CRR_PACK)
+    )
+    got = {
+        r.exposure_reference: (r.exposure_class, round(r.risk_weight, 6))
+        for r in out.results.collect()
+    }
+    assert got["L1"] == ("sovereign", 0.0)  # CGCB ladder at CQS1
+    assert got["L2"] == ("sovereign", 0.2)  # NOT a flat 0%
+    assert got["L3"] == ("institution", 0.2)  # Art.115(1) institution treatment
