@@ -26,7 +26,16 @@ from pyspark.sql import functions as F
 
 from rwa_calculator_spark.engine.bundles import CalcOutput, CRMOutput
 from rwa_calculator_spark.engine.rulepack import RulePack
-from rwa_calculator_spark.functions.irb import irb_maturity_adj, with_irb_k
+from rwa_calculator_spark.functions.irb import (
+    FI_CORRELATION_MULTIPLIER,
+    R_RETAIL_MORTGAGE,
+    R_RETAIL_QRRE,
+    irb_maturity_adj,
+    spark_correlation,
+    spark_correlation_other_retail,
+    spark_sme_size_adjustment,
+    with_irb_k_r,
+)
 from rwa_calculator_spark.functions.stats import with_normal_ppf
 from rwa_calculator_spark.operators.dictionary import dictionary_apply
 
@@ -406,19 +415,64 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
 
     perf = exp.where(F.col("pd_floored") < 1.0)
 
-    def _k_ma(dims):
-        dims = with_normal_ppf(dims, "pd_floored", "g_pd")
-        dims = with_irb_k(dims, "pd_floored", "lgd_floored", "g_pd", "k")
-        dims = dims.withColumn("ma", irb_maturity_adj(F.col("pd_floored"), F.col("m_eff")))
-        return dims.drop("g_pd")
-
-    if dictionary:
-        # dictionary evaluation: K/MA computed once per distinct
-        # (PD, LGD, M) combo, broadcast back — bit-identical to per-row
-        # evaluation; right for banded master scales
-        perf = dictionary_apply(perf, ["pd_floored", "lgd_floored", "m_eff"], _k_ma)
+    # Asset-class correlation routing (CRR Art.153(2)/(4), Art.154; ref
+    # engine/irb/formulas.py _correlation_expr_from_pd + the retail
+    # calculators): retail takes its own curves (mortgage 0.15, QRRE 0.04
+    # when a retail_subtype carrier is present, else the other-retail
+    # 0.03–0.16/35-decay curve) and NO maturity adjustment; corporates
+    # subtract the Art.153(4) SME size adjustment when annual sales ≤ €50m
+    # (unknown sales ⇒ S=50 ⇒ zero adjustment); large/unregulated
+    # financial-sector entities multiply R by 1.25 (Art.153(2),
+    # is_large_financial carrier).
+    r_corp = spark_correlation("pd_floored")
+    r_other_retail = spark_correlation_other_retail("pd_floored")
+    sme_adj = F.when(
+        (F.col("exposure_class") == "corporate")
+        & (F.col("annual_revenue") > 0.0)
+        & (F.col("annual_revenue") <= 50_000_000.0),
+        spark_sme_size_adjustment("(annual_revenue / 1000000.0D)"),
+    ).otherwise(F.lit(0.0))
+    if "retail_subtype" in perf.columns:
+        r_retail = (
+            F.when(F.col("retail_subtype") == "mortgage", F.lit(R_RETAIL_MORTGAGE))
+            .when(F.col("retail_subtype") == "qrre", F.lit(R_RETAIL_QRRE))
+            .otherwise(r_other_retail)
+        )
     else:
-        perf = _k_ma(perf)
+        r_retail = r_other_retail
+    r_nonretail = r_corp - sme_adj
+    if "is_large_financial" in perf.columns:
+        r_nonretail = F.when(
+            F.coalesce(F.col("is_large_financial"), F.lit(False)),
+            r_nonretail * F.lit(FI_CORRELATION_MULTIPLIER),
+        ).otherwise(r_nonretail)
+    perf = perf.withColumn(
+        "_irb_r_in",
+        F.when(F.col("exposure_class") == "retail", r_retail).otherwise(r_nonretail),
+    ).withColumn("_no_ma", F.col("exposure_class") == "retail")
+
+    # With routed correlations R is a function of (PD, class, sales, FI
+    # flag) — sales is continuous, so a dictionary keyed on R would grow
+    # toward row-count and its broadcast-back would melt at scale. Split
+    # the kernel instead: Φ⁻¹(PD) — the widest expression — still
+    # dictionary-evaluates on the banded PD master scale alone; Φ (K) and
+    # the maturity adjustment run per-row inside whole-stage codegen.
+    if dictionary:
+        perf = dictionary_apply(
+            perf,
+            ["pd_floored"],
+            lambda d: with_normal_ppf(d, "pd_floored", "g_pd"),
+        )
+    else:
+        perf = with_normal_ppf(perf, "pd_floored", "g_pd")
+    perf = with_irb_k_r(perf, "pd_floored", "lgd_floored", "g_pd", "_irb_r_in", "k")
+    perf = perf.withColumn(
+        "ma",
+        F.when(F.col("_no_ma"), F.lit(1.0)).otherwise(
+            irb_maturity_adj(F.col("pd_floored"), F.col("m_eff"))
+        ),
+    )
+    perf = perf.drop("g_pd", "_irb_r_in", "_no_ma")
     # CRR Art.153(1): ×1.06 scaling on non-defaulted IRB (B3.1 sets it to
     # 1.0 — the attribution waterfall decomposes exactly this removal)
     perf = (

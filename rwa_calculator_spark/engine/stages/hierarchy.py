@@ -193,6 +193,14 @@ def run_hierarchy(
         dim_cols.append(F.col("sovereign_cqs").cast("int").alias("sovereign_cqs"))
     if "scra_grade" in raw.counterparties.columns:
         dim_cols.append(F.col("scra_grade"))
+    # IRB correlation-routing carriers (CRR Art.153(2)/154): retail
+    # sub-portfolio (mortgage / qrre / other) and the large-financial flag
+    if "retail_subtype" in raw.counterparties.columns:
+        dim_cols.append(F.col("retail_subtype"))
+    if "is_large_financial" in raw.counterparties.columns:
+        dim_cols.append(
+            F.coalesce("is_large_financial", F.lit(False)).alias("is_large_financial")
+        )
     dim = raw.counterparties.select(*dim_cols)
 
     if raw.specialised_lending is not None:

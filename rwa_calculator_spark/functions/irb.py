@@ -49,6 +49,38 @@ def correlation_v(pd: V) -> V:
     return 0.12 * w + 0.24 * (1.0 - w)
 
 
+_DENOM_35 = 1.0 - math.exp(-35.0)  # other-retail correlation decay
+
+#: Asset-class correlations without a PD-driven term (CRR Art.154(3)/(4)).
+R_RETAIL_MORTGAGE = 0.15
+R_RETAIL_QRRE = 0.04
+#: CRR Art.153(2): ×1.25 correlation multiplier for large regulated
+#: financial-sector entities and all unregulated financial entities.
+FI_CORRELATION_MULTIPLIER = 1.25
+
+
+def correlation_other_retail_v(pd: V) -> V:
+    """Other-retail correlation (CRR Art.154(1)): 0.03–0.16 with a
+    35-decay, vs the corporate 0.12–0.24 with a 50-decay."""
+    w = (1.0 - _exp(-35.0 * pd)) / _DENOM_35
+    return 0.03 * w + 0.16 * (1.0 - w)
+
+
+def sme_size_adjustment_v(sales_m: V) -> V:
+    """CRR Art.153(4) firm-size adjustment SUBTRACTED from the corporate
+    correlation for obligors with annual sales S ≤ €50m:
+    0.04·(1 − (S−5)/45), S floored at €5m. Sales unknown → treat as 50
+    (zero adjustment) — gate at the caller."""
+    s = _where(sales_m < 5.0, V(sales_m.b, sales_m.b.lit(5.0)), sales_m)
+    return 0.04 * (1.0 - (s - 5.0) / 45.0)
+
+
+def capital_k_r_v(pd: V, lgd: V, g_pd: V, r: V) -> V:
+    """K given a caller-supplied correlation R (asset-class routed)."""
+    arg = (g_pd + _sqrt(r) * G_999) / _sqrt(1.0 - r)
+    return lgd * norm_cdf_v(arg) - pd * lgd
+
+
 def maturity_b_v(pd: V) -> V:
     t = V(pd.b, pd.b.lit(0.11852)) - 0.05478 * _ln(pd)
     return t * t
@@ -104,11 +136,65 @@ def with_irb_k(df, pd: str = "pd", lgd: str = "lgd", g_pd: str = "g_pd", out: st
     return df.drop("_irb_r", "_irb_arg")
 
 
+def with_irb_k_r(
+    df, pd: str = "pd", lgd: str = "lgd", g_pd: str = "g_pd",
+    r: str = "r", out: str = "k",
+):
+    """Staged K with a caller-supplied correlation column (asset-class
+    routed R — CRR Art.153(4)/154). Same staging discipline as
+    `with_irb_k`; identical values when `r` equals the corporate curve."""
+    from rwa_calculator_spark.functions.stats import spark_expr_normal_cdf
+
+    arg = (F.col(g_pd) + F.sqrt(F.col(r)) * F.lit(G_999)) / F.sqrt(
+        F.lit(1.0) - F.col(r)
+    )
+    df = df.withColumn("_irb_arg", arg)
+    df = df.withColumn(
+        out, F.col(lgd) * spark_expr_normal_cdf("_irb_arg") - F.col(pd) * F.col(lgd)
+    )
+    return df.drop("_irb_arg")
+
+
+def spark_correlation(pd_col: str) -> "F.Column":
+    from rwa_calculator_spark.functions.stats import SparkSqlB
+
+    return F.expr(correlation_v(V(SparkSqlB, pd_col)).v)
+
+
+def spark_correlation_other_retail(pd_col: str) -> "F.Column":
+    from rwa_calculator_spark.functions.stats import SparkSqlB
+
+    return F.expr(correlation_other_retail_v(V(SparkSqlB, pd_col)).v)
+
+
+def spark_sme_size_adjustment(sales_m_col: str) -> "F.Column":
+    from rwa_calculator_spark.functions.stats import SparkSqlB
+
+    return F.expr(sme_size_adjustment_v(V(SparkSqlB, sales_m_col)).v)
+
+
 # --- DuckDB SQL surface ----------------------------------------------------
 
 
 def sql_capital_k(pd: str, lgd: str, g_pd: str) -> str:
     return capital_k_v(V(SqlB, pd), V(SqlB, lgd), V(SqlB, g_pd)).v
+
+
+def sql_capital_k_r(pd: str, lgd: str, g_pd: str, r: str) -> str:
+    """K given a correlation SQL fragment (asset-class routed R)."""
+    return capital_k_r_v(V(SqlB, pd), V(SqlB, lgd), V(SqlB, g_pd), V(SqlB, r)).v
+
+
+def sql_correlation(pd: str) -> str:
+    return correlation_v(V(SqlB, pd)).v
+
+
+def sql_correlation_other_retail(pd: str) -> str:
+    return correlation_other_retail_v(V(SqlB, pd)).v
+
+
+def sql_sme_size_adjustment(sales_m: str) -> str:
+    return sme_size_adjustment_v(V(SqlB, sales_m)).v
 
 
 def sql_maturity_adj(pd: str, m: str) -> str:

@@ -18,7 +18,13 @@ from rwa_calculator_spark.engine.bundles import RawBundle
 from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
 from rwa_calculator_spark.engine.rulepack import CRR_PACK
 from rwa_calculator_spark.functions.exact import scaled_sum, sql_scaled_sum
-from rwa_calculator_spark.functions.irb import sql_capital_k, sql_maturity_adj
+from rwa_calculator_spark.functions.irb import (
+    sql_capital_k_r,
+    sql_correlation,
+    sql_correlation_other_retail,
+    sql_maturity_adj,
+    sql_sme_size_adjustment,
+)
 from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
 from rwa_calculator_spark.plans.registry import query
 from rwa_calculator_spark.sources.star import load_table
@@ -213,6 +219,28 @@ def rwa_pipeline_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.summary_by_class
 
 
+# Asset-class-routed IRB correlation (CRR Art.153(4)/154, mirroring
+# engine/stages/calculators.run_irb): retail takes the other-retail curve
+# (no subtype carrier in the star bundle) and NO maturity adjustment;
+# corporates subtract the SME size adjustment when 0 < sales ≤ €50m.
+_SQL_R_ROUTED = f"""CASE WHEN exposure_class = 'retail'
+        THEN {{other_retail}}
+        ELSE ({{corp}} - CASE WHEN exposure_class = 'corporate'
+                              AND annual_revenue > 0.0
+                              AND annual_revenue <= 50000000.0
+                         THEN {{sme_adj}} ELSE 0.0 END)
+   END""".format(
+    other_retail=sql_correlation_other_retail("pd_f"),
+    corp=sql_correlation("pd_f"),
+    sme_adj=sql_sme_size_adjustment("(annual_revenue / 1000000.0)"),
+)
+
+_SQL_MA_ROUTED = (
+    "CASE WHEN exposure_class = 'retail' THEN 1.0 ELSE "
+    + sql_maturity_adj("pd_f", "m_eff")
+    + " END"
+)
+
 # SA+IRB routing core shared by rwa_pipeline_irb and pillar3_ov1 — ends at
 # `unioned` (approach, exposure_class, ead, rwa per row)
 _SQL_IRB_CORE = f"""
@@ -238,14 +266,16 @@ _SQL_IRB_CORE = f"""
         SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM routed
         WHERE has_irb_permission AND pd_f < 1.0
     ), irb_g AS (
-        SELECT exposure_class, ead, pd_f, lgd_f, m_eff,
+        SELECT exposure_class, annual_revenue, ead, pd_f, lgd_f, m_eff,
                {sql_halley_step('x0', 'pd_f')} AS g_pd
         FROM irb_perf
+    ), irb_r AS (
+        SELECT *, {_SQL_R_ROUTED} AS r_routed FROM irb_g
     ), irb_k AS (
         SELECT exposure_class, ead,
-               {sql_capital_k('pd_f', 'lgd_f', 'g_pd')} AS k,
-               {sql_maturity_adj('pd_f', 'm_eff')} AS ma
-        FROM irb_g
+               {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_routed')} AS k,
+               {_SQL_MA_ROUTED} AS ma
+        FROM irb_r
     ), irb_branch AS (
         SELECT exposure_class, ead,
                ead * (((k * ma) * 12.5) * 1.06) AS rwa FROM irb_k
@@ -658,14 +688,16 @@ _SQL_CRR_ATTR = f"""
         SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM c_routed
         WHERE has_irb_permission AND pd_f < 1.0
     ), c_irb_g AS (
-        SELECT exposure_class, ead, pd_f, lgd_f, m_eff,
+        SELECT exposure_class, annual_revenue, ead, pd_f, lgd_f, m_eff,
                {sql_halley_step('x0', 'pd_f')} AS g_pd
         FROM c_irb_perf
+    ), c_irb_r AS (
+        SELECT *, {_SQL_R_ROUTED} AS r_routed FROM c_irb_g
     ), c_irb_k AS (
         SELECT exposure_class, ead,
-               {sql_capital_k('pd_f', 'lgd_f', 'g_pd')} AS k,
-               {sql_maturity_adj('pd_f', 'm_eff')} AS ma
-        FROM c_irb_g
+               {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_routed')} AS k,
+               {_SQL_MA_ROUTED} AS ma
+        FROM c_irb_r
     ), c_irb AS (
         SELECT exposure_class, ead * (((k * ma) * 12.5) * 1.06) AS rwa,
                ead * (((k * ma) * 12.5) * 1.06) AS rwa_before_sf,
@@ -719,14 +751,16 @@ _SQL_B31_SIDE = f"""
         SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM b_rw
         WHERE has_irb_permission AND pd_f < 1.0
     ), b_irb_g AS (
-        SELECT exposure_class, ead, sa_rw, pd_f, lgd_f, m_eff,
+        SELECT exposure_class, annual_revenue, ead, sa_rw, pd_f, lgd_f, m_eff,
                {sql_halley_step('x0', 'pd_f')} AS g_pd
         FROM b_irb_perf
+    ), b_irb_r AS (
+        SELECT *, {_SQL_R_ROUTED} AS r_routed FROM b_irb_g
     ), b_irb_k AS (
         SELECT exposure_class, ead, sa_rw,
-               {sql_capital_k('pd_f', 'lgd_f', 'g_pd')} AS k,
-               {sql_maturity_adj('pd_f', 'm_eff')} AS ma
-        FROM b_irb_g
+               {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_routed')} AS k,
+               {_SQL_MA_ROUTED} AS ma
+        FROM b_irb_r
     ), b_irb AS (
         SELECT exposure_class, ead * ((k * ma) * 12.5) AS rwa,
                ead * sa_rw AS sa_equiv
@@ -954,11 +988,13 @@ def _cr6_band_col():
 @query(
     "pillar3_cr6",
     oracle=_SQL_BASE.format(irb_flag="c_custkey % 3 = 0") + _SQL_IRB_CORE + f"""
-    , cr6_k AS (
+    , cr6_r AS (
+        SELECT *, {_SQL_R_ROUTED} AS r_routed FROM irb_g
+    ), cr6_k AS (
         SELECT exposure_class, ead, pd_f, lgd_f,
-               {sql_capital_k('pd_f', 'lgd_f', 'g_pd')} AS k,
-               {sql_maturity_adj('pd_f', 'm_eff')} AS ma
-        FROM irb_g
+               {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_routed')} AS k,
+               {_SQL_MA_ROUTED} AS ma
+        FROM cr6_r
     ), cr6_rows AS (
         SELECT exposure_class, ead, pd_f, lgd_f,
                ead * (((k * ma) * 12.5) * 1.06) AS rwa

@@ -129,7 +129,13 @@ def test_b31_output_floor_uplifts(spark):
 
 
 def test_irb_k_matches_python_backend(spark):
-    from rwa_calculator_spark.functions.irb import capital_k_v, maturity_adj_v, pd_floor_v
+    from rwa_calculator_spark.functions.irb import (
+        capital_k_r_v,
+        correlation_v,
+        maturity_adj_v,
+        pd_floor_v,
+        sme_size_adjustment_v,
+    )
     from rwa_calculator_spark.functions.stats import PyB, V, py_normal_ppf
 
     cps = _df(
@@ -150,11 +156,87 @@ def test_irb_k_matches_python_backend(spark):
 
     pd_f = pd_floor_v(V(PyB, 0.01)).v
     g_pd = py_normal_ppf(pd_f)
-    k = capital_k_v(V(PyB, pd_f), V(PyB, 0.45), V(PyB, g_pd)).v
+    # CRR Art.153(4): €10m sales corporate -> SME size adjustment on R
+    r = (
+        correlation_v(V(PyB, pd_f)).v
+        - sme_size_adjustment_v(V(PyB, 10_000_000.0 / 1_000_000.0)).v
+    )
+    k = capital_k_r_v(V(PyB, pd_f), V(PyB, 0.45), V(PyB, g_pd), V(PyB, r)).v
     ma = maturity_adj_v(V(PyB, pd_f), V(PyB, 2.5)).v
     # CRR Art.153(1) 1.06 scaling applies to the non-defaulted IRB path
     assert row.risk_weight == pytest.approx(k * ma * 12.5 * 1.06, rel=1e-9)
     assert 0.0 < row.risk_weight < 3.0
+
+
+def test_irb_correlation_routing_by_asset_class(spark):
+    """CRR Art.153(2)/(4) + Art.154: the correlation is asset-class routed —
+    mortgages R=0.15, QRRE R=0.04, other retail on the 0.03–0.16/35-decay
+    curve (all retail WITHOUT maturity adjustment); corporates subtract the
+    SME size adjustment only when 0 < sales ≤ €50m; large financials
+    multiply R by 1.25."""
+    from rwa_calculator_spark.functions.irb import (
+        capital_k_r_v,
+        correlation_other_retail_v,
+        correlation_v,
+        maturity_adj_v,
+        pd_floor_v,
+    )
+    from rwa_calculator_spark.functions.stats import PyB, V, py_normal_ppf
+
+    cps = _df(
+        spark,
+        [
+            # retail subtypes (managed-as-retail individuals, small exposure)
+            ("CPM", "individual", 0, True, 0.0, True, "mortgage", False),
+            ("CPQ", "individual", 0, True, 0.0, True, "qrre", False),
+            ("CPO", "individual", 0, True, 0.0, True, "other", False),
+            # large corporate: sales > 50m -> NO size adjustment
+            ("CPL", "corporate", 2, False, 200_000_000.0, True, None, False),
+            # large financial: corporate curve ×1.25
+            ("CPF", "corporate", 2, False, 200_000_000.0, True, None, True),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, "
+        "has_irb_permission boolean, retail_subtype string, is_large_financial boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("LM", "CPM", 1000.0, False, 0.02, 0.2, 4.0),
+            ("LQ", "CPQ", 1000.0, False, 0.02, 0.2, 4.0),
+            ("LO", "CPO", 1000.0, False, 0.02, 0.2, 4.0),
+            ("LL", "CPL", 1000.0, False, 0.02, 0.4, 4.0),
+            ("LF", "CPF", 1000.0, False, 0.02, 0.4, 4.0),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=CRR_PACK)
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+
+    pd_f = pd_floor_v(V(PyB, 0.02)).v
+    g_pd = py_normal_ppf(pd_f)
+
+    def rw(r_val, lgd, with_ma):
+        k = capital_k_r_v(V(PyB, pd_f), V(PyB, lgd), V(PyB, g_pd), V(PyB, r_val)).v
+        ma = maturity_adj_v(V(PyB, pd_f), V(PyB, 4.0)).v if with_ma else 1.0
+        return k * ma * 12.5 * 1.06
+
+    r_other = correlation_other_retail_v(V(PyB, pd_f)).v
+    r_corp = correlation_v(V(PyB, pd_f)).v
+    # retail: subtype curves, NO maturity adjustment
+    assert rows["LM"].risk_weight == pytest.approx(rw(0.15, 0.2, False), rel=1e-9)
+    assert rows["LQ"].risk_weight == pytest.approx(rw(0.04, 0.2, False), rel=1e-9)
+    assert rows["LO"].risk_weight == pytest.approx(rw(r_other, 0.2, False), rel=1e-9)
+    # sales > 50m: plain corporate curve, WITH maturity adjustment
+    assert rows["LL"].risk_weight == pytest.approx(rw(r_corp, 0.4, True), rel=1e-9)
+    # large financial: ×1.25 on R raises the weight above the plain row
+    assert rows["LF"].risk_weight == pytest.approx(
+        rw(r_corp * 1.25, 0.4, True), rel=1e-9
+    )
+    assert rows["LF"].risk_weight > rows["LL"].risk_weight
 
 
 def test_slotting_and_equity_branches(spark):
