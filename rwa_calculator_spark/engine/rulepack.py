@@ -390,6 +390,15 @@ CRR_PACK = RulePack(
         # Art.121 sovereign-derived unrated-institution method is a
         # CRR-only Feature (B3.1 replaces it with SCRA grading)
         "sovereign_derived_institutions": RuleEntry(_D("1"), "CRR Art.121"),
+        # IRB unfunded-protection treatment (ref engine/irb/guarantee.py):
+        # F-IRB supervisory LGDs for the guarantor leg (Art.161(1)), and the
+        # Art.153(3) double-default multiplier K_dd = K·(base + slope·PD_g)
+        "firb_lgd_senior": RuleEntry(_D("0.45"), "CRR Art.161(1)(a)"),
+        "firb_lgd_senior_fse": RuleEntry(_D("0.45"), "CRR Art.161(1)(a)"),
+        "firb_lgd_subordinated": RuleEntry(_D("0.75"), "CRR Art.161(1)(b)"),
+        "double_default_available": RuleEntry(_D("1"), "CRR Art.153(3), 202-203"),
+        "dd_k_base": RuleEntry(_D("0.15"), "CRR Art.153(3)"),
+        "dd_k_slope": RuleEntry(_D("160"), "CRR Art.153(3)"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
@@ -477,6 +486,15 @@ B31_PACK = RulePack(
         "sovereign_derived_institutions": RuleEntry(
             _D("0"), "PS1/26 Art.121A — SCRA replaces sovereign-derived"
         ),
+        # B3.1 parameter substitution (CRE22.70-85): senior non-FSE guarantor
+        # LGD drops to 0.40 (PS1/26 Art.161(1)(aa)); double default was Basel
+        # II para 284 / CRR Art.153(3) and is NOT carried into PS1/26
+        "firb_lgd_senior": RuleEntry(_D("0.40"), "PS1/26 Art.161(1)(aa)"),
+        "firb_lgd_senior_fse": RuleEntry(_D("0.45"), "PS1/26 Art.161(1)(a)"),
+        "firb_lgd_subordinated": RuleEntry(_D("0.75"), "PS1/26 Art.161(1)(b)"),
+        "double_default_available": RuleEntry(_D("0"), "not onshored in PS1/26"),
+        "dd_k_base": RuleEntry(_D("0.15"), "n/a in B3.1 (gated off)"),
+        "dd_k_slope": RuleEntry(_D("160"), "n/a in B3.1 (gated off)"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
@@ -524,6 +542,8 @@ REQUIRED_SCALARS = (
     "irb_scaling_factor", "output_floor_alpha", "fx_haircut",
     "fcsm_rw_floor", "saccr_alpha", "pfe_multiplier_floor",
     "secsa_ksa", "secsa_p", "secsa_p_sts", "secsa_floor_rw",
+    "firb_lgd_senior", "firb_lgd_senior_fse", "firb_lgd_subordinated",
+    "double_default_available", "dd_k_base", "dd_k_slope",
 )
 
 #: Table name -> exact schema DDL the stage joins expect.

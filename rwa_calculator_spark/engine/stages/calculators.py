@@ -116,6 +116,154 @@ def _el_columns(exp: DataFrame, expected_loss: Column) -> DataFrame:
     )
 
 
+def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataFrame, Column]:
+    """IRB unfunded-protection treatment (ref engine/irb/guarantee.py
+    apply_guarantee_substitution, 902 LoC distilled to its dataflow):
+
+    - SA guarantor (no internal PD): RW substitution — the covered leg takes
+      the guarantor's SA risk weight (CRR Art.235 / Basel 3.1 SA guarantors).
+    - IRB guarantor (``guarantor_pd`` supplied): parameter substitution —
+      the covered leg re-prices through the full Vasicek kernel with the
+      guarantor's floored PD, the Art.161(1) supervisory LGD selected by
+      seniority/FSE status, and the guarantor-PD corporate correlation
+      (CRR Art.161(3) / B3.1 CRE22.70-85). The reference's Art.160(4)
+      "no better than direct" floor is an identity here because the PSM LGD
+      IS the direct supervisory LGD (psm_lgd_source=option_ii distilled).
+    - Double default (CRR Art.153(3)/202-203, pack-gated — CRR only):
+      RW_dd = RW_obligor × (0.15 + 160·PD_g) when the underlying is
+      corporate, the guarantor is an institution/sovereign/MDB or a
+      CQS≤2 corporate with an internal PD, and the row is A-IRB routed;
+      taken when lower than the substitution RW.
+    - Art.193(1) benefit gate: the guarantee is DECLINED (not capped)
+      unless guarantor RW < borrower IRB RW; beneficial rows blend
+      RWA = (1−g)·RW_own + g·RW_guarantor over EAD.
+    - EL (ref _adjust_expected_loss): SA guarantor keeps only the retained
+      share's EL; PD substitution adds PD_g·LGD_g on the covered leg;
+      double default retains full obligor EL (DD modifies K, not EL).
+
+    Returns the adjusted frame plus the EL expression for _el_columns.
+    """
+    el_own = F.col("pd_floored") * F.col("lgd_floored") * F.col("ead_after_crm")
+    if "g_class" not in perf.columns:
+        return perf, el_own
+    g = F.coalesce("g_coverage", F.lit(0.0))
+
+    grw = pack.table_df(spark, "sa_rw").select(
+        F.col("exposure_class").alias("_gi_class"),
+        F.col("cqs").alias("_gi_cqs"),
+        F.col("rw").alias("_g_rw_sa"),
+    )
+    perf = perf.join(
+        F.broadcast(grw),
+        (F.col("g_class") == F.col("_gi_class"))
+        & (F.coalesce(F.col("g_cqs"), F.lit(0)) == F.col("_gi_cqs")),
+        "left",
+    ).drop("_gi_class", "_gi_cqs")
+    guarantor_rw = F.col("_g_rw_sa")
+    method = F.when(F.col("_g_rw_sa").isNotNull(), F.lit("sub_sa")).otherwise(
+        F.lit(None).cast("string")
+    )
+
+    has_gpd = "guarantor_pd" in perf.columns
+    if has_gpd:
+        perf = perf.withColumn(
+            "_pd_g_fl", F.greatest(F.col("guarantor_pd"), pack.lit("pd_floor"))
+        )
+        sen = (
+            F.coalesce(F.col("guarantor_seniority"), F.lit("senior"))
+            if "guarantor_seniority" in perf.columns
+            else F.lit("senior")
+        )
+        fse = (
+            F.coalesce(F.col("guarantor_is_fse"), F.lit(False))
+            if "guarantor_is_fse" in perf.columns
+            else F.lit(False)
+        )
+        perf = perf.withColumn(
+            "_lgd_g",
+            F.when(sen == "subordinated", pack.lit("firb_lgd_subordinated"))
+            .when(fse, pack.lit("firb_lgd_senior_fse"))
+            .otherwise(pack.lit("firb_lgd_senior")),
+        )
+        perf = with_normal_ppf(perf, "_pd_g_fl", "_g_gpd")
+        perf = perf.withColumn("_r_g", spark_correlation("_pd_g_fl"))
+        perf = with_irb_k_r(perf, "_pd_g_fl", "_lgd_g", "_g_gpd", "_r_g", "_k_g")
+        rw_irb_g = (
+            F.col("_k_g")
+            * irb_maturity_adj(F.col("_pd_g_fl"), F.col("m_eff"))
+            * F.lit(12.5)
+            * pack.lit("irb_scaling_factor")
+        )
+        guarantor_rw = F.when(F.col("guarantor_pd").isNotNull(), rw_irb_g).otherwise(
+            guarantor_rw
+        )
+        method = F.when(F.col("guarantor_pd").isNotNull(), F.lit("sub_pd")).otherwise(
+            method
+        )
+        if pack.scalar("double_default_available") >= 1.0:
+            is_airb = (
+                F.coalesce(F.col("irb_subapproach"), F.lit("")) == "airb"
+                if "irb_subapproach" in perf.columns
+                else F.lit(False)
+            )
+            elig_g_type = F.coalesce(F.col("g_class"), F.lit("")).isin(
+                "institution", "sovereign", "mdb"
+            ) | (
+                (F.col("g_class") == "corporate")
+                & (F.coalesce(F.col("g_cqs"), F.lit(99)) <= 2)
+            )
+            dd_elig = (
+                (g > 0)
+                & (F.col("exposure_class") == "corporate")
+                & elig_g_type
+                & F.col("guarantor_pd").isNotNull()
+                & is_airb
+            )
+            rw_dd = F.col("risk_weight") * (
+                pack.lit("dd_k_base") + pack.lit("dd_k_slope") * F.col("_pd_g_fl")
+            )
+            dd_applies = dd_elig & (
+                rw_dd < F.coalesce(guarantor_rw, F.lit(float("inf")))
+            )
+            guarantor_rw = F.when(dd_applies, rw_dd).otherwise(guarantor_rw)
+            method = F.when(dd_applies, F.lit("dd")).otherwise(method)
+
+    perf = (
+        perf.withColumn("_g_rw", guarantor_rw)
+        .withColumn("_g_method", method)
+        .withColumn(
+            "_g_ben",
+            (g > 0) & F.col("_g_rw").isNotNull() & (F.col("_g_rw") < F.col("risk_weight")),
+        )
+    )
+    perf = perf.withColumn(
+        "risk_weight",
+        F.when(
+            F.col("_g_ben"), (F.lit(1.0) - g) * F.col("risk_weight") + g * F.col("_g_rw")
+        ).otherwise(F.col("risk_weight")),
+    ).withColumn(
+        "rw_source",
+        F.when(
+            F.col("_g_ben"), F.concat(F.col("rw_source"), F.lit("+g"), F.col("_g_method"))
+        ).otherwise(F.col("rw_source")),
+    )
+
+    if has_gpd:
+        el = (
+            F.when(F.col("_g_ben") & (F.col("_g_method") == "dd"), el_own)
+            .when(
+                F.col("_g_ben") & (F.col("_g_method") == "sub_pd"),
+                (F.lit(1.0) - g) * el_own
+                + F.col("_pd_g_fl") * F.col("_lgd_g") * g * F.col("ead_after_crm"),
+            )
+            .when(F.col("_g_ben"), (F.lit(1.0) - g) * el_own)
+            .otherwise(el_own)
+        )
+    else:
+        el = F.when(F.col("_g_ben"), (F.lit(1.0) - g) * el_own).otherwise(el_own)
+    return perf, el
+
+
 def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> CalcOutput:
     spark = crm.exposures.sparkSession
     exp = crm.exposures.where(
@@ -495,9 +643,10 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
             ),
         )
     )
-    perf = _el_columns(
-        perf, F.col("pd_floored") * F.col("lgd_floored") * F.col("ead_after_crm")
-    )
+    # IRB unfunded protection: substitution / parameter substitution /
+    # double default on the covered leg, Art.193 benefit gate, EL blend
+    perf, el_expr = _irb_guarantee_adjust(perf, pack, spark)
+    perf = _el_columns(perf, el_expr)
 
     # defaulted bypasses Vasicek (CRR Art.153(1)(ii)/154(1)(i), CRE31.3):
     # A-IRB (own BEEL supplied): K = max(0, LGD − BEEL), no MA, no 1.06;

@@ -534,12 +534,24 @@ def run_crm(
 
     # --- guarantees: coverage share + guarantor class ---------------------
     if raw.guarantees is not None:
-        g = raw.guarantees.select(
+        # Optional modelled-guarantor carriers (ref engine/irb/guarantee.py:
+        # a guarantor internal PD routes the IRB leg to parameter
+        # substitution / double default instead of SA RW substitution;
+        # seniority + FSE status pick the Art.161(1) supervisory LGD)
+        gcols = [
             "exposure_reference",
             F.coalesce("coverage_pct", F.lit(0.0)).alias("g_coverage"),
             F.col("guarantor_class").alias("g_class"),
             F.col("guarantor_cqs").cast("int").alias("g_cqs"),
-        )
+        ]
+        for opt, out in (
+            ("guarantor_pd", "guarantor_pd"),
+            ("guarantor_seniority", "guarantor_seniority"),
+            ("guarantor_is_fse", "guarantor_is_fse"),
+        ):
+            if opt in raw.guarantees.columns:
+                gcols.append(F.col(opt).alias(out))
+        g = raw.guarantees.select(*gcols)
         # one guarantee per exposure in this slice; first-wins dedup guards
         wg = W.partitionBy("exposure_reference").orderBy(
             F.col("g_coverage").desc(), F.col("g_class")

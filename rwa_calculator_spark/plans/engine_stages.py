@@ -962,3 +962,189 @@ def sa_sovereign_derived_unrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_exposures"),
         scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IRB unfunded-protection treatment (ref engine/irb/guarantee.py,
+# apply_guarantee_substitution — 902 LoC): SA RW substitution vs parameter
+# substitution vs CRR Art.153(3) double default, Art.193(1) benefit gate,
+# Art.161(3) EL blend. The Spark side runs the REAL engine operator
+# (calculators.run_irb + _irb_guarantee_adjust) on a star-mapped CRM frame;
+# the oracle re-derives every branch through the shared SQL kernel builders
+# so both engines execute the identical expression trees.
+#
+# Mapping (shared): obligor PD = (1+ok%8)/100, LGD = 0.25+0.20·(ok%2),
+# M = 2.5, EAD = o_totalprice, coverage g = (ok%4)/5; guarantor class/CQS
+# from o_custkey (%3 / 1+%5), internal PD (1+ck%5)/1000 on even custkeys,
+# subordinated seniority on ck%7==0, A-IRB routing on even orderkeys.
+# Every kernel input is band-constant, so per-band min(rw) is exact and
+# totals use the fixed-point scaled_sum.
+# ---------------------------------------------------------------------------
+
+def _irb_guarantee_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+    from rwa_calculator_spark.functions.irb import (
+        sql_capital_k_r,
+        sql_correlation,
+        sql_maturity_adj,
+    )
+    from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
+
+    sa_rw = """CASE g_class
+        WHEN 'institution' THEN CASE g_cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+            WHEN 3 THEN 0.5 WHEN 4 THEN 1.0 ELSE 1.0 END
+        WHEN 'corporate' THEN CASE g_cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+            WHEN 3 THEN 1.0 WHEN 4 THEN 1.0 ELSE 1.5 END
+        ELSE CASE g_cqs WHEN 1 THEN 0.0 WHEN 2 THEN 0.2 WHEN 3 THEN 0.5
+            WHEN 4 THEN 1.0 ELSE 1.0 END END"""
+    return f"""
+    WITH base AS (
+        SELECT CAST(o_orderkey % 8 AS INTEGER) AS band_pd,
+               greatest(coalesce(CAST(1 + o_orderkey % 8 AS DOUBLE) / 100.0, 1.0), 0.0003) AS pd_fl,
+               (0.25 + CAST(o_orderkey % 2 AS DOUBLE) * 0.20) AS lgd,
+               CAST(2.5 AS DOUBLE) AS m,
+               o_totalprice AS ead,
+               (CAST(o_orderkey % 4 AS DOUBLE) / 5.0) AS g,
+               CASE CAST(o_custkey % 3 AS INTEGER) WHEN 0 THEN 'institution'
+                    WHEN 1 THEN 'corporate' ELSE 'sovereign' END AS g_class,
+               CAST(1 + o_custkey % 5 AS INTEGER) AS g_cqs,
+               CASE WHEN o_custkey % 2 = 0
+                    THEN CAST(1 + o_custkey % 5 AS DOUBLE) / 1000.0 END AS gpd,
+               CASE WHEN o_custkey % 2 = 0 THEN CAST(1 + o_custkey % 5 AS INTEGER)
+                    ELSE -1 END AS band_gpd,
+               CASE WHEN o_custkey % 7 = 0 THEN 'subordinated' ELSE 'senior' END AS sen,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'airb' ELSE 'firb' END AS sub
+        FROM orders
+    ), s1 AS (
+        SELECT *, {sql_acklam_raw('pd_fl')} AS x0_o,
+               CASE WHEN gpd IS NOT NULL THEN greatest(gpd, 0.0003) END AS pd_g_fl,
+               CASE sen WHEN 'subordinated' THEN 0.75 ELSE 0.45 END AS lgd_g
+        FROM base
+    ), s2 AS (
+        SELECT *, {sql_halley_step('x0_o', 'pd_fl')} AS gpd_o,
+               {sql_acklam_raw('pd_g_fl')} AS x0_g
+        FROM s1
+    ), s3 AS (
+        SELECT *, {sql_halley_step('x0_g', 'pd_g_fl')} AS gpd_g,
+               {sql_correlation('pd_fl')} AS r_o,
+               {sql_correlation('pd_g_fl')} AS r_g
+        FROM s2
+    ), s4 AS (
+        SELECT *, {sql_capital_k_r('pd_fl', 'lgd', 'gpd_o', 'r_o')} AS k_o,
+               {sql_maturity_adj('pd_fl', 'm')} AS ma_o,
+               {sql_capital_k_r('pd_g_fl', 'lgd_g', 'gpd_g', 'r_g')} AS k_g,
+               {sql_maturity_adj('pd_g_fl', 'm')} AS ma_g
+        FROM s3
+    ), s5 AS (
+        SELECT *, (((k_o * ma_o) * 12.5) * 1.06) AS rw_own,
+               CASE WHEN gpd IS NOT NULL THEN (((k_g * ma_g) * 12.5) * 1.06)
+                    ELSE ({sa_rw}) END AS grw0,
+               ((g_class IN ('institution', 'sovereign')
+                 OR (g_class = 'corporate' AND g_cqs <= 2))
+                AND gpd IS NOT NULL AND sub = 'airb' AND g > 0) AS dd_elig
+        FROM s4
+    ), s6 AS (
+        SELECT *, (rw_own * (0.15 + (160.0 * pd_g_fl))) AS rw_dd,
+               (dd_elig AND (rw_own * (0.15 + (160.0 * pd_g_fl)))
+                    < coalesce(grw0, CAST('infinity' AS DOUBLE))) AS dd_applies
+        FROM s5
+    ), s7 AS (
+        SELECT *, CASE WHEN dd_applies THEN rw_dd ELSE grw0 END AS grw,
+               CASE WHEN dd_applies THEN 'dd'
+                    WHEN gpd IS NOT NULL THEN 'sub_pd'
+                    ELSE 'sub_sa' END AS method
+        FROM s6
+    ), s8 AS (
+        SELECT *, (g > 0 AND grw IS NOT NULL AND grw < rw_own) AS ben,
+               ((pd_fl * lgd) * ead) AS el_own
+        FROM s7
+    ), s9 AS (
+        SELECT band_pd, g_class, g_cqs, band_gpd, sen, ead,
+               CASE WHEN ben THEN (((1.0 - g) * rw_own) + (g * grw))
+                    ELSE rw_own END AS rw_final,
+               CASE WHEN ben AND method = 'dd' THEN el_own
+                    WHEN ben AND method = 'sub_pd'
+                        THEN (((1.0 - g) * el_own) + (((pd_g_fl * lgd_g) * g) * ead))
+                    WHEN ben THEN ((1.0 - g) * el_own)
+                    ELSE el_own END AS el,
+               'irb_vasicek_' || sub || CASE WHEN ben THEN '+g' || method
+                    ELSE '' END AS src
+        FROM s8
+    )
+    SELECT band_pd, g_class, g_cqs, band_gpd, sen,
+           count(*) AS n_rows,
+           round(min(rw_final), 8) AS rw,
+           round(min(rw_final) * ({sql_scaled_sum('ead', 2)}), 2) AS rwa,
+           round(min(el / ead) * ({sql_scaled_sum('ead', 2)}), 2) AS el_amt,
+           min(src) AS src
+    FROM s9
+    GROUP BY 1, 2, 3, 4, 5
+    """
+
+
+@query("irb_guarantee_blend", oracle=_irb_guarantee_oracle(), tags=("engine", "irb", "tolerant"))
+def irb_guarantee_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRB unfunded protection through the REAL engine calculator (ref
+    engine/irb/guarantee.py): SA-guarantor RW substitution (Art.235),
+    IRB-guarantor parameter substitution with the Art.161(1) supervisory
+    LGD, CRR Art.153(3) double default (A-IRB + eligible guarantor,
+    taken when beneficial), Art.193(1) decline-not-cap gate, and the
+    Art.161(3) EL blend — aggregated per input band."""
+    from rwa_calculator_spark.engine.bundles import CRMOutput
+    from rwa_calculator_spark.engine.stages.calculators import run_irb
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    exp = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("exposure_class"),
+        (F.col("o_custkey") % 7).cast("int").alias("cqs"),
+        F.lit(True).alias("has_irb_permission"),
+        F.lit(False).alias("is_specialised"),
+        F.lit(False).alias("is_defaulted"),
+        ((1 + F.col("o_orderkey") % 8).cast("double") / F.lit(100.0)).alias("pd"),
+        (F.lit(0.25) + (F.col("o_orderkey") % 2).cast("double") * F.lit(0.20)).alias("lgd"),
+        F.lit(2.5).alias("effective_maturity"),
+        F.lit(200_000_000.0).alias("annual_revenue"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(0.0).alias("undrawn_amount"),
+        F.col("o_totalprice").alias("ead"),
+        F.col("o_totalprice").alias("ead_after_crm"),
+        ((F.col("o_orderkey") % 4).cast("double") / F.lit(5.0)).alias("g_coverage"),
+        F.when(F.col("o_custkey") % 3 == 0, "institution")
+        .when(F.col("o_custkey") % 3 == 1, "corporate")
+        .otherwise("sovereign")
+        .alias("g_class"),
+        (1 + F.col("o_custkey") % 5).cast("int").alias("g_cqs"),
+        F.when(
+            F.col("o_custkey") % 2 == 0,
+            (1 + F.col("o_custkey") % 5).cast("double") / F.lit(1000.0),
+        ).alias("guarantor_pd"),
+        F.when(F.col("o_custkey") % 7 == 0, "subordinated")
+        .otherwise("senior")
+        .alias("guarantor_seniority"),
+        F.when(F.col("o_orderkey") % 2 == 0, "airb").otherwise("firb").alias("irb_subapproach"),
+        (F.col("o_orderkey") % 8).cast("int").alias("band_pd"),
+        F.when(F.col("o_custkey") % 2 == 0, (1 + F.col("o_custkey") % 5))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("band_gpd"),
+    )
+    keys = exp.select(
+        "exposure_reference", "band_pd", "g_class", "g_cqs", "band_gpd",
+        F.col("guarantor_seniority").alias("sen"),
+    )
+    res = run_irb(CRMOutput(exposures=exp.drop("band_pd", "band_gpd")), CRR_PACK).results
+    r = res.join(keys, "exposure_reference")
+    return r.groupBy("band_pd", "g_class", "g_cqs", "band_gpd", "sen").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("risk_weight"), 8).alias("rw"),
+        F.round(F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2).alias("rwa"),
+        F.round(
+            F.min(F.col("expected_loss") / F.col("ead_after_crm"))
+            * scaled_sum(F.col("ead_after_crm"), 2),
+            2,
+        ).alias("el_amt"),
+        F.min("rw_source").alias("src"),
+    )

@@ -51,3 +51,20 @@ def release_cached_blocks(spark: SparkSession) -> None:
     it = rdds.values().iterator()
     while it.hasNext():
         it.next().unpersist(False)
+    # Broadcast blocks are freed by ContextCleaner only after their py4j
+    # handles are garbage-collected on the Python side AND the JVM runs a
+    # GC that processes the cleaner's weak references. With ~100 broadcast
+    # joins per session and a default-sized heap, waiting for an organic
+    # full GC is what eventually OOMs a later query. Python GC is cheap —
+    # always run it; the JVM full GC is a stop-the-world pause, so trigger
+    # it only under real heap pressure (a roomy bench heap never pays it,
+    # a default 1g driver sheds its accumulated broadcasts before OOM).
+    import gc
+
+    gc.collect()
+    try:
+        rt = spark.sparkContext._jvm.Runtime.getRuntime()
+        if rt.totalMemory() - rt.freeMemory() > 0.6 * rt.maxMemory():
+            spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # diagnostics-grade nudge; never fail a query over it

@@ -2204,3 +2204,155 @@ def test_rgla_sovereign_not_pinned_to_zero(spark):
     assert got["L1"] == ("sovereign", 0.0)  # CGCB ladder at CQS1
     assert got["L2"] == ("sovereign", 0.2)  # NOT a flat 0%
     assert got["L3"] == ("institution", 0.2)  # Art.115(1) institution treatment
+
+
+def _py_irb_rw(pd, lgd, m, scaling, pd_floor, with_ma=True):
+    """Python-backend mirror of the performing corporate IRB RW (no SME/FI
+    routing): K(PD,LGD,R_corp)·MA·12.5·scaling."""
+    from rwa_calculator_spark.functions.irb import (
+        capital_k_r_v,
+        correlation_v,
+        maturity_adj_v,
+    )
+    from rwa_calculator_spark.functions.stats import PyB, V, py_normal_ppf
+
+    pd_f = max(pd, pd_floor)
+    g_pd = py_normal_ppf(pd_f)
+    r = correlation_v(V(PyB, pd_f)).v
+    k = capital_k_r_v(V(PyB, pd_f), V(PyB, lgd), V(PyB, g_pd), V(PyB, r)).v
+    ma = maturity_adj_v(V(PyB, pd_f), V(PyB, m)).v if with_ma else 1.0
+    return k * ma * 12.5 * scaling
+
+
+def test_irb_guarantee_substitution_and_pd_substitution(spark):
+    """IRB unfunded protection (ref engine/irb/guarantee.py
+    apply_guarantee_substitution): SA guarantor -> RW substitution on the
+    covered leg (Art.235); IRB guarantor (guarantor_pd) -> parameter
+    substitution through the Vasicek kernel with the Art.161(1) supervisory
+    LGD; non-beneficial guarantees are DECLINED (Art.193(1)), not capped.
+    EL: SA guarantor keeps the retained share only; PD substitution adds
+    PD_g·LGD_g on the covered leg (Art.161(3))."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 200_000_000.0, True)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 1000.0, False, 0.02, 0.45, 2.5),  # SA-guaranteed
+            ("L2", "CP1", 1000.0, False, 0.02, 0.45, 2.5),  # PD-substituted
+            ("L3", "CP1", 1000.0, False, 0.02, 0.45, 2.5),  # declined (worse RW)
+            ("L4", "CP1", 1000.0, False, 0.02, 0.45, 2.5),  # unguaranteed
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    guarantees = _df(
+        spark,
+        [
+            ("L1", 0.6, "institution", 1, None, None),
+            ("L2", 0.5, "corporate", 1, 0.001, "senior"),
+            ("L3", 0.5, "corporate", 5, None, None),  # SA RW 1.5 > own -> declined
+        ],
+        "exposure_reference string, coverage_pct double, guarantor_class string, "
+        "guarantor_cqs int, guarantor_pd double, guarantor_seniority string",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, guarantees=guarantees),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+
+    rw_own = _py_irb_rw(0.02, 0.45, 2.5, 1.06, 0.0003)
+    el_own = 0.02 * 0.45 * 1000.0
+
+    # L1: SA substitution — institution CQS1 -> 20%
+    assert rows["L1"].risk_weight == pytest.approx(
+        0.4 * rw_own + 0.6 * 0.2, rel=1e-9
+    )
+    assert rows["L1"].rw_source.endswith("+gsub_sa")
+    assert rows["L1"].expected_loss == pytest.approx(0.4 * el_own, rel=1e-9)
+
+    # L2: parameter substitution — guarantor PD 0.001, CRR F-IRB senior LGD 0.45
+    rw_g = _py_irb_rw(0.001, 0.45, 2.5, 1.06, 0.0003)
+    assert rows["L2"].risk_weight == pytest.approx(
+        0.5 * rw_own + 0.5 * rw_g, rel=1e-9
+    )
+    assert rows["L2"].rw_source.endswith("+gsub_pd")
+    assert rows["L2"].expected_loss == pytest.approx(
+        0.5 * el_own + 0.001 * 0.45 * 0.5 * 1000.0, rel=1e-9
+    )
+
+    # L3: corporate CQS5 guarantor (SA RW 150%) is worse — declined outright
+    assert rows["L3"].risk_weight == pytest.approx(rw_own, rel=1e-9)
+    assert "+g" not in rows["L3"].rw_source
+    assert rows["L3"].expected_loss == pytest.approx(el_own, rel=1e-9)
+
+    # L4: untouched
+    assert rows["L4"].risk_weight == pytest.approx(rw_own, rel=1e-9)
+
+
+def test_irb_double_default_multiplier(spark):
+    """CRR Art.153(3)/202-203 double default: A-IRB corporate underlying +
+    eligible guarantor with an internal PD takes
+    RW_dd = RW_obligor·(0.15+160·PD_g) on the covered leg when lower than
+    the substitution RW; EL stays on the full obligor basis (DD modifies K,
+    not EL). B3.1 gates DD off (not onshored in PS1/26) — the same row
+    falls back to parameter substitution."""
+    from rwa_calculator_spark.engine.bundles import CRMOutput
+    from rwa_calculator_spark.engine.stages.calculators import run_irb
+
+    schema = (
+        "exposure_reference string, counterparty_reference string, "
+        "exposure_class string, cqs int, has_irb_permission boolean, "
+        "is_specialised boolean, is_defaulted boolean, pd double, lgd double, "
+        "effective_maturity double, annual_revenue double, drawn_amount double, "
+        "undrawn_amount double, ead double, ead_after_crm double, "
+        "g_coverage double, g_class string, g_cqs int, guarantor_pd double, "
+        "irb_subapproach string"
+    )
+    rows = [
+        ("E1", "CP1", "corporate", 2, True, False, False, 0.02, 0.25, 2.5,
+         200_000_000.0, 1000.0, 0.0, 1000.0, 1000.0,
+         0.6, "institution", 1, 0.0003, "airb"),
+        # F-IRB routed row: DD requires own-LGD permission -> substitution only
+        ("E2", "CP1", "corporate", 2, True, False, False, 0.02, 0.25, 2.5,
+         200_000_000.0, 1000.0, 0.0, 1000.0, 1000.0,
+         0.6, "institution", 1, 0.0003, "firb"),
+    ]
+    crm = CRMOutput(exposures=_df(spark, rows, schema))
+
+    for pack, scaling, pd_floor, lgd_sen in (
+        (CRR_PACK, 1.06, 0.0003, 0.45),
+        (B31_PACK, 1.0, 0.0005, 0.40),
+    ):
+        res = {r.exposure_reference: r for r in run_irb(crm, pack).results.collect()}
+        rw_own = _py_irb_rw(0.02, 0.25, 2.5, scaling, pd_floor)
+        pd_g = max(0.0003, pd_floor)
+        rw_sub = _py_irb_rw(pd_g, lgd_sen, 2.5, scaling, pd_floor)
+        rw_dd = rw_own * (0.15 + 160.0 * pd_g)
+        if pack is CRR_PACK:
+            # DD eligible and (here) beneficial vs substitution
+            best = min(rw_sub, rw_dd)
+            assert rw_dd < rw_sub  # scenario exercises the DD branch
+            assert res["E1"].risk_weight == pytest.approx(
+                0.4 * rw_own + 0.6 * best, rel=1e-9
+            )
+            assert res["E1"].rw_source.endswith("+gdd")
+            # DD retains the FULL obligor EL
+            assert res["E1"].expected_loss == pytest.approx(
+                0.02 * 0.25 * 1000.0, rel=1e-9
+            )
+        else:
+            # B3.1: DD unavailable -> parameter substitution on E1 too
+            assert res["E1"].risk_weight == pytest.approx(
+                0.4 * rw_own + 0.6 * rw_sub, rel=1e-9
+            )
+            assert res["E1"].rw_source.endswith("+gsub_pd")
+        # F-IRB row never takes DD; always parameter substitution
+        assert res["E2"].risk_weight == pytest.approx(
+            0.4 * rw_own + 0.6 * rw_sub, rel=1e-9
+        )
+        assert res["E2"].rw_source.endswith("+gsub_pd")
