@@ -399,6 +399,10 @@ CRR_PACK = RulePack(
         "double_default_available": RuleEntry(_D("1"), "CRR Art.153(3), 202-203"),
         "dd_k_base": RuleEntry(_D("0.15"), "CRR Art.153(3)"),
         "dd_k_slope": RuleEntry(_D("160"), "CRR Art.153(3)"),
+        # Basel-3.1-only post-base SA adjustments (Features, off under CRR;
+        # ref engine/sa/rw_adjustments.py)
+        "sa_currency_mismatch_multiplier": RuleEntry(_D("0"), "no CRR analogue"),
+        "sa_due_diligence_override": RuleEntry(_D("0"), "no CRR analogue"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
@@ -495,6 +499,15 @@ B31_PACK = RulePack(
         "double_default_available": RuleEntry(_D("0"), "not onshored in PS1/26"),
         "dd_k_base": RuleEntry(_D("0.15"), "n/a in B3.1 (gated off)"),
         "dd_k_slope": RuleEntry(_D("160"), "n/a in B3.1 (gated off)"),
+        # PS1/26 Art.123B: ×1.5 RW multiplier for retail / residential-RE
+        # currency mismatch, capped at 150%, waived when hedged (flag or
+        # ≥90% effective coverage); Art.110A: firm-assessed due-diligence
+        # override, increase-only (ref engine/sa/rw_adjustments.py)
+        "sa_currency_mismatch_multiplier": RuleEntry(_D("1"), "PS1/26 Art.123B"),
+        "currency_mismatch_multiplier": RuleEntry(_D("1.5"), "PS1/26 Art.123B(1)"),
+        "currency_mismatch_cap": RuleEntry(_D("1.5"), "PS1/26 Art.123B(1) (150% cap)"),
+        "currency_mismatch_hedge_floor": RuleEntry(_D("0.9"), "PS1/26 Art.123B(2)"),
+        "sa_due_diligence_override": RuleEntry(_D("1"), "PS1/26 Art.110A"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),

@@ -455,6 +455,91 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             ).otherwise(F.col("rw_source")),
         )
 
+    # PS1/26 Art.123B (B3.1 only, Feature-gated): ×1.5 RW multiplier for
+    # retail / residential-RE exposures whose currency mismatches the
+    # borrower's income currency, capped at 150%. Waived when hedged —
+    # either the is_hedged flag or ≥90% effective coverage, where a
+    # revolving facility's firm-supplied coverage ratio (measured on the
+    # current drawn balance) is rescaled onto the fully-drawn committed
+    # base per Art.123B(2A) (ref engine/sa/rw_adjustments.py
+    # apply_currency_mismatch_multiplier).
+    if (
+        pack.scalar("sa_currency_mismatch_multiplier") >= 1.0
+        and "borrower_income_currency" in exp.columns
+        and "currency" in exp.columns
+    ):
+        in_scope = F.col("exposure_class").isin("retail", "re_secured")
+        mismatch = F.col("borrower_income_currency").isNotNull() & (
+            F.col("borrower_income_currency") != F.col("currency")
+        )
+        hedged = (
+            F.coalesce("is_hedged", F.lit(False))
+            if "is_hedged" in exp.columns
+            else F.lit(False)
+        )
+        if "hedge_coverage_ratio" in exp.columns:
+            raw_cov = F.coalesce("hedge_coverage_ratio", F.lit(0.0))
+            revolving = (
+                F.coalesce("is_revolving", F.lit(False))
+                if "is_revolving" in exp.columns
+                else F.lit(False)
+            )
+            drawn = F.coalesce("drawn_amount", F.lit(0.0))
+            limit = (
+                F.coalesce(F.col("facility_limit"), drawn)
+                if "facility_limit" in exp.columns
+                else drawn
+            )
+            full_draw = F.greatest(drawn, limit)
+            eff_cov = F.when(
+                revolving & (full_draw > 0), raw_cov * drawn / full_draw
+            ).otherwise(raw_cov)
+            cov_ok = eff_cov >= pack.lit("currency_mismatch_hedge_floor")
+        else:
+            cov_ok = F.lit(False)
+        ccymm = in_scope & mismatch & ~(hedged | cov_ok)
+        exp = exp.withColumn(
+            "risk_weight",
+            F.when(
+                ccymm,
+                F.least(
+                    F.col("risk_weight") * pack.lit("currency_mismatch_multiplier"),
+                    pack.lit("currency_mismatch_cap"),
+                ),
+            ).otherwise(F.col("risk_weight")),
+        ).withColumn(
+            "rw_source",
+            F.when(ccymm, F.concat(F.col("rw_source"), F.lit("+ccymm"))).otherwise(
+                F.col("rw_source")
+            ),
+        )
+
+    # PS1/26 Art.110A (B3.1 only, Feature-gated): where the firm's due
+    # diligence found the calculated weight understates the risk, the
+    # firm-assessed override replaces it — increase-only, applied after
+    # every standard RW step but BEFORE the Art.113(6) intragroup
+    # override, which is a hard permission and deliberately wins.
+    if (
+        pack.scalar("sa_due_diligence_override") >= 1.0
+        and "due_diligence_override_rw" in exp.columns
+    ):
+        ddq = F.col("due_diligence_override_rw").isNotNull() & (
+            F.col("due_diligence_override_rw") > F.col("risk_weight")
+        )
+        # one withColumns: both outputs must read the PRE-override weight
+        # (a second chained withColumn would re-evaluate ddq against the
+        # already-overridden column and never tag the source)
+        exp = exp.withColumns(
+            {
+                "risk_weight": F.when(
+                    ddq, F.col("due_diligence_override_rw")
+                ).otherwise(F.col("risk_weight")),
+                "rw_source": F.when(
+                    ddq, F.concat(F.col("rw_source"), F.lit("+ddq"))
+                ).otherwise(F.col("rw_source")),
+            }
+        )
+
     # CRR Art.113(6): 0% RW for core-UK-group intragroup exposures on an
     # individual-basis run. The carrier is set (and authoritatively
     # cleared) ONLY by resolve_scope — see engine/stages/scope.py (ref

@@ -103,6 +103,19 @@ def run_hierarchy(
                 else F.lit(None).cast("int")
             ).alias("cb_cqs")
         )
+    # B3.1 post-base SA adjustment carriers (PS1/26 Art.123B currency
+    # mismatch + Art.110A due diligence; ref engine/sa/rw_adjustments.py)
+    # ride along when supplied
+    for opt in (
+        "borrower_income_currency",
+        "is_hedged",
+        "hedge_coverage_ratio",
+        "is_revolving",
+        "facility_limit",
+        "due_diligence_override_rw",
+    ):
+        if opt in raw.loans.columns:
+            loan_cols.append(F.col(opt))
     loans = loans_src.select(*loan_cols)
     frames = [loans]
     if raw.contingents is not None:

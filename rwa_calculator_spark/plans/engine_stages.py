@@ -1148,3 +1148,136 @@ def irb_guarantee_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("el_amt"),
         F.min("rw_source").alias("src"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B3.1 post-base SA adjustments (ref engine/sa/rw_adjustments.py): PS1/26
+# Art.123B currency-mismatch ×1.5 multiplier (150% cap, hedge waivers with
+# the Art.123B(2A) revolving rescale) and the Art.110A increase-only
+# due-diligence override — run through the REAL B3.1 pipeline.
+# ---------------------------------------------------------------------------
+
+_B31_ADJ_ORACLE = """
+    WITH cps AS (
+        SELECT c_custkey AS cp, CAST(c_custkey % 7 AS INTEGER) AS cqs,
+               (c_custkey % 2 = 0) AS is_retail_cp
+        FROM customer
+    ), loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp, o_totalprice AS drawn,
+               CASE CAST(o_orderkey % 3 AS INTEGER) WHEN 0 THEN 'GBP'
+                    WHEN 1 THEN 'USD' ELSE 'EUR' END AS ccy,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    WHEN o_orderkey % 2 = 0 THEN 'GBP' ELSE 'JPY' END AS bic,
+               (o_orderkey % 7 = 0) AS is_hedged,
+               CAST(o_orderkey % 11 AS DOUBLE) / 10.0 AS cov,
+               (o_orderkey % 2 = 0) AS revolving,
+               o_totalprice * 2.0 AS fac_limit,
+               CASE WHEN o_custkey % 13 = 0 THEN 1.2 END AS ddq_rw
+        FROM orders
+    ), grp AS (
+        SELECT l.*, c.cqs, c.is_retail_cp,
+               sum(CAST(round(l.drawn * 100.0, 0) AS BIGINT))
+                   OVER (PARTITION BY l.cp) / CAST(100 AS DOUBLE) AS grp_total
+        FROM loans l JOIN cps c ON l.cp = c.cp
+    ), base AS (
+        SELECT *,
+               (is_retail_cp AND grp_total <= 1000000.0) AS is_retail
+        FROM grp
+    ), rw0 AS (
+        SELECT *,
+               CASE WHEN is_retail THEN 0.75 ELSE
+                    CASE coalesce(cqs, 0) WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+                         WHEN 3 THEN 1.0 WHEN 4 THEN 1.0 WHEN 5 THEN 1.5
+                         WHEN 6 THEN 1.5 ELSE 1.0 END END AS rw_base,
+               CASE WHEN is_retail THEN 'sa_retail'
+                    ELSE 'sa_cqs_lookup' END AS src0
+        FROM base
+    ), mm AS (
+        SELECT *,
+               (is_retail AND bic IS NOT NULL AND bic <> ccy
+                AND NOT (is_hedged OR
+                    (CASE WHEN revolving AND greatest(drawn, fac_limit) > 0
+                          THEN (cov * drawn) / greatest(drawn, fac_limit)
+                          ELSE cov END) >= 0.9)) AS ccymm
+        FROM rw0
+    ), rw1 AS (
+        SELECT *,
+               CASE WHEN ccymm THEN least(rw_base * 1.5, 1.5)
+                    ELSE rw_base END AS rw_mm,
+               src0 || CASE WHEN ccymm THEN '+ccymm' ELSE '' END AS src1
+        FROM mm
+    ), rw2 AS (
+        SELECT *,
+               CASE WHEN ddq_rw IS NOT NULL AND ddq_rw > rw_mm
+                    THEN ddq_rw ELSE rw_mm END AS rw,
+               src1 || CASE WHEN ddq_rw IS NOT NULL AND ddq_rw > rw_mm
+                    THEN '+ddq' ELSE '' END AS rw_source
+        FROM rw1
+    )
+    SELECT rw_source, rw AS risk_weight, count(*) AS n_exposures,
+           sum(CAST(round((drawn * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_rwa
+    FROM rw2 GROUP BY 1, 2
+"""
+
+
+@query("sa_b31_rw_adjustments", oracle=_B31_ADJ_ORACLE, tags=("engine", "sa"))
+def sa_b31_rw_adjustments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PS1/26 Art.123B currency-mismatch multiplier + Art.110A due-diligence
+    override through the REAL B3.1 pipeline (ref engine/sa/rw_adjustments.py):
+    retail rows with an income-currency mismatch take ×1.5 capped at 150%
+    unless hedged (flag, or ≥90% effective coverage — revolving rows rescale
+    the firm-supplied ratio onto the fully-drawn base, halving it here);
+    the due-diligence override then lifts any weight it exceeds, stacking
+    its +ddq tag after +ccymm. Aggregated by rw_source × risk weight."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.col("c_custkey") % 2 == 0, "individual")
+        .otherwise("corporate")
+        .alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        (F.col("c_custkey") % 2 == 0).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        F.when(F.col("o_orderkey") % 3 == 0, "GBP")
+        .when(F.col("o_orderkey") % 3 == 1, "USD")
+        .otherwise("EUR")
+        .alias("currency"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("o_orderkey") % 2 == 0, "GBP")
+        .otherwise("JPY")
+        .alias("borrower_income_currency"),
+        (F.col("o_orderkey") % 7 == 0).alias("is_hedged"),
+        ((F.col("o_orderkey") % 11).cast("double") / F.lit(10.0)).alias(
+            "hedge_coverage_ratio"
+        ),
+        (F.col("o_orderkey") % 2 == 0).alias("is_revolving"),
+        (F.col("o_totalprice") * F.lit(2.0)).alias("facility_limit"),
+        F.when(F.col("o_custkey") % 13 == 0, F.lit(1.2)).alias(
+            "due_diligence_override_rw"
+        ),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=B31_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("rw_source", "risk_weight").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )

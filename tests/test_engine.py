@@ -2356,3 +2356,106 @@ def test_irb_double_default_multiplier(spark):
             0.4 * rw_own + 0.6 * rw_sub, rel=1e-9
         )
         assert res["E2"].rw_source.endswith("+gsub_pd")
+
+
+def test_b31_currency_mismatch_and_due_diligence(spark):
+    """PS1/26 Art.123B: ×1.5 RW multiplier (capped at 150%) for retail /
+    residential-RE currency mismatch, waived by the is_hedged flag or ≥90%
+    effective hedge coverage with the Art.123B(2A) revolving rescale onto
+    the fully-drawn base; PS1/26 Art.110A: increase-only due-diligence
+    override. Both are B3.1 Features — the CRR run is a no-op."""
+    cps = _df(
+        spark,
+        [
+            ("CPR", "individual", 0, True, 0.0, False),
+            ("CPC", "corporate", 2, False, 0.0, False),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            # retail, mismatch, unhedged -> 0.75 × 1.5 = 1.125
+            ("R1", "CPR", 100.0, False, None, None, None,
+             "GBP", "USD", False, None, False, None, None),
+            # retail, mismatch, is_hedged flag -> waived
+            ("R2", "CPR", 100.0, False, None, None, None,
+             "GBP", "USD", True, None, False, None, None),
+            # retail, mismatch, 95% coverage non-revolving -> waived
+            ("R3", "CPR", 100.0, False, None, None, None,
+             "GBP", "USD", False, 0.95, False, None, None),
+            # revolving: 0.95 × 100/1000 = 9.5% effective -> applies
+            ("R4", "CPR", 100.0, False, None, None, None,
+             "GBP", "USD", False, 0.95, True, 1000.0, None),
+            # no mismatch (income ccy == exposure ccy) -> unchanged
+            ("R5", "CPR", 100.0, False, None, None, None,
+             "GBP", "GBP", False, None, False, None, None),
+            # corporate mismatch -> out of scope
+            ("C1", "CPC", 100.0, False, None, None, None,
+             "GBP", "USD", False, None, False, None, None),
+            # corporate, due-diligence override 1.2 > 0.5 -> 1.2
+            ("C2", "CPC", 100.0, False, None, None, None,
+             "GBP", "GBP", False, None, False, None, 1.2),
+            # override below the calculated RW -> increase-only, unchanged
+            ("C3", "CPC", 100.0, False, None, None, None,
+             "GBP", "GBP", False, None, False, None, 0.1),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double, "
+        "currency string, borrower_income_currency string, is_hedged boolean, "
+        "hedge_coverage_ratio double, is_revolving boolean, facility_limit double, "
+        "due_diligence_override_rw double",
+    )
+    bundle = RawBundle(counterparties=cps, loans=loans)
+
+    b31 = {
+        r.exposure_reference: r
+        for r in run_pipeline(bundle, PipelineConfig(pack=B31_PACK)).results.collect()
+    }
+    assert b31["R1"].risk_weight == pytest.approx(0.75 * 1.5)
+    assert b31["R1"].rw_source == "sa_retail+ccymm"
+    assert b31["R2"].risk_weight == pytest.approx(0.75)
+    assert b31["R3"].risk_weight == pytest.approx(0.75)
+    assert b31["R4"].risk_weight == pytest.approx(0.75 * 1.5)
+    assert b31["R5"].risk_weight == pytest.approx(0.75)
+    assert b31["C1"].risk_weight == pytest.approx(0.5)  # corporate CQS2
+    assert b31["C2"].risk_weight == pytest.approx(1.2)
+    assert b31["C2"].rw_source == "sa_cqs_lookup+ddq"
+    assert b31["C3"].risk_weight == pytest.approx(0.5)
+
+    # CRR: both Features off -> no adjustment anywhere
+    crr = {
+        r.exposure_reference: r
+        for r in run_pipeline(bundle, PipelineConfig(pack=CRR_PACK)).results.collect()
+    }
+    assert crr["R1"].risk_weight == pytest.approx(0.75)
+    assert crr["C2"].risk_weight == pytest.approx(0.5)
+    assert all("+ccymm" not in r.rw_source and "+ddq" not in r.rw_source
+               for r in crr.values())
+
+
+def test_b31_currency_mismatch_cap(spark):
+    """Art.123B(1): the multiplied weight is capped at 150% — a defaulted
+    retail row at 150% and an unrated-corporate-style retail row stay at
+    the cap rather than 225%."""
+    cps = _df(
+        spark,
+        [("CPR", "individual", 0, True, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("D1", "CPR", 100.0, True, None, None, None, "GBP", "USD")],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double, "
+        "currency string, borrower_income_currency string",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=B31_PACK)
+    )
+    row = out.results.collect()[0]
+    # defaulted RW 1.5 -> in scope? defaulted retail keeps class retail;
+    # 1.5 × 1.5 = 2.25 capped to 1.5
+    assert row.risk_weight == pytest.approx(1.5)
