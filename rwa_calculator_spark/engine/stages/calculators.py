@@ -871,8 +871,36 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     (CRR Art.153(5)/158(6); ref engine/slotting/)."""
     spark = crm.exposures.sparkSession
     exp = _crm_carry(crm.exposures.where(F.col("is_specialised")))
-    slot_rw = pack.broadcast_table(spark, "slotting_rw")
-    exp = exp.join(slot_rw, "slot_category", "left").withColumn(
+    # Art.153(5) Table A keys on (category, maturity band, HVCRE): the
+    # preferential short row applies below 2.5y remaining maturity;
+    # unknown maturity conservatively takes the long row. Joining on the
+    # full key matters — a category-only join against the 20-row table
+    # fans every slotted exposure out 4×.
+    exp = exp.withColumn(
+        "_sl_short",
+        F.coalesce(F.col("effective_maturity") < F.lit(2.5), F.lit(False)),
+    ).withColumn(
+        "_sl_hvcre",
+        (
+            F.coalesce("is_hvcre", F.lit(False))
+            if "is_hvcre" in exp.columns
+            else F.lit(False)
+        ),
+    )
+    slot_rw = pack.table_df(spark, "slotting_rw").select(
+        F.col("slot_category").alias("_sl_cat_t"),
+        F.col("is_short").alias("_sl_short_t"),
+        F.col("is_hvcre").alias("_sl_hvcre_t"),
+        "rw",
+        "el_rate",
+    )
+    exp = exp.join(
+        F.broadcast(slot_rw),
+        (F.col("slot_category") == F.col("_sl_cat_t"))
+        & (F.col("_sl_short") == F.col("_sl_short_t"))
+        & (F.col("_sl_hvcre") == F.col("_sl_hvcre_t")),
+        "left",
+    ).drop("_sl_cat_t", "_sl_short_t", "_sl_hvcre_t").withColumn(
         "risk_weight",
         F.when(F.col("is_defaulted"), F.lit(0.0)).otherwise(
             F.coalesce("rw", pack.lit("unrated_corp_rw"))
@@ -891,7 +919,9 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     exp = _el_columns(
         exp, F.coalesce("el_rate", F.lit(0.0)) * F.col("ead_after_crm")
     )
-    exp = _param_cols(exp)
+    # carry the maturity the band keyed on (Pillar 3 CR10 splits every
+    # category into <2.5y / ≥2.5y rows on exactly this input)
+    exp = _param_cols(exp, m_col=F.col("effective_maturity").cast("double"))
     exp = exp.withColumn("rwa_sa_equivalent", F.col("rwa"))
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 

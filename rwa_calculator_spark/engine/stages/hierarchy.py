@@ -217,7 +217,11 @@ def run_hierarchy(
     dim = raw.counterparties.select(*dim_cols)
 
     if raw.specialised_lending is not None:
-        sl = raw.specialised_lending.select("counterparty_reference", "slot_category")
+        sl_cols = ["counterparty_reference", "slot_category"]
+        # HVCRE sub-class rides along for the Art.153(5) HVCRE slotting rows
+        if "is_hvcre" in raw.specialised_lending.columns:
+            sl_cols.append("is_hvcre")
+        sl = raw.specialised_lending.select(*sl_cols)
         dim = dim.join(sl, "counterparty_reference", "left")
     else:
         dim = dim.withColumn("slot_category", F.lit(None).cast("string"))

@@ -351,7 +351,7 @@ def pillar3_ov1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.unionByName(total)
 
 
-_CCR_SFT_ORACLE = f"""
+_CCR_SFT_CTES = f"""
     WITH RECURSIVE cps AS (
         SELECT c_custkey AS cp_key,
                CASE WHEN c_mktsegment = 'FURNITURE' THEN 'individual'
@@ -490,6 +490,9 @@ _CCR_SFT_ORACLE = f"""
         LEFT JOIN {_SQL_SA_RW}
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
     )
+"""
+
+_CCR_SFT_ORACLE = _CCR_SFT_CTES + f"""
     SELECT approach, count(*) AS n_exposures,
            {sql_scaled_sum('ead', 2)} AS total_ead,
            {sql_scaled_sum('(ead * risk_weight) * sf', 2)} AS total_rwa
@@ -497,20 +500,10 @@ _CCR_SFT_ORACLE = f"""
     """
 
 
-@query(
-    "rwa_pipeline_ccr_sft",
-    oracle=_CCR_SFT_ORACLE,
-    tags=("rwa", "pipeline", "ccr"),
-)
-def rwa_pipeline_ccr_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline with CCR trades, SFTs and securitisation allocations in
-    the BUNDLE (ref engine/registry.py:46-58 — the stages fold into the
-    ledger, not standalone queries): SA-CCR netting-set EADs and SFT FCCM
-    exposures enter as synthetic rows, allocated loan slices leave the book
-    and return as SEC-SA pool rows. The oracle re-derives every stage —
-    two-level add-on aggregation, leg netting, retained-share reduction —
-    and the by-approach summary."""
-    release_cached_blocks(spark)  # bound the one-session cached footprint
+def _ccr_sft_pipeline(spark: SparkSession, sf_dir: str):
+    """Shared star-mapped bundle with CCR trades + SFT legs + allocations,
+    run through the full pipeline (used by rwa_pipeline_ccr_sft and the
+    CCR reporting queries — same mapping, same oracle CTEs)."""
     from dataclasses import replace as dc_replace
 
     bundle = _star_bundle(spark, sf_dir, irb=False)
@@ -566,8 +559,24 @@ def rwa_pipeline_ccr_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
         sft_trades=lent_leg.unionByName(coll_leg),
         securitisation_allocations=allocs,
     )
-    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
-    return out.summary_by_approach
+    return run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+
+
+@query(
+    "rwa_pipeline_ccr_sft",
+    oracle=_CCR_SFT_ORACLE,
+    tags=("rwa", "pipeline", "ccr"),
+)
+def rwa_pipeline_ccr_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline with CCR trades, SFTs and securitisation allocations in
+    the BUNDLE (ref engine/registry.py:46-58 — the stages fold into the
+    ledger, not standalone queries): SA-CCR netting-set EADs and SFT FCCM
+    exposures enter as synthetic rows, allocated loan slices leave the book
+    and return as SEC-SA pool rows. The oracle re-derives every stage —
+    two-level add-on aggregation, leg netting, retained-share reduction —
+    and the by-approach summary."""
+    release_cached_blocks(spark)  # bound the one-session cached footprint
+    return _ccr_sft_pipeline(spark, sf_dir).summary_by_approach
 
 
 @query(
@@ -1328,3 +1337,292 @@ def parallel_run_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps,
     )
     return res.summary
+
+
+# ---------------------------------------------------------------------------
+# Pillar 3 CR9 (IRB PD back-testing) + CR10 (slotting / CRR equity) —
+# completing the CR family (OV1/CR4/CR5/CR6 above; ref
+# reporting/pillar3/cr9.py, cr10.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pillar3_cr9",
+    oracle=_SQL_BASE.format(irb_flag="c_custkey % 3 = 0") + f"""
+    , routed AS (
+        SELECT *,
+               CASE WHEN is_defaulted THEN 1.0
+                    ELSE greatest(coalesce(pd, 1.0), 0.0003) END AS pd_f
+        FROM with_ead
+    ), banded AS (
+        SELECT cp_key, exposure_class, ead, pd_f, {_cr6_band_sql()} AS pd_band
+        FROM routed WHERE has_irb_permission
+    )
+    SELECT exposure_class, pd_band,
+           count(*) AS n_rows,
+           count(DISTINCT cp_key) AS n_obligors,
+           count(DISTINCT CASE WHEN pd_f >= 1.0 THEN cp_key END) AS n_defaulted,
+           round((CAST(count(DISTINCT CASE WHEN pd_f >= 1.0 THEN cp_key END)
+                       AS DOUBLE) * 100.0)
+                 / count(DISTINCT cp_key), 10) AS default_rate_pct,
+           {sql_scaled_sum('ead', 2)} AS ead_total,
+           round((({sql_scaled_sum('pd_f * ead', 2)}) / ({sql_scaled_sum('ead', 2)}))
+                 * 100.0, 8) AS pd_ewa_pct,
+           round((({sql_scaled_sum('pd_f', 9)}) / count(*)) * 100.0, 8) AS pd_mean_pct
+    FROM banded GROUP BY 1, 2
+    """,
+    tags=("rwa", "reporting"),
+)
+def pillar3_cr9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 CR9 — IRB PD back-testing by exposure class × PD band (ref
+    reporting/pillar3/cr9.py; CRR Art.452(h)): distinct-obligor count,
+    distinct defaulted obligors (post-floor PD at 100% — the CR9 "all
+    defaulted exposures in the 100% bucket" rule), the point-in-time
+    default-rate proxy d/c×100, EAD, EAD-weighted and arithmetic average
+    PD ×100 — single-run proxies exactly as the reference discloses them
+    when no prior-period carriers are supplied."""
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=True)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    r = out.results.where(F.col("approach") == "IRB")
+    ead = scaled_sum(F.col("ead_after_crm"), 2)
+    n_def = F.countDistinct(
+        F.when(F.col("pd_used") >= 1.0, F.col("counterparty_reference"))
+    )
+    n_obl = F.countDistinct("counterparty_reference")
+    return r.groupBy("exposure_class", _cr6_band_col().alias("pd_band")).agg(
+        F.count("*").alias("n_rows"),
+        n_obl.alias("n_obligors"),
+        n_def.alias("n_defaulted"),
+        F.round((n_def.cast("double") * 100.0) / n_obl, 10).alias("default_rate_pct"),
+        ead.alias("ead_total"),
+        F.round(
+            (scaled_sum(F.col("pd_used") * F.col("ead_after_crm"), 2) / ead) * 100.0, 8
+        ).alias("pd_ewa_pct"),
+        F.round(
+            (scaled_sum(F.col("pd_used"), 9) / F.count(F.lit(1))) * 100.0, 8
+        ).alias("pd_mean_pct"),
+    )
+
+
+_CR10_ORACLE = """
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck, o_totalprice AS drawn,
+               1.0 + CAST(o_orderkey % 9 AS DOUBLE) / 2.0 AS m
+        FROM orders
+    ), sl AS (
+        SELECT *,
+               CASE CAST(ck % 5 AS INTEGER) WHEN 0 THEN 'strong' WHEN 1 THEN 'good'
+                    WHEN 2 THEN 'satisfactory' WHEN 3 THEN 'weak'
+                    ELSE 'default' END AS cat,
+               (m < 2.5) AS short
+        FROM loans
+    ), rwel AS (
+        SELECT *,
+               CASE WHEN short THEN
+                    CASE cat WHEN 'strong' THEN 0.5 WHEN 'good' THEN 0.7
+                         WHEN 'satisfactory' THEN 1.15 WHEN 'weak' THEN 2.5
+                         ELSE 0.0 END
+               ELSE
+                    CASE cat WHEN 'strong' THEN 0.7 WHEN 'good' THEN 0.9
+                         WHEN 'satisfactory' THEN 1.15 WHEN 'weak' THEN 2.5
+                         ELSE 0.0 END
+               END AS rw,
+               CASE WHEN short THEN
+                    CASE cat WHEN 'strong' THEN 0.0 WHEN 'good' THEN 0.004
+                         WHEN 'satisfactory' THEN 0.028 WHEN 'weak' THEN 0.08
+                         ELSE 0.5 END
+               ELSE
+                    CASE cat WHEN 'strong' THEN 0.004 WHEN 'good' THEN 0.008
+                         WHEN 'satisfactory' THEN 0.028 WHEN 'weak' THEN 0.08
+                         ELSE 0.5 END
+               END AS el_rate
+        FROM sl
+    ), slot_rows AS (
+        SELECT 'CR10_SL' AS sheet,
+               cat || CASE WHEN short THEN '_lt2.5y' ELSE '_ge2.5y' END AS row_name,
+               drawn AS ead, drawn * rw AS rwa, el_rate * drawn AS el
+        FROM rwel
+    ), eq AS (
+        SELECT c_custkey AS ck,
+               (CAST(c_custkey % 100 AS DOUBLE) + 1.0) * 1000.0 AS mv
+        FROM customer WHERE c_custkey % 3 = 0
+    ), eq_rows AS (
+        SELECT 'CR10_5' AS sheet,
+               CASE WHEN ck % 5 = 0 THEN 'equity_pe_diversified'
+                    WHEN ck % 4 = 0 THEN 'equity_exchange_traded'
+                    ELSE 'equity_other' END AS row_name,
+               mv AS ead,
+               mv * (CASE WHEN ck % 5 = 0 THEN 1.9 WHEN ck % 4 = 0 THEN 2.9
+                          ELSE 3.7 END) AS rwa,
+               mv * (CASE WHEN ck % 5 = 0 OR ck % 4 = 0 THEN 0.008
+                          ELSE 0.024 END) AS el
+        FROM eq
+    ), unioned AS (
+        SELECT * FROM slot_rows UNION ALL SELECT * FROM eq_rows
+    )
+    SELECT sheet, row_name, count(*) AS n_exposures,
+           sum(CAST(round(ead * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE) AS ead,
+           sum(CAST(round(rwa * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE) AS rwea,
+           sum(CAST(round(el * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE) AS el_amt
+    FROM unioned GROUP BY 1, 2
+"""
+
+
+@query("pillar3_cr10", oracle=_CR10_ORACLE, tags=("rwa", "reporting"))
+def pillar3_cr10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 CR10 — specialised lending under the slotting approach and
+    CRR Art.155(2) simple-RW equity (ref reporting/pillar3/cr10.py): the
+    official grid splits EVERY supervisory category (Default included)
+    into <2.5y / ≥2.5y remaining-maturity rows; the CR10.5 sheet carries
+    the three simple-RW equity buckets. Runs the REAL pipeline (slotting
+    branch keyed on category × maturity band, equity branch regime-aware)
+    and labels rows from the ledger's (band, risk-weight) key."""
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        (F.lit(1.0) + (F.col("o_orderkey") % 9).cast("double") / F.lit(2.0)).alias(
+            "effective_maturity"
+        ),
+    )
+    sl = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.col("c_custkey") % 5 == 0, "strong")
+        .when(F.col("c_custkey") % 5 == 1, "good")
+        .when(F.col("c_custkey") % 5 == 2, "satisfactory")
+        .when(F.col("c_custkey") % 5 == 3, "weak")
+        .otherwise("default")
+        .alias("slot_category"),
+    )
+    eq = c.where(F.col("c_custkey") % 3 == 0).select(
+        F.concat(F.lit("E"), F.col("c_custkey")).alias("exposure_reference"),
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        (((F.col("c_custkey") % 100).cast("double")) + F.lit(1.0)).alias("_mv_base"),
+        (F.col("c_custkey") % 4 == 0).alias("is_exchange_traded"),
+        (F.col("c_custkey") % 5 == 0).alias("is_diversified_pe"),
+    ).withColumn("market_value", F.col("_mv_base") * F.lit(1000.0)).drop("_mv_base")
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps, loans=loans, specialised_lending=sl,
+            equity_exposures=eq,
+        ),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    r = out.results
+    short = F.col("maturity_used") < 2.5
+    slot_label = (
+        F.when(short & (F.col("risk_weight") == 0.5), "strong")
+        .when(short & (F.col("risk_weight") == 0.7), "good")
+        .when(~short & (F.col("risk_weight") == 0.7), "strong")
+        .when(~short & (F.col("risk_weight") == 0.9), "good")
+        .when(F.col("risk_weight") == 1.15, "satisfactory")
+        .when(F.col("risk_weight") == 2.5, "weak")
+        .otherwise("default")
+    )
+    slot_agg = (
+        r.where(F.col("approach") == "SLOTTING")
+        .groupBy(
+            F.lit("CR10_SL").alias("sheet"),
+            F.concat(
+                slot_label,
+                F.when(short, F.lit("_lt2.5y")).otherwise(F.lit("_ge2.5y")),
+            ).alias("row_name"),
+        )
+        .agg(
+            F.count("*").alias("n_exposures"),
+            scaled_sum(F.col("ead_after_crm"), 2).alias("ead"),
+            scaled_sum(F.col("rwa"), 2).alias("rwea"),
+            scaled_sum(F.col("expected_loss"), 2).alias("el_amt"),
+        )
+    )
+    eq_label = (
+        F.when(F.col("risk_weight") == 1.9, "equity_pe_diversified")
+        .when(F.col("risk_weight") == 2.9, "equity_exchange_traded")
+        .otherwise("equity_other")
+    )
+    eq_agg = (
+        r.where(F.col("approach") == "EQUITY")
+        .groupBy(F.lit("CR10_5").alias("sheet"), eq_label.alias("row_name"))
+        .agg(
+            F.count("*").alias("n_exposures"),
+            scaled_sum(F.col("ead_after_crm"), 2).alias("ead"),
+            scaled_sum(F.col("rwa"), 2).alias("rwea"),
+            scaled_sum(F.col("expected_loss"), 2).alias("el_amt"),
+        )
+    )
+    return slot_agg.unionByName(eq_agg)
+
+
+# ---------------------------------------------------------------------------
+# Pillar 3 CCR3 — SA-CCR EAD by risk-weight band (ref reporting/pillar3/
+# ccr.py CCR3 + corep/c34.py C34.01: the CCR disclosures read the synthetic
+# netting-set rows off the SAME unified ledger; FCCM SFTs are EXCLUDED —
+# an SFT uses Art.220-223, not the Art.274 approach these templates
+# analyse, and reports on C07.00 instead)
+# ---------------------------------------------------------------------------
+
+_CCR3_BAND_SQL = """CASE CAST(round(risk_weight * 100.0, 0) AS INTEGER)
+    WHEN 0 THEN 'rw_0' WHEN 20 THEN 'rw_20' WHEN 50 THEN 'rw_50'
+    WHEN 75 THEN 'rw_75' WHEN 100 THEN 'rw_100' WHEN 150 THEN 'rw_150'
+    ELSE 'rw_other' END"""
+
+_CCR3_ORACLE = _CCR_SFT_CTES + f"""
+    , ccr_rows AS (
+        SELECT *, (ead * risk_weight) * sf AS rwa,
+               {_CCR3_BAND_SQL} AS rw_band
+        FROM with_rw WHERE etype = 'ccr'
+    )
+    SELECT coalesce(rw_band, 'total') AS rw_band,
+           count(*) AS n_netting_sets,
+           {sql_scaled_sum('ead', 2)} AS ead_ccr,
+           {sql_scaled_sum('rwa', 2)} AS rwea
+    FROM ccr_rows GROUP BY ROLLUP(rw_band)
+    """
+
+
+@query("pillar3_ccr3", oracle=_CCR3_ORACLE, tags=("rwa", "reporting", "ccr"))
+def pillar3_ccr3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 CCR3 — SA-CCR exposures by risk-weight band, plus the
+    CCR1-style Total row in one ROLLUP pass (ref reporting/pillar3/ccr.py:
+    band cells sum EAD over the synthetic ``_CCR`` netting-set rows of the
+    unified ledger; SFT FCCM rows are excluded by the same rule the
+    reference applies). Runs the REAL pipeline with CCR trades and SFTs in
+    the bundle so the exclusion is load-bearing, not vacuous."""
+    release_cached_blocks(spark)
+    out = _ccr_sft_pipeline(spark, sf_dir)
+    r = out.results.where(F.col("exposure_reference").endswith("_CCR"))
+    rw_cents = F.round(F.col("risk_weight") * 100.0, 0).cast("int")
+    band = (
+        F.when(rw_cents == 0, "rw_0")
+        .when(rw_cents == 20, "rw_20")
+        .when(rw_cents == 50, "rw_50")
+        .when(rw_cents == 75, "rw_75")
+        .when(rw_cents == 100, "rw_100")
+        .when(rw_cents == 150, "rw_150")
+        .otherwise("rw_other")
+    )
+    agg = r.rollup(band.alias("rw_band")).agg(
+        F.count("*").alias("n_netting_sets"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("ead_ccr"),
+        scaled_sum(F.col("rwa"), 2).alias("rwea"),
+    )
+    return agg.select(
+        F.coalesce("rw_band", F.lit("total")).alias("rw_band"),
+        "n_netting_sets",
+        "ead_ccr",
+        "rwea",
+    )

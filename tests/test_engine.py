@@ -2459,3 +2459,45 @@ def test_b31_currency_mismatch_cap(spark):
     # defaulted RW 1.5 -> in scope? defaulted retail keeps class retail;
     # 1.5 × 1.5 = 2.25 capped to 1.5
     assert row.risk_weight == pytest.approx(1.5)
+
+
+def test_slotting_maturity_band_and_hvcre_no_fanout(spark):
+    """Art.153(5) Table A keys on (category, maturity band, HVCRE). A
+    category-only join against the 20-row pack table fanned every slotted
+    exposure out 4× — regression: one ledger row per input, the <2.5y
+    preferential row only below 2.5y remaining maturity (unknown maturity
+    takes the long row), HVCRE rows on the HVCRE curve."""
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False),
+         ("CP2", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 1000.0, False, None, None, None),  # unknown -> long
+            ("L2", "CP1", 1000.0, False, None, None, 1.5),   # short band
+            ("L3", "CP2", 1000.0, False, None, None, 4.0),   # HVCRE long
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    sl = _df(
+        spark,
+        [("CP1", "good", False), ("CP2", "good", True)],
+        "counterparty_reference string, slot_category string, is_hvcre boolean",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, specialised_lending=sl),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    assert len(rows) == 3  # no fan-out
+    assert rows["L1"].risk_weight == pytest.approx(0.90)   # good, long
+    assert rows["L1"].expected_loss == pytest.approx(0.008 * 1000)
+    assert rows["L2"].risk_weight == pytest.approx(0.70)   # good, <2.5y
+    assert rows["L2"].expected_loss == pytest.approx(0.004 * 1000)
+    assert rows["L2"].maturity_used == pytest.approx(1.5)
+    assert rows["L3"].risk_weight == pytest.approx(1.20)   # good, HVCRE
