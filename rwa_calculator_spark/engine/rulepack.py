@@ -403,6 +403,15 @@ CRR_PACK = RulePack(
         # ref engine/sa/rw_adjustments.py)
         "sa_currency_mismatch_multiplier": RuleEntry(_D("0"), "no CRR analogue"),
         "sa_due_diligence_override": RuleEntry(_D("0"), "no CRR analogue"),
+        # Art.155(3)/165 PD/LGD equity approach (CRR only — gated by
+        # equity_irb_available; ref engine/equity/calculator.py
+        # _apply_equity_weights_pd_lgd)
+        "equity_pdlgd_pd_floor_listed": RuleEntry(_D("0.004"), "CRR Art.165(1)(c)"),
+        "equity_pdlgd_pd_floor_other": RuleEntry(_D("0.0125"), "CRR Art.165(1)(d)"),
+        "equity_pdlgd_lgd_diversified": RuleEntry(_D("0.65"), "CRR Art.165(2)"),
+        "equity_pdlgd_lgd_other": RuleEntry(_D("0.9"), "CRR Art.165(2)"),
+        "equity_pdlgd_maturity": RuleEntry(_D("5"), "CRR Art.165(3)"),
+        "equity_pdlgd_no_dd_scaling": RuleEntry(_D("1.5"), "CRR Art.155(3) (no Art.178 data)"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),

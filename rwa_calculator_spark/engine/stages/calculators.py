@@ -926,15 +926,106 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
+def _equity_pd_lgd(equity: DataFrame, pack: RulePack) -> DataFrame:
+    """CRR Art.155(3) PD/LGD equity approach (ref engine/equity/
+    calculator.py _apply_equity_weights_pd_lgd): the corporate Vasicek K
+    formula with the Art.165 supervisory parameters — PD floored at 0.40%
+    for exchange-traded / 1.25% for all other equity, LGD 65% for
+    sufficiently-diversified private equity else 90%, M fixed at 5 years
+    — times the Art.153(1) scaling, with a ×1.5 risk-weight scaling where
+    the firm lacks Art.178 default-definition data, and the Art.155(3)
+    cap EL·12.5 + RWEA ≤ EAD·12.5 clamped at zero. The risk_weight
+    column stays uncapped (the reference discloses it that way); only
+    rwa is capped."""
+    mv = F.coalesce("market_value", F.lit(0.0))
+    listed = F.coalesce("is_exchange_traded", F.lit(False))
+    pe_div = (
+        F.coalesce("is_diversified_pe", F.lit(False))
+        if "is_diversified_pe" in equity.columns
+        else F.lit(False)
+    )
+    has_dd = (
+        F.coalesce("has_default_definition_info", F.lit(False))
+        if "has_default_definition_info" in equity.columns
+        else F.lit(False)
+    )
+    eq = equity.withColumn(
+        "_pd_eq",
+        F.when(listed, pack.lit("equity_pdlgd_pd_floor_listed")).otherwise(
+            pack.lit("equity_pdlgd_pd_floor_other")
+        ),
+    ).withColumn(
+        "_lgd_eq",
+        F.when(pe_div, pack.lit("equity_pdlgd_lgd_diversified")).otherwise(
+            pack.lit("equity_pdlgd_lgd_other")
+        ),
+    )
+    eq = with_normal_ppf(eq, "_pd_eq", "_g_eq")
+    eq = eq.withColumn("_r_eq", spark_correlation("_pd_eq"))
+    eq = with_irb_k_r(eq, "_pd_eq", "_lgd_eq", "_g_eq", "_r_eq", "_k_eq")
+    rw = (
+        (
+            (F.col("_k_eq") * irb_maturity_adj(F.col("_pd_eq"), pack.lit("equity_pdlgd_maturity")))
+            * F.lit(12.5)
+        )
+        * pack.lit("irb_scaling_factor")
+    ) * F.when(has_dd, F.lit(1.0)).otherwise(pack.lit("equity_pdlgd_no_dd_scaling"))
+    el = (F.col("_pd_eq") * F.col("_lgd_eq")) * mv
+    eq = eq.withColumn("_rw_eq", rw).withColumn("_el_eq", el)
+    rwa_cap = F.greatest((mv * F.lit(12.5)) - (F.col("_el_eq") * F.lit(12.5)), F.lit(0.0))
+    rwa = F.least(F.col("_rw_eq") * mv, rwa_cap)
+    return eq.select(
+        "exposure_reference",
+        "counterparty_reference",
+        F.lit("equity").alias("exposure_class"),
+        F.lit("EQUITY").alias("approach"),
+        mv.alias("drawn_amount"),
+        F.lit(0.0).alias("undrawn_amount"),
+        mv.alias("ead"),
+        mv.alias("ead_after_crm"),
+        F.lit(0.0).alias("provision_allocated"),
+        F.lit(0.0).alias("collateral_value"),
+        F.lit(0.0).alias("g_coverage"),
+        F.col("_rw_eq").alias("risk_weight"),
+        F.lit("equity_pd_lgd").alias("rw_source"),
+        rwa.alias("rwa_before_sf"),
+        rwa.alias("rwa"),
+        F.col("_el_eq").alias("expected_loss"),
+        F.col("_el_eq").alias("el_shortfall"),
+        F.lit(0.0).alias("el_excess"),
+        F.lit(None).cast("double").alias("ccf"),
+        F.col("_pd_eq").alias("pd_used"),
+        F.col("_lgd_eq").alias("lgd_used"),
+        pack.lit("equity_pdlgd_maturity").alias("maturity_used"),
+        rwa.alias("rwa_sa_equivalent"),
+    )
+
+
 def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
     """Equity holdings, regime-aware.
 
     CRR: IRB simple risk-weight method (Art.155(2); ref
     engine/equity/calculator.py:760-762) — diversified PE 190%,
-    exchange-traded 290%, other 370%, EL 0.8%/0.8%/2.4% (Art.158(7)).
+    exchange-traded 290%, other 370%, EL 0.8%/0.8%/2.4% (Art.158(7)) —
+    or, for rows electing it via `use_pd_lgd`, the Art.155(3) PD/LGD
+    approach (_equity_pd_lgd).
     B3.1: IRB equity removed (PS1/26 Art.133) — SA 250% standard,
-    400% speculative unlisted, no EL charge.
+    400% speculative unlisted, no EL charge; the PD/LGD election is
+    ignored (ref calculator.py: "the equity_pd_lgd flag is ignored
+    under Basel 3.1").
     """
+    if (
+        "use_pd_lgd" in equity.columns
+        and pack.scalar("equity_irb_available") >= 1.0
+    ):
+        elect = F.coalesce("use_pd_lgd", F.lit(False))
+        simple_out = _equity_simple(equity.where(~elect), pack)
+        pdlgd_out = _equity_pd_lgd(equity.where(elect), pack)
+        return CalcOutput(results=simple_out.unionByName(pdlgd_out))
+    return CalcOutput(results=_equity_simple(equity, pack))
+
+
+def _equity_simple(equity: DataFrame, pack: RulePack) -> DataFrame:
     listed = F.coalesce("is_exchange_traded", F.lit(False))
     # optional flags (absent in minimal bundles → default false)
     pe_div = (
@@ -989,4 +1080,4 @@ def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
         F.lit(None).cast("double").alias("maturity_used"),
         (mv * rw).alias("rwa_sa_equivalent"),
     )
-    return CalcOutput(results=out)
+    return out

@@ -1281,3 +1281,110 @@ def sa_b31_rw_adjustments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_exposures"),
         scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CRR Art.155(3)/165 PD/LGD equity approach (ref engine/equity/calculator.py
+# _apply_equity_weights_pd_lgd) through the REAL engine calculator, oracled
+# via the shared Φ kernel builders.
+# ---------------------------------------------------------------------------
+
+def _equity_pd_lgd_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+    from rwa_calculator_spark.functions.irb import (
+        sql_capital_k_r,
+        sql_correlation,
+        sql_maturity_adj,
+    )
+    from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
+
+    return f"""
+    WITH eq AS (
+        SELECT c_custkey AS ck,
+               (CAST(c_custkey % 100 AS DOUBLE) + 1.0) * 1000.0 AS mv,
+               (c_custkey % 2 = 0) AS elect,
+               (c_custkey % 3 = 0) AS listed,
+               (c_custkey % 5 = 0) AS pe_div,
+               (c_custkey % 7 = 0) AS has_dd
+        FROM customer
+    ), params AS (
+        SELECT *, CAST(CASE WHEN listed THEN 0.004 ELSE 0.0125 END AS DOUBLE) AS pd_eq,
+               CAST(CASE WHEN pe_div THEN 0.65 ELSE 0.9 END AS DOUBLE) AS lgd_eq,
+               CAST(5.0 AS DOUBLE) AS m_eq
+        FROM eq WHERE elect
+    ), s1 AS (
+        SELECT *, {sql_acklam_raw('pd_eq')} AS x0 FROM params
+    ), s2 AS (
+        SELECT *, {sql_halley_step('x0', 'pd_eq')} AS g_eq,
+               {sql_correlation('pd_eq')} AS r_eq
+        FROM s1
+    ), s3 AS (
+        SELECT *, {sql_capital_k_r('pd_eq', 'lgd_eq', 'g_eq', 'r_eq')} AS k_eq,
+               {sql_maturity_adj('pd_eq', 'm_eq')} AS ma_eq
+        FROM s2
+    ), pdlgd AS (
+        SELECT listed, pe_div, has_dd, mv,
+               ((((k_eq * ma_eq) * 12.5) * 1.06)
+                * (CASE WHEN has_dd THEN 1.0 ELSE 1.5 END)) AS rw,
+               ((pd_eq * lgd_eq) * mv) AS el
+        FROM s3
+    ), pdlgd_rows AS (
+        SELECT 'equity_pd_lgd' AS rw_source, listed, pe_div, has_dd, mv, rw, el,
+               least(rw * mv, greatest((mv * 12.5) - (el * 12.5), 0.0)) AS rwa
+        FROM pdlgd
+    ), simple_rows AS (
+        SELECT 'equity_irb_simple' AS rw_source, listed, pe_div, has_dd, mv,
+               CASE WHEN pe_div THEN 1.9 WHEN listed THEN 2.9 ELSE 3.7 END AS rw,
+               mv * (CASE WHEN pe_div OR listed THEN 0.008 ELSE 0.024 END) AS el,
+               mv * (CASE WHEN pe_div THEN 1.9 WHEN listed THEN 2.9
+                          ELSE 3.7 END) AS rwa
+        FROM eq WHERE NOT elect
+    ), unioned AS (
+        SELECT * FROM pdlgd_rows UNION ALL SELECT * FROM simple_rows
+    )
+    SELECT rw_source, listed, pe_div, has_dd,
+           count(*) AS n_holdings,
+           round(min(rw), 10) AS rw,
+           {sql_scaled_sum('mv', 2)} AS ead,
+           {sql_scaled_sum('rwa', 2)} AS rwea,
+           {sql_scaled_sum('el', 2)} AS el_amt
+    FROM unioned GROUP BY 1, 2, 3, 4
+    """
+
+
+@query("equity_pd_lgd", oracle=_equity_pd_lgd_oracle(), tags=("engine", "equity", "tolerant"))
+def equity_pd_lgd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR Art.155(3)/165 PD/LGD equity through the REAL engine calculator:
+    per-row election routes holdings between the Vasicek kernel at the
+    Art.165 supervisory parameters (PD floor 0.40%/1.25%, LGD 65%/90%,
+    M=5, ×1.5 no-default-data scaling, Art.155(3) cap) and the Art.155(2)
+    simple-RW buckets — aggregated per (method, flag) band."""
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK as _CRR
+    from rwa_calculator_spark.engine.stages.calculators import run_equity
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    c = load_table(spark, sf_dir, "customer")
+    eq = c.select(
+        F.concat(F.lit("E"), F.col("c_custkey")).alias("exposure_reference"),
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        (((F.col("c_custkey") % 100).cast("double")) + F.lit(1.0)).alias("_b"),
+        (F.col("c_custkey") % 2 == 0).alias("use_pd_lgd"),
+        (F.col("c_custkey") % 3 == 0).alias("is_exchange_traded"),
+        (F.col("c_custkey") % 5 == 0).alias("is_diversified_pe"),
+        (F.col("c_custkey") % 7 == 0).alias("has_default_definition_info"),
+    ).withColumn("market_value", F.col("_b") * F.lit(1000.0)).drop("_b")
+    res = run_equity(eq, _CRR).results
+    keys = eq.select(
+        "exposure_reference",
+        F.col("is_exchange_traded").alias("listed"),
+        F.col("is_diversified_pe").alias("pe_div"),
+        F.col("has_default_definition_info").alias("has_dd"),
+    )
+    r = res.join(keys, "exposure_reference")
+    return r.groupBy("rw_source", "listed", "pe_div", "has_dd").agg(
+        F.count("*").alias("n_holdings"),
+        F.round(F.min("risk_weight"), 10).alias("rw"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("ead"),
+        scaled_sum(F.col("rwa"), 2).alias("rwea"),
+        scaled_sum(F.col("expected_loss"), 2).alias("el_amt"),
+    )

@@ -2501,3 +2501,56 @@ def test_slotting_maturity_band_and_hvcre_no_fanout(spark):
     assert rows["L2"].expected_loss == pytest.approx(0.004 * 1000)
     assert rows["L2"].maturity_used == pytest.approx(1.5)
     assert rows["L3"].risk_weight == pytest.approx(1.20)   # good, HVCRE
+
+
+def test_equity_pd_lgd_approach(spark):
+    """CRR Art.155(3)/165 PD/LGD equity: corporate Vasicek K at the
+    supervisory parameters (PD floor 0.40% listed / 1.25% other, LGD 65%
+    diversified PE / 90% other, M=5), ×1.06 scaling, ×1.5 where Art.178
+    default-definition data is lacking, RWEA capped at EAD·12.5 − EL·12.5.
+    B3.1 ignores the election (PS1/26 Art.133 removes IRB equity)."""
+    from rwa_calculator_spark.engine.stages.calculators import run_equity
+    from rwa_calculator_spark.functions.irb import (
+        capital_k_r_v,
+        correlation_v,
+        maturity_adj_v,
+    )
+    from rwa_calculator_spark.functions.stats import PyB, V, py_normal_ppf
+
+    eq = _df(
+        spark,
+        [
+            ("E1", "CP1", 1000.0, True, False, True, True),
+            ("E2", "CP1", 1000.0, False, True, False, True),
+            ("E3", "CP1", 1000.0, True, False, True, False),  # simple 290%
+        ],
+        "exposure_reference string, counterparty_reference string, "
+        "market_value double, is_exchange_traded boolean, is_diversified_pe boolean, "
+        "has_default_definition_info boolean, use_pd_lgd boolean",
+    )
+
+    def rw_py(pd, lgd, scale):
+        g = py_normal_ppf(pd)
+        r = correlation_v(V(PyB, pd)).v
+        k = capital_k_r_v(V(PyB, pd), V(PyB, lgd), V(PyB, g), V(PyB, r)).v
+        ma = maturity_adj_v(V(PyB, pd), V(PyB, 5.0)).v
+        return ((k * ma) * 12.5) * 1.06 * scale
+
+    crr = {r.exposure_reference: r for r in run_equity(eq, CRR_PACK).results.collect()}
+    # E1: listed floor 0.40%, LGD 90%, has default data -> no 1.5×
+    assert crr["E1"].risk_weight == pytest.approx(rw_py(0.004, 0.9, 1.0), rel=1e-9)
+    assert crr["E1"].rwa == pytest.approx(crr["E1"].risk_weight * 1000.0, rel=1e-9)
+    assert crr["E1"].expected_loss == pytest.approx(0.004 * 0.9 * 1000.0, rel=1e-9)
+    assert crr["E1"].rw_source == "equity_pd_lgd"
+    # E2: other floor 1.25%, diversified-PE LGD 65%, ×1.5 no-default-data
+    assert crr["E2"].risk_weight == pytest.approx(rw_py(0.0125, 0.65, 1.5), rel=1e-9)
+    # cap never binds at supervisory params (rw ≪ 12.5·(1−EL rate))
+    assert crr["E2"].rwa == pytest.approx(crr["E2"].risk_weight * 1000.0, rel=1e-9)
+    # E3: stays on the simple method
+    assert crr["E3"].risk_weight == pytest.approx(2.9)
+    assert crr["E3"].rw_source == "equity_irb_simple"
+
+    # B3.1: election ignored, everything on SA 250%/400%
+    b31 = {r.exposure_reference: r for r in run_equity(eq, B31_PACK).results.collect()}
+    assert all(r.rw_source == "equity_sa" for r in b31.values())
+    assert b31["E1"].risk_weight == pytest.approx(2.5)
