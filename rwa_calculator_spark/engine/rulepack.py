@@ -412,6 +412,20 @@ CRR_PACK = RulePack(
         "equity_pdlgd_lgd_other": RuleEntry(_D("0.9"), "CRR Art.165(2)"),
         "equity_pdlgd_maturity": RuleEntry(_D("5"), "CRR Art.165(3)"),
         "equity_pdlgd_no_dd_scaling": RuleEntry(_D("1.5"), "CRR Art.155(3) (no Art.178 data)"),
+        # F-IRB CCFs (CRR Art.166(8)/(10); ref engine/ccf.py
+        # _firb_ccf_for_col): 75% for commitments / credit lines / NIFs /
+        # RUFs, 20% short-term trade LC carve-out, Annex I fallback for
+        # issued items. PS1/26 Art.166C instead reads the SA Table A1
+        # CCFs, so the Feature is CRR-only.
+        "firb_ccf_bespoke": RuleEntry(_D("1"), "CRR Art.166(8)"),
+        "firb_credit_line_ccf": RuleEntry(_D("0.75"), "CRR Art.166(8)(d)"),
+        "firb_trade_lc_ccf": RuleEntry(_D("0.2"), "CRR Art.166(8)(b)"),
+        # CRR Annex I items 2(b)/3(b): "other commitments" drop from the
+        # 50% MR rate to 20% when ORIGINAL maturity ≤ 1 year (ref
+        # engine/ccf.py _apply_oc_original_maturity_ccf); B3.1 replaced
+        # the split with the flat committed/UCC rates.
+        "sa_oc_maturity_split": RuleEntry(_D("1"), "CRR Annex I 2(b)/3(b)"),
+        "oc_short_maturity_ccf": RuleEntry(_D("0.2"), "CRR Annex I 3(b)"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
@@ -517,6 +531,13 @@ B31_PACK = RulePack(
         "currency_mismatch_cap": RuleEntry(_D("1.5"), "PS1/26 Art.123B(1) (150% cap)"),
         "currency_mismatch_hedge_floor": RuleEntry(_D("0.9"), "PS1/26 Art.123B(2)"),
         "sa_due_diligence_override": RuleEntry(_D("1"), "PS1/26 Art.110A"),
+        # PS1/26 Art.166C: F-IRB reads the SA Table A1 CCFs — no bespoke
+        # Art.166(8) ladder; Annex I maturity split likewise retired.
+        "firb_ccf_bespoke": RuleEntry(_D("0"), "PS1/26 Art.166C (SA CCFs)"),
+        "firb_credit_line_ccf": RuleEntry(_D("0.75"), "n/a in B3.1 (gated off)"),
+        "firb_trade_lc_ccf": RuleEntry(_D("0.2"), "n/a in B3.1 (gated off)"),
+        "sa_oc_maturity_split": RuleEntry(_D("0"), "retired in PS1/26 Art.111"),
+        "oc_short_maturity_ccf": RuleEntry(_D("0.2"), "n/a in B3.1 (gated off)"),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),

@@ -220,6 +220,67 @@ def run_crm(
         "ccf", F.coalesce("ccf", F.lit(1.0))
     )
 
+    # CRR Annex I items 2(b)/3(b): "other commitments" split on ORIGINAL
+    # maturity — the conservative 50% MR default drops to 20% only when an
+    # original-maturity source exists at or below one year (ref
+    # engine/ccf.py _apply_oc_original_maturity_ccf). Carrier-gated: a
+    # bundle without the column keeps the flat Annex I rates.
+    if (
+        pack.scalar("sa_oc_maturity_split") >= 1.0
+        and "original_maturity_years" in exp.columns
+    ):
+        oc_short = F.col("original_maturity_years").isNotNull() & (
+            F.col("original_maturity_years") * F.lit(365.0) <= F.lit(365.0)
+        )
+        # SA rows only: the Art.166(10) F-IRB fallback states its own flat
+        # 50%/20% rates with no maturity split
+        sa_row = ~(F.col("has_irb_permission") & ~F.col("is_specialised"))
+        exp = exp.withColumn(
+            "ccf",
+            F.when(
+                sa_row & (F.col("risk_bucket") == "medium_risk") & oc_short,
+                pack.lit("oc_short_maturity_ccf"),
+            ).otherwise(F.col("ccf")),
+        )
+
+    # CRR Art.166(8)/(10): F-IRB CCFs for IRB-routed rows (ref
+    # engine/ccf.py _firb_ccf_for_col) — 75% for commitments / credit
+    # lines / NIFs / RUFs, the 20% short-term trade-LC carve-out winning
+    # over the commitment split, Annex I fallback (= the SA table already
+    # joined) for issued items; FR 100% and LR 0% converge under either
+    # clause. Carrier-gated on is_obs_commitment (the reference's
+    # crm-exit sentinel column), so bundles without the commitment split
+    # keep Annex I CCFs on every row.
+    if (
+        pack.scalar("firb_ccf_bespoke") >= 1.0
+        and "is_obs_commitment" in exp.columns
+    ):
+        irb_row = F.col("has_irb_permission") & ~F.col("is_specialised")
+        commitment = F.coalesce("is_obs_commitment", F.lit(True))
+        trade_lc = (
+            F.coalesce("is_short_term_trade_lc", F.lit(False))
+            if "is_short_term_trade_lc" in exp.columns
+            else F.lit(False)
+        )
+        firb_ccf = (
+            F.when(
+                (F.col("risk_bucket") == "medium_low_risk") & trade_lc,
+                pack.lit("firb_trade_lc_ccf"),
+            )
+            .when(
+                commitment
+                & F.col("risk_bucket").isin("medium_risk", "medium_low_risk"),
+                pack.lit("firb_credit_line_ccf"),
+            )
+            .otherwise(F.col("ccf"))
+        )
+        exp = exp.withColumn(
+            "ccf",
+            F.when(irb_row & F.col("risk_bucket").isNotNull(), firb_ccf).otherwise(
+                F.col("ccf")
+            ),
+        )
+
     # --- provisions: multi-level allocation + SA drawn-first deduction ----
     # (CRR Art.110-111(2); ref engine/crm/provisions.py resolve_provisions)
     if raw.provisions is not None:

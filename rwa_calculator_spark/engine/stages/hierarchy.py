@@ -120,22 +120,30 @@ def run_hierarchy(
     frames = [loans]
     if raw.contingents is not None:
         cont_src = _fx_factor(raw.contingents, raw.fx_rates)
-        frames.append(
-            cont_src.select(
-                F.col("contingent_reference").alias("exposure_reference"),
-                F.lit("contingent").alias("exposure_type"),
-                "counterparty_reference",
-                F.lit(0.0).alias("drawn_amount"),
-                (F.coalesce("nominal_amount", F.lit(0.0)) * F.col("_fx")).alias(
-                    "undrawn_amount"
-                ),
-                F.col("risk_bucket"),
-                F.coalesce(F.col("is_defaulted"), F.lit(False)).alias("is_defaulted"),
-                F.col("pd"),
-                F.col("lgd"),
-                F.col("effective_maturity"),
-            )
-        )
+        cont_cols = [
+            F.col("contingent_reference").alias("exposure_reference"),
+            F.lit("contingent").alias("exposure_type"),
+            "counterparty_reference",
+            F.lit(0.0).alias("drawn_amount"),
+            (F.coalesce("nominal_amount", F.lit(0.0)) * F.col("_fx")).alias(
+                "undrawn_amount"
+            ),
+            F.col("risk_bucket"),
+            F.coalesce(F.col("is_defaulted"), F.lit(False)).alias("is_defaulted"),
+            F.col("pd"),
+            F.col("lgd"),
+            F.col("effective_maturity"),
+        ]
+        # CCF refinement carriers (CRR Art.166(8) F-IRB split, Annex I
+        # original-maturity OC split; ref engine/ccf.py) ride along
+        for opt in (
+            "is_obs_commitment",
+            "is_short_term_trade_lc",
+            "original_maturity_years",
+        ):
+            if opt in raw.contingents.columns:
+                cont_cols.append(F.col(opt))
+        frames.append(cont_src.select(*cont_cols))
     if raw.facilities is not None and raw.facility_mappings is not None:
         fac_src = _fx_factor(raw.facilities, raw.fx_rates).withColumn(
             "limit", F.col("limit") * F.col("_fx")

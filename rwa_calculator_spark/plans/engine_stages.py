@@ -1388,3 +1388,112 @@ def equity_pd_lgd(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_sum(F.col("rwa"), 2).alias("rwea"),
         scaled_sum(F.col("expected_loss"), 2).alias("el_amt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCF refinement depth (ref engine/ccf.py, 884 LoC): CRR Art.166(8)/(10)
+# F-IRB CCFs + the Annex I original-maturity OC split, through the REAL
+# pipeline CRM stage.
+# ---------------------------------------------------------------------------
+
+_CCF_FIRB_ORACLE = """
+    WITH cps AS (
+        SELECT c_custkey AS ck, (c_custkey % 3 = 0) AS irb FROM customer
+    ), conts AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck, o_totalprice AS nominal,
+               CASE CAST(o_orderkey % 4 AS INTEGER) WHEN 0 THEN 'full_risk'
+                    WHEN 1 THEN 'medium_risk' WHEN 2 THEN 'medium_low_risk'
+                    ELSE 'low_risk' END AS bucket,
+               (o_orderkey % 5 <> 0) AS commitment,
+               (o_orderkey % 7 = 0) AS trade_lc,
+               CAST(CASE CAST(o_orderkey % 3 AS INTEGER) WHEN 0 THEN 0.5
+                    WHEN 1 THEN 2.0 END AS DOUBLE) AS om_years
+        FROM orders
+    ), j AS (
+        SELECT c.*, p.irb FROM conts c JOIN cps p ON c.ck = p.ck
+    ), ccfd AS (
+        SELECT *,
+               CAST(CASE WHEN irb THEN
+                    CASE WHEN bucket = 'medium_low_risk' AND trade_lc THEN 0.2
+                         WHEN commitment AND bucket IN ('medium_risk', 'medium_low_risk')
+                              THEN 0.75
+                         WHEN bucket = 'full_risk' THEN 1.0
+                         WHEN bucket = 'medium_risk' THEN 0.5
+                         WHEN bucket = 'medium_low_risk' THEN 0.2
+                         ELSE 0.0 END
+               ELSE
+                    CASE WHEN bucket = 'medium_risk' AND om_years IS NOT NULL
+                              AND om_years * 365.0 <= 365.0 THEN 0.2
+                         WHEN bucket = 'full_risk' THEN 1.0
+                         WHEN bucket = 'medium_risk' THEN 0.5
+                         WHEN bucket = 'medium_low_risk' THEN 0.2
+                         ELSE 0.0 END
+               END AS DOUBLE) AS ccf
+        FROM j
+    )
+    SELECT CASE WHEN irb THEN 'IRB' ELSE 'SA' END AS approach, ccf,
+           count(*) AS n_exposures,
+           sum(CAST(round((ccf * nominal) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_ead
+    FROM ccfd GROUP BY 1, 2
+"""
+
+
+@query("ccf_firb_routing", oracle=_CCF_FIRB_ORACLE, tags=("engine", "ccf"))
+def ccf_firb_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR F-IRB CCFs + Annex I original-maturity OC split through the REAL
+    CRM stage (ref engine/ccf.py): IRB-routed off-balance rows take the
+    Art.166(8) bespoke ladder (75% commitments, 20% trade-LC carve-out,
+    Art.166(10) issued fallback); SA "other commitments" drop from 50% to
+    20% at ≤ 1 year original maturity. Grouped by approach × effective CCF
+    with exact EAD totals off the audit ledger."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        (F.col("c_custkey") % 3 == 0).alias("has_irb_permission"),
+    )
+    loans = o.where(F.lit(False)).select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    conts = o.select(
+        F.concat(F.lit("K"), F.col("o_orderkey")).alias("contingent_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("nominal_amount"),
+        F.when(F.col("o_orderkey") % 4 == 0, "full_risk")
+        .when(F.col("o_orderkey") % 4 == 1, "medium_risk")
+        .when(F.col("o_orderkey") % 4 == 2, "medium_low_risk")
+        .otherwise("low_risk")
+        .alias("risk_bucket"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(0.01).alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        (F.col("o_orderkey") % 5 != 0).alias("is_obs_commitment"),
+        (F.col("o_orderkey") % 7 == 0).alias("is_short_term_trade_lc"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(0.5))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit(2.0))
+        .alias("original_maturity_years"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, contingents=conts),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("approach", "ccf").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead"), 2).alias("total_ead"),
+    )

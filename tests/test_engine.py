@@ -2554,3 +2554,72 @@ def test_equity_pd_lgd_approach(spark):
     b31 = {r.exposure_reference: r for r in run_equity(eq, B31_PACK).results.collect()}
     assert all(r.rw_source == "equity_sa" for r in b31.values())
     assert b31["E1"].risk_weight == pytest.approx(2.5)
+
+
+def test_ccf_firb_routing_and_oc_maturity_split(spark):
+    """CRR Art.166(8)/(10) F-IRB CCFs for IRB-routed off-balance rows (75%
+    commitments / credit lines, 20% short-term trade-LC carve-out, Annex I
+    fallback for issued items) and the CRR Annex I 2(b)/3(b) original-
+    maturity split on SA "other commitments" (50% → 20% at ≤ 1 year).
+    Both are carrier-gated; B3.1 retires both (PS1/26 Art.166C reads the
+    SA Table A1 CCFs)."""
+    cps = _df(
+        spark,
+        [("CPS", "corporate", 2, False, 0.0, False),
+         ("CPI", "corporate", 2, False, 0.0, True)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L0", "CPI", 10.0, False, 0.01, 0.45, 2.5)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    conts = _df(
+        spark,
+        [
+            # SA rows: OC maturity split on medium_risk
+            ("K1", "CPS", 1000.0, "medium_risk", True, None, 0.5),
+            ("K2", "CPS", 1000.0, "medium_risk", True, None, 2.0),
+            ("K3", "CPS", 1000.0, "medium_risk", True, None, None),
+            # IRB rows: Art.166(8) bespoke ladder
+            ("K4", "CPI", 1000.0, "medium_risk", True, None, 0.5),
+            ("K5", "CPI", 1000.0, "medium_low_risk", True, True, None),
+            ("K6", "CPI", 1000.0, "medium_low_risk", True, None, None),
+            ("K7", "CPI", 1000.0, "medium_risk", False, None, None),
+            ("K8", "CPI", 1000.0, "full_risk", True, None, None),
+        ],
+        "contingent_reference string, counterparty_reference string, "
+        "nominal_amount double, risk_bucket string, is_obs_commitment boolean, "
+        "is_short_term_trade_lc boolean, original_maturity_years double",
+    )
+    conts = conts.withColumn("is_defaulted", F.lit(False)).withColumn(
+        "pd", F.when(F.col("counterparty_reference") == "CPI", 0.01)
+    ).withColumn("lgd", F.lit(None).cast("double")).withColumn(
+        "effective_maturity", F.lit(None).cast("double")
+    )
+    bundle = RawBundle(counterparties=cps, loans=loans, contingents=conts)
+
+    crr = {
+        r.exposure_reference: r
+        for r in run_pipeline(bundle, PipelineConfig(pack=CRR_PACK)).results.collect()
+    }
+    assert crr["K1"].ead == pytest.approx(200.0)   # OC ≤ 1y -> 20%
+    assert crr["K2"].ead == pytest.approx(500.0)   # OC > 1y -> 50%
+    assert crr["K3"].ead == pytest.approx(500.0)   # unknown maturity -> 50%
+    assert crr["K4"].ead == pytest.approx(750.0)   # IRB commitment -> 75%
+    assert crr["K5"].ead == pytest.approx(200.0)   # trade-LC carve-out -> 20%
+    assert crr["K6"].ead == pytest.approx(750.0)   # IRB MLR commitment -> 75%
+    assert crr["K7"].ead == pytest.approx(500.0)   # issued -> Art.166(10)(b) 50%
+    assert crr["K8"].ead == pytest.approx(1000.0)  # FR converges at 100%
+
+    b31 = {
+        r.exposure_reference: r
+        for r in run_pipeline(bundle, PipelineConfig(pack=B31_PACK)).results.collect()
+    }
+    # PS1/26: flat Table A1 rates everywhere (medium 0.5, medium_low 0.4)
+    assert b31["K1"].ead == pytest.approx(500.0)
+    assert b31["K4"].ead == pytest.approx(500.0)
+    assert b31["K5"].ead == pytest.approx(400.0)
+    assert b31["K6"].ead == pytest.approx(400.0)
