@@ -31,6 +31,12 @@ def run_aggregate(
     # aggregator/_floor.py) — the attribution waterfall and the transitional
     # floor schedule both read it back out
     results = results.withColumn("rwa_pre_floor", F.col("rwa"))
+    if alpha <= 0.0:
+        # floor provenance carriers exist on EVERY regime's ledger so
+        # reporting queries (CMS2 col d, CR8 drivers) never column-gate
+        results = results.withColumn("floor_uplift", F.lit(1.0)).withColumn(
+            "floor_applied", F.lit(False)
+        )
     if alpha > 0.0:
         # Art.92(3) output floor: floor the modelled total at alpha × the
         # standardised-equivalent total. Every branch carries
@@ -51,8 +57,10 @@ def run_aggregate(
             )
             / F.nullif(F.col("modelled_total"), F.lit(0.0)),
         )
-        results = results.withColumn("rwa", F.col("rwa") * F.col("floor_uplift")).drop(
-            "modelled_total", "std_total", "floor_uplift"
+        results = (
+            results.withColumn("rwa", F.col("rwa") * F.col("floor_uplift"))
+            .withColumn("floor_applied", F.col("floor_uplift") > 1.0)
+            .drop("modelled_total", "std_total")
         )
 
     by_class = results.groupBy("exposure_class").agg(

@@ -72,7 +72,54 @@ _RESULT_COLS = [
     # output-floor base (own rwa for SA-family branches; IRB rows re-weighted
     # through the real SA ladder, not a flat proxy)
     "rwa_sa_equivalent",
+    # stage-provenance carriers (round 4, toward the reference's 162-col
+    # CALCULATION_OUTPUT_SCHEMA): which classifier branch fired, the CMS1/
+    # CCR-vs-credit risk-type discriminator, and the Art.224/239 haircut
+    # decomposition (gross − quality − fx − mismatch ≡ collateral_value)
+    "class_reason",
+    "risk_type",
+    "collateral_value_gross",
+    "haircut_quality",
+    "haircut_fx",
+    "haircut_maturity_mismatch",
+    # obligor country of residence — the COREP C 09.01 geography axis (ref
+    # reporting/corep/c09.py: sheets key the counterparty country); null when
+    # the counterparty dim carries none
+    "country",
 ]
+
+# exposure_type → CMS1-style risk-type discriminator (ref
+# reporting/pillar3/cms1.py _CCR_RISK_TYPES: the CCR rows key by risk_type,
+# never by approach label — under CRR the CCR legs carry approach
+# 'standardised' and an approach-based rule would no-op)
+_RISK_TYPE_BY_ETYPE = {
+    "ccr": "CCR_DERIVATIVE",
+    "sft": "CCR_SFT",
+    "securitisation_pool": "SECURITISATION",
+}
+
+
+def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataFrame:
+    """Ensure the round-4 provenance carriers exist on a branch's frame.
+
+    `risk_type` derives from exposure_type where the unified ledger carries
+    one (CCR/SFT synthetic netting-set rows, securitisation pools); branches
+    built outside the hierarchy union (equity, CIU, settlement) pass their
+    own default. `class_reason` defaults to the branch marker when the frame
+    never went through run_classify."""
+    if "risk_type" not in exp.columns:
+        if "exposure_type" in exp.columns:
+            rt = F.lit(default_risk_type)
+            for etype, label in _RISK_TYPE_BY_ETYPE.items():
+                rt = F.when(F.col("exposure_type") == etype, label).otherwise(rt)
+            exp = exp.withColumn("risk_type", rt)
+        else:
+            exp = exp.withColumn("risk_type", F.lit(default_risk_type))
+    if "class_reason" not in exp.columns:
+        exp = exp.withColumn("class_reason", F.lit("CLS_BRANCH_DIRECT"))
+    if "country" not in exp.columns:
+        exp = exp.withColumn("country", F.lit(None).cast("string"))
+    return exp
 
 
 def _param_cols(
@@ -96,12 +143,20 @@ def _param_cols(
 def _crm_carry(exp: DataFrame) -> DataFrame:
     """Ensure the CRM component columns exist (zero when the branch input
     never went through run_crm, e.g. equity)."""
-    for c in ("provision_allocated", "collateral_value", "g_coverage"):
+    for c in (
+        "provision_allocated",
+        "collateral_value",
+        "g_coverage",
+        "collateral_value_gross",
+        "haircut_quality",
+        "haircut_fx",
+        "haircut_maturity_mismatch",
+    ):
         if c not in exp.columns:
             exp = exp.withColumn(c, F.lit(0.0))
         else:
             exp = exp.withColumn(c, F.coalesce(c, F.lit(0.0)))
-    return exp
+    return _provenance_cols(exp)
 
 
 def _el_columns(exp: DataFrame, expected_loss: Column) -> DataFrame:
@@ -1021,8 +1076,16 @@ def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
         elect = F.coalesce("use_pd_lgd", F.lit(False))
         simple_out = _equity_simple(equity.where(~elect), pack)
         pdlgd_out = _equity_pd_lgd(equity.where(elect), pack)
-        return CalcOutput(results=simple_out.unionByName(pdlgd_out))
-    return CalcOutput(results=_equity_simple(equity, pack))
+        return CalcOutput(
+            results=_crm_carry(
+                _provenance_cols(simple_out.unionByName(pdlgd_out), "EQUITY")
+            ).select(*_RESULT_COLS)
+        )
+    return CalcOutput(
+        results=_crm_carry(
+            _provenance_cols(_equity_simple(equity, pack), "EQUITY")
+        ).select(*_RESULT_COLS)
+    )
 
 
 def _equity_simple(equity: DataFrame, pack: RulePack) -> DataFrame:

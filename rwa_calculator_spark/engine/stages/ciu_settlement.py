@@ -37,12 +37,15 @@ _ZERO_LEDGER = {
 }
 
 
-def _ledger(df: DataFrame) -> DataFrame:
-    from rwa_calculator_spark.engine.stages.calculators import _RESULT_COLS
+def _ledger(df: DataFrame, risk_type: str = "CREDIT") -> DataFrame:
+    from rwa_calculator_spark.engine.stages.calculators import (
+        _RESULT_COLS,
+        _provenance_cols,
+    )
 
     for c, v in _ZERO_LEDGER.items():
         df = df.withColumn(c, F.lit(v))
-    df = df.withColumn("rwa_sa_equivalent", F.col("rwa"))
+    df = _provenance_cols(df.withColumn("rwa_sa_equivalent", F.col("rwa")), risk_type)
     for c in _RESULT_COLS:
         if c not in df.columns:
             df = df.withColumn(c, F.lit(None).cast("double"))
@@ -133,4 +136,4 @@ def run_settlement(failed_trades: DataFrame, pack: RulePack) -> CalcOutput:
         (amt * factor * 12.5).alias("rwa_before_sf"),
         (amt * factor * 12.5).alias("rwa"),
     )
-    return CalcOutput(results=_ledger(out))
+    return CalcOutput(results=_ledger(out, risk_type="SETTLEMENT"))

@@ -78,4 +78,29 @@ def run_classify(
         .when(is_retail, "retail")
         .otherwise("corporate")
     )
-    return ClassifiedOutput(exposures=exp.withColumn("exposure_class", cls))
+    # classification reason code — the WHICH-branch-fired audit carrier the
+    # reference's 162-col ledger records per exposure (ref
+    # data/schemas.py:2877 classification provenance; same ladder order as
+    # `cls`, so reason and class can never disagree)
+    reason = (
+        F.when(F.col("exposure_type") == "securitisation_pool", "CLS_SEC_POOL")
+        .when(F.col("entity_type") == "sovereign", "CLS_ENTITY_SOVEREIGN")
+        .when(F.col("entity_type") == "rgla_sovereign", "CLS_RGLA_EQUIVALENCE")
+        .when(F.col("entity_type") == "rgla", "CLS_RGLA_INSTITUTION")
+        .when(F.col("entity_type") == "institution", "CLS_ENTITY_INSTITUTION")
+        .when(
+            is_retail & (F.col("entity_type") == "individual"), "CLS_RETAIL_INDIVIDUAL"
+        )
+        .when(is_retail, "CLS_RETAIL_MANAGED")
+        # over-threshold would-be retail is its own reason: the Art.123(c)
+        # group test failing is the single most-asked "why is this
+        # corporate?" lineage question
+        .when(
+            (F.col("entity_type") == "individual") | F.col("is_managed_as_retail"),
+            "CLS_RETAIL_OVER_THRESHOLD",
+        )
+        .otherwise("CLS_CORPORATE_RESIDUAL")
+    )
+    return ClassifiedOutput(
+        exposures=exp.withColumn("exposure_class", cls).withColumn("class_reason", reason)
+    )

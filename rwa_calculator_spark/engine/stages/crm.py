@@ -410,14 +410,20 @@ def run_crm(
             if "currency_mismatch" in fin_coll.columns
             else F.lit(False)
         )
+        hc_eff = F.coalesce(supplied, F.col("_hc_derived"))
+        fxh = F.when(ccy_mm, pack.lit("fx_haircut")).otherwise(0.0)
+        mv = F.coalesce("market_value", F.lit(0.0))
         coll = fin_coll.select(
             "collateral_reference",
             resid.alias("_coll_maturity"),
-            (
-                F.coalesce("market_value", F.lit(0.0))
-                * (1 - F.coalesce(supplied, F.col("_hc_derived")))
-                * (1 - F.when(ccy_mm, pack.lit("fx_haircut")).otherwise(0.0))
-            ).alias("adjusted_value"),
+            (mv * (1 - hc_eff) * (1 - fxh)).alias("adjusted_value"),
+            # haircut decomposition carriers (ref the reference's 162-col
+            # ledger haircut components, data/schemas.py:2877): the raw
+            # market value plus the value LOST to each adjustment, so
+            # gross − quality − fx − mismatch ≡ allocated, exactly
+            mv.alias("_gross_value"),
+            (mv * hc_eff).alias("_quality_loss"),
+            (mv * (1 - hc_eff) * fxh).alias("_fx_loss"),
         )
         links = raw.collateral_links.select(
             "collateral_reference", "exposure_reference"
@@ -439,20 +445,46 @@ def run_crm(
         linked = linked.withColumn("_mm", mm)
         wcoll = W.partitionBy("collateral_reference")
         denom = F.sum(F.round(F.col("ead") * 100.0, 0).cast("long")).over(wcoll) / F.lit(100.0)
-        allocated = linked.withColumn(
-            "allocated_value",
-            F.col("adjusted_value")
-            * F.col("_mm")
-            * (F.col("ead") / F.nullif(denom, F.lit(0.0))),
+        allocated = (
+            linked.withColumn("_share", F.col("ead") / F.nullif(denom, F.lit(0.0)))
+            .withColumn(
+                "allocated_value",
+                F.col("adjusted_value") * F.col("_mm") * F.col("_share"),
+            )
+            .withColumn(
+                # per-pair decomposition at the SAME share: the mismatch loss
+                # is the haircut-adjusted value forfeited to Art.239 pro-rating
+                "_mm_loss",
+                F.col("adjusted_value") * (F.lit(1.0) - F.col("_mm")) * F.col("_share"),
+            )
         )
         per_exposure = allocated.groupBy("exposure_reference").agg(
-            F.sum("allocated_value").alias("collateral_value")
+            F.sum("allocated_value").alias("collateral_value"),
+            F.sum(F.col("_gross_value") * F.col("_share")).alias(
+                "collateral_value_gross"
+            ),
+            F.sum(F.col("_quality_loss") * F.col("_share")).alias("haircut_quality"),
+            F.sum(F.col("_fx_loss") * F.col("_share")).alias("haircut_fx"),
+            F.sum("_mm_loss").alias("haircut_maturity_mismatch"),
         )
-        exp = exp.join(per_exposure, "exposure_reference", "left").withColumn(
-            "collateral_value", F.coalesce("collateral_value", F.lit(0.0))
-        )
+        exp = exp.join(per_exposure, "exposure_reference", "left")
+        for c in (
+            "collateral_value",
+            "collateral_value_gross",
+            "haircut_quality",
+            "haircut_fx",
+            "haircut_maturity_mismatch",
+        ):
+            exp = exp.withColumn(c, F.coalesce(c, F.lit(0.0)))
     else:
         exp = exp.withColumn("collateral_value", F.lit(0.0))
+        for c in (
+            "collateral_value_gross",
+            "haircut_quality",
+            "haircut_fx",
+            "haircut_maturity_mismatch",
+        ):
+            exp = exp.withColumn(c, F.lit(0.0))
 
     # FCCM: effective exposure after collateral (capped at zero)
     exp = exp.withColumn(

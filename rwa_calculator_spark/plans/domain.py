@@ -447,6 +447,38 @@ def report_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate_validations(facts, rules)
 
 
+def _grammar_oracle() -> str:
+    from rwa_calculator_spark.reporting_grammar_catalog import catalogue_oracle_sql
+
+    return catalogue_oracle_sql()
+
+
+@query(
+    "report_validation_grammar",
+    oracle=_grammar_oracle(),
+    tags=("domain", "reporting"),
+)
+def report_validation_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervisory validation rules in BOTH publishers' reference grammars,
+    parsed and evaluated with the publisher semantics (ref
+    reporting/validations/evaluate.py:1-861): EBA positional
+    ``{C 08.01, r0070, c0020}`` and BoE keyed ``{t: ..., r: ..., z: ...}``
+    references normalise onto one AST; dimensional filters resolve the
+    all-geographies TOTAL sheet (``eba_GA:x1``) and refuse every other
+    member by name; ``sum``/``max`` expand unbound axes to every emitted
+    id; a structurally absent cell is a skip NAMING the missing axis —
+    never a zero and never a break; an all-zero comparison is VACUOUS, not
+    a pass; present-but-null cells follow the rule's missing-value policy
+    (treat-as-zero vs do-not-run); Point rules compare exactly where
+    Interval rules take the rounding tolerance; if/then conditionals are
+    refused by name, never approximated. The oracle is COMPILED from the
+    same parse (reporting_grammar.rules_oracle_sql) in the evaluator's own
+    cell-traversal order, so Python and DuckDB agree bit-for-bit."""
+    from rwa_calculator_spark.reporting_grammar_catalog import grammar_outcomes
+
+    return grammar_outcomes(spark, sf_dir)
+
+
 @query(
     "corep_template_library",
     oracle=_template_library_oracle(),

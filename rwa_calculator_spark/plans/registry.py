@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
         engine_stages,
         extras,
         llm,
+        pillar3,
         relational,
         rwa,
         scalars,

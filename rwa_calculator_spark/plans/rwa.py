@@ -35,6 +35,7 @@ def _star_bundle(spark: SparkSession, sf_dir: str, irb: bool) -> RawBundle:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
 
     entity = (
         F.when(F.col("c_mktsegment") == "FURNITURE", "individual")
@@ -42,9 +43,16 @@ def _star_bundle(spark: SparkSession, sf_dir: str, irb: bool) -> RawBundle:
         .when(F.col("c_mktsegment") == "HOUSEHOLD", "sovereign")
         .otherwise("corporate")
     )
-    cps = c.select(
+    # nation is dimension-sized: the country carrier (COREP C09 geography
+    # axis) joins broadcast on the counterparty dim, never the fact table
+    cps = c.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        c.c_nationkey == F.col("n_nationkey"),
+        "left",
+    ).select(
         F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
         entity.alias("entity_type"),
+        F.col("n_name").alias("country"),
         (F.col("c_custkey") % 7).cast("int").alias("cqs"),
         (F.col("c_mktsegment") == "FURNITURE").alias("is_managed_as_retail"),
         (F.col("c_acctbal") * 10000.0).alias("annual_revenue"),
@@ -93,11 +101,12 @@ _SQL_BASE = """
                     WHEN c_mktsegment = 'BUILDING' THEN 'institution'
                     WHEN c_mktsegment = 'HOUSEHOLD' THEN 'sovereign'
                     ELSE 'corporate' END AS entity_type,
+               n.n_name AS country,
                CAST(c_custkey % 7 AS INTEGER) AS cqs,
                (c_mktsegment = 'FURNITURE') AS is_managed_as_retail,
                c_acctbal * 10000.0 AS annual_revenue,
                ({irb_flag}) AS has_irb_permission
-        FROM customer
+        FROM customer LEFT JOIN nation n ON c_nationkey = n.n_nationkey
     ), edges AS (
         SELECT c_custkey AS child, c_custkey // 7 AS parent FROM customer WHERE c_custkey >= 7
     ), walk AS (
@@ -130,8 +139,8 @@ _SQL_BASE = """
     ), exposures AS (
         SELECT * FROM loans UNION ALL SELECT * FROM conts
     ), enriched AS (
-        SELECT e.*, c.entity_type, c.cqs, c.is_managed_as_retail, c.annual_revenue,
-               c.has_irb_permission,
+        SELECT e.*, c.entity_type, c.country, c.cqs, c.is_managed_as_retail,
+               c.annual_revenue, c.has_irb_permission,
                coalesce(u.group_key, e.cp_key) AS group_key
         FROM exposures e
         JOIN cps c ON e.cp_key = c.cp_key
@@ -252,7 +261,7 @@ _SQL_IRB_CORE = f"""
                least(greatest(coalesce(m, 2.5), 1.0), 5.0) AS m_eff
         FROM with_ead
     ), sa_branch AS (
-        SELECT w.exposure_class, w.ead,
+        SELECT w.exposure_reference, w.exposure_class, w.ead,
                ((w.ead * (CASE WHEN w.is_defaulted THEN 1.5
                     WHEN w.exposure_class = 'retail' THEN 0.75
                     WHEN rwt.rw IS NOT NULL THEN rwt.rw
@@ -266,21 +275,22 @@ _SQL_IRB_CORE = f"""
         SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM routed
         WHERE has_irb_permission AND pd_f < 1.0
     ), irb_g AS (
-        SELECT exposure_class, annual_revenue, ead, pd_f, lgd_f, m_eff,
+        SELECT exposure_reference, exposure_class, annual_revenue, ead,
+               pd_f, lgd_f, m_eff,
                {sql_halley_step('x0', 'pd_f')} AS g_pd
         FROM irb_perf
     ), irb_r AS (
         SELECT *, {_SQL_R_ROUTED} AS r_routed FROM irb_g
     ), irb_k AS (
-        SELECT exposure_class, ead,
+        SELECT exposure_reference, exposure_class, ead,
                {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_routed')} AS k,
                {_SQL_MA_ROUTED} AS ma
         FROM irb_r
     ), irb_branch AS (
-        SELECT exposure_class, ead,
+        SELECT exposure_reference, exposure_class, ead,
                ead * (((k * ma) * 12.5) * 1.06) AS rwa FROM irb_k
         UNION ALL
-        SELECT exposure_class, ead, ead * 0.0 AS rwa FROM routed
+        SELECT exposure_reference, exposure_class, ead, ead * 0.0 AS rwa FROM routed
         WHERE has_irb_permission AND pd_f >= 1.0
     ), unioned AS (
         SELECT 'SA' AS approach, * FROM sa_branch
@@ -754,7 +764,8 @@ _SQL_B31_SIDE = f"""
         LEFT JOIN {_SQL_SA_RW}
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
     ), b_sa AS (
-        SELECT exposure_class, (ead * sa_rw) AS rwa, (ead * sa_rw) AS sa_equiv
+        SELECT 'SA' AS approach, exposure_class,
+               (ead * sa_rw) AS rwa, (ead * sa_rw) AS sa_equiv
         FROM b_rw WHERE NOT has_irb_permission
     ), b_irb_perf AS (
         SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM b_rw
@@ -771,11 +782,11 @@ _SQL_B31_SIDE = f"""
                {_SQL_MA_ROUTED} AS ma
         FROM b_irb_r
     ), b_irb AS (
-        SELECT exposure_class, ead * ((k * ma) * 12.5) AS rwa,
+        SELECT 'IRB' AS approach, exposure_class, ead * ((k * ma) * 12.5) AS rwa,
                ead * sa_rw AS sa_equiv
         FROM b_irb_k
         UNION ALL
-        SELECT exposure_class, ead * 0.0, ead * sa_rw FROM b_rw
+        SELECT 'IRB', exposure_class, ead * 0.0, ead * sa_rw FROM b_rw
         WHERE has_irb_permission AND pd_f >= 1.0
     ), b_all AS (
         SELECT * FROM b_sa UNION ALL SELECT * FROM b_irb
@@ -788,7 +799,7 @@ _SQL_B31_SIDE = f"""
 
 _SQL_B31_FLOORED = f"""
     , b_floored AS (
-        SELECT exposure_class, rwa AS rwa_pre_floor,
+        SELECT approach, exposure_class, sa_equiv, rwa AS rwa_pre_floor,
                rwa * (greatest(modelled_total, 0.725 * std_total)
                       / nullif(modelled_total, 0.0)) AS rwa
         FROM b_all, b_tot

@@ -1,0 +1,226 @@
+"""Grammar-rule catalogue + template estate for the supervisory validation
+evaluator (ref reporting/validations/rules.py — the publishers' rule lists
+normalised onto one shape; evaluate.py for the semantics each rule
+exercises).
+
+The estate is the COREP cell catalog (C 02.00 / C 07.00 / C 08.01 /
+C 09.01) computed by reporting.compute_cells in one pass, PLUS a sheeted
+C 09.02 (one sheet per region + the TOTAL sheet emitted first — ref
+reporting/corep/c09.py, the per-country dict the ``eba_GA:x1``
+all-geographies member addresses). Rules are written in BOTH publishers'
+syntaxes and chosen so every status and every refusal path is exercised:
+
+PASS (EBA positional, BoE keyed multi-row, sum() unbound-axis expansion,
+geography filter = z-axis sheet sum, abs() tie-out, percentage literal,
+max() sheet expansion), FAIL (Point-arithmetic exactness, ``= empty`` on a
+reported cell), VACUOUS (missing-zero over the never-populated cell — the
+"vacuous ≠ pass" distinction; ``= empty`` on a reported-empty cell), and
+NOT_EVALUATED (missing-value do-not-run, absent row named by axis,
+conditional if/then refused by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rwa_calculator_spark.functions.exact import scaled_sum, sql_scaled_sum
+from rwa_calculator_spark.reporting_grammar import (
+    ARITHMETIC_INTERVAL,
+    ARITHMETIC_POINT,
+    GEOGRAPHY_TOTAL_SHEET,
+    MISSING_DO_NOT_RUN,
+    MISSING_ZERO,
+    SINGLE_SHEET,
+    GrammarRule,
+    TemplateIndex,
+    _EstateAxes,
+    evaluate_rule,
+    rules_oracle_sql,
+)
+from rwa_calculator_spark.reporting_templates import (
+    _REGIONS,
+    STAR_LEDGER_SQL,
+    TEMPLATE_CELLS,
+    star_ledger,
+)
+
+# ---------------------------------------------------------------------------
+# Estate
+# ---------------------------------------------------------------------------
+
+#: Positional sheet codes (BoE ``z: 0001`` / EBA ``s0001``) → sheet keys for
+#: the per-region C 09.02 (ref validations/scope.py SHEET_INDEX_MAPS).
+C09_SHEET_CODES = {f"{i + 1:04d}": region for i, region in enumerate(_REGIONS)}
+
+#: Static axis description per template — used by the SQL compiler to expand
+#: unbound axes inside aggregates; must list ids in sorted order (the
+#: runtime index sorts the same way).
+_C0X_ROWS = tuple(f"{(i + 1) * 10:04d}" for i in range(5))
+ESTATE_AXES = {
+    "C02.00": _EstateAxes((SINGLE_SHEET,), ("0010", "0060", "0250"), ("0010",)),
+    "C07.00": _EstateAxes((SINGLE_SHEET,), _C0X_ROWS + ("0090",), ("0010", "0020")),
+    "C08.01": _EstateAxes((SINGLE_SHEET,), _C0X_ROWS, ("0010", "0020")),
+    "C09.01": _EstateAxes((SINGLE_SHEET,), _C0X_ROWS, ("0010",)),
+    "C09.02": _EstateAxes(
+        tuple(sorted([*_REGIONS, GEOGRAPHY_TOTAL_SHEET])), ("0010",), ("0010",)
+    ),
+}
+
+
+def grammar_estate(spark: SparkSession, sf_dir: str) -> TemplateIndex:
+    """Compute the estate's cell facts (one aggregation pass for the flat
+    catalog + one region groupBy for the sheeted C 09.02) and index them
+    driver-side — O(#cells), never exposure rows."""
+    from rwa_calculator_spark.reporting import compute_cells
+
+    ledger = star_ledger(spark, sf_dir)
+    flat = compute_cells(ledger, TEMPLATE_CELLS)
+    rows = [
+        (r.template, SINGLE_SHEET, r.row_id, r.col_id, r.value)
+        for r in flat.collect()
+    ]
+    per_region = (
+        ledger.groupBy("region").agg(scaled_sum(F.col("ead"), 2).alias("value"))
+    ).collect()
+    rows += [("C09.02", r.region, "0010", "0010", r.value) for r in per_region]
+    total = ledger.agg(scaled_sum(F.col("ead"), 2).alias("value")).collect()[0]
+    rows.append(("C09.02", GEOGRAPHY_TOTAL_SHEET, "0010", "0010", total.value))
+    return TemplateIndex.from_rows(rows, sheet_codes={"C09.02": C09_SHEET_CODES})
+
+
+def grammar_facts_sql() -> str:
+    """DuckDB SQL for the identical facts estate (generated from the same
+    cell data — spec and oracle cannot drift)."""
+    selects = []
+    for s in TEMPLATE_CELLS:
+        m = 10**s.scale
+        selects.append(
+            f"SELECT '{s.template}' AS template, '{SINGLE_SHEET}' AS sheet, "
+            f"'{s.row_id}' AS row_id, '{s.col_id}' AS col_id, "
+            f"sum(CASE WHEN {s.filter_sql} THEN CAST(round(({s.measure_sql}) * {m}.0, 0) AS BIGINT) END) "
+            f"/ CAST({m} AS DOUBLE) AS value FROM ledger WHERE {s.filter_sql}"
+        )
+    selects.append(
+        f"SELECT 'C09.02', region, '0010', '0010', {sql_scaled_sum('ead', 2)} "
+        "FROM ledger GROUP BY region"
+    )
+    selects.append(
+        f"SELECT 'C09.02', '{GEOGRAPHY_TOTAL_SHEET}', '0010', '0010', "
+        f"{sql_scaled_sum('ead', 2)} FROM ledger"
+    )
+    body = "\n        UNION ALL\n        ".join(selects)
+    return f"    WITH ledger AS ({STAR_LEDGER_SQL})\n        {body}"
+
+
+# ---------------------------------------------------------------------------
+# Rule catalogue
+# ---------------------------------------------------------------------------
+
+GRAMMAR_RULES: tuple[GrammarRule, ...] = (
+    # EBA positional syntax, Interval tolerance → PASS
+    GrammarRule(
+        "v_eba_c02_rollup", "EBA",
+        "{C02.00, r0010, c0010} = {C02.00, r0060, c0010} + {C02.00, r0250, c0010}",
+    ),
+    # BoE keyed syntax with a ;-separated multi-row axis → PASS
+    GrammarRule(
+        "v_boe_c07_classes", "BOE",
+        "{t: C02.00, r: 0060, c: 0010} = "
+        "{t: C07.00, r: 0010; 0020; 0030; 0040; 0050, c: 0020}",
+    ),
+    # sum() expands the unbound row axis to every emitted C08.01 row → PASS
+    GrammarRule(
+        "v_eba_sum_unbound", "EBA",
+        "{C02.00, r0250, c0010} = sum({C08.01, c0020})",
+    ),
+    # geography filter (all-geographies TOTAL sheet) vs explicit z-axis
+    # sheet sum — the v8732_m identity: total = Σ country sheets → PASS
+    GrammarRule(
+        "v_boe_geo_total", "BOE",
+        "{t: C09.02, r: 0010, c: 0010, filter: [eba_dim:CEG] = [eba_GA:x1]} = "
+        "{t: C09.02, r: 0010, c: 0010, z: 0001; 0002; 0003; 0004; 0005}",
+    ),
+    # Point arithmetic compares exactly: total ≠ SA subtotal → FAIL
+    GrammarRule(
+        "v_point_break", "EBA",
+        "{C02.00, r0010, c0010} = {C02.00, r0060, c0010}",
+        arithmetic=ARITHMETIC_POINT,
+    ),
+    # the never-populated DEFAULTED cell is reported-empty: do-not-run
+    # → NOT_EVALUATED; treat-as-zero → 0 = 0 with nothing observed →
+    # VACUOUS, never PASS (the "vacuous ≠ pass" distinction)
+    GrammarRule(
+        "v_missing_skip", "BOE",
+        "{t: C07.00, r: 0090, c: 0010} = 0",
+        missing_value=MISSING_DO_NOT_RUN,
+    ),
+    GrammarRule(
+        "v_missing_zero", "BOE",
+        "{t: C07.00, r: 0090, c: 0010} = 0",
+        missing_value=MISSING_ZERO,
+    ),
+    # a row this estate never emits → NOT_EVALUATED naming the row axis
+    GrammarRule(
+        "v_absent_row", "EBA",
+        "{C07.00, r9999, c0010} = 0",
+    ),
+    # conditional rules are refused by name, never approximated
+    GrammarRule(
+        "v_unsupported_if", "EBA",
+        "if {C02.00, r0010, c0010} > 0 then {C02.00, r0060, c0010} >= 0",
+    ),
+    # nonexistence form: a reported cell where the rule requires none → FAIL
+    GrammarRule(
+        "v_empty_fail", "EBA",
+        "{C02.00, r0010, c0010} = empty",
+    ),
+    # ...and a reported-empty cell → VACUOUS (empty ignores the missing
+    # policy: null is the PASSING state, not a zero)
+    GrammarRule(
+        "v_empty_vacuous", "EBA",
+        "{C07.00, r0090, c0010} = empty",
+    ),
+    # abs() over an arithmetic chain against a numeric literal → PASS
+    GrammarRule(
+        "v_abs_tieout", "EBA",
+        "abs({C02.00, r0060, c0010} - ({C07.00, r0010, c0020} + {C07.00, r0020, c0020}"
+        " + {C07.00, r0030, c0020} + {C07.00, r0040, c0020} + {C07.00, r0050, c0020}))"
+        " <= 0.01",
+    ),
+    # percentage literal + multiplication → PASS
+    GrammarRule(
+        "v_pct_cap", "EBA",
+        "{C02.00, r0060, c0010} <= 100% * {C02.00, r0010, c0010}",
+    ),
+    # max() expands the unbound sheet axis across every C09.02 sheet → PASS
+    GrammarRule(
+        "v_max_sheet", "BOE",
+        "max({t: C09.02, r: 0010, c: 0010}) <= "
+        "{t: C09.02, r: 0010, c: 0010, filter: [eba_dim:CEG] = [eba_GA:x1]}",
+    ),
+)
+
+
+def evaluate_catalogue(index: TemplateIndex) -> list[tuple]:
+    out: list[tuple] = []
+    for rule in GRAMMAR_RULES:
+        out.extend(evaluate_rule(rule, index))
+    return out
+
+
+def catalogue_oracle_sql() -> str:
+    return rules_oracle_sql(
+        GRAMMAR_RULES, grammar_facts_sql(), ESTATE_AXES, {"C09.02": C09_SHEET_CODES}
+    )
+
+
+def grammar_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the catalogue over the freshly-computed estate."""
+    index = grammar_estate(spark, sf_dir)
+    rows = evaluate_catalogue(index)
+    return spark.createDataFrame(
+        rows,
+        "rule_id string, source string, coordinate string, status string, "
+        "reason string, lhs double, rhs double",
+    )

@@ -46,9 +46,14 @@ def test_results_ledger_carries_audit_columns(spark):
 
     bundle = build_bundle(spark, n_cp=100)
     out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
-    # the aggregator appends rwa_pre_floor (pre-floor RWA stays on the
-    # ledger for the attribution waterfall / transitional schedule)
-    assert out.results.columns == _RESULT_COLS + ["rwa_pre_floor"]
+    # the aggregator appends the floor provenance carriers (pre-floor RWA,
+    # uplift ratio and the applied flag stay on the ledger for the
+    # attribution waterfall / transitional schedule / CMS templates)
+    assert out.results.columns == _RESULT_COLS + [
+        "rwa_pre_floor",
+        "floor_uplift",
+        "floor_applied",
+    ]
     for required in (
         "ead",
         "ead_after_crm",
@@ -59,6 +64,13 @@ def test_results_ledger_carries_audit_columns(spark):
         "expected_loss",
         "el_shortfall",
         "el_excess",
+        # round-4 stage-provenance carriers
+        "class_reason",
+        "risk_type",
+        "collateral_value_gross",
+        "haircut_quality",
+        "haircut_fx",
+        "haircut_maturity_mismatch",
     ):
         assert required in _RESULT_COLS
 
