@@ -261,6 +261,156 @@ def run_validation(raw: RawBundle) -> tuple[RawBundle, DataFrame]:
             )
         )
 
+    # --- DQ006 risk-parameter domains (ref contracts/validation.py VALID_*
+    # probability/ratio domains): PD and LGD must sit in [0, 1] and
+    # effective maturity must be positive — an out-of-range parameter
+    # silently floors/caps downstream, so the DQ row is the only trace ----
+    def param_domain(frame, ref_col: str, name: str):
+        nonlocal errors
+        if frame is None:
+            return
+        checks = []
+        if "pd" in frame.columns:
+            checks.append((~F.col("pd").between(0.0, 1.0), "pd outside [0,1]"))
+        if "lgd" in frame.columns:
+            checks.append((~F.col("lgd").between(0.0, 1.0), "lgd outside [0,1]"))
+        if "effective_maturity" in frame.columns:
+            checks.append(
+                (F.col("effective_maturity") <= 0.0, "non-positive effective_maturity")
+            )
+        for cond, msg in checks:
+            bad = frame.select(ref_col).where(cond)
+            errors = errors.unionByName(
+                _error_frame(
+                    bad, "DQ006", "warning", "validate",
+                    F.col(ref_col), f"{name}: {msg}",
+                )
+            )
+
+    param_domain(loans, "loan_reference", "loans")
+    param_domain(contingents, "contingent_reference", "contingents")
+
+    # --- DQ007 securitisation allocation domain: each slice in (0, 1] and
+    # the per-exposure total ≤ 1 — an over-allocated exposure would leave
+    # the retained share negative (ref engine/securitisation/allocator.py
+    # retained = 1 − Σ allocation_pct) ------------------------------------
+    if raw.securitisation_allocations is not None:
+        alloc = raw.securitisation_allocations
+        if "allocation_pct" in alloc.columns:
+            bad_pct = alloc.select("exposure_reference", "allocation_pct").where(
+                F.col("allocation_pct").isNotNull()
+                & ~(
+                    (F.col("allocation_pct") > 0.0)
+                    & (F.col("allocation_pct") <= 1.0)
+                )
+            )
+            errors = errors.unionByName(
+                _error_frame(
+                    bad_pct, "DQ007", "warning", "validate",
+                    F.col("exposure_reference"),
+                    "allocation_pct outside (0,1]",
+                )
+            )
+            over = (
+                alloc.groupBy("exposure_reference")
+                .agg(F.sum("allocation_pct").alias("_tot"))
+                .where(F.col("_tot") > 1.0)
+            )
+            errors = errors.unionByName(
+                _error_frame(
+                    over, "DQ007", "error", "validate",
+                    F.col("exposure_reference"),
+                    "allocations exceed 100% of the exposure",
+                )
+            )
+
+    # --- DQ008 CCR/SFT input domains (ref contracts/validation.py trade
+    # domains): SA-CCR asset classes must be supervisory-factor-mapped,
+    # SFT legs must be 'lent'|'collateral' (an unknown leg silently drops
+    # out of the netting), SFT haircuts in [0, 1) --------------------------
+    if raw.trades is not None and "asset_class" in raw.trades.columns:
+        bad_ac = (
+            raw.trades.select("asset_class")
+            .where(
+                F.col("asset_class").isNotNull()
+                & ~F.col("asset_class").isin("ir", "fx", "credit", "equity", "commodity")
+            )
+            .distinct()
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                bad_ac, "DQ008", "warning", "validate",
+                F.col("asset_class"),
+                "asset_class outside the SA-CCR supervisory-factor domain",
+            )
+        )
+    if raw.sft_trades is not None and "leg" in raw.sft_trades.columns:
+        bad_leg = (
+            raw.sft_trades.select("netting_set_reference", "leg")
+            .where(F.col("leg").isNotNull() & ~F.col("leg").isin("lent", "collateral"))
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                bad_leg, "DQ008", "warning", "validate",
+                F.col("netting_set_reference"),
+                "sft leg outside {lent, collateral} — row will not net",
+            )
+        )
+        if "haircut" in raw.sft_trades.columns:
+            bad_hc = raw.sft_trades.select("netting_set_reference", "haircut").where(
+                F.col("haircut").isNotNull()
+                & ~((F.col("haircut") >= 0.0) & (F.col("haircut") < 1.0))
+            )
+            errors = errors.unionByName(
+                _error_frame(
+                    bad_hc, "DQ008", "warning", "validate",
+                    F.col("netting_set_reference"), "sft haircut outside [0,1)",
+                )
+            )
+
+    # --- DQ009 slotting / collateral categorical domains ------------------
+    if (
+        raw.specialised_lending is not None
+        and "slot_category" in raw.specialised_lending.columns
+    ):
+        bad_slot = (
+            raw.specialised_lending.select("counterparty_reference", "slot_category")
+            .where(
+                F.col("slot_category").isNotNull()
+                & ~F.col("slot_category").isin(
+                    "strong", "good", "satisfactory", "weak", "default"
+                )
+            )
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                bad_slot, "DQ009", "error", "validate",
+                F.col("counterparty_reference"),
+                "slot_category outside the Art.153(5) category set",
+            )
+        )
+    if raw.collateral is not None and "collateral_type" in raw.collateral.columns:
+        bad_ct = (
+            raw.collateral.select("collateral_type")
+            .where(
+                F.col("collateral_type").isNotNull()
+                & ~F.col("collateral_type").isin(
+                    "cash", "gold", "govt_bond", "corp_bond", "securitisation",
+                    "equity_main", "equity_other", "real_estate",
+                    "life_insurance", "third_party_deposit",
+                )
+            )
+            .distinct()
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                bad_ct, "DQ009", "warning", "validate",
+                F.col("collateral_type"),
+                "collateral_type outside the eligible-collateral domain "
+                "(unknown types take the conservative fallback haircut)",
+            )
+        )
+
     return (
         replace(raw, loans=loans, contingents=contingents, org_mappings=org_mappings),
         errors,

@@ -947,3 +947,112 @@ def saccr_ir_hedging_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_sum(F.col("eff_notional"), 2).alias("total_eff_notional"),
         F.round(scaled_sum(F.lit(0.005) * F.col("eff_notional"), 4), 2).alias("addon_ir"),
     )
+
+
+_C34_ORACLE = f"""
+    WITH trades AS (
+        SELECT l_orderkey AS netting_set,
+               l_extendedprice * (1 - l_discount) AS mtm,
+               l_quantity * 1000.0 AS notional,
+               CASE l_returnflag WHEN 'A' THEN 'ir' WHEN 'N' THEN 'fx' ELSE 'credit' END AS asset_class,
+               CAST(CASE l_returnflag WHEN 'A' THEN 0.005 WHEN 'N' THEN 0.04 ELSE 0.05 END AS DOUBLE) AS sf
+        FROM lineitem
+    ), per_class AS (
+        SELECT netting_set, asset_class,
+               {sql_scaled_sum('mtm', 2)} AS class_mtm,
+               {sql_scaled_sum('sf * notional', 2)} AS class_addon
+        FROM trades GROUP BY 1, 2
+    ), per_set AS (
+        SELECT netting_set,
+               {sql_scaled_sum('class_mtm', 2)} AS set_mtm,
+               {sql_scaled_sum('class_addon', 2)} AS aggregate_addon
+        FROM per_class GROUP BY netting_set
+    ), set_figures AS (
+        SELECT netting_set,
+               greatest(set_mtm, 0.0) AS rc,
+               aggregate_addon AS addon,
+               1.4 * (greatest(set_mtm, 0.0) + aggregate_addon) AS ead
+        FROM per_set
+    )
+    SELECT 'addon_' || asset_class AS row_label,
+           CAST(count(DISTINCT netting_set) AS BIGINT) AS n_netting_sets,
+           CAST(NULL AS DOUBLE) AS replacement_cost,
+           {sql_scaled_sum('class_addon', 2)} AS pfe_addon,
+           CAST(NULL AS DOUBLE) AS ead
+    FROM per_class GROUP BY asset_class
+    UNION ALL
+    SELECT 'saccr_total',
+           CAST(count(*) AS BIGINT),
+           {sql_scaled_sum('rc', 2)},
+           {sql_scaled_sum('addon', 2)},
+           {sql_scaled_sum('ead', 2)}
+    FROM set_figures
+    """
+
+
+@query("corep_c34", oracle=_C34_ORACLE, tags=("ccr", "reporting"))
+def corep_c34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREP C 34.01/34.02 — counterparty-credit-risk exposure analysis
+    (ref reporting/corep/c34.py, 536 LoC; CRR Art.274-280): the C 34.01
+    "composition of the PFE add-on" rows (one per SA-CCR asset class, the
+    per-class supervisory-factor add-on summed across netting sets) plus
+    the C 34.02 SA-CCR summary row — netting-set count, total replacement
+    cost max(V,0), total aggregate add-on, and total EAD = α·(RC + PFE),
+    α = 1.4. Composition rows carry null RC/EAD (those figures live at
+    netting-set grain, not asset-class grain — null is not the same claim
+    as 0.0, the reference's empty-cell policy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    trades = li.select(
+        F.col("l_orderkey").alias("netting_set"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("mtm"),
+        (F.col("l_quantity") * 1000.0).alias("notional"),
+        F.when(F.col("l_returnflag") == "A", "ir")
+        .when(F.col("l_returnflag") == "N", "fx")
+        .otherwise("credit")
+        .alias("asset_class"),
+        F.when(F.col("l_returnflag") == "A", 0.005)
+        .when(F.col("l_returnflag") == "N", 0.04)
+        .otherwise(0.05)
+        .cast("double")
+        .alias("sf"),
+    )
+    per_class = trades.groupBy("netting_set", "asset_class").agg(
+        scaled_sum(F.col("mtm"), 2).alias("class_mtm"),
+        scaled_sum(F.col("sf") * F.col("notional"), 2).alias("class_addon"),
+    )
+    per_set = per_class.groupBy("netting_set").agg(
+        scaled_sum(F.col("class_mtm"), 2).alias("set_mtm"),
+        scaled_sum(F.col("class_addon"), 2).alias("aggregate_addon"),
+    )
+    set_figures = per_set.select(
+        "netting_set",
+        F.greatest(F.col("set_mtm"), F.lit(0.0)).alias("rc"),
+        F.col("aggregate_addon").alias("addon"),
+        (
+            F.lit(1.4)
+            * (F.greatest(F.col("set_mtm"), F.lit(0.0)) + F.col("aggregate_addon"))
+        ).alias("ead"),
+    )
+    composition = per_class.groupBy("asset_class").agg(
+        F.countDistinct("netting_set").alias("n_netting_sets"),
+        scaled_sum(F.col("class_addon"), 2).alias("pfe_addon"),
+    ).select(
+        F.concat(F.lit("addon_"), F.col("asset_class")).alias("row_label"),
+        "n_netting_sets",
+        F.lit(None).cast("double").alias("replacement_cost"),
+        "pfe_addon",
+        F.lit(None).cast("double").alias("ead"),
+    )
+    total = set_figures.agg(
+        F.count("*").alias("n_netting_sets"),
+        scaled_sum(F.col("rc"), 2).alias("replacement_cost"),
+        scaled_sum(F.col("addon"), 2).alias("pfe_addon"),
+        scaled_sum(F.col("ead"), 2).alias("ead"),
+    ).select(
+        F.lit("saccr_total").alias("row_label"),
+        "n_netting_sets",
+        "replacement_cost",
+        "pfe_addon",
+        "ead",
+    )
+    return composition.unionByName(total)

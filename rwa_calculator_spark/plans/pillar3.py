@@ -262,6 +262,70 @@ def pillar3_cms2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_class.unionByName(total)
 
 
+_OF02_ORACLE = _B31_CHAIN + f"""
+    , m AS (
+        SELECT {sql_scaled_sum("CASE WHEN approach = 'IRB' THEN rwa_pre_floor ELSE 0.0 END", 2)} AS a,
+               {sql_scaled_sum("CASE WHEN approach <> 'IRB' THEN rwa_pre_floor ELSE 0.0 END", 2)} AS b,
+               {sql_scaled_sum('sa_equiv', 2)} AS s
+        FROM b_floored
+    )
+    SELECT '0010' AS row_ref, a AS utrea_modelled, b AS utrea_std,
+           a + b AS utrea_total, s AS strea FROM m
+    UNION ALL SELECT '0020', 0.0, 0.0, 0.0, 0.0 FROM m
+    UNION ALL SELECT '0080', a, b, a + b, s FROM m
+    """
+
+
+@query("corep_of02", oracle=_OF02_ORACLE, tags=("rwa", "reporting", "tolerant"))
+def corep_of02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREP OF 02.01 — output-floor comparison, Basel 3.1 only (ref
+    reporting/corep/of02.py; PS1/26 Art.92 ¶2A/3A, Annex II §1.3.2).
+    Columns PARTITION the book (the reference's recorded 2026-07-14 fix:
+    column 0020 is the COMPLEMENT of the modelled set, never an SA
+    allow-list — before it, both columns summed the whole ledger and 0030
+    reported 2.18× the book): 0010 = Σ PRE-floor RWA of the modelled
+    approaches (the ledger's rwa_pre_floor carrier — the mirror image of
+    the "rwa is already post-floor" trap, of02.py:36-40), 0020 = the
+    complement's own pre-floor RWA, 0030 (U-TREA) = their sum, 0040
+    (S-TREA) = Σ rwa_sa_equivalent over the row's WHOLE population. Rows
+    0010 credit-excl-CCR / 0020 CCR (risk_type-keyed, zero-filling bound
+    row) / 0080 total."""
+    out = _irb_run(spark, sf_dir, pack=B31_PACK)
+    r = out.results
+    is_m = F.col("approach") == "IRB"
+    is_credit = F.col("risk_type") == "CREDIT"
+    s = r.agg(
+        scaled_sum(
+            F.when(is_credit & is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2
+        ).alias("a"),
+        scaled_sum(
+            F.when(is_credit & ~is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2
+        ).alias("b"),
+        scaled_sum(
+            F.when(is_credit, F.col("rwa_sa_equivalent")).otherwise(0.0), 2
+        ).alias("s"),
+        scaled_sum(
+            F.when(~is_credit & is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2
+        ).alias("ca"),
+        scaled_sum(
+            F.when(~is_credit & ~is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2
+        ).alias("cb"),
+        scaled_sum(
+            F.when(~is_credit, F.col("rwa_sa_equivalent")).otherwise(0.0), 2
+        ).alias("cs"),
+    ).collect()[0]  # O(1) scalars — driver-sized by design
+    rows = [
+        ("0010", s.a, s.b, s.a + s.b, s.s),
+        ("0020", s.ca, s.cb, s.ca + s.cb, s.cs),
+        ("0080", s.a + s.ca, s.b + s.cb, (s.a + s.ca) + (s.b + s.cb), s.s + s.cs),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "row_ref string, utrea_modelled double, utrea_std double, "
+        "utrea_total double, strea double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SA / IRB scope sheets
 # ---------------------------------------------------------------------------
@@ -341,6 +405,67 @@ def pillar3_irb_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_sum(F.col("undrawn_amount"), 2).alias("gross_off_bs"),
         scaled_sum(F.col("ead_after_crm"), 2).alias("ead_post"),
         scaled_sum(F.col("rwa"), 2).alias("rwea"),
+    )
+
+
+_C0807_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + f"""
+    , scope AS (
+        SELECT exposure_class,
+               {sql_scaled_sum('ead', 2)} AS ead_total,
+               {sql_scaled_sum("CASE WHEN approach = 'IRB' THEN ead ELSE 0.0 END", 2)}
+                   AS ead_irb
+        FROM unioned GROUP BY exposure_class
+        UNION ALL
+        SELECT 'total', {sql_scaled_sum('ead', 2)},
+               {sql_scaled_sum("CASE WHEN approach = 'IRB' THEN ead ELSE 0.0 END", 2)}
+        FROM unioned
+    )
+    SELECT exposure_class AS row_label, ead_total, ead_irb,
+           round(ead_irb / nullif(ead_total, 0.0), 10) AS pct_irb,
+           round((ead_total - ead_irb) / nullif(ead_total, 0.0), 10) AS pct_sa_ppu
+    FROM scope
+    """
+
+
+@query("corep_c08_07", oracle=_C0807_ORACLE, tags=("rwa", "reporting", "tolerant"))
+def corep_c08_07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREP C 08.07 — IRB scope of use (ref reporting/corep/c08_07.py;
+    CRR Art.148/150, PS1/26 Annex II §3.3.10.2). The population is the
+    FULL ledger — SA enters every denominator (c08_07.py:10-12) — keyed by
+    the raw origination exposure_class with a whole-population total row.
+    Columns are DPM FRACTIONS, not 0-100 percentages (c08_07.py:27-28):
+    pct_irb = IRB-treated EAD share, pct_sa_ppu = the permanent-partial-use
+    complement (no is_under_irb_rollout carrier in this bundle, so the
+    roll-out column is empty and PPU keeps the whole SA share — the
+    reference's documented absent-carrier behaviour, c08_07.py:29-35)."""
+    out = _irb_run(spark, sf_dir)
+    r = out.results
+    ead_total = scaled_sum(F.col("ead_after_crm"), 2)
+    ead_irb = scaled_sum(
+        F.when(F.col("approach").isin("IRB", "SLOTTING"), F.col("ead_after_crm")).otherwise(
+            0.0
+        ),
+        2,
+    )
+    per_class = r.groupBy(F.col("exposure_class").alias("row_label")).agg(
+        ead_total.alias("ead_total"), ead_irb.alias("ead_irb")
+    )
+    total = r.agg(ead_total.alias("ead_total"), ead_irb.alias("ead_irb")).select(
+        F.lit("total").alias("row_label"), "ead_total", "ead_irb"
+    )
+    scope = per_class.unionByName(total)
+    return scope.select(
+        "row_label",
+        "ead_total",
+        "ead_irb",
+        F.round(F.col("ead_irb") / F.nullif(F.col("ead_total"), F.lit(0.0)), 10).alias(
+            "pct_irb"
+        ),
+        F.round(
+            (F.col("ead_total") - F.col("ead_irb"))
+            / F.nullif(F.col("ead_total"), F.lit(0.0)),
+            10,
+        ).alias("pct_sa_ppu"),
     )
 
 

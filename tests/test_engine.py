@@ -2623,3 +2623,88 @@ def test_ccf_firb_routing_and_oc_maturity_split(spark):
     assert b31["K4"].ead == pytest.approx(500.0)
     assert b31["K5"].ead == pytest.approx(400.0)
     assert b31["K6"].ead == pytest.approx(400.0)
+
+
+def test_validation_domain_breadth(spark):
+    """Round-4 DQ-code breadth (ref contracts/validation.py VALID_* domains,
+    1,232 LoC distilled): each injected domain violation surfaces its typed
+    code on the error channel, and none of them crashes the run."""
+    from rwa_calculator_spark.engine.stages.validate import run_validation
+
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [
+            ("L1", "CP1", 100.0, False, 1.5, 0.4, 2.0),   # pd > 1 → DQ006
+            ("L2", "CP1", 100.0, False, 0.01, -0.2, 2.0), # lgd < 0 → DQ006
+            ("L3", "CP1", 100.0, False, 0.01, 0.4, -1.0), # m ≤ 0 → DQ006
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    allocs = _df(
+        spark,
+        [("L1", "P1", 0.7), ("L1", "P2", 0.6), ("L2", "P1", 1.5)],
+        "exposure_reference string, pool_reference string, allocation_pct double",
+    )
+    trades = _df(
+        spark,
+        [("T1", "NS1", "CP1", 10.0, 100.0, "weather")],
+        "trade_reference string, netting_set_reference string, "
+        "counterparty_reference string, mtm double, notional double, asset_class string",
+    )
+    sft = _df(
+        spark,
+        [("SS1", "CP1", "borrowed", 100.0, None), ("SS1", "CP1", "collateral", 50.0, 1.2)],
+        "netting_set_reference string, counterparty_reference string, leg string, "
+        "value double, haircut double",
+    )
+    slotting = _df(
+        spark,
+        [("CP1", "excellent")],
+        "counterparty_reference string, slot_category string",
+    )
+    coll = _df(
+        spark,
+        [("COL1", "crypto", 100.0)],
+        "collateral_reference string, collateral_type string, market_value double",
+    )
+    links = _df(
+        spark,
+        [("COL1", "L1")],
+        "collateral_reference string, exposure_reference string",
+    )
+    bundle = RawBundle(
+        counterparties=cps,
+        loans=loans,
+        collateral=coll,
+        collateral_links=links,
+        specialised_lending=slotting,
+        trades=trades,
+        sft_trades=sft,
+        securitisation_allocations=allocs,
+    )
+    _, errors = run_validation(bundle)
+    rows = errors.collect()
+    by_code = {}
+    for r in rows:
+        by_code.setdefault(r.code, []).append(r)
+
+    # DQ006: one row per offending parameter
+    assert len(by_code["DQ006"]) == 3
+    # DQ007: the out-of-range slice AND the >100% total (L1: 0.7+0.6)
+    dq7 = {(r.severity, r.key) for r in by_code["DQ007"]}
+    assert ("warning", "L2") in dq7 and ("error", "L1") in dq7
+    # DQ008: unknown asset class, unknown leg, haircut ≥ 1
+    dq8 = [r.message for r in by_code["DQ008"]]
+    assert any("asset_class" in m for m in dq8)
+    assert any("leg" in m for m in dq8)
+    assert any("haircut" in m for m in dq8)
+    # DQ009: slot category (error) + collateral type (warning)
+    dq9 = {(r.severity, r.key) for r in by_code["DQ009"]}
+    assert ("error", "CP1") in dq9 and ("warning", "crypto") in dq9
