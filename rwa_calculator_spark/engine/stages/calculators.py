@@ -86,6 +86,11 @@ _RESULT_COLS = [
     # reporting/corep/c09.py: sheets key the counterparty country); null when
     # the counterparty dim carries none
     "country",
+    # guarantor destination class — the CRM-substitution inflow routing key
+    # (ref reporting/corep/crm_substitution.py: the per-destination-class
+    # inflow is computed once over the WHOLE population and routed to the
+    # template that reports the substituted leg); null when unguaranteed
+    "g_class",
 ]
 
 # exposure_type → CMS1-style risk-type discriminator (ref
@@ -119,6 +124,8 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         exp = exp.withColumn("class_reason", F.lit("CLS_BRANCH_DIRECT"))
     if "country" not in exp.columns:
         exp = exp.withColumn("country", F.lit(None).cast("string"))
+    if "g_class" not in exp.columns:
+        exp = exp.withColumn("g_class", F.lit(None).cast("string"))
     return exp
 
 

@@ -26,6 +26,7 @@ from rwa_calculator_spark.plans.rwa import (
     _SQL_IRB_CORE,
     _star_bundle,
 )
+from rwa_calculator_spark.sources.star import load_table
 from rwa_calculator_spark.utils import release_cached_blocks
 
 _IRB_FLAG = "c_custkey % 3 = 0"
@@ -466,6 +467,142 @@ def corep_c08_07(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("ead_total"), F.lit(0.0)),
             10,
         ).alias("pct_sa_ppu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# COREP CRM substitution — cross-class inflow/outflow router
+# ---------------------------------------------------------------------------
+
+# Guarantees derived from orders: every 6th loan carries one, guarantor
+# class/CQS keyed off the order key (sovereign CQS1-3 / institution CQS1-3
+# — always better than or equal to the obligor ladder, so the beneficial
+# gate stays data-driven, not always-on).
+_SUBST_GUARANTEES_SQL = """
+    , gtees AS (
+        SELECT 'L' || o_orderkey AS exposure_reference,
+               0.5 AS g_coverage,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'sovereign'
+                    ELSE 'institution' END AS g_class,
+               CAST(1 + o_orderkey % 3 AS INTEGER) AS g_cqs
+        FROM orders WHERE o_orderkey % 6 = 0
+    )
+"""
+
+_CRM_SUBST_ORACLE = _SQL_BASE.format(irb_flag="FALSE") + f"""
+    , with_rw AS (
+        SELECT w.*,
+               CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END AS own_rw
+        FROM with_ead w
+        LEFT JOIN (VALUES
+            ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
+            ('sovereign', 3, CAST(0.5 AS DOUBLE)), ('sovereign', 4, CAST(1.0 AS DOUBLE)),
+            ('sovereign', 5, CAST(1.0 AS DOUBLE)), ('sovereign', 6, CAST(1.5 AS DOUBLE)),
+            ('sovereign', 0, CAST(1.0 AS DOUBLE)),
+            ('institution', 1, CAST(0.2 AS DOUBLE)), ('institution', 2, CAST(0.5 AS DOUBLE)),
+            ('institution', 3, CAST(0.5 AS DOUBLE)), ('institution', 4, CAST(1.0 AS DOUBLE)),
+            ('institution', 5, CAST(1.0 AS DOUBLE)), ('institution', 6, CAST(1.5 AS DOUBLE)),
+            ('institution', 0, CAST(0.5 AS DOUBLE)),
+            ('corporate', 1, CAST(0.2 AS DOUBLE)), ('corporate', 2, CAST(0.5 AS DOUBLE)),
+            ('corporate', 3, CAST(1.0 AS DOUBLE)), ('corporate', 4, CAST(1.0 AS DOUBLE)),
+            ('corporate', 5, CAST(1.5 AS DOUBLE)), ('corporate', 6, CAST(1.5 AS DOUBLE)),
+            ('corporate', 0, CAST(1.0 AS DOUBLE))
+        ) AS rwt(rw_class, rw_cqs, rw)
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+    ){_SUBST_GUARANTEES_SQL}
+    , legs AS (
+        SELECT r.exposure_class, g.g_class,
+               g.g_coverage * r.ead AS covered,
+               (g.g_coverage > 0 AND coalesce(grw.rw, r.own_rw) < r.own_rw)
+                   AS beneficial
+        FROM with_rw r
+        JOIN gtees g ON r.exposure_reference = g.exposure_reference
+        LEFT JOIN (VALUES
+            ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
+            ('sovereign', 3, CAST(0.5 AS DOUBLE)),
+            ('institution', 1, CAST(0.2 AS DOUBLE)), ('institution', 2, CAST(0.5 AS DOUBLE)),
+            ('institution', 3, CAST(0.5 AS DOUBLE))
+        ) AS grw(g_class_t, g_cqs_t, rw)
+          ON g.g_class = grw.g_class_t AND g.g_cqs = grw.g_cqs_t
+    ), outflows AS (
+        SELECT exposure_class,
+               {sql_scaled_sum('CASE WHEN beneficial THEN covered ELSE 0.0 END', 2)}
+                   AS outflow
+        FROM legs GROUP BY exposure_class
+    ), inflows AS (
+        SELECT g_class AS exposure_class,
+               {sql_scaled_sum('CASE WHEN beneficial THEN covered ELSE 0.0 END', 2)}
+                   AS inflow
+        FROM legs GROUP BY g_class
+    )
+    SELECT coalesce(o.exposure_class, i.exposure_class) AS exposure_class,
+           coalesce(o.outflow, 0.0) AS outflow,
+           coalesce(i.inflow, 0.0) AS inflow,
+           coalesce(i.inflow, 0.0) - coalesce(o.outflow, 0.0) AS net
+    FROM outflows o FULL OUTER JOIN inflows i
+      ON o.exposure_class = i.exposure_class
+    """
+
+
+@query("corep_crm_substitution", oracle=_CRM_SUBST_ORACLE, tags=("rwa", "reporting"))
+def corep_crm_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREP CRM-substitution inflow/outflow router (ref
+    reporting/corep/crm_substitution.py — the cross-template router feeding
+    C 07.00 col 0100 / C 08.01 col 0080; CRR Art.235/236, COREP Annex II
+    "Exposures stemming from possible in- and outflows from and to other
+    templates shall be taken into account"). The inflow map is computed
+    ONCE over the WHOLE sealed population — the reference's retired defect
+    was each template deriving its own map from its approach-filtered
+    slice, so a substitution crossing the SA/IRB boundary outflowed on one
+    template and inflowed on NEITHER (crm_substitution.py:19-31). The
+    routing key is the ledger's guarantor destination class (`g_class`,
+    the new provenance carrier); same-class migrations are INCLUDED
+    (Annex II: "inflows and outflows within the same exposure classes …
+    shall also be considered" — gating on a class CHANGE shrinks the
+    return, the reference's reproduced rgla→rgla bug). A covered leg
+    counts only when substitution actually bound (the '+guarantee'
+    rw_source marker = the beneficial gate). Σ inflows ≡ Σ outflows by
+    construction — the conservation the router makes impossible to break."""
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=False)
+    o = load_table(spark, sf_dir, "orders")
+    gtees = o.where(F.col("o_orderkey") % 6 == 0).select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.lit(0.5).alias("coverage_pct"),
+        F.when(F.col("o_orderkey") % 2 == 0, "sovereign")
+        .otherwise("institution")
+        .alias("guarantor_class"),
+        (1 + F.col("o_orderkey") % 3).cast("int").alias("guarantor_cqs"),
+    )
+    from dataclasses import replace as dc_replace
+
+    bundle = dc_replace(bundle, guarantees=gtees)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    r = out.results
+    covered = F.col("g_coverage") * F.col("ead_after_crm")
+    beneficial = F.col("rw_source").contains("+guarantee")
+    legs = r.where(F.col("g_class").isNotNull()).select(
+        "exposure_class",
+        "g_class",
+        F.when(beneficial, covered).otherwise(0.0).alias("moved"),
+    )
+    outflows = legs.groupBy("exposure_class").agg(
+        scaled_sum(F.col("moved"), 2).alias("outflow")
+    )
+    inflows = legs.groupBy(F.col("g_class").alias("in_class")).agg(
+        scaled_sum(F.col("moved"), 2).alias("inflow")
+    )
+    j = outflows.join(inflows, outflows.exposure_class == inflows.in_class, "full")
+    return j.select(
+        F.coalesce("exposure_class", "in_class").alias("exposure_class"),
+        F.coalesce("outflow", F.lit(0.0)).alias("outflow"),
+        F.coalesce("inflow", F.lit(0.0)).alias("inflow"),
+        (F.coalesce("inflow", F.lit(0.0)) - F.coalesce("outflow", F.lit(0.0))).alias(
+            "net"
+        ),
     )
 
 
