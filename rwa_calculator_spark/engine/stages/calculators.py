@@ -91,6 +91,14 @@ _RESULT_COLS = [
     # inflow is computed once over the WHOLE population and routed to the
     # template that reports the substituted leg); null when unguaranteed
     "g_class",
+    # the hypothetical NO-SUBSTITUTION RWA — the carrier the reference
+    # RECORDS as its F7 follow-up ("the m-side needs a pre-substitution
+    # RWA carrier", reporting/pillar3/cr7a.py:36-41; cr7.py:16-21 records
+    # the a=b approximation it forces). SA: EAD × own-ladder RW × factor
+    # (post-base B3.1 adjustments not re-applied — recorded scope); IRB:
+    # EAD × pre-guarantee-blend Vasicek RW; substitution-free branches
+    # carry their actual rwa
+    "rwa_pre_crm_substitution",
 ]
 
 # exposure_type → CMS1-style risk-type discriminator (ref
@@ -126,6 +134,10 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         exp = exp.withColumn("country", F.lit(None).cast("string"))
     if "g_class" not in exp.columns:
         exp = exp.withColumn("g_class", F.lit(None).cast("string"))
+    # substitution-free branches: the hypothetical equals the actual (only
+    # frames that already carry rwa — SA/IRB set their own upstream)
+    if "rwa_pre_crm_substitution" not in exp.columns and "rwa" in exp.columns:
+        exp = exp.withColumn("rwa_pre_crm_substitution", F.col("rwa"))
     return exp
 
 
@@ -654,6 +666,12 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         exp.withColumn("approach", F.lit("SA"))
         .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
         .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight") * sf)
+        # the CR7/CR7-A hypothetical: the own-ladder RW before the
+        # guarantee/OFCP substitution blend, at the same supporting factor
+        .withColumn(
+            "rwa_pre_crm_substitution",
+            F.col("ead_after_crm") * F.col("own_rw") * sf,
+        )
     )
     exp = _el_columns(exp, F.lit(0.0))  # EL treatment is IRB-only; SA deducts
     exp = _param_cols(exp)  # SA uses CCF only
@@ -791,7 +809,10 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
         )
     )
     # IRB unfunded protection: substitution / parameter substitution /
-    # double default on the covered leg, Art.193 benefit gate, EL blend
+    # double default on the covered leg, Art.193 benefit gate, EL blend.
+    # The pre-blend Vasicek weight is stashed first — it is the CR7/CR7-A
+    # "RWEA without substitution effects" hypothetical
+    perf = perf.withColumn("_rw_pre_subst", F.col("risk_weight"))
     perf, el_expr = _irb_guarantee_adjust(perf, pack, spark)
     perf = _el_columns(perf, el_expr)
 
@@ -817,11 +838,18 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
         F.coalesce("el_be", F.col("lgd_floored")) * F.col("ead_after_crm"),
     )
 
+    # defaulted rows never substitute — the hypothetical equals the actual
+    dflt = dflt.withColumn("_rw_pre_subst", F.col("risk_weight"))
+
     def _finish(df):
         df = (
             df.withColumn("approach", F.lit("IRB"))
             .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
             .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight"))
+            .withColumn(
+                "rwa_pre_crm_substitution",
+                F.col("ead_after_crm") * F.col("_rw_pre_subst"),
+            )
         )
         df = _param_cols(
             df,
@@ -923,6 +951,7 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     exp = _el_columns(exp, F.lit(0.0))
     exp = _param_cols(exp)
     exp = exp.withColumn("rwa_sa_equivalent", F.col("ead_after_crm") * sa_equiv_rw)
+    exp = exp.withColumn("rwa_pre_crm_substitution", F.col("rwa"))
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
@@ -985,6 +1014,7 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     # category into <2.5y / ≥2.5y rows on exactly this input)
     exp = _param_cols(exp, m_col=F.col("effective_maturity").cast("double"))
     exp = exp.withColumn("rwa_sa_equivalent", F.col("rwa"))
+    exp = exp.withColumn("rwa_pre_crm_substitution", F.col("rwa"))
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 

@@ -24,6 +24,8 @@ from rwa_calculator_spark.plans.rwa import (
     _SQL_B31_SIDE,
     _SQL_BASE,
     _SQL_IRB_CORE,
+    _SQL_SA_RW,
+    _SQL_SME_SF,
     _star_bundle,
 )
 from rwa_calculator_spark.sources.star import load_table
@@ -42,14 +44,51 @@ def _irb_run(spark: SparkSession, sf_dir: str, pack=CRR_PACK):
 # CR7 — effect of credit derivatives on RWEAs
 # ---------------------------------------------------------------------------
 
-_CR7_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + f"""
+# Unfunded protection on the IRB book: every 6th loan guaranteed 50% by a
+# sovereign/institution (CQS 1-3) — the Art.235 SA-substitution route of
+# the IRB guarantee treatment (no guarantor_pd carrier).
+_CR7_GTEES_SQL = """
+    , gtees AS (
+        SELECT 'L' || o_orderkey AS exposure_reference,
+               0.5 AS g_coverage,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'sovereign'
+                    ELSE 'institution' END AS g_class,
+               CAST(1 + o_orderkey % 3 AS INTEGER) AS g_cqs
+        FROM orders WHERE o_orderkey % 6 = 0
+    )
+"""
+
+_CR7_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + _CR7_GTEES_SQL + f"""
+    , irb_rw AS (
+        SELECT exposure_reference, exposure_class, ead,
+               ((k * ma) * 12.5) * 1.06 AS rw
+        FROM irb_k
+    ), irb_guar AS (
+        SELECT r.exposure_class,
+               r.ead * r.rw AS rwa_pre,
+               r.ead * (CASE WHEN coalesce(g.g_coverage, 0.0) > 0
+                                  AND grw.rw IS NOT NULL AND grw.rw < r.rw
+                             THEN (1 - g.g_coverage) * r.rw + g.g_coverage * grw.rw
+                             ELSE r.rw END) AS rwa_post
+        FROM irb_rw r
+        LEFT JOIN gtees g ON r.exposure_reference = g.exposure_reference
+        LEFT JOIN (VALUES
+            ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
+            ('sovereign', 3, CAST(0.5 AS DOUBLE)),
+            ('institution', 1, CAST(0.2 AS DOUBLE)), ('institution', 2, CAST(0.5 AS DOUBLE)),
+            ('institution', 3, CAST(0.5 AS DOUBLE))
+        ) AS grw(gc, gq, rw) ON g.g_class = grw.gc AND coalesce(g.g_cqs, 0) = grw.gq
+        UNION ALL
+        SELECT exposure_class, ead * 0.0, ead * 0.0 FROM routed
+        WHERE has_irb_permission AND pd_f >= 1.0
+    )
     SELECT exposure_class AS row_label,
-           {sql_scaled_sum('rwa', 2)} AS rwea_pre_cd,
-           {sql_scaled_sum('rwa', 2)} AS rwea_post_cd
-    FROM unioned WHERE approach = 'IRB' GROUP BY exposure_class
+           {sql_scaled_sum('rwa_pre', 2)} AS rwea_pre_cd,
+           {sql_scaled_sum('rwa_post', 2)} AS rwea_post_cd
+    FROM irb_guar GROUP BY exposure_class
     UNION ALL
-    SELECT 'total_irb', {sql_scaled_sum('rwa', 2)}, {sql_scaled_sum('rwa', 2)}
-    FROM unioned WHERE approach = 'IRB'
+    SELECT 'total_irb', {sql_scaled_sum('rwa_pre', 2)}, {sql_scaled_sum('rwa_post', 2)}
+    FROM irb_guar
     """
 
 
@@ -59,19 +98,35 @@ def pillar3_cr7(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting/pillar3/cr7.py:100-123 build_cr7_spec; CRR Art.453(j), PS1/26
     Annex XXII): rows key the ORIGIN approach × the obligor's applied class
     (substitution moves a→b columns, never rows — cr7.py:13-16), distilled
-    here to the IRB book per applied class plus the all-IRB total row.
-    Column a (pre-credit-derivative RWEA) and column b (actual RWEA) are
-    the IDENTICAL sum — the reference's recorded decision (cr7.py:16-21):
-    the ledger carries no hypothetical pre-CD RWEA, so a = b, exact for a
-    portfolio without credit derivatives and understating CD relief
-    otherwise."""
-    out = _irb_run(spark, sf_dir)
-    r = out.results.where(F.col("approach") == "IRB")
-    rwea = scaled_sum(F.col("rwa"), 2)
-    per_class = r.groupBy(F.col("exposure_class").alias("row_label")).agg(
-        rwea.alias("rwea_pre_cd"), rwea.alias("rwea_post_cd")
+    here to the IRB book per applied class plus the all-IRB total row, over
+    a book carrying real unfunded protection. Column a is the GENUINE
+    pre-credit-derivative RWEA: the ledger's rwa_pre_crm_substitution
+    carrier (the pre-guarantee-blend Vasicek figure) — the carrier the
+    reference RECORDS as its F7 follow-up and whose absence forced its
+    a = b approximation (cr7.py:16-21, cr7a.py:36-41). Column b is the
+    actual post-substitution RWEA; a − b is the Art.453(j) CD relief."""
+    from dataclasses import replace as dc_replace
+
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=True)
+    o = load_table(spark, sf_dir, "orders")
+    gtees = o.where(F.col("o_orderkey") % 6 == 0).select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.lit(0.5).alias("coverage_pct"),
+        F.when(F.col("o_orderkey") % 2 == 0, "sovereign")
+        .otherwise("institution")
+        .alias("guarantor_class"),
+        (1 + F.col("o_orderkey") % 3).cast("int").alias("guarantor_cqs"),
     )
-    total = r.agg(rwea.alias("rwea_pre_cd"), rwea.alias("rwea_post_cd")).select(
+    bundle = dc_replace(bundle, guarantees=gtees)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    r = out.results.where(F.col("approach") == "IRB")
+    pre = scaled_sum(F.col("rwa_pre_crm_substitution"), 2)
+    post = scaled_sum(F.col("rwa"), 2)
+    per_class = r.groupBy(F.col("exposure_class").alias("row_label")).agg(
+        pre.alias("rwea_pre_cd"), post.alias("rwea_post_cd")
+    )
+    total = r.agg(pre.alias("rwea_pre_cd"), post.alias("rwea_post_cd")).select(
         F.lit("total_irb").alias("row_label"), "rwea_pre_cd", "rwea_post_cd"
     )
     return per_class.unionByName(total)
@@ -467,6 +522,131 @@ def corep_c08_07(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("ead_total"), F.lit(0.0)),
             10,
         ).alias("pct_sa_ppu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pillar 3 CR7-A — extent of the use of CRM techniques
+# ---------------------------------------------------------------------------
+
+# Funded + unfunded protection over the SA star book: every 4th loan is
+# collateralised 1:1 (supplied 10% haircut — share 1.0, no mismatch, so the
+# allocation is exactly mv × 0.9), every 6th carries a guarantee (the
+# crm-substitution mapping). Both effects then flow into the ledger rwa.
+_CR7A_ORACLE = _SQL_BASE.format(irb_flag="FALSE") + f"""
+    , coll AS (
+        SELECT 'L' || o_orderkey AS exposure_reference,
+               ((o_totalprice * 0.3) * (1 - 0.1)) * (1 - 0.0) AS allocated
+        FROM orders WHERE o_orderkey % 4 = 0
+    ), gtees AS (
+        SELECT 'L' || o_orderkey AS exposure_reference,
+               0.5 AS g_coverage,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'sovereign'
+                    ELSE 'institution' END AS g_class,
+               CAST(1 + o_orderkey % 3 AS INTEGER) AS g_cqs
+        FROM orders WHERE o_orderkey % 6 = 0
+    ), crm AS (
+        SELECT e.*,
+               coalesce(c.allocated, 0.0) AS collateral_value,
+               greatest(e.ead - coalesce(c.allocated, 0.0), 0.0) AS ead_after,
+               coalesce(g.g_coverage, 0.0) AS g_coverage,
+               g.g_class, g.g_cqs
+        FROM with_ead e
+        LEFT JOIN coll c ON e.exposure_reference = c.exposure_reference
+        LEFT JOIN gtees g ON e.exposure_reference = g.exposure_reference
+    ), rw AS (
+        SELECT w.*,
+               CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END AS own_rw,
+               grw.rw AS g_rw,
+               {_SQL_SME_SF.format(p='w.')} AS sf
+        FROM crm w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+        LEFT JOIN (VALUES
+            ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
+            ('sovereign', 3, CAST(0.5 AS DOUBLE)),
+            ('institution', 1, CAST(0.2 AS DOUBLE)), ('institution', 2, CAST(0.5 AS DOUBLE)),
+            ('institution', 3, CAST(0.5 AS DOUBLE))
+        ) AS grw(gc, gq, rw) ON w.g_class = grw.gc AND coalesce(w.g_cqs, 0) = grw.gq
+    ), ledger AS (
+        SELECT exposure_class, ead_after, collateral_value, g_coverage,
+               ((ead_after * (g_coverage * least(own_rw, coalesce(g_rw, own_rw))
+                              + (1 - g_coverage) * own_rw)) * sf) AS rwa,
+               ((ead_after * own_rw) * sf) AS rwa_pre
+        FROM rw
+    )
+    SELECT exposure_class,
+           {sql_scaled_sum('ead_after', 2)} AS ead_post,
+           round(({sql_scaled_sum('least(collateral_value, ead_after)', 2)})
+                 / ({sql_scaled_sum('ead_after', 2)}) * 100.0, 10) AS fcp_financial_pct,
+           round(({sql_scaled_sum('g_coverage * ead_after', 2)})
+                 / ({sql_scaled_sum('ead_after', 2)}) * 100.0, 10) AS ufcp_guarantee_pct,
+           {sql_scaled_sum('rwa_pre', 2)} AS rwea_without_subst,
+           {sql_scaled_sum('rwa', 2)} AS rwea_with_subst
+    FROM ledger GROUP BY exposure_class
+    """
+
+
+@query("pillar3_cr7a", oracle=_CR7A_ORACLE, tags=("rwa", "reporting"))
+def pillar3_cr7a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 CR7-A — extent of the use of CRM techniques (ref
+    reporting/pillar3/cr7a.py; CRR Art.453(g), PS1/26 Annex XXII). Rows key
+    the obligor's applied class "without taking into account any
+    substitution effects" (cr7a.py:20-25); column a is the row's EAD; the
+    funded-collateral percentage divides the per-LEG-capped allocation sum
+    by the row EAD ×100 — capping the summed numerator instead would let an
+    over-collateralised leg subsidise an under-collateralised one
+    (cr7a.py:27-33, the recorded per-leg-cap decision); the guarantee
+    column carries no cap in either instruction set and stays uncapped
+    (cr7a.py:33-35). Column m (RWEA without substitution) reads the
+    ledger's rwa_pre_crm_substitution carrier — the reference records
+    exactly this carrier as the missing piece forcing its m = n
+    approximation ("the m-side needs a pre-substitution RWA carrier",
+    cr7a.py:36-41); column n is the actual post-substitution RWEA. Every
+    figure is a pure aggregation of the audit ledger's CRM carriers
+    (collateral_value, g_coverage, ead_after_crm, rwa)."""
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=False)
+    o = load_table(spark, sf_dir, "orders")
+    coll = o.where(F.col("o_orderkey") % 4 == 0).select(
+        F.concat(F.lit("COL"), F.col("o_orderkey")).alias("collateral_reference"),
+        (F.col("o_totalprice") * 0.3).alias("market_value"),
+        F.lit(0.1).alias("haircut"),
+        F.lit(False).alias("currency_mismatch"),
+    )
+    links = o.where(F.col("o_orderkey") % 4 == 0).select(
+        F.concat(F.lit("COL"), F.col("o_orderkey")).alias("collateral_reference"),
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+    )
+    gtees = o.where(F.col("o_orderkey") % 6 == 0).select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.lit(0.5).alias("coverage_pct"),
+        F.when(F.col("o_orderkey") % 2 == 0, "sovereign")
+        .otherwise("institution")
+        .alias("guarantor_class"),
+        (1 + F.col("o_orderkey") % 3).cast("int").alias("guarantor_cqs"),
+    )
+    from dataclasses import replace as dc_replace
+
+    bundle = dc_replace(bundle, collateral=coll, collateral_links=links, guarantees=gtees)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    r = out.results
+    ead = scaled_sum(F.col("ead_after_crm"), 2)
+    return r.groupBy("exposure_class").agg(
+        ead.alias("ead_post"),
+        F.round(
+            scaled_sum(F.least("collateral_value", "ead_after_crm"), 2) / ead * 100.0,
+            10,
+        ).alias("fcp_financial_pct"),
+        F.round(
+            scaled_sum(F.col("g_coverage") * F.col("ead_after_crm"), 2) / ead * 100.0,
+            10,
+        ).alias("ufcp_guarantee_pct"),
+        scaled_sum(F.col("rwa_pre_crm_substitution"), 2).alias("rwea_without_subst"),
+        scaled_sum(F.col("rwa"), 2).alias("rwea_with_subst"),
     )
 
 
