@@ -141,3 +141,29 @@ def test_cell_lineage_reconciles_to_cell_value(spark):
     empty_spec = CellSpec("C02.00", "r0020", "c0010", "exposure_class = 'sovereign'", "rwa")
     legs2, total2 = cell_lineage(df, empty_spec, ["exposure_reference"])
     assert total2 is None and legs2.count() == 0
+
+
+def test_rwa_flow_statement_buckets(spark):
+    """CR8 attribution buckets (reporting_flow.rwa_flow_statement): new
+    business (current-only), disposals (prior-only — the bucket the
+    registered query's derived prior frame never exercises), and matched-row
+    drift, with row 8 the exact fixed-point residual (zero here)."""
+    from rwa_calculator_spark.reporting_flow import rwa_flow_statement
+
+    cur = spark.createDataFrame(
+        [("E1", 100.0), ("E2", 250.0), ("E_NEW", 40.0)],
+        "exposure_reference string, rwa double",
+    )
+    prior = spark.createDataFrame(
+        [("E1", 80.0), ("E2", 260.0), ("E_GONE", 55.0)],
+        "exposure_reference string, rwa double",
+    )
+    rows = {r.row_ref: r for r in rwa_flow_statement(cur, prior).collect()}
+    assert rows["1"].rwea == 395.0          # opening = 80 + 260 + 55
+    assert rows["9"].rwea == 390.0          # closing = 100 + 250 + 40
+    assert rows["2"].rwea == 40.0 - 55.0    # asset size: new 40 − disposed 55
+    assert rows["3"].rwea == (100.0 - 80.0) + (250.0 - 260.0)  # drift = +10
+    assert rows["8"].rwea == 0.0            # residual closes exactly
+    for ref in ("4", "5", "6", "7"):
+        assert rows[ref].rwea is None       # honestly-null drivers
+    assert [r for r in rows] == [str(i) for i in range(1, 10)]
