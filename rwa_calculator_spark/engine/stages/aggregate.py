@@ -52,10 +52,17 @@ def run_aggregate(
         )
         results = results.crossJoin(F.broadcast(tot)).withColumn(
             "floor_uplift",
-            F.greatest(
-                F.col("modelled_total"), F.lit(alpha) * F.col("std_total")
-            )
-            / F.nullif(F.col("modelled_total"), F.lit(0.0)),
+            # degenerate zero-modelled book: a pro-rata uplift has no base
+            # to scale (0 × anything = 0), so the ratio coalesces to 1.0
+            # instead of NULL-poisoning every rwa on the ledger; the
+            # reference's pro-rata allocation shares the same singularity
+            F.coalesce(
+                F.greatest(
+                    F.col("modelled_total"), F.lit(alpha) * F.col("std_total")
+                )
+                / F.nullif(F.col("modelled_total"), F.lit(0.0)),
+                F.lit(1.0),
+            ),
         )
         results = (
             results.withColumn("rwa", F.col("rwa") * F.col("floor_uplift"))

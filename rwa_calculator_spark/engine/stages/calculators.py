@@ -488,13 +488,22 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         F.col("g_coverage") * F.least(F.col("own_rw"), F.coalesce("g_rw", F.col("own_rw")))
         + (1 - F.col("g_coverage")) * F.col("own_rw")
     )
-    exp = exp.withColumn("risk_weight", eff_rw).withColumn(
-        "rw_source",
-        F.when(
-            (F.col("g_coverage") > 0)
-            & (F.coalesce("g_rw", F.col("own_rw")) < F.col("own_rw")),
-            F.concat(F.col("rw_source"), F.lit("+guarantee")),
-        ).otherwise(F.col("rw_source")),
+    # the hypothetical no-substitution weight starts at the own ladder and
+    # tracks every NON-substitution adjustment below (ccymm multiplier,
+    # due-diligence override, Art.113(6) intragroup) in lockstep — only
+    # the guarantee/OFCP substitution steps themselves are undone, so
+    # CR7/CR7-A never misattribute a post-base override to CRM relief
+    exp = (
+        exp.withColumn("risk_weight", eff_rw)
+        .withColumn("_rw_nosubst", F.col("own_rw"))
+        .withColumn(
+            "rw_source",
+            F.when(
+                (F.col("g_coverage") > 0)
+                & (F.coalesce("g_rw", F.col("own_rw")) < F.col("own_rw")),
+                F.concat(F.col("rw_source"), F.lit("+guarantee")),
+            ).otherwise(F.col("rw_source")),
+        )
     )
 
     # other-funded-protection RW substitution (CRR Art.222/232; ref
@@ -582,6 +591,16 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
                 ),
             ).otherwise(F.col("risk_weight")),
         ).withColumn(
+            # NOT a substitution effect — mirrored onto the hypothetical
+            "_rw_nosubst",
+            F.when(
+                ccymm,
+                F.least(
+                    F.col("_rw_nosubst") * pack.lit("currency_mismatch_multiplier"),
+                    pack.lit("currency_mismatch_cap"),
+                ),
+            ).otherwise(F.col("_rw_nosubst")),
+        ).withColumn(
             "rw_source",
             F.when(ccymm, F.concat(F.col("rw_source"), F.lit("+ccymm"))).otherwise(
                 F.col("rw_source")
@@ -608,6 +627,13 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
                 "risk_weight": F.when(
                     ddq, F.col("due_diligence_override_rw")
                 ).otherwise(F.col("risk_weight")),
+                # NOT a substitution effect — mirrored onto the hypothetical
+                # (increase-only against ITS OWN level)
+                "_rw_nosubst": F.when(
+                    F.col("due_diligence_override_rw").isNotNull()
+                    & (F.col("due_diligence_override_rw") > F.col("_rw_nosubst")),
+                    F.col("due_diligence_override_rw"),
+                ).otherwise(F.col("_rw_nosubst")),
                 "rw_source": F.when(
                     ddq, F.concat(F.col("rw_source"), F.lit("+ddq"))
                 ).otherwise(F.col("rw_source")),
@@ -624,6 +650,13 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             "risk_weight",
             F.when(elig, pack.lit("intragroup_zero_rw_pct")).otherwise(
                 F.col("risk_weight")
+            ),
+        ).withColumn(
+            # a hard permission, not a substitution — the hypothetical is
+            # 0% too (CR7 must not report phantom CD relief on Art.113(6))
+            "_rw_nosubst",
+            F.when(elig, pack.lit("intragroup_zero_rw_pct")).otherwise(
+                F.col("_rw_nosubst")
             ),
         ).withColumn(
             "rw_source",
@@ -666,11 +699,12 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         exp.withColumn("approach", F.lit("SA"))
         .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
         .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight") * sf)
-        # the CR7/CR7-A hypothetical: the own-ladder RW before the
-        # guarantee/OFCP substitution blend, at the same supporting factor
+        # the CR7/CR7-A hypothetical: the own-ladder RW with every
+        # NON-substitution adjustment mirrored (_rw_nosubst tracks ccymm/
+        # ddq/intragroup), at the same supporting factor
         .withColumn(
             "rwa_pre_crm_substitution",
-            F.col("ead_after_crm") * F.col("own_rw") * sf,
+            F.col("ead_after_crm") * F.col("_rw_nosubst") * sf,
         )
     )
     exp = _el_columns(exp, F.lit(0.0))  # EL treatment is IRB-only; SA deducts

@@ -34,6 +34,13 @@ _ZERO_LEDGER = {
     "expected_loss": 0.0,
     "el_shortfall": 0.0,
     "el_excess": 0.0,
+    # haircut-decomposition carriers: 0.0 like every CRM-fed branch, so the
+    # gross − quality − fx − mismatch ≡ collateral_value identity holds on
+    # the WHOLE unified ledger, never a spurious null bucket
+    "collateral_value_gross": 0.0,
+    "haircut_quality": 0.0,
+    "haircut_fx": 0.0,
+    "haircut_maturity_mismatch": 0.0,
 }
 
 

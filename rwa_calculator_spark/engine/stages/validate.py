@@ -103,8 +103,16 @@ def run_validation(raw: RawBundle) -> tuple[RawBundle, DataFrame]:
             cps.select("entity_type")
             .where(
                 F.col("entity_type").isNotNull()
+                # the full classifier ladder incl. the Art.115 RGLA values
+                # run_classify supports (rgla_sovereign → CGCB ladder,
+                # rgla → institution treatment)
                 & ~F.col("entity_type").isin(
-                    "corporate", "individual", "institution", "sovereign"
+                    "corporate",
+                    "individual",
+                    "institution",
+                    "sovereign",
+                    "rgla",
+                    "rgla_sovereign",
                 )
             )
             .distinct()

@@ -1135,8 +1135,10 @@ def irb_guarantee_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exposure_reference", "band_pd", "g_class", "g_cqs", "band_gpd",
         F.col("guarantor_seniority").alias("sen"),
     )
+    # the round-4 ledger carries g_class as an audit column — drop the
+    # ledger copy and group on the banding frame's own carrier
     res = run_irb(CRMOutput(exposures=exp.drop("band_pd", "band_gpd")), CRR_PACK).results
-    r = res.join(keys, "exposure_reference")
+    r = res.drop("g_class").join(keys, "exposure_reference")
     return r.groupBy("band_pd", "g_class", "g_cqs", "band_gpd", "sen").agg(
         F.count("*").alias("n_rows"),
         F.round(F.min("risk_weight"), 8).alias("rw"),

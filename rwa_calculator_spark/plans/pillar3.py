@@ -33,6 +33,12 @@ from rwa_calculator_spark.utils import release_cached_blocks
 
 _IRB_FLAG = "c_custkey % 3 = 0"
 
+#: The EXPLICIT counterparty-credit-risk risk-type set (ref
+#: reporting/pillar3/cms1.py:88-95 _CCR_RISK_TYPES): CMS1/OF02 row 0020
+#: keys on membership, never on NOT-CREDIT — a complement would sweep
+#: securitisation/equity/settlement books into the CCR row.
+_CCR_RISK_TYPES = ("CCR_DERIVATIVE", "CCR_SFT", "CCR_DEFAULT_FUND")
+
 
 def _irb_run(spark: SparkSession, sf_dir: str, pack=CRR_PACK):
     release_cached_blocks(spark)
@@ -41,13 +47,14 @@ def _irb_run(spark: SparkSession, sf_dir: str, pack=CRR_PACK):
 
 
 # ---------------------------------------------------------------------------
-# CR7 — effect of credit derivatives on RWEAs
+# Shared guarantee fixture (CR7 / CR7-A / CRM-substitution router use the
+# SAME protection book, SQL and Spark — one definition, no lockstep copies)
 # ---------------------------------------------------------------------------
 
-# Unfunded protection on the IRB book: every 6th loan guaranteed 50% by a
+# Unfunded protection: every 6th loan guaranteed 50% by a
 # sovereign/institution (CQS 1-3) — the Art.235 SA-substitution route of
-# the IRB guarantee treatment (no guarantor_pd carrier).
-_CR7_GTEES_SQL = """
+# the guarantee treatment (no guarantor_pd carrier).
+_GTEES_SQL = """
     , gtees AS (
         SELECT 'L' || o_orderkey AS exposure_reference,
                0.5 AS g_coverage,
@@ -58,7 +65,32 @@ _CR7_GTEES_SQL = """
     )
 """
 
-_CR7_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + _CR7_GTEES_SQL + f"""
+#: Guarantor SA risk weights for the fixture's (class, CQS 1-3) domain.
+_G_RW_SQL = """(VALUES
+            ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
+            ('sovereign', 3, CAST(0.5 AS DOUBLE)),
+            ('institution', 1, CAST(0.2 AS DOUBLE)), ('institution', 2, CAST(0.5 AS DOUBLE)),
+            ('institution', 3, CAST(0.5 AS DOUBLE))
+        ) AS grw(gc, gq, rw)"""
+
+
+def _star_gtees(o: DataFrame) -> DataFrame:
+    """The same protection book as _GTEES_SQL, in bundle shape."""
+    return o.where(F.col("o_orderkey") % 6 == 0).select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.lit(0.5).alias("coverage_pct"),
+        F.when(F.col("o_orderkey") % 2 == 0, "sovereign")
+        .otherwise("institution")
+        .alias("guarantor_class"),
+        (1 + F.col("o_orderkey") % 3).cast("int").alias("guarantor_cqs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CR7 — effect of credit derivatives on RWEAs
+# ---------------------------------------------------------------------------
+
+_CR7_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + _GTEES_SQL + f"""
     , irb_rw AS (
         SELECT exposure_reference, exposure_class, ead,
                ((k * ma) * 12.5) * 1.06 AS rw
@@ -72,12 +104,7 @@ _CR7_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + _CR7_GTEES_
                              ELSE r.rw END) AS rwa_post
         FROM irb_rw r
         LEFT JOIN gtees g ON r.exposure_reference = g.exposure_reference
-        LEFT JOIN (VALUES
-            ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
-            ('sovereign', 3, CAST(0.5 AS DOUBLE)),
-            ('institution', 1, CAST(0.2 AS DOUBLE)), ('institution', 2, CAST(0.5 AS DOUBLE)),
-            ('institution', 3, CAST(0.5 AS DOUBLE))
-        ) AS grw(gc, gq, rw) ON g.g_class = grw.gc AND coalesce(g.g_cqs, 0) = grw.gq
+        LEFT JOIN {_G_RW_SQL} ON g.g_class = grw.gc AND coalesce(g.g_cqs, 0) = grw.gq
         UNION ALL
         SELECT exposure_class, ead * 0.0, ead * 0.0 FROM routed
         WHERE has_irb_permission AND pd_f >= 1.0
@@ -109,16 +136,7 @@ def pillar3_cr7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     release_cached_blocks(spark)
     bundle = _star_bundle(spark, sf_dir, irb=True)
-    o = load_table(spark, sf_dir, "orders")
-    gtees = o.where(F.col("o_orderkey") % 6 == 0).select(
-        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
-        F.lit(0.5).alias("coverage_pct"),
-        F.when(F.col("o_orderkey") % 2 == 0, "sovereign")
-        .otherwise("institution")
-        .alias("guarantor_class"),
-        (1 + F.col("o_orderkey") % 3).cast("int").alias("guarantor_cqs"),
-    )
-    bundle = dc_replace(bundle, guarantees=gtees)
+    bundle = dc_replace(bundle, guarantees=_star_gtees(load_table(spark, sf_dir, "orders")))
     out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
     r = out.results.where(F.col("approach") == "IRB")
     pre = scaled_sum(F.col("rwa_pre_crm_substitution"), 2)
@@ -236,24 +254,32 @@ def pillar3_cms1(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns partition each row); column d re-prices the row's WHOLE
     population through the SA ladder (the ledger's rwa_sa_equivalent — the
     Art.92(3) floor base, cms1.py:26-33). Rows: 0010 credit risk (risk_type
-    CREDIT), 0020 CCR — BOUND and zero-filling on a book with no CCR legs
-    (cms1.py:40-41), 0080 total. a/b sum the POST-output-floor rwa."""
+    CREDIT), 0020 CCR — keyed on the EXPLICIT CCR risk-type set, never its
+    complement (a complement would sweep securitisation/equity/settlement
+    books into the CCR row); BOUND and zero-filling on a book with no CCR
+    legs (cms1.py:40-41, 88-95); 0080 total over the WHOLE book — other
+    risk types enter only the total, mirroring the reference's fixed
+    out-of-scope middle rows. a/b sum the POST-output-floor rwa."""
     out = _irb_run(spark, sf_dir, pack=B31_PACK)
     r = out.results
     is_m = F.col("approach") == "IRB"
     is_credit = F.col("risk_type") == "CREDIT"
+    is_ccr = F.col("risk_type").isin(*_CCR_RISK_TYPES)
     s = r.agg(
         scaled_sum(F.when(is_credit & is_m, F.col("rwa")).otherwise(0.0), 2).alias("a"),
         scaled_sum(F.when(is_credit & ~is_m, F.col("rwa")).otherwise(0.0), 2).alias("b"),
         scaled_sum(F.when(is_credit, F.col("rwa_sa_equivalent")).otherwise(0.0), 2).alias("d"),
-        scaled_sum(F.when(~is_credit & is_m, F.col("rwa")).otherwise(0.0), 2).alias("ccr_a"),
-        scaled_sum(F.when(~is_credit & ~is_m, F.col("rwa")).otherwise(0.0), 2).alias("ccr_b"),
-        scaled_sum(F.when(~is_credit, F.col("rwa_sa_equivalent")).otherwise(0.0), 2).alias("ccr_d"),
+        scaled_sum(F.when(is_ccr & is_m, F.col("rwa")).otherwise(0.0), 2).alias("ccr_a"),
+        scaled_sum(F.when(is_ccr & ~is_m, F.col("rwa")).otherwise(0.0), 2).alias("ccr_b"),
+        scaled_sum(F.when(is_ccr, F.col("rwa_sa_equivalent")).otherwise(0.0), 2).alias("ccr_d"),
+        scaled_sum(F.when(is_m, F.col("rwa")).otherwise(0.0), 2).alias("tot_a"),
+        scaled_sum(F.when(~is_m, F.col("rwa")).otherwise(0.0), 2).alias("tot_b"),
+        scaled_sum(F.col("rwa_sa_equivalent"), 2).alias("tot_d"),
     ).collect()[0]  # O(1) scalars — driver-sized by design
     rows = [
         ("0010", s.a, s.b, s.a + s.b, s.d),
         ("0020", s.ccr_a, s.ccr_b, s.ccr_a + s.ccr_b, s.ccr_d),
-        ("0080", s.a + s.ccr_a, s.b + s.ccr_b, (s.a + s.ccr_a) + (s.b + s.ccr_b), s.d + s.ccr_d),
+        ("0080", s.tot_a, s.tot_b, s.tot_a + s.tot_b, s.tot_d),
     ]
     return spark.createDataFrame(
         rows,
@@ -344,12 +370,15 @@ def corep_of02(spark: SparkSession, sf_dir: str) -> DataFrame:
     the "rwa is already post-floor" trap, of02.py:36-40), 0020 = the
     complement's own pre-floor RWA, 0030 (U-TREA) = their sum, 0040
     (S-TREA) = Σ rwa_sa_equivalent over the row's WHOLE population. Rows
-    0010 credit-excl-CCR / 0020 CCR (risk_type-keyed, zero-filling bound
-    row) / 0080 total."""
+    0010 credit-excl-CCR / 0020 CCR (keyed on the EXPLICIT CCR risk-type
+    set, never its complement — of02.py's own recorded trap; zero-filling
+    bound row) / 0080 total over the WHOLE book (other risk types enter
+    only the total, mirroring the fixed out-of-scope middle rows)."""
     out = _irb_run(spark, sf_dir, pack=B31_PACK)
     r = out.results
     is_m = F.col("approach") == "IRB"
     is_credit = F.col("risk_type") == "CREDIT"
+    is_ccr = F.col("risk_type").isin(*_CCR_RISK_TYPES)
     s = r.agg(
         scaled_sum(
             F.when(is_credit & is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2
@@ -361,19 +390,26 @@ def corep_of02(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_credit, F.col("rwa_sa_equivalent")).otherwise(0.0), 2
         ).alias("s"),
         scaled_sum(
-            F.when(~is_credit & is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2
+            F.when(is_ccr & is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2
         ).alias("ca"),
         scaled_sum(
-            F.when(~is_credit & ~is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2
+            F.when(is_ccr & ~is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2
         ).alias("cb"),
         scaled_sum(
-            F.when(~is_credit, F.col("rwa_sa_equivalent")).otherwise(0.0), 2
+            F.when(is_ccr, F.col("rwa_sa_equivalent")).otherwise(0.0), 2
         ).alias("cs"),
+        scaled_sum(F.when(is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2).alias(
+            "tot_a"
+        ),
+        scaled_sum(F.when(~is_m, F.col("rwa_pre_floor")).otherwise(0.0), 2).alias(
+            "tot_b"
+        ),
+        scaled_sum(F.col("rwa_sa_equivalent"), 2).alias("tot_s"),
     ).collect()[0]  # O(1) scalars — driver-sized by design
     rows = [
         ("0010", s.a, s.b, s.a + s.b, s.s),
         ("0020", s.ca, s.cb, s.ca + s.cb, s.cs),
-        ("0080", s.a + s.ca, s.b + s.cb, (s.a + s.ca) + (s.b + s.cb), s.s + s.cs),
+        ("0080", s.tot_a, s.tot_b, s.tot_a + s.tot_b, s.tot_s),
     ]
     return spark.createDataFrame(
         rows,
@@ -538,14 +574,8 @@ _CR7A_ORACLE = _SQL_BASE.format(irb_flag="FALSE") + f"""
         SELECT 'L' || o_orderkey AS exposure_reference,
                ((o_totalprice * 0.3) * (1 - 0.1)) * (1 - 0.0) AS allocated
         FROM orders WHERE o_orderkey % 4 = 0
-    ), gtees AS (
-        SELECT 'L' || o_orderkey AS exposure_reference,
-               0.5 AS g_coverage,
-               CASE WHEN o_orderkey % 2 = 0 THEN 'sovereign'
-                    ELSE 'institution' END AS g_class,
-               CAST(1 + o_orderkey % 3 AS INTEGER) AS g_cqs
-        FROM orders WHERE o_orderkey % 6 = 0
-    ), crm AS (
+    ){_GTEES_SQL}
+    , crm AS (
         SELECT e.*,
                coalesce(c.allocated, 0.0) AS collateral_value,
                greatest(e.ead - coalesce(c.allocated, 0.0), 0.0) AS ead_after,
@@ -565,12 +595,7 @@ _CR7A_ORACLE = _SQL_BASE.format(irb_flag="FALSE") + f"""
         FROM crm w
         LEFT JOIN {_SQL_SA_RW}
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
-        LEFT JOIN (VALUES
-            ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
-            ('sovereign', 3, CAST(0.5 AS DOUBLE)),
-            ('institution', 1, CAST(0.2 AS DOUBLE)), ('institution', 2, CAST(0.5 AS DOUBLE)),
-            ('institution', 3, CAST(0.5 AS DOUBLE))
-        ) AS grw(gc, gq, rw) ON w.g_class = grw.gc AND coalesce(w.g_cqs, 0) = grw.gq
+        LEFT JOIN {_G_RW_SQL} ON w.g_class = grw.gc AND coalesce(w.g_cqs, 0) = grw.gq
     ), ledger AS (
         SELECT exposure_class, ead_after, collateral_value, g_coverage,
                ((ead_after * (g_coverage * least(own_rw, coalesce(g_rw, own_rw))
@@ -621,17 +646,11 @@ def pillar3_cr7a(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("COL"), F.col("o_orderkey")).alias("collateral_reference"),
         F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
     )
-    gtees = o.where(F.col("o_orderkey") % 6 == 0).select(
-        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
-        F.lit(0.5).alias("coverage_pct"),
-        F.when(F.col("o_orderkey") % 2 == 0, "sovereign")
-        .otherwise("institution")
-        .alias("guarantor_class"),
-        (1 + F.col("o_orderkey") % 3).cast("int").alias("guarantor_cqs"),
-    )
     from dataclasses import replace as dc_replace
 
-    bundle = dc_replace(bundle, collateral=coll, collateral_links=links, guarantees=gtees)
+    bundle = dc_replace(
+        bundle, collateral=coll, collateral_links=links, guarantees=_star_gtees(o)
+    )
     out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
     r = out.results
     ead = scaled_sum(F.col("ead_after_crm"), 2)
@@ -653,21 +672,6 @@ def pillar3_cr7a(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # COREP CRM substitution — cross-class inflow/outflow router
 # ---------------------------------------------------------------------------
-
-# Guarantees derived from orders: every 6th loan carries one, guarantor
-# class/CQS keyed off the order key (sovereign CQS1-3 / institution CQS1-3
-# — always better than or equal to the obligor ladder, so the beneficial
-# gate stays data-driven, not always-on).
-_SUBST_GUARANTEES_SQL = """
-    , gtees AS (
-        SELECT 'L' || o_orderkey AS exposure_reference,
-               0.5 AS g_coverage,
-               CASE WHEN o_orderkey % 2 = 0 THEN 'sovereign'
-                    ELSE 'institution' END AS g_class,
-               CAST(1 + o_orderkey % 3 AS INTEGER) AS g_cqs
-        FROM orders WHERE o_orderkey % 6 = 0
-    )
-"""
 
 _CRM_SUBST_ORACLE = _SQL_BASE.format(irb_flag="FALSE") + f"""
     , with_rw AS (
@@ -692,7 +696,7 @@ _CRM_SUBST_ORACLE = _SQL_BASE.format(irb_flag="FALSE") + f"""
             ('corporate', 0, CAST(1.0 AS DOUBLE))
         ) AS rwt(rw_class, rw_cqs, rw)
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
-    ){_SUBST_GUARANTEES_SQL}
+    ){_GTEES_SQL}
     , legs AS (
         SELECT r.exposure_class, g.g_class,
                g.g_coverage * r.ead AS covered,
@@ -700,13 +704,8 @@ _CRM_SUBST_ORACLE = _SQL_BASE.format(irb_flag="FALSE") + f"""
                    AS beneficial
         FROM with_rw r
         JOIN gtees g ON r.exposure_reference = g.exposure_reference
-        LEFT JOIN (VALUES
-            ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
-            ('sovereign', 3, CAST(0.5 AS DOUBLE)),
-            ('institution', 1, CAST(0.2 AS DOUBLE)), ('institution', 2, CAST(0.5 AS DOUBLE)),
-            ('institution', 3, CAST(0.5 AS DOUBLE))
-        ) AS grw(g_class_t, g_cqs_t, rw)
-          ON g.g_class = grw.g_class_t AND g.g_cqs = grw.g_cqs_t
+        LEFT JOIN {_G_RW_SQL}
+          ON g.g_class = grw.gc AND g.g_cqs = grw.gq
     ), outflows AS (
         SELECT exposure_class,
                {sql_scaled_sum('CASE WHEN beneficial THEN covered ELSE 0.0 END', 2)}
@@ -748,18 +747,11 @@ def corep_crm_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction — the conservation the router makes impossible to break."""
     release_cached_blocks(spark)
     bundle = _star_bundle(spark, sf_dir, irb=False)
-    o = load_table(spark, sf_dir, "orders")
-    gtees = o.where(F.col("o_orderkey") % 6 == 0).select(
-        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
-        F.lit(0.5).alias("coverage_pct"),
-        F.when(F.col("o_orderkey") % 2 == 0, "sovereign")
-        .otherwise("institution")
-        .alias("guarantor_class"),
-        (1 + F.col("o_orderkey") % 3).cast("int").alias("guarantor_cqs"),
-    )
     from dataclasses import replace as dc_replace
 
-    bundle = dc_replace(bundle, guarantees=gtees)
+    bundle = dc_replace(
+        bundle, guarantees=_star_gtees(load_table(spark, sf_dir, "orders"))
+    )
     out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
     r = out.results
     covered = F.col("g_coverage") * F.col("ead_after_crm")

@@ -85,15 +85,33 @@ def rwa_flow_statement(
         scaled_sum(
             F.when(matched, F.col("_rwa_cur") - F.col("_rwa_pri")).otherwise(0.0), 2
         ).alias("asset_quality"),
+        # grain guard: a duplicate key fans out through the full join and
+        # silently double-counts the matched-row drift — refuse it
+        F.count("_k").alias("_n_cur"),
+        F.countDistinct("_k").alias("_n_cur_d"),
+        F.count("_pk").alias("_n_pri"),
+        F.countDistinct("_pk").alias("_n_pri_d"),
     )
     s = agg.collect()[0]  # 1 row by construction — driver-sized by design
-    other = ((s.closing - s.opening) - s.asset_size) - s.asset_quality
+    if s._n_cur != s._n_cur_d or s._n_pri != s._n_pri_d:
+        raise ValueError(
+            "rwa_flow_statement needs exposure-grain ledgers: duplicate "
+            f"{key_col} rows would double-count through the full join "
+            f"(current {s._n_cur} rows / {s._n_cur_d} keys, "
+            f"prior {s._n_pri} rows / {s._n_pri_d} keys)"
+        )
+    # an empty side sums to NULL — an empty book's flow is zero, not a crash
+    closing = s.closing or 0.0
+    opening = s.opening or 0.0
+    asset_size = s.asset_size if s.asset_size is not None else 0.0
+    asset_quality = s.asset_quality or 0.0
+    other = ((closing - opening) - asset_size) - asset_quality
     values = {
-        "1": s.opening,
-        "2": s.asset_size,
-        "3": s.asset_quality,
+        "1": opening,
+        "2": asset_size,
+        "3": asset_quality,
         "8": other,
-        "9": s.closing,
+        "9": closing,
     }
     rows = [
         (ref, driver, float(values[ref]) if ref in _COMPUTED else None)

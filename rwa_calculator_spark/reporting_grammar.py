@@ -858,20 +858,33 @@ class _RuleCompiler:
         self.skips.append(
             (f"NOT {self._exists(f'template = {table!r}')}", SKIP_CELL_NOT_EMITTED)
         )
-        if ref.geography is not None:
-            sheets: tuple[str, ...] = (ref.geography,)
+        single_sheet = axes is None or axes.sheets == (SINGLE_SHEET,)
+        if single_sheet:
+            # mirror _reference_sheets (and evaluate.py:735-737): a
+            # single-sheet template short-circuits BEFORE geography/z-code
+            # handling — a sheeted ref against it binds to the one sheet,
+            # it is not a sheet-not-emitted skip
+            sheets: tuple[str, ...] = (SINGLE_SHEET,)
+        elif ref.geography is not None:
+            sheets = (ref.geography,)
         elif ref.sheets is not None:
             code_map = self.sheet_codes.get(table)
             if code_map is None:
                 raise ValueError(f"{table} sheets are not indexed positionally")
-            sheets = tuple(code_map[c] for c in ref.sheets)
-        elif axes is not None and len(axes.sheets) > 1:
+            # an unknown positional code is the evaluator's
+            # sheet_not_emitted skip, not a compile crash
+            if any(c not in code_map for c in ref.sheets):
+                self.skips.append(("TRUE", SKIP_SHEET_NOT_EMITTED))
+                sheets = ()
+            else:
+                sheets = tuple(code_map[c] for c in ref.sheets)
+        elif len(axes.sheets) > 1:
             if not aggregated:
                 raise ValueError(f"{table} sheet not fixed by the rule's scope")
             sheets = axes.sheets
         else:
             sheets = (SINGLE_SHEET,)
-        if ref.geography is not None or ref.sheets is not None:
+        if not single_sheet and (ref.geography is not None or ref.sheets is not None):
             for s in sheets:
                 self.skips.append(
                     (
@@ -1038,7 +1051,11 @@ def rule_oracle_select(
 
 
 def _empty_rule_select(rule, root: Compare, estate: dict, sheet_codes: dict) -> str:
-    """Compile the ``{ref} = empty`` nonexistence form."""
+    """Compile the ``{ref} = empty`` nonexistence form. The resolver's
+    collected skip conditions (table absent, sheet absent) gate the
+    outcome exactly as ``_evaluate_emptiness``'s ``_reference_axes`` call
+    does — dropping them would turn an unemitted sheet into VACUOUS/FAIL
+    instead of NOT_EVALUATED."""
     ref = root.lhs if isinstance(root.rhs, EmptyLiteral) else root.rhs
     comp = _RuleCompiler(estate, sheet_codes, rule.missing_value)
     table, sheets, rows, cols = comp._resolve_ref(ref, aggregated=True)
@@ -1047,34 +1064,38 @@ def _empty_rule_select(rule, root: Compare, estate: dict, sheet_codes: dict) -> 
         for s in sheets
         for r in rows
         for c in cols
-    )
+    ) or "FALSE"
     reported = f"(SELECT count(*) FROM facts WHERE ({matches}) AND value IS NOT NULL)"
-    table_absent = f"NOT {_RuleCompiler._exists(f'template = {table!r}')}"
+    skip_whens = " ".join(
+        f"WHEN {cond} THEN '{STATUS_NOT_EVALUATED}'" for cond, _ in comp.skips
+    )
+    skip_reasons = " ".join(
+        f"WHEN {cond} THEN '{reason}'" for cond, reason in comp.skips
+    )
+    any_skip = " OR ".join(f"({cond})" for cond, _ in comp.skips) or "FALSE"
     wants_empty = root.op in ("=", "==")
     if wants_empty:
         status = (
-            f"CASE WHEN {table_absent} THEN '{STATUS_NOT_EVALUATED}' "
+            f"CASE {skip_whens} "
             f"WHEN {reported} > 0 THEN '{STATUS_FAIL}' "
             f"ELSE '{STATUS_VACUOUS}' END"
         )
     else:
         status = (
-            f"CASE WHEN {table_absent} THEN '{STATUS_NOT_EVALUATED}' "
+            f"CASE {skip_whens} "
             f"WHEN {reported} > 0 THEN '{STATUS_PASS}' "
             f"ELSE '{STATUS_FAIL}' END"
         )
-    reason = (
-        f"CASE WHEN {table_absent} THEN '{SKIP_CELL_NOT_EMITTED}' ELSE '' END"
-    )
+    reason = f"CASE {skip_reasons} ELSE '' END"
     # FAIL carries (reported-count, 0.0) — evaluate.py:820-827; PASS/VACUOUS
     # carry no figures
     fail_cond = f"{reported} > 0" if wants_empty else f"{reported} = 0"
     lhs = (
-        f"CASE WHEN {table_absent} THEN NULL "
+        f"CASE WHEN {any_skip} THEN NULL "
         f"WHEN {fail_cond} THEN CAST({reported} AS DOUBLE) ELSE NULL END"
     )
     rhs = (
-        f"CASE WHEN {table_absent} THEN NULL "
+        f"CASE WHEN {any_skip} THEN NULL "
         f"WHEN {fail_cond} THEN 0.0 ELSE NULL END"
     )
     return (

@@ -324,6 +324,17 @@ _XCHECK_RULES = (
         "max({t: C09.02, r: 0010, c: 0010}) <= "
         "{t: C09.02, r: 0010, c: 0010, filter: [eba_dim:CEG] = [eba_GA:x1]}",
     ),
+    # a geography filter against a SINGLE-sheet template binds to the one
+    # sheet (the reference's _reference_sheets short-circuit) — both
+    # engines must evaluate, not skip
+    GrammarRule(
+        "x_single_geo", "BOE",
+        "{t: C07.00, r: 0010, c: 0010, filter: [eba_dim:CEG] = [eba_GA:x1]} = "
+        "{t: C07.00, r: 0010, c: 0010}",
+    ),
+    # an unknown positional sheet code is a sheet_not_emitted skip in both
+    # engines, never a compile crash
+    GrammarRule("x_badcode", "BOE", "{t: C09.02, r: 0010, c: 0010, z: 9999} = 0"),
 )
 
 
@@ -344,3 +355,18 @@ def test_compiled_oracle_matches_evaluator_rowwise(index):
                 assert gv is None or (isinstance(gv, float) and math.isnan(gv)), (g, w)
             else:
                 assert gv == pytest.approx(wv, abs=1e-12), (g, w)
+
+
+def test_catalogue_compiles_and_every_rule_evaluates():
+    """Every GRAMMAR_RULES entry must both compile to oracle SQL and
+    evaluate — a rule the compiler refuses (division, unbound axes) would
+    otherwise crash catalogue_oracle_sql() at import time and take the
+    whole query registry down with it."""
+    from rwa_calculator_spark.reporting_grammar_catalog import (
+        GRAMMAR_RULES,
+        catalogue_oracle_sql,
+    )
+
+    sql = catalogue_oracle_sql()
+    for rule in GRAMMAR_RULES:
+        assert f"'{rule.rule_id}'" in sql
