@@ -829,7 +829,7 @@ class _RuleCompiler:
         self.sheet_codes = sheet_codes  # table -> {code: sheet}
         self.missing_value = missing_value
         self.skips: list[tuple[str, str]] = []  # (condition_sql, reason) in eval order
-        self.cells: list[tuple[str, str, str, str]] = []  # all addressed cells
+        self.nonzero: list[str] = []  # per-ref "a nonzero cell was observed" conds
 
     # -- facts predicates ---------------------------------------------------
 
@@ -893,51 +893,157 @@ class _RuleCompiler:
                     )
                 )
         rows = ref.rows
+        rows_bound = rows is not None
         if rows is None:
             if not aggregated:
                 raise ValueError("row not fixed by the rule's scope")
             rows = axes.rows if axes else ()
         cols = ref.columns
+        cols_bound = cols is not None
         if cols is None:
             if not aggregated:
                 raise ValueError("column not fixed by the rule's scope")
             cols = axes.columns if axes else ()
-        return table, sheets, rows, cols
+        # the sheet axis is CONSTRAINED whenever it did not expand from the
+        # estate (geography / z-codes / single-sheet); an unbound multi-sheet
+        # expansion addresses "every emitted sheet" at runtime
+        sheets_bound = not (
+            not single_sheet
+            and ref.geography is None
+            and ref.sheets is None
+            and len(axes.sheets) > 1
+        )
+        return table, sheets, rows, cols, sheets_bound, rows_bound, cols_bound
+
+    def _region(
+        self, table, sheets, rows, cols, sheets_bound, rows_bound, cols_bound
+    ) -> str:
+        """WHERE fragment addressing the ref's region with ONLY its bound
+        axes as predicates — an unbound axis means 'every emitted id', the
+        evaluator's aggregate expansion (evaluate.py:763-785)."""
+        def in_list(col: str, ids) -> str:
+            # an empty bound set (unknown sheet code) addresses nothing
+            if not ids:
+                return "FALSE"
+            return f"{col} IN (" + ", ".join(f"'{i}'" for i in ids) + ")"
+
+        parts = [f"template = '{table}'"]
+        if sheets_bound:
+            parts.append(in_list("sheet", sheets))
+        if rows_bound:
+            parts.append(in_list("row_id", rows))
+        if cols_bound:
+            parts.append(in_list("col_id", cols))
+        return " AND ".join(parts)
 
     def _cell_terms(self, ref: Ref, aggregated: bool) -> list[str]:
         """Per-cell value terms in traversal order, registering the skip
-        conditions (absent → axis-named reason; null under do-not-run)."""
-        table, sheets, rows, cols = self._resolve_ref(ref, aggregated)
+        conditions.
+
+        Explicit-axis refs mirror `_resolve_cells` exactly: an absent cell
+        is a skip naming WHICH axis is missing, a present-null cell follows
+        the missing policy, cell by cell in traversal order. A ref with
+        UNBOUND axes inside an aggregate addresses "every emitted id" — the
+        evaluator never sees its absent cells — so its statically-expanded
+        terms guard each cell with COALESCE(…, 0.0) (absent contributes
+        nothing; x + 0.0 ≡ x keeps the addition chain bit-identical) and
+        the do-not-run null check becomes one region-level EXISTS."""
+        table, sheets, rows, cols, sb, rb, cb = self._resolve_ref(ref, aggregated)
+        region = self._region(table, sheets, rows, cols, sb, rb, cb)
+        # a ref whose axes are ALL explicit addresses exactly those cells —
+        # per-cell absence/null checks in traversal order, aggregated or not
+        # (aggregation changes axis EXPANSION, never absence handling)
+        fully_bound = sb and rb and cb
+        self.nonzero.append(
+            self._exists(f"{region} AND coalesce(value, 0.0) <> 0.0")
+        )
+        if not fully_bound:
+            self._bound_axis_checks(table, rows, cols, rb, cb)
+            if self.missing_value != MISSING_ZERO:
+                # one region-level null check — the evaluator raises at the
+                # first present-null cell among the emitted set
+                self.skips.append(
+                    (
+                        self._exists(f"{region} AND value IS NULL"),
+                        SKIP_MISSING_VALUE_DO_NOT_RUN,
+                    )
+                )
         terms = []
         for s in sheets:
             for r in rows:
                 for c in cols:
-                    self.cells.append((table, s, r, c))
                     match = self._match(table, s, r, c)
-                    absent = f"NOT {self._exists(match)}"
-                    row_emitted = self._exists(
-                        f"template = '{table}' AND sheet = '{s}' AND row_id = '{r}'"
-                    )
-                    col_emitted = self._exists(
-                        f"template = '{table}' AND sheet = '{s}' AND col_id = '{c}'"
-                    )
-                    # first-absent-cell-wins, naming WHICH axis is missing
-                    self.skips.append(
-                        (f"({absent}) AND NOT ({row_emitted})", SKIP_ROW_NOT_EMITTED)
-                    )
-                    self.skips.append(
-                        (f"({absent}) AND NOT ({col_emitted})", SKIP_COLUMN_NOT_EMITTED)
-                    )
-                    self.skips.append((absent, SKIP_CELL_NOT_EMITTED))
                     val = self._val(table, s, r, c)
-                    if self.missing_value == MISSING_ZERO:
-                        terms.append(f"coalesce({val}, 0.0)")
-                    else:
-                        self.skips.append(
-                            (f"({val}) IS NULL", SKIP_MISSING_VALUE_DO_NOT_RUN)
+                    if fully_bound:
+                        absent = f"NOT {self._exists(match)}"
+                        row_emitted = self._exists(
+                            f"template = '{table}' AND sheet = '{s}' AND row_id = '{r}'"
                         )
-                        terms.append(val)
+                        col_emitted = self._exists(
+                            f"template = '{table}' AND sheet = '{s}' AND col_id = '{c}'"
+                        )
+                        # first-absent-cell-wins, naming WHICH axis is missing
+                        self.skips.append(
+                            (f"({absent}) AND NOT ({row_emitted})", SKIP_ROW_NOT_EMITTED)
+                        )
+                        self.skips.append(
+                            (
+                                f"({absent}) AND NOT ({col_emitted})",
+                                SKIP_COLUMN_NOT_EMITTED,
+                            )
+                        )
+                        self.skips.append((absent, SKIP_CELL_NOT_EMITTED))
+                        if self.missing_value == MISSING_ZERO:
+                            terms.append(f"coalesce({val}, 0.0)")
+                        else:
+                            self.skips.append(
+                                (f"({val}) IS NULL", SKIP_MISSING_VALUE_DO_NOT_RUN)
+                            )
+                            terms.append(val)
+                    else:
+                        terms.append(f"coalesce({val}, 0.0)")
         return terms
+
+    def _bound_axis_checks(self, table: str, rows, cols, rb: bool, cb: bool) -> None:
+        """Emission checks for the EXPLICIT axes of a region-path ref: an
+        explicit id absent from the whole template is the evaluator's
+        first-traversal-cell absence, named by axis (rows before columns —
+        the traversal meets a missing row before a missing column)."""
+        if rb:
+            for r in rows:
+                row_emitted = self._exists(f"template = '{table}' AND row_id = '{r}'")
+                self.skips.append((f"NOT {row_emitted}", SKIP_ROW_NOT_EMITTED))
+        if cb:
+            for c in cols:
+                col_emitted = self._exists(f"template = '{table}' AND col_id = '{c}'")
+                self.skips.append((f"NOT {col_emitted}", SKIP_COLUMN_NOT_EMITTED))
+
+    def _aggregate_subquery(self, fn: str, ref: Ref) -> str:
+        """``max``/``min`` over a ref compile to one SQL aggregate over the
+        ref's region — order-independent, and 'every emitted cell' by
+        construction. Registers the bound-axis emission checks, the
+        do-not-run null check and the no-emitted-cell skip in the
+        evaluator's order."""
+        table, sheets, rows, cols, sb, rb, cb = self._resolve_ref(ref, True)
+        region = self._region(table, sheets, rows, cols, sb, rb, cb)
+        self.nonzero.append(
+            self._exists(f"{region} AND coalesce(value, 0.0) <> 0.0")
+        )
+        self._bound_axis_checks(table, rows, cols, rb, cb)
+        if self.missing_value != MISSING_ZERO:
+            self.skips.append(
+                (
+                    self._exists(f"{region} AND value IS NULL"),
+                    SKIP_MISSING_VALUE_DO_NOT_RUN,
+                )
+            )
+            inner = "value"
+        else:
+            inner = "coalesce(value, 0.0)"
+        self.skips.append(
+            (f"NOT {self._exists(region)}", SKIP_CELL_NOT_EMITTED)
+        )
+        return f"(SELECT {fn}({inner}) FROM facts WHERE {region})"
 
     # -- expression compile (mirror of _value_of) ---------------------------
 
@@ -967,15 +1073,15 @@ class _RuleCompiler:
                 for p in parts[1:]:
                     out = f"({out} + {p})"
                 return out
-            # max / min over every individual cell
-            flat: list[str] = []
-            for a in node.args:
-                if isinstance(a, Ref):
-                    flat.extend(self._cell_terms(a, True))
-                else:
-                    flat.append(self.compile_value(a, True))
-            fn = "greatest" if node.name == "max" else "least"
-            return f"{fn}({', '.join(flat)})"
+            # max / min: a single Ref argument compiles to one SQL
+            # aggregate over its region — "every emitted cell" exactly, not
+            # a static expansion (multi-argument forms would need the
+            # evaluator's combined-empty semantics; refuse rather than
+            # approximate)
+            if len(node.args) == 1 and isinstance(node.args[0], Ref):
+                fn = "max" if node.name == "max" else "min"
+                return self._aggregate_subquery(fn, node.args[0])
+            raise ValueError(f"only single-reference {node.name}(...) is compilable")
         raise ValueError(f"cannot compile {type(node).__name__}")
 
 
@@ -1005,10 +1111,7 @@ def rule_oracle_select(
     comp = _RuleCompiler(estate, sheet_codes, rule.missing_value)
     lhs_sql = comp.compile_value(root.lhs)
     rhs_sql = comp.compile_value(root.rhs)
-    nonzero = " OR ".join(
-        f"coalesce({_RuleCompiler._val(t, s, r, c)}, 0.0) <> 0.0"
-        for t, s, r, c in comp.cells
-    ) or "FALSE"
+    nonzero = " OR ".join(f"({c})" for c in comp.nonzero) or "FALSE"
     if rule.arithmetic == ARITHMETIC_POINT:
         tol = "0.0"
     else:
@@ -1058,14 +1161,9 @@ def _empty_rule_select(rule, root: Compare, estate: dict, sheet_codes: dict) -> 
     instead of NOT_EVALUATED."""
     ref = root.lhs if isinstance(root.rhs, EmptyLiteral) else root.rhs
     comp = _RuleCompiler(estate, sheet_codes, rule.missing_value)
-    table, sheets, rows, cols = comp._resolve_ref(ref, aggregated=True)
-    matches = " OR ".join(
-        f"({_RuleCompiler._match(table, s, r, c)})"
-        for s in sheets
-        for r in rows
-        for c in cols
-    ) or "FALSE"
-    reported = f"(SELECT count(*) FROM facts WHERE ({matches}) AND value IS NOT NULL)"
+    table, sheets, rows, cols, sb, rb, cb = comp._resolve_ref(ref, aggregated=True)
+    region = comp._region(table, sheets, rows, cols, sb, rb, cb)
+    reported = f"(SELECT count(*) FROM facts WHERE ({region}) AND value IS NOT NULL)"
     skip_whens = " ".join(
         f"WHEN {cond} THEN '{STATUS_NOT_EVALUATED}'" for cond, _ in comp.skips
     )

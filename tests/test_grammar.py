@@ -287,7 +287,7 @@ def _facts_values_sql() -> str:
     parts = []
     for t, s, r, c, v in _estate_rows():
         sheet = SINGLE_SHEET if s is None else s
-        val = "CAST(NULL AS DOUBLE)" if v is None else repr(float(v))
+        val = "CAST(NULL AS DOUBLE)" if v is None else f"CAST({float(v)!r} AS DOUBLE)"
         parts.append(f"('{t}', '{sheet}', '{r}', '{c}', {val})")
     return (
         "SELECT * FROM (VALUES " + ", ".join(parts) + ") "
@@ -370,3 +370,132 @@ def test_catalogue_compiles_and_every_rule_evaluates():
     sql = catalogue_oracle_sql()
     for rule in GRAMMAR_RULES:
         assert f"'{rule.rule_id}'" in sql
+
+
+# ---------------------------------------------------------------------------
+# Property: evaluator ≡ compiled oracle on RANDOM estates (the adversarial
+# version of the row-wise cross-check — random cell values, random absent
+# and reported-empty cells, every catalogue-shaped rule form)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+#: Templates addressed through UNBOUND axes (sum over rows, max over
+#: sheets). Their random emission is RECTANGULAR — emitted-sheets ×
+#: emitted-rows × emitted-cols, no per-cell holes and no reported-null
+#: cells — which is the kernel-emitted shape the compiler's region
+#: semantics are specified against (compute_cells always emits every
+#: declared cell). Explicit-ref templates keep fully adversarial per-cell
+#: states.
+_RECTANGULAR = ("C08.01", "C09.02")
+
+
+def _random_estate_rows(draw):
+    rows = []
+    for t, axes in _ESTATE_AXES.items():
+        if t in _RECTANGULAR:
+            sheets = [s for s in axes.sheets if draw(st.booleans())]
+            emit_rows = [r for r in axes.rows if draw(st.booleans())]
+            emit_cols = [c for c in axes.columns if draw(st.booleans())]
+            for s in sheets:
+                for r in emit_rows:
+                    for c in emit_cols:
+                        v = float(draw(st.integers(-10_000, 10_000))) / 4.0
+                        rows.append((t, s, r, c, v))
+            continue
+        for s in axes.sheets:
+            for r in axes.rows:
+                for c in axes.columns:
+                    state = draw(
+                        st.sampled_from(["absent", "empty", "zero", "value"])
+                    )
+                    if state == "absent":
+                        continue
+                    if state == "empty":
+                        rows.append((t, s, r, c, None))
+                    elif state == "zero":
+                        rows.append((t, s, r, c, 0.0))
+                    else:
+                        rows.append(
+                            (t, s, r, c, float(draw(st.integers(-10_000, 10_000))) / 4.0)
+                        )
+    return rows
+
+
+_PROPERTY_RULES = [
+    GrammarRule(
+        "p_rollup", "EBA",
+        "{C02.00, r0010, c0010} = {C02.00, r0060, c0010} + {C02.00, r0250, c0010}",
+    ),
+    GrammarRule(
+        "p_point", "EBA",
+        "{C02.00, r0010, c0010} = {C02.00, r0060, c0010}",
+        arithmetic=ARITHMETIC_POINT,
+    ),
+    GrammarRule(
+        "p_multirow", "BOE",
+        "{t: C02.00, r: 0060, c: 0010} <= "
+        "{t: C07.00, r: 0010; 0020; 0030, c: 0020}",
+        missing_value=MISSING_ZERO,
+    ),
+    GrammarRule("p_sum", "EBA", "{C02.00, r0250, c0010} >= sum({C08.01, c0020})"),
+    GrammarRule(
+        "p_geo", "BOE",
+        "{t: C09.02, r: 0010, c: 0010, filter: [eba_dim:CEG] = [eba_GA:x1]} = "
+        "{t: C09.02, r: 0010, c: 0010, z: 0001; 0002; 0003; 0004; 0005}",
+        missing_value=MISSING_ZERO,
+    ),
+    GrammarRule(
+        "p_max", "BOE",
+        "max({t: C09.02, r: 0010, c: 0010}) <= "
+        "{t: C09.02, r: 0010, c: 0010, filter: [eba_dim:CEG] = [eba_GA:x1]}",
+    ),
+    GrammarRule("p_empty", "EBA", "{C07.00, r0090, c0010} = empty"),
+    GrammarRule("p_zero_vac", "BOE", "{t: C07.00, r: 0090, c: 0010} = 0",
+                missing_value=MISSING_ZERO),
+    GrammarRule("p_pct", "EBA", "{C02.00, r0060, c0010} <= 100% * {C02.00, r0010, c0010}"),
+    GrammarRule(
+        "p_abs", "EBA",
+        "abs({C02.00, r0010, c0010} - {C02.00, r0060, c0010}"
+        " - {C02.00, r0250, c0010}) <= 0.01",
+    ),
+]
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_property_evaluator_matches_compiled_oracle(data):
+    """For ANY estate (random values, absences, reported-empties) the
+    Python evaluator and the compiled DuckDB oracle must agree on every
+    rule's status, reason, and figures — the contract that makes the
+    oracle an independent check rather than a second copy of the code."""
+    duckdb = pytest.importorskip("duckdb")
+    rows = _random_estate_rows(data.draw)
+    idx = TemplateIndex.from_rows(rows, sheet_codes=_SHEET_CODES)
+    if rows:
+        parts = []
+        for t, s, r, c, v in rows:
+            val = "CAST(NULL AS DOUBLE)" if v is None else f"CAST({float(v)!r} AS DOUBLE)"
+            parts.append(f"('{t}', '{s}', '{r}', '{c}', {val})")
+        facts_sql = (
+            "SELECT * FROM (VALUES " + ", ".join(parts) + ") "
+            "AS t(template, sheet, row_id, col_id, value)"
+        )
+    else:
+        facts_sql = (
+            "SELECT * FROM (VALUES ('_', '_', '_', '_', CAST(NULL AS DOUBLE))) "
+            "AS t(template, sheet, row_id, col_id, value) WHERE FALSE"
+        )
+    sql = rules_oracle_sql(_PROPERTY_RULES, facts_sql, _ESTATE_AXES, _SHEET_CODES)
+    got = duckdb.connect().execute(sql).fetchall()
+    want = [row for rule in _PROPERTY_RULES for row in evaluate_rule(rule, idx)]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g[0], g[3], g[4]) == (w[0], w[3], w[4]), (g, w)
+        for gv, wv in ((g[5], w[5]), (g[6], w[6])):
+            if wv is None:
+                assert gv is None or (isinstance(gv, float) and math.isnan(gv)), (g, w)
+            else:
+                assert gv == pytest.approx(wv, rel=1e-12, abs=1e-12), (g, w)
