@@ -338,3 +338,151 @@ def test_b31_output_floor_binds(b31_rows):
     assert q.floor_applied is True
     assert q.floor_uplift == pytest.approx(uplift, rel=1e-6)
     assert q.rwa == pytest.approx(1000.0 * modelled_rw * uplift, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Second CRR golden portfolio: the SA special ladders (guarantees, covered
+# bonds, Art.121, Art.114(4), Annex I maturity split)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def crr2_rows(spark):
+    cps = spark.createDataFrame(
+        [
+            # ref, entity, cqs, managed, revenue, irb, sovereign_cqs, country
+            ("CP_R", "corporate", 0, False, 60_000_000.0, False, None, None),
+            ("CP_S", "institution", 2, False, 0.0, False, None, None),
+            ("CP_T", "institution", 0, False, 0.0, False, 1, None),
+            ("CP_U", "sovereign", 0, False, 0.0, False, None, "DE"),
+            ("CP_V", "institution", 1, False, 0.0, False, None, None),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, "
+        "has_irb_permission boolean, sovereign_cqs int, country string",
+    )
+    loans = spark.createDataFrame(
+        [
+            ("L_R", "CP_R", 1000.0, False, None, None, None, False, None, None),
+            ("L_S", "CP_S", 1000.0, False, None, None, None, True, None, None),
+            ("L_U", "CP_U", 1000.0, False, None, None, None, False, None, "EUR"),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double, "
+        "is_covered_bond boolean, cb_cqs int, currency string",
+    )
+    contingents = spark.createDataFrame(
+        [("K_V", "CP_V", 1000.0, "medium_risk", False, None, None, None, 0.5)],
+        "contingent_reference string, counterparty_reference string, "
+        "nominal_amount double, risk_bucket string, is_defaulted boolean, "
+        "pd double, lgd double, effective_maturity double, "
+        "original_maturity_years double",
+    )
+    gtees = spark.createDataFrame(
+        [("L_R", 0.6, "institution", 1)],
+        "exposure_reference string, coverage_pct double, guarantor_class string, "
+        "guarantor_cqs int",
+    )
+    bundle = RawBundle(
+        counterparties=cps, loans=loans, contingents=contingents, guarantees=gtees
+    )
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
+    return {r.exposure_reference: r for r in out.results.collect()}
+
+
+def test_sa_guarantee_substitution(crr2_rows):
+    # Art.235: unrated corporate 100%; institution CQS1 guarantor 20% on
+    # the 60% covered share → 0.6×min(1.0, 0.2) + 0.4×1.0 = 0.52.
+    # RWA = 520; the hypothetical keeps the own ladder: 1000.
+    r = crr2_rows["L_R"]
+    assert r.risk_weight == pytest.approx(0.52)
+    assert r.rwa == pytest.approx(520.0)
+    assert r.rw_source.endswith("+guarantee")
+    assert r.g_class == "institution" and r.g_coverage == pytest.approx(0.6)
+    assert r.rwa_pre_crm_substitution == pytest.approx(1000.0)
+
+
+def test_sa_covered_bond_unrated_derivation(crr2_rows):
+    # Art.129(5)(b): unrated covered bond derives from the ISSUER's senior
+    # unsecured weight — institution CQS2 → 50% → CB 20%. RWA = 200.
+    r = crr2_rows["L_S"]
+    assert r.risk_weight == pytest.approx(0.20)
+    assert r.rwa == pytest.approx(200.0)
+    assert r.rw_source == "sa_covered_bond_unrated_derived"
+
+
+def test_sa_eu_domestic_currency_sovereign(crr2_rows):
+    # Art.114(4) + Art.141: German central government, EUR-denominated →
+    # 0% risk weight overrides the CQS ladder. RWA = 0.
+    r = crr2_rows["L_U"]
+    assert r.risk_weight == pytest.approx(0.0)
+    assert r.rwa == pytest.approx(0.0)
+    assert r.rw_source == "sovereign_eu_domestic"
+
+
+def test_sa_annex1_oc_maturity_split(crr2_rows):
+    # CRR Annex I 3(b): other commitments with original maturity ≤ 1y take
+    # 20% instead of 50%. EAD = 200; institution CQS1 → 20% → RWA = 40.
+    r = crr2_rows["K_V"]
+    assert r.ccf == pytest.approx(0.20)
+    assert r.ead == pytest.approx(200.0)
+    assert r.rwa == pytest.approx(40.0)
+
+
+def test_sa_sovereign_derived_institution_isolated(spark):
+    # Art.121 Table 5 in isolation: unrated institution, sovereign CQS1 →
+    # 20%. RWA = 200.
+    cps = spark.createDataFrame(
+        [("CP_T", "institution", 0, False, 0.0, False, 1)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, "
+        "has_irb_permission boolean, sovereign_cqs int",
+    )
+    loans = spark.createDataFrame(
+        [("L_T", "CP_T", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=CRR_PACK)
+    )
+    r = {x.exposure_reference: x for x in out.results.collect()}["L_T"]
+    assert r.risk_weight == pytest.approx(0.20)
+    assert r.rwa == pytest.approx(200.0)
+    assert r.rw_source == "sa_sovereign_derived"
+
+
+def test_b31_five_band_haircut(spark):
+    # PS1/26 Art.224 Table 1 (5 bands): govt bond CQS1, 7y residual →
+    # 5-10y band → 4% haircut. C_adj = 500×0.96 = 480 → E* = 520;
+    # corporate CQS1 → 20% → RWA = 104.
+    cps = spark.createDataFrame(
+        [("CP_W", "corporate", 1, False, 60_000_000.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L_W", "CP_W", 1000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    coll = spark.createDataFrame(
+        [("COL_W", "govt_bond", 500.0, None, False, 1, 7.0)],
+        "collateral_reference string, collateral_type string, market_value double, "
+        "haircut double, currency_mismatch boolean, collateral_cqs int, "
+        "residual_maturity double",
+    )
+    links = spark.createDataFrame(
+        [("COL_W", "L_W")], "collateral_reference string, exposure_reference string"
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps, loans=loans, collateral=coll, collateral_links=links
+        ),
+        PipelineConfig(pack=B31_PACK),
+    )
+    r = {x.exposure_reference: x for x in out.results.collect()}["L_W"]
+    assert r.collateral_value == pytest.approx(480.0)
+    assert r.ead_after_crm == pytest.approx(520.0)
+    assert r.haircut_quality == pytest.approx(20.0)
+    assert r.rwa_pre_floor == pytest.approx(104.0)
