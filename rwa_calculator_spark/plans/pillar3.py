@@ -162,8 +162,10 @@ def pillar3_cr7(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prior RWA drifts by a ±2% per-key factor (parameter migration).
 _CR8_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + f"""
     , irb_rows AS (
-        SELECT rwa, CAST(substring(exposure_reference, 2) AS BIGINT) AS k
+        SELECT CAST(substring(exposure_reference, 2) AS BIGINT) AS k,
+               {sql_scaled_sum('rwa', 2)} AS rwa
         FROM unioned WHERE approach = 'IRB'
+        GROUP BY exposure_reference
     ), marked AS (
         SELECT rwa, (k % 17 = 0) AS is_new,
                rwa * (1.0 + (CAST(k % 5 AS DOUBLE) - 2.0) / 100.0) AS prior_rwa
@@ -207,10 +209,18 @@ def pillar3_cr8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rwa_calculator_spark.reporting_flow import rwa_flow_statement
 
     out = _irb_run(spark, sf_dir)
-    cur = out.results.where(F.col("approach") == "IRB").select(
-        "exposure_reference",
-        "rwa",
-        F.expr("CAST(substring(exposure_reference, 2) AS BIGINT)").alias("_k"),
+    # collapse to exposure grain first — the reference collapses sub-rows
+    # to the reconciliation grain before its full join
+    # (analysis/reconciliation.py, SURVEY §3.3); the star testdata's
+    # duplicate line-1 pairs otherwise fan out and trip the flow
+    # statement's grain guard
+    cur = (
+        out.results.where(F.col("approach") == "IRB")
+        .groupBy("exposure_reference")
+        .agg(scaled_sum(F.col("rwa"), 2).alias("rwa"))
+        .withColumn(
+            "_k", F.expr("CAST(substring(exposure_reference, 2) AS BIGINT)")
+        )
     )
     prior = cur.where(~(F.col("_k") % 17 == 0)).select(
         "exposure_reference",
