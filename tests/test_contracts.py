@@ -113,3 +113,61 @@ def test_coverage_doc_matches_registry():
     )
     oracled = sum(1 for s in registry.values() if s.oracle is not None)
     assert int(m.group(2)) == oracled, "oracle count drifted — run scripts/gen_coverage.py"
+
+
+def test_input_data_dictionary_seals_vendor_extracts(spark):
+    """The declared data dictionary (contracts/schemas.py; ref
+    data/schemas.py 40-schema dictionary + loader.py:108-196 normalisation/
+    alias translation): vendor headers normalise and translate, present
+    columns cast, absent optional columns inject typed defaults, absent
+    required columns raise — and a sealed vendor extract produces the SAME
+    RWA as the hand-shaped bundle."""
+    import pytest as _pytest
+
+    from rwa_calculator_spark.contracts.schemas import (
+        INPUT_SCHEMAS,
+        seal_bundle,
+        seal_table,
+    )
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    # vendor-shaped extracts: odd case, spaces, aliased headers
+    cps_vendor = spark.createDataFrame(
+        [("CP1", "corporate", "2", 60_000_000.0)],
+        "`Cpty Ref` string, `Entity-Type` string, `Credit Quality Step` string, "
+        "Turnover double",
+    )
+    loans_vendor = spark.createDataFrame(
+        [("L1", "CP1", 1000.0)],
+        "`LOAN ID` string, `cpty ref` string, `Outstanding Balance` double",
+    )
+    sealed_cps = seal_table(cps_vendor, "counterparties")
+    assert "counterparty_reference" in sealed_cps.columns
+    assert "annual_revenue" in sealed_cps.columns
+    row = sealed_cps.collect()[0]
+    assert row.cqs == 2  # cast string → int
+    assert row.is_managed_as_retail is False  # Boolean default injected
+    assert row.has_irb_permission is False
+
+    from rwa_calculator_spark.engine.bundles import RawBundle
+
+    sealed = seal_bundle(
+        RawBundle(counterparties=cps_vendor, loans=loans_vendor)
+    )
+    out = run_pipeline(sealed, PipelineConfig(pack=CRR_PACK))
+    r = {x.exposure_reference: x for x in out.results.collect()}["L1"]
+    # corporate CQS2 → 50%, revenue 60m → no SME factor: RWA = 500
+    assert r.rwa == _pytest.approx(500.0)
+
+    # required columns enforce
+    with _pytest.raises(ValueError, match="missing required"):
+        seal_table(
+            spark.createDataFrame([(1000.0,)], "drawn_amount double"), "loans"
+        )
+    with _pytest.raises(KeyError):
+        seal_table(loans_vendor, "not_a_table")
+
+    # every declared schema names at least one required key column
+    for table, specs in INPUT_SCHEMAS.items():
+        assert any(s.required for s in specs.values()), table
