@@ -105,6 +105,34 @@ class CreditRiskCalc:
         self.audit_cache_dir = audit_cache_dir
         self.audit_cache_max_runs = audit_cache_max_runs
 
+    def flow_statement(
+        self, prior_cache_dir: str, approach: str = "IRB"
+    ) -> DataFrame:
+        """Pillar 3 CR8 against a PERSISTED prior run — the reference's
+        exact input shape (reporting/pillar3/cr8.py:140
+        ``generate_cr8(irb_data, prior_irb_data)``: the prior period is a
+        previously SAVED run output, not a re-run). Both ledgers re-scan
+        lazily from their parquet results caches, collapse to exposure
+        grain (the reconciliation-grain collapse, analysis/
+        reconciliation.py), and attribute through the full-outer-join flow
+        machinery: current-only keys are new business, prior-only keys
+        disposals, matched-key deltas parameter drift. Requires
+        ``calculate()`` to have sealed THIS run's cache first."""
+        from pyspark.sql import functions as F
+
+        from rwa_calculator_spark.functions.exact import scaled_sum
+        from rwa_calculator_spark.reporting_flow import rwa_flow_statement
+
+        def _grain(cache_dir: str) -> DataFrame:
+            ledger = self.spark.read.parquet(os.path.join(cache_dir, "results"))
+            return (
+                ledger.where(F.col("approach") == approach)
+                .groupBy("exposure_reference")
+                .agg(scaled_sum(F.col("rwa"), 2).alias("rwa"))
+            )
+
+        return rwa_flow_statement(_grain(self.cache_dir), _grain(prior_cache_dir))
+
     def calculate(
         self,
         persist_edges: bool = True,

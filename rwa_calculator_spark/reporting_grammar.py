@@ -1217,3 +1217,65 @@ def rules_oracle_sql(
     # the whole facts plan (and its parquet scans) per subquery — slow and
     # capable of exhausting file handles
     return f"WITH facts AS MATERIALIZED (\n{facts_sql}\n)\n    {body}"
+
+
+# ---------------------------------------------------------------------------
+# Rule lineage — drill an outcome to the cells that fed it
+# ---------------------------------------------------------------------------
+
+
+def rule_cell_lineage(
+    rule: "GrammarRule", index: TemplateIndex, coordinate: Optional[Coordinate] = None
+) -> list[tuple]:
+    """Every cell a rule's formula addresses, with its present/value state —
+    the reference's "a cell's lineage IS its spec" discipline
+    (reporting/lineage.py) applied to validation rules: the drilldown
+    re-resolves the rule's OWN references against the same index the
+    evaluator read, never a second hand-maintained map. A triager reading a
+    FAIL row gets the exact cells (and the absent/null ones explaining a
+    NOT_EVALUATED) without re-deriving the grammar.
+
+    Returns (rule_id, side, table, sheet, row_id, col_id, present, value)
+    rows in the evaluator's traversal order; unparseable rules return []."""
+    try:
+        expr = parse_expression(rule.formula)
+    except UnsupportedExpression:
+        return []
+    primary = next(
+        (r.table for r in _refs_outside_aggregates(expr.root) if r.table), None
+    )
+    coord = coordinate or Coordinate(table=primary or "")
+    ctx = _Context(index=index, coordinate=coord, missing_value=rule.missing_value)
+    out: list[tuple] = []
+
+    def _collect(node, side: str, aggregated: bool) -> None:
+        if isinstance(node, Ref):
+            try:
+                table, sheets, rows, cols = _reference_axes(
+                    node, ctx, aggregated=aggregated
+                )
+            except SkipCell:
+                return
+            for s in sheets:
+                for r in rows:
+                    for c in cols:
+                        present = index.present(table, s, r, c)
+                        out.append(
+                            (
+                                rule.rule_id, side, table, s, r, c, present,
+                                index.value(table, s, r, c) if present else None,
+                            )
+                        )
+            return
+        if isinstance(node, Call):
+            inner = aggregated or node.name in _AGGREGATES
+            for a in node.args:
+                _collect(a, side, inner)
+            return
+        if isinstance(node, (BinOp, Compare)):
+            _collect(node.lhs, side, aggregated)
+            _collect(node.rhs, side, aggregated)
+
+    _collect(expr.root.lhs, "lhs", False)
+    _collect(expr.root.rhs, "rhs", False)
+    return out

@@ -499,3 +499,34 @@ def test_property_evaluator_matches_compiled_oracle(data):
                 assert gv is None or (isinstance(gv, float) and math.isnan(gv)), (g, w)
             else:
                 assert gv == pytest.approx(wv, rel=1e-12, abs=1e-12), (g, w)
+
+
+def test_rule_lineage_pinpoints_the_broken_cell(index):
+    """'A cell's lineage IS its spec': the drilldown re-resolves the rule's
+    own references, so a FAIL row leads straight to the cells that fed it —
+    including the injected corruption."""
+    from rwa_calculator_spark.reporting_grammar import rule_cell_lineage
+
+    rule = GrammarRule(
+        "lin", "EBA",
+        "{C02.00, r0010, c0010} = {C02.00, r0060, c0010} + {C02.00, r0250, c0010}",
+    )
+    legs = rule_cell_lineage(rule, index)
+    assert [(l[1], l[4], l[7]) for l in legs] == [
+        ("lhs", "0010", 100.0),
+        ("rhs", "0060", 40.0),
+        ("rhs", "0250", 60.0),
+    ]
+    # an absent referenced cell surfaces as present=False — the
+    # NOT_EVALUATED explanation without re-deriving the grammar
+    legs2 = rule_cell_lineage(
+        GrammarRule("lin2", "EBA", "{C07.00, r9999, c0010} = 0"), index
+    )
+    assert legs2 == [("lin2", "lhs", "C07.00", "_", "9999", "0010", False, None)]
+    # aggregates expand to every emitted cell they actually read
+    legs3 = rule_cell_lineage(
+        GrammarRule("lin3", "EBA", "{C02.00, r0250, c0010} = sum({C08.01, c0020})"),
+        index,
+    )
+    rhs_rows = [l[4] for l in legs3 if l[1] == "rhs"]
+    assert rhs_rows == ["0010", "0020", "0030", "0040", "0050"]
