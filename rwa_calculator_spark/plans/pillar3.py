@@ -472,6 +472,53 @@ def pillar3_sa_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_C07_ORACLE = _CCR_SFT_CTES + f"""
+    SELECT CASE WHEN etype = 'ccr' THEN 'ccr_derivatives'
+                WHEN etype = 'sft' THEN 'ccr_sft'
+                ELSE exposure_class END AS row_label,
+           count(*) AS n_exposures,
+           {sql_scaled_sum('drawn_amount + undrawn_amount', 2)} AS original_exposure,
+           {sql_scaled_sum('ead', 2)} AS ead_post,
+           {sql_scaled_sum('(ead * risk_weight) * sf', 2)} AS rwea
+    FROM with_rw
+    WHERE approach = 'SA'
+    GROUP BY 1
+    """
+
+
+@query("corep_c07", oracle=_C07_ORACLE, tags=("rwa", "reporting"))
+def corep_c07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREP C 07.00 — SA credit and counterparty credit risk (ref
+    reporting/corep/c07.py, 1,613 LoC; COREP Annex II ¶40-43). The
+    deliberate MIRROR-IMAGE of the Pillar 3 SA scope sheet
+    (sa_scope.py:8-17): C 07.00 INCLUDES the CCR legs by risk_type —
+    Annex II rows 0090-0130 break derivatives and SFTs out as their own
+    rows within the SA template, where CR4/CR5 exclude them entirely.
+    Each template owns its own recorded basis; a shared scope constant is
+    how one template's population would leak into the other. Rows: the
+    Art.112 exposure classes for the credit book plus the
+    ccr_derivatives / ccr_sft breakout rows (keyed on the ledger's
+    risk_type discriminator, never the approach label); columns: original
+    exposure pre-CF/CCF (the gross carriers), post-CCF/CRM exposure
+    value, RWEA."""
+    release_cached_blocks(spark)
+    out = _ccr_sft_pipeline(spark, sf_dir)
+    r = out.results.where(F.col("approach") == "SA")
+    row_label = (
+        F.when(F.col("risk_type") == "CCR_DERIVATIVE", "ccr_derivatives")
+        .when(F.col("risk_type") == "CCR_SFT", "ccr_sft")
+        .otherwise(F.col("exposure_class"))
+    )
+    return r.groupBy(row_label.alias("row_label")).agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("drawn_amount") + F.col("undrawn_amount"), 2).alias(
+            "original_exposure"
+        ),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("ead_post"),
+        scaled_sum(F.col("rwa"), 2).alias("rwea"),
+    )
+
+
 _IRB_SCOPE_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + f"""
     , scope_gross AS (
         SELECT exposure_class,
