@@ -85,9 +85,23 @@ def run_ciu(ciu_holdings: DataFrame, pack: RulePack) -> CalcOutput:
         (F.col("underlying_class") == F.col("_u_class")) & (F.col("_hcqs") == F.col("_u_cqs")),
         "left",
     )
+    # CRR Art.132(2): where neither look-through nor the mandate-based
+    # approach is possible, the FALL-BACK is a 1250% risk weight. Carrier-
+    # gated on is_mandate_known — a fund whose class is unknown AND whose
+    # mandate cannot bound the risk takes 12.5, not the 100% mandate proxy
+    unknown_class = (F.col("underlying_class") != "equity") & F.col(
+        "_u_rw"
+    ).isNull()
+    if "is_mandate_known" in h.columns:
+        fallback_1250 = unknown_class & ~F.coalesce(
+            F.col("is_mandate_known"), F.lit(False)
+        )
+    else:
+        fallback_1250 = F.lit(False)
     rw = (
         F.when(F.col("underlying_class") == "equity", eq_rw)
         .when(F.col("_u_rw").isNotNull(), F.col("_u_rw"))
+        .when(fallback_1250, F.lit(12.5))
         .otherwise(pack.lit("unrated_corp_rw"))
     )
     val = F.coalesce("value", F.lit(0.0))
@@ -103,7 +117,8 @@ def run_ciu(ciu_holdings: DataFrame, pack: RulePack) -> CalcOutput:
         rw.alias("risk_weight"),
         F.when(F.col("underlying_class") == "equity", F.lit("ciu_equity"))
         .when(F.col("_u_rw").isNotNull(), F.lit("ciu_lookthrough"))
-        .otherwise(F.lit("ciu_fallback"))
+        .when(fallback_1250, F.lit("ciu_fallback_1250"))
+        .otherwise(F.lit("ciu_mandate"))
         .alias("rw_source"),
         (val * rw).alias("rwa_before_sf"),
         (val * rw).alias("rwa"),

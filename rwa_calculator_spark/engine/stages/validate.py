@@ -209,6 +209,30 @@ def run_validation(raw: RawBundle) -> tuple[RawBundle, DataFrame]:
             "child_reference", "parent_reference"
         ).localCheckpoint(eager=False)
 
+        # DQ013: hierarchy depth cap / cycle (ref graph.py:559-576 cycle
+        # guard + truncated flag — the reference emits a DQ warning per
+        # truncated walk; the iterative resolver's flag otherwise dies
+        # inside run_hierarchy). Lazy edge-table-sized frame, only
+        # evaluated when the error channel is consumed.
+        from rwa_calculator_spark.operators.graph import (
+            resolve_ultimate_parent_iterative,
+        )
+
+        truncated = resolve_ultimate_parent_iterative(
+            org_mappings.select(
+                F.col("child_reference").alias("child"),
+                F.col("parent_reference").alias("parent"),
+            )
+        ).where(F.col("truncated"))
+        errors = errors.unionByName(
+            _error_frame(
+                truncated, "DQ013", "warning", "validate",
+                F.col("node"),
+                "org hierarchy walk hit the depth cap or a cycle; "
+                "ultimate parent truncated at the cap",
+            )
+        )
+
     # --- DQ005 orphan CRM links (ref contracts/validation.py:742,767
     # anti-join orphan detection): a collateral link naming an unknown item
     # or an unknown exposure silently vanishes in CRM's inner joins — the

@@ -1056,3 +1056,69 @@ def corep_c34(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ead",
     )
     return composition.unionByName(total)
+
+
+_CCR2_ORACLE = f"""
+    WITH scva AS (
+        SELECT n.n_name,
+               CAST(CASE WHEN r.r_name = 'EUROPE' THEN 0.01 ELSE 0.03 END AS DOUBLE)
+                   * ({sql_scaled_sum('o.o_totalprice', 2)}) AS s_cva,
+               {sql_scaled_sum('o.o_totalprice', 2)} AS ead
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    ), k AS (
+        SELECT sqrt(power(0.5 * sum(s_cva), 2) + 0.75 * sum(s_cva * s_cva)) AS k_cva,
+               CAST(count(*) AS BIGINT) AS n_cp,
+               sum(CAST(round(ead * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE) AS ead
+        FROM scva
+    )
+    , r AS (
+        SELECT n_cp, ead, round(k_cva, 2) AS k2 FROM k
+    )
+    SELECT 'ba_cva_reduced' AS row_label, n_cp AS n_counterparties,
+           ead, k2 AS own_funds_req,
+           floor(k2 * 12.5 * 100.0 + 0.5) / 100.0 AS rwea
+    FROM r
+    UNION ALL
+    SELECT 'total', n_cp, ead, k2, floor(k2 * 12.5 * 100.0 + 0.5) / 100.0
+    FROM r
+    """
+
+
+@query("pillar3_ccr2", oracle=_CCR2_ORACLE, tags=("ccr", "cva", "reporting", "tolerant"))
+def pillar3_ccr2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 CCR2 — CVA capital charge (ref reporting/pillar3/ccr.py;
+    CRR Art.439(e)/384): the template row form of the BA-CVA reduced
+    formula — per approach row (only BA-CVA here; the reference's SA-CVA
+    row stays structurally absent), EAD of the in-scope portfolio, the
+    own-funds requirement K, and RWEA = K × 12.5, plus the total row. The
+    disclosure is a pure re-presentation of the `ba_cva` portfolio
+    aggregation — one source of truth for the K formula."""
+    from pyspark.sql import Row
+
+    k_row = ba_cva(spark, sf_dir).collect()[0]  # O(1) scalars by design
+    ead_row = (
+        load_table(spark, sf_dir, "orders")
+        .agg(scaled_sum(F.col("o_totalprice"), 2).alias("ead"))
+        .collect()[0]
+    )
+    import math
+
+    # floor-based cent rounding: k2dp × 12.5 lands on exact eighths, where
+    # Spark/Python half-even and DuckDB half-away disagree (verify-recipe
+    # gotcha) — floor(x·100 + 0.5) is identical in both engines
+    rwea = math.floor(float(k_row.k_cva) * 12.5 * 100.0 + 0.5) / 100.0
+    rows = [
+        ("ba_cva_reduced", k_row.n_counterparties, float(ead_row.ead),
+         float(k_row.k_cva), rwea),
+        ("total", k_row.n_counterparties, float(ead_row.ead),
+         float(k_row.k_cva), rwea),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "row_label string, n_counterparties long, ead double, "
+        "own_funds_req double, rwea double",
+    )

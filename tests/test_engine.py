@@ -2708,3 +2708,64 @@ def test_validation_domain_breadth(spark):
     # DQ009: slot category (error) + collateral type (warning)
     dq9 = {(r.severity, r.key) for r in by_code["DQ009"]}
     assert ("error", "CP1") in dq9 and ("warning", "crypto") in dq9
+
+
+def test_ciu_mandate_fallback_1250(spark):
+    """CRR Art.132(2): an unknown-class CIU holding takes the 100% mandate
+    proxy when the mandate can bound the risk, and the 1250% FALL-BACK when
+    it cannot (carrier-gated on is_mandate_known; absent carrier keeps the
+    mandate proxy — the pre-round-4 behaviour, oracle-pinned)."""
+    from rwa_calculator_spark.engine.stages.ciu_settlement import run_ciu
+
+    holdings = _df(
+        spark,
+        [
+            ("F1", "H1", "private_debt", 1000.0, None, True),
+            ("F1", "H2", "private_debt", 1000.0, None, False),
+            ("F1", "H3", "sovereign", 1000.0, 1, True),
+        ],
+        "fund_reference string, holding_reference string, underlying_class string, "
+        "value double, holding_cqs int, is_mandate_known boolean",
+    )
+    rows = {
+        r.exposure_reference: r for r in run_ciu(holdings, CRR_PACK).results.collect()
+    }
+    assert rows["F1_CIU_H1"].risk_weight == pytest.approx(1.0)
+    assert rows["F1_CIU_H1"].rw_source == "ciu_mandate"
+    assert rows["F1_CIU_H2"].risk_weight == pytest.approx(12.5)
+    assert rows["F1_CIU_H2"].rwa == pytest.approx(12_500.0)
+    assert rows["F1_CIU_H2"].rw_source == "ciu_fallback_1250"
+    assert rows["F1_CIU_H3"].risk_weight == pytest.approx(0.0)  # look-through
+
+
+def test_dq013_hierarchy_cycle_surfaces(spark):
+    """A cyclic org edge pair hits the resolver's depth cap; DQ013 names
+    the trapped nodes on the error channel while the pipeline still runs
+    (cap-truncated parents, the reference's graph.py cycle-guard shape)."""
+    from rwa_calculator_spark.engine.stages.validate import run_validation
+
+    cps = _df(
+        spark,
+        [("CP1", "corporate", 2, False, 0.0, False), ("CP2", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = _df(
+        spark,
+        [("L1", "CP1", 100.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    org = _df(
+        spark,
+        [("CP1", "CP2"), ("CP2", "CP1")],  # 2-cycle
+        "child_reference string, parent_reference string",
+    )
+    sealed, errors = run_validation(
+        RawBundle(counterparties=cps, loans=loans, org_mappings=org)
+    )
+    dq13 = [r for r in errors.collect() if r.code == "DQ013"]
+    assert {r.key for r in dq13} == {"CP1", "CP2"}
+    # the pipeline itself still completes on the truncated hierarchy
+    out = run_pipeline(sealed, PipelineConfig(pack=CRR_PACK, validation="off"))
+    assert out.results.count() == 1
