@@ -99,6 +99,16 @@ _RESULT_COLS = [
     # EAD × pre-guarantee-blend Vasicek RW; substitution-free branches
     # carry their actual rwa
     "rwa_pre_crm_substitution",
+    # round-5 period-over-period lineage carriers: the rating model that
+    # priced the row (sealed from the model-permission stage's model_id
+    # when the bundle routes permissions — CR8 row 4 "model updates" keys
+    # a matched row whose model changed between runs) and the exposure→
+    # reporting currency translation rate (CR8 row 7's exact two-factor
+    # FX split; null when the bundle carries no FX inputs). Ref
+    # reporting/pillar3/cr8.py:22-24 — the carriers whose absence kept
+    # the reference's rows 4-7 null.
+    "model_id",
+    "fx_rate",
 ]
 
 # exposure_type → CMS1-style risk-type discriminator (ref
@@ -134,6 +144,10 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         exp = exp.withColumn("country", F.lit(None).cast("string"))
     if "g_class" not in exp.columns:
         exp = exp.withColumn("g_class", F.lit(None).cast("string"))
+    if "model_id" not in exp.columns:
+        exp = exp.withColumn("model_id", F.lit(None).cast("string"))
+    if "fx_rate" not in exp.columns:
+        exp = exp.withColumn("fx_rate", F.lit(None).cast("double"))
     # substitution-free branches: the hypothetical equals the actual (only
     # frames that already carry rwa — SA/IRB set their own upstream)
     if "rwa_pre_crm_substitution" not in exp.columns and "rwa" in exp.columns:

@@ -443,7 +443,214 @@ def run_validation(raw: RawBundle) -> tuple[RawBundle, DataFrame]:
             )
         )
 
+    # --- DQ003 categorical long tail (ref data/schemas.py
+    # COLUMN_VALUE_CONSTRAINTS + contracts/validation.py
+    # validate_bundle_values — the declarative {table: {column: domain}}
+    # registry, evaluated at DISTINCT-offending-value grain per column so
+    # the error channel is dimension-sized however many rows offend). The
+    # domains are the published value sets for the columns THIS engine
+    # consumes; model_permissions.approach uses this engine's registry
+    # labels (permissions.py), the rest are the reference's sets verbatim.
+    for bundle_field, column, domain in _VALUE_DOMAINS:
+        frame = getattr(raw, bundle_field, None)
+        if frame is None or column not in frame.columns:
+            continue
+        bad = (
+            frame.select(column)
+            .where(F.col(column).isNotNull() & ~F.col(column).isin(*domain))
+            .distinct()
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                bad, "DQ003", "warning", "validate",
+                F.col(column),
+                f"{bundle_field}.{column} outside the valid domain",
+            )
+        )
+
+    # --- DQ014 Art.162(3) maturity range: M is clipped to [1d, 5y]
+    # downstream; the flag is the firm's only trace of the mismatch (ref
+    # contracts/validation.py _validate_effective_maturity_range) ----------
+    for frame, ref_col, name in (
+        (loans, "loan_reference", "loans"),
+        (contingents, "contingent_reference", "contingents"),
+    ):
+        if frame is None or "effective_maturity" not in frame.columns:
+            continue
+        over = frame.select(ref_col).where(F.col("effective_maturity") > 5.0)
+        errors = errors.unionByName(
+            _error_frame(
+                over, "DQ014", "warning", "validate",
+                F.col(ref_col),
+                f"{name} effective_maturity above the Art.162(3) 5-year cap "
+                "(clipped downstream)",
+            )
+        )
+
+    # --- DQ015 securitisation tranche structure: attachment/detachment in
+    # [0,1] with D > A — an inverted tranche makes the SSFA thickness
+    # non-positive and the closed form divides by it (functions/secsa.py) --
+    if raw.securitisation_tranches is not None:
+        tr = raw.securitisation_tranches
+        if "attachment" in tr.columns and "detachment" in tr.columns:
+            bad_tr = tr.select("pool_reference", "tranche_reference").where(
+                ~F.col("attachment").between(0.0, 1.0)
+                | ~F.col("detachment").between(0.0, 1.0)
+                | (F.col("detachment") <= F.col("attachment"))
+            )
+            errors = errors.unionByName(
+                _error_frame(
+                    bad_tr, "DQ015", "error", "validate",
+                    F.concat_ws("/", "pool_reference", "tranche_reference"),
+                    "tranche attachment/detachment outside [0,1] or D ≤ A",
+                )
+            )
+
+    # --- DQ008 margined-CSA / settlement numeric domains (ref trade-domain
+    # checks): negative CSA terms flip the Art.275(2) RC floor's sign;
+    # negative settlement inputs silently band to no charge ---------------
+    if raw.margin_agreements is not None:
+        ma = raw.margin_agreements
+        checks = [
+            ("threshold", F.col("threshold") < 0.0, "negative threshold"),
+            ("mta", F.col("mta") < 0.0, "negative mta"),
+        ]
+        if "remargin_days" in ma.columns:
+            checks.append(
+                ("remargin_days", F.col("remargin_days") <= 0.0,
+                 "non-positive remargin_days")
+            )
+        for col, cond, msg in checks:
+            if col not in ma.columns:
+                continue
+            bad_ma = ma.select("netting_set_reference").where(cond)
+            errors = errors.unionByName(
+                _error_frame(
+                    bad_ma, "DQ008", "warning", "validate",
+                    F.col("netting_set_reference"), f"margin agreement: {msg}",
+                )
+            )
+    if raw.ccr_collateral is not None and "haircut" in raw.ccr_collateral.columns:
+        bad_ch = raw.ccr_collateral.select("netting_set_reference").where(
+            F.col("haircut").isNotNull()
+            & ~((F.col("haircut") >= 0.0) & (F.col("haircut") < 1.0))
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                bad_ch, "DQ008", "warning", "validate",
+                F.col("netting_set_reference"), "ccr collateral haircut outside [0,1)",
+            )
+        )
+    if raw.failed_trades is not None:
+        ft = raw.failed_trades
+        if "amount" in ft.columns:
+            bad_amt = ft.select("trade_reference").where(F.col("amount") < 0.0)
+            errors = errors.unionByName(
+                _error_frame(
+                    bad_amt, "DQ008", "warning", "validate",
+                    F.col("trade_reference"), "failed trade: negative amount",
+                )
+            )
+        if "days_late" in ft.columns:
+            bad_dl = ft.select("trade_reference").where(F.col("days_late") < 0)
+            errors = errors.unionByName(
+                _error_frame(
+                    bad_dl, "DQ008", "warning", "validate",
+                    F.col("trade_reference"), "failed trade: negative days_late",
+                )
+            )
+
+    # --- DQ012 negative contingent nominals (the loans check's off-BS twin)
+    if contingents is not None and "nominal_amount" in contingents.columns:
+        neg_nom = contingents.select("contingent_reference").where(
+            F.col("nominal_amount") < 0
+        )
+        errors = errors.unionByName(
+            _error_frame(
+                neg_nom, "DQ012", "warning", "validate",
+                F.col("contingent_reference"), "negative nominal_amount",
+            )
+        )
+
     return (
         replace(raw, loans=loans, contingents=contingents, org_mappings=org_mappings),
         errors,
     )
+
+
+#: The declarative categorical-domain registry (ref data/schemas.py:2335
+#: COLUMN_VALUE_CONSTRAINTS, built from the VALID_* sets at :1868-2333).
+#: (bundle_field, column, valid values). Columns absent from a supplied
+#: frame are skipped — the registry follows the tolerant-carrier
+#: convention, it never makes a column required.
+_VALUE_DOMAINS: tuple[tuple[str, str, tuple[str, ...]], ...] = (
+    # counterparties (VALID_SCRA_GRADES; VALID_CCR_COUNTERPARTY_TYPES —
+    # the Art.274(2) alpha carve-out discriminator)
+    ("counterparties", "scra_grade", ("A", "A_ENHANCED", "B", "C")),
+    (
+        "counterparties",
+        "counterparty_type",
+        ("financial", "non_financial", "pension_scheme", "pension_default_comp"),
+    ),
+    # exposure tables (VALID_SENIORITY)
+    ("loans", "seniority", ("senior", "subordinated")),
+    ("contingents", "seniority", ("senior", "subordinated")),
+    ("facilities", "seniority", ("senior", "subordinated")),
+    # guarantees (VALID_PROTECTION_TYPES, VALID_BENEFICIARY_TYPES,
+    # VALID_LOOK_THROUGH_ELECTIONS — PS1/26 Art.191A(2)(e)(i))
+    ("guarantees", "protection_type", ("guarantee", "credit_derivative")),
+    (
+        "guarantees",
+        "beneficiary_type",
+        ("counterparty", "loan", "facility", "contingent", "guarantee"),
+    ),
+    ("guarantees", "look_through_election", ("none", "funded_only", "both")),
+    # provisions (VALID_PROVISION_TYPES)
+    ("provisions", "provision_type", ("scra", "gcra")),
+    (
+        "provisions",
+        "beneficiary_type",
+        ("counterparty", "loan", "facility", "contingent", "guarantee"),
+    ),
+    # ratings (VALID_RATING_TYPES, VALID_RATING_SCOPE_TYPES)
+    ("ratings", "rating_type", ("internal", "external")),
+    ("ratings", "scope_type", ("facility", "loan", "contingent")),
+    # equity (VALID_EQUITY_TYPES)
+    (
+        "equity_exposures",
+        "equity_type",
+        (
+            "central_bank", "subordinated_debt", "listed", "exchange_traded",
+            "government_supported", "unlisted", "speculative", "private_equity",
+            "private_equity_diversified", "ciu", "other",
+        ),
+    ),
+    # CIU (VALID_CIU_APPROACHES, Art.132)
+    ("ciu_holdings", "ciu_approach", ("look_through", "mandate_based", "fallback")),
+    # model permissions — THIS engine's registry labels
+    # (engine/stages/permissions.py) + the Art.150/148 ppu_reason basis
+    # (VALID_PPU_REASONS)
+    ("model_permissions", "approach", ("AIRB", "FIRB", "SLOTTING", "SA")),
+    (
+        "model_permissions",
+        "ppu_reason",
+        (
+            "art_150_1_a", "art_150_1_b", "art_150_1_c", "art_150_1_d",
+            "art_150_1_e", "art_150_1_f", "art_150_1_g", "art_150_1_h",
+            "art_150_1_i", "art_150_1_j", "art_148_rollout",
+        ),
+    ),
+    # securitisation allocations (VALID_SECURITISATION_EXPOSURE_TYPES,
+    # VALID_TRANSFER_TYPES — Art.244/245)
+    (
+        "securitisation_allocations",
+        "exposure_type",
+        ("loan", "contingent", "facility"),
+    ),
+    ("securitisation_allocations", "transfer_type", ("traditional", "synthetic")),
+    # collateral side columns (VALID_PROPERTY_TYPES, VALID_ISSUER_TYPES,
+    # VALID_VALUATION_TYPES — collateral_type itself is DQ009 above)
+    ("collateral", "property_type", ("residential", "commercial", "adc")),
+    ("collateral", "issuer_type", ("sovereign", "pse", "corporate", "securitisation")),
+    ("collateral", "valuation_type", ("market", "indexed", "independent")),
+)

@@ -158,8 +158,11 @@ def pillar3_cr7(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (cr8.py:140 generate_cr8(irb_data, prior_irb_data)); here it is
 # synthesised deterministically from the current run so DuckDB can
 # re-derive it: exposures with key % 17 == 0 are current-period
-# originations (absent from the prior book), and the surviving book's
-# prior RWA drifts by a ±2% per-key factor (parameter migration).
+# originations (absent from the prior book); the surviving book's prior
+# RWA drifts by a ±2% per-key factor (parameter migration); key % 23 rows
+# changed rating model between the runs (row 4); key % 5 rows' reporting-
+# currency translation rate moved 2% (row 7) — so every computable CR8
+# driver row is exercised and driver-checked.
 _CR8_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + f"""
     , irb_rows AS (
         SELECT CAST(substring(exposure_reference, 2) AS BIGINT) AS k,
@@ -168,7 +171,11 @@ _CR8_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + f"""
         GROUP BY exposure_reference
     ), marked AS (
         SELECT rwa, (k % 17 = 0) AS is_new,
-               rwa * (1.0 + (CAST(k % 5 AS DOUBLE) - 2.0) / 100.0) AS prior_rwa
+               rwa * (1.0 + (CAST(k % 5 AS DOUBLE) - 2.0) / 100.0) AS prior_rwa,
+               (k % 23 = 0) AS model_moved,
+               1.0 + CAST(k % 7 AS DOUBLE) / 100.0 AS f_c,
+               (1.0 + CAST(k % 7 AS DOUBLE) / 100.0)
+                   * (CASE WHEN k % 5 = 0 THEN 1.02 ELSE 1.0 END) AS f_p
         FROM irb_rows
     ), s AS (
         SELECT {sql_scaled_sum('rwa', 2)} AS closing,
@@ -176,19 +183,30 @@ _CR8_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + f"""
                    AS opening,
                {sql_scaled_sum('CASE WHEN is_new THEN rwa ELSE 0.0 END', 2)}
                    AS asset_size,
-               {sql_scaled_sum('CASE WHEN NOT is_new THEN rwa - prior_rwa ELSE 0.0 END', 2)}
+               {sql_scaled_sum(
+                   'CASE WHEN NOT is_new AND model_moved'
+                   ' THEN rwa - prior_rwa ELSE 0.0 END', 2)}
+                   AS model_updates,
+               {sql_scaled_sum(
+                   'CASE WHEN NOT is_new AND NOT model_moved'
+                   ' THEN (rwa / f_c) * (f_c - f_p) ELSE 0.0 END', 2)}
+                   AS fx,
+               {sql_scaled_sum(
+                   'CASE WHEN NOT is_new AND NOT model_moved'
+                   ' THEN (rwa / f_c) * f_p - prior_rwa ELSE 0.0 END', 2)}
                    AS asset_quality
         FROM marked
     )
     SELECT '1' AS row_ref, 'opening_rwea' AS flow_driver, opening AS rwea FROM s
     UNION ALL SELECT '2', 'asset_size', asset_size FROM s
     UNION ALL SELECT '3', 'asset_quality', asset_quality FROM s
-    UNION ALL SELECT '4', 'model_updates', CAST(NULL AS DOUBLE) FROM s
+    UNION ALL SELECT '4', 'model_updates', model_updates FROM s
     UNION ALL SELECT '5', 'methodology', CAST(NULL AS DOUBLE) FROM s
     UNION ALL SELECT '6', 'acquisitions_disposals', CAST(NULL AS DOUBLE) FROM s
-    UNION ALL SELECT '7', 'fx_movements', CAST(NULL AS DOUBLE) FROM s
+    UNION ALL SELECT '7', 'fx_movements', fx FROM s
     UNION ALL SELECT '8', 'other',
-              ((closing - opening) - asset_size) - asset_quality FROM s
+              (((((closing - opening) - asset_size) - asset_quality)
+                - model_updates) - fx) FROM s
     UNION ALL SELECT '9', 'closing_rwea', closing FROM s
     """
 
@@ -205,7 +223,11 @@ def pillar3_cr8(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer-join attribution in reporting_flow.rwa_flow_statement: the
     prior frame is at exposure grain, so current-only rows are new
     business, prior-only rows disposals, and matched-row deltas parameter
-    drift. Rows 4-7 stay honestly null."""
+    drift. Rows 4 (model updates — matched rows whose sealed model_id
+    changed between runs take their whole delta) and 7 (FX — the exact
+    RWA = RWA_local × fx two-factor split on same-model matched rows) are
+    computed from the round-5 model_id/fx_rate lineage carriers; rows 5-6
+    stay honestly null (no rulebook-version or perimeter carriers)."""
     from rwa_calculator_spark.reporting_flow import rwa_flow_statement
 
     out = _irb_run(spark, sf_dir)
@@ -214,6 +236,8 @@ def pillar3_cr8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (analysis/reconciliation.py, SURVEY §3.3); the star testdata's
     # duplicate line-1 pairs otherwise fan out and trip the flow
     # statement's grain guard
+    k = F.col("_k")
+    fx_c = F.lit(1.0) + (k % 7).cast("double") / F.lit(100.0)
     cur = (
         out.results.where(F.col("approach") == "IRB")
         .groupBy("exposure_reference")
@@ -222,14 +246,27 @@ def pillar3_cr8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_k", F.expr("CAST(substring(exposure_reference, 2) AS BIGINT)")
         )
     )
-    prior = cur.where(~(F.col("_k") % 17 == 0)).select(
+    prior = cur.where(~(k % 17 == 0)).select(
         "exposure_reference",
         (
             F.col("rwa")
-            * (F.lit(1.0) + ((F.col("_k") % 5).cast("double") - F.lit(2.0)) / F.lit(100.0))
+            * (F.lit(1.0) + ((k % 5).cast("double") - F.lit(2.0)) / F.lit(100.0))
         ).alias("rwa"),
+        F.concat(
+            F.lit("M"),
+            F.when(k % 23 == 0, (k + 1) % 3).otherwise(k % 3),
+        ).alias("model_id"),
+        (fx_c * F.when(k % 5 == 0, F.lit(1.02)).otherwise(F.lit(1.0))).alias(
+            "fx_rate"
+        ),
     )
-    return rwa_flow_statement(cur.select("exposure_reference", "rwa"), prior)
+    cur = cur.select(
+        "exposure_reference",
+        "rwa",
+        F.concat(F.lit("M"), k % 3).alias("model_id"),
+        fx_c.alias("fx_rate"),
+    )
+    return rwa_flow_statement(cur, prior)
 
 
 # ---------------------------------------------------------------------------
@@ -916,3 +953,78 @@ def corep_c09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("TOTAL").alias("sheet"), "exposure_class", "n_exposures", "ead", "rwea"
     )
     return per_country.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Pillar 3 CR6-A — scope of the use of IRB and SA approaches
+# ---------------------------------------------------------------------------
+
+_CR6A_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + f"""
+    , scope6a AS (
+        SELECT exposure_class AS row_label,
+               {sql_scaled_sum("CASE WHEN approach = 'IRB' THEN ead ELSE 0.0 END", 2)}
+                   AS ead_irb_a,
+               {sql_scaled_sum('ead', 2)} AS ead_total_b
+        FROM unioned GROUP BY exposure_class
+        UNION ALL
+        SELECT 'total',
+               {sql_scaled_sum("CASE WHEN approach = 'IRB' THEN ead ELSE 0.0 END", 2)},
+               {sql_scaled_sum('ead', 2)}
+        FROM unioned
+    )
+    SELECT row_label, ead_irb_a, ead_total_b,
+           CASE WHEN ead_total_b > 0
+                THEN round((ead_total_b - ead_irb_a) / ead_total_b * 100.0, 10)
+           END AS pct_sa_c,
+           CASE WHEN ead_total_b > 0
+                THEN round(ead_irb_a / ead_total_b * 100.0, 10)
+           END AS pct_irb_d,
+           0.0 AS pct_rollout_e
+    FROM scope6a
+    """
+
+
+@query("pillar3_cr6a", oracle=_CR6A_ORACLE, tags=("rwa", "reporting", "tolerant"))
+def pillar3_cr6a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 CR6-A — scope of the use of IRB and SA approaches (ref
+    reporting/pillar3/cr6a.py:1-193 build_cr6a_spec; CRR Art.452(b),
+    PS1/26 Annex XXII UK CR6-A). Rows key the ORIGINATION exposure class
+    over the FULL ledger — deliberately not the applied basis, so an
+    SA-treated defaulted corporate stays on the Corporates scope row
+    (cr6a.py:10-19, the recorded keying decision). Column a = EAD on the
+    IRB-family approaches (slotting included in the family,
+    cr6a.py:66-68 — vacuous on this bundle, which routes no slotting);
+    column b = EAD across ALL approaches; c/d are the SA/IRB percentage
+    pair (the SA share is exactly b − a — the approach subsets PARTITION
+    the row, cr6a.py:71-84, null on an empty row rather than 0/0); e is
+    the recorded constant 0.0 (roll-out plans are not pipeline data,
+    cr6a.py:87-89). The Total row spans the whole population."""
+    out = _irb_run(spark, sf_dir)
+    r = out.results
+    a = scaled_sum(
+        F.when(
+            F.col("approach").isin("IRB", "SLOTTING"), F.col("ead_after_crm")
+        ).otherwise(0.0),
+        2,
+    )
+    b = scaled_sum(F.col("ead_after_crm"), 2)
+    per_class = r.groupBy(F.col("exposure_class").alias("row_label")).agg(
+        a.alias("ead_irb_a"), b.alias("ead_total_b")
+    )
+    total = r.agg(a.alias("ead_irb_a"), b.alias("ead_total_b")).select(
+        F.lit("total").alias("row_label"), "ead_irb_a", "ead_total_b"
+    )
+    scope = per_class.unionByName(total)
+    bt = F.col("ead_total_b")
+    return scope.select(
+        "row_label",
+        "ead_irb_a",
+        "ead_total_b",
+        F.when(bt > 0, F.round((bt - F.col("ead_irb_a")) / bt * 100.0, 10)).alias(
+            "pct_sa_c"
+        ),
+        F.when(bt > 0, F.round(F.col("ead_irb_a") / bt * 100.0, 10)).alias(
+            "pct_irb_d"
+        ),
+        F.lit(0.0).alias("pct_rollout_e"),
+    )

@@ -42,6 +42,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every plans submodule so all @query decorators run."""
     from rwa_calculator_spark.plans import (  # noqa: F401
         ccr,
+        corep_c08,
         curation,
         domain,
         engine_stages,

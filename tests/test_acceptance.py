@@ -486,3 +486,193 @@ def test_b31_five_band_haircut(spark):
     assert r.ead_after_crm == pytest.approx(520.0)
     assert r.haircut_quality == pytest.approx(20.0)
     assert r.rwa_pre_floor == pytest.approx(104.0)
+
+
+# ---------------------------------------------------------------------------
+# CCR / SFT / settlement / securitisation golden scenarios (round 5; ref
+# tests/acceptance/ccr — the books the first 24 scenarios did not pin).
+# All CCR/SFT counterparties are institutions CQS2 → SA RW 0.50 with no
+# Art.501 factor, so every expectation isolates the EAD formula under test.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ccr_rows(spark):
+    cps = spark.createDataFrame(
+        [
+            ("CP_U", "institution", 2, False, 0.0, False),
+            ("CP_M", "institution", 2, False, 0.0, False),
+            ("CP_P", "institution", 2, False, 0.0, False),
+            ("CP_R", "institution", 2, False, 0.0, False),
+            ("CP_F", "institution", 2, False, 0.0, False),
+            ("CP_T", "institution", 2, False, 0.0, False),
+            ("CP_X", "corporate", 0, False, 60_000_000.0, False),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    trades = spark.createDataFrame(
+        [
+            # S1 unmargined: V = 100k − 20k = 80k; AddOn = 0.005 × 1.5m
+            ("T1", "NS_U", "CP_U", 100_000.0, 1_000_000.0, "ir"),
+            ("T2", "NS_U", "CP_U", -20_000.0, 500_000.0, "ir"),
+            # S2 margined: V = 10k; AddOn = 0.04 × 2m (fx)
+            ("T3", "NS_M", "CP_M", 10_000.0, 2_000_000.0, "fx"),
+            # S3 PFE multiplier: V = −50k; AddOn = 0.05 × 1m (credit)
+            ("T4", "NS_P", "CP_P", -50_000.0, 1_000_000.0, "credit"),
+            # S4 MPOR: V = 20k; AddOn = 0.005 × 1m (ir)
+            ("T5", "NS_R", "CP_R", 20_000.0, 1_000_000.0, "ir"),
+        ],
+        "trade_reference string, netting_set_reference string, "
+        "counterparty_reference string, mtm double, notional double, "
+        "asset_class string",
+    )
+    margin = spark.createDataFrame(
+        [
+            # S2: TH+MTA−NICA = 50k+10k−5k = 55k; no remargin cadence → MF=1
+            ("NS_M", 50_000.0, 10_000.0, 5_000.0, None),
+            # S4: TH=0 (margined), daily remargin → MPOR = 10+1−1 = 10
+            ("NS_R", 0.0, 0.0, 0.0, 1.0),
+        ],
+        "netting_set_reference string, threshold double, mta double, "
+        "nica double, remargin_days double",
+    )
+    ccr_coll = spark.createDataFrame(
+        [("NS_M", 4_000.0, 0.0)],
+        "netting_set_reference string, value double, haircut double",
+    )
+    sfts = spark.createDataFrame(
+        [
+            # S5: E* = max(0, 100k − 60k·(1−0.2)) = 52k
+            ("NS_F", "CP_F", "lent", 100_000.0, None),
+            ("NS_F", "CP_F", "collateral", 60_000.0, 0.2),
+        ],
+        "netting_set_reference string, counterparty_reference string, "
+        "leg string, value double, haircut double",
+    )
+    failed = spark.createDataFrame(
+        [("FT1", "CP_T", 10_000.0, 20), ("FT2", "CP_T", 5_000.0, 3)],
+        "trade_reference string, counterparty_reference string, "
+        "amount double, days_late int",
+    )
+    loans = spark.createDataFrame(
+        [("L_SEC", "CP_X", 1_000_000.0, False, None, None, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    allocs = spark.createDataFrame(
+        [("L_SEC", "P1", 1.0)],
+        "exposure_reference string, pool_reference string, allocation_pct double",
+    )
+    tranches = spark.createDataFrame(
+        [
+            ("P1", "JUN", 0.00, 0.05),
+            ("P1", "MEZ", 0.05, 0.20),
+            ("P1", "SEN", 0.20, 1.00),
+        ],
+        "pool_reference string, tranche_reference string, "
+        "attachment double, detachment double",
+    )
+    bundle = RawBundle(
+        counterparties=cps,
+        loans=loans,
+        trades=trades,
+        margin_agreements=margin,
+        ccr_collateral=ccr_coll,
+        sft_trades=sfts,
+        failed_trades=failed,
+        securitisation_allocations=allocs,
+        securitisation_tranches=tranches,
+    )
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
+    return {r.exposure_reference: r for r in out.results.collect()}
+
+
+def test_saccr_unmargined_ead(ccr_rows):
+    # CRR Art.274(2)/275(1): RC = max(V−C, 0) = 80,000 (no CSA for NS_U);
+    # AddOn = SF_ir × notional = 0.005 × 1,500,000 = 7,500; multiplier = 1
+    # (V−C ≥ 0). EAD = 1.4 × (80,000 + 7,500) = 122,500.
+    # RWA = 122,500 × 0.50 (institution CQS2) = 61,250.
+    r = ccr_rows["NS_U_CCR"]
+    assert r.ead == pytest.approx(122_500.0)
+    assert r.rwa == pytest.approx(61_250.0)
+    assert r.risk_type == "CCR_DERIVATIVE"
+
+
+def test_saccr_margined_rc_floor(ccr_rows):
+    # Art.275(2): RC = max(V−C, TH+MTA−NICA, 0); V−C = 10,000 − 4,000 =
+    # 6,000 < 55,000 → RC = 55,000. AddOn = 0.04 × 2,000,000 = 80,000;
+    # V−C ≥ 0 → multiplier 1; no remargin cadence → MF 1.
+    # EAD = 1.4 × (55,000 + 80,000) = 189,000; RWA = 94,500.
+    r = ccr_rows["NS_M_CCR"]
+    assert r.ead == pytest.approx(189_000.0)
+    assert r.rwa == pytest.approx(94_500.0)
+
+
+def test_saccr_pfe_multiplier(ccr_rows):
+    # Art.278(3): V−C = −50,000 < 0, AddOn = 50,000 →
+    # multiplier = min(1, 0.05 + 0.95·exp(−50,000 / (2·0.95·50,000)))
+    #            = 0.05 + 0.95·e^(−10/19); RC = max(−50,000, 0) = 0.
+    mult = 0.05 + 0.95 * math.exp(-50_000.0 / (2.0 * 0.95 * 50_000.0))
+    r = ccr_rows["NS_P_CCR"]
+    assert r.ead == pytest.approx(1.4 * mult * 50_000.0, rel=1e-9)
+    assert r.rwa == pytest.approx(1.4 * mult * 50_000.0 * 0.5, rel=1e-9)
+
+
+def test_saccr_mpor_maturity_factor(ccr_rows):
+    # Art.285(2): MPOR = max(10 + remargin − 1, floor) = 10 business days;
+    # Art.279c(2): MF = 1.5·√(10/250) = 0.3. RC = max(20,000, 0+0−0, 0)
+    # = 20,000; AddOn = 5,000. EAD = 1.4 × (20,000 + 0.3·5,000) = 30,100.
+    r = ccr_rows["NS_R_CCR"]
+    assert r.ead == pytest.approx(30_100.0, rel=1e-12)
+    assert r.rwa == pytest.approx(15_050.0, rel=1e-12)
+
+
+def test_sft_fccm_estar(ccr_rows):
+    # Art.223(5): E* = max(0, Σ lent − Σ coll·(1−h))
+    #            = max(0, 100,000 − 60,000·0.8) = 52,000. RWA @0.5 = 26,000.
+    r = ccr_rows["NS_F_SFT"]
+    assert r.ead == pytest.approx(52_000.0)
+    assert r.rwa == pytest.approx(26_000.0)
+    assert r.risk_type == "CCR_SFT"
+
+
+def test_settlement_band_factor(ccr_rows):
+    # Art.378 Table 1: 20 days late → factor 50%; capital = 10,000 × 0.5,
+    # RWA = 12.5 × capital = 62,500. A 3-days-late trade emits NO row.
+    r = ccr_rows["FT1_STL"]
+    assert r.rwa == pytest.approx(62_500.0)
+    assert r.risk_type == "SETTLEMENT"
+    assert "FT2_STL" not in ccr_rows
+
+
+def test_secsa_junior_tranche_1250(ccr_rows):
+    # CRE41/Art.261: K_A = 0.08 (W=0); junior D = 0.05 ≤ K_A → RW 1250%.
+    # Nominal = 1,000,000 × 0.05 = 50,000 → RWA = 50,000 × 12.5 = 625,000.
+    r = ccr_rows["SEC_P1_JUN"]
+    assert r.ead == pytest.approx(50_000.0)
+    assert r.rwa == pytest.approx(625_000.0)
+
+
+def test_secsa_senior_and_mezzanine_ssfa(ccr_rows):
+    # Independent stdlib SSFA (Art.261 closed form, K_A = 0.08, p = 1):
+    #   a = −1/K_A = −12.5
+    # Senior (A=0.2 ≥ K_A): K_SSFA = (e^{a(D−K_A)} − e^{a(A−K_A)})
+    #   / (a·(D−A)) → RW = 12.5·K_SSFA; nominal = 800,000.
+    a = -12.5
+    k_ssfa_sen = (math.exp(a * (1.0 - 0.08)) - math.exp(a * (0.2 - 0.08))) / (
+        a * ((1.0 - 0.08) - (0.2 - 0.08))
+    )
+    rw_sen = max(12.5 * k_ssfa_sen, 0.15)
+    r_sen = ccr_rows["SEC_P1_SEN"]
+    assert r_sen.rwa == pytest.approx(800_000.0 * rw_sen, rel=1e-9)
+    # Mezzanine straddle (A=0.05 < K_A < D=0.2): l clamps to 0 →
+    # K_SSFA over (0, D−K_A]; RW = 12.5·[(K_A−A) + (D−K_A)·K_SSFA]/(D−A).
+    k_ssfa_mez = (math.exp(a * (0.2 - 0.08)) - 1.0) / (a * (0.2 - 0.08))
+    rw_mez = max(
+        ((0.08 - 0.05) + (0.2 - 0.08) * k_ssfa_mez) * 12.5 / (0.2 - 0.05), 0.15
+    )
+    r_mez = ccr_rows["SEC_P1_MEZ"]
+    assert r_mez.rwa == pytest.approx(150_000.0 * rw_mez, rel=1e-9)
+    # the fully-allocated originating loan retains a zero share
+    assert ccr_rows["L_SEC"].ead == pytest.approx(0.0)

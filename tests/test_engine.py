@@ -2769,3 +2769,129 @@ def test_dq013_hierarchy_cycle_surfaces(spark):
     # the pipeline itself still completes on the truncated hierarchy
     out = run_pipeline(sealed, PipelineConfig(pack=CRR_PACK, validation="off"))
     assert out.results.count() == 1
+
+
+def test_validation_categorical_long_tail(spark):
+    """DQ003 declarative domain registry + DQ008/DQ012/DQ014/DQ015 numeric
+    long tail (ref data/schemas.py COLUMN_VALUE_CONSTRAINTS +
+    contracts/validation.py validate_bundle_values): one injected violation
+    per (table, column) — the table-driven port of the reference's
+    VALID_* value-domain checks for the side tables the first rounds left
+    thinner (guarantees/provisions/ratings/equity/CIU/permissions/CCR)."""
+    from rwa_calculator_spark.engine.bundles import RawBundle
+    from rwa_calculator_spark.engine.stages.validate import run_validation
+
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", 1, "Z_GRADE", "hedge_fund_type")],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "scra_grade string, counterparty_type string",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 100.0, False, "mezzanine", 7.5)],
+        "loan_reference string, counterparty_reference string, "
+        "drawn_amount double, is_defaulted boolean, seniority string, "
+        "effective_maturity double",
+    )
+    contingents = spark.createDataFrame(
+        [("K1", "CP1", -50.0, "medium_risk")],
+        "contingent_reference string, counterparty_reference string, "
+        "nominal_amount double, risk_bucket string",
+    )
+    guarantees = spark.createDataFrame(
+        [("L1", 0.5, "letter_of_comfort", "everything", "maybe")],
+        "exposure_reference string, coverage_pct double, protection_type string, "
+        "beneficiary_type string, look_through_election string",
+    )
+    provisions = spark.createDataFrame(
+        [("L1", "loan", 10.0, "ifrs9_stage_9")],
+        "beneficiary_reference string, beneficiary_type string, amount double, "
+        "provision_type string",
+    )
+    ratings = spark.createDataFrame(
+        [("CP1", "astrology", "portfolio", 2)],
+        "counterparty_reference string, rating_type string, scope_type string, cqs int",
+    )
+    equity = spark.createDataFrame(
+        [("E1", "CP1", 100.0, "meme_stock")],
+        "exposure_reference string, counterparty_reference string, "
+        "market_value double, equity_type string",
+    )
+    ciu = spark.createDataFrame(
+        [("F1", "H1", "corporate", 100.0, "vibes")],
+        "fund_reference string, holding_reference string, underlying_class string, "
+        "value double, ciu_approach string",
+    )
+    mp = spark.createDataFrame(
+        [("M1", "corporate", "QUANTUM", "because")],
+        "model_id string, exposure_class string, approach string, ppu_reason string",
+    )
+    margin = spark.createDataFrame(
+        [("NS1", -5.0, 0.0, 0.0, 0.0)],
+        "netting_set_reference string, threshold double, mta double, "
+        "nica double, remargin_days double",
+    )
+    failed = spark.createDataFrame(
+        [("FT1", "CP1", -10.0, -3)],
+        "trade_reference string, counterparty_reference string, "
+        "amount double, days_late int",
+    )
+    tranches = spark.createDataFrame(
+        [("P1", "T1", 0.5, 0.2)],
+        "pool_reference string, tranche_reference string, "
+        "attachment double, detachment double",
+    )
+    allocs = spark.createDataFrame(
+        [("L1", "P1", 0.5, "swap", "telepathic")],
+        "exposure_reference string, pool_reference string, allocation_pct double, "
+        "exposure_type string, transfer_type string",
+    )
+    collateral = spark.createDataFrame(
+        [("COL1", "cash", 100.0, "houseboat", "alien", "guesswork")],
+        "collateral_reference string, collateral_type string, market_value double, "
+        "property_type string, issuer_type string, valuation_type string",
+    )
+    bundle = RawBundle(
+        counterparties=cps,
+        loans=loans,
+        contingents=contingents,
+        guarantees=guarantees,
+        provisions=provisions,
+        ratings=ratings,
+        equity_exposures=equity,
+        ciu_holdings=ciu,
+        model_permissions=mp,
+        margin_agreements=margin,
+        failed_trades=failed,
+        securitisation_tranches=tranches,
+        securitisation_allocations=allocs,
+        collateral=collateral,
+    )
+    _raw, errors = run_validation(bundle)
+    errs = {(r.code, r.key) for r in errors.collect()}
+    expected = {
+        ("DQ003", "Z_GRADE"),           # counterparties.scra_grade
+        ("DQ003", "hedge_fund_type"),   # counterparties.counterparty_type
+        ("DQ003", "mezzanine"),         # loans.seniority
+        ("DQ003", "letter_of_comfort"), # guarantees.protection_type
+        ("DQ003", "everything"),        # guarantees.beneficiary_type
+        ("DQ003", "maybe"),             # guarantees.look_through_election
+        ("DQ003", "ifrs9_stage_9"),     # provisions.provision_type
+        ("DQ003", "astrology"),         # ratings.rating_type
+        ("DQ003", "portfolio"),         # ratings.scope_type
+        ("DQ003", "meme_stock"),        # equity.equity_type
+        ("DQ003", "vibes"),             # ciu.ciu_approach
+        ("DQ003", "QUANTUM"),           # model_permissions.approach
+        ("DQ003", "because"),           # model_permissions.ppu_reason
+        ("DQ003", "swap"),              # alloc.exposure_type
+        ("DQ003", "telepathic"),        # alloc.transfer_type
+        ("DQ003", "houseboat"),         # collateral.property_type
+        ("DQ003", "alien"),             # collateral.issuer_type
+        ("DQ003", "guesswork"),         # collateral.valuation_type
+        ("DQ014", "L1"),                # maturity 7.5y > 5y cap
+        ("DQ015", "P1/T1"),             # inverted tranche
+        ("DQ008", "NS1"),               # negative threshold
+        ("DQ008", "FT1"),               # negative amount / days_late
+        ("DQ012", "K1"),                # negative nominal
+    }
+    missing = expected - errs
+    assert not missing, f"validation misses: {sorted(missing)}"

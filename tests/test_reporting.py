@@ -167,3 +167,76 @@ def test_rwa_flow_statement_buckets(spark):
     for ref in ("4", "5", "6", "7"):
         assert rows[ref].rwea is None       # honestly-null drivers
     assert [r for r in rows] == [str(i) for i in range(1, 10)]
+
+
+def test_c08_templates_foot_and_tie(spark, sf_dir):
+    """C 08.02 → C 08.01 footing (the boe_b0752/boe_b0814 family: the band
+    rows must sum to the class row on every shared sum column) and the
+    C 08.01 ↔ C 08.07 scope tie (the Total exposure value equals the IRB
+    numerator of the scope-of-use template — same sealed population)."""
+    from rwa_calculator_spark.plans import load_all
+
+    reg = load_all()
+    c1 = {r["row_label"]: r for r in reg["corep_c08_01"].fn(spark, sf_dir).collect()}
+    c2 = reg["corep_c08_02"].fn(spark, sf_dir).collect()
+    sum_cols = [
+        "orig_exposure_0020", "exposure_value_0110", "off_bs_ev_0120",
+        "defaulted_ev_0125", "rwea_0260", "defaulted_rwea_0265",
+        "sa_equiv_rwea_0276", "expected_loss_0280",
+    ]
+    classes = {r["row_label"] for r in c2}
+    assert classes  # sparse rows exist
+    for cls in classes:
+        bands = [r for r in c2 if r["row_label"] == cls]
+        for col in sum_cols:
+            assert sum(r[col] for r in bands) == pytest.approx(
+                c1[cls][col], abs=1e-6
+            ), f"C08.02 {cls} bands do not foot to C08.01 on {col}"
+    # Total row re-aggregates from grain; fixed-point makes Σ classes ≡ total
+    for col in sum_cols:
+        assert sum(
+            c1[k][col] for k in c1 if k != "total"
+        ) == pytest.approx(c1["total"][col], abs=1e-6)
+    # scope tie: C 08.07's total ead_irb is the same population's EAD
+    c7 = {r["row_label"]: r for r in reg["corep_c08_07"].fn(spark, sf_dir).collect()}
+    assert c1["total"]["exposure_value_0110"] == pytest.approx(
+        c7["total"]["ead_irb"], abs=1e-6
+    )
+
+
+def test_rwa_flow_statement_model_and_fx_rows(spark):
+    """CR8 rows 4/7 (round-5 lineage carriers): a matched row whose
+    model_id changed attributes its WHOLE delta to row 4; a same-model
+    row whose fx_rate moved splits exactly into row 7 (rate change at the
+    current local book) and row 3 (local drift at the prior rate); the
+    residual row 8 still closes to 0 up to fixed-point rounding."""
+    from rwa_calculator_spark.reporting_flow import rwa_flow_statement
+
+    schema = "exposure_reference string, rwa double, model_id string, fx_rate double"
+    cur = spark.createDataFrame(
+        [
+            ("E1", 110.0, "M1", 1.0),   # plain drift → row 3 (+10)
+            ("E2", 230.0, "M2", 1.0),   # model M1→M2 → row 4 (+30)
+            ("E3", 150.0, "M1", 1.25),  # fx 1.0→1.25: L 100→120
+            ("E_NEW", 40.0, "M1", 1.0),
+        ],
+        schema,
+    )
+    prior = spark.createDataFrame(
+        [
+            ("E1", 100.0, "M1", 1.0),
+            ("E2", 200.0, "M1", 1.0),
+            ("E3", 100.0, "M1", 1.0),
+            ("E_GONE", 55.0, "M1", 1.0),
+        ],
+        schema,
+    )
+    rows = {r.row_ref: r.rwea for r in rwa_flow_statement(cur, prior).collect()}
+    assert rows["1"] == 455.0 and rows["9"] == 530.0
+    assert rows["2"] == 40.0 - 55.0
+    assert rows["4"] == 30.0                      # model-update delta
+    # E3 fx split: L_c = 150/1.25 = 120 → fx = 120·0.25 = 30, drift = 20
+    assert rows["7"] == pytest.approx(30.0, abs=1e-9)
+    assert rows["3"] == pytest.approx(10.0 + 20.0, abs=1e-9)
+    assert rows["8"] == pytest.approx(0.0, abs=1e-6)  # residual closes
+    assert rows["5"] is None and rows["6"] is None     # honestly null
