@@ -264,8 +264,29 @@ def ccr_exposures(
     else:
         mf = F.lit(1.0)
 
+    # CRR Art.274(2) second sub-paragraph: alpha = 1.0 (not 1.4) for
+    # netting sets whose counterparty is a non-financial counterparty
+    # (EMIR Art.2(9)), a pension scheme arrangement (Art.2(10)) or a
+    # pension-scheme default-fund position. Carrier-gated on the trades
+    # frame's counterparty_type (the COLUMN_VALUE_CONSTRAINTS
+    # discriminator, ref data/schemas.py:2193/2219 VALID_CCR_COUNTERPARTY_
+    # TYPES + CCR_ALPHA_CARVE_OUT_COUNTERPARTY_TYPES); absent → the
+    # standard alpha for every set.
+    if "counterparty_type" in trades.columns:
+        cp_type = trades.groupBy("netting_set_reference").agg(
+            F.max("counterparty_type").alias("_cp_type")
+        )
+        per_set = per_set.join(F.broadcast(cp_type), "netting_set_reference", "left")
+        alpha = F.when(
+            F.col("_cp_type").isin(
+                "non_financial", "pension_scheme", "pension_default_comp"
+            ),
+            F.lit(1.0),
+        ).otherwise(pack.lit("saccr_alpha"))
+    else:
+        alpha = pack.lit("saccr_alpha")
     ead = per_set.withColumn(
-        "ead", pack.lit("saccr_alpha") * (rc + mult * mf * F.col("aggregate_addon"))
+        "ead", alpha * (rc + mult * mf * F.col("aggregate_addon"))
     )
     return _exposure_shape(
         ead,

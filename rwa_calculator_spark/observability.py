@@ -160,6 +160,12 @@ class RunIndex:
             except OSError:
                 logger.warning("run-index persist failed", exc_info=True)
 
+    def entries(self) -> list[tuple[str, dict]]:
+        """All indexed runs, oldest first (ref api/run_index.py:220
+        entries() — the run-registry listing the /api/runs surface and the
+        ops tooling read; payloads only, artifacts stay on disk)."""
+        return list(self._runs.items())
+
     def find_reusable(
         self,
         fingerprint: str,

@@ -269,3 +269,130 @@ def corep_c08_02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded.groupBy(
         F.col("exposure_class").alias("row_label"), "pd_band"
     ).agg(*_c08_value_aggs())
+
+
+# ---------------------------------------------------------------------------
+# C 08.03 — breakdown by PD ranges (on/off-balance gross splits)
+# ---------------------------------------------------------------------------
+
+_C08_03_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_C08_LEDGER + f"""
+    , banded3 AS (
+        SELECT *, {_sql_pd_band('pd_f')} AS pd_band FROM ledger8
+    )
+    SELECT CAST(pd_band AS INTEGER) AS pd_band,
+           {sql_scaled_sum('drawn_amount', 2)} AS gross_on_bs_0010,
+           {sql_scaled_sum('undrawn_amount', 2)} AS gross_off_bs_0020,
+           {sql_scaled_sum('ead', 2)} AS exposure_value_0110,
+           round(({sql_scaled_sum('pd_f * ead', 6)}) / ({sql_scaled_sum('ead', 2)}), 10)
+               AS avg_pd_0010c,
+           {sql_scaled_sum('rwa', 2)} AS rwea_0260,
+           count(DISTINCT cp_key) AS n_obligors_0300
+    FROM banded3 GROUP BY pd_band
+    """
+
+
+@query("corep_c08_03", oracle=_C08_03_ORACLE, tags=("rwa", "reporting", "tolerant"))
+def corep_c08_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREP C 08.03 — IRB exposures by PD range (ref
+    reporting/corep/c08.py:270-287 C 08.03 sparse PD-range rows; PS1/26
+    Annex II §3.3.5). Rows are the 17 fixed EBA master-scale ranges,
+    SPARSE (only populated buckets emit — the reference's recorded sparse
+    emission), whole-book (no class axis — C 08.03 reports the total IRB
+    population per band). Cols 0010/0020 sum the per-SIDE gross carriers
+    with a member-only predicate — the ledger's drawn/undrawn columns are
+    row-level and zero outside their side, so a band with no off-BS rows
+    sums 0.0 naturally (c08.py:275-280, the retired whole-bucket fallback
+    is gone). Band 17 is the defaulted-treatment sink."""
+    r = _irb_ledger(spark, sf_dir)
+    banded = r.withColumn("pd_band", _spark_pd_band(F.col("pd_used")).cast("int"))
+    ead = F.col("ead_after_crm")
+    ead_sum = scaled_sum(ead, 2)
+    return banded.groupBy("pd_band").agg(
+        scaled_sum(F.col("drawn_amount"), 2).alias("gross_on_bs_0010"),
+        scaled_sum(F.col("undrawn_amount"), 2).alias("gross_off_bs_0020"),
+        ead_sum.alias("exposure_value_0110"),
+        F.round(scaled_sum(F.col("pd_used") * ead, 6) / ead_sum, 10).alias(
+            "avg_pd_0010c"
+        ),
+        scaled_sum(F.col("rwa"), 2).alias("rwea_0260"),
+        F.countDistinct("counterparty_reference").alias("n_obligors_0300"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C 08.04 — RWEA flow statement per exposure class (the CR8 clone)
+# ---------------------------------------------------------------------------
+
+# The same deterministic synthetic prior period as pillar3_cr8 (key % 17
+# originations, ±2% parameter drift), applied at (class, exposure) grain so
+# every class sheet carries its own three computable flow rows.
+_C08_04_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_C08_LEDGER + f"""
+    , c084_rows AS (
+        SELECT exposure_class,
+               CAST(substring(exposure_reference, 2) AS BIGINT) AS k,
+               {sql_scaled_sum('rwa', 2)} AS rwa
+        FROM ledger8 GROUP BY exposure_class, exposure_reference
+    ), c084_marked AS (
+        SELECT exposure_class, rwa, (k % 17 = 0) AS is_new,
+               rwa * (1.0 + (CAST(k % 5 AS DOUBLE) - 2.0) / 100.0) AS prior_rwa
+        FROM c084_rows
+    ), c084_s AS (
+        SELECT exposure_class,
+               {sql_scaled_sum('CASE WHEN NOT is_new THEN prior_rwa ELSE 0.0 END', 2)}
+                   AS opening,
+               {sql_scaled_sum('rwa', 2)} AS closing
+        FROM c084_marked GROUP BY exposure_class
+    )
+    SELECT exposure_class, '0010' AS row_ref, opening AS rwea FROM c084_s
+    UNION ALL SELECT exposure_class, '0080', closing - opening FROM c084_s
+    UNION ALL SELECT exposure_class, '0090', closing FROM c084_s
+    """
+
+
+@query("corep_c08_04", oracle=_C08_04_ORACLE, tags=("rwa", "reporting", "tolerant"))
+def corep_c08_04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREP C 08.04 — RWEA flow statement per exposure class (ref
+    reporting/corep/c08.py:288-295 'the CR8-clone flow: only the
+    closing-RWEA cell (row 0090) is populated' without a prior frame;
+    with one, row 0010 is the PriorPeriod opening and row 0080 the Other
+    residual deriving from it). One sheet per IRB exposure class over the
+    same deterministic synthetic prior period the registered CR8 query
+    uses, so the class sheets FOOT to CR8's total rows 1/9 (Σ class
+    opening ≡ CR8 row 1, Σ class closing ≡ CR8 row 9 — fixed-point sums
+    make the tie exact; asserted in tests/test_reporting.py)."""
+    out_rows = (
+        _irb_ledger(spark, sf_dir)
+        .groupBy("exposure_class", "exposure_reference")
+        .agg(scaled_sum(F.col("rwa"), 2).alias("rwa"))
+        .withColumn("_k", F.expr("CAST(substring(exposure_reference, 2) AS BIGINT)"))
+    )
+    marked = out_rows.select(
+        "exposure_class",
+        "rwa",
+        ((F.col("_k") % 17) == 0).alias("is_new"),
+        (
+            F.col("rwa")
+            * (
+                F.lit(1.0)
+                + ((F.col("_k") % 5).cast("double") - F.lit(2.0)) / F.lit(100.0)
+            )
+        ).alias("prior_rwa"),
+    )
+    s = marked.groupBy("exposure_class").agg(
+        scaled_sum(
+            F.when(~F.col("is_new"), F.col("prior_rwa")).otherwise(0.0), 2
+        ).alias("opening"),
+        scaled_sum(F.col("rwa"), 2).alias("closing"),
+    )
+    opening = s.select(
+        "exposure_class", F.lit("0010").alias("row_ref"), F.col("opening").alias("rwea")
+    )
+    other = s.select(
+        "exposure_class",
+        F.lit("0080").alias("row_ref"),
+        (F.col("closing") - F.col("opening")).alias("rwea"),
+    )
+    closing = s.select(
+        "exposure_class", F.lit("0090").alias("row_ref"), F.col("closing").alias("rwea")
+    )
+    return opening.unionByName(other).unionByName(closing)

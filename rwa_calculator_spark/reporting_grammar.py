@@ -1001,6 +1001,29 @@ class _RuleCompiler:
                             )
                             terms.append(val)
                     else:
+                        # unbound-axis expansion: the evaluator iterates the
+                        # RUNTIME-emitted axis ids and raises absence for a
+                        # cell whose row and column both exist but whose
+                        # (row, col) cell was never emitted — BEFORE any
+                        # missing-value policy applies (absent ≠ missing;
+                        # evaluate.py:660-695). Mirror it: a static-axis id
+                        # the runtime never emitted contributes nothing on
+                        # either engine (coalesce-0 here, not-expanded
+                        # there), but an emitted-row × emitted-column hole
+                        # must refuse, not zero-fill.
+                        absent = f"NOT {self._exists(match)}"
+                        row_emitted = self._exists(
+                            f"template = '{table}' AND sheet = '{s}' AND row_id = '{r}'"
+                        )
+                        col_emitted = self._exists(
+                            f"template = '{table}' AND sheet = '{s}' AND col_id = '{c}'"
+                        )
+                        self.skips.append(
+                            (
+                                f"({absent}) AND ({row_emitted}) AND ({col_emitted})",
+                                SKIP_CELL_NOT_EMITTED,
+                            )
+                        )
                         terms.append(f"coalesce({val}, 0.0)")
         return terms
 

@@ -65,6 +65,7 @@ ESTATE_AXES = {
     "C09.02": _EstateAxes(
         tuple(sorted([*_REGIONS, GEOGRAPHY_TOTAL_SHEET])), ("0010",), ("0010",)
     ),
+    "CR04": _EstateAxes((SINGLE_SHEET,), _C0X_ROWS, ("0010",)),
 }
 
 
@@ -200,6 +201,130 @@ GRAMMAR_RULES: tuple[GrammarRule, ...] = (
         "{t: C09.02, r: 0010, c: 0010, filter: [eba_dim:CEG] = [eba_GA:x1]}",
     ),
 )
+
+
+def _generated_rules() -> tuple[GrammarRule, ...]:
+    """The published-style rule FAMILIES, generated as data (the EBA/BoE
+    packs the reference evaluates wholesale are machine-published lists —
+    one member per template/row/column of a family stated once per shared
+    coordinate; ref reporting/validations/rules.py + the c08.py note that
+    identities are 'a family stated once per SHARED COLUMN, all live
+    ERROR'). Four families over this estate:
+
+    - sign rules — every reported money cell is non-negative (the largest
+      published family; EBA v-rule shape ``{T, rX, cY} >= 0``), stated in
+      EBA syntax per flat-estate cell and BoE syntax per C 09.02 sheet;
+    - risk-weight band caps — class RWEA within [20%, 150%] of class EAD
+      (the ledger's RW ladder bounds; percentage-literal grammar form);
+    - cross-template population ties — CR04 whole-population EAD equals
+      the C 07.00 (SA) + C 08.01 (IRB) split per class, stated in BOTH
+      publishers' syntaxes (the boe_b0752/boe_b0814 twin-statement
+      pattern), plus abs()-form twins with an explicit tolerance;
+    - conservation / dominance — sum() over one partition equals sum()
+      over another (class vs geography), max() ≤ sum() per axis.
+    """
+    out: list[GrammarRule] = []
+    flat_cells = (
+        [("C02.00", r, "0010") for r in ("0010", "0060", "0250")]
+        + [("C07.00", r, c) for r in _C0X_ROWS for c in ("0010", "0020")]
+        + [("C08.01", r, c) for r in _C0X_ROWS for c in ("0010", "0020")]
+        + [("C09.01", r, "0010") for r in _C0X_ROWS]
+        + [("CR04", r, "0010") for r in _C0X_ROWS]
+    )
+    for t, r, c in flat_cells:
+        tkey = t.replace(".", "")
+        out.append(
+            GrammarRule(f"v_sign_{tkey}_r{r}_c{c}", "EBA", f"{{{t}, r{r}, c{c}}} >= 0")
+        )
+    # BoE syntax twins for the C 02.00 block (the twin-statement pattern)
+    for r in ("0010", "0060", "0250"):
+        out.append(
+            GrammarRule(
+                f"v_sign_boe_c0200_r{r}", "BOE", f"{{t: C02.00, r: {r}, c: 0010}} >= 0"
+            )
+        )
+    # per-sheet C 09.02: sign + dominance vs the all-geographies TOTAL
+    for i, _region in enumerate(_REGIONS):
+        z = f"{i + 1:04d}"
+        out.append(
+            GrammarRule(
+                f"v_sign_c0902_z{z}", "BOE",
+                f"{{t: C09.02, r: 0010, c: 0010, z: {z}}} >= 0",
+            )
+        )
+        out.append(
+            GrammarRule(
+                f"v_geo_le_total_z{z}", "BOE",
+                f"{{t: C09.02, r: 0010, c: 0010, z: {z}}} <= "
+                "{t: C09.02, r: 0010, c: 0010, filter: [eba_dim:CEG] = [eba_GA:x1]}",
+            )
+        )
+    # RW-band caps/floors per class row (ladder bounds 20%..150%)
+    for t in ("C07.00", "C08.01"):
+        tkey = t.replace(".", "")
+        for r in _C0X_ROWS:
+            out.append(
+                GrammarRule(
+                    f"v_rwcap_{tkey}_r{r}", "EBA",
+                    f"{{{t}, r{r}, c0020}} <= 150% * {{{t}, r{r}, c0010}}",
+                )
+            )
+            out.append(
+                GrammarRule(
+                    f"v_rwfloor_{tkey}_r{r}", "EBA",
+                    f"{{{t}, r{r}, c0020}} >= 20% * {{{t}, r{r}, c0010}}",
+                )
+            )
+    # CR04 population ties per class, in both grammars + abs() twin
+    for r in _C0X_ROWS:
+        out.append(
+            GrammarRule(
+                f"v_cr04_tie_r{r}", "EBA",
+                f"{{CR04, r{r}, c0010}} = {{C07.00, r{r}, c0010}} + {{C08.01, r{r}, c0010}}",
+            )
+        )
+        out.append(
+            GrammarRule(
+                f"v_cr04_tie_boe_r{r}", "BOE",
+                f"{{t: CR04, r: {r}, c: 0010}} = "
+                f"{{t: C07.00, r: {r}, c: 0010}} + {{t: C08.01, r: {r}, c: 0010}}",
+            )
+        )
+        out.append(
+            GrammarRule(
+                f"v_cr04_abs_r{r}", "EBA",
+                f"abs({{CR04, r{r}, c0010}} - ({{C07.00, r{r}, c0010}}"
+                f" + {{C08.01, r{r}, c0010}})) <= 0.01",
+            )
+        )
+    # conservation across partitions + per-axis dominance
+    out.append(
+        GrammarRule(
+            "v_ead_conservation_class_vs_geo", "EBA",
+            "sum({CR04, c0010}) = sum({C09.01, c0010})",
+        )
+    )
+    for t, c in (("C09.01", "0010"), ("C07.00", "0010"), ("C07.00", "0020"),
+                 ("C08.01", "0010"), ("C08.01", "0020"), ("CR04", "0010")):
+        tkey = t.replace(".", "")
+        out.append(
+            GrammarRule(
+                f"v_max_le_sum_{tkey}_c{c}", "EBA",
+                f"max({{{t}, c{c}}}) <= sum({{{t}, c{c}}})",
+                # the EBA "if value missing: treat as zero" policy: a
+                # reported-empty member (C07.00 r0090/c0010) zero-fills —
+                # a no-op in both max() and sum(). The c0020 member still
+                # refuses with cell_not_emitted on BOTH engines: row 0090
+                # and column 0020 each exist but their cell was never
+                # emitted, and absence precedes any missing-value policy
+                # (the absent ≠ missing distinction)
+                missing_value=MISSING_ZERO,
+            )
+        )
+    return tuple(out)
+
+
+GRAMMAR_RULES = GRAMMAR_RULES + _generated_rules()
 
 
 def evaluate_catalogue(index: TemplateIndex) -> list[tuple]:

@@ -99,6 +99,14 @@ def _build_catalog() -> list[CellSpec]:
     for i, reg in enumerate(_REGIONS):
         # C 09.01 — geographical breakdown (ref corep/c09.py)
         cells.append(CellSpec("C09.01", f"{(i + 1) * 10:04d}", "0010", f"region = '{reg}'", "ead"))
+    for i, cls in enumerate(_CLASSES):
+        # CR4-style whole-population sheet (Pillar 3 CR4 col a basis, ref
+        # pillar3/cr4.py): per-class EAD across BOTH approaches — the
+        # cross-template population tie the validation packs state against
+        # the C 07.00 (SA) + C 08.01 (IRB) split
+        cells.append(
+            CellSpec("CR04", f"{(i + 1) * 10:04d}", "0010", f"exposure_class = '{cls}'", "ead")
+        )
     # deliberately-absent cell: no DEFAULTED segment exists in the testdata —
     # the kernel must emit null (absent), never zero
     cells.append(CellSpec("C07.00", "0090", "0010", "exposure_class = 'DEFAULTED'", "ead"))

@@ -373,6 +373,54 @@ class RwaApi:
         parts.append("</body></html>")
         return 200, "".join(parts)
 
+    def runs(self):
+        """Run-registry listing (ref api/run_index.py:220 entries() +
+        ui run-picker): every in-session job with status/wall-time plus the
+        persisted reuse index (fingerprints survive restarts — a fresh
+        server over the same cache root reuses prior successful runs)."""
+        jobs = []
+        for jid, j in self.jobs.list():
+            wall = (j.get("manifest") or {}).get("wall_sec")
+            jobs.append(
+                {
+                    "job_id": jid,
+                    "status": j["status"],
+                    "wall_sec": wall,
+                    "error": j.get("error"),
+                    "n_events": len(j.get("events") or []),
+                }
+            )
+        indexed = [
+            {"fingerprint": fp, **payload}
+            for fp, payload in self.run_index.entries()
+        ]
+        return 200, {"jobs": jobs, "indexed": indexed}
+
+    def ui_portfolio(self, job_id: str):
+        """Analyst portfolio view (ref ui/views/ portfolio overview):
+        class/approach allocation with density and share-of-RWEA bars plus
+        the top risk drivers, server-rendered from the cached run."""
+        from rwa_calculator_spark.ui_views import render_portfolio
+
+        job, err = self._done_job(job_id)
+        if err:
+            return err
+        return 200, render_portfolio(self.spark, job, job_id)
+
+    def ui_reconciliation(self, job_a: str, job_b: str):
+        """Two-run reconciliation forensics view (ref
+        ui/views/reconciliation.py): headline tie-outs, bucket summary,
+        break concentration, worklist."""
+        from rwa_calculator_spark.ui_views import render_reconciliation
+
+        a, err = self._done_job(job_a)
+        if err:
+            return err
+        b, err = self._done_job(job_b)
+        if err:
+            return err
+        return 200, render_reconciliation(self.spark, a, b, job_a, job_b)
+
     # -- reporting ------------------------------------------------------------
 
     def templates(self):
@@ -455,6 +503,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("POST", re.compile(r"^/api/validate$"), "validate"),
     ("POST", re.compile(r"^/api/calculate$"), "calculate"),
     ("GET", re.compile(r"^/jobs/(?P<job_id>\w+)$"), "job"),
+    ("GET", re.compile(r"^/api/runs$"), "runs"),
     ("GET", re.compile(r"^/api/results$"), "results"),
     ("GET", re.compile(r"^/api/results/summary/(?P<dimension>\w+)$"), "summary"),
     ("GET", re.compile(r"^/api/templates$"), "templates"),
@@ -468,6 +517,8 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/api/export/csv$"), "export_csv"),
     ("GET", re.compile(r"^/api/export/xlsx$"), "export_xlsx"),
     ("GET", re.compile(r"^/ui$"), "ui"),
+    ("GET", re.compile(r"^/ui/portfolio$"), "ui_portfolio"),
+    ("GET", re.compile(r"^/ui/reconciliation$"), "ui_reconciliation"),
 ]
 
 
@@ -493,8 +544,12 @@ def _make_handler(api: RwaApi):
                 if name in (
                     "results", "summary", "lineage", "lineage_cell",
                     "export_csv", "export_xlsx", "errors", "ui",
+                    "ui_portfolio",
                 ):
                     kwargs["job_id"] = qs.get("job", "")
+                if name == "ui_reconciliation":
+                    kwargs["job_a"] = qs.get("job_a", "")
+                    kwargs["job_b"] = qs.get("job_b", "")
                 if name == "lineage_cell":
                     kwargs["cell"] = qs.get("cell", "")
                 if name == "results":

@@ -676,3 +676,80 @@ def test_secsa_senior_and_mezzanine_ssfa(ccr_rows):
     assert r_mez.rwa == pytest.approx(150_000.0 * rw_mez, rel=1e-9)
     # the fully-allocated originating loan retains a zero share
     assert ccr_rows["L_SEC"].ead == pytest.approx(0.0)
+
+
+@pytest.fixture(scope="module")
+def ciu_wwr_rows(spark):
+    """CIU look-through (Art.132) and specific-WWR carve-out (Art.291)
+    scenarios — the remaining wired books without golden pins."""
+    cps = spark.createDataFrame(
+        [("CP_W", "institution", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "is_defaulted boolean, pd double, lgd double, effective_maturity double",
+    )
+    trades = spark.createDataFrame(
+        [
+            # T_W is specific-WWR: carved into its own single-trade set with
+            # an LGD=100% override; T_N stays on the original set
+            ("T_W", "NS_W", "CP_W", 10_000.0, 100_000.0, "ir", True, "financial"),
+            ("T_N", "NS_W", "CP_W", 5_000.0, 200_000.0, "ir", False, "financial"),
+            # Art.274(2) alpha carve-out: a pension-scheme counterparty's
+            # netting set takes alpha = 1.0 instead of 1.4
+            ("T_P", "NS_PSA", "CP_W", 10_000.0, 1_000_000.0, "ir", False,
+             "pension_scheme"),
+        ],
+        "trade_reference string, netting_set_reference string, "
+        "counterparty_reference string, mtm double, notional double, "
+        "asset_class string, is_specific_wwr boolean, counterparty_type string",
+    )
+    ciu = spark.createDataFrame(
+        [
+            # corporate CQS2 underlying → 50% RW
+            ("F1", "H1", "corporate", 10_000.0, 2, None),
+            # equity underlying → CRR Art.155(2) 370%
+            ("F1", "H2", "equity", 1_000.0, None, None),
+            # unknown class, mandate unknown → Art.132(2) 1250% fallback
+            ("F1", "H3", "mystery", 100.0, None, False),
+        ],
+        "fund_reference string, holding_reference string, underlying_class string, "
+        "value double, holding_cqs int, is_mandate_known boolean",
+    )
+    bundle = RawBundle(
+        counterparties=cps, loans=loans, trades=trades, ciu_holdings=ciu
+    )
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
+    return {r.exposure_reference: r for r in out.results.collect()}
+
+
+def test_wwr_specific_carve_out(ciu_wwr_rows):
+    # Art.291(5)(a): the specific-WWR trade leaves NS_W into its own
+    # synthetic set. Residual NS_W: EAD = 1.4·(5,000 + 0.005·200,000)
+    # = 8,400; carved set: EAD = 1.4·(10,000 + 0.005·100,000) = 14,700,
+    # carrying the Art.291(5)(c) LGD=100% override on its ledger row.
+    r_res = ciu_wwr_rows["NS_W_CCR"]
+    r_wwr = ciu_wwr_rows["NS_W__wwr__T_W_CCR"]
+    assert r_res.ead == pytest.approx(8_400.0)
+    assert r_wwr.ead == pytest.approx(14_700.0)
+    assert r_wwr.lgd_used is None or r_wwr.lgd_used == pytest.approx(1.0)
+
+
+def test_ciu_look_through(ciu_wwr_rows):
+    # Art.132a look-through: corporate CQS2 → 10,000 × 0.50 = 5,000;
+    # equity underlying (CRR, IRB equity available) → 1,000 × 3.70 = 3,700;
+    # unknown class with no usable mandate → Art.132(2) fallback
+    # 100 × 12.50 = 1,250.
+    assert ciu_wwr_rows["F1_CIU_H1"].rwa == pytest.approx(5_000.0)
+    assert ciu_wwr_rows["F1_CIU_H2"].rwa == pytest.approx(3_700.0)
+    assert ciu_wwr_rows["F1_CIU_H3"].rwa == pytest.approx(1_250.0)
+
+
+def test_saccr_alpha_carve_out(ciu_wwr_rows):
+    # CRR Art.274(2) second sub-paragraph: pension-scheme counterparty →
+    # alpha = 1.0. EAD = 1.0 × (10,000 + 0.005 × 1,000,000) = 15,000
+    # (the standard alpha would give 21,000).
+    assert ciu_wwr_rows["NS_PSA_CCR"].ead == pytest.approx(15_000.0)

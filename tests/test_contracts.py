@@ -171,3 +171,30 @@ def test_input_data_dictionary_seals_vendor_extracts(spark):
     # every declared schema names at least one required key column
     for table, specs in INPUT_SCHEMAS.items():
         assert any(s.required for s in specs.values()), table
+
+
+def test_perf_note_registry_counts_generated():
+    """Every perf note carrying the AUTOGEN markers states the registry
+    count through the generator, never by hand (the round-4 verdict's
+    staleness finding — a note hand-quoting 149 against a 151 registry)."""
+    import os
+    import re
+
+    from rwa_calculator_spark.plans import load_all
+
+    n = len(load_all())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    perf_dir = os.path.join(root, "docs", "perf")
+    pinned = 0
+    for name in sorted(os.listdir(perf_dir)):
+        if not name.endswith(".md"):
+            continue
+        with open(os.path.join(perf_dir, name)) as fh:
+            doc = fh.read()
+        if "<!-- AUTOGEN:registry begin -->" not in doc:
+            continue
+        m = re.search(r"(\d+) registered queries", doc)
+        assert m, f"{name}: AUTOGEN block present but empty — run gen_coverage.py"
+        assert int(m.group(1)) == n, f"{name}: stale registry count"
+        pinned += 1
+    assert pinned >= 1, "no perf note carries the generated registry block"

@@ -240,3 +240,18 @@ def test_rwa_flow_statement_model_and_fx_rows(spark):
     assert rows["3"] == pytest.approx(10.0 + 20.0, abs=1e-9)
     assert rows["8"] == pytest.approx(0.0, abs=1e-6)  # residual closes
     assert rows["5"] is None and rows["6"] is None     # honestly null
+
+
+def test_c08_04_foots_to_cr8(spark, sf_dir):
+    """C 08.04's class sheets tie to CR8's whole-book rows: Σ class opening
+    ≡ CR8 row 1 and Σ class closing ≡ CR8 row 9 (both derive the same
+    synthetic prior period; fixed-point sums make the tie exact)."""
+    from rwa_calculator_spark.plans import load_all
+
+    reg = load_all()
+    c4 = reg["corep_c08_04"].fn(spark, sf_dir).collect()
+    cr8 = {r.row_ref: r.rwea for r in reg["pillar3_cr8"].fn(spark, sf_dir).collect()}
+    opening = sum(r.rwea for r in c4 if r.row_ref == "0010")
+    closing = sum(r.rwea for r in c4 if r.row_ref == "0090")
+    assert opening == pytest.approx(cr8["1"], abs=1e-6)
+    assert closing == pytest.approx(cr8["9"], abs=1e-6)

@@ -250,3 +250,57 @@ def test_calculate_run_index_reuse(server, done_job):
     )
     assert status2 == 202  # forced: a fresh background job
     assert resp2["job_id"] != done_job["job_id"]
+
+
+def _get_html(base: str, path: str) -> tuple[int, str]:
+    try:
+        with urllib.request.urlopen(base + path) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, (e.read() or b"").decode()
+
+
+def test_ui_portfolio_view(server, done_job):
+    """Analyst portfolio view (ref ui/views/): class/approach allocation
+    with density + share bars and the capped top-risk-drivers table, all
+    server-rendered from the cached run."""
+    status, html = _get_html(server, f"/ui/portfolio?job={done_job['job_id']}")
+    assert status == 200
+    assert "allocation by exposure class" in html
+    assert "allocation by approach" in html
+    assert "top risk drivers" in html
+    assert "total RWEA" in html and 'class="bar"' in html
+    # a run computed through the pipeline always has corporate legs
+    assert "corporate" in html
+
+
+def test_ui_reconciliation_view(server, done_job):
+    """Two-run reconciliation forensics (ref ui/views/reconciliation.py):
+    self-reconciliation ties out exactly — every bucket row is 'exact',
+    headline deltas are zero, worklist empty."""
+    jid = done_job["job_id"]
+    status, html = _get_html(server, f"/ui/reconciliation?job_a={jid}&job_b={jid}")
+    assert status == 200
+    assert "headline tie-outs" in html
+    assert "exact" in html and "break concentration" in html
+    # an unknown job is a JSON 404, not a hang or a 500
+    status, _body = _get_html(server, "/ui/reconciliation?job_a=nope&job_b=nope")
+    assert status == 404
+
+
+def test_ui_portfolio_unknown_job_404(server):
+    status, _ = _get_html(server, "/ui/portfolio?job=missing")
+    assert status == 404
+
+
+def test_runs_registry(server, done_job):
+    """/api/runs (ref api/run_index.py entries()): lists the session's jobs
+    with status + wall time and the persisted reuse index — the completed
+    job appears in both."""
+    status, body = _get(server, "/api/runs")
+    assert status == 200
+    jid = done_job["job_id"]
+    jobs = {j["job_id"]: j for j in body["jobs"]}
+    assert jid in jobs and jobs[jid]["status"] == "done"
+    assert jobs[jid]["wall_sec"] is not None
+    assert any(e.get("job_id") == jid for e in body["indexed"])
