@@ -109,6 +109,10 @@ _RESULT_COLS = [
     # the reference's rows 4-7 null.
     "model_id",
     "fx_rate",
+    # the assigned Art.153(5) slotting category (ref
+    # CALCULATION_OUTPUT_SCHEMA's slotting carriers) — the C 08.06 / CR10
+    # row axis; null where the counterparty has no slotting assignment
+    "slot_category",
 ]
 
 # exposure_type → CMS1-style risk-type discriminator (ref
@@ -148,6 +152,8 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         exp = exp.withColumn("model_id", F.lit(None).cast("string"))
     if "fx_rate" not in exp.columns:
         exp = exp.withColumn("fx_rate", F.lit(None).cast("double"))
+    if "slot_category" not in exp.columns:
+        exp = exp.withColumn("slot_category", F.lit(None).cast("string"))
     # substitution-free branches: the hypothetical equals the actual (only
     # frames that already carry rwa — SA/IRB set their own upstream)
     if "rwa_pre_crm_substitution" not in exp.columns and "rwa" in exp.columns:

@@ -396,3 +396,285 @@ def corep_c08_04(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exposure_class", F.lit("0090").alias("row_ref"), F.col("closing").alias("rwea")
     )
     return opening.unionByName(other).unionByName(closing)
+
+
+# ---------------------------------------------------------------------------
+# C 08.06 — specialised lending under the slotting approach
+# ---------------------------------------------------------------------------
+
+#: Art.153(5) Table A/B values (non-HVCRE — the star slotting book carries
+#: no is_hvcre flag), duplicated here as SQL CASE sources so the oracle
+#: re-derives the whole slotting branch independently of the rulepack.
+_SL_RW_LONG = {"strong": 0.70, "good": 0.90, "satisfactory": 1.15, "weak": 2.50}
+_SL_RW_SHORT = {"strong": 0.50, "good": 0.70, "satisfactory": 1.15, "weak": 2.50}
+_SL_EL_LONG = {"strong": 0.004, "good": 0.008, "satisfactory": 0.028, "weak": 0.08}
+_SL_EL_SHORT = {"strong": 0.0, "good": 0.004, "satisfactory": 0.028, "weak": 0.08}
+
+
+def _sql_sl_case(mapping: dict, var: str = "slot_category") -> str:
+    limbs = " ".join(f"WHEN '{k}' THEN {v}" for k, v in mapping.items())
+    return f"CASE {var} {limbs} END"
+
+
+_C08_06_ORACLE = _SQL_BASE.format(irb_flag="FALSE") + f"""
+    , slotted AS (
+        SELECT w.*,
+               CASE CAST(w.cp_key // 11 AS INTEGER) % 4
+                    WHEN 0 THEN 'strong' WHEN 1 THEN 'good'
+                    WHEN 2 THEN 'satisfactory' ELSE 'weak' END AS slot_category,
+               coalesce(w.m < 2.5, FALSE) AS is_short
+        FROM with_ead w WHERE w.cp_key % 11 = 0
+    ), sl_priced AS (
+        SELECT slot_category,
+               CASE WHEN is_short THEN 'short' ELSE 'long' END AS maturity_band,
+               ead,
+               ead * (CASE WHEN is_defaulted THEN 0.0
+                           WHEN is_short THEN {_sql_sl_case(_SL_RW_SHORT)}
+                           ELSE {_sql_sl_case(_SL_RW_LONG)} END) AS rwa,
+               (CASE WHEN is_short THEN {_sql_sl_case(_SL_EL_SHORT)}
+                     ELSE {_sql_sl_case(_SL_EL_LONG)} END) * ead AS el
+        FROM slotted
+    )
+    SELECT slot_category, maturity_band,
+           count(*) AS n_exposures,
+           {sql_scaled_sum('ead', 2)} AS exposure_value_0010,
+           {sql_scaled_sum('rwa', 2)} AS rwea_0080,
+           {sql_scaled_sum('el', 2)} AS expected_loss_0090
+    FROM sl_priced GROUP BY slot_category, maturity_band
+    """
+
+
+@query("corep_c08_06", oracle=_C08_06_ORACLE, tags=("rwa", "reporting", "slotting", "tolerant"))
+def corep_c08_06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREP C 08.06 — specialised lending under the slotting approach
+    (ref reporting/corep/c08.py:296-313 C 08.06 per-SL-type category ×
+    maturity rows; CRR Art.153(5) Table A + Art.158(6) Table B, PS1/26
+    identical values). The star bundle routes every 11th counterparty
+    through the REAL slotting branch (engine/stages/calculators.py
+    run_slotting: the (category, maturity band, HVCRE) full-key broadcast
+    join — a category-only join fans out 4×, :1013-1017) with a
+    deterministic category ladder; rows key category × the Art.153(5)
+    <2.5y preferential band (unknown maturity conservatively long —
+    run_slotting:1020, the reference's asymmetric fallback at
+    c08.py:302-304), columns carry exposure value, RWEA (defaulted legs
+    RW 0 per Art.153(5) last row) and the Table B expected loss. Sparse:
+    only populated (category, band) pairs emit."""
+    from dataclasses import replace as dc_replace
+
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.plans.rwa import _star_bundle
+    from rwa_calculator_spark.sources.star import load_table
+    from rwa_calculator_spark.utils import release_cached_blocks
+
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=False)
+    c = load_table(spark, sf_dir, "customer")
+    sl = c.where(F.col("c_custkey") % 11 == 0).select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.floor(F.col("c_custkey") / 11) % 4 == 0, "strong")
+        .when(F.floor(F.col("c_custkey") / 11) % 4 == 1, "good")
+        .when(F.floor(F.col("c_custkey") / 11) % 4 == 2, "satisfactory")
+        .otherwise("weak")
+        .alias("slot_category"),
+    )
+    bundle = dc_replace(bundle, specialised_lending=sl)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    r = out.results.where(F.col("approach") == "SLOTTING")
+    band = F.when(
+        F.coalesce(F.col("maturity_used") < 2.5, F.lit(False)), "short"
+    ).otherwise("long")
+    return r.groupBy("slot_category", band.alias("maturity_band")).agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("exposure_value_0010"),
+        scaled_sum(F.col("rwa"), 2).alias("rwea_0080"),
+        scaled_sum(F.col("expected_loss"), 2).alias("expected_loss_0090"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C 08.05 — observed default rates by PD range
+# ---------------------------------------------------------------------------
+
+# The start-of-period obligor cohort is an EXTERNAL prior-period input in
+# the reference (its C 08.05 reads prior_year_obligor_count with a
+# current-period fallback, c08.py:494-507); synthesised deterministically
+# here: obligors with cp_key % 19 == 0 joined during the year (absent from
+# the start-of-period cohort).
+_C08_05_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_C08_LEDGER + f"""
+    , banded5 AS (
+        SELECT *, {_sql_pd_band('pd_f')} AS pd_band,
+               (cp_key % 19 = 0) AS is_new_obligor
+        FROM ledger8
+    ), counted5 AS (
+        SELECT CAST(pd_band AS INTEGER) AS pd_band,
+               count(DISTINCT CASE WHEN NOT is_new_obligor THEN cp_key END)
+                   AS obligors_start_0020,
+               count(DISTINCT CASE WHEN NOT is_new_obligor AND pd_f >= 1.0
+                                   THEN cp_key END) AS defaulted_during_0030,
+               round(({sql_scaled_sum('pd_f * ead', 6)})
+                     / ({sql_scaled_sum('ead', 2)}), 10) AS avg_pd_0010
+        FROM banded5 GROUP BY pd_band
+    )
+    SELECT pd_band, avg_pd_0010, obligors_start_0020, defaulted_during_0030,
+           CASE WHEN obligors_start_0020 > 0
+                THEN round(defaulted_during_0030 / obligors_start_0020, 10)
+                ELSE 0.0 END AS observed_rate_0040
+    FROM counted5
+    """
+
+
+@query("corep_c08_05", oracle=_C08_05_ORACLE, tags=("rwa", "reporting", "tolerant"))
+def corep_c08_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREP C 08.05 — observed default rates by PD range (ref
+    reporting/corep/c08.py:270-287 sparse PD-range rows + :494-507
+    _observed_rate; PS1/26 Annex II §3.3.7). Rows are the populated EBA
+    master-scale ranges; col 0020 is the start-of-observation-period
+    obligor count (the synthetic prior cohort — obligors keyed % 19 joined
+    during the year and are excluded, mirroring the reference's
+    prior-year-cohort input with current-period fallback), col 0030 the
+    cohort obligors whose exposures priced through the defaulted
+    treatment, col 0040 = 0030 / 0020 as rendered with the recorded
+    0.0-when-no-obligors convention (c08.py:504-507 — 'keeping the
+    denominator equal to col 0020 makes the disclosure internally
+    consistent'). Col 0010 is the band's EAD-weighted average PD."""
+    r = _irb_ledger(spark, sf_dir)
+    banded = r.withColumn(
+        "pd_band", _spark_pd_band(F.col("pd_used")).cast("int")
+    ).withColumn(
+        "_cp_k",
+        F.expr("CAST(substring(counterparty_reference, 3) AS BIGINT)"),
+    ).withColumn("is_new_obligor", (F.col("_cp_k") % 19) == 0)
+    ead = F.col("ead_after_crm")
+    counted = banded.groupBy("pd_band").agg(
+        F.countDistinct(
+            F.when(~F.col("is_new_obligor"), F.col("counterparty_reference"))
+        ).alias("obligors_start_0020"),
+        F.countDistinct(
+            F.when(
+                ~F.col("is_new_obligor") & (F.col("pd_used") >= 1.0),
+                F.col("counterparty_reference"),
+            )
+        ).alias("defaulted_during_0030"),
+        F.round(
+            scaled_sum(F.col("pd_used") * ead, 6) / scaled_sum(ead, 2), 10
+        ).alias("avg_pd_0010"),
+    )
+    return counted.select(
+        "pd_band",
+        "avg_pd_0010",
+        "obligors_start_0020",
+        "defaulted_during_0030",
+        F.when(
+            F.col("obligors_start_0020") > 0,
+            F.round(
+                F.col("defaulted_during_0030") / F.col("obligors_start_0020"), 10
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("observed_rate_0040"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pillar 3 CR10 — specialised lending (slotting) disclosure
+# ---------------------------------------------------------------------------
+
+_CR10_ORACLE = _SQL_BASE.format(irb_flag="FALSE") + f"""
+    , slotted10 AS (
+        SELECT w.*,
+               CASE CAST(w.cp_key // 11 AS INTEGER) % 4
+                    WHEN 0 THEN 'strong' WHEN 1 THEN 'good'
+                    WHEN 2 THEN 'satisfactory' ELSE 'weak' END AS slot_category,
+               coalesce(w.m < 2.5, FALSE) AS is_short
+        FROM with_ead w WHERE w.cp_key % 11 = 0
+    ), priced10 AS (
+        SELECT slot_category,
+               CASE WHEN is_short THEN 'short' ELSE 'long' END AS maturity_band,
+               is_short, drawn_amount, undrawn_amount, ead,
+               ead * (CASE WHEN is_defaulted THEN 0.0
+                           WHEN is_short THEN {_sql_sl_case(_SL_RW_SHORT)}
+                           ELSE {_sql_sl_case(_SL_RW_LONG)} END) AS rwa,
+               (CASE WHEN is_short THEN {_sql_sl_case(_SL_EL_SHORT)}
+                     ELSE {_sql_sl_case(_SL_EL_LONG)} END) * ead AS el
+        FROM slotted10
+    )
+    SELECT slot_category, maturity_band,
+           -- CAST: DuckDB types bare decimal CASE literals as DECIMAL(3,2),
+           -- which value-hashes as '0.70' against Spark's double 0.7
+           CAST(CASE WHEN maturity_band = 'short' THEN {_sql_sl_case(_SL_RW_SHORT)}
+                     ELSE {_sql_sl_case(_SL_RW_LONG)} END AS DOUBLE) AS regulatory_rw,
+           {sql_scaled_sum('drawn_amount', 2)} AS on_bs_amount,
+           {sql_scaled_sum('undrawn_amount', 2)} AS off_bs_amount,
+           {sql_scaled_sum('ead', 2)} AS ead_post,
+           {sql_scaled_sum('rwa', 2)} AS rwea,
+           {sql_scaled_sum('el', 2)} AS expected_loss
+    FROM priced10 GROUP BY slot_category, maturity_band
+    """
+
+
+@query("pillar3_cr10_1", oracle=_CR10_ORACLE, tags=("rwa", "reporting", "slotting", "tolerant"))
+def pillar3_cr10_1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar 3 UK CR10.1 — the specialised-lending slotting sheet in the
+    Annex XXII column layout (ref reporting/pillar3/cr10.py; CRR
+    Art.438(e), PS1/26 Annex XXII UK CR10.1; the grid-shaped summary
+    across all CR10 sheets is `pillar3_cr10` in plans/rwa.py):
+    one row group per regulatory category split by the Art.153(5)
+    <2.5y / ≥2.5y remaining-maturity bands, carrying the FIXED regulatory
+    risk weight as a display column — the category's Table A weight, not
+    the book's effective density, so a defaulted leg's 0% pricing shows in
+    RWEA while the display weight stays the category's (the reference's
+    C 08.06 'fixed display risk weight from the row definition' decision,
+    c08.py:302-306) — plus on/off-balance amounts, post-CCF EAD, RWEA and
+    the Table B expected loss). Same slotting-routed star book as
+    corep_c08_06 — the two disclosures foot by construction."""
+    from dataclasses import replace as dc_replace
+
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.plans.rwa import _star_bundle
+    from rwa_calculator_spark.sources.star import load_table
+    from rwa_calculator_spark.utils import release_cached_blocks
+
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=False)
+    c = load_table(spark, sf_dir, "customer")
+    sl = c.where(F.col("c_custkey") % 11 == 0).select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.floor(F.col("c_custkey") / 11) % 4 == 0, "strong")
+        .when(F.floor(F.col("c_custkey") / 11) % 4 == 1, "good")
+        .when(F.floor(F.col("c_custkey") / 11) % 4 == 2, "satisfactory")
+        .otherwise("weak")
+        .alias("slot_category"),
+    )
+    bundle = dc_replace(bundle, specialised_lending=sl)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    r = out.results.where(F.col("approach") == "SLOTTING")
+    band = F.when(
+        F.coalesce(F.col("maturity_used") < 2.5, F.lit(False)), "short"
+    ).otherwise("long")
+    agg = r.groupBy("slot_category", band.alias("maturity_band")).agg(
+        scaled_sum(F.col("drawn_amount"), 2).alias("on_bs_amount"),
+        scaled_sum(F.col("undrawn_amount"), 2).alias("off_bs_amount"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("ead_post"),
+        scaled_sum(F.col("rwa"), 2).alias("rwea"),
+        scaled_sum(F.col("expected_loss"), 2).alias("expected_loss"),
+    )
+    rw_short = F.lit(None).cast("double")
+    for cat, rw in _SL_RW_SHORT.items():
+        rw_short = F.when(F.col("slot_category") == cat, F.lit(rw)).otherwise(rw_short)
+    rw_long = F.lit(None).cast("double")
+    for cat, rw in _SL_RW_LONG.items():
+        rw_long = F.when(F.col("slot_category") == cat, F.lit(rw)).otherwise(rw_long)
+    return agg.select(
+        "slot_category",
+        "maturity_band",
+        F.when(F.col("maturity_band") == "short", rw_short)
+        .otherwise(rw_long)
+        .alias("regulatory_rw"),
+        "on_bs_amount",
+        "off_bs_amount",
+        "ead_post",
+        "rwea",
+        "expected_loss",
+    )

@@ -421,6 +421,100 @@ class RwaApi:
             return err
         return 200, render_reconciliation(self.spark, a, b, job_a, job_b)
 
+    def ui_method_split(self, job_id: str):
+        """Per-methodology split view (ref ui/views/method_split.py): one
+        section per approach in presentation order, shared bar scale."""
+        from rwa_calculator_spark.ui_views import render_method_split
+
+        job, err = self._done_job(job_id)
+        if err:
+            return err
+        return 200, render_method_split(self.spark, job, job_id)
+
+    def ui_hierarchy(self):
+        """Reporting-hierarchy tree view (ref ui/views/hierarchy.py) over
+        the star registry this server's scope stage consumes: the
+        region→nation entity forest under the group apex. Registry rows are
+        config-scale — the collect is bounded by the entity registry, never
+        exposure rows."""
+        from rwa_calculator_spark.sources.star import load_table
+        from rwa_calculator_spark.ui_views import render_hierarchy
+
+        reg = load_table(self.spark, self.sf_dir, "region")
+        nat = load_table(self.spark, self.sf_dir, "nation")
+        rows = (
+            [{"entity_reference": "EGROUP", "parent_entity_reference": None}]
+            + [
+                {
+                    "entity_reference": f"ER{r['r_regionkey']}",
+                    "parent_entity_reference": "EGROUP",
+                }
+                for r in reg.select("r_regionkey").collect()
+            ]
+            + [
+                {
+                    "entity_reference": f"EN{r['n_nationkey']}",
+                    "parent_entity_reference": f"ER{r['n_regionkey']}",
+                }
+                for r in nat.select("n_nationkey", "n_regionkey").collect()
+            ]
+        )
+        return 200, render_hierarchy(rows)
+
+    def ui_lineage(self, job_id: str, cell: str):
+        """HTML cell-lineage drilldown (ref ui/views/lineage.py) over the
+        same spec-driven machinery as GET /api/lineage/cell."""
+        from rwa_calculator_spark.ui_views import render_lineage
+
+        job, err = self._done_job(job_id)
+        if err:
+            return err
+        return 200, render_lineage(self.spark, job, job_id, cell)
+
+    def ui_comparison(self):
+        """CRR vs Basel 3.1 comparison page (ref ui/views/comparison.py)
+        over the class-grain dual-framework delta."""
+        from rwa_calculator_spark.ui_views import render_comparison
+
+        return 200, render_comparison(self.spark, self.sf_dir)
+
+    def ui_template(self, template_id: str):
+        """Sheet-grid rendering of one computed template (ref
+        ui/views/report_templates.py): rows × columns with absent cells as
+        em-dashes, never zeros."""
+        from rwa_calculator_spark.reporting import compute_cells
+        from rwa_calculator_spark.reporting_templates import TEMPLATE_CELLS, star_ledger
+        from rwa_calculator_spark.ui_views import render_template_sheet
+
+        specs = [c for c in TEMPLATE_CELLS if c.template == template_id]
+        if not specs:
+            return 404, {"error": f"no such template {template_id!r}"}
+        facts = compute_cells(star_ledger(self.spark, self.sf_dir), specs)
+        return 200, render_template_sheet(
+            template_id, [r.asDict() for r in facts.collect()]
+        )
+
+    def ui_validations(self):
+        """Validation-outcome board (ref ui/app main validations tab) over
+        the grammar evaluator's four-status vocabulary."""
+        from rwa_calculator_spark.reporting import compute_cells, evaluate_validations
+        from rwa_calculator_spark.reporting_templates import (
+            TEMPLATE_CELLS,
+            VALIDATION_RULES_TEXT,
+            parse_validation_rules,
+            star_ledger,
+        )
+        from rwa_calculator_spark.ui_views import render_validations
+
+        facts = compute_cells(star_ledger(self.spark, self.sf_dir), TEMPLATE_CELLS)
+        rules = parse_validation_rules(VALIDATION_RULES_TEXT)
+        rows = [r.asDict() for r in evaluate_validations(facts, rules).collect()]
+        # reporting.py's vocabulary → the grammar evaluator's status badges
+        badge = {"pass": "PASS", "fail": "FAIL", "not_evaluable": "NOT_EVALUATED"}
+        for r in rows:
+            r["status"] = badge.get(str(r["status"]), str(r["status"]).upper())
+        return 200, render_validations(rows)
+
     # -- reporting ------------------------------------------------------------
 
     def templates(self):
@@ -519,6 +613,12 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/ui$"), "ui"),
     ("GET", re.compile(r"^/ui/portfolio$"), "ui_portfolio"),
     ("GET", re.compile(r"^/ui/reconciliation$"), "ui_reconciliation"),
+    ("GET", re.compile(r"^/ui/method-split$"), "ui_method_split"),
+    ("GET", re.compile(r"^/ui/hierarchy$"), "ui_hierarchy"),
+    ("GET", re.compile(r"^/ui/lineage$"), "ui_lineage"),
+    ("GET", re.compile(r"^/ui/comparison$"), "ui_comparison"),
+    ("GET", re.compile(r"^/ui/templates/(?P<template_id>[\w.]+)$"), "ui_template"),
+    ("GET", re.compile(r"^/ui/validations$"), "ui_validations"),
 ]
 
 
@@ -544,13 +644,13 @@ def _make_handler(api: RwaApi):
                 if name in (
                     "results", "summary", "lineage", "lineage_cell",
                     "export_csv", "export_xlsx", "errors", "ui",
-                    "ui_portfolio",
+                    "ui_portfolio", "ui_method_split", "ui_lineage",
                 ):
                     kwargs["job_id"] = qs.get("job", "")
                 if name == "ui_reconciliation":
                     kwargs["job_a"] = qs.get("job_a", "")
                     kwargs["job_b"] = qs.get("job_b", "")
-                if name == "lineage_cell":
+                if name in ("lineage_cell", "ui_lineage"):
                     kwargs["cell"] = qs.get("cell", "")
                 if name == "results":
                     kwargs["limit"] = int(qs.get("limit", "100"))

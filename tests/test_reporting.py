@@ -255,3 +255,48 @@ def test_c08_04_foots_to_cr8(spark, sf_dir):
     closing = sum(r.rwea for r in c4 if r.row_ref == "0090")
     assert opening == pytest.approx(cr8["1"], abs=1e-6)
     assert closing == pytest.approx(cr8["9"], abs=1e-6)
+
+
+def test_c08_06_foots_to_cr10_1(spark, sf_dir):
+    """C 08.06 and UK CR10.1 run the same slotting-routed star book, so
+    every (category, maturity band) cell must carry identical EAD, RWEA
+    and expected loss; CR10.1's display weight is the category's FIXED
+    Art.153(5) Table A value, never the book's effective density."""
+    from rwa_calculator_spark.plans import load_all
+    from rwa_calculator_spark.plans.corep_c08 import _SL_RW_LONG, _SL_RW_SHORT
+
+    reg = load_all()
+    key = lambda r: (r["slot_category"], r["maturity_band"])
+    c6 = {key(r): r for r in reg["corep_c08_06"].fn(spark, sf_dir).collect()}
+    cr10 = {key(r): r for r in reg["pillar3_cr10_1"].fn(spark, sf_dir).collect()}
+    assert set(c6) == set(cr10) and c6  # same populated sparse cells
+    for k, r6 in c6.items():
+        r10 = cr10[k]
+        assert r10["ead_post"] == pytest.approx(r6["exposure_value_0010"], abs=1e-6)
+        assert r10["rwea"] == pytest.approx(r6["rwea_0080"], abs=1e-6)
+        assert r10["expected_loss"] == pytest.approx(
+            r6["expected_loss_0090"], abs=1e-6
+        )
+        table_a = _SL_RW_SHORT if k[1] == "short" else _SL_RW_LONG
+        assert r10["regulatory_rw"] == table_a[k[0]]
+
+
+def test_c08_05_rate_conventions(spark, sf_dir):
+    """C 08.05's rendered rate honours the reference's conventions: col
+    0040 ≡ 0030/0020 wherever the cohort is non-empty, recorded 0.0 when
+    it is, defaults never exceed the cohort, and the cohort excludes
+    obligors that joined during the observation year."""
+    from rwa_calculator_spark.plans import load_all
+
+    rows = load_all()["corep_c08_05"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["defaulted_during_0030"] <= r["obligors_start_0020"]
+        if r["obligors_start_0020"] > 0:
+            assert r["observed_rate_0040"] == pytest.approx(
+                round(r["defaulted_during_0030"] / r["obligors_start_0020"], 10),
+                abs=1e-12,
+            )
+        else:
+            assert r["observed_rate_0040"] == 0.0
+        assert 0.0 <= r["observed_rate_0040"] <= 1.0

@@ -304,3 +304,139 @@ def test_runs_registry(server, done_job):
     assert jid in jobs and jobs[jid]["status"] == "done"
     assert jobs[jid]["wall_sec"] is not None
     assert any(e.get("job_id") == jid for e in body["indexed"])
+
+
+def test_ui_method_split_view(server, done_job):
+    """Per-methodology split (ref ui/views/method_split.py): one section
+    per approach in METHOD_ORDER, bars scale against ONE shared max so
+    methods stay visually comparable (the section order is asserted by
+    position in the rendered HTML)."""
+    status, html = _get_html(server, f"/ui/method-split?job={done_job['job_id']}")
+    assert status == 200
+    assert "<h2>SA</h2>" in html and "<h2>IRB</h2>" in html
+    assert html.index("<h2>SA</h2>") < html.index("<h2>IRB</h2>")
+    assert 'class="bar"' in html and "scale (shared)" in html
+
+
+def test_ui_hierarchy_view(server):
+    """Reporting-hierarchy tree (ref ui/views/hierarchy.py): the star
+    registry's apex heads a consolidated scope, regions head
+    sub-consolidated, nations are individual leaves; no unattached
+    subtrees in a well-formed registry."""
+    status, html = _get_html(server, "/ui/hierarchy")
+    assert status == 200
+    assert "EGROUP" in html and "(apex)" in html
+    assert "[consolidated]" in html and "[sub_consolidated]" in html
+    assert "[individual]" in html
+    assert "unattached" not in html
+
+
+def test_ui_lineage_view(server, done_job):
+    """HTML cell drilldown (ref ui/views/lineage.py): criteria rendered
+    from the spec verbatim, a reconciles verdict that is honest about
+    truncation, unknown cells render a clear message (200, not a 500)."""
+    jid = done_job["job_id"]
+    cell = urllib.parse.quote("C02.00|0060|0010")
+    status, html = _get_html(server, f"/ui/lineage?job={jid}&cell={cell}")
+    assert status == 200
+    assert "criteria" in html and "cell value" in html
+    assert "reconciles" in html and "contribution" in html
+    status, html = _get_html(server, f"/ui/lineage?job={jid}&cell=NOPE")
+    assert status == 200 and "unknown cell" in html
+
+
+def test_ui_comparison_view(server):
+    """CRR vs Basel 3.1 page (ref ui/views/comparison.py): headline RWEA
+    under both frameworks with the delta, per-class direction bars."""
+    status, html = _get_html(server, "/ui/comparison")
+    assert status == 200
+    assert "CRR RWEA" in html and "Basel 3.1 RWEA" in html
+    assert "by exposure class" in html
+    assert ("▲" in html) or ("▼" in html) or ("=" in html)
+
+
+def test_build_hierarchy_pure_semantics():
+    """build_hierarchy (ref ui/views/hierarchy.py:139-204) — malformed
+    registries render loudly: self-parent / unknown-parent / duplicate /
+    blank rows and parent CYCLES each become a labelled unattached
+    subtree; a true apex heads the forest; scope headships follow
+    apex/parent/leaf position; nothing is dropped (entity_count counts
+    every row)."""
+    from rwa_calculator_spark.ui_views import build_hierarchy
+
+    rows = [
+        {"entity_reference": "APEX", "parent_entity_reference": None},
+        {"entity_reference": "MID", "parent_entity_reference": "APEX"},
+        {"entity_reference": "LEAF", "parent_entity_reference": "MID"},
+        {"entity_reference": "SELF", "parent_entity_reference": "SELF"},
+        {"entity_reference": "ORPH", "parent_entity_reference": "GHOST"},
+        {"entity_reference": "CYC_A", "parent_entity_reference": "CYC_B"},
+        {"entity_reference": "CYC_B", "parent_entity_reference": "CYC_A"},
+        {"entity_reference": "APEX", "parent_entity_reference": None},  # dup
+        {"entity_reference": "  ", "parent_entity_reference": None},  # blank
+    ]
+    view = build_hierarchy(rows)
+    assert [r.reference for r in view.roots] == ["APEX"]
+    apex = view.roots[0]
+    assert apex.is_apex and apex.scopes == ("consolidated", "individual")
+    mid = apex.children[0]
+    assert not mid.is_apex and mid.scopes == ("sub_consolidated", "individual")
+    assert mid.children[0].scopes == ("individual",)
+    reasons = {n.reference: reason for n, reason in view.unattached}
+    assert reasons["SELF"] == "entity is its own parent"
+    assert reasons["ORPH"] == "unknown parent 'GHOST'"
+    assert reasons["APEX"] == "duplicate entity_reference"
+    assert reasons["(missing reference)"] == "missing entity_reference"
+    # exactly one cycle member surfaces as the display root of the cycle,
+    # carrying the other as its reachable subtree — nothing dropped
+    cyc = [n for n, reason in view.unattached if reason == "parent cycle"]
+    assert len(cyc) == 1 and cyc[0].reference == "CYC_A"
+    assert [c.reference for c in cyc[0].children] == ["CYC_B"]
+    assert view.entity_count == 9
+
+
+def test_method_sections_shared_scale():
+    """method_sections (ref method_split.py): sections come out in
+    METHOD_ORDER then unknowns alphabetically; every bar percentage is
+    computed against ONE shared max across all sections and series; null
+    values render as 0.0 and non-finite values cannot poison the scale."""
+    from rwa_calculator_spark.ui_views import method_sections
+
+    rows = [
+        {"approach": "IRB", "exposure_class": "corporate", "rwa": 50.0, "ead": 100.0},
+        {"approach": "SA", "exposure_class": "retail", "rwa": 200.0, "ead": None},
+        {"approach": "ZZZ", "exposure_class": "other", "rwa": float("inf"), "ead": 10.0},
+    ]
+    secs = method_sections(rows, ("rwa", "ead"))
+    assert [s["method"] for s in secs] == ["SA", "IRB", "ZZZ"]
+    flat = {
+        (s["method"], label, col): (value, pct)
+        for s in secs
+        for label, series in s["items"]
+        for col, value, pct in series
+    }
+    # shared max is 200 (inf is dropped from the scale, None → 0.0)
+    assert flat[("SA", "retail", "rwa")] == (200.0, 100.0)
+    assert flat[("SA", "retail", "ead")] == (0.0, 0.0)
+    assert flat[("IRB", "corporate", "rwa")] == (50.0, 25.0)
+    assert flat[("ZZZ", "other", "rwa")][0] == 0.0  # non-finite renders 0.0
+    assert method_sections([], ("rwa",)) == []  # empty → caller fallback
+
+
+def test_ui_template_sheet_view(server):
+    """Sheet-grid rendering (ref ui/views/report_templates.py): absent
+    cells render as an em-dash, never 0.00 — the absent-≠-zero rule made
+    visible; unknown templates 404."""
+    status, html = _get_html(server, "/ui/templates/C02.00")
+    assert status == 200
+    assert "<table>" in html and "cells" in html
+    status, _ = _get_html(server, "/ui/templates/NOPE")
+    assert status == 404
+
+
+def test_ui_validations_board(server):
+    """Validation board: status badges use the evaluator vocabulary and a
+    count strip leads the page."""
+    status, html = _get_html(server, "/ui/validations")
+    assert status == 200
+    assert "PASS" in html and "rule_id" in html
