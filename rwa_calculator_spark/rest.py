@@ -293,6 +293,34 @@ class RwaApi:
         df.write.mode("overwrite").option("header", True).csv(out)
         return 200, {"path": out, "format": "csv"}
 
+    def export_corep(self, only: str = ""):
+        """Quarterly-return workbook (ref reporting/corep/generator.py →
+        Excel): the computed COREP + Pillar 3 template estate, one sheet
+        per template plus a metadata sheet, via the stdlib OOXML writer.
+        Driver-sized: every sheet is template-grain. `only` filters to a
+        comma-separated subset of template titles (the full estate runs
+        every template's pipeline — let callers file one sheet)."""
+        import tempfile
+
+        from rwa_calculator_spark.reporting_workbook import (
+            WORKBOOK_SHEETS,
+            export_corep_workbook,
+        )
+
+        sheets = WORKBOOK_SHEETS
+        if only:
+            want = {t.strip() for t in only.split(",") if t.strip()}
+            sheets = tuple((t, q) for t, q in WORKBOOK_SHEETS if t in want)
+            if not sheets:
+                return 400, {"error": f"no such templates: {sorted(want)}"}
+        out = os.path.join(tempfile.gettempdir(), "corep_workbook.xlsx")
+        path = export_corep_workbook(self.spark, self.sf_dir, out, sheets)
+        return 200, {
+            "path": path,
+            "format": "xlsx",
+            "sheets": ["metadata"] + [t for t, _ in sheets],
+        }
+
     def export_xlsx(self, job_id: str):
         """Summary workbook export (ref api/export.py workbook paths),
         written with the stdlib OOXML writer — driver-sized sheets only."""
@@ -610,6 +638,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("POST", re.compile(r"^/api/reconcile$"), "reconcile"),
     ("GET", re.compile(r"^/api/export/csv$"), "export_csv"),
     ("GET", re.compile(r"^/api/export/xlsx$"), "export_xlsx"),
+    ("GET", re.compile(r"^/api/export/corep$"), "export_corep"),
     ("GET", re.compile(r"^/ui$"), "ui"),
     ("GET", re.compile(r"^/ui/portfolio$"), "ui_portfolio"),
     ("GET", re.compile(r"^/ui/reconciliation$"), "ui_reconciliation"),
@@ -654,6 +683,8 @@ def _make_handler(api: RwaApi):
                     kwargs["cell"] = qs.get("cell", "")
                 if name == "results":
                     kwargs["limit"] = int(qs.get("limit", "100"))
+                if name == "export_corep":
+                    kwargs["only"] = qs.get("only", "")
                 try:
                     status, payload = getattr(api, name)(**kwargs)
                 except Exception as e:  # defensive: a handler bug is a 500, not a hang

@@ -440,3 +440,17 @@ def test_ui_validations_board(server):
     status, html = _get_html(server, "/ui/validations")
     assert status == 200
     assert "PASS" in html and "rule_id" in html
+
+
+def test_export_corep_workbook_endpoint(server):
+    """GET /api/export/corep?only=... (ref corep/generator.py → Excel):
+    writes the filtered quarterly-return workbook and lists its sheets;
+    an unknown filter is a 400, not an empty workbook."""
+    status, body = _get(server, "/api/export/corep?only=" + urllib.parse.quote("C 08.04"))
+    assert status == 200
+    assert body["sheets"] == ["metadata", "C 08.04"]
+    import zipfile
+
+    assert zipfile.is_zipfile(body["path"])
+    status, _ = _get(server, "/api/export/corep?only=NOPE")
+    assert status == 400

@@ -113,3 +113,46 @@ def test_xlsx_to_df_and_export_excel(spark, tmp_path):
     df = xlsx_to_df(spark, p, "summary_approach")
     assert df.count() == len(back["summary_approach"]) - 1
     assert "total_rwa" in df.columns
+
+
+def test_corep_workbook_export(spark, sf_dir, tmp_path):
+    """Quarterly-return workbook (ref reporting/corep/generator.py →
+    Excel): a subset export round-trips through the OOXML reader — the
+    metadata sheet leads, each template sheet's header row is the query's
+    column list, and a read-back cell ties to the query's own output
+    (absent cells stay blank, never 0)."""
+    from rwa_calculator_spark.plans import load_all
+    from rwa_calculator_spark.reporting_workbook import (
+        build_workbook_sheets,
+        export_corep_workbook,
+        sanitise_sheet_name,
+    )
+    from rwa_calculator_spark.sources.xlsx import read_xlsx
+
+    subset = (("C 08.04", "corep_c08_04"), ("UK CR8", "pillar3_cr8"))
+    path = export_corep_workbook(spark, sf_dir, str(tmp_path / "ret.xlsx"), subset)
+    book = read_xlsx(path)
+    assert list(book) == ["metadata", "C 08.04", "UK CR8"]
+    assert book["metadata"][0] == ["key", "value"]
+    reg = load_all()
+    c4 = reg["corep_c08_04"].fn(spark, sf_dir)
+    assert book["C 08.04"][0] == c4.columns
+    got = {(r[0], r[1]): r[2] for r in book["C 08.04"][1:]}
+    for row in c4.collect():
+        vals = list(row)
+        assert got[(vals[0], vals[1])] == vals[2]
+    # CR8's honestly-null driver rows stay blank in the sheet (the reader
+    # drops trailing blank cells, so a short row IS the blank cell)
+    rwea_col = book["UK CR8"][0].index("rwea")
+    by_ref = {
+        r[0]: (r[rwea_col] if rwea_col < len(r) else None)
+        for r in book["UK CR8"][1:]
+    }
+    assert by_ref["5"] in (None, "") and by_ref["6"] in (None, "")
+
+
+def test_sheet_name_sanitised():
+    from rwa_calculator_spark.reporting_workbook import sanitise_sheet_name
+
+    assert sanitise_sheet_name("C 08.01 [IRB]: a/b\\c*?") == "C 08.01 _IRB__ a_b_c__"
+    assert len(sanitise_sheet_name("x" * 60)) == 31
