@@ -79,6 +79,12 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
         "is_revolving": ColumnSpec(_B, False),
         "facility_limit": ColumnSpec(_D),
         "due_diligence_override_rw": ColumnSpec(_D),
+        # real-estate route + PS1/26 Art.124E-124I treatment carriers
+        "is_property_secured": ColumnSpec(_B, False),
+        "ltv": ColumnSpec(_D),
+        "is_income_producing": ColumnSpec(_B, False),
+        "is_commercial_re": ColumnSpec(_B, False),
+        "is_junior_lien": ColumnSpec(_B, False),
     },
     # ref schemas.py:456 CONTINGENT_SCHEMA (42 cols)
     "contingents": {
@@ -116,6 +122,7 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
     "guarantees": {
         "exposure_reference": _req(_S),
         "coverage_pct": ColumnSpec(_D, 0.0),
+        "guarantor_reference": ColumnSpec(_S),
         "guarantor_class": ColumnSpec(_S),
         "guarantor_cqs": ColumnSpec(_I),
         "guarantor_pd": ColumnSpec(_D),

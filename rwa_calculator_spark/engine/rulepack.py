@@ -491,6 +491,15 @@ B31_PACK = RulePack(
         # Art.147A approach restrictions are a B3.1-only Feature (ref
         # rulebook approach_restrictions_b31_applicable; CRR pack omits it)
         "b31_approach_restrictions": RuleEntry(_D("1"), "PS1/26 Art.147A(1)"),
+        # PS1/26 Art.124F/124H general (owner-occupied) RE loan-split: the
+        # portion secured up to 55% of property value takes the
+        # preferential weight, the remainder prices as an exposure to the
+        # counterparty; Art.124G(2) junior income-RRE 1.25× above 50% LTV
+        "b31_rre_split_secured_rw": RuleEntry(_D("0.20"), "PS1/26 Art.124F(1)"),
+        "b31_cre_split_secured_rw": RuleEntry(_D("0.60"), "PS1/26 Art.124H(1)"),
+        "b31_re_split_cap": RuleEntry(_D("0.55"), "PS1/26 Art.124F(1)/124H(2)"),
+        "b31_re_income_junior_multiplier": RuleEntry(_D("1.25"), "PS1/26 Art.124G(2)"),
+        "b31_re_income_junior_ltv_threshold": RuleEntry(_D("0.50"), "PS1/26 Art.124G(2)"),
         "large_corporate_revenue_threshold": RuleEntry(
             _D("440000000"), "PS1/26 Art.147(4C)(b)(ii) (GBP 440m native)"
         ),
@@ -551,12 +560,31 @@ B31_PACK = RulePack(
         "covered_bond_rw": (_COVERED_BOND_RW_SCHEMA, _COVERED_BOND_RW_ROWS),
         "covered_bond_unrated_derivation": (_CB_DERIVATION_SCHEMA, _CB_DERIVATION_B31),
         "institution_scra_rw": (_SCRA_INST_SCHEMA, _SCRA_INST_ROWS),
+        # PS1/26 Art.124G Table 6B / Art.124I(1)-(2): income-producing RE
+        # whole-loan LTV bands (999.0 = the open catch-all band, ref
+        # b31_risk_weight_tables.py:93 sentinel). B3.1-only — CRR keeps
+        # the flat Art.125/126 weights, so the table's PRESENCE is the gate.
+        "re_ltv_rw": (
+            "track string, ltv_upper double, rw double",
+            (
+                ("rre_income", _D("0.50"), _D("0.30")),
+                ("rre_income", _D("0.60"), _D("0.35")),
+                ("rre_income", _D("0.70"), _D("0.40")),
+                ("rre_income", _D("0.80"), _D("0.50")),
+                ("rre_income", _D("0.90"), _D("0.60")),
+                ("rre_income", _D("1.00"), _D("0.75")),
+                ("rre_income", _D("999.0"), _D("1.05")),
+                ("cre_income", _D("0.80"), _D("1.00")),
+                ("cre_income", _D("999.0"), _D("1.10")),
+            ),
+        ),
     },
     table_citations={
         "sa_rw": "BCBS CRE20 / PS1/26 Art.114-122",
         "covered_bond_rw": "PS1/26 Art.129(4) Table 7",
         "covered_bond_unrated_derivation": "PS1/26 Art.129(5) (7-input chain)",
         "institution_scra_rw": "PS1/26 Art.121A / BCBS CRE20.21",
+        "re_ltv_rw": "PS1/26 Art.124G Table 6B / Art.124I (BCBS CRE20.83/20.86)",
         "ccf": "BCBS CRE20.94-101 / PS1/26 Art.111",
         "slotting_rw": "PS1/26 Art.153(5) / BCBS CRE33.13",
         "saccr_sf": "BCBS CRE52.72 Table 2",

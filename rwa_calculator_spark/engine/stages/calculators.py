@@ -113,6 +113,26 @@ _RESULT_COLS = [
     # CALCULATION_OUTPUT_SCHEMA's slotting carriers) — the C 08.06 / CR10
     # row axis; null where the counterparty has no slotting assignment
     "slot_category",
+    # round-5 widening toward the reference's 162-col
+    # CALCULATION_OUTPUT_SCHEMA (data/schemas.py:2877) — each carrier is a
+    # value the pipeline already computes, surfaced instead of dropped:
+    # the resolved group apex + walk depth (hierarchy stage),
+    "ultimate_parent_reference",
+    "hierarchy_depth",
+    # the Art.4(1)(39) connected-clients group and its aggregate exposure
+    # (the Art.123 retail-threshold base), plus whether that test decided
+    # the row's class (classify stage),
+    "lending_group_reference",
+    "group_exposure",
+    "retail_threshold_applied",
+    # WHICH CCF rule fired (Annex I bucket / OC original-maturity split /
+    # F-IRB Art.166(8) bespoke / issued fallback — crm stage),
+    "ccf_source",
+    # who provides the unfunded protection (crm stage; null unguaranteed),
+    "guarantor_reference",
+    # WHY the approach routed as it did (permission diagnostic where the
+    # model-permission stage ran, branch rule otherwise — calculators)
+    "approach_reason",
 ]
 
 # exposure_type → CMS1-style risk-type discriminator (ref
@@ -154,6 +174,26 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         exp = exp.withColumn("fx_rate", F.lit(None).cast("double"))
     if "slot_category" not in exp.columns:
         exp = exp.withColumn("slot_category", F.lit(None).cast("string"))
+    # round-5 carriers: copy from the stage column where the frame went
+    # through the hierarchy/classify/crm stages, else honest null
+    if "ultimate_parent_reference" not in exp.columns:
+        exp = exp.withColumn(
+            "ultimate_parent_reference",
+            F.col("group_reference")
+            if "group_reference" in exp.columns
+            else F.lit(None).cast("string"),
+        )
+    for name, dtype in (
+        ("hierarchy_depth", "int"),
+        ("lending_group_reference", "string"),
+        ("group_exposure", "double"),
+        ("retail_threshold_applied", "boolean"),
+        ("ccf_source", "string"),
+        ("guarantor_reference", "string"),
+        ("approach_reason", "string"),
+    ):
+        if name not in exp.columns:
+            exp = exp.withColumn(name, F.lit(None).cast(dtype))
     # substitution-free branches: the hypothetical equals the actual (only
     # frames that already carry rwa — SA/IRB set their own upstream)
     if "rwa_pre_crm_substitution" not in exp.columns and "rwa" in exp.columns:
@@ -431,6 +471,90 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         rw_source = (
             F.when(is_cb & F.col("_cb_rated_rw").isNotNull(), "sa_covered_bond_rated")
             .when(is_cb, "sa_covered_bond_unrated_derived")
+            .otherwise(rw_source)
+        )
+
+    # PS1/26 Art.124E-124I revised real-estate treatment (ref
+    # engine/sa/b31_risk_weight_tables.py + rulebook/packs/b31.py:1249-1308):
+    # income-producing RE prices WHOLE-LOAN off the LTV band table
+    # (Art.124G Table 6B RRE / Art.124I CRE; junior RRE charges ×1.25 above
+    # 50% LTV); general (owner-occupied) RE loan-splits — the portion
+    # secured up to 55% of property value takes the preferential weight
+    # (20% RRE / 60% CRE), the remainder prices as an exposure to the
+    # counterparty (Art.124F(1)(b): retail weight for natural persons,
+    # else the obligor's ladder weight). Pack-gated via the table's
+    # presence (CRR keeps flat Art.125/126) and carrier-gated on ltv;
+    # bands compile to a when-chain from the pack rows (pure literals —
+    # band-count work, never a join against the fact table).
+    if "re_ltv_rw" in pack.tables and "ltv" in exp.columns:
+        ltv = F.col("ltv")
+        re_row = (
+            (F.col("exposure_class") == "re_secured")
+            & ~F.col("is_defaulted")
+            & ltv.isNotNull()
+            & (ltv > 0)
+        )
+
+        def _flag(name):
+            return (
+                F.coalesce(F.col(name), F.lit(False))
+                if name in exp.columns
+                else F.lit(False)
+            )
+
+        commercial = _flag("is_commercial_re")
+        income = _flag("is_income_producing")
+        junior = _flag("is_junior_lien")
+
+        def _band_chain(track: str):
+            rows = sorted(
+                ((float(u), float(w)) for t, u, w in pack.tables["re_ltv_rw"][1] if t == track),
+            )
+            chain = F.lit(rows[-1][1])  # open catch-all band
+            for upper, w in reversed(rows[:-1]):
+                chain = F.when(ltv <= F.lit(upper), F.lit(w)).otherwise(chain)
+            return chain
+
+        rre_income_rw = _band_chain("rre_income") * F.when(
+            junior & (ltv > pack.lit("b31_re_income_junior_ltv_threshold")),
+            pack.lit("b31_re_income_junior_multiplier"),
+        ).otherwise(F.lit(1.0))
+        cre_income_rw = _band_chain("cre_income")
+        # Art.124F(1)(b)/124H(1)(b) remainder: the counterparty's own weight
+        # — retail for natural persons, the CORPORATE ladder for the
+        # obligor's CQS otherwise (the class-ladder join above keyed on
+        # 're_secured', which the sa_rw table deliberately has no row for)
+        cp_ladder = pack.table_df(spark, "sa_rw").where(
+            F.col("exposure_class") == "corporate"
+        ).select(F.col("cqs").alias("_re_cqs"), F.col("rw").alias("_re_cp_rw"))
+        exp = exp.join(
+            F.broadcast(cp_ladder),
+            F.coalesce(exp.cqs, F.lit(0)) == F.col("_re_cqs"),
+            "left",
+        ).drop("_re_cqs")
+        cp_rw = F.when(
+            (F.col("entity_type") == "individual") | F.col("is_managed_as_retail"),
+            pack.lit("retail_rw"),
+        ).otherwise(F.coalesce(F.col("_re_cp_rw"), pack.lit("unrated_corp_rw")))
+        secured_share = F.least(pack.lit("b31_re_split_cap") / ltv, F.lit(1.0))
+        split_rw = (
+            F.when(commercial, pack.lit("b31_cre_split_secured_rw")).otherwise(
+                pack.lit("b31_rre_split_secured_rw")
+            )
+            * secured_share
+            + cp_rw * (F.lit(1.0) - secured_share)
+        )
+        base_rw = (
+            F.when(re_row & income & commercial, cre_income_rw)
+            .when(re_row & income, rre_income_rw)
+            .when(re_row, split_rw)
+            .otherwise(base_rw)
+        )
+        rw_source = (
+            F.when(re_row & income & commercial, "b31_cre_income_ltv")
+            .when(re_row & income, "b31_rre_income_ltv")
+            .when(re_row & commercial, "b31_cre_loan_split")
+            .when(re_row, "b31_rre_loan_split")
             .otherwise(rw_source)
         )
 
@@ -715,8 +839,17 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
     ).otherwise(F.lit(1.0))
     sf = F.least(sme_f, infra_f)
 
+    # routing provenance: the permission stage's diagnostic / PPU reason
+    # where it ran (ref permissions.py approach_selection), else the
+    # pipeline's default SA routing rule
+    reason = F.lit("sa_no_irb_permission")
+    if "ppu_reason" in exp.columns:
+        reason = F.coalesce(F.col("ppu_reason"), reason)
+    if "permission_diagnostic" in exp.columns:
+        reason = F.coalesce(F.col("permission_diagnostic"), reason)
     exp = (
         exp.withColumn("approach", F.lit("SA"))
+        .withColumn("approach_reason", reason)
         .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
         .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight") * sf)
         # the CR7/CR7-A hypothetical: the own-ladder RW with every
@@ -896,8 +1029,19 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
     dflt = dflt.withColumn("_rw_pre_subst", F.col("risk_weight"))
 
     def _finish(df):
+        # routing provenance: which IRB variant the permission stage
+        # granted (airb/firb), else the bundle-level permission flag
+        irb_reason = (
+            F.concat(
+                F.lit("irb_permission_"),
+                F.coalesce(F.col("irb_subapproach"), F.lit("granted")),
+            )
+            if "irb_subapproach" in df.columns
+            else F.lit("irb_permission_granted")
+        )
         df = (
             df.withColumn("approach", F.lit("IRB"))
+            .withColumn("approach_reason", irb_reason)
             .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
             .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight"))
             .withColumn(
@@ -1054,6 +1198,7 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     exp = (
         exp.withColumn("exposure_class", F.lit("specialised"))
         .withColumn("approach", F.lit("SLOTTING"))
+        .withColumn("approach_reason", F.lit("slotting_category_assigned"))
         .withColumn(
             "rw_source",
             F.when(F.col("is_defaulted"), "slotting_defaulted").otherwise("slotting"),

@@ -60,12 +60,33 @@ def run_classify(
     # compute_e_star_group_drawn)
     exp = exp.withColumn("group_drawn", group_drawn)
 
-    is_retail = (
-        (F.col("entity_type") == "individual") | F.col("is_managed_as_retail")
-    ) & (F.col("group_exposure") <= pack.lit("retail_threshold") * F.lit(threshold_scale))
+    retail_candidate = (F.col("entity_type") == "individual") | F.col(
+        "is_managed_as_retail"
+    )
+    is_retail = retail_candidate & (
+        F.col("group_exposure") <= pack.lit("retail_threshold") * F.lit(threshold_scale)
+    )
+    # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA retail_threshold_applied):
+    # true where the Art.123 aggregate-exposure test DECIDED the class —
+    # the row was a retail candidate, so passing/failing the threshold is
+    # what routed it; false for rows the test never touched
+    exp = exp.withColumn(
+        "retail_threshold_applied", F.coalesce(retail_candidate, F.lit(False))
+    )
 
+    # property-secured carrier: a loan declared secured on real estate
+    # routes to the RE class directly (ref data/schemas.py
+    # crr_exposure_class 'secured_by_mortgages' — the loader-declared
+    # class; the collateral-driven Art.124(2) split in re_split.py remains
+    # the route for books that declare RE via collateral links instead)
+    prop = (
+        F.coalesce(F.col("is_property_secured"), F.lit(False))
+        if "is_property_secured" in exp.columns
+        else F.lit(False)
+    )
     cls = (
         F.when(F.col("exposure_type") == "securitisation_pool", "securitisation")
+        .when(prop, "re_secured")
         .when(F.col("entity_type") == "sovereign", "sovereign")
         # CRR Art.115(2)/(4): RGLAs on the equivalence lists are "treated
         # as exposures to the central government" — priced on the Art.114
@@ -84,6 +105,7 @@ def run_classify(
     # `cls`, so reason and class can never disagree)
     reason = (
         F.when(F.col("exposure_type") == "securitisation_pool", "CLS_SEC_POOL")
+        .when(prop, "CLS_PROPERTY_SECURED")
         .when(F.col("entity_type") == "sovereign", "CLS_ENTITY_SOVEREIGN")
         .when(F.col("entity_type") == "rgla_sovereign", "CLS_RGLA_EQUIVALENCE")
         .when(F.col("entity_type") == "rgla", "CLS_RGLA_INSTITUTION")

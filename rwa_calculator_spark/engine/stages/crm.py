@@ -216,8 +216,17 @@ def run_crm(
     # CCF joins FIRST: the provision allocation basis is CCF-weighted
     # (ref engine/ccf.py + provisions.py basis)
     ccf = pack.broadcast_table(spark, "ccf")
-    exp = exp.join(ccf, "risk_bucket", "left").withColumn(
-        "ccf", F.coalesce("ccf", F.lit(1.0))
+    exp = (
+        exp.join(ccf, "risk_bucket", "left")
+        # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA ccf_source): WHICH
+        # rule set the factor — read before the coalesce erases the miss
+        .withColumn(
+            "ccf_source",
+            F.when(F.col("ccf").isNotNull(), F.lit("sa_annex_i_bucket")).otherwise(
+                F.lit("default_full_conversion")
+            ),
+        )
+        .withColumn("ccf", F.coalesce("ccf", F.lit(1.0)))
     )
 
     # CRR Annex I items 2(b)/3(b): "other commitments" split on ORIGINAL
@@ -235,12 +244,15 @@ def run_crm(
         # SA rows only: the Art.166(10) F-IRB fallback states its own flat
         # 50%/20% rates with no maturity split
         sa_row = ~(F.col("has_irb_permission") & ~F.col("is_specialised"))
+        oc_fires = sa_row & (F.col("risk_bucket") == "medium_risk") & oc_short
         exp = exp.withColumn(
             "ccf",
-            F.when(
-                sa_row & (F.col("risk_bucket") == "medium_risk") & oc_short,
-                pack.lit("oc_short_maturity_ccf"),
-            ).otherwise(F.col("ccf")),
+            F.when(oc_fires, pack.lit("oc_short_maturity_ccf")).otherwise(F.col("ccf")),
+        ).withColumn(
+            "ccf_source",
+            F.when(oc_fires, F.lit("oc_annex_i_short_maturity")).otherwise(
+                F.col("ccf_source")
+            ),
         )
 
     # CRR Art.166(8)/(10): F-IRB CCFs for IRB-routed rows (ref
@@ -274,10 +286,29 @@ def run_crm(
             )
             .otherwise(F.col("ccf"))
         )
+        firb_src = (
+            F.when(
+                (F.col("risk_bucket") == "medium_low_risk") & trade_lc,
+                F.lit("firb_trade_lc_art166_8"),
+            )
+            .when(
+                commitment
+                & F.col("risk_bucket").isin("medium_risk", "medium_low_risk"),
+                F.lit("firb_credit_line_art166_8"),
+            )
+            # Art.166(10) issued items fall back to the Annex I table —
+            # the label keeps the underlying source visible
+            .otherwise(F.concat(F.lit("firb_issued_fallback:"), F.col("ccf_source")))
+        )
         exp = exp.withColumn(
             "ccf",
             F.when(irb_row & F.col("risk_bucket").isNotNull(), firb_ccf).otherwise(
                 F.col("ccf")
+            ),
+        ).withColumn(
+            "ccf_source",
+            F.when(irb_row & F.col("risk_bucket").isNotNull(), firb_src).otherwise(
+                F.col("ccf_source")
             ),
         )
 
@@ -641,6 +672,9 @@ def run_crm(
             ("guarantor_pd", "guarantor_pd"),
             ("guarantor_seniority", "guarantor_seniority"),
             ("guarantor_is_fse", "guarantor_is_fse"),
+            # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA
+            # guarantor_reference) — who provides the protection
+            ("guarantor_reference", "guarantor_reference"),
         ):
             if opt in raw.guarantees.columns:
                 gcols.append(F.col(opt).alias(out))

@@ -113,6 +113,14 @@ def run_hierarchy(
         "is_revolving",
         "facility_limit",
         "due_diligence_override_rw",
+        # real-estate carriers: the loader-declared RE class route plus the
+        # PS1/26 Art.124E-124I banded / loan-split treatment inputs (ref
+        # engine/sa/b31_risk_weight_tables.py)
+        "is_property_secured",
+        "ltv",
+        "is_income_producing",
+        "is_commercial_re",
+        "is_junior_lien",
     ):
         if opt in raw.loans.columns:
             loan_cols.append(F.col(opt))
@@ -248,10 +256,16 @@ def run_hierarchy(
         ).select(
             F.col("node").alias("counterparty_reference"),
             F.col("ultimate_parent").alias("group_reference"),
+            # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA
+            # counterparty_hierarchy_depth) — the resolver tracks it anyway;
+            # null for self-rooted counterparties (no org edge)
+            F.col("depth").alias("hierarchy_depth"),
         )
         dim = dim.join(up, "counterparty_reference", "left")
     else:
-        dim = dim.withColumn("group_reference", F.lit(None).cast("string"))
+        dim = dim.withColumn("group_reference", F.lit(None).cast("string")).withColumn(
+            "hierarchy_depth", F.lit(None).cast("int")
+        )
 
     if raw.ratings is not None:
         # Art.138 second-best external CQS REPLACES the supplied cqs column

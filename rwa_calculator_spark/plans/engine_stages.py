@@ -1499,3 +1499,123 @@ def ccf_firb_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_exposures"),
         scaled_sum(F.col("ead"), 2).alias("total_ead"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B3.1 revised real-estate treatment (ref engine/sa/b31_risk_weight_tables.py
+# + rulebook/packs/b31.py:1249-1308): income-producing RE prices whole-loan
+# off the PS1/26 Art.124G Table 6B / Art.124I LTV bands (junior income-RRE
+# ×1.25 above 50% LTV); general RE loan-splits — secured up to 55% of value
+# at 20% (RRE) / 60% (CRE), remainder as an exposure to the counterparty.
+# ---------------------------------------------------------------------------
+
+_B31_RE_ORACLE = """
+    WITH cps AS (
+        SELECT c_custkey AS cp, CAST(c_custkey % 7 AS INTEGER) AS cqs,
+               (c_custkey % 2 = 0) AS is_person
+        FROM customer
+    ), loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp, o_totalprice AS drawn,
+               0.35 + CAST(o_orderkey % 17 AS DOUBLE) * 0.05 AS ltv,
+               (o_orderkey % 3 = 0) AS income,
+               (o_orderkey % 4 = 0) AS commercial,
+               (o_orderkey % 5 = 0) AS junior,
+               (o_orderkey % 29 = 0) AS is_defaulted
+        FROM orders
+    ), j AS (
+        SELECT l.*, c.cqs, c.is_person FROM loans l JOIN cps c ON l.cp = c.cp
+    ), priced AS (
+        SELECT *,
+               CASE
+                 WHEN is_defaulted THEN 1.0
+                 WHEN income AND commercial THEN
+                      CASE WHEN ltv <= 0.80 THEN 1.00 ELSE 1.10 END
+                 WHEN income THEN
+                      (CASE WHEN ltv <= 0.50 THEN 0.30 WHEN ltv <= 0.60 THEN 0.35
+                            WHEN ltv <= 0.70 THEN 0.40 WHEN ltv <= 0.80 THEN 0.50
+                            WHEN ltv <= 0.90 THEN 0.60 WHEN ltv <= 1.00 THEN 0.75
+                            ELSE 1.05 END)
+                      * (CASE WHEN junior AND ltv > 0.50 THEN 1.25 ELSE 1.0 END)
+                 ELSE
+                      (CASE WHEN commercial THEN 0.60 ELSE 0.20 END)
+                          * least(0.55 / ltv, 1.0)
+                      + (CASE WHEN is_person THEN 0.75
+                              ELSE CASE coalesce(cqs, 0)
+                                   WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                                   WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
+                                   ELSE 1.0 END END)
+                          * (1.0 - least(0.55 / ltv, 1.0))
+               END AS rw,
+               CASE
+                 WHEN is_defaulted THEN 'sa_defaulted_secured'
+                 WHEN income AND commercial THEN 'b31_cre_income_ltv'
+                 WHEN income THEN 'b31_rre_income_ltv'
+                 WHEN commercial THEN 'b31_cre_loan_split'
+                 ELSE 'b31_rre_loan_split'
+               END AS rw_source
+        FROM j
+    )
+    SELECT rw_source, count(*) AS n_exposures,
+           sum(CAST(round(drawn * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_ead,
+           sum(CAST(round((drawn * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_rwa
+    FROM priced GROUP BY 1
+"""
+
+
+@query("sa_b31_re_ltv", oracle=_B31_RE_ORACLE, tags=("engine", "sa", "rwa"))
+def sa_b31_re_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PS1/26 Art.124E-124I revised real-estate treatment through the REAL
+    B3.1 pipeline (ref engine/sa/b31_risk_weight_tables.py + packs/
+    b31.py:1283-1308): property-secured loans route to the RE class via
+    the loader-declared carrier (CLS_PROPERTY_SECURED); income-producing
+    rows price WHOLE-LOAN off the Art.124G Table 6B / Art.124I LTV bands
+    with the Art.124G(2) junior ×1.25 above 50% LTV; general rows
+    loan-split — secured up to 55% of property value at 20% RRE / 60% CRE,
+    remainder at the counterparty's own weight (retail 75% for persons,
+    the corporate CQS ladder otherwise); defaulted RE keeps the secured
+    100%. The bands compile to a when-chain from pack rows — band-count
+    work, no join against the fact table. Aggregated by rw_source."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.col("c_custkey") % 2 == 0, "individual")
+        .otherwise("corporate")
+        .alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        (F.col("c_custkey") % 2 == 0).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        (F.col("o_orderkey") % 29 == 0).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        F.lit(True).alias("is_property_secured"),
+        (F.lit(0.35) + (F.col("o_orderkey") % 17).cast("double") * F.lit(0.05)).alias(
+            "ltv"
+        ),
+        (F.col("o_orderkey") % 3 == 0).alias("is_income_producing"),
+        (F.col("o_orderkey") % 4 == 0).alias("is_commercial_re"),
+        (F.col("o_orderkey") % 5 == 0).alias("is_junior_lien"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=B31_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("rw_source").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )

@@ -2895,3 +2895,90 @@ def test_validation_categorical_long_tail(spark):
     }
     missing = expected - errs
     assert not missing, f"validation misses: {sorted(missing)}"
+
+
+def test_round5_ledger_carriers(spark):
+    """The round-5 ledger carriers surface what the stages already compute
+    (ref data/schemas.py:2877 CALCULATION_OUTPUT_SCHEMA): resolved group
+    apex + walk depth, the connected-clients group and its aggregate with
+    the retail-threshold flag, the CCF rule that fired, the guarantor, and
+    the approach-routing reason — each pinned on a hand-built book."""
+    from rwa_calculator_spark.engine.bundles import RawBundle
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    cps = spark.createDataFrame(
+        [
+            ("CPA", "corporate", 2, False, 0.0, False),
+            ("CPB", "corporate", 2, False, 0.0, False),   # child of CPA
+            ("CPC", "corporate", 2, False, 0.0, False),   # grandchild
+            ("CPR", "individual", None, True, 0.0, False),  # retail candidate
+            ("CPI", "corporate", 2, False, 0.0, True),    # IRB-permitted
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, "
+        "has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [
+            ("L1", "CPC", 100.0, False, None, None, None),
+            ("L2", "CPR", 50.0, False, None, None, None),
+            ("L3", "CPI", 80.0, False, 0.01, 0.4, 2.0),
+        ],
+        "loan_reference string, counterparty_reference string, "
+        "drawn_amount double, is_defaulted boolean, pd double, lgd double, "
+        "effective_maturity double",
+    )
+    cont = spark.createDataFrame(
+        [("K1", "CPC", 40.0, "medium_risk", False, None, None, None)],
+        "contingent_reference string, counterparty_reference string, "
+        "nominal_amount double, risk_bucket string, is_defaulted boolean, "
+        "pd double, lgd double, effective_maturity double",
+    )
+    org = spark.createDataFrame(
+        [("CPB", "CPA"), ("CPC", "CPB")],
+        "child_reference string, parent_reference string",
+    )
+    lend = spark.createDataFrame(
+        [("CPA", "CPR")],
+        "parent_counterparty_reference string, child_counterparty_reference string",
+    )
+    guar = spark.createDataFrame(
+        [("L1", 0.6, "G_SOV", "sovereign", 0)],
+        "exposure_reference string, coverage_pct double, "
+        "guarantor_reference string, guarantor_class string, guarantor_cqs int",
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps, loans=loans, contingents=cont,
+            org_mappings=org, lending_mappings=lend, guarantees=guar,
+        ),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r["exposure_reference"]: r for r in out.results.collect()}
+
+    l1 = rows["L1"]
+    assert l1["ultimate_parent_reference"] == "CPA"
+    assert l1["hierarchy_depth"] == 2          # CPC → CPB → CPA
+    assert l1["guarantor_reference"] == "G_SOV"
+    assert l1["ccf_source"] == "default_full_conversion"  # loan: no bucket
+    assert l1["approach_reason"] == "sa_no_irb_permission"
+    assert l1["retail_threshold_applied"] is False
+
+    k1 = rows["K1"]
+    assert k1["ccf_source"] == "sa_annex_i_bucket"        # medium_risk 50%
+    assert k1["ccf"] == 0.5
+
+    l2 = rows["L2"]
+    assert l2["retail_threshold_applied"] is True
+    assert l2["lending_group_reference"] == "CPA"
+    # the Art.123 aggregate pools the CONNECTED-CLIENTS group: CPR's own
+    # 50 only (CPA has no loans in the lending group beyond membership)
+    assert l2["group_exposure"] == 50.0
+    assert l2["exposure_class"] == "retail"               # under the 1M cap
+
+    l3 = rows["L3"]
+    assert l3["approach"] == "IRB"
+    assert l3["approach_reason"] == "irb_permission_granted"
+    assert l3["hierarchy_depth"] is None                  # no org edge
+    assert l3["ultimate_parent_reference"] == "CPI"       # self-rooted
