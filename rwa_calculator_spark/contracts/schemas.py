@@ -85,6 +85,8 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
         "is_income_producing": ColumnSpec(_B, False),
         "is_commercial_re": ColumnSpec(_B, False),
         "is_junior_lien": ColumnSpec(_B, False),
+        "is_adc": ColumnSpec(_B, False),
+        "is_presold": ColumnSpec(_B, False),
     },
     # ref schemas.py:456 CONTINGENT_SCHEMA (42 cols)
     "contingents": {

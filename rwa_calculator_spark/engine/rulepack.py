@@ -500,6 +500,10 @@ B31_PACK = RulePack(
         "b31_re_split_cap": RuleEntry(_D("0.55"), "PS1/26 Art.124F(1)/124H(2)"),
         "b31_re_income_junior_multiplier": RuleEntry(_D("1.25"), "PS1/26 Art.124G(2)"),
         "b31_re_income_junior_ltv_threshold": RuleEntry(_D("0.50"), "PS1/26 Art.124G(2)"),
+        # Art.124K land acquisition/development/construction: 150% flat,
+        # 100% only for qualifying residential pre-sold (no CRE concession)
+        "b31_adc_rw": RuleEntry(_D("1.50"), "PS1/26 Art.124K(1)"),
+        "b31_adc_presold_rw": RuleEntry(_D("1.00"), "PS1/26 Art.124K(2)"),
         "large_corporate_revenue_threshold": RuleEntry(
             _D("440000000"), "PS1/26 Art.147(4C)(b)(ii) (GBP 440m native)"
         ),

@@ -505,6 +505,12 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         commercial = _flag("is_commercial_re")
         income = _flag("is_income_producing")
         junior = _flag("is_junior_lien")
+        # Art.124K ADC (land acquisition / development / construction):
+        # 150% flat; 100% only for qualifying RESIDENTIAL pre-sold —
+        # commercial ADC has no pre-sold concession (ref
+        # b31_risk_weight_tables.py:641-662 b31_adc_rw_expr)
+        adc = _flag("is_adc")
+        presold = _flag("is_presold")
 
         def _band_chain(track: str):
             rows = sorted(
@@ -545,13 +551,17 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             + cp_rw * (F.lit(1.0) - secured_share)
         )
         base_rw = (
-            F.when(re_row & income & commercial, cre_income_rw)
+            F.when(re_row & adc & ~commercial & presold, pack.lit("b31_adc_presold_rw"))
+            .when(re_row & adc, pack.lit("b31_adc_rw"))
+            .when(re_row & income & commercial, cre_income_rw)
             .when(re_row & income, rre_income_rw)
             .when(re_row, split_rw)
             .otherwise(base_rw)
         )
         rw_source = (
-            F.when(re_row & income & commercial, "b31_cre_income_ltv")
+            F.when(re_row & adc & ~commercial & presold, "b31_adc_presold")
+            .when(re_row & adc, "b31_adc")
+            .when(re_row & income & commercial, "b31_cre_income_ltv")
             .when(re_row & income, "b31_rre_income_ltv")
             .when(re_row & commercial, "b31_cre_loan_split")
             .when(re_row, "b31_rre_loan_split")

@@ -121,6 +121,8 @@ def run_hierarchy(
         "is_income_producing",
         "is_commercial_re",
         "is_junior_lien",
+        "is_adc",
+        "is_presold",
     ):
         if opt in raw.loans.columns:
             loan_cols.append(F.col(opt))

@@ -1520,6 +1520,8 @@ _B31_RE_ORACLE = """
                (o_orderkey % 3 = 0) AS income,
                (o_orderkey % 4 = 0) AS commercial,
                (o_orderkey % 5 = 0) AS junior,
+               (o_orderkey % 7 = 0) AS adc,
+               (o_orderkey % 2 = 0) AS presold,
                (o_orderkey % 29 = 0) AS is_defaulted
         FROM orders
     ), j AS (
@@ -1528,6 +1530,8 @@ _B31_RE_ORACLE = """
         SELECT *,
                CASE
                  WHEN is_defaulted THEN 1.0
+                 WHEN adc AND NOT commercial AND presold THEN 1.00
+                 WHEN adc THEN 1.50
                  WHEN income AND commercial THEN
                       CASE WHEN ltv <= 0.80 THEN 1.00 ELSE 1.10 END
                  WHEN income THEN
@@ -1548,6 +1552,8 @@ _B31_RE_ORACLE = """
                END AS rw,
                CASE
                  WHEN is_defaulted THEN 'sa_defaulted_secured'
+                 WHEN adc AND NOT commercial AND presold THEN 'b31_adc_presold'
+                 WHEN adc THEN 'b31_adc'
                  WHEN income AND commercial THEN 'b31_cre_income_ltv'
                  WHEN income THEN 'b31_rre_income_ltv'
                  WHEN commercial THEN 'b31_cre_loan_split'
@@ -1574,8 +1580,9 @@ def sa_b31_re_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the Art.124G(2) junior ×1.25 above 50% LTV; general rows
     loan-split — secured up to 55% of property value at 20% RRE / 60% CRE,
     remainder at the counterparty's own weight (retail 75% for persons,
-    the corporate CQS ladder otherwise); defaulted RE keeps the secured
-    100%. The bands compile to a when-chain from pack rows — band-count
+    the corporate CQS ladder otherwise); Art.124K ADC rows take 150% flat
+    with the 100% residential pre-sold concession (no CRE concession);
+    defaulted RE keeps the secured 100%. The bands compile to a when-chain from pack rows — band-count
     work, no join against the fact table. Aggregated by rw_source."""
     from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
     from rwa_calculator_spark.engine.rulepack import B31_PACK
@@ -1609,6 +1616,8 @@ def sa_b31_re_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 3 == 0).alias("is_income_producing"),
         (F.col("o_orderkey") % 4 == 0).alias("is_commercial_re"),
         (F.col("o_orderkey") % 5 == 0).alias("is_junior_lien"),
+        (F.col("o_orderkey") % 7 == 0).alias("is_adc"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_presold"),
     )
     out = run_pipeline(
         RawBundle(counterparties=cps, loans=loans),

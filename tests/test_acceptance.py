@@ -753,3 +753,89 @@ def test_saccr_alpha_carve_out(ciu_wwr_rows):
     # alpha = 1.0. EAD = 1.0 × (10,000 + 0.005 × 1,000,000) = 15,000
     # (the standard alpha would give 21,000).
     assert ciu_wwr_rows["NS_PSA_CCR"].ead == pytest.approx(15_000.0)
+
+
+# ---------------------------------------------------------------------------
+# B3.1 revised real-estate treatment (PS1/26 Art.124E-124K)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def b31_re_rows(spark):
+    cps = spark.createDataFrame(
+        [
+            ("CP_R1", "individual", 0, True, 0.0, False),   # natural person
+            ("CP_R2", "corporate", 2, False, 0.0, False),   # CQS2 corporate
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [
+            # ref, cp, drawn, ltv, income, commercial, junior, adc, presold
+            ("L_INC", "CP_R1", 1000.0, 0.65, True, False, False, False, False),
+            ("L_JUN", "CP_R1", 1000.0, 0.65, True, False, True, False, False),
+            ("L_SPL", "CP_R1", 1000.0, 1.10, False, False, False, False, False),
+            ("L_CSP", "CP_R2", 1000.0, 1.10, False, True, False, False, False),
+            ("L_ADC", "CP_R2", 1000.0, 0.80, False, False, False, True, False),
+            ("L_ADP", "CP_R2", 1000.0, 0.80, False, False, False, True, True),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "ltv double, is_income_producing boolean, is_commercial_re boolean, "
+        "is_junior_lien boolean, is_adc boolean, is_presold boolean",
+    ).selectExpr(
+        "loan_reference", "counterparty_reference", "drawn_amount",
+        "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+        "true AS is_property_secured", "ltv", "is_income_producing",
+        "is_commercial_re", "is_junior_lien", "is_adc", "is_presold",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=B31_PACK)
+    )
+    return {r.exposure_reference: r for r in out.results.collect()}
+
+
+def test_b31_rre_income_ltv_band(b31_re_rows):
+    # PS1/26 Art.124G Table 6B: income-producing RRE, LTV 0.65 sits in the
+    # (0.60, 0.70] band → whole-loan RW 40%; RWA = 1000 × 0.40 = 400.
+    r = b31_re_rows["L_INC"]
+    assert r.rw_source == "b31_rre_income_ltv"
+    assert r.risk_weight == pytest.approx(0.40)
+    assert r.rwa == pytest.approx(400.0)
+
+
+def test_b31_rre_income_junior_multiplier(b31_re_rows):
+    # Art.124G(2): junior lien with LTV 0.65 > 50% → 0.40 × 1.25 = 0.50.
+    r = b31_re_rows["L_JUN"]
+    assert r.risk_weight == pytest.approx(0.50)
+    assert r.rwa == pytest.approx(500.0)
+
+
+def test_b31_rre_general_loan_split(b31_re_rows):
+    # Art.124F(1): LTV 1.10 → secured share = 0.55/1.10 = 0.50 at 20%;
+    # remainder 0.50 prices as an exposure to the natural person → 75%.
+    # Effective RW = 0.5×0.20 + 0.5×0.75 = 0.475; RWA = 475.
+    r = b31_re_rows["L_SPL"]
+    assert r.rw_source == "b31_rre_loan_split"
+    assert r.risk_weight == pytest.approx(0.475)
+    assert r.rwa == pytest.approx(475.0)
+
+
+def test_b31_cre_general_loan_split(b31_re_rows):
+    # Art.124H: CRE split — secured 0.50 at 60%; remainder at the
+    # corporate CQS2 ladder weight 50%. RW = 0.5×0.60 + 0.5×0.50 = 0.55.
+    r = b31_re_rows["L_CSP"]
+    assert r.rw_source == "b31_cre_loan_split"
+    assert r.risk_weight == pytest.approx(0.55)
+    assert r.rwa == pytest.approx(550.0)
+
+
+def test_b31_adc_flat_and_presold(b31_re_rows):
+    # Art.124K(1): ADC 150% flat regardless of LTV; Art.124K(2): the
+    # qualifying residential pre-sold concession prices at 100%.
+    assert b31_re_rows["L_ADC"].risk_weight == pytest.approx(1.50)
+    assert b31_re_rows["L_ADC"].rw_source == "b31_adc"
+    assert b31_re_rows["L_ADP"].risk_weight == pytest.approx(1.00)
+    assert b31_re_rows["L_ADP"].rw_source == "b31_adc_presold"
