@@ -17,6 +17,7 @@ import os
 import time
 import uuid
 from dataclasses import dataclass
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -182,7 +183,21 @@ class CreditRiskCalc:
                 sc.setJobGroup("", "")
             edges[name] = {"rows": rows, "wall_ms": round((time.perf_counter() - te) * 1e3, 1)}
 
-        _seal(out.results, "results")
+        # run identity stamped per-row at SEAL time (ref
+        # CALCULATION_OUTPUT_SCHEMA cols 1-2 calculation_run_id /
+        # calculation_timestamp, data/schemas.py:2877): a multi-run store
+        # concatenating sealed caches keeps row→run lineage without
+        # joining back to manifests. Seal-time only — registered queries
+        # stay deterministic (no wall-clock in any oracle-compared plan).
+        from pyspark.sql import functions as F  # noqa: N812
+
+        stamped = out.results.withColumn(
+            "calculation_run_id", F.lit(run_id)
+        ).withColumn(
+            "calculation_timestamp",
+            F.lit(datetime.now(timezone.utc).isoformat()),
+        )
+        _seal(stamped, "results")
         _seal(out.summary_by_class, "summary_class")
         _seal(out.summary_by_approach, "summary_approach")
         if out.errors is not None:

@@ -39,6 +39,14 @@ def test_calculate_cache_scan_export(spark, tmp_path):
     for k, v in rederived.items():
         assert abs(cached[k] - v) < 0.011, k
 
+    # run identity stamped per-row at seal time (ref
+    # CALCULATION_OUTPUT_SCHEMA cols 1-2): every sealed row carries THIS
+    # run's id, so concatenated multi-run stores keep row→run lineage
+    stamp = results.select("calculation_run_id", "calculation_timestamp").distinct().collect()
+    assert len(stamp) == 1
+    assert stamp[0]["calculation_run_id"] == resp.run_manifest["run_id"]
+    assert stamp[0]["calculation_timestamp"]  # ISO string, non-empty
+
     csv_path = resp.export_csv(str(tmp_path))
     assert os.path.isdir(csv_path)
     back = spark.read.option("header", True).csv(csv_path)
