@@ -87,6 +87,7 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
         "is_junior_lien": ColumnSpec(_B, False),
         "is_adc": ColumnSpec(_B, False),
         "is_presold": ColumnSpec(_B, False),
+        "is_other_re": ColumnSpec(_B, False),
     },
     # ref schemas.py:456 CONTINGENT_SCHEMA (42 cols)
     "contingents": {

@@ -504,6 +504,12 @@ B31_PACK = RulePack(
         # 100% only for qualifying residential pre-sold (no CRE concession)
         "b31_adc_rw": RuleEntry(_D("1.50"), "PS1/26 Art.124K(1)"),
         "b31_adc_presold_rw": RuleEntry(_D("1.00"), "PS1/26 Art.124K(2)"),
+        # Art.124J non-qualifying ("other") RE — property failing the
+        # Art.124A criteria (incomplete, no independent valuation, no
+        # first charge): income-dependent 150% flat; non-dependent CRE
+        # floors the counterparty weight at 60%
+        "b31_other_re_income_rw": RuleEntry(_D("1.50"), "PS1/26 Art.124J(1)"),
+        "b31_other_re_cre_floor_rw": RuleEntry(_D("0.60"), "PS1/26 Art.124J(3)(b)"),
         "large_corporate_revenue_threshold": RuleEntry(
             _D("440000000"), "PS1/26 Art.147(4C)(b)(ii) (GBP 440m native)"
         ),

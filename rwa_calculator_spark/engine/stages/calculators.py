@@ -488,12 +488,13 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
     # band-count work, never a join against the fact table).
     if "re_ltv_rw" in pack.tables and "ltv" in exp.columns:
         ltv = F.col("ltv")
-        re_row = (
-            (F.col("exposure_class") == "re_secured")
-            & ~F.col("is_defaulted")
-            & ltv.isNotNull()
-            & (ltv > 0)
-        )
+        # the class gate; the LTV-dependent limbs (bands, split) require a
+        # usable LTV on top — ADC and Art.124J other-RE price without one
+        # (a non-qualifying property may carry NO independent valuation),
+        # and a qualifying-RE row with no LTV falls through to the pack's
+        # flat re_secured weight rather than guessing a band
+        re_row = (F.col("exposure_class") == "re_secured") & ~F.col("is_defaulted")
+        ltv_ok = ltv.isNotNull() & (ltv > 0)
 
         def _flag(name):
             return (
@@ -511,6 +512,15 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         # b31_risk_weight_tables.py:641-662 b31_adc_rw_expr)
         adc = _flag("is_adc")
         presold = _flag("is_presold")
+        # Art.124J "other" (non-qualifying) RE — fails the Art.124A
+        # criteria: income-dependent 150% flat; non-dependent RESI takes
+        # the counterparty weight with no floor; non-dependent CRE floors
+        # it at 60% (ref b31_risk_weight_tables.py:665-713
+        # b31_other_re_rw_expr — its Art.124L four-limb counterparty table
+        # narrows here to the person-retail-75% / ladder split the bundle's
+        # carriers can discriminate; SME-85% and social-housing limbs need
+        # carriers the dictionary does not yet declare)
+        other_re = _flag("is_other_re")
 
         def _band_chain(track: str):
             rows = sorted(
@@ -553,18 +563,27 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         base_rw = (
             F.when(re_row & adc & ~commercial & presold, pack.lit("b31_adc_presold_rw"))
             .when(re_row & adc, pack.lit("b31_adc_rw"))
-            .when(re_row & income & commercial, cre_income_rw)
-            .when(re_row & income, rre_income_rw)
-            .when(re_row, split_rw)
+            .when(re_row & other_re & income, pack.lit("b31_other_re_income_rw"))
+            .when(
+                re_row & other_re & commercial,
+                F.greatest(pack.lit("b31_other_re_cre_floor_rw"), cp_rw),
+            )
+            .when(re_row & other_re, cp_rw)
+            .when(re_row & ltv_ok & income & commercial, cre_income_rw)
+            .when(re_row & ltv_ok & income, rre_income_rw)
+            .when(re_row & ltv_ok, split_rw)
             .otherwise(base_rw)
         )
         rw_source = (
             F.when(re_row & adc & ~commercial & presold, "b31_adc_presold")
             .when(re_row & adc, "b31_adc")
-            .when(re_row & income & commercial, "b31_cre_income_ltv")
-            .when(re_row & income, "b31_rre_income_ltv")
-            .when(re_row & commercial, "b31_cre_loan_split")
-            .when(re_row, "b31_rre_loan_split")
+            .when(re_row & other_re & income, "b31_other_re_income")
+            .when(re_row & other_re & commercial, "b31_other_re_cre")
+            .when(re_row & other_re, "b31_other_re_resi")
+            .when(re_row & ltv_ok & income & commercial, "b31_cre_income_ltv")
+            .when(re_row & ltv_ok & income, "b31_rre_income_ltv")
+            .when(re_row & ltv_ok & commercial, "b31_cre_loan_split")
+            .when(re_row & ltv_ok, "b31_rre_loan_split")
             .otherwise(rw_source)
         )
 

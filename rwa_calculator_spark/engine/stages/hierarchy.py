@@ -123,6 +123,7 @@ def run_hierarchy(
         "is_junior_lien",
         "is_adc",
         "is_presold",
+        "is_other_re",
     ):
         if opt in raw.loans.columns:
             loan_cols.append(F.col(opt))

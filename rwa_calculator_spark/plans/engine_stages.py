@@ -1522,16 +1522,26 @@ _B31_RE_ORACLE = """
                (o_orderkey % 5 = 0) AS junior,
                (o_orderkey % 7 = 0) AS adc,
                (o_orderkey % 2 = 0) AS presold,
+               (o_orderkey % 11 = 0) AS other_re,
                (o_orderkey % 29 = 0) AS is_defaulted
         FROM orders
     ), j AS (
-        SELECT l.*, c.cqs, c.is_person FROM loans l JOIN cps c ON l.cp = c.cp
+        SELECT l.*, c.cqs, c.is_person,
+               CASE WHEN c.is_person THEN 0.75
+                    ELSE CASE coalesce(c.cqs, 0)
+                         WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                         WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
+                         ELSE 1.0 END END AS cp_rw
+        FROM loans l JOIN cps c ON l.cp = c.cp
     ), priced AS (
         SELECT *,
                CASE
                  WHEN is_defaulted THEN 1.0
                  WHEN adc AND NOT commercial AND presold THEN 1.00
                  WHEN adc THEN 1.50
+                 WHEN other_re AND income THEN 1.50
+                 WHEN other_re AND commercial THEN greatest(0.60, cp_rw)
+                 WHEN other_re THEN cp_rw
                  WHEN income AND commercial THEN
                       CASE WHEN ltv <= 0.80 THEN 1.00 ELSE 1.10 END
                  WHEN income THEN
@@ -1543,17 +1553,15 @@ _B31_RE_ORACLE = """
                  ELSE
                       (CASE WHEN commercial THEN 0.60 ELSE 0.20 END)
                           * least(0.55 / ltv, 1.0)
-                      + (CASE WHEN is_person THEN 0.75
-                              ELSE CASE coalesce(cqs, 0)
-                                   WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
-                                   WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
-                                   ELSE 1.0 END END)
-                          * (1.0 - least(0.55 / ltv, 1.0))
+                      + cp_rw * (1.0 - least(0.55 / ltv, 1.0))
                END AS rw,
                CASE
                  WHEN is_defaulted THEN 'sa_defaulted_secured'
                  WHEN adc AND NOT commercial AND presold THEN 'b31_adc_presold'
                  WHEN adc THEN 'b31_adc'
+                 WHEN other_re AND income THEN 'b31_other_re_income'
+                 WHEN other_re AND commercial THEN 'b31_other_re_cre'
+                 WHEN other_re THEN 'b31_other_re_resi'
                  WHEN income AND commercial THEN 'b31_cre_income_ltv'
                  WHEN income THEN 'b31_rre_income_ltv'
                  WHEN commercial THEN 'b31_cre_loan_split'
@@ -1582,6 +1590,9 @@ def sa_b31_re_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     remainder at the counterparty's own weight (retail 75% for persons,
     the corporate CQS ladder otherwise); Art.124K ADC rows take 150% flat
     with the 100% residential pre-sold concession (no CRE concession);
+    Art.124J non-qualifying "other" RE prices income-dependent 150% flat,
+    non-dependent RESI at the counterparty weight with no floor, and
+    non-dependent CRE at max(60%, counterparty weight);
     defaulted RE keeps the secured 100%. The bands compile to a when-chain from pack rows — band-count
     work, no join against the fact table. Aggregated by rw_source."""
     from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
@@ -1618,6 +1629,7 @@ def sa_b31_re_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 5 == 0).alias("is_junior_lien"),
         (F.col("o_orderkey") % 7 == 0).alias("is_adc"),
         (F.col("o_orderkey") % 2 == 0).alias("is_presold"),
+        (F.col("o_orderkey") % 11 == 0).alias("is_other_re"),
     )
     out = run_pipeline(
         RawBundle(counterparties=cps, loans=loans),

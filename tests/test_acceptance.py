@@ -839,3 +839,46 @@ def test_b31_adc_flat_and_presold(b31_re_rows):
     assert b31_re_rows["L_ADC"].rw_source == "b31_adc"
     assert b31_re_rows["L_ADP"].risk_weight == pytest.approx(1.00)
     assert b31_re_rows["L_ADP"].rw_source == "b31_adc_presold"
+
+
+def test_b31_other_re_art124j(spark):
+    # Art.124J non-qualifying RE: income-dependent 150% flat; non-dependent
+    # RESI at the counterparty weight with NO floor (person → 75%);
+    # non-dependent CRE at max(60%, counterparty weight) — CQS2 corporate
+    # carries 50%, so the 60% floor binds. LTV is deliberately NULL on the
+    # RESI row: a property failing Art.124A may carry no valuation, and the
+    # treatment must price without one.
+    cps = spark.createDataFrame(
+        [
+            ("CP_X1", "individual", 0, True, 0.0, False),
+            ("CP_X2", "corporate", 2, False, 0.0, False),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [
+            ("L_OIN", "CP_X2", 1000.0, 0.70, True, False),
+            ("L_ORS", "CP_X1", 1000.0, None, False, False),
+            ("L_OCR", "CP_X2", 1000.0, 0.70, False, True),
+        ],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "ltv double, is_income_producing boolean, is_commercial_re boolean",
+    ).selectExpr(
+        "loan_reference", "counterparty_reference", "drawn_amount",
+        "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+        "true AS is_property_secured", "true AS is_other_re", "ltv",
+        "is_income_producing", "is_commercial_re",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=B31_PACK)
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    assert rows["L_OIN"].risk_weight == pytest.approx(1.50)
+    assert rows["L_OIN"].rw_source == "b31_other_re_income"
+    assert rows["L_ORS"].risk_weight == pytest.approx(0.75)
+    assert rows["L_ORS"].rw_source == "b31_other_re_resi"
+    assert rows["L_OCR"].risk_weight == pytest.approx(0.60)  # floor binds over 50%
+    assert rows["L_OCR"].rw_source == "b31_other_re_cre"
