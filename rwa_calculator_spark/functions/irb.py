@@ -122,7 +122,11 @@ def with_irb_k(df, pd: str = "pd", lgd: str = "lgd", g_pd: str = "g_pd", out: st
     small while computing bit-identical values to `capital_k_v` — column
     staging never rounds. CollapseProject won't re-inline them because they
     are non-cheap and multiply-referenced. Expressions ship as parsed SQL
-    strings (one py4j call each — see SparkSqlB)."""
+    strings (one py4j call each — see SparkSqlB). Φ itself routes through
+    the generated-Java kernel when available (bit-identical — see
+    functions/jvm_kernel.py) so the stage stays inside whole-stage codegen
+    even when fused with the Φ⁻¹ producer."""
+    from rwa_calculator_spark.functions.jvm_kernel import CDF_FN, ensure_jvm_kernel
     from rwa_calculator_spark.functions.stats import SparkSqlB, spark_expr_normal_cdf
 
     df = df.withColumn("_irb_r", F.expr(correlation_v(V(SparkSqlB, pd)).v))
@@ -130,9 +134,12 @@ def with_irb_k(df, pd: str = "pd", lgd: str = "lgd", g_pd: str = "g_pd", out: st
         F.lit(1.0) - F.col("_irb_r")
     )
     df = df.withColumn("_irb_arg", arg)
-    df = df.withColumn(
-        out, F.col(lgd) * spark_expr_normal_cdf("_irb_arg") - F.col(pd) * F.col(lgd)
+    phi = (
+        F.expr(f"{CDF_FN}(_irb_arg)")
+        if ensure_jvm_kernel(df.sparkSession)
+        else spark_expr_normal_cdf("_irb_arg")
     )
+    df = df.withColumn(out, F.col(lgd) * phi - F.col(pd) * F.col(lgd))
     return df.drop("_irb_r", "_irb_arg")
 
 
@@ -143,15 +150,19 @@ def with_irb_k_r(
     """Staged K with a caller-supplied correlation column (asset-class
     routed R — CRR Art.153(4)/154). Same staging discipline as
     `with_irb_k`; identical values when `r` equals the corporate curve."""
+    from rwa_calculator_spark.functions.jvm_kernel import CDF_FN, ensure_jvm_kernel
     from rwa_calculator_spark.functions.stats import spark_expr_normal_cdf
 
     arg = (F.col(g_pd) + F.sqrt(F.col(r)) * F.lit(G_999)) / F.sqrt(
         F.lit(1.0) - F.col(r)
     )
     df = df.withColumn("_irb_arg", arg)
-    df = df.withColumn(
-        out, F.col(lgd) * spark_expr_normal_cdf("_irb_arg") - F.col(pd) * F.col(lgd)
+    phi = (
+        F.expr(f"{CDF_FN}(_irb_arg)")
+        if ensure_jvm_kernel(df.sparkSession)
+        else spark_expr_normal_cdf("_irb_arg")
     )
+    df = df.withColumn(out, F.col(lgd) * phi - F.col(pd) * F.col(lgd))
     return df.drop("_irb_arg")
 
 

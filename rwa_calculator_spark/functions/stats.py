@@ -335,11 +335,21 @@ def normal_ppf(col: Column) -> Column:
 
 
 def with_normal_ppf(df, p: str, out: str):
-    """Staged Φ⁻¹: the Acklam seed becomes a projection column so every
-    downstream expression tree stays small; expressions are shipped as
-    single SQL strings (SparkSqlB) so plan construction is one py4j call.
-    Bit-identical to `normal_ppf` (column staging never rounds; the parsed
-    expressions are the same Catalyst nodes)."""
+    """Φ⁻¹ of column `p` into column `out`.
+
+    Fast path: the generated-Java kernel (functions/jvm_kernel.py) when it
+    registers on this session — a tiny codegen'd callsite instead of the
+    64 KB-overflowing fused expression tree, bit-identical values (pinned by
+    tests/test_jvm_kernel.py). Fallback: staged pure-Column Acklam+Halley —
+    the seed becomes a projection column so every downstream expression tree
+    stays small; expressions ship as single SQL strings (SparkSqlB) so plan
+    construction is one py4j call. Both paths are bit-identical to
+    `normal_ppf` (column staging never rounds; the parsed expressions are
+    the same Catalyst nodes)."""
+    from rwa_calculator_spark.functions.jvm_kernel import PPF_FN, ensure_jvm_kernel
+
+    if ensure_jvm_kernel(df.sparkSession):
+        return df.withColumn(out, F.expr(f"{PPF_FN}({p})"))
     df = df.withColumn("_ppf_x0", F.expr(acklam_raw_v(V(SparkSqlB, p)).v))
     refined = F.expr(halley_step_v(V(SparkSqlB, "_ppf_x0"), V(SparkSqlB, p)).v)
     df = df.withColumn(

@@ -9,11 +9,16 @@ reference's number is. This script isolates the kernel over an in-memory
 1M-row frame (cached and counted before timing) with a noop sink, in the
 shapes that matter:
 
-- ``per_row``        — the naive per-row Φ⁻¹ → K → MA chain. The fused
-  whole-stage-codegen method exceeds janino's limits, Spark falls back to
-  INTERPRETED expression evaluation, and the figure records that fallback
-  cost (the honest number for "what happens if you write it per-row").
-- ``per_row_no_wscg`` — the same chain with whole-stage codegen off:
+- ``per_row``        — the per-row Φ⁻¹ → K → MA chain as the production
+  helpers now build it: the generated-Java kernel (functions/jvm_kernel.py)
+  carries Φ/Φ⁻¹, so the stage compiles under whole-stage codegen (no janino
+  64 KB overflow) and the kernel is JIT-compiled Java — bit-identical
+  values to the pure-Column path.
+- ``per_row_pure_column`` — the round-5 shape (RWA_SPARK_JVM_KERNEL=0): the
+  fused whole-stage-codegen method exceeds janino's limits, Spark falls
+  back to INTERPRETED expression evaluation, and the figure records that
+  fallback cost (the honest number for the expression-only path).
+- ``per_row_no_wscg`` — the pure-Column chain with whole-stage codegen off:
   per-operator codegen with method splitting compiles, roughly halving
   the interpreted figure.
 - ``banded``          — the PRODUCTION shape (engine/stages/calculators.py
@@ -111,11 +116,19 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         return spark
 
-    # default session: per-row (interpreted fallback), banded, kma, floor
+    # default session: per-row (JVM kernel), pure-column fallback, banded,
+    # kma, floor
     spark = session()
     base = build_base(spark)
     med, ts = _median_of(_timed(lambda: full_chain(base)), runs)
     out["variants"]["per_row"] = {"median": round(med, 4), "runs": ts}
+
+    os.environ["RWA_SPARK_JVM_KERNEL"] = "0"
+    try:
+        med, ts = _median_of(_timed(lambda: full_chain(base)), runs)
+        out["variants"]["per_row_pure_column"] = {"median": round(med, 4), "runs": ts}
+    finally:
+        del os.environ["RWA_SPARK_JVM_KERNEL"]
 
     def banded():
         df = dictionary_apply(base, ["pd"], lambda d: with_normal_ppf(d, "pd", "g_pd"))
@@ -144,15 +157,19 @@ def main() -> None:
     out["variants"]["pump_floor"] = {"median": round(med, 4), "runs": ts}
     spark.stop()
 
-    # separate session: whole-stage codegen off (per-operator codegen
-    # compiles where the fused method cannot)
+    # separate session: pure-Column chain, whole-stage codegen off
+    # (per-operator codegen compiles where the fused method cannot)
     spark = session(**{"spark.sql.codegen.wholeStage": "false"})
     base = build_base(spark)
-    med, ts = _median_of(_timed(lambda: full_chain(base)), runs)
-    out["variants"]["per_row_no_wscg"] = {"median": round(med, 4), "runs": ts}
+    os.environ["RWA_SPARK_JVM_KERNEL"] = "0"
+    try:
+        med, ts = _median_of(_timed(lambda: full_chain(base)), runs)
+        out["variants"]["per_row_no_wscg"] = {"median": round(med, 4), "runs": ts}
+    finally:
+        del os.environ["RWA_SPARK_JVM_KERNEL"]
     spark.stop()
 
-    out["value"] = out["variants"]["per_row_no_wscg"]["median"]
+    out["value"] = out["variants"]["per_row"]["median"]
     print(json.dumps(out))
 
 
