@@ -58,6 +58,9 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
         "retail_subtype": ColumnSpec(_S),
         "is_large_financial": ColumnSpec(_B, False),
         "is_infrastructure": ColumnSpec(_B, False),
+        # PS1/26 Art.124E(1)(b) three-property limit input (ref
+        # schemas.py:615 qualifying_property_count Int32)
+        "qualifying_property_count": ColumnSpec(_I),
     },
     # ref schemas.py:310 LOAN_SCHEMA (41 cols)
     "loans": {
@@ -88,6 +91,10 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
         "is_adc": ColumnSpec(_B, False),
         "is_presold": ColumnSpec(_B, False),
         "is_other_re": ColumnSpec(_B, False),
+        # Art.124F(2): prior/pari-passu charges as a fraction of property
+        # value — reduces the loan-split secured threshold and marks the
+        # position junior when positive (ref b31_risk_weight_tables.py:526)
+        "prior_charge_ltv": ColumnSpec(_D),
     },
     # ref schemas.py:456 CONTINGENT_SCHEMA (42 cols)
     "contingents": {

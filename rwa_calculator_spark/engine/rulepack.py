@@ -510,6 +510,22 @@ B31_PACK = RulePack(
         # floors the counterparty weight at 60%
         "b31_other_re_income_rw": RuleEntry(_D("1.50"), "PS1/26 Art.124J(1)"),
         "b31_other_re_cre_floor_rw": RuleEntry(_D("0.60"), "PS1/26 Art.124J(3)(b)"),
+        # Art.124I(3) junior-charge income-CRE ABSOLUTE risk weights — they
+        # REPLACE the Art.124I(1)/(2) base bands, they are not multipliers
+        # on them (a 1.375 multiplier on the 110% >80% band would be
+        # 151.25%, a +13.75pp over-capital error; ref
+        # b31_risk_weight_tables.py:178-197)
+        "b31_cre_income_junior_rw_low": RuleEntry(_D("1.00"), "PS1/26 Art.124I(3)(a)"),
+        "b31_cre_income_junior_rw_mid": RuleEntry(_D("1.25"), "PS1/26 Art.124I(3)(b)"),
+        "b31_cre_income_junior_rw_high": RuleEntry(
+            _D("1.375"), "PS1/26 Art.124I(3)(c)"
+        ),
+        # Art.124E(1)(b): owner-occupied preferential RRE restricted to
+        # natural persons financing at most three residential properties;
+        # strictly above, the exposure is materially dependent on property
+        # cash flows (Art.124E(2)) and re-routes to the Art.124G
+        # income-producing whole-loan track (ref packs/b31.py:1242-1248)
+        "b31_rre_three_property_limit": RuleEntry(_D("3"), "PS1/26 Art.124E(1)(b)"),
         "large_corporate_revenue_threshold": RuleEntry(
             _D("440000000"), "PS1/26 Art.147(4C)(b)(ii) (GBP 440m native)"
         ),

@@ -504,8 +504,36 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             )
 
         commercial = _flag("is_commercial_re")
-        income = _flag("is_income_producing")
-        junior = _flag("is_junior_lien")
+        explicit_income = _flag("is_income_producing")
+        # Art.124E(1)(b)/(2) three-property limit: a natural person
+        # financing strictly more than the pack limit of residential
+        # properties is materially dependent on property cash flows and
+        # re-routes to the Art.124G income-producing whole-loan track (ref
+        # classify/attributes.py:560-598 _build_has_income_cover_expr;
+        # strict > — count 3 stays owner-occupied, 4 re-routes; null
+        # counts never breach; an explicit upstream income flag wins)
+        if (
+            "qualifying_property_count" in exp.columns
+            and "b31_rre_three_property_limit" in pack.scalars
+        ):
+            three_prop = (F.col("entity_type") == "individual") & (
+                F.coalesce(F.col("qualifying_property_count"), F.lit(0)).cast(
+                    "double"
+                )
+                > pack.lit("b31_rre_three_property_limit")
+            )
+        else:
+            three_prop = F.lit(False)
+        income = explicit_income | three_prop
+        # Art.124F(2) prior/pari-passu charges: reduce the loan-split
+        # secured threshold; a positive prior charge also marks the
+        # position junior (ref b31_risk_weight_tables.py:526 is_junior)
+        prior_chg = (
+            F.coalesce(F.col("prior_charge_ltv"), F.lit(0.0))
+            if "prior_charge_ltv" in exp.columns
+            else F.lit(0.0)
+        )
+        junior = _flag("is_junior_lien") | (prior_chg > 0)
         # Art.124K ADC (land acquisition / development / construction):
         # 150% flat; 100% only for qualifying RESIDENTIAL pre-sold —
         # commercial ADC has no pre-sold concession (ref
@@ -535,7 +563,19 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             junior & (ltv > pack.lit("b31_re_income_junior_ltv_threshold")),
             pack.lit("b31_re_income_junior_multiplier"),
         ).otherwise(F.lit(1.0))
-        cre_income_rw = _band_chain("cre_income")
+        cre_income_base = _band_chain("cre_income")
+        # Art.124I(3): junior income-CRE takes ABSOLUTE risk weights that
+        # replace the base bands (not multipliers — contrast Art.124G(2)
+        # RRE; ref b31_risk_weight_tables.py:605-613)
+        if "b31_cre_income_junior_rw_low" in pack.scalars:
+            cre_income_rw = F.when(
+                junior,
+                F.when(ltv <= F.lit(0.60), pack.lit("b31_cre_income_junior_rw_low"))
+                .when(ltv <= F.lit(0.80), pack.lit("b31_cre_income_junior_rw_mid"))
+                .otherwise(pack.lit("b31_cre_income_junior_rw_high")),
+            ).otherwise(cre_income_base)
+        else:
+            cre_income_rw = cre_income_base
         # Art.124F(1)(b)/124H(1)(b) remainder: the counterparty's own weight
         # — retail for natural persons, the CORPORATE ladder for the
         # obligor's CQS otherwise (the class-ladder join above keyed on
@@ -552,13 +592,30 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             (F.col("entity_type") == "individual") | F.col("is_managed_as_retail"),
             pack.lit("retail_rw"),
         ).otherwise(F.coalesce(F.col("_re_cp_rw"), pack.lit("unrated_corp_rw")))
-        secured_share = F.least(pack.lit("b31_re_split_cap") / ltv, F.lit(1.0))
+        # Art.124F(2): prior charges shrink the preferential secured cap
+        eff_cap = F.greatest(F.lit(0.0), pack.lit("b31_re_split_cap") - prior_chg)
+        secured_share = F.least(eff_cap / ltv, F.lit(1.0))
         split_rw = (
             F.when(commercial, pack.lit("b31_cre_split_secured_rw")).otherwise(
                 pack.lit("b31_rre_split_secured_rw")
             )
             * secured_share
             + cp_rw * (F.lit(1.0) - secured_share)
+        )
+        # Art.124H(3): general CRE to counterparties OTHER than natural
+        # persons / retail-managed SMEs takes max(60%, min(counterparty RW,
+        # Art.124I(1)/(2) BASE income RW)) instead of the loan split — so
+        # large corporates cannot reach the preferential split (ref
+        # b31_risk_weight_tables.py:631-637; the cap deliberately uses the
+        # base bands, not the Art.124I(3) junior override). The
+        # person-or-SME gate narrows to the individual/retail-managed
+        # carriers the bundle dictionary declares (the reference's
+        # non-retail-SME 85% limb needs an is_sme carrier it doesn't).
+        person_or_sme = (F.col("entity_type") == "individual") | F.coalesce(
+            F.col("is_managed_as_retail"), F.lit(False)
+        )
+        cre_h3_rw = F.greatest(
+            pack.lit("b31_cre_split_secured_rw"), F.least(cp_rw, cre_income_base)
         )
         base_rw = (
             F.when(re_row & adc & ~commercial & presold, pack.lit("b31_adc_presold_rw"))
@@ -571,6 +628,7 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             .when(re_row & other_re, cp_rw)
             .when(re_row & ltv_ok & income & commercial, cre_income_rw)
             .when(re_row & ltv_ok & income, rre_income_rw)
+            .when(re_row & ltv_ok & commercial & ~person_or_sme, cre_h3_rw)
             .when(re_row & ltv_ok, split_rw)
             .otherwise(base_rw)
         )
@@ -581,7 +639,12 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             .when(re_row & other_re & commercial, "b31_other_re_cre")
             .when(re_row & other_re, "b31_other_re_resi")
             .when(re_row & ltv_ok & income & commercial, "b31_cre_income_ltv")
-            .when(re_row & ltv_ok & income, "b31_rre_income_ltv")
+            .when(re_row & ltv_ok & explicit_income, "b31_rre_income_ltv")
+            # derived income (three-property re-route) keeps its own leg so
+            # the audit trail shows WHY the loan left the owner-occupied
+            # track (priced identically to b31_rre_income_ltv)
+            .when(re_row & ltv_ok & income, "b31_rre_three_property")
+            .when(re_row & ltv_ok & commercial & ~person_or_sme, "b31_cre_art124h3")
             .when(re_row & ltv_ok & commercial, "b31_cre_loan_split")
             .when(re_row & ltv_ok, "b31_rre_loan_split")
             .otherwise(rw_source)

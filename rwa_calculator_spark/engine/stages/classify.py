@@ -86,7 +86,6 @@ def run_classify(
     )
     cls = (
         F.when(F.col("exposure_type") == "securitisation_pool", "securitisation")
-        .when(prop, "re_secured")
         .when(F.col("entity_type") == "sovereign", "sovereign")
         # CRR Art.115(2)/(4): RGLAs on the equivalence lists are "treated
         # as exposures to the central government" — priced on the Art.114
@@ -96,6 +95,12 @@ def run_classify(
         # Art.115(1): every other RGLA takes the institution treatment
         .when(F.col("entity_type") == "rgla", "institution")
         .when(F.col("entity_type") == "institution", "institution")
+        # the RE route sits BELOW the entity-type gates: only the
+        # corporate/retail/individual book reclassifies on property
+        # security — a property-secured loan to a sovereign stays on the
+        # Art.114 ladder (the reference only flags RE reclassification
+        # candidates out of the corporate/retail book; ADVICE r5)
+        .when(prop, "re_secured")
         .when(is_retail, "retail")
         .otherwise("corporate")
     )
@@ -105,11 +110,11 @@ def run_classify(
     # `cls`, so reason and class can never disagree)
     reason = (
         F.when(F.col("exposure_type") == "securitisation_pool", "CLS_SEC_POOL")
-        .when(prop, "CLS_PROPERTY_SECURED")
         .when(F.col("entity_type") == "sovereign", "CLS_ENTITY_SOVEREIGN")
         .when(F.col("entity_type") == "rgla_sovereign", "CLS_RGLA_EQUIVALENCE")
         .when(F.col("entity_type") == "rgla", "CLS_RGLA_INSTITUTION")
         .when(F.col("entity_type") == "institution", "CLS_ENTITY_INSTITUTION")
+        .when(prop, "CLS_PROPERTY_SECURED")
         .when(
             is_retail & (F.col("entity_type") == "individual"), "CLS_RETAIL_INDIVIDUAL"
         )

@@ -124,6 +124,7 @@ def run_hierarchy(
         "is_adc",
         "is_presold",
         "is_other_re",
+        "prior_charge_ltv",
     ):
         if opt in raw.loans.columns:
             loan_cols.append(F.col(opt))
@@ -232,6 +233,14 @@ def run_hierarchy(
     if "is_large_financial" in raw.counterparties.columns:
         dim_cols.append(
             F.coalesce("is_large_financial", F.lit(False)).alias("is_large_financial")
+        )
+    # PS1/26 Art.124E(1)(b) three-property re-route input (ref
+    # schemas.py:615; consumed by the calculators RE block)
+    if "qualifying_property_count" in raw.counterparties.columns:
+        dim_cols.append(
+            F.col("qualifying_property_count").cast("int").alias(
+                "qualifying_property_count"
+            )
         )
     dim = raw.counterparties.select(*dim_cols)
 

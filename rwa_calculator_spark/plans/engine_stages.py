@@ -1512,14 +1512,18 @@ def ccf_firb_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _B31_RE_ORACLE = """
     WITH cps AS (
         SELECT c_custkey AS cp, CAST(c_custkey % 7 AS INTEGER) AS cqs,
-               (c_custkey % 2 = 0) AS is_person
+               (c_custkey % 2 = 0) AS is_person,
+               CAST(c_custkey % 6 AS INTEGER) AS prop_count
         FROM customer
     ), loans AS (
         SELECT o_orderkey AS ok, o_custkey AS cp, o_totalprice AS drawn,
                0.35 + CAST(o_orderkey % 17 AS DOUBLE) * 0.05 AS ltv,
-               (o_orderkey % 3 = 0) AS income,
+               (o_orderkey % 3 = 0) AS explicit_income,
                (o_orderkey % 4 = 0) AS commercial,
-               (o_orderkey % 5 = 0) AS junior,
+               CAST(CASE WHEN o_orderkey % 13 = 0 THEN 0.08
+                         WHEN o_orderkey % 5 = 0 THEN 0.10
+                         ELSE 0.0 END AS DOUBLE) AS prior_chg,
+               (o_orderkey % 5 = 0 OR o_orderkey % 13 = 0) AS junior,
                (o_orderkey % 7 = 0) AS adc,
                (o_orderkey % 2 = 0) AS presold,
                (o_orderkey % 11 = 0) AS other_re,
@@ -1527,12 +1531,21 @@ _B31_RE_ORACLE = """
         FROM orders
     ), j AS (
         SELECT l.*, c.cqs, c.is_person,
+               (l.explicit_income OR (c.is_person AND c.prop_count > 3))
+                   AS income,
                CASE WHEN c.is_person THEN 0.75
                     ELSE CASE coalesce(c.cqs, 0)
                          WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
                          WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
                          ELSE 1.0 END END AS cp_rw
         FROM loans l JOIN cps c ON l.cp = c.cp
+    ), shares AS (
+        SELECT *,
+               least(greatest(0.0, 0.55 - prior_chg) / ltv, 1.0)
+                   AS secured_share,
+               CASE WHEN ltv <= 0.80 THEN 1.00 ELSE 1.10 END
+                   AS cre_income_base
+        FROM j
     ), priced AS (
         SELECT *,
                CASE
@@ -1543,17 +1556,23 @@ _B31_RE_ORACLE = """
                  WHEN other_re AND commercial THEN greatest(0.60, cp_rw)
                  WHEN other_re THEN cp_rw
                  WHEN income AND commercial THEN
-                      CASE WHEN ltv <= 0.80 THEN 1.00 ELSE 1.10 END
+                      CASE WHEN junior THEN
+                           CASE WHEN ltv <= 0.60 THEN 1.00
+                                WHEN ltv <= 0.80 THEN 1.25
+                                ELSE 1.375 END
+                      ELSE cre_income_base END
                  WHEN income THEN
                       (CASE WHEN ltv <= 0.50 THEN 0.30 WHEN ltv <= 0.60 THEN 0.35
                             WHEN ltv <= 0.70 THEN 0.40 WHEN ltv <= 0.80 THEN 0.50
                             WHEN ltv <= 0.90 THEN 0.60 WHEN ltv <= 1.00 THEN 0.75
                             ELSE 1.05 END)
                       * (CASE WHEN junior AND ltv > 0.50 THEN 1.25 ELSE 1.0 END)
+                 WHEN commercial AND NOT is_person THEN
+                      greatest(0.60, least(cp_rw, cre_income_base))
                  ELSE
                       (CASE WHEN commercial THEN 0.60 ELSE 0.20 END)
-                          * least(0.55 / ltv, 1.0)
-                      + cp_rw * (1.0 - least(0.55 / ltv, 1.0))
+                          * secured_share
+                      + cp_rw * (1.0 - secured_share)
                END AS rw,
                CASE
                  WHEN is_defaulted THEN 'sa_defaulted_secured'
@@ -1563,11 +1582,13 @@ _B31_RE_ORACLE = """
                  WHEN other_re AND commercial THEN 'b31_other_re_cre'
                  WHEN other_re THEN 'b31_other_re_resi'
                  WHEN income AND commercial THEN 'b31_cre_income_ltv'
-                 WHEN income THEN 'b31_rre_income_ltv'
+                 WHEN explicit_income THEN 'b31_rre_income_ltv'
+                 WHEN income THEN 'b31_rre_three_property'
+                 WHEN commercial AND NOT is_person THEN 'b31_cre_art124h3'
                  WHEN commercial THEN 'b31_cre_loan_split'
                  ELSE 'b31_rre_loan_split'
                END AS rw_source
-        FROM j
+        FROM shares
     )
     SELECT rw_source, count(*) AS n_exposures,
            sum(CAST(round(drawn * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
@@ -1585,10 +1606,17 @@ def sa_b31_re_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     b31.py:1283-1308): property-secured loans route to the RE class via
     the loader-declared carrier (CLS_PROPERTY_SECURED); income-producing
     rows price WHOLE-LOAN off the Art.124G Table 6B / Art.124I LTV bands
-    with the Art.124G(2) junior ×1.25 above 50% LTV; general rows
-    loan-split — secured up to 55% of property value at 20% RRE / 60% CRE,
-    remainder at the counterparty's own weight (retail 75% for persons,
-    the corporate CQS ladder otherwise); Art.124K ADC rows take 150% flat
+    with the Art.124G(2) junior ×1.25 above 50% LTV and the Art.124I(3)
+    junior income-CRE ABSOLUTE weights (1.00/1.25/1.375 replacing the base
+    bands); natural persons financing more than three residential
+    properties re-route to the income track (Art.124E(1)(b)/(2), distinct
+    `b31_rre_three_property` audit leg); general rows loan-split — secured
+    up to the Art.124F(2) prior-charge-reduced 55% of property value at
+    20% RRE / 60% CRE, remainder at the counterparty's own weight (retail
+    75% for persons, the corporate CQS ladder otherwise) — EXCEPT general
+    CRE to non-person/non-retail-SME counterparties, which takes the
+    Art.124H(3) max(60%, min(cp RW, Art.124I base)) so large corporates
+    cannot reach the split; Art.124K ADC rows take 150% flat
     with the 100% residential pre-sold concession (no CRE concession);
     Art.124J non-qualifying "other" RE prices income-dependent 150% flat,
     non-dependent RESI at the counterparty weight with no floor, and
@@ -1611,6 +1639,7 @@ def sa_b31_re_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % 2 == 0).alias("is_managed_as_retail"),
         F.lit(0.0).alias("annual_revenue"),
         F.lit(False).alias("has_irb_permission"),
+        (F.col("c_custkey") % 6).cast("int").alias("qualifying_property_count"),
     )
     loans = o.select(
         F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
@@ -1630,6 +1659,10 @@ def sa_b31_re_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 7 == 0).alias("is_adc"),
         (F.col("o_orderkey") % 2 == 0).alias("is_presold"),
         (F.col("o_orderkey") % 11 == 0).alias("is_other_re"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(0.08))
+        .when(F.col("o_orderkey") % 5 == 0, F.lit(0.10))
+        .otherwise(F.lit(0.0))
+        .alias("prior_charge_ltv"),
     )
     out = run_pipeline(
         RawBundle(counterparties=cps, loans=loans),

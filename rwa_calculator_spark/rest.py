@@ -313,7 +313,15 @@ class RwaApi:
             sheets = tuple((t, q) for t, q in WORKBOOK_SHEETS if t in want)
             if not sheets:
                 return 400, {"error": f"no such templates: {sorted(want)}"}
-        out = os.path.join(tempfile.gettempdir(), "corep_workbook.xlsx")
+        # per-request file name: a shared fixed path would let concurrent
+        # requests (or two servers on one host) clobber each other's
+        # workbook mid-download (ADVICE r5; export_xlsx's job-scoped paths
+        # are the model)
+        import uuid
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"corep_workbook_{uuid.uuid4().hex}.xlsx"
+        )
         path = export_corep_workbook(self.spark, self.sf_dir, out, sheets)
         return 200, {
             "path": path,

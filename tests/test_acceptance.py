@@ -764,25 +764,48 @@ def test_saccr_alpha_carve_out(ciu_wwr_rows):
 def b31_re_rows(spark):
     cps = spark.createDataFrame(
         [
-            ("CP_R1", "individual", 0, True, 0.0, False),   # natural person
-            ("CP_R2", "corporate", 2, False, 0.0, False),   # CQS2 corporate
+            # natural person; no property count declared
+            ("CP_R1", "individual", 0, True, 0.0, False, None),
+            # CQS2 corporate
+            ("CP_R2", "corporate", 2, False, 0.0, False, None),
+            # natural person financing FOUR residential properties —
+            # breaches the Art.124E(1)(b) limit of three
+            ("CP_R3", "individual", 0, True, 0.0, False, 4),
+            # natural person at exactly the limit — stays owner-occupied
+            ("CP_R4", "individual", 0, True, 0.0, False, 3),
+            # CQS5 corporate (150% ladder weight)
+            ("CP_R5", "corporate", 5, False, 0.0, False, None),
         ],
         "counterparty_reference string, entity_type string, cqs int, "
-        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+        "is_managed_as_retail boolean, annual_revenue double, "
+        "has_irb_permission boolean, qualifying_property_count int",
     )
     loans = spark.createDataFrame(
         [
-            # ref, cp, drawn, ltv, income, commercial, junior, adc, presold
-            ("L_INC", "CP_R1", 1000.0, 0.65, True, False, False, False, False),
-            ("L_JUN", "CP_R1", 1000.0, 0.65, True, False, True, False, False),
-            ("L_SPL", "CP_R1", 1000.0, 1.10, False, False, False, False, False),
-            ("L_CSP", "CP_R2", 1000.0, 1.10, False, True, False, False, False),
-            ("L_ADC", "CP_R2", 1000.0, 0.80, False, False, False, True, False),
-            ("L_ADP", "CP_R2", 1000.0, 0.80, False, False, False, True, True),
+            # ref, cp, drawn, ltv, income, commercial, junior, adc, presold, prior
+            ("L_INC", "CP_R1", 1000.0, 0.65, True, False, False, False, False, 0.0),
+            ("L_JUN", "CP_R1", 1000.0, 0.65, True, False, True, False, False, 0.0),
+            ("L_SPL", "CP_R1", 1000.0, 1.10, False, False, False, False, False, 0.0),
+            ("L_CSP", "CP_R2", 1000.0, 1.10, False, True, False, False, False, 0.0),
+            ("L_ADC", "CP_R2", 1000.0, 0.80, False, False, False, True, False, 0.0),
+            ("L_ADP", "CP_R2", 1000.0, 0.80, False, False, False, True, True, 0.0),
+            # person CRE general — keeps the Art.124H(1-2) loan split
+            ("L_CSP2", "CP_R1", 1000.0, 1.10, False, True, False, False, False, 0.0),
+            # three-property re-route (count 4) vs at-limit (count 3)
+            ("L_3P4", "CP_R3", 1000.0, 0.65, False, False, False, False, False, 0.0),
+            ("L_3P3", "CP_R4", 1000.0, 1.10, False, False, False, False, False, 0.0),
+            # Art.124I(3) junior income-CRE absolute weights
+            ("L_CJN", "CP_R2", 1000.0, 0.65, True, True, True, False, False, 0.0),
+            ("L_CJH", "CP_R2", 1000.0, 0.85, True, True, True, False, False, 0.0),
+            # Art.124H(3) with a cp weight between floor and income cap
+            ("L_CH3", "CP_R5", 1000.0, 1.10, False, True, False, False, False, 0.0),
+            # Art.124F(2): prior charge shrinks the RRE split threshold
+            ("L_PRI", "CP_R1", 1000.0, 1.10, False, False, False, False, False, 0.30),
         ],
         "loan_reference string, counterparty_reference string, drawn_amount double, "
         "ltv double, is_income_producing boolean, is_commercial_re boolean, "
-        "is_junior_lien boolean, is_adc boolean, is_presold boolean",
+        "is_junior_lien boolean, is_adc boolean, is_presold boolean, "
+        "prior_charge_ltv double",
     ).selectExpr(
         "loan_reference", "counterparty_reference", "drawn_amount",
         "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
@@ -790,6 +813,7 @@ def b31_re_rows(spark):
         "CAST(NULL AS DOUBLE) AS effective_maturity",
         "true AS is_property_secured", "ltv", "is_income_producing",
         "is_commercial_re", "is_junior_lien", "is_adc", "is_presold",
+        "prior_charge_ltv",
     )
     out = run_pipeline(
         RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=B31_PACK)
@@ -823,13 +847,71 @@ def test_b31_rre_general_loan_split(b31_re_rows):
     assert r.rwa == pytest.approx(475.0)
 
 
-def test_b31_cre_general_loan_split(b31_re_rows):
-    # Art.124H: CRE split — secured 0.50 at 60%; remainder at the
-    # corporate CQS2 ladder weight 50%. RW = 0.5×0.60 + 0.5×0.50 = 0.55.
+def test_b31_cre_art124h3_corporate_no_split(b31_re_rows):
+    # Art.124H(3): general CRE to a CORPORATE cannot loan-split — it takes
+    # max(60%, min(counterparty RW, Art.124I base income RW)). CQS2 carries
+    # 50%, income base at LTV 1.10 is 110% → min = 50%, floored at 60%.
+    # (The split would have given 0.5×0.60 + 0.5×0.50 = 55% — the ADVICE-r5
+    # capital under-weight this scenario pins shut.)
     r = b31_re_rows["L_CSP"]
+    assert r.rw_source == "b31_cre_art124h3"
+    assert r.risk_weight == pytest.approx(0.60)
+    assert r.rwa == pytest.approx(600.0)
+
+
+def test_b31_cre_art124h3_between_floor_and_cap(b31_re_rows):
+    # Art.124H(3) with CQS5 (150%): min(1.50, income base 1.10) = 1.10,
+    # above the 60% floor → 110%.
+    r = b31_re_rows["L_CH3"]
+    assert r.rw_source == "b31_cre_art124h3"
+    assert r.risk_weight == pytest.approx(1.10)
+
+
+def test_b31_cre_general_loan_split_person(b31_re_rows):
+    # Art.124H(1-2): a natural person DOES loan-split — secured 0.50 at
+    # 60%; remainder at the person's retail 75%.
+    # RW = 0.5×0.60 + 0.5×0.75 = 0.675.
+    r = b31_re_rows["L_CSP2"]
     assert r.rw_source == "b31_cre_loan_split"
-    assert r.risk_weight == pytest.approx(0.55)
-    assert r.rwa == pytest.approx(550.0)
+    assert r.risk_weight == pytest.approx(0.675)
+
+
+def test_b31_three_property_reroute(b31_re_rows):
+    # Art.124E(1)(b)/(2): a natural person financing FOUR residential
+    # properties is materially dependent on property cash flows — the
+    # general RRE loan re-routes to the Art.124G income-producing
+    # whole-loan track: LTV 0.65 → band (0.60, 0.70] → 40% whole-loan,
+    # with its own audit leg.
+    r = b31_re_rows["L_3P4"]
+    assert r.rw_source == "b31_rre_three_property"
+    assert r.risk_weight == pytest.approx(0.40)
+    assert r.rwa == pytest.approx(400.0)
+
+
+def test_b31_three_property_at_limit_stays_split(b31_re_rows):
+    # Boundary is strict >3: exactly three financed properties keeps the
+    # owner-occupied Art.124F loan split (0.5×0.20 + 0.5×0.75 = 0.475).
+    r = b31_re_rows["L_3P3"]
+    assert r.rw_source == "b31_rre_loan_split"
+    assert r.risk_weight == pytest.approx(0.475)
+
+
+def test_b31_cre_income_junior_absolute(b31_re_rows):
+    # Art.124I(3): junior income-CRE takes ABSOLUTE weights replacing the
+    # base bands — LTV 0.65 → 125% (not base 100% and not 100%×1.25 via a
+    # multiplier reading); LTV 0.85 → 137.5% (not 110%×1.375 = 151.25%).
+    assert b31_re_rows["L_CJN"].rw_source == "b31_cre_income_ltv"
+    assert b31_re_rows["L_CJN"].risk_weight == pytest.approx(1.25)
+    assert b31_re_rows["L_CJH"].risk_weight == pytest.approx(1.375)
+
+
+def test_b31_prior_charge_shrinks_split_threshold(b31_re_rows):
+    # Art.124F(2): a 30% prior charge reduces the preferential threshold to
+    # 25% of property value: secured share = 0.25/1.10, RW =
+    # (0.25/1.1)×0.20 + (1 − 0.25/1.1)×0.75 = 0.625 (vs 0.475 unreduced).
+    r = b31_re_rows["L_PRI"]
+    assert r.rw_source == "b31_rre_loan_split"
+    assert r.risk_weight == pytest.approx(0.625)
 
 
 def test_b31_adc_flat_and_presold(b31_re_rows):
