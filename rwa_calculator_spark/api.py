@@ -46,9 +46,19 @@ class CalculationResponse:
         return self.spark.read.parquet(path)
 
     def export_csv(self, out_dir: str) -> str:
-        """Results ledger as CSV (ref api/export.py:88-473)."""
+        """Results ledger as CSV (ref api/export.py:88-473). List-typed
+        audit carriers (collateral_references/types) flatten to
+        ';'-delimited strings — the CSV datasource cannot carry arrays,
+        and the reference's CSV exporter does the same join-on-export."""
+        from pyspark.sql import functions as F  # noqa: N812
+        from pyspark.sql import types as T
+
+        df = self.scan_results()
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.ArrayType):
+                df = df.withColumn(f.name, F.concat_ws(";", F.col(f.name)))
         path = os.path.join(out_dir, "results_csv")
-        self.scan_results().write.mode("overwrite").option("header", True).csv(path)
+        df.write.mode("overwrite").option("header", True).csv(path)
         return path
 
     def export_summary_json(self, dimension: str) -> str:
@@ -209,6 +219,10 @@ class CreditRiskCalc:
             "rulepack_hash": self.pack.content_hash(),
             "reporting_entity": reporting_entity,
             "edges": edges,
+            # per-stage plan-build wall-ms (driver-side Catalyst cost; the
+            # reference's per-stage EdgeEvent timings) — execution cost is
+            # on the seal edges above
+            "stages": out.stage_wall_ms or {},
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
         with open(os.path.join(self.cache_dir, "manifest.json"), "w") as f:

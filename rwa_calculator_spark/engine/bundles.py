@@ -129,3 +129,9 @@ class AggregatedOutput:
     # every stage (ref engine/pipeline.py:337-370 error-channel merge;
     # schema at stages/scope.py ERRORS_SCHEMA). None when no stage emitted.
     errors: Optional[DataFrame] = None
+    # per-stage PLAN-BUILD wall-ms (ref engine/materialise.py:74-98
+    # EdgeEvent wall-ms per stage edge). Spark's fold is lazy, so this
+    # records driver-side Catalyst construction/analysis cost per stage —
+    # the real per-stage driver expense on 960-`when` plans; execution cost
+    # lands on the seal-edge events in the run manifest (api.py _seal).
+    stage_wall_ms: Optional[dict] = None

@@ -165,10 +165,25 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
         extra.append(sft_exposures(raw.sft_trades, config.pack))
 
+    # per-stage plan-build wall-ms (the reference's per-edge EdgeEvent
+    # wall-ms, engine/materialise.py:74-98; here the driver-side Catalyst
+    # cost per stage — execution cost lands on the seal-edge manifest
+    # events)
+    import time as _time
+
+    timings: dict[str, float] = {}
+
+    def _mark(name: str, t0: float) -> None:
+        timings[name] = round((_time.perf_counter() - t0) * 1e3, 1)
+
+    _t = _time.perf_counter()
     h = run_hierarchy(raw, config.pack, extra_exposures=extra or None)
+    _mark("hierarchy", _t)
     if config.audit_sink is not None:
         config.audit_sink("unified_exposures", h.exposures)
+    _t = _time.perf_counter()
     classified = run_classify(h, config.pack, threshold_scale=threshold_scale)
+    _mark("classify", _t)
 
     # --- model-permission approach routing (ref classify/permissions.py +
     # approach.py: per-model AIRB/FIRB/slotting grants with SA-precedence
@@ -187,9 +202,11 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
     if config.audit_sink is not None:
         config.audit_sink("classified_exposures", classified.exposures)
+    _t = _time.perf_counter()
     crm = run_crm(
         raw, classified, config.pack, collateral_method=config.collateral_method
     )
+    _mark("crm", _t)
     if config.audit_sink is not None:
         config.audit_sink("post_crm_exposures", crm.exposures)
 
@@ -197,7 +214,9 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
     # engine/stages/re_split/splitter.py:323, between CRM and calculators) -
     from rwa_calculator_spark.engine.stages.re_split import run_re_split
 
+    _t = _time.perf_counter()
     crm = run_re_split(crm, raw, config.pack)
+    _mark("re_split", _t)
 
     exposures = crm.exposures
     if config.persist_edges:
@@ -206,6 +225,7 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
         crm = CRMOutput(exposures=exposures)
 
+    _t = _time.perf_counter()
     branches = [
         run_sa(crm, config.pack, threshold_scale=threshold_scale),
         run_irb(crm, config.pack, dictionary=config.irb_dictionary),
@@ -227,9 +247,14 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
         branches.append(run_settlement(raw.failed_trades, config.pack))
 
+    _mark("calculators", _t)
+
     errors = None
     for frame in (all_errors, scope_errors, wwr_errors, perm_errors):
         if frame is None:
             continue
         errors = frame if errors is None else errors.unionByName(frame)
-    return run_aggregate(*branches, pack=config.pack, errors=errors)
+    _t = _time.perf_counter()
+    out = run_aggregate(*branches, pack=config.pack, errors=errors)
+    _mark("aggregate", _t)
+    return replace(out, stage_wall_ms=timings)

@@ -133,6 +133,19 @@ _RESULT_COLS = [
     # WHY the approach routed as it did (permission diagnostic where the
     # model-permission stage ran, branch rule otherwise — calculators)
     "approach_reason",
+    # round-6 widening (ref data/schemas.py:2954-2955, :3098-3100):
+    # WHICH collateral items secured the row (sorted, duplicate-free —
+    # deterministic under shuffle; crm stage), and the CRR Art.153(3)/
+    # 202-203 double-default decomposition — the Art.202 eligibility gate
+    # outcome, the guaranteed portion under DD (COREP C 08.01 col 0220),
+    # and the LGD the DD formula used (the obligor's own — DD modifies K
+    # through PD_g, never LGD). CRR-only: B3.1 rows carry the honest
+    # false/null (PS1/26 did not onshore double default).
+    "collateral_references",
+    "collateral_types",
+    "is_double_default_eligible",
+    "double_default_unfunded_protection",
+    "irb_lgd_double_default",
 ]
 
 # exposure_type → CMS1-style risk-type discriminator (ref
@@ -191,6 +204,11 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("ccf_source", "string"),
         ("guarantor_reference", "string"),
         ("approach_reason", "string"),
+        ("collateral_references", "array<string>"),
+        ("collateral_types", "array<string>"),
+        ("is_double_default_eligible", "boolean"),
+        ("double_default_unfunded_protection", "double"),
+        ("irb_lgd_double_default", "double"),
     ):
         if name not in exp.columns:
             exp = exp.withColumn(name, F.lit(None).cast(dtype))
@@ -361,6 +379,10 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
             )
             guarantor_rw = F.when(dd_applies, rw_dd).otherwise(guarantor_rw)
             method = F.when(dd_applies, F.lit("dd")).otherwise(method)
+            # eligibility carrier staged here (where the gate is known);
+            # the APPLIED carriers seal after the Art.193(1) benefit test
+            # below, which can still decline the guarantee
+            perf = perf.withColumn("_dd_elig", dd_elig)
 
     perf = (
         perf.withColumn("_g_rw", guarantor_rw)
@@ -381,6 +403,29 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
             F.col("_g_ben"), F.concat(F.col("rw_source"), F.lit("+g"), F.col("_g_method"))
         ).otherwise(F.col("rw_source")),
     )
+
+    # double-default audit carriers (ref CALCULATION_OUTPUT_SCHEMA
+    # :3098-3100): eligibility is the Art.202/203 gate outcome; the applied
+    # carriers seal only where DD actually priced the row (benefit test
+    # passed AND the DD K beat substitution) — the guaranteed portion
+    # (g × EAD, the COREP 0220 figure) and the LGD the DD formula used
+    # (= the obligor's own floored LGD; DD modifies K through PD_g, not LGD)
+    if "_dd_elig" in perf.columns:
+        dd_on = F.col("_g_ben") & (F.col("_g_method") == "dd")
+        perf = (
+            perf.withColumn(
+                "is_double_default_eligible",
+                F.coalesce(F.col("_dd_elig"), F.lit(False)),
+            )
+            .withColumn(
+                "double_default_unfunded_protection",
+                F.when(dd_on, g * F.col("ead_after_crm")),
+            )
+            .withColumn(
+                "irb_lgd_double_default", F.when(dd_on, F.col("lgd_floored"))
+            )
+            .drop("_dd_elig")
+        )
 
     if has_gpd:
         el = (

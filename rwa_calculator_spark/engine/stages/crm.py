@@ -446,6 +446,11 @@ def run_crm(
         mv = F.coalesce("market_value", F.lit(0.0))
         coll = fin_coll.select(
             "collateral_reference",
+            (
+                F.col("collateral_type")
+                if "collateral_type" in fin_coll.columns
+                else F.lit(None).cast("string")
+            ).alias("_coll_type"),
             resid.alias("_coll_maturity"),
             (mv * (1 - hc_eff) * (1 - fxh)).alias("adjusted_value"),
             # haircut decomposition carriers (ref the reference's 162-col
@@ -497,6 +502,16 @@ def run_crm(
             F.sum(F.col("_quality_loss") * F.col("_share")).alias("haircut_quality"),
             F.sum(F.col("_fx_loss") * F.col("_share")).alias("haircut_fx"),
             F.sum("_mm_loss").alias("haircut_maturity_mismatch"),
+            # ledger carriers (ref CALCULATION_OUTPUT_SCHEMA
+            # collateral_references / collateral_types, data/schemas.py:
+            # 2954-2955): WHICH items secured the row. sort_array +
+            # collect_set for a deterministic, duplicate-free list — same
+            # audit answer, stable value hash (collect order is
+            # shuffle-dependent otherwise); nulls (undeclared types) drop.
+            F.sort_array(F.collect_set("collateral_reference")).alias(
+                "collateral_references"
+            ),
+            F.sort_array(F.collect_set("_coll_type")).alias("collateral_types"),
         )
         exp = exp.join(per_exposure, "exposure_reference", "left")
         for c in (
@@ -507,6 +522,10 @@ def run_crm(
             "haircut_maturity_mismatch",
         ):
             exp = exp.withColumn(c, F.coalesce(c, F.lit(0.0)))
+        for c in ("collateral_references", "collateral_types"):
+            exp = exp.withColumn(
+                c, F.coalesce(c, F.array().cast("array<string>"))
+            )
     else:
         exp = exp.withColumn("collateral_value", F.lit(0.0))
         for c in (
@@ -516,6 +535,8 @@ def run_crm(
             "haircut_maturity_mismatch",
         ):
             exp = exp.withColumn(c, F.lit(0.0))
+        for c in ("collateral_references", "collateral_types"):
+            exp = exp.withColumn(c, F.array().cast("array<string>"))
 
     # FCCM: effective exposure after collateral (capped at zero)
     exp = exp.withColumn(

@@ -134,7 +134,8 @@ _SQL_C08_COLS = f"""
                AS defaulted_rwea_0265,
            {sql_scaled_sum('sa_equiv', 2)} AS sa_equiv_rwea_0276,
            {sql_scaled_sum('el', 2)} AS expected_loss_0280,
-           count(DISTINCT cp_key) AS n_obligors_0300"""
+           count(DISTINCT cp_key) AS n_obligors_0300,
+           {sql_scaled_sum('0.0', 2)} AS dd_unfunded_0220"""
 
 _C08_01_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_C08_LEDGER + f"""
     SELECT exposure_class AS row_label,{_SQL_C08_COLS}
@@ -175,6 +176,16 @@ def _c08_value_aggs() -> list[Column]:
         scaled_sum(F.col("rwa_sa_equivalent"), 2).alias("sa_equiv_rwea_0276"),
         scaled_sum(F.col("expected_loss"), 2).alias("expected_loss_0280"),
         F.countDistinct("counterparty_reference").alias("n_obligors_0300"),
+        # col 0220 "of which: with double default" unfunded protection —
+        # sealed from the ledger's double_default_unfunded_protection
+        # carrier (ref data/schemas.py:3099 "→ COREP 0220"). The star book
+        # writes no guarantees, so the column foots to zero BY DERIVATION
+        # on both engines (the oracle's ledger re-derivation carries no
+        # guarantee channel); the carrier arithmetic itself is
+        # oracle-proven by `irb_double_default_ledger`.
+        scaled_sum(
+            F.coalesce(F.col("double_default_unfunded_protection"), F.lit(0.0)), 2
+        ).alias("dd_unfunded_0220"),
     ]
 
 

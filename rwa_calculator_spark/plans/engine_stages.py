@@ -981,8 +981,10 @@ def sa_sovereign_derived_unrated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # totals use the fixed-point scaled_sum.
 # ---------------------------------------------------------------------------
 
-def _irb_guarantee_oracle() -> str:
-    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+def _irb_guarantee_cte() -> str:
+    """The shared WITH-chain (base → s8) of the guarantee oracles: the full
+    independent re-derivation of SA substitution / PD substitution / double
+    default / the Art.193(1) benefit gate over the blend book."""
     from rwa_calculator_spark.functions.irb import (
         sql_capital_k_r,
         sql_correlation,
@@ -1058,7 +1060,15 @@ def _irb_guarantee_oracle() -> str:
         SELECT *, (g > 0 AND grw IS NOT NULL AND grw < rw_own) AS ben,
                ((pd_fl * lgd) * ead) AS el_own
         FROM s7
-    ), s9 AS (
+    )
+    """
+
+
+def _irb_guarantee_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+
+    return _irb_guarantee_cte() + f"""
+    , s9 AS (
         SELECT band_pd, g_class, g_cqs, band_gpd, sen, ead,
                CASE WHEN ben THEN (((1.0 - g) * rw_own) + (g * grw))
                     ELSE rw_own END AS rw_final,
@@ -1094,8 +1104,33 @@ def irb_guarantee_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rwa_calculator_spark.engine.stages.calculators import run_irb
     from rwa_calculator_spark.functions.exact import scaled_sum
 
+    exp = _irb_guarantee_book(spark, sf_dir)
+    keys = exp.select(
+        "exposure_reference", "band_pd", "g_class", "g_cqs", "band_gpd",
+        F.col("guarantor_seniority").alias("sen"),
+    )
+    # the round-4 ledger carries g_class as an audit column — drop the
+    # ledger copy and group on the banding frame's own carrier
+    res = run_irb(CRMOutput(exposures=exp.drop("band_pd", "band_gpd")), CRR_PACK).results
+    r = res.drop("g_class").join(keys, "exposure_reference")
+    return r.groupBy("band_pd", "g_class", "g_cqs", "band_gpd", "sen").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("risk_weight"), 8).alias("rw"),
+        F.round(F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2).alias("rwa"),
+        F.round(
+            F.min(F.col("expected_loss") / F.col("ead_after_crm"))
+            * scaled_sum(F.col("ead_after_crm"), 2),
+            2,
+        ).alias("el_amt"),
+        F.min("rw_source").alias("src"),
+    )
+
+
+def _irb_guarantee_book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared guarantee/double-default synthetic book (blend + DD
+    carrier queries; oracle twin in _irb_guarantee_cte)."""
     o = load_table(spark, sf_dir, "orders")
-    exp = o.select(
+    return o.select(
         F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
         F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
         F.lit("corporate").alias("exposure_class"),
@@ -1131,24 +1166,65 @@ def irb_guarantee_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("band_gpd"),
     )
-    keys = exp.select(
-        "exposure_reference", "band_pd", "g_class", "g_cqs", "band_gpd",
-        F.col("guarantor_seniority").alias("sen"),
-    )
-    # the round-4 ledger carries g_class as an audit column — drop the
-    # ledger copy and group on the banding frame's own carrier
+
+
+def _irb_dd_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+
+    applied = "(ben AND method = 'dd')"
+    return _irb_guarantee_cte() + f"""
+    SELECT ((g_class IN ('institution', 'sovereign')
+             OR (g_class = 'corporate' AND g_cqs <= 2))
+            AND gpd IS NOT NULL AND sub = 'airb' AND g > 0) AS dd_eligible,
+           {applied} AS dd_applied,
+           g_class,
+           count(*) AS n_rows,
+           {sql_scaled_sum(f"CASE WHEN {applied} THEN g * ead ELSE 0.0 END", 2)}
+               AS protected_0220,
+           {sql_scaled_sum(f"CASE WHEN {applied} THEN lgd * ead ELSE 0.0 END", 2)}
+               AS lgd_dd_wsum
+    FROM s8
+    GROUP BY 1, 2, 3
+    """
+
+
+@query(
+    "irb_double_default_ledger",
+    oracle=_irb_dd_oracle(),
+    tags=("engine", "irb", "tolerant"),
+)
+def irb_double_default_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR Art.153(3)/202-203 double-default AUDIT CARRIERS, sealed by the
+    real IRB calculator (ref CALCULATION_OUTPUT_SCHEMA
+    is_double_default_eligible / double_default_unfunded_protection /
+    irb_lgd_double_default, data/schemas.py:3098-3100): the Art.202
+    eligibility gate outcome; the guaranteed portion (coverage × EAD — the
+    COREP C 08.01 col 0220 figure) sealed only where DD actually PRICED the
+    row (the Art.193(1) benefit test passed and the DD K beat
+    substitution); and the LGD the DD formula used (the obligor's own — DD
+    modifies K through PD_g, never LGD). Grouped by (eligibility, applied,
+    guarantor class) so every carrier combination foots against the
+    oracle's independent re-derivation."""
+    from rwa_calculator_spark.engine.bundles import CRMOutput
+    from rwa_calculator_spark.engine.stages.calculators import run_irb
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    exp = _irb_guarantee_book(spark, sf_dir)
     res = run_irb(CRMOutput(exposures=exp.drop("band_pd", "band_gpd")), CRR_PACK).results
-    r = res.drop("g_class").join(keys, "exposure_reference")
-    return r.groupBy("band_pd", "g_class", "g_cqs", "band_gpd", "sen").agg(
+    return res.groupBy(
+        F.col("is_double_default_eligible").alias("dd_eligible"),
+        F.col("double_default_unfunded_protection").isNotNull().alias("dd_applied"),
+        F.col("g_class"),
+    ).agg(
         F.count("*").alias("n_rows"),
-        F.round(F.min("risk_weight"), 8).alias("rw"),
-        F.round(F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2).alias("rwa"),
-        F.round(
-            F.min(F.col("expected_loss") / F.col("ead_after_crm"))
-            * scaled_sum(F.col("ead_after_crm"), 2),
+        scaled_sum(
+            F.coalesce(F.col("double_default_unfunded_protection"), F.lit(0.0)), 2
+        ).alias("protected_0220"),
+        scaled_sum(
+            F.coalesce(F.col("irb_lgd_double_default"), F.lit(0.0))
+            * F.col("ead_after_crm"),
             2,
-        ).alias("el_amt"),
-        F.min("rw_source").alias("src"),
+        ).alias("lgd_dd_wsum"),
     )
 
 
