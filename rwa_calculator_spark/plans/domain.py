@@ -448,9 +448,12 @@ def report_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _grammar_oracle() -> str:
-    from rwa_calculator_spark.reporting_grammar_catalog import catalogue_oracle_sql
+    from rwa_calculator_spark.reporting_grammar_catalog import (
+        scoped_catalogue_oracle_sql,
+    )
+    from rwa_calculator_spark.reporting_scope import FULL_SUBMISSION
 
-    return catalogue_oracle_sql()
+    return scoped_catalogue_oracle_sql(FULL_SUBMISSION)
 
 
 @query(
@@ -473,10 +476,46 @@ def report_validation_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Interval rules take the rounding tolerance; if/then conditionals are
     refused by name, never approximated. The oracle is COMPILED from the
     same parse (reporting_grammar.rules_oracle_sql) in the evaluator's own
-    cell-traversal order, so Python and DuckDB agree bit-for-bit."""
-    from rwa_calculator_spark.reporting_grammar_catalog import grammar_outcomes
+    cell-traversal order, so Python and DuckDB agree bit-for-bit. Rows
+    carry the scope verdict of the FULL submission (every filing module
+    filed — all in scope); `report_validation_scope` exercises the reduced
+    filing."""
+    from rwa_calculator_spark.reporting_grammar_catalog import scoped_grammar_outcomes
+    from rwa_calculator_spark.reporting_scope import FULL_SUBMISSION
 
-    return grammar_outcomes(spark, sf_dir)
+    return scoped_grammar_outcomes(spark, sf_dir, FULL_SUBMISSION)
+
+
+def _scope_oracle() -> str:
+    from rwa_calculator_spark.reporting_grammar_catalog import (
+        scoped_catalogue_oracle_sql,
+    )
+    from rwa_calculator_spark.reporting_scope import COREP_ONLY_SUBMISSION
+
+    return scoped_catalogue_oracle_sql(COREP_ONLY_SUBMISSION)
+
+
+@query(
+    "report_validation_scope",
+    oracle=_scope_oracle(),
+    tags=("domain", "reporting", "validation"),
+)
+def report_validation_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-rule SCOPING under a reduced filing (ref
+    reporting/validations/scope.py — per-template applicability + module
+    filing scope): the same grammar catalogue evaluated for a submission
+    that files ONLY the COREP own-funds module. Every rule referencing the
+    Pillar 3 CR04 table — including the cross-module population ties where
+    only one side is filed (the reference's prerequisite-table skip) —
+    emits exactly one NOT_IN_SCOPE row naming the unfiled module, and is
+    NEVER handed to the evaluator (NOT_IN_SCOPE ≠ NOT_EVALUATED: "not
+    applicable to this filing" vs "applicable but this estate couldn't run
+    it"). The oracle derives the same scope verdict IN SQL from the
+    (rule, template) reference pairs and the module map."""
+    from rwa_calculator_spark.reporting_grammar_catalog import scoped_grammar_outcomes
+    from rwa_calculator_spark.reporting_scope import COREP_ONLY_SUBMISSION
+
+    return scoped_grammar_outcomes(spark, sf_dir, COREP_ONLY_SUBMISSION)
 
 
 @query(

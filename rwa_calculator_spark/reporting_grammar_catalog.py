@@ -297,6 +297,118 @@ def _generated_rules() -> tuple[GrammarRule, ...]:
                 f" + {{C08.01, r{r}, c0010}})) <= 0.01",
             )
         )
+    # BoE-syntax twins for EVERY flat-estate sign rule (the published
+    # lists state identities once per publisher — boe_b0752/boe_b0814
+    # restate EBA v-rules keyed; the C 02.00 block above started the
+    # pattern, the round-6 widening completes it template-wide)
+    for t, r, c in flat_cells:
+        if t == "C02.00":
+            continue  # stated above
+        tkey = t.replace(".", "")
+        out.append(
+            GrammarRule(
+                f"v_sign_boe_{tkey}_r{r}_c{c}", "BOE",
+                f"{{t: {t}, r: {r}, c: {c}}} >= 0",
+            )
+        )
+    # publisher-syntax consistency ties: the SAME cell referenced in both
+    # grammars inside one formula must compare equal exactly (Point — one
+    # cell read twice can never differ); exercises mixed-syntax parsing
+    for t, r, c in flat_cells:
+        tkey = t.replace(".", "")
+        out.append(
+            GrammarRule(
+                f"v_syntax_tie_{tkey}_r{r}_c{c}", "EBA",
+                f"{{{t}, r{r}, c{c}}} = {{t: {t}, r: {r}, c: {c}}}",
+                arithmetic=ARITHMETIC_POINT,
+            )
+        )
+    # geography cross-template equality: the C 09.01 per-region EAD rows
+    # index the same populations as the C 09.02 z-axis sheets (ref
+    # scope.py's sheet-index map — position i ↔ region i), exactly
+    for i in range(len(_REGIONS)):
+        r = f"{(i + 1) * 10:04d}"
+        z = f"{i + 1:04d}"
+        out.append(
+            GrammarRule(
+                f"v_geo_c0901_c0902_z{z}", "BOE",
+                f"{{t: C09.01, r: {r}, c: 0010}} = "
+                f"{{t: C09.02, r: 0010, c: 0010, z: {z}}}",
+                arithmetic=ARITHMETIC_POINT,
+            )
+        )
+    # ...and the same identity in the EBA positional s-axis syntax (the
+    # two publishers index the identical z/s map — ref scope.py
+    # SHEET_INDEX_MAPS: one map, two token spellings)
+    for i in range(len(_REGIONS)):
+        r = f"{(i + 1) * 10:04d}"
+        z = f"{i + 1:04d}"
+        out.append(
+            GrammarRule(
+                f"v_geo_eba_c0901_c0902_s{z}", "EBA",
+                f"{{C09.01, r{r}, c0010}} = {{C09.02, r0010, c0010, s{z}}}",
+                arithmetic=ARITHMETIC_POINT,
+            )
+        )
+    # CR04 population ties restated POINT: fixed-point partition sums make
+    # SA + IRB = whole-population EXACT, not merely within tolerance —
+    # the catalogue states both the supervisory (Interval) and the
+    # engine-conservation (Point) reading
+    for r in _C0X_ROWS:
+        out.append(
+            GrammarRule(
+                f"v_cr04_tie_point_r{r}", "EBA",
+                f"{{CR04, r{r}, c0010}} = {{C07.00, r{r}, c0010}} + {{C08.01, r{r}, c0010}}",
+                arithmetic=ARITHMETIC_POINT,
+            )
+        )
+    # share-of-total dominance: every class cell is at most 100% of its
+    # column's sum() (percentage literal × unbound-axis aggregate). C07
+    # c0010's sum crosses the reported-empty 0090 member — zero-fill per
+    # the EBA missing-value policy; C08.01 has no such member but the
+    # policy is stated uniformly for the family
+    for t, c in (("C07.00", "0010"), ("C08.01", "0010"), ("C08.01", "0020")):
+        tkey = t.replace(".", "")
+        for r in _C0X_ROWS:
+            out.append(
+                GrammarRule(
+                    f"v_share_{tkey}_r{r}_c{c}", "EBA",
+                    f"{{{t}, r{r}, c{c}}} <= 100% * sum({{{t}, c{c}}})",
+                    missing_value=MISSING_ZERO,
+                )
+            )
+    # min() floors per column — the fourth supported call, exercised as a
+    # family (sum/max/abs already are): the smallest member of every money
+    # column is non-negative
+    for t, c in (("C09.01", "0010"), ("C07.00", "0010"), ("C08.01", "0010"),
+                 ("C08.01", "0020"), ("CR04", "0010")):
+        tkey = t.replace(".", "")
+        out.append(
+            GrammarRule(
+                f"v_min_ge_zero_{tkey}_c{c}", "EBA",
+                f"min({{{t}, c{c}}}) >= 0",
+                missing_value=MISSING_ZERO,
+            )
+        )
+    # strict positivity of the C 02.00 capital-requirement block — a
+    # whole-book estate reporting zero total RWEA is a filing error
+    for r in ("0010", "0060", "0250"):
+        out.append(
+            GrammarRule(
+                f"v_positive_c0200_r{r}", "EBA", f"{{C02.00, r{r}, c0010}} > 0"
+            )
+        )
+    # template-level RW band over the column sums (the per-row caps above,
+    # restated at the aggregate where diversification cannot hide a breach)
+    for t in ("C07.00", "C08.01"):
+        tkey = t.replace(".", "")
+        out.append(
+            GrammarRule(
+                f"v_rwcap_total_{tkey}", "EBA",
+                f"sum({{{t}, c0020}}) <= 150% * sum({{{t}, c0010}})",
+                missing_value=MISSING_ZERO,
+            )
+        )
     # conservation across partitions + per-axis dominance
     out.append(
         GrammarRule(
@@ -348,4 +460,30 @@ def grammar_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "rule_id string, source string, coordinate string, status string, "
         "reason string, lhs double, rhs double",
+    )
+
+
+_SCOPED_SCHEMA = (
+    "rule_id string, source string, coordinate string, status string, "
+    "reason string, lhs double, rhs double, scope string"
+)
+
+
+def scoped_grammar_outcomes(spark: SparkSession, sf_dir: str, ctx) -> DataFrame:
+    """Evaluate the catalogue under a submission context (reporting_scope):
+    out-of-scope rules emit one NOT_IN_SCOPE row and never reach the
+    evaluator; every row carries the scope verdict."""
+    from rwa_calculator_spark.reporting_scope import scoped_outcomes
+
+    index = grammar_estate(spark, sf_dir)
+    rows = scoped_outcomes(GRAMMAR_RULES, index, ctx)
+    return spark.createDataFrame(rows, _SCOPED_SCHEMA)
+
+
+def scoped_catalogue_oracle_sql(ctx) -> str:
+    from rwa_calculator_spark.reporting_scope import scoped_oracle_sql
+
+    return scoped_oracle_sql(
+        GRAMMAR_RULES, grammar_facts_sql(), ESTATE_AXES,
+        {"C09.02": C09_SHEET_CODES}, ctx,
     )

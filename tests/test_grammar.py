@@ -530,3 +530,100 @@ def test_rule_lineage_pinpoints_the_broken_cell(index):
     )
     rhs_rows = [l[4] for l in legs3 if l[1] == "rhs"]
     assert rhs_rows == ["0010", "0020", "0030", "0040", "0050"]
+
+
+# ---------------------------------------------------------------------------
+# Scoping layer (reporting_scope; ref reporting/validations/scope.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rule_scope_module_gating():
+    from rwa_calculator_spark.reporting_scope import (
+        COREP_ONLY_SUBMISSION,
+        FULL_SUBMISSION,
+        rule_scope,
+        rule_templates,
+    )
+
+    corep = GrammarRule("s1", "EBA", "{C02.00, r0010, c0010} >= 0")
+    p3 = GrammarRule("s2", "EBA", "{CR04, r0010, c0010} >= 0")
+    cross = GrammarRule(
+        "s3", "EBA", "{CR04, r0010, c0010} = {C07.00, r0010, c0010}"
+    )
+    assert rule_templates(cross) == ("C07.00", "CR04")
+    assert rule_scope(corep, FULL_SUBMISSION) == ("in_scope", "")
+    assert rule_scope(p3, FULL_SUBMISSION) == ("in_scope", "")
+    assert rule_scope(corep, COREP_ONLY_SUBMISSION) == ("in_scope", "")
+    assert rule_scope(p3, COREP_ONLY_SUBMISSION) == (
+        "not_in_scope", "module_not_filed:pillar3",
+    )
+    # cross-module: one side filed is NOT enough (prerequisite-table skip)
+    assert rule_scope(cross, COREP_ONLY_SUBMISSION) == (
+        "not_in_scope", "module_not_filed:pillar3",
+    )
+
+
+def test_rule_scope_unknown_template_named():
+    from rwa_calculator_spark.reporting_scope import FULL_SUBMISSION, rule_scope
+
+    ghost = GrammarRule("s4", "EBA", "{C 99.99, r0010, c0010} >= 0")
+    scope, why = rule_scope(ghost, FULL_SUBMISSION)
+    assert scope == "not_in_scope"
+    assert why == "template_unmapped:C99.99"
+
+
+def test_rule_scope_places_rules_the_evaluator_refuses():
+    # the scope layer must place even if/then conditionals the grammar
+    # refuses by name — the token-scan fallback extracts their tables
+    from rwa_calculator_spark.reporting_scope import (
+        COREP_ONLY_SUBMISSION,
+        rule_scope,
+    )
+
+    cond = GrammarRule(
+        "s5", "EBA",
+        "if {CR04, r0010, c0010} > 0 then {CR04, r0020, c0010} >= 0",
+    )
+    assert rule_scope(cond, COREP_ONLY_SUBMISSION) == (
+        "not_in_scope", "module_not_filed:pillar3",
+    )
+
+
+def test_out_of_scope_rule_is_excluded_not_vacuous(index):
+    """The load-bearing distinction: a rule that WOULD FAIL if evaluated
+    reports NOT_IN_SCOPE under a filing that excludes its module — it is
+    never handed to the evaluator, so there is no FAIL, no VACUOUS, and no
+    NOT_EVALUATED masquerading as a scope verdict."""
+    from rwa_calculator_spark.reporting_scope import (
+        FULL_SUBMISSION,
+        STATUS_NOT_IN_SCOPE,
+        SubmissionContext,
+        scoped_outcomes,
+    )
+
+    # C02.00 r0010 c0010 is reported as 100.0 in this estate — `= 0` FAILS
+    breaker = GrammarRule("s6", "EBA", "{C02.00, r0010, c0010} = 0")
+    full = scoped_outcomes([breaker], index, FULL_SUBMISSION)
+    assert [r[3] for r in full] == ["FAIL"]
+    assert [r[7] for r in full] == ["in_scope"]
+
+    # a filing that produces only the Pillar 3 set excludes the COREP rule
+    reduced = scoped_outcomes([breaker], index, SubmissionContext(("pillar3",)))
+    assert len(reduced) == 1
+    rid, source, coord, status, reason, lhs, rhs, scope = reduced[0]
+    assert status == STATUS_NOT_IN_SCOPE
+    assert status not in ("FAIL", "VACUOUS", "NOT_EVALUATED")
+    assert reason == "module_not_filed:corep_of"
+    assert scope == "not_in_scope"
+    assert lhs is None and rhs is None and coord == ""
+
+
+def test_catalogue_count_pinned_at_200():
+    """Round-6 widening: the catalogue states the full sign / band /
+    population / geography / syntax-tie families over the estate — ≥200
+    rules, every one compiled to oracle SQL (the compile test above)."""
+    from rwa_calculator_spark.reporting_grammar_catalog import GRAMMAR_RULES
+
+    assert len(GRAMMAR_RULES) >= 200
+    ids = [r.rule_id for r in GRAMMAR_RULES]
+    assert len(ids) == len(set(ids))
