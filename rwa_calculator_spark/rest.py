@@ -288,8 +288,15 @@ class RwaApi:
         job, err = self._done_job(job_id)
         if err:
             return err
+        from pyspark.sql import types as T
+
         out = os.path.join(job["cache_dir"], "export")
         df = self.spark.read.parquet(os.path.join(job["cache_dir"], "results"))
+        # list-typed audit carriers flatten to ';'-joined strings — the CSV
+        # datasource cannot carry arrays (same join-on-export as api.py)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.ArrayType):
+                df = df.withColumn(f.name, F.concat_ws(";", F.col(f.name)))
         df.write.mode("overwrite").option("header", True).csv(out)
         return 200, {"path": out, "format": "csv"}
 
@@ -455,7 +462,10 @@ class RwaApi:
         b, err = self._done_job(job_b)
         if err:
             return err
-        return 200, render_reconciliation(self.spark, a, b, job_a, job_b)
+        return 200, render_reconciliation(
+            self.spark, a, b, job_a, job_b,
+            workspace=self._recon_workspace(a, b),
+        )
 
     def ui_method_split(self, job_id: str):
         """Per-methodology split view (ref ui/views/method_split.py): one
@@ -625,6 +635,79 @@ class RwaApi:
             "worklist": _rows(res.worklist, limit=20),
         }
 
+    # -- reconciliation sign-off workflow (ref ui/app/recon_signoff.py) -------
+
+    def _recon_workspace(self, job_a: dict, job_b: dict) -> str:
+        """Workspace id from the two runs' SEMANTIC identity (regime +
+        rulepack content hash off each persisted manifest, plus the dataset
+        dir) — stable across job ids, run ids and server restarts."""
+        from rwa_calculator_spark.recon_signoff import workspace_id
+
+        def _manifest(job: dict) -> dict:
+            with open(os.path.join(job["cache_dir"], "manifest.json")) as f:
+                return json.load(f)
+
+        ma, mb = _manifest(job_a), _manifest(job_b)
+        return workspace_id(
+            self.sf_dir, ma["regime"], ma["rulepack_hash"],
+            mb["regime"], mb["rulepack_hash"],
+        )
+
+    def reconcile_decisions(self, body: dict):
+        """Upsert / clear an analyst disposition for one reconciliation
+        break (POST /api/reconcile/decisions). Actions: ``accept`` /
+        ``reject`` (with optional reason + fingerprint), ``clear`` (reopen
+        one key), ``clear_all`` (drop the workspace)."""
+        from rwa_calculator_spark import recon_signoff as so
+
+        job_a, err = self._done_job(body.get("job_a", ""))
+        if err:
+            return err
+        job_b, err = self._done_job(body.get("job_b", ""))
+        if err:
+            return err
+        ws = self._recon_workspace(job_a, job_b)
+        action = body.get("action", "")
+        key = body.get("recon_key", "")
+        if action in ("accept", "reject"):
+            if not key:
+                return 400, {"error": "recon_key required"}
+            so.upsert_decision(
+                ws, key, action + "ed", body.get("reason", ""),
+                body.get("fingerprint", ""),
+            )
+        elif action == "clear":
+            if not key:
+                return 400, {"error": "recon_key required"}
+            so.clear_decision(ws, key)
+        elif action == "clear_all":
+            so.clear_all_decisions(ws)
+        else:
+            return 400, {"error": f"unknown action {action!r}"}
+        return 200, {
+            "workspace": ws,
+            "decisions": {
+                k: d.__dict__ for k, d in sorted(so.load_decisions(ws).items())
+            },
+        }
+
+    def reconcile_decisions_get(self, job_a: str, job_b: str):
+        from rwa_calculator_spark import recon_signoff as so
+
+        a, err = self._done_job(job_a)
+        if err:
+            return err
+        b, err = self._done_job(job_b)
+        if err:
+            return err
+        ws = self._recon_workspace(a, b)
+        return 200, {
+            "workspace": ws,
+            "decisions": {
+                k: d.__dict__ for k, d in sorted(so.load_decisions(ws).items())
+            },
+        }
+
 
 # -- HTTP transport -----------------------------------------------------------
 
@@ -644,6 +727,8 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/api/errors$"), "errors"),
     ("GET", re.compile(r"^/api/comparison$"), "comparison"),
     ("POST", re.compile(r"^/api/reconcile$"), "reconcile"),
+    ("POST", re.compile(r"^/api/reconcile/decisions$"), "reconcile_decisions"),
+    ("GET", re.compile(r"^/api/reconcile/decisions$"), "reconcile_decisions_get"),
     ("GET", re.compile(r"^/api/export/csv$"), "export_csv"),
     ("GET", re.compile(r"^/api/export/xlsx$"), "export_xlsx"),
     ("GET", re.compile(r"^/api/export/corep$"), "export_corep"),
@@ -674,7 +759,7 @@ def _make_handler(api: RwaApi):
                 if not m:
                     continue
                 kwargs = dict(m.groupdict())
-                if name == "calculate" or name == "reconcile":
+                if name in ("calculate", "reconcile", "reconcile_decisions"):
                     length = int(self.headers.get("Content-Length") or 0)
                     body = json.loads(self.rfile.read(length) or b"{}")
                     kwargs["body"] = body
@@ -684,7 +769,7 @@ def _make_handler(api: RwaApi):
                     "ui_portfolio", "ui_method_split", "ui_lineage",
                 ):
                     kwargs["job_id"] = qs.get("job", "")
-                if name == "ui_reconciliation":
+                if name in ("ui_reconciliation", "reconcile_decisions_get"):
                     kwargs["job_a"] = qs.get("job_a", "")
                     kwargs["job_b"] = qs.get("job_b", "")
                 if name in ("lineage_cell", "ui_lineage"):

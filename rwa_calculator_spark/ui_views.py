@@ -144,7 +144,8 @@ def _grain(spark: SparkSession, path: str) -> DataFrame:
 
 
 def render_reconciliation(
-    spark: SparkSession, job_a: dict, job_b: dict, label_a: str, label_b: str
+    spark: SparkSession, job_a: dict, job_b: dict, label_a: str, label_b: str,
+    workspace: str | None = None,
 ) -> str:
     """Two-run reconciliation forensics (ref ui/views/reconciliation.py):
     tier-1 headline tie-outs per component, per-component bucket summary,
@@ -210,6 +211,24 @@ def render_reconciliation(
         ]
     finally:
         detail.unpersist()
+    # analyst dispositions (ref ui/app/recon_signoff.py → the worklist's
+    # disposition column): merge the persisted decisions for this
+    # workspace; a decision whose fingerprint no longer matches the break
+    # renders `stale`, an undecided break renders `open`
+    if workspace is not None:
+        from rwa_calculator_spark.recon_signoff import (
+            break_fingerprint,
+            disposition,
+            load_decisions,
+        )
+
+        decisions = load_decisions(workspace)
+        for r in worklist:
+            key = f"{r['exposure_reference']}|{r['component']}"
+            fp = break_fingerprint(r.get("ours"), r.get("theirs"), r.get("diff"))
+            r["recon_key"] = key
+            r["fingerprint"] = fp
+            r["disposition"], r["reason"] = disposition(decisions.get(key), fp)
     body = [
         f"<p>comparing <b>{h(label_a)}</b> (ours) vs <b>{h(label_b)}</b> (theirs)</p>",
         "<h2>headline tie-outs</h2>",
@@ -227,8 +246,11 @@ def render_reconciliation(
                left={"exposure_class", "component"}),
         "<h2>worklist (largest breaks, first 20)</h2>",
         _table(worklist,
-               ["exposure_reference", "component", "ours", "theirs", "diff", "bucket"],
-               left={"exposure_reference", "component", "bucket"}),
+               ["exposure_reference", "component", "ours", "theirs", "diff",
+                "bucket"]
+               + (["disposition", "reason"] if workspace is not None else []),
+               left={"exposure_reference", "component", "bucket",
+                     "disposition", "reason"}),
     ]
     return _page("reconciliation", body)
 

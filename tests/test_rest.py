@@ -454,3 +454,100 @@ def test_export_corep_workbook_endpoint(server):
     assert zipfile.is_zipfile(body["path"])
     status, _ = _get(server, "/api/export/corep?only=NOPE")
     assert status == 400
+
+
+# ---------------------------------------------------------------------------
+# Reconciliation sign-off workflow (ref ui/app/recon_signoff.py:51-263)
+# ---------------------------------------------------------------------------
+
+import os
+
+
+@pytest.fixture(scope="module")
+def signoff_state_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("signoff")
+    os.environ["RWA_SPARK_STATE_DIR"] = str(d)
+    yield str(d)
+    del os.environ["RWA_SPARK_STATE_DIR"]
+
+
+@pytest.fixture(scope="module")
+def b31_job(server):
+    # 202 = new background job; 200 = the server's cache-reuse path (an
+    # identical b31 run already exists from the cross-regime recon test)
+    status, resp = _post(server, "/api/calculate", {"regime": "b31", "irb": True})
+    assert status in (200, 202)
+    return _wait_done(server, resp["job_id"])
+
+
+def test_recon_signoff_upsert_render_clear(server, done_job, b31_job, signoff_state_dir):
+    """upsert → the worklist renders the disposition → clear reopens it;
+    a moved break renders stale; bad actions are 400s."""
+    ja, jb = done_job["job_id"], b31_job["job_id"]
+    _, recon = _post(server, "/api/reconcile", {"job_a": ja, "job_b": jb})
+    brk = next(r for r in recon["worklist"] if r["bucket"] == "break")
+    key = f"{brk['exposure_reference']}|{brk['component']}"
+
+    status, resp = _post(server, "/api/reconcile/decisions", {
+        "job_a": ja, "job_b": jb, "action": "accept", "recon_key": key,
+        "reason": "known regime delta",
+    })
+    assert status == 200
+    assert resp["decisions"][key]["status"] == "accepted"
+    workspace = resp["workspace"]
+
+    status, html = _get_html(server, f"/ui/reconciliation?job_a={ja}&job_b={jb}")
+    assert status == 200
+    assert "disposition" in html
+    assert "accepted" in html and "known regime delta" in html
+
+    # a decision whose fingerprint no longer matches the break is STALE —
+    # a moved difference is never waved through under an old approval
+    status, _ = _post(server, "/api/reconcile/decisions", {
+        "job_a": ja, "job_b": jb, "action": "reject", "recon_key": key,
+        "reason": "moved", "fingerprint": "deadbeefdeadbeef",
+    })
+    status, html = _get_html(server, f"/ui/reconciliation?job_a={ja}&job_b={jb}")
+    assert "stale" in html and "rejected" not in html
+
+    # clear → the row reopens
+    status, resp = _post(server, "/api/reconcile/decisions", {
+        "job_a": ja, "job_b": jb, "action": "clear", "recon_key": key,
+    })
+    assert status == 200 and key not in resp["decisions"]
+    status, html = _get_html(server, f"/ui/reconciliation?job_a={ja}&job_b={jb}")
+    assert "stale" not in html and "accepted" not in html
+
+    # validation: unknown action / missing key
+    status, _ = _post(server, "/api/reconcile/decisions", {
+        "job_a": ja, "job_b": jb, "action": "bless", "recon_key": key,
+    })
+    assert status == 400
+    status, _ = _post(server, "/api/reconcile/decisions", {
+        "job_a": ja, "job_b": jb, "action": "accept",
+    })
+    assert status == 400
+
+    # leave one decision in place for the restart test below
+    status, resp = _post(server, "/api/reconcile/decisions", {
+        "job_a": ja, "job_b": jb, "action": "accept", "recon_key": key,
+        "reason": "sticky",
+    })
+    assert status == 200 and resp["decisions"][key]["reason"] == "sticky"
+    assert workspace == resp["workspace"]
+
+
+def test_recon_signoff_survives_server_restart(spark, sf_dir, signoff_state_dir,
+                                               done_job, b31_job):
+    """A NEW server (fresh job index, fresh run ids) re-running the same
+    regime pair lands on the same workspace — the decision recorded above
+    is still there (the store is file-backed and keyed by the runs'
+    semantic identity, never by job/run ids)."""
+    with RwaRestServer(spark, sf_dir) as base2:
+        _, r1 = _post(base2, "/api/calculate", {"regime": "crr", "irb": True})
+        a2 = _wait_done(base2, r1["job_id"])["job_id"]
+        _, r2 = _post(base2, "/api/calculate", {"regime": "b31", "irb": True})
+        b2 = _wait_done(base2, r2["job_id"])["job_id"]
+        status, body = _get(base2, f"/api/reconcile/decisions?job_a={a2}&job_b={b2}")
+        assert status == 200
+        assert any(d["reason"] == "sticky" for d in body["decisions"].values())
