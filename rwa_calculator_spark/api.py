@@ -18,6 +18,7 @@ import time
 import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -150,6 +151,7 @@ class CreditRiskCalc:
         validation: str = "merged",
         reporting_entity: str | None = None,
         reporting_basis: str = "consolidated",
+        on_event: "Callable[[str], None] | None" = None,
     ) -> CalculationResponse:
         """Run the pipeline and seal the results cache, capturing a per-edge
         event map (label → rows, wall_ms) plus the rulepack content hash —
@@ -166,6 +168,11 @@ class CreditRiskCalc:
             def audit_sink(name: str, df: DataFrame) -> None:
                 sink_audit(df, self.audit_cache_dir, run_id, name)
 
+        progress = None
+        if on_event is not None:
+            progress = lambda name, ms: on_event(  # noqa: E731
+                f"stage {name} planned ({ms}ms)"
+            )
         with run_context(run_id):  # log-record correlation for the run
             out = run_pipeline(
                 self.bundle,
@@ -176,6 +183,7 @@ class CreditRiskCalc:
                     reporting_entity=reporting_entity,
                     reporting_basis=reporting_basis,
                     audit_sink=audit_sink,
+                    progress=progress,
                 ),
             )
         os.makedirs(self.cache_dir, exist_ok=True)
@@ -192,6 +200,13 @@ class CreditRiskCalc:
             finally:
                 sc.setJobGroup("", "")
             edges[name] = {"rows": rows, "wall_ms": round((time.perf_counter() - te) * 1e3, 1)}
+            if on_event is not None:
+                try:
+                    on_event(
+                        f"sealed {name} ({rows} rows, {edges[name]['wall_ms']}ms)"
+                    )
+                except Exception:  # noqa: BLE001 — observability, never fatal
+                    pass
 
         # run identity stamped per-row at SEAL time (ref
         # CALCULATION_OUTPUT_SCHEMA cols 1-2 calculation_run_id /

@@ -67,6 +67,12 @@ class PipelineConfig:
     # time for drilldown; the sink itself must swallow failures — a
     # diagnostics side-effect never perturbs a run.
     audit_sink: "Callable[[str, DataFrame], None] | None" = None
+    # Incremental stage-edge progress hook (ref ui/app/progress.py +
+    # engine/materialise.py EdgeEvents): called (stage_name, wall_ms) as
+    # each stage's plan finishes building, WHILE the run is in flight —
+    # the REST layer streams these to /jobs/{id}/events. Must never raise
+    # (wrapped defensively at the call site); None = no-op.
+    progress: "Callable[[str, float], None] | None" = None
 
 
 def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> AggregatedOutput:
@@ -175,6 +181,11 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
     def _mark(name: str, t0: float) -> None:
         timings[name] = round((_time.perf_counter() - t0) * 1e3, 1)
+        if config.progress is not None:
+            try:
+                config.progress(name, timings[name])
+            except Exception:  # noqa: BLE001 — progress is observability,
+                pass  # never allowed to perturb a run
 
     _t = _time.perf_counter()
     h = run_hierarchy(raw, config.pack, extra_exposures=extra or None)

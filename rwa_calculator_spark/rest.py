@@ -84,6 +84,12 @@ class JobIndex:
         with self._lock:
             job["events"].append({"ts": round(time.time(), 3), "msg": msg})
 
+    def events_since(self, job: dict, cursor: int) -> list[dict]:
+        """Snapshot of events after `cursor` (the long-poll read side —
+        the list only ever appends, so a cursor is a stable position)."""
+        with self._lock:
+            return list(job["events"][cursor:])
+
 
 class RwaApi:
     """Endpoint implementations, transport-free (unit-testable without HTTP).
@@ -181,6 +187,9 @@ class RwaApi:
                     validation=validation,
                     reporting_entity=reporting_entity,
                     reporting_basis=reporting_basis,
+                    # incremental stage events stream into the job record
+                    # while the run is in flight (GET /jobs/{id}/events)
+                    on_event=lambda msg: self.jobs.event(job, msg),
                 )
                 job["manifest"] = resp.run_manifest
                 job["status"] = "done"
@@ -202,6 +211,31 @@ class RwaApi:
         return 200, {k: v for k, v in job.items() if k != "cache_dir"} | {
             "cache_dir": job["cache_dir"]
         }
+
+    def job_events(self, job_id: str, since: int = 0, wait: float = 10.0):
+        """Incremental job progress (ref ui/app/progress.py:288 + the
+        reference's /jobs/{id}/events): LONG-POLL — returns events after the
+        `since` cursor immediately when any exist, otherwise blocks up to
+        `wait` seconds for new ones (clients chain requests with
+        next_cursor for a live stream over plain stdlib HTTP). A finished
+        job returns whatever remains plus done=true so the client knows to
+        stop polling."""
+        job = self.jobs.get(job_id)
+        if job is None:
+            return 404, {"error": f"no such job {job_id!r}"}
+        deadline = time.time() + max(0.0, min(wait, 30.0))
+        while True:
+            events = self.jobs.events_since(job, since)
+            finished = job["status"] != "running"
+            if events or finished or time.time() >= deadline:
+                return 200, {
+                    "job_id": job_id,
+                    "status": job["status"],
+                    "events": events,
+                    "next_cursor": since + len(events),
+                    "done": finished,
+                }
+            time.sleep(0.05)
 
     def _done_job(self, job_id: str):
         job = self.jobs.get(job_id)
@@ -716,6 +750,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("POST", re.compile(r"^/api/validate$"), "validate"),
     ("POST", re.compile(r"^/api/calculate$"), "calculate"),
     ("GET", re.compile(r"^/jobs/(?P<job_id>\w+)$"), "job"),
+    ("GET", re.compile(r"^/jobs/(?P<job_id>\w+)/events$"), "job_events"),
     ("GET", re.compile(r"^/api/runs$"), "runs"),
     ("GET", re.compile(r"^/api/results$"), "results"),
     ("GET", re.compile(r"^/api/results/summary/(?P<dimension>\w+)$"), "summary"),
@@ -778,6 +813,9 @@ def _make_handler(api: RwaApi):
                     kwargs["limit"] = int(qs.get("limit", "100"))
                 if name == "export_corep":
                     kwargs["only"] = qs.get("only", "")
+                if name == "job_events":
+                    kwargs["since"] = int(qs.get("since", "0"))
+                    kwargs["wait"] = float(qs.get("wait", "10"))
                 try:
                     status, payload = getattr(api, name)(**kwargs)
                 except Exception as e:  # defensive: a handler bug is a 500, not a hang

@@ -551,3 +551,35 @@ def test_recon_signoff_survives_server_restart(spark, sf_dir, signoff_state_dir,
         status, body = _get(base2, f"/api/reconcile/decisions?job_a={a2}&job_b={b2}")
         assert status == 200
         assert any(d["reason"] == "sticky" for d in body["decisions"].values())
+
+
+def test_job_event_stream_long_poll(server, signoff_state_dir):
+    """Incremental progress streaming (ref ui/app/progress.py + the
+    reference's /jobs/{id}/events): chained long-polls observe stage
+    plan-build and seal events WHILE the run is in flight — at least two
+    polls return events before done, and ≥3 stage/seal events arrive."""
+    status, resp = _post(server, "/api/calculate",
+                         {"regime": "crr", "irb": True, "force": True})
+    assert status == 202
+    jid = resp["job_id"]
+    cursor, collected, polls_with_events_while_running = 0, [], 0
+    for _ in range(300):
+        status, body = _get(server, f"/jobs/{jid}/events?since={cursor}&wait=5")
+        assert status == 200
+        if body["events"] and not body["done"]:
+            polls_with_events_while_running += 1
+        collected += [e["msg"] for e in body["events"]]
+        cursor = body["next_cursor"]
+        if body["done"]:
+            break
+    stagey = [m for m in collected if m.startswith(("stage ", "sealed "))]
+    assert len(stagey) >= 3, collected
+    assert any(m.startswith("stage ") for m in collected)
+    assert any(m.startswith("sealed results") for m in collected)
+    assert polls_with_events_while_running >= 2, collected
+    assert collected and collected[-1].startswith("pipeline done")
+    # unknown job → 404, cursor past the end → empty immediately
+    status, _ = _get(server, "/jobs/nope/events")
+    assert status == 404
+    status, body = _get(server, f"/jobs/{jid}/events?since={cursor}&wait=0")
+    assert status == 200 and body["events"] == [] and body["done"]
