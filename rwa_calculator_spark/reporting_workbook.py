@@ -74,6 +74,7 @@ def build_workbook_sheets(
     knows what produced it). Absent cells stay None (blank in the sheet,
     the absent-≠-zero rule), never 0.0."""
     from rwa_calculator_spark.plans import load_all
+    from rwa_calculator_spark.reporting_labels import column_label, sheet_title
 
     reg = load_all()
     out: dict[str, list[list]] = {}
@@ -81,7 +82,17 @@ def build_workbook_sheets(
     for title, qname in sheets:
         df = reg[qname].fn(spark, sf_dir)
         rows = df.collect()  # template-grain: sparse rows × fixed columns
-        out[sanitise_sheet_name(title)] = [list(df.columns)] + [list(r) for r in rows]
+        # supervisor-readable banner (ref corep/templates.py label/DPM
+        # catalogue): long title + legal basis, then per-column DPM codes
+        # and published labels, then the machine header the reader keys on
+        long_title, basis = sheet_title(title)
+        codes, labels = zip(*(column_label(c) for c in df.columns))
+        out[sanitise_sheet_name(title)] = [
+            [long_title, basis],
+            list(codes),
+            list(labels),
+            list(df.columns),
+        ] + [list(r) for r in rows]
         meta.append([f"sheet:{sanitise_sheet_name(title)}", f"{qname} ({len(rows)} rows)"])
     return {"metadata": meta, **out}
 

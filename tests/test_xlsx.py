@@ -118,9 +118,10 @@ def test_xlsx_to_df_and_export_excel(spark, tmp_path):
 def test_corep_workbook_export(spark, sf_dir, tmp_path):
     """Quarterly-return workbook (ref reporting/corep/generator.py →
     Excel): a subset export round-trips through the OOXML reader — the
-    metadata sheet leads, each template sheet's header row is the query's
-    column list, and a read-back cell ties to the query's own output
-    (absent cells stay blank, never 0)."""
+    metadata sheet leads, each template sheet carries the supervisor
+    banner (long title + legal basis, DPM codes, published column labels —
+    ref corep/templates.py) above the machine header, and a read-back cell
+    ties to the query's own output (absent cells stay blank, never 0)."""
     from rwa_calculator_spark.plans import load_all
     from rwa_calculator_spark.reporting_workbook import (
         build_workbook_sheets,
@@ -136,19 +137,47 @@ def test_corep_workbook_export(spark, sf_dir, tmp_path):
     assert book["metadata"][0] == ["key", "value"]
     reg = load_all()
     c4 = reg["corep_c08_04"].fn(spark, sf_dir)
-    assert book["C 08.04"][0] == c4.columns
-    got = {(r[0], r[1]): r[2] for r in book["C 08.04"][1:]}
+    # banner rows: [title, basis] / DPM codes / labels / machine header
+    assert "RWEA flow statements" in book["C 08.04"][0][0]
+    assert "2021/451" in book["C 08.04"][0][1]
+    assert book["C 08.04"][3] == c4.columns
+    got = {(r[0], r[1]): r[2] for r in book["C 08.04"][4:]}
     for row in c4.collect():
         vals = list(row)
         assert got[(vals[0], vals[1])] == vals[2]
     # CR8's honestly-null driver rows stay blank in the sheet (the reader
     # drops trailing blank cells, so a short row IS the blank cell)
-    rwea_col = book["UK CR8"][0].index("rwea")
+    header = book["UK CR8"][3]
+    labels = book["UK CR8"][2]
+    rwea_col = header.index("rwea")
+    assert labels[rwea_col] == "Risk weighted exposure amount"
     by_ref = {
         r[0]: (r[rwea_col] if rwea_col < len(r) else None)
-        for r in book["UK CR8"][1:]
+        for r in book["UK CR8"][4:]
     }
     assert by_ref["5"] in (None, "") and by_ref["6"] in (None, "")
+
+
+def test_workbook_dpm_codes_and_labels(spark, sf_dir, tmp_path):
+    """The C 08.01 sheet's banner carries the Annex II DPM codes extracted
+    from the query's own column names and their published labels — the
+    catalogue has no second hand-maintained column mapping to drift."""
+    from rwa_calculator_spark.reporting_workbook import export_corep_workbook
+    from rwa_calculator_spark.sources.xlsx import read_xlsx
+
+    path = export_corep_workbook(
+        spark, sf_dir, str(tmp_path / "c08.xlsx"), (("C 08.01", "corep_c08_01"),)
+    )
+    sheet = read_xlsx(path)["C 08.01"]
+    codes, labels, header = sheet[1], sheet[2], sheet[3]
+    by_col = dict(zip(header, zip(codes, labels)))
+    assert by_col["rwea_0260"] == ("0260", "Risk weighted exposure amount")
+    assert by_col["expected_loss_0280"] == ("0280", "Expected loss amount")
+    assert by_col["dd_unfunded_0220"][0] == "0220"
+    assert "double default" in by_col["dd_unfunded_0220"][1]
+    assert by_col["avg_maturity_days_0250"][0] == "0250"
+    # semantic (uncoded) columns still label from the shared glossary
+    assert by_col["row_label"] == ("", "Template row")
 
 
 def test_sheet_name_sanitised():
