@@ -61,6 +61,10 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
         # PS1/26 Art.124E(1)(b) three-property limit input (ref
         # schemas.py:615 qualifying_property_count Int32)
         "qualifying_property_count": ColumnSpec(_I),
+        # PS1/26 Art.139(2B): whether the resolved external rating is
+        # issue-specific (inferred/issuer-level assessments are disapplied
+        # for the Art.122B SA specialised-lending routing)
+        "external_rating_is_issue_specific": ColumnSpec(_B),
     },
     # ref schemas.py:310 LOAN_SCHEMA (41 cols)
     "loans": {
@@ -161,8 +165,12 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
     # ref schemas.py:962 (5 cols)
     "specialised_lending": {
         "counterparty_reference": _req(_S),
-        "slot_category": _req(_S),
+        # null for SA-only SL entries (PS1/26 Art.122A-122B routing needs
+        # no slotting category; ref schemas.py:962-974 + :2528)
+        "slot_category": ColumnSpec(_S),
         "is_hvcre": ColumnSpec(_B, False),
+        "sl_type": ColumnSpec(_S),
+        "sl_project_phase": ColumnSpec(_S),
     },
     # ref schemas.py:975 EQUITY_SCHEMA (23 cols)
     "equity_exposures": {

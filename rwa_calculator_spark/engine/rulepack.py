@@ -526,6 +526,11 @@ B31_PACK = RulePack(
         # cash flows (Art.124E(2)) and re-routes to the Art.124G
         # income-producing whole-loan track (ref packs/b31.py:1242-1248)
         "b31_rre_three_property_limit": RuleEntry(_D("3"), "PS1/26 Art.124E(1)(b)"),
+        # PS1/26 Art.139(2B): for the Art.122B(1) SA specialised-lending
+        # routing, inferred / issuer-level (non-issue-specific) ECAI
+        # assessments are disapplied — such an SL exposure is treated as
+        # UNRATED (ref engine/sa/risk_weights.py:973-991)
+        "sa_sl_inferred_rating_disapplied": RuleEntry(_D("1"), "PS1/26 Art.139(2B)"),
         "large_corporate_revenue_threshold": RuleEntry(
             _D("440000000"), "PS1/26 Art.147(4C)(b)(ii) (GBP 440m native)"
         ),
@@ -604,6 +609,20 @@ B31_PACK = RulePack(
                 ("cre_income", _D("999.0"), _D("1.10")),
             ),
         ),
+        # PS1/26 Art.122A-122B: UNRATED SA specialised-lending type-specific
+        # risk weights (rated SL keeps the Art.122A(3) corporate CQS table;
+        # ref rulebook/packs/b31.py:1307-1318). B3.1-only — under CRR,
+        # unrated SL falls through to the unrated-corporate 100%.
+        "b31_sa_sl_rw": (
+            "sl_key string, rw double",
+            (
+                ("object_finance", _D("1.00")),
+                ("commodities_finance", _D("1.00")),
+                ("project_finance_pre_operational", _D("1.30")),
+                ("project_finance_operational", _D("1.00")),
+                ("project_finance_high_quality", _D("0.80")),
+            ),
+        ),
     },
     table_citations={
         "sa_rw": "BCBS CRE20 / PS1/26 Art.114-122",
@@ -611,6 +630,7 @@ B31_PACK = RulePack(
         "covered_bond_unrated_derivation": "PS1/26 Art.129(5) (7-input chain)",
         "institution_scra_rw": "PS1/26 Art.121A / BCBS CRE20.21",
         "re_ltv_rw": "PS1/26 Art.124G Table 6B / Art.124I (BCBS CRE20.83/20.86)",
+        "b31_sa_sl_rw": "PS1/26 Art.122A-122B (BCBS CRE20.48-52)",
         "ccf": "BCBS CRE20.94-101 / PS1/26 Art.111",
         "slotting_rw": "PS1/26 Art.153(5) / BCBS CRE33.13",
         "saccr_sf": "BCBS CRE52.72 Table 2",

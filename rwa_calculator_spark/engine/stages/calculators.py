@@ -729,6 +729,61 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         base_rw = F.when(scra_match, F.col("_scra_rw")).otherwise(base_rw)
         rw_source = F.when(scra_match, "sa_scra").otherwise(rw_source)
 
+    # PS1/26 Art.122A-122B: UNRATED SA specialised lending takes type-
+    # specific risk weights instead of the unrated-corporate 100% — object/
+    # commodities 100%, project finance 130% pre-operational / 100%
+    # operational / 80% high-quality (rated SL keeps its Art.122A(3)
+    # corporate CQS weight; ref engine/sa/risk_weights.py:1188-1196 +
+    # b31_risk_weight_tables.py:716-747 b31_sa_sl_rw_expr). Pack-gated
+    # (CRR has no Art.122A — unrated SL stays at the corporate 100%) and
+    # carrier-gated on sl_type; weights compile from pack rows to literal
+    # when-chains — never a fact-table join.
+    if "b31_sa_sl_rw" in pack.tables and "sl_type" in exp.columns:
+        slw = {k: float(v) for k, v in pack.tables["b31_sa_sl_rw"][1]}
+        sl = F.lower(F.coalesce(F.col("sl_type"), F.lit("")))
+        phase = (
+            F.lower(F.coalesce(F.col("sl_project_phase"), F.lit("")))
+            if "sl_project_phase" in exp.columns
+            else F.lit("")
+        )
+        # Art.139(2B): an SL exposure whose only external assessment is
+        # NOT issue-specific (inferred / issuer-level) is treated as
+        # unrated for this routing — ordinary rated corporates untouched
+        cqs_eff = F.coalesce(F.col("cqs"), F.lit(0))
+        if (
+            "external_rating_is_issue_specific" in exp.columns
+            and "sa_sl_inferred_rating_disapplied" in pack.scalars
+            and pack.scalar("sa_sl_inferred_rating_disapplied") >= 1.0
+        ):
+            cqs_eff = F.when(
+                ~F.coalesce(F.col("external_rating_is_issue_specific"), F.lit(True)),
+                F.lit(0),
+            ).otherwise(cqs_eff)
+        sl_row = (
+            (F.col("exposure_class") == "corporate")
+            & (sl != "")
+            & (cqs_eff <= 0)
+            & ~F.col("is_defaulted")
+        )
+        sl_key = (
+            F.when(sl.contains("object"), F.lit("object_finance"))
+            .when(sl.contains("commodit"), F.lit("commodities_finance"))
+            .when(
+                sl.contains("project"),
+                F.when(phase.contains("pre"), F.lit("project_finance_pre_operational"))
+                .when(phase.contains("high"), F.lit("project_finance_high_quality"))
+                .otherwise(F.lit("project_finance_operational")),
+            )
+            .otherwise(F.lit("unknown"))
+        )
+        sl_rw = F.lit(1.0)  # unknown SL type falls back to corporate 100%
+        for key, w in sorted(slw.items()):
+            sl_rw = F.when(sl_key == key, F.lit(w)).otherwise(sl_rw)
+        base_rw = F.when(sl_row, sl_rw).otherwise(base_rw)
+        rw_source = F.when(
+            sl_row, F.concat(F.lit("b31_sa_sl_"), sl_key)
+        ).otherwise(rw_source)
+
     # CRR Art.114(4)/(7) + Art.141: EU central-government exposures
     # denominated in the member state's domestic currency take 0% RW,
     # overriding the CQS ladder (ref engine/eu_sovereign.py — consumed by

@@ -234,6 +234,10 @@ def run_hierarchy(
         dim_cols.append(
             F.coalesce("is_large_financial", F.lit(False)).alias("is_large_financial")
         )
+    # PS1/26 Art.139(2B) inferred-rating disapplication input for the SA
+    # specialised-lending routing (ref risk_weights.py:973-991)
+    if "external_rating_is_issue_specific" in raw.counterparties.columns:
+        dim_cols.append(F.col("external_rating_is_issue_specific"))
     # PS1/26 Art.124E(1)(b) three-property re-route input (ref
     # schemas.py:615; consumed by the calculators RE block)
     if "qualifying_property_count" in raw.counterparties.columns:
@@ -249,6 +253,11 @@ def run_hierarchy(
         # HVCRE sub-class rides along for the Art.153(5) HVCRE slotting rows
         if "is_hvcre" in raw.specialised_lending.columns:
             sl_cols.append("is_hvcre")
+        # SA specialised-lending carriers (PS1/26 Art.122A-122B type +
+        # project phase; ref schemas.py:964/:2528) ride along when supplied
+        for opt in ("sl_type", "sl_project_phase"):
+            if opt in raw.specialised_lending.columns:
+                sl_cols.append(opt)
         sl = raw.specialised_lending.select(*sl_cols)
         dim = dim.join(sl, "counterparty_reference", "left")
     else:

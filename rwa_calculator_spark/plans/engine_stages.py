@@ -1749,3 +1749,130 @@ def sa_b31_re_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
         scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B3.1 SA specialised lending (PS1/26 Art.122A-122B; ref
+# engine/sa/risk_weights.py:1188-1196 + b31_risk_weight_tables.py:716-747
+# b31_sa_sl_rw_expr + packs/b31.py:1307-1318): UNRATED SL takes type-specific
+# weights (object/commodities 100%, project 130% pre-operational / 100%
+# operational / 80% high-quality); rated SL keeps the Art.122A(3) corporate
+# CQS weight — EXCEPT Art.139(2B): a rating that is not issue-specific is
+# disapplied for this routing, re-routing the row through the unrated table.
+# ---------------------------------------------------------------------------
+
+_B31_SA_SL_ORACLE = """
+    WITH cps AS (
+        SELECT c_custkey AS cp, CAST(c_custkey % 7 AS INTEGER) AS cqs,
+               (c_custkey % 5 <> 0) AS issue_specific,
+               CASE CAST(c_custkey % 4 AS INTEGER)
+                    WHEN 0 THEN 'object_finance'
+                    WHEN 1 THEN 'commodities_finance'
+                    WHEN 2 THEN 'project_finance' END AS sl_type,
+               CASE CAST(c_custkey % 3 AS INTEGER)
+                    WHEN 0 THEN 'pre_operational'
+                    WHEN 1 THEN 'operational'
+                    ELSE 'high_quality_operational' END AS phase
+        FROM customer
+    ), j AS (
+        SELECT o.o_totalprice AS ead, c.*
+        FROM orders o JOIN cps c ON o.o_custkey = c.cp
+    ), routed AS (
+        SELECT *,
+               CASE WHEN NOT issue_specific THEN 0
+                    ELSE coalesce(cqs, 0) END AS cqs_eff
+        FROM j
+    ), priced AS (
+        SELECT *,
+               CASE
+                 WHEN sl_type IS NOT NULL AND cqs_eff <= 0 THEN
+                      CASE
+                        WHEN sl_type = 'object_finance' THEN 1.00
+                        WHEN sl_type = 'commodities_finance' THEN 1.00
+                        WHEN phase = 'pre_operational' THEN 1.30
+                        WHEN phase = 'high_quality_operational' THEN 0.80
+                        ELSE 1.00 END
+                 ELSE CASE coalesce(cqs, 0)
+                      WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                      WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
+                      ELSE 1.0 END
+               END AS rw,
+               CASE
+                 WHEN sl_type IS NOT NULL AND cqs_eff <= 0 THEN
+                      'b31_sa_sl_' ||
+                      CASE
+                        WHEN sl_type = 'object_finance' THEN 'object_finance'
+                        WHEN sl_type = 'commodities_finance' THEN 'commodities_finance'
+                        WHEN phase = 'pre_operational' THEN 'project_finance_pre_operational'
+                        WHEN phase = 'high_quality_operational' THEN 'project_finance_high_quality'
+                        ELSE 'project_finance_operational' END
+                 ELSE 'sa_cqs_lookup'
+               END AS rw_source
+        FROM routed
+    )
+    SELECT rw_source, count(*) AS n_exposures,
+           sum(CAST(round(ead * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_ead,
+           sum(CAST(round((ead * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_rwa
+    FROM priced GROUP BY 1
+"""
+
+
+@query("sa_b31_sl_routing", oracle=_B31_SA_SL_ORACLE, tags=("engine", "sa", "slotting"))
+def sa_b31_sl_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PS1/26 Art.122A-122B SA specialised lending through the REAL B3.1
+    pipeline: unrated SL prices on the type-specific table (object /
+    commodities 100%, project finance 130% pre-operational / 100%
+    operational / 80% high-quality), rated SL keeps its Art.122A(3)
+    corporate CQS weight, and Art.139(2B) disapplies non-issue-specific
+    (inferred / issuer-level) ratings for this routing — re-routing those
+    rows through the unrated table. SL rows here carry NO slotting
+    category (slot_category null), so they stay on the SA branch — the
+    Art.153(5) IRB slotting route is orthogonal. Aggregated by rw_source."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+        (F.col("c_custkey") % 5 != 0).alias("external_rating_is_issue_specific"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    sl = c.where(F.col("c_custkey") % 4 != 3).select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit(None).cast("string").alias("slot_category"),
+        F.when(F.col("c_custkey") % 4 == 0, "object_finance")
+        .when(F.col("c_custkey") % 4 == 1, "commodities_finance")
+        .otherwise("project_finance")
+        .alias("sl_type"),
+        F.when(F.col("c_custkey") % 3 == 0, "pre_operational")
+        .when(F.col("c_custkey") % 3 == 1, "operational")
+        .otherwise("high_quality_operational")
+        .alias("sl_project_phase"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, specialised_lending=sl),
+        PipelineConfig(pack=B31_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("rw_source").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )

@@ -964,3 +964,50 @@ def test_b31_other_re_art124j(spark):
     assert rows["L_ORS"].rw_source == "b31_other_re_resi"
     assert rows["L_OCR"].risk_weight == pytest.approx(0.60)  # floor binds over 50%
     assert rows["L_OCR"].rw_source == "b31_other_re_cre"
+
+
+def test_b31_sa_specialised_lending_art122a(spark):
+    # PS1/26 Art.122A-122B: unrated SL prices on the type table — project
+    # finance pre-operational 130%; rated SL keeps its Art.122A(3)
+    # corporate CQS weight (CQS2 → 50%); Art.139(2B) disapplies a
+    # non-issue-specific rating, re-routing the row through the unrated
+    # table (high-quality operational project finance → 80%).
+    cps = spark.createDataFrame(
+        [
+            ("CP_S1", "corporate", 0, False, 0.0, False, True),
+            ("CP_S2", "corporate", 2, False, 0.0, False, True),
+            ("CP_S3", "corporate", 2, False, 0.0, False, False),
+        ],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, "
+        "has_irb_permission boolean, external_rating_is_issue_specific boolean",
+    )
+    sl = spark.createDataFrame(
+        [
+            ("CP_S1", None, "project_finance", "pre_operational"),
+            ("CP_S2", None, "object_finance", None),
+            ("CP_S3", None, "project_finance", "high_quality_operational"),
+        ],
+        "counterparty_reference string, slot_category string, sl_type string, "
+        "sl_project_phase string",
+    )
+    loans = spark.createDataFrame(
+        [("L_S1", "CP_S1", 1000.0), ("L_S2", "CP_S2", 1000.0),
+         ("L_S3", "CP_S3", 1000.0)],
+        "loan_reference string, counterparty_reference string, drawn_amount double",
+    ).selectExpr(
+        "*", "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, specialised_lending=sl),
+        PipelineConfig(pack=B31_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    assert rows["L_S1"].risk_weight == pytest.approx(1.30)
+    assert rows["L_S1"].rw_source == "b31_sa_sl_project_finance_pre_operational"
+    assert rows["L_S2"].risk_weight == pytest.approx(0.50)
+    assert rows["L_S2"].rw_source == "sa_cqs_lookup"
+    assert rows["L_S3"].risk_weight == pytest.approx(0.80)
+    assert rows["L_S3"].rw_source == "b31_sa_sl_project_finance_high_quality"
