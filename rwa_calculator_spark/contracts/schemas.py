@@ -65,6 +65,11 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
         # issue-specific (inferred/issuer-level assessments are disapplied
         # for the Art.122B SA specialised-lending routing)
         "external_rating_is_issue_specific": ColumnSpec(_B),
+        # CRR Art.4(1)(128D) SME size test second limb (ref schemas.py:604
+        # total_assets) and the PS1/26 Art.124L(c) registered social
+        # housing flag (ref schemas.py:616)
+        "total_assets": ColumnSpec(_D, 0.0),
+        "is_social_housing": ColumnSpec(_B, False),
     },
     # ref schemas.py:310 LOAN_SCHEMA (41 cols)
     "loans": {

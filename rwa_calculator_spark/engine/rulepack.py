@@ -335,6 +335,12 @@ CRR_PACK = RulePack(
         # pack data.
         "thresholds_fx_derived": RuleEntry(_D("1"), "CRR Art.123/501 EUR bases"),
         "sme_revenue_cap": RuleEntry(_D("50000000"), "CRR2 Art.501(2)(b) EUR 50m"),
+        # CRR Art.4(1)(128D) / Recommendation 2003/361/EC Art.2(1): an
+        # enterprise is SME-sized on EITHER criterion — annual turnover
+        # < EUR 50m OR balance-sheet total < EUR 43m (the turnover cap is
+        # shared with the Art.501 factor above; the balance-sheet limb is
+        # the SIZE test only, never the supporting-factor tier base)
+        "sme_balance_sheet_cap": RuleEntry(_D("43000000"), "2003/361/EC Art.2(1) EUR 43m"),
         "re_secured_rw": RuleEntry(_D("0.35"), "CRR Art.125"),
         "defaulted_rw": RuleEntry(_D("1.5"), "CRR Art.127"),
         "defaulted_rw_secured": RuleEntry(_D("1.0"), "CRR Art.127(1)"),
@@ -463,6 +469,7 @@ B31_PACK = RulePack(
         "retail_threshold": RuleEntry(_D("1000000"), "BCBS CRE20.65 (native)"),
         "thresholds_fx_derived": RuleEntry(_D("0"), "PS1/26 native GBP thresholds"),
         "sme_revenue_cap": RuleEntry(_D("50000000"), "PS1/26 Art.501 native"),
+        "sme_balance_sheet_cap": RuleEntry(_D("43000000"), "PS1/26 Art.4 SME (native)"),
         "re_secured_rw": RuleEntry(_D("0.30"), "BCBS CRE20.71 (LTV<60%)"),
         "defaulted_rw": RuleEntry(_D("1.5"), "BCBS CRE20.104"),
         "defaulted_rw_secured": RuleEntry(_D("1.0"), "BCBS CRE20.105"),
@@ -519,6 +526,19 @@ B31_PACK = RulePack(
         "b31_cre_income_junior_rw_mid": RuleEntry(_D("1.25"), "PS1/26 Art.124I(3)(b)"),
         "b31_cre_income_junior_rw_high": RuleEntry(
             _D("1.375"), "PS1/26 Art.124I(3)(c)"
+        ),
+        # Art.124L counterparty-type table for the general-RE loan-split
+        # RESIDUAL (and the Art.124J non-dependent other-RE weight): the
+        # remainder of a split position prices as an exposure to the
+        # counterparty — 75% for natural persons and retail-qualifying
+        # SMEs (limb a), 85% for other SMEs (limb b), max(75%, unsecured
+        # counterparty RW) for registered social housing (limb c), the
+        # full unsecured counterparty RW otherwise (ref
+        # b31_risk_weight_tables.py:144-156 + packs/b31.py:1198-1217)
+        "b31_rre_residual_rw_person": RuleEntry(_D("0.75"), "PS1/26 Art.124L(a)"),
+        "b31_rre_residual_rw_other_sme": RuleEntry(_D("0.85"), "PS1/26 Art.124L(b)"),
+        "b31_rre_residual_rw_social_floor": RuleEntry(
+            _D("0.75"), "PS1/26 Art.124L(c)"
         ),
         # Art.124E(1)(b): owner-occupied preferential RRE restricted to
         # natural persons financing at most three residential properties;

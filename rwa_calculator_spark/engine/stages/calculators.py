@@ -637,6 +637,31 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             (F.col("entity_type") == "individual") | F.col("is_managed_as_retail"),
             pack.lit("retail_rw"),
         ).otherwise(F.coalesce(F.col("_re_cp_rw"), pack.lit("unrated_corp_rw")))
+        # Art.124L counterparty-type table for the split RESIDUAL and the
+        # Art.124J non-dependent other-RE weight (ref
+        # b31_risk_weight_tables.py:760-799 _b31_art_124l_cp_rw_expr):
+        # natural person / retail-qualifying SME 75% (limb a), other SME
+        # 85% (limb b), registered social housing max(75%, unsecured cp RW)
+        # (limb c), full unsecured counterparty RW otherwise (d/e). The
+        # is_sme / qualifies_as_retail inputs are the classify stage's CRR
+        # Art.4(1)(128D) size test and Art.123 outcome; pack-gated so the
+        # CRR regime (no Art.124L) keeps the plain residual.
+        is_person = F.col("entity_type") == "individual"
+        sme = _flag("is_sme")
+        retail_q = _flag("qualifies_as_retail")
+        social = _flag("is_social_housing")
+        if "b31_rre_residual_rw_person" in pack.scalars:
+            cp_rw_124l = (
+                F.when(is_person | (sme & retail_q), pack.lit("b31_rre_residual_rw_person"))
+                .when(sme, pack.lit("b31_rre_residual_rw_other_sme"))
+                .when(
+                    social,
+                    F.greatest(pack.lit("b31_rre_residual_rw_social_floor"), cp_rw),
+                )
+                .otherwise(cp_rw)
+            )
+        else:
+            cp_rw_124l = cp_rw
         # Art.124F(2): prior charges shrink the preferential secured cap
         eff_cap = F.greatest(F.lit(0.0), pack.lit("b31_re_split_cap") - prior_chg)
         secured_share = F.least(eff_cap / ltv, F.lit(1.0))
@@ -645,19 +670,21 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
                 pack.lit("b31_rre_split_secured_rw")
             )
             * secured_share
-            + cp_rw * (F.lit(1.0) - secured_share)
+            + cp_rw_124l * (F.lit(1.0) - secured_share)
         )
         # Art.124H(3): general CRE to counterparties OTHER than natural
-        # persons / retail-managed SMEs takes max(60%, min(counterparty RW,
-        # Art.124I(1)/(2) BASE income RW)) instead of the loan split — so
-        # large corporates cannot reach the preferential split (ref
-        # b31_risk_weight_tables.py:631-637; the cap deliberately uses the
-        # base bands, not the Art.124I(3) junior override). The
-        # person-or-SME gate narrows to the individual/retail-managed
-        # carriers the bundle dictionary declares (the reference's
-        # non-retail-SME 85% limb needs an is_sme carrier it doesn't).
-        person_or_sme = (F.col("entity_type") == "individual") | F.coalesce(
-            F.col("is_managed_as_retail"), F.lit(False)
+        # persons / SMEs takes max(60%, min(counterparty RW, Art.124I(1)/(2)
+        # BASE income RW)) instead of the loan split — so large corporates
+        # cannot reach the preferential split (ref
+        # b31_risk_weight_tables.py:590-637; the cap deliberately uses the
+        # base bands, not the Art.124I(3) junior override). The gate is
+        # natural-person OR SME (any SME, not just retail-qualifying —
+        # ref :594 is_person_or_sme), with the retail-managed carrier kept
+        # as a person-equivalent alias for bundles that declare no sizes.
+        person_or_sme = (
+            (F.col("entity_type") == "individual")
+            | F.coalesce(F.col("is_managed_as_retail"), F.lit(False))
+            | sme
         )
         cre_h3_rw = F.greatest(
             pack.lit("b31_cre_split_secured_rw"), F.least(cp_rw, cre_income_base)
@@ -666,11 +693,14 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             F.when(re_row & adc & ~commercial & presold, pack.lit("b31_adc_presold_rw"))
             .when(re_row & adc, pack.lit("b31_adc_rw"))
             .when(re_row & other_re & income, pack.lit("b31_other_re_income_rw"))
+            # Art.124J non-dependent limbs price at the Art.124L
+            # counterparty-type weight (ref b31_risk_weight_tables.py:
+            # 674-683) — CRE floored at 60%, RESI unfloored
             .when(
                 re_row & other_re & commercial,
-                F.greatest(pack.lit("b31_other_re_cre_floor_rw"), cp_rw),
+                F.greatest(pack.lit("b31_other_re_cre_floor_rw"), cp_rw_124l),
             )
-            .when(re_row & other_re, cp_rw)
+            .when(re_row & other_re, cp_rw_124l)
             .when(re_row & ltv_ok & income & commercial, cre_income_rw)
             .when(re_row & ltv_ok & income, rre_income_rw)
             .when(re_row & ltv_ok & commercial & ~person_or_sme, cre_h3_rw)

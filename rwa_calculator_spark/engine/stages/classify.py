@@ -74,6 +74,31 @@ def run_classify(
         "retail_threshold_applied", F.coalesce(retail_candidate, F.lit(False))
     )
 
+    # CRR Art.4(1)(128D) / 2003/361/EC Art.2(1) SME size test (ref
+    # classify/attributes.py:470-497 is_sme_by_size_expr): SME on EITHER
+    # criterion — turnover below the cap, or (where turnover is absent)
+    # balance-sheet total below ITS cap; zero/absent on both → False. EUR
+    # caps scale with the run's EUR rate exactly like the retail
+    # threshold. Sealed as a ledger carrier and consumed by the Art.124L
+    # counterparty-type table in the calculators RE block.
+    turnover = F.coalesce(F.col("annual_revenue"), F.lit(0.0))
+    assets = (
+        F.coalesce(F.col("total_assets"), F.lit(0.0))
+        if "total_assets" in exp.columns
+        else F.lit(0.0)
+    )
+    scale = F.lit(threshold_scale)
+    is_sme = F.when(
+        turnover > 0, turnover < pack.lit("sme_revenue_cap") * scale
+    ).otherwise(
+        (assets > 0) & (assets < pack.lit("sme_balance_sheet_cap") * scale)
+    )
+    exp = exp.withColumn("is_sme", F.coalesce(is_sme, F.lit(False)))
+    # the Art.123 qualification OUTCOME (candidate AND under-threshold) —
+    # distinct from retail_threshold_applied (which records that the test
+    # ran); the Art.124L(a) retail-qualifying-SME limb keys on it
+    exp = exp.withColumn("qualifies_as_retail", F.coalesce(is_retail, F.lit(False)))
+
     # property-secured carrier: a loan declared secured on real estate
     # routes to the RE class directly (ref data/schemas.py
     # crr_exposure_class 'secured_by_mortgages' — the loader-declared

@@ -238,6 +238,16 @@ def run_hierarchy(
     # specialised-lending routing (ref risk_weights.py:973-991)
     if "external_rating_is_issue_specific" in raw.counterparties.columns:
         dim_cols.append(F.col("external_rating_is_issue_specific"))
+    # Art.124L counterparty-type inputs (ref schemas.py:604/:616): the
+    # balance-sheet total feeds the CRR Art.4(1)(128D) SME size test's
+    # second limb (turnover is already in the dim), and the registered
+    # social-housing flag drives the Art.124L(c) residual floor
+    if "total_assets" in raw.counterparties.columns:
+        dim_cols.append(F.coalesce("total_assets", F.lit(0.0)).alias("total_assets"))
+    if "is_social_housing" in raw.counterparties.columns:
+        dim_cols.append(
+            F.coalesce("is_social_housing", F.lit(False)).alias("is_social_housing")
+        )
     # PS1/26 Art.124E(1)(b) three-property re-route input (ref
     # schemas.py:615; consumed by the calculators RE block)
     if "qualifying_property_count" in raw.counterparties.columns:

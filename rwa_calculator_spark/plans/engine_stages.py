@@ -1876,3 +1876,155 @@ def sa_b31_sl_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
         scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Art.124L counterparty-type residual table (PS1/26; ref
+# engine/sa/b31_risk_weight_tables.py:144-156 + :760-799
+# _b31_art_124l_cp_rw_expr + packs/b31.py:1198-1217): the general-RE
+# loan-split REMAINDER — and the Art.124J non-dependent other-RE weight —
+# price as an exposure to the counterparty through a four-limb type table:
+# natural person / retail-qualifying SME 75%, other SME 85%, registered
+# social housing max(75%, unsecured cp RW), full unsecured cp RW otherwise.
+# The SME input is the CRR Art.4(1)(128D) size test (turnover < 50m, else
+# balance-sheet total < 43m), computed by the classify stage; the
+# Art.124H(3) routing gate widens to natural-person OR SME (any SME).
+# ---------------------------------------------------------------------------
+
+_B31_RE_124L_ORACLE = """
+    WITH cps AS (
+        SELECT c_custkey AS cp, CAST(c_custkey % 7 AS INTEGER) AS cqs,
+               (c_custkey % 5 = 0) AS is_person,
+               (c_custkey % 3 = 0) AS managed_retail,
+               CASE CAST(c_custkey % 4 AS INTEGER)
+                    WHEN 0 THEN 10000000.0 WHEN 1 THEN 500000000.0
+                    ELSE 0.0 END AS revenue,
+               CASE WHEN c_custkey % 4 = 2 THEN 30000000.0
+                    ELSE 0.0 END AS assets,
+               (c_custkey % 11 = 0) AS social
+        FROM customer
+    ), typed AS (
+        SELECT *,
+               CASE WHEN revenue > 0 THEN revenue < 50000000.0
+                    ELSE assets > 0 AND assets < 43000000.0 END AS is_sme,
+               CASE WHEN is_person OR managed_retail THEN 0.75
+                    ELSE CASE coalesce(cqs, 0)
+                         WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                         WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
+                         ELSE 1.0 END END AS cp_rw
+        FROM cps
+    ), limbed AS (
+        SELECT *,
+               CASE WHEN is_person OR (is_sme AND (is_person OR managed_retail))
+                         THEN 0.75
+                    WHEN is_sme THEN 0.85
+                    WHEN social THEN greatest(0.75, cp_rw)
+                    ELSE cp_rw END AS cp_rw_124l,
+               (is_person OR managed_retail OR is_sme) AS person_or_sme
+        FROM typed
+    ), loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp,
+               o_totalprice / 1000.0 AS drawn,
+               0.35 + CAST(o_orderkey % 17 AS DOUBLE) * 0.05 AS ltv,
+               (o_orderkey % 4 = 0) AS commercial,
+               (o_orderkey % 11 = 0) AS other_re,
+               (o_orderkey % 29 = 0) AS is_defaulted
+        FROM orders
+    ), j AS (
+        SELECT l.*, c.cp_rw, c.cp_rw_124l, c.person_or_sme,
+               least(0.55 / l.ltv, 1.0) AS ss,
+               CASE WHEN l.ltv <= 0.80 THEN 1.00 ELSE 1.10 END AS income_base
+        FROM loans l JOIN limbed c ON l.cp = c.cp
+    ), priced AS (
+        SELECT *,
+               CASE
+                 WHEN is_defaulted THEN 1.0
+                 WHEN other_re AND commercial THEN greatest(0.60, cp_rw_124l)
+                 WHEN other_re THEN cp_rw_124l
+                 WHEN commercial AND NOT person_or_sme THEN
+                      greatest(0.60, least(cp_rw, income_base))
+                 WHEN commercial THEN 0.60 * ss + cp_rw_124l * (1.0 - ss)
+                 ELSE 0.20 * ss + cp_rw_124l * (1.0 - ss)
+               END AS rw,
+               CASE
+                 WHEN is_defaulted THEN 'sa_defaulted_secured'
+                 WHEN other_re AND commercial THEN 'b31_other_re_cre'
+                 WHEN other_re THEN 'b31_other_re_resi'
+                 WHEN commercial AND NOT person_or_sme THEN 'b31_cre_art124h3'
+                 WHEN commercial THEN 'b31_cre_loan_split'
+                 ELSE 'b31_rre_loan_split'
+               END AS rw_source
+        FROM j
+    )
+    SELECT rw_source, count(*) AS n_exposures,
+           sum(CAST(round(drawn * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_ead,
+           sum(CAST(round((drawn * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_rwa
+    FROM priced GROUP BY 1
+"""
+
+
+@query("sa_b31_re_art124l", oracle=_B31_RE_124L_ORACLE, tags=("engine", "sa", "rwa"))
+def sa_b31_re_art124l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PS1/26 Art.124L counterparty-type residual table through the REAL
+    B3.1 pipeline: general (non-income) property-secured loans loan-split,
+    and the REMAINDER prices by counterparty type — natural person /
+    retail-qualifying SME 75% (limb a), other SME 85% (limb b, the size
+    test passing on EITHER the 50m turnover or the 43m balance-sheet
+    criterion per CRR Art.4(1)(128D)), registered social housing
+    max(75%, unsecured counterparty RW) (limb c), full unsecured
+    counterparty RW otherwise. The Art.124J non-dependent other-RE limbs
+    consume the same table (CRE floored at 60%, RESI unfloored), and the
+    Art.124H(3) general-CRE routing gate widens to natural-person OR SME —
+    an 85%-residual SME reaches the preferential split a large corporate
+    cannot. Aggregated by rw_source."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.col("c_custkey") % 5 == 0, "individual")
+        .otherwise("corporate")
+        .alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        (F.col("c_custkey") % 3 == 0).alias("is_managed_as_retail"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(10000000.0))
+        .when(F.col("c_custkey") % 4 == 1, F.lit(500000000.0))
+        .otherwise(F.lit(0.0))
+        .alias("annual_revenue"),
+        F.when(F.col("c_custkey") % 4 == 2, F.lit(30000000.0))
+        .otherwise(F.lit(0.0))
+        .alias("total_assets"),
+        (F.col("c_custkey") % 11 == 0).alias("is_social_housing"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        (F.col("o_totalprice") / F.lit(1000.0)).alias("drawn_amount"),
+        (F.col("o_orderkey") % 29 == 0).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        F.lit(True).alias("is_property_secured"),
+        (F.lit(0.35) + (F.col("o_orderkey") % 17).cast("double") * F.lit(0.05)).alias(
+            "ltv"
+        ),
+        F.lit(False).alias("is_income_producing"),
+        (F.col("o_orderkey") % 4 == 0).alias("is_commercial_re"),
+        (F.col("o_orderkey") % 11 == 0).alias("is_other_re"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=B31_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("rw_source").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )
