@@ -143,6 +143,17 @@ _RESULT_COLS = [
     # false/null (PS1/26 did not onshore double default).
     "collateral_references",
     "collateral_types",
+    # per-type decomposition of the allocated (post-haircut) collateral
+    # value (ref data/schemas.py:2963-2968 "Per-type collateral tracking
+    # for COREP C 08.01 cols 0170-0210"): financial + receivables + other
+    # ≡ collateral_value exactly (RE never enters the FCCM channel — its
+    # carrier is sealed by the RE-split stage instead); cash is a reported
+    # SUBSET of financial
+    "collateral_financial_value",
+    "collateral_cash_value",
+    "collateral_re_value",
+    "collateral_receivables_value",
+    "collateral_other_physical_value",
     "is_double_default_eligible",
     "double_default_unfunded_protection",
     "irb_lgd_double_default",
@@ -206,6 +217,11 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("approach_reason", "string"),
         ("collateral_references", "array<string>"),
         ("collateral_types", "array<string>"),
+        ("collateral_financial_value", "double"),
+        ("collateral_cash_value", "double"),
+        ("collateral_re_value", "double"),
+        ("collateral_receivables_value", "double"),
+        ("collateral_other_physical_value", "double"),
         ("is_double_default_eligible", "boolean"),
         ("double_default_unfunded_protection", "double"),
         ("irb_lgd_double_default", "double"),

@@ -494,8 +494,40 @@ def run_crm(
                 F.col("adjusted_value") * (F.lit(1.0) - F.col("_mm")) * F.col("_share"),
             )
         )
+        # per-type decomposition of the SAME allocated (post-haircut,
+        # post-mismatch) value — conditional sums inside the one existing
+        # aggregation, zero additional shuffle (ref CALCULATION_OUTPUT_SCHEMA
+        # data/schemas.py:2963-2968 "Per-type collateral tracking for COREP
+        # C 08.01 cols 0170-0210"): financial (Art.197 eligible instruments;
+        # cash/deposits reported again as their own subset), receivables
+        # (Art.199(5)), everything else — including undeclared types, which
+        # the haircut lookup already priced as unknown — other physical
+        # (Art.199(6)). Real estate never enters this channel (it routes to
+        # the RE-split stage, which seals collateral_re_value itself), so
+        # financial + receivables + other ≡ collateral_value exactly.
+        _t = F.col("_coll_type")
+        _is_cash = _t.isin("cash", "deposit")
+        _is_fin = _is_cash | _t.isin(
+            "govt_bond", "corp_bond", "securitisation", "equity", "gold", "fund"
+        )
+        _is_recv = _t == "receivables"
+        _alloc = F.col("allocated_value")
         per_exposure = allocated.groupBy("exposure_reference").agg(
             F.sum("allocated_value").alias("collateral_value"),
+            F.sum(F.when(_is_fin, _alloc).otherwise(0.0)).alias(
+                "collateral_financial_value"
+            ),
+            F.sum(F.when(_is_cash, _alloc).otherwise(0.0)).alias(
+                "collateral_cash_value"
+            ),
+            F.sum(F.when(_is_recv, _alloc).otherwise(0.0)).alias(
+                "collateral_receivables_value"
+            ),
+            F.sum(
+                F.when(~F.coalesce(_is_fin | _is_recv, F.lit(False)), _alloc).otherwise(
+                    0.0
+                )
+            ).alias("collateral_other_physical_value"),
             F.sum(F.col("_gross_value") * F.col("_share")).alias(
                 "collateral_value_gross"
             ),
@@ -520,6 +552,10 @@ def run_crm(
             "haircut_quality",
             "haircut_fx",
             "haircut_maturity_mismatch",
+            "collateral_financial_value",
+            "collateral_cash_value",
+            "collateral_receivables_value",
+            "collateral_other_physical_value",
         ):
             exp = exp.withColumn(c, F.coalesce(c, F.lit(0.0)))
         for c in ("collateral_references", "collateral_types"):
@@ -533,6 +569,10 @@ def run_crm(
             "haircut_quality",
             "haircut_fx",
             "haircut_maturity_mismatch",
+            "collateral_financial_value",
+            "collateral_cash_value",
+            "collateral_receivables_value",
+            "collateral_other_physical_value",
         ):
             exp = exp.withColumn(c, F.lit(0.0))
         for c in ("collateral_references", "collateral_types"):

@@ -28,7 +28,11 @@ def run_re_split(crm: CRMOutput, raw: RawBundle, pack: RulePack) -> CRMOutput:
         or raw.collateral_links is None
         or "collateral_type" not in coll.columns
     ):
-        return crm
+        return CRMOutput(
+            exposures=crm.exposures.withColumn(
+                "collateral_re_value", F.lit(0.0)
+            )
+        )
 
     re_items = coll.where(F.col("collateral_type") == "real_estate").select(
         "collateral_reference",
@@ -42,6 +46,11 @@ def run_re_split(crm: CRMOutput, raw: RawBundle, pack: RulePack) -> CRMOutput:
     )
 
     exp = crm.exposures.join(re_per_exp, "exposure_reference", "left")
+    # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA collateral_re_value,
+    # data/schemas.py:2965): the real-estate collateral value securing the
+    # row — sealed HERE because RE items never enter the FCCM channel (the
+    # same property cannot both net EAD and drive the Art.124(2) split)
+    exp = exp.withColumn("collateral_re_value", F.coalesce("_re_value", F.lit(0.0)))
     secured = F.least(F.col("ead_after_crm"), F.lit(RE_LTV_CAP) * F.col("_re_value"))
     splittable = (
         F.col("_re_value").isNotNull()

@@ -135,7 +135,11 @@ _SQL_C08_COLS = f"""
            {sql_scaled_sum('sa_equiv', 2)} AS sa_equiv_rwea_0276,
            {sql_scaled_sum('el', 2)} AS expected_loss_0280,
            count(DISTINCT cp_key) AS n_obligors_0300,
-           {sql_scaled_sum('0.0', 2)} AS dd_unfunded_0220"""
+           {sql_scaled_sum('0.0', 2)} AS dd_unfunded_0220,
+           {sql_scaled_sum('0.0', 2)} AS crm_lgd_financial_0180,
+           {sql_scaled_sum('0.0', 2)} AS crm_lgd_real_estate_0190,
+           {sql_scaled_sum('0.0', 2)} AS crm_lgd_other_physical_0200,
+           {sql_scaled_sum('0.0', 2)} AS crm_lgd_receivables_0210"""
 
 _C08_01_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_C08_LEDGER + f"""
     SELECT exposure_class AS row_label,{_SQL_C08_COLS}
@@ -186,6 +190,28 @@ def _c08_value_aggs() -> list[Column]:
         scaled_sum(
             F.coalesce(F.col("double_default_unfunded_protection"), F.lit(0.0)), 2
         ).alias("dd_unfunded_0220"),
+        # cols 0180-0210 "CRM techniques taken into account in LGD
+        # estimates" — sealed from the CRM stage's per-type decomposition
+        # carriers (ref data/schemas.py:2963-2968 + aggregator.py:869-879;
+        # the repo's basis is the ADJUSTED value C_i, the Foundation
+        # Collateral Method column of Annex II p.108 — the AIRB
+        # estimated-market-value limb needs an own-LGD-model election the
+        # engine does not model, a recorded narrowing). The star book
+        # pledges no collateral, so the columns foot to zero BY DERIVATION
+        # on both engines; the carrier arithmetic itself is oracle-proven
+        # by `crm_collateral_type_ledger`.
+        scaled_sum(
+            F.coalesce(F.col("collateral_financial_value"), F.lit(0.0)), 2
+        ).alias("crm_lgd_financial_0180"),
+        scaled_sum(F.coalesce(F.col("collateral_re_value"), F.lit(0.0)), 2).alias(
+            "crm_lgd_real_estate_0190"
+        ),
+        scaled_sum(
+            F.coalesce(F.col("collateral_other_physical_value"), F.lit(0.0)), 2
+        ).alias("crm_lgd_other_physical_0200"),
+        scaled_sum(
+            F.coalesce(F.col("collateral_receivables_value"), F.lit(0.0)), 2
+        ).alias("crm_lgd_receivables_0210"),
     ]
 
 

@@ -2028,3 +2028,173 @@ def sa_b31_re_art124l(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
         scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-type collateral decomposition carriers (ref CALCULATION_OUTPUT_SCHEMA
+# data/schemas.py:2963-2968 "Per-type collateral tracking for COREP C 08.01
+# cols 0170-0210"): the CRM stage decomposes the allocated (post-haircut,
+# post-mismatch) value by collateral type inside its ONE existing
+# aggregation — financial (cash reported again as its own subset),
+# receivables, other physical; real estate never enters the FCCM channel
+# (it drives the Art.124(2) RE-split instead, which seals
+# collateral_re_value itself), so financial + receivables + other
+# ≡ collateral_value exactly.
+# ---------------------------------------------------------------------------
+
+_COLL_TYPE_ORACLE = """
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp, o_totalprice AS drawn
+        FROM orders
+    ), typed AS (
+        SELECT l.*,
+               CASE WHEN l.cp % 2 = 0 THEN 'corporate'
+                    ELSE 'institution' END AS exposure_class,
+               CASE WHEN l.ok % 4 IN (0, 2) THEN
+                    CASE CAST(l.ok % 5 AS INTEGER)
+                         WHEN 0 THEN 'cash' WHEN 1 THEN 'deposit'
+                         WHEN 2 THEN 'govt_bond' WHEN 3 THEN 'receivables'
+                         ELSE 'machinery' END
+               END AS fccm_type,
+               (l.ok % 4 = 1) AS has_re
+        FROM loans l
+    ), valued AS (
+        SELECT *,
+               CASE WHEN fccm_type IS NOT NULL
+                    THEN drawn * 0.4 * (1.0 - 0.1) ELSE 0.0 END AS alloc,
+               CASE WHEN has_re THEN drawn * 0.9 ELSE 0.0 END AS re_mv
+        FROM typed
+    ), carriers AS (
+        SELECT *,
+               alloc AS coll_value,
+               CASE WHEN fccm_type IN ('cash', 'deposit', 'govt_bond')
+                    THEN alloc ELSE 0.0 END AS fin_value,
+               CASE WHEN fccm_type IN ('cash', 'deposit')
+                    THEN alloc ELSE 0.0 END AS cash_value,
+               CASE WHEN fccm_type = 'receivables'
+                    THEN alloc ELSE 0.0 END AS recv_value,
+               CASE WHEN fccm_type = 'machinery'
+                    THEN alloc ELSE 0.0 END AS other_value,
+               drawn - alloc AS ead_after
+        FROM valued
+    ), split AS (
+        -- Art.124(2) RE-split: secured tranche = min(EAD, 80% of property
+        -- value) = 0.72·drawn < EAD, so BOTH parts always exist; each part
+        -- carries the FULL sealed collateral_re_value (a provenance
+        -- carrier, deliberately not conserved across the split)
+        SELECT exposure_class, coll_value, fin_value, cash_value,
+               recv_value, other_value, 0.0 AS re_value, ead_after
+        FROM carriers WHERE NOT has_re
+        UNION ALL
+        SELECT 're_secured', 0.0, 0.0, 0.0, 0.0, 0.0, re_mv,
+               drawn * 0.9 * 0.8
+        FROM carriers WHERE has_re
+        UNION ALL
+        SELECT exposure_class, 0.0, 0.0, 0.0, 0.0, 0.0, re_mv,
+               drawn - drawn * 0.9 * 0.8
+        FROM carriers WHERE has_re
+    )
+    SELECT exposure_class, count(*) AS n_rows,
+           sum(CAST(round(coll_value * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS coll_value,
+           sum(CAST(round(fin_value * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS fin_value,
+           sum(CAST(round(cash_value * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS cash_value,
+           sum(CAST(round(recv_value * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS recv_value,
+           sum(CAST(round(other_value * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS other_value,
+           sum(CAST(round(re_value * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS re_value,
+           sum(CAST(round(ead_after * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS ead_after
+    FROM split GROUP BY 1
+"""
+
+
+@query(
+    "crm_collateral_type_ledger",
+    oracle=_COLL_TYPE_ORACLE,
+    tags=("engine", "crm", "rwa"),
+)
+def crm_collateral_type_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type collateral decomposition through the REAL pipeline: typed
+    FCCM items (cash / deposit / govt_bond / receivables / machinery, 1:1
+    links, supplied 10% haircut) decompose the allocated value into the
+    financial / cash-subset / receivables / other-physical ledger carriers
+    inside the CRM stage's one aggregation; real-estate items bypass FCCM,
+    drive the Art.124(2) split, and seal collateral_re_value on BOTH
+    resulting parts (provenance, deliberately not conserved across the
+    split). financial + receivables + other ≡ collateral_value, and
+    ead_after_crm nets only the FCCM total. Aggregated by exposure_class."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.col("c_custkey") % 2 == 0, "corporate")
+        .otherwise("institution")
+        .alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    fccm = o.where((F.col("o_orderkey") % 4).isin(0, 2)).select(
+        F.concat(F.lit("COL"), F.col("o_orderkey")).alias("collateral_reference"),
+        F.when(F.col("o_orderkey") % 5 == 0, "cash")
+        .when(F.col("o_orderkey") % 5 == 1, "deposit")
+        .when(F.col("o_orderkey") % 5 == 2, "govt_bond")
+        .when(F.col("o_orderkey") % 5 == 3, "receivables")
+        .otherwise("machinery")
+        .alias("collateral_type"),
+        (F.col("o_totalprice") * 0.4).alias("market_value"),
+        F.lit(0.1).alias("haircut"),
+        F.lit(False).alias("currency_mismatch"),
+    )
+    re_items = o.where(F.col("o_orderkey") % 4 == 1).select(
+        F.concat(F.lit("RE"), F.col("o_orderkey")).alias("collateral_reference"),
+        F.lit("real_estate").alias("collateral_type"),
+        (F.col("o_totalprice") * 0.9).alias("market_value"),
+        F.lit(None).cast("double").alias("haircut"),
+        F.lit(False).alias("currency_mismatch"),
+    )
+    coll = fccm.unionByName(re_items)
+    links = coll.select(
+        "collateral_reference",
+        F.concat(
+            F.lit("L"), F.regexp_extract("collateral_reference", r"(\d+)$", 1)
+        ).alias("exposure_reference"),
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps, loans=loans, collateral=coll, collateral_links=links
+        ),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("exposure_class").agg(
+        F.count("*").alias("n_rows"),
+        scaled_sum(F.col("collateral_value"), 2).alias("coll_value"),
+        scaled_sum(F.col("collateral_financial_value"), 2).alias("fin_value"),
+        scaled_sum(F.col("collateral_cash_value"), 2).alias("cash_value"),
+        scaled_sum(F.col("collateral_receivables_value"), 2).alias("recv_value"),
+        scaled_sum(F.col("collateral_other_physical_value"), 2).alias("other_value"),
+        scaled_sum(F.coalesce(F.col("collateral_re_value"), F.lit(0.0)), 2).alias(
+            "re_value"
+        ),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("ead_after"),
+    )

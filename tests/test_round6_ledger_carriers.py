@@ -169,3 +169,94 @@ def test_manifest_records_per_stage_wall_ms(spark, tmp_path):
     for name in ("hierarchy", "classify", "crm", "re_split", "calculators",
                  "aggregate"):
         assert name in stages and stages[name] >= 0.0
+
+
+def test_collateral_per_type_decomposition_sealed(spark):
+    # L1 holds cash 100, govt_bond 400 (supplied 10% haircut each), a
+    # receivables item 200 and a machinery item 100: financial = 0.9×500
+    # = 450, cash subset = 90, receivables = 180, other = 90, and
+    # collateral_value = 450 + 180 + 90 = 720 exactly (the identity the
+    # COREP 0180/0200/0210 columns rely on).
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 2000.0)],
+        "loan_reference string, counterparty_reference string, drawn_amount double",
+    ).selectExpr(
+        "*", "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    collateral = spark.createDataFrame(
+        [
+            ("C1", "cash", 100.0, 0.1),
+            ("C2", "govt_bond", 400.0, 0.1),
+            ("C3", "receivables", 200.0, 0.1),
+            ("C4", "machinery", 100.0, 0.1),
+        ],
+        "collateral_reference string, collateral_type string, "
+        "market_value double, haircut double",
+    )
+    links = spark.createDataFrame(
+        [("C1", "L1"), ("C2", "L1"), ("C3", "L1"), ("C4", "L1")],
+        "collateral_reference string, exposure_reference string",
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps, loans=loans, collateral=collateral,
+            collateral_links=links,
+        ),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    r = out.results.collect()[0]
+    assert r.collateral_financial_value == pytest.approx(450.0)
+    assert r.collateral_cash_value == pytest.approx(90.0)
+    assert r.collateral_receivables_value == pytest.approx(180.0)
+    assert r.collateral_other_physical_value == pytest.approx(90.0)
+    assert r.collateral_value == pytest.approx(720.0)
+    assert r.collateral_re_value == pytest.approx(0.0)
+
+
+def test_collateral_re_value_sealed_on_both_split_parts(spark):
+    # A 1000 loan secured on a 900 property: the Art.124(2) split makes a
+    # 720 re_secured tranche and a 280 remainder — BOTH parts carry the
+    # full 900 collateral_re_value (provenance, deliberately not conserved
+    # across the split), and neither carries FCCM decomposition value.
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 1000.0)],
+        "loan_reference string, counterparty_reference string, drawn_amount double",
+    ).selectExpr(
+        "*", "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    collateral = spark.createDataFrame(
+        [("RE1", "real_estate", 900.0)],
+        "collateral_reference string, collateral_type string, market_value double",
+    )
+    links = spark.createDataFrame(
+        [("RE1", "L1")],
+        "collateral_reference string, exposure_reference string",
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps, loans=loans, collateral=collateral,
+            collateral_links=links,
+        ),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    assert rows["L1_RESEC"].ead_after_crm == pytest.approx(720.0)
+    assert rows["L1"].ead_after_crm == pytest.approx(280.0)
+    for ref in ("L1_RESEC", "L1"):
+        assert rows[ref].collateral_re_value == pytest.approx(900.0)
+        assert rows[ref].collateral_financial_value == pytest.approx(0.0)
+        assert rows[ref].collateral_value == pytest.approx(0.0)
