@@ -156,6 +156,12 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
         "beneficiary_type": ColumnSpec(_S, "exposure"),
         "amount": ColumnSpec(_D, 0.0),
         "currency": ColumnSpec(_S),
+        # ref schemas.py:917-918: the provision's own id (→ the ledger's
+        # provision_references) and its IFRS 9 SCRA/GCRA class (domain
+        # schemas.py:2144; undeclared counts as SCRA — conservative, only
+        # specific provisions reduce the SA exposure value)
+        "provision_reference": ColumnSpec(_S),
+        "provision_type": ColumnSpec(_S, "scra"),
     },
     # ref schemas.py:927 RATING_SCHEMA (16 cols)
     "ratings": {

@@ -341,6 +341,10 @@ CRR_PACK = RulePack(
         # shared with the Art.501 factor above; the balance-sheet limb is
         # the SIZE test only, never the supporting-factor tier base)
         "sme_balance_sheet_cap": RuleEntry(_D("43000000"), "2003/361/EC Art.2(1) EUR 43m"),
+        # CRR Art.233(3): a credit derivative whose credit events do not
+        # include restructuring of the underlying obligation loses 40% of
+        # its protection value
+        "cds_restructuring_haircut": RuleEntry(_D("0.40"), "CRR Art.233(3)"),
         "re_secured_rw": RuleEntry(_D("0.35"), "CRR Art.125"),
         "defaulted_rw": RuleEntry(_D("1.5"), "CRR Art.127"),
         "defaulted_rw_secured": RuleEntry(_D("1.0"), "CRR Art.127(1)"),
@@ -470,6 +474,7 @@ B31_PACK = RulePack(
         "thresholds_fx_derived": RuleEntry(_D("0"), "PS1/26 native GBP thresholds"),
         "sme_revenue_cap": RuleEntry(_D("50000000"), "PS1/26 Art.501 native"),
         "sme_balance_sheet_cap": RuleEntry(_D("43000000"), "PS1/26 Art.4 SME (native)"),
+        "cds_restructuring_haircut": RuleEntry(_D("0.40"), "PS1/26 Art.233(3)"),
         "re_secured_rw": RuleEntry(_D("0.30"), "BCBS CRE20.71 (LTV<60%)"),
         "defaulted_rw": RuleEntry(_D("1.5"), "BCBS CRE20.104"),
         "defaulted_rw_secured": RuleEntry(_D("1.0"), "BCBS CRE20.105"),

@@ -31,6 +31,7 @@ from rwa_calculator_spark.functions.irb import (
     R_RETAIL_MORTGAGE,
     R_RETAIL_QRRE,
     irb_maturity_adj,
+    irb_maturity_b,
     spark_correlation,
     spark_correlation_other_retail,
     spark_sme_size_adjustment,
@@ -130,6 +131,69 @@ _RESULT_COLS = [
     "ccf_source",
     # who provides the unfunded protection (crm stage; null unguaranteed),
     "guarantor_reference",
+    # guarantee-impact block (ref CALCULATION_OUTPUT_SCHEMA :2972-3005):
+    # the protection instrument and its Art.233(3) value haircuts (crm
+    # stage), the covered/retained EAD split, substitute weight, isolated
+    # benefit, and the status/method enums plus pre/post-substitution
+    # counterparty tracking (SA and IRB calculators). guarantee_references
+    # is a 0/1-element list — this engine's substitution channel prices
+    # ONE (first-wins) guarantee per exposure, a recorded narrowing of the
+    # reference's multi-guarantee waterfall (the waterfall shape itself is
+    # driver-proven by window_cumsum_waterfall).
+    "guarantee_references",
+    "protection_type",
+    "guarantee_coverage_pct",
+    "guarantee_fx_haircut",
+    "guarantee_restructuring_haircut",
+    "guarantor_risk_weight",
+    "is_guaranteed",
+    "guaranteed_portion",
+    "unguaranteed_portion",
+    "pre_crm_risk_weight",
+    "guarantee_benefit_rw",
+    "guarantee_benefit",
+    "guarantee_status",
+    "guarantee_method_used",
+    "pre_crm_counterparty_reference",
+    "pre_crm_exposure_class",
+    "post_crm_counterparty_guaranteed",
+    "post_crm_exposure_class_guaranteed",
+    # provision-impact block (ref :3005-3008): WHICH provisions were
+    # applied (all three allocation levels, sorted + duplicate-free), the
+    # IFRS 9 SCRA/GCRA split of the allocated total (scra + gcra ≡
+    # provision_allocated), and the amount that actually reduced the SA
+    # exposure value (zero on IRB rows — their provisions route to the EL
+    # shortfall/excess comparison instead)
+    "provision_references",
+    "scra_provision_amount",
+    "gcra_provision_amount",
+    "provision_capped_amount",
+    # EAD-calculation block (ref :3010-3014): converted off-BS amount,
+    # gross (pre-provision) EAD, the post-collateral value BEFORE any RE
+    # split re-partitions it, the final figure RWA priced on, and which
+    # collateral method the run elected
+    "converted_undrawn",
+    "gross_ead",
+    "ead_after_collateral",
+    "final_ead",
+    "ead_calculation_method",
+    # IRB parameter decomposition (ref :3026-3041): raw-vs-floor PD/LGD
+    # provenance, the LGD basis (modelled/supervisory), effective
+    # maturity, routed correlation R, the Art.153(1) maturity slope b,
+    # capital K, and the pre-substitution Vasicek weight — every value
+    # the kernel already computed, surfaced instead of dropped
+    "irb_pd_original",
+    "irb_pd_floor",
+    "irb_pd_floored",
+    "irb_lgd_type",
+    "irb_lgd_original",
+    "irb_lgd_floor",
+    "irb_lgd_floored",
+    "irb_maturity_m",
+    "irb_correlation_r",
+    "irb_maturity_adj_b",
+    "irb_capital_k",
+    "irb_risk_weight",
     # WHY the approach routed as it did (permission diagnostic where the
     # model-permission stage ran, branch rule otherwise — calculators)
     "approach_reason",
@@ -222,12 +286,79 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("collateral_re_value", "double"),
         ("collateral_receivables_value", "double"),
         ("collateral_other_physical_value", "double"),
+        ("protection_type", "string"),
+        ("guarantee_fx_haircut", "double"),
+        ("guarantee_restructuring_haircut", "double"),
+        ("guarantor_risk_weight", "double"),
+        ("is_guaranteed", "boolean"),
+        ("guaranteed_portion", "double"),
+        ("unguaranteed_portion", "double"),
+        ("pre_crm_risk_weight", "double"),
+        ("guarantee_benefit_rw", "double"),
+        ("guarantee_benefit", "double"),
+        ("guarantee_status", "string"),
+        ("guarantee_method_used", "string"),
+        ("pre_crm_counterparty_reference", "string"),
+        ("pre_crm_exposure_class", "string"),
+        ("post_crm_counterparty_guaranteed", "string"),
+        ("post_crm_exposure_class_guaranteed", "string"),
+        ("provision_references", "array<string>"),
+        ("scra_provision_amount", "double"),
+        ("gcra_provision_amount", "double"),
+        ("provision_capped_amount", "double"),
+        ("converted_undrawn", "double"),
+        ("gross_ead", "double"),
+        ("ead_after_collateral", "double"),
+        ("ead_calculation_method", "string"),
+        ("irb_pd_original", "double"),
+        ("irb_pd_floor", "double"),
+        ("irb_pd_floored", "double"),
+        ("irb_lgd_type", "string"),
+        ("irb_lgd_original", "double"),
+        ("irb_lgd_floor", "double"),
+        ("irb_lgd_floored", "double"),
+        ("irb_maturity_m", "double"),
+        ("irb_correlation_r", "double"),
+        ("irb_maturity_adj_b", "double"),
+        ("irb_capital_k", "double"),
+        ("irb_risk_weight", "double"),
         ("is_double_default_eligible", "boolean"),
         ("double_default_unfunded_protection", "double"),
         ("irb_lgd_double_default", "double"),
     ):
         if name not in exp.columns:
             exp = exp.withColumn(name, F.lit(None).cast(dtype))
+    # guarantee_references: a 0/1-element list from the crm stage's scalar
+    # (single first-wins guarantee per exposure — recorded narrowing);
+    # guarantee_coverage_pct aliases the effective post-haircut coverage
+    if "guarantee_references" not in exp.columns:
+        exp = exp.withColumn(
+            "guarantee_references",
+            F.when(
+                F.col("guarantee_reference").isNotNull(),
+                F.array(F.col("guarantee_reference")),
+            )
+            if "guarantee_reference" in exp.columns
+            else F.lit(None).cast("array<string>"),
+        )
+    if "guarantee_coverage_pct" not in exp.columns:
+        exp = exp.withColumn(
+            "guarantee_coverage_pct",
+            F.col("g_coverage")
+            if "g_coverage" in exp.columns
+            else F.lit(None).cast("double"),
+        )
+    # final_ead: the figure RWA actually priced on — the post-CRM (and,
+    # where split, post-RE-split) exposure value of THIS row
+    if "final_ead" not in exp.columns:
+        exp = exp.withColumn(
+            "final_ead",
+            F.col("ead_after_crm")
+            if "ead_after_crm" in exp.columns
+            else (
+                F.col("ead") if "ead" in exp.columns else F.lit(None).cast("double")
+            ),
+        )
     # substitution-free branches: the hypothetical equals the actual (only
     # frames that already carry rwa — SA/IRB set their own upstream)
     if "rwa_pre_crm_substitution" not in exp.columns and "rwa" in exp.columns:
@@ -408,6 +539,7 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
             (g > 0) & F.col("_g_rw").isNotNull() & (F.col("_g_rw") < F.col("risk_weight")),
         )
     )
+    perf = perf.withColumn("pre_crm_risk_weight", F.col("risk_weight"))
     perf = perf.withColumn(
         "risk_weight",
         F.when(
@@ -418,6 +550,68 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
         F.when(
             F.col("_g_ben"), F.concat(F.col("rw_source"), F.lit("+g"), F.col("_g_method"))
         ).otherwise(F.col("rw_source")),
+    )
+    # guarantee-impact ledger block, IRB side (ref
+    # engine/irb/guarantee.py:865-903 _add_guarantee_status_columns +
+    # CALCULATION_OUTPUT_SCHEMA :2972-3005). Method semantics follow the
+    # reference exactly: the PSM path is RECORDED whenever an IRB
+    # guarantor's parameter substitution was traversed (PS1/26
+    # Art.236(1)(a)), independent of the Art.193(1) benefit outcome — the
+    # non-beneficial signal lives on guarantee_status; DD and SA RW
+    # substitution report only where they actually repriced the row.
+    _g_m = F.coalesce(F.col("_g_method"), F.lit(""))
+    perf = (
+        perf.withColumn("is_guaranteed", F.col("_g_ben"))
+        .withColumn(
+            "guaranteed_portion",
+            F.when(g > 0, g * F.col("ead_after_crm")).otherwise(0.0),
+        )
+        .withColumn(
+            "unguaranteed_portion",
+            F.col("ead_after_crm")
+            - F.when(g > 0, g * F.col("ead_after_crm")).otherwise(0.0),
+        )
+        .withColumn("guarantor_risk_weight", F.when(g > 0, F.col("_g_rw")))
+        .withColumn(
+            "guarantee_benefit_rw",
+            F.when(
+                F.col("_g_ben"),
+                F.col("pre_crm_risk_weight") - F.col("risk_weight"),
+            ).otherwise(0.0),
+        )
+        .withColumn(
+            "guarantee_benefit",
+            F.col("guarantee_benefit_rw") * F.col("ead_after_crm"),
+        )
+        .withColumn(
+            "guarantee_status",
+            F.when(~(g > 0), "NO_GUARANTEE")
+            .when(~F.col("_g_ben"), "GUARANTEE_NOT_APPLIED_NON_BENEFICIAL")
+            .when(_g_m == "dd", "DOUBLE_DEFAULT")
+            .when(_g_m == "sub_pd", "PD_PARAMETER_SUBSTITUTION")
+            .otherwise("SA_RW_SUBSTITUTION"),
+        )
+        .withColumn(
+            "guarantee_method_used",
+            F.when(F.col("_g_ben") & (_g_m == "dd"), "DOUBLE_DEFAULT")
+            .when((g > 0) & (_g_m == "sub_pd"), "PD_PARAMETER_SUBSTITUTION")
+            .when(F.col("_g_ben"), "SA_RW_SUBSTITUTION")
+            .otherwise("NO_SUBSTITUTION"),
+        )
+        .withColumn("pre_crm_counterparty_reference", F.col("counterparty_reference"))
+        .withColumn("pre_crm_exposure_class", F.col("exposure_class"))
+        .withColumn(
+            "post_crm_counterparty_guaranteed",
+            F.when(
+                g > 0,
+                F.col("guarantor_reference")
+                if "guarantor_reference" in perf.columns
+                else F.lit(None).cast("string"),
+            ),
+        )
+        .withColumn(
+            "post_crm_exposure_class_guaranteed", F.when(g > 0, F.col("g_class"))
+        )
     )
 
     # double-default audit carriers (ref CALCULATION_OUTPUT_SCHEMA
@@ -887,6 +1081,67 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             ).otherwise(F.col("rw_source")),
         )
     )
+    # guarantee-impact ledger block (ref CALCULATION_OUTPUT_SCHEMA
+    # :2972-3005 + engine/irb/guarantee.py:865-903
+    # _add_guarantee_status_columns): the covered/retained EAD split, the
+    # substitute weight, the isolated RW/RWA benefit of the guarantee step
+    # (the blend continues mutating risk_weight after — OFCP, ccy-mismatch,
+    # overrides — so the benefit is computed directly as g·(own − g_rw),
+    # never as a later difference), and the status/method enums. Pre/post
+    # substitution tracking: the borrower-side identity and the
+    # guarantor-side destination the CRM-substitution router reports.
+    _g_has = F.col("g_coverage") > 0
+    _g_ben_sa = _g_has & (F.coalesce("g_rw", F.col("own_rw")) < F.col("own_rw"))
+    exp = (
+        exp.withColumn("is_guaranteed", _g_ben_sa)
+        .withColumn(
+            "guaranteed_portion",
+            F.when(_g_has, F.col("g_coverage") * F.col("ead_after_crm")).otherwise(0.0),
+        )
+        .withColumn(
+            "unguaranteed_portion",
+            F.col("ead_after_crm")
+            - F.when(_g_has, F.col("g_coverage") * F.col("ead_after_crm")).otherwise(
+                0.0
+            ),
+        )
+        .withColumn("guarantor_risk_weight", F.when(_g_has, F.col("g_rw")))
+        .withColumn("pre_crm_risk_weight", F.col("own_rw"))
+        .withColumn(
+            "guarantee_benefit_rw",
+            F.when(
+                _g_ben_sa, F.col("g_coverage") * (F.col("own_rw") - F.col("g_rw"))
+            ).otherwise(0.0),
+        )
+        .withColumn(
+            "guarantee_benefit",
+            F.col("guarantee_benefit_rw") * F.col("ead_after_crm"),
+        )
+        .withColumn(
+            "guarantee_status",
+            F.when(~_g_has, "NO_GUARANTEE")
+            .when(~_g_ben_sa, "GUARANTEE_NOT_APPLIED_NON_BENEFICIAL")
+            .otherwise("SA_RW_SUBSTITUTION"),
+        )
+        .withColumn(
+            "guarantee_method_used",
+            F.when(_g_ben_sa, "SA_RW_SUBSTITUTION").otherwise("NO_SUBSTITUTION"),
+        )
+        .withColumn("pre_crm_counterparty_reference", F.col("counterparty_reference"))
+        .withColumn("pre_crm_exposure_class", F.col("exposure_class"))
+        .withColumn(
+            "post_crm_counterparty_guaranteed",
+            F.when(
+                _g_has,
+                F.col("guarantor_reference")
+                if "guarantor_reference" in exp.columns
+                else F.lit(None).cast("string"),
+            ),
+        )
+        .withColumn(
+            "post_crm_exposure_class_guaranteed", F.when(_g_has, F.col("g_class"))
+        )
+    )
 
     # other-funded-protection RW substitution (CRR Art.222/232; ref
     # engine/crm/{simple_method,life_insurance,third_party_deposit}.py):
@@ -1210,6 +1465,16 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
             irb_maturity_adj(F.col("pd_floored"), F.col("m_eff"))
         ),
     )
+    # IRB parameter decomposition carriers (ref CALCULATION_OUTPUT_SCHEMA
+    # :3030-3041): the routed correlation and the Art.153(1) maturity
+    # slope b, sealed HERE where the kernel inputs still exist as columns
+    # (retail rows carry no b — they take no maturity adjustment)
+    perf = perf.withColumn("irb_correlation_r", F.col("_irb_r_in")).withColumn(
+        "irb_maturity_adj_b",
+        F.when(F.col("_no_ma"), F.lit(None).cast("double")).otherwise(
+            irb_maturity_b(F.col("pd_floored"))
+        ),
+    )
     perf = perf.drop("g_pd", "_irb_r_in", "_no_ma")
     # CRR Art.153(1): ×1.06 scaling on non-defaulted IRB (B3.1 sets it to
     # 1.0 — the attribution waterfall decomposes exactly this removal)
@@ -1232,6 +1497,32 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
                 else F.lit("irb_vasicek")
             ),
         )
+    )
+    # the rest of the decomposition block (ref :3026-3041): raw-vs-floor
+    # parameter provenance, the LGD basis, and the kernel outputs K and
+    # the pre-substitution Vasicek weight — every value the kernel already
+    # computed, surfaced instead of dropped
+    _sub = (
+        F.coalesce(F.col("irb_subapproach"), F.lit(""))
+        if "irb_subapproach" in perf.columns
+        else F.lit("")
+    )
+    perf = (
+        perf.withColumn("irb_pd_original", F.col("pd"))
+        .withColumn("irb_pd_floor", pack.lit("pd_floor"))
+        .withColumn("irb_pd_floored", F.col("pd_floored"))
+        .withColumn("irb_lgd_original", F.col("lgd"))
+        .withColumn("irb_lgd_floor", pack.lit("lgd_floor_unsecured"))
+        .withColumn("irb_lgd_floored", F.col("lgd_floored"))
+        .withColumn(
+            "irb_lgd_type",
+            F.when(
+                F.col("lgd").isNotNull() & (_sub != "firb"), "modelled"
+            ).otherwise("supervisory"),
+        )
+        .withColumn("irb_maturity_m", F.col("m_eff"))
+        .withColumn("irb_capital_k", F.col("k"))
+        .withColumn("irb_risk_weight", F.col("risk_weight"))
     )
     # IRB unfunded protection: substitution / parameter substitution /
     # double default on the covered leg, Art.193 benefit gate, EL blend.
@@ -1257,6 +1548,22 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
                 "irb_defaulted_firb"
             ),
         )
+        # decomposition carriers on the defaulted leg: PD is pinned at 1
+        # (no floor consulted), the Vasicek quantities (R, b) never exist,
+        # and K is the Art.153(1)(ii) max(0, LGD − E·L_BE) — sealed from
+        # the same expression that priced the row
+        .withColumn("irb_pd_original", F.col("pd"))
+        .withColumn("irb_pd_floored", F.col("pd_floored"))
+        .withColumn("irb_lgd_original", F.col("lgd"))
+        .withColumn("irb_lgd_floor", pack.lit("lgd_floor_unsecured"))
+        .withColumn("irb_lgd_floored", F.col("lgd_floored"))
+        .withColumn(
+            "irb_lgd_type",
+            F.when(F.col("el_be").isNotNull(), "modelled").otherwise("supervisory"),
+        )
+        .withColumn("irb_maturity_m", F.col("m_eff"))
+        .withColumn("irb_capital_k", k_dflt)
+        .withColumn("irb_risk_weight", F.col("risk_weight"))
     )
     dflt = _el_columns(
         dflt,

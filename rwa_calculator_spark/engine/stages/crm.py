@@ -49,16 +49,40 @@ def _resolve_provisions(
         ).when(F.col("beneficiary_type").isin("facility", "counterparty"), F.col("beneficiary_type"))
     else:
         btype = F.lit("direct")
+    # per-type split + applied-provision identity carriers (ref
+    # CALCULATION_OUTPUT_SCHEMA :3005-3007 provision_references /
+    # scra_provision_amount / gcra_provision_amount; provision_type domain
+    # schemas.py:2144 {scra, gcra}): a typed amount rides the SAME
+    # allocation fractions as the total (one extra conditional sum per
+    # level, no new shuffle); an undeclared type counts as SCRA (specific)
+    # — the conservative reading, since only specific provisions reduce
+    # the SA exposure value under Art.110/111(2)
+    ptype = (
+        F.lower(F.coalesce("provision_type", F.lit("scra")))
+        if "provision_type" in provisions.columns
+        else F.lit("scra")
+    )
+    pref = (
+        F.col("provision_reference")
+        if "provision_reference" in provisions.columns
+        else F.lit(None).cast("string")
+    )
     items = (
         provisions.select(
             "beneficiary_reference",
             btype.alias("_lvl"),
             F.coalesce("amount", F.lit(0.0)).alias("_amt"),
+            F.when(ptype == "gcra", F.coalesce("amount", F.lit(0.0)))
+            .otherwise(F.lit(0.0))
+            .alias("_amt_g"),
+            pref.alias("_pref"),
         )
         .where(F.col("_lvl").isNotNull())
     )
     per_level = items.groupBy("_lvl", "beneficiary_reference").agg(
-        F.sum("_amt").alias("_prov")
+        F.sum("_amt").alias("_prov"),
+        F.sum("_amt_g").alias("_prov_g"),
+        F.sort_array(F.collect_set("_pref")).alias("_prefs"),
     )
 
     # CCF-weighted allocation basis, drawn clipped at zero
@@ -71,6 +95,8 @@ def _resolve_provisions(
     direct = per_level.where(F.col("_lvl") == "direct").select(
         F.col("beneficiary_reference").alias("exposure_reference"),
         F.col("_prov").alias("_prov_direct"),
+        F.col("_prov_g").alias("_prov_direct_g"),
+        F.col("_prefs").alias("_prefs_direct"),
     )
     exp = exp.join(F.broadcast(direct), "exposure_reference", "left")
 
@@ -78,15 +104,22 @@ def _resolve_provisions(
     cp = per_level.where(F.col("_lvl") == "counterparty").select(
         F.col("beneficiary_reference").alias("counterparty_reference"),
         F.col("_prov").alias("_prov_cp_total"),
+        F.col("_prov_g").alias("_prov_cp_total_g"),
+        F.col("_prefs").alias("_prefs_cp"),
     )
     exp = exp.join(F.broadcast(cp), "counterparty_reference", "left")
     w_cp = W.partitionBy("counterparty_reference")
     cp_denom = F.sum(F.round(F.col("_basis") * 100.0, 0).cast("long")).over(w_cp) / F.lit(
         100.0
     )
+    _cp_share = F.col("_basis") / cp_denom
     prov_cp = F.when(
         F.col("_prov_cp_total").isNotNull() & (cp_denom > 0),
-        F.col("_prov_cp_total") * F.col("_basis") / cp_denom,
+        F.col("_prov_cp_total") * _cp_share,
+    ).otherwise(F.lit(0.0))
+    prov_cp_g = F.when(
+        F.col("_prov_cp_total_g").isNotNull() & (cp_denom > 0),
+        F.col("_prov_cp_total_g") * _cp_share,
     ).otherwise(F.lit(0.0))
 
     # facility: cascade the named beneficiary over its descendant facility
@@ -98,6 +131,8 @@ def _resolve_provisions(
         fac_prov = per_level.where(F.col("_lvl") == "facility").select(
             F.col("beneficiary_reference").alias("_ben"),
             F.col("_prov").alias("_prov_fac"),
+            F.col("_prov_g").alias("_prov_fac_g"),
+            F.col("_prefs").alias("_prefs_fac"),
         )
         if facility_mappings is not None:
             from rwa_calculator_spark.operators.graph import ancestor_closure_iterative
@@ -121,11 +156,14 @@ def _resolve_provisions(
             ).select(
                 "_ben",
                 "_prov_fac",
+                "_prov_fac_g",
+                "_prefs_fac",
                 F.coalesce("_cl_fac", F.col("_ben")).alias("_fac_ref"),
             )
         else:
             expand = fac_prov.select(
-                "_ben", "_prov_fac", F.col("_ben").alias("_fac_ref")
+                "_ben", "_prov_fac", "_prov_fac_g", "_prefs_fac",
+                F.col("_ben").alias("_fac_ref"),
             )
         members = exp.select(
             "exposure_reference",
@@ -139,26 +177,65 @@ def _resolve_provisions(
         ben_denom = F.sum(
             F.round(F.col("_mbasis") * 100.0, 0).cast("long")
         ).over(w_ben) / F.lit(100.0)
+        _fac_share = F.col("_mbasis") / ben_denom
         alloc = matched.withColumn(
             "_alloc",
-            F.when(
-                ben_denom > 0, F.col("_prov_fac") * F.col("_mbasis") / ben_denom
-            ).otherwise(F.lit(0.0)),
+            F.when(ben_denom > 0, F.col("_prov_fac") * _fac_share).otherwise(
+                F.lit(0.0)
+            ),
+        ).withColumn(
+            "_alloc_g",
+            F.when(ben_denom > 0, F.col("_prov_fac_g") * _fac_share).otherwise(
+                F.lit(0.0)
+            ),
         )
         per_exp_fac = alloc.groupBy("exposure_reference").agg(
-            F.sum("_alloc").alias("_prov_fac_alloc")
+            F.sum("_alloc").alias("_prov_fac_alloc"),
+            F.sum("_alloc_g").alias("_prov_fac_alloc_g"),
+            F.array_distinct(F.flatten(F.collect_list("_prefs_fac"))).alias(
+                "_prefs_fac_all"
+            ),
         )
         exp = exp.join(per_exp_fac, "exposure_reference", "left")
         prov_fac = F.coalesce("_prov_fac_alloc", F.lit(0.0))
+        prov_fac_g = F.coalesce("_prov_fac_alloc_g", F.lit(0.0))
+        prefs_fac = F.col("_prefs_fac_all")
     else:
         prov_fac = F.lit(0.0)
+        prov_fac_g = F.lit(0.0)
+        prefs_fac = F.lit(None).cast("array<string>")
 
     exp = exp.withColumn(
         "provision_allocated",
         F.coalesce("_prov_direct", F.lit(0.0)) + prov_fac + prov_cp,
     )
+    # per-type ledger carriers: GCRA rides the allocation fractions, SCRA
+    # is the exact complement (so scra + gcra ≡ provision_allocated);
+    # provision_references unions the applied provisions of all three
+    # levels — sorted + duplicate-free, deterministic under shuffle
+    gcra = F.coalesce("_prov_direct_g", F.lit(0.0)) + prov_fac_g + prov_cp_g
+    exp = exp.withColumn("gcra_provision_amount", gcra).withColumn(
+        "scra_provision_amount", F.col("provision_allocated") - gcra
+    )
+    _empty = F.array().cast("array<string>")
+    exp = exp.withColumn(
+        "provision_references",
+        F.sort_array(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce("_prefs_direct", _empty),
+                    F.coalesce(prefs_fac, _empty),
+                    F.when(
+                        prov_cp > 0, F.coalesce("_prefs_cp", _empty)
+                    ).otherwise(_empty),
+                )
+            )
+        ),
+    )
     return exp.drop(
-        "_basis", "_prov_direct", "_prov_cp_total", "_prov_fac_alloc"
+        "_basis", "_prov_direct", "_prov_cp_total", "_prov_fac_alloc",
+        "_prov_direct_g", "_prov_cp_total_g", "_prov_fac_alloc_g",
+        "_prefs_direct", "_prefs_cp", "_prefs_fac_all",
     )
 
 
@@ -317,7 +394,14 @@ def run_crm(
     if raw.provisions is not None:
         exp = _resolve_provisions(exp, raw.provisions, raw.facility_mappings)
     else:
-        exp = exp.withColumn("provision_allocated", F.lit(0.0))
+        exp = (
+            exp.withColumn("provision_allocated", F.lit(0.0))
+            .withColumn("scra_provision_amount", F.lit(0.0))
+            .withColumn("gcra_provision_amount", F.lit(0.0))
+            .withColumn(
+                "provision_references", F.lit(None).cast("array<string>")
+            )
+        )
 
     # SA rows deduct drawn-first; IRB/slotting rows pass provisions through
     # to EL shortfall/excess instead (ref provisions.py IRB pass-through,
@@ -337,12 +421,33 @@ def run_crm(
             ),
         ).otherwise(F.lit(0.0)),
     )
+    # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA :3008
+    # provision_capped_amount "Amount eligible for CRM"): what actually
+    # reduced the exposure value — the drawn-first deduction plus the
+    # nominal-side remainder on SA rows; zero on IRB/slotting rows, whose
+    # provisions route to the EL shortfall/excess comparison instead
+    exp = exp.withColumn(
+        "provision_capped_amount",
+        F.col("provision_on_drawn") + F.col("provision_on_nominal"),
+    )
 
     # --- EAD: (drawn − prov) + CCF × (undrawn − prov) (ref engine/ccf.py) --
     exp = exp.withColumn(
         "ead",
         (F.col("drawn_amount") - F.col("provision_on_drawn"))
         + F.col("ccf") * (F.col("undrawn_amount") - F.col("provision_on_nominal")),
+    )
+    # EAD-calculation ledger carriers (ref CALCULATION_OUTPUT_SCHEMA
+    # :3010-3014): the converted off-BS amount, the gross (pre-provision)
+    # EAD, and which collateral method the run elected
+    exp = (
+        exp.withColumn(
+            "converted_undrawn", F.col("ccf") * F.col("undrawn_amount")
+        )
+        .withColumn(
+            "gross_ead", F.col("drawn_amount") + F.col("converted_undrawn")
+        )
+        .withColumn("ead_calculation_method", F.lit(collateral_method))
     )
 
     # --- collateral: supervisory haircut then pro-rata allocation ---------
@@ -582,6 +687,11 @@ def run_crm(
     exp = exp.withColumn(
         "ead_after_crm", F.greatest(F.col("ead") - F.col("collateral_value"), F.lit(0.0))
     )
+    # ledger carrier (ref :3011 ead_after_collateral): the value at THIS
+    # step — before any Art.124(2) RE split re-partitions ead_after_crm
+    # across tranche rows (the split parts keep the parent's figure here,
+    # mirroring the pre/post provenance style of collateral_re_value)
+    exp = exp.withColumn("ead_after_collateral", F.col("ead_after_crm"))
 
     # --- other funded credit protection: RW-substitution channels ---------
     # (no EAD reduction — the value carries a substitute risk weight that
@@ -736,10 +846,49 @@ def run_crm(
             # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA
             # guarantor_reference) — who provides the protection
             ("guarantor_reference", "guarantor_reference"),
+            ("guarantee_reference", "guarantee_reference"),
         ):
             if opt in raw.guarantees.columns:
                 gcols.append(F.col(opt).alias(out))
+        # unfunded-protection value haircuts (ref GUARANTEE_SCHEMA
+        # protection_type/includes_restructuring, data/schemas.py:862-863;
+        # CRR Art.233(3)): a credit derivative whose credit events do NOT
+        # include restructuring loses 40% of its protection value; a
+        # currency mismatch between protection and exposure applies the
+        # supervisory FX haircut. Both reduce the EFFECTIVE coverage share
+        # and both seal as ledger carriers (guarantee_restructuring_haircut
+        # / guarantee_fx_haircut, :2978-2979). Column-gated: bundles that
+        # declare neither keep haircut 0 and their exact coverage.
+        ptype = (
+            F.coalesce(F.col("protection_type"), F.lit("guarantee"))
+            if "protection_type" in raw.guarantees.columns
+            else F.lit("guarantee")
+        )
+        restr = (
+            F.coalesce(F.col("includes_restructuring"), F.lit(False))
+            if "includes_restructuring" in raw.guarantees.columns
+            else F.lit(False)
+        )
+        g_ccy_mm = (
+            F.coalesce(F.col("currency_mismatch"), F.lit(False))
+            if "currency_mismatch" in raw.guarantees.columns
+            else F.lit(False)
+        )
+        restr_hc = F.when(
+            (ptype == "credit_derivative") & ~restr,
+            pack.lit("cds_restructuring_haircut"),
+        ).otherwise(F.lit(0.0))
+        fx_hc = F.when(g_ccy_mm, pack.lit("fx_haircut")).otherwise(F.lit(0.0))
+        gcols.append(ptype.alias("protection_type"))
+        gcols.append(restr_hc.alias("guarantee_restructuring_haircut"))
+        gcols.append(fx_hc.alias("guarantee_fx_haircut"))
         g = raw.guarantees.select(*gcols)
+        g = g.withColumn(
+            "g_coverage",
+            F.col("g_coverage")
+            * (F.lit(1.0) - F.col("guarantee_fx_haircut"))
+            * (F.lit(1.0) - F.col("guarantee_restructuring_haircut")),
+        )
         # one guarantee per exposure in this slice; first-wins dedup guards
         wg = W.partitionBy("exposure_reference").orderBy(
             F.col("g_coverage").desc(), F.col("g_class")

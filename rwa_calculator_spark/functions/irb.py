@@ -112,6 +112,12 @@ def irb_maturity_adj(pd: Column, m: Column) -> Column:
     return maturity_adj_v(V(SparkB, pd), V(SparkB, m)).v
 
 
+def irb_maturity_b(pd: Column) -> Column:
+    """The Art.153(1) maturity slope b = (0.11852 − 0.05478·ln PD)² alone —
+    the ledger's irb_maturity_adj_b decomposition carrier."""
+    return maturity_b_v(V(SparkB, pd)).v
+
+
 def irb_pd_floor(pd: Column) -> Column:
     return pd_floor_v(V(SparkB, pd)).v
 

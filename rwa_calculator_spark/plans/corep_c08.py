@@ -715,3 +715,92 @@ def pillar3_cr10_1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rwea",
         "expected_loss",
     )
+
+
+# ---------------------------------------------------------------------------
+# IRB parameter decomposition carriers (ref CALCULATION_OUTPUT_SCHEMA
+# data/schemas.py:3026-3041): raw-vs-floor PD/LGD provenance, routed
+# correlation R, the Art.153(1) maturity slope b, capital K and the
+# pre-substitution Vasicek weight — sealed by run_irb from the same
+# expressions that priced each row, re-derived independently here.
+# ---------------------------------------------------------------------------
+
+_B_SQL = "((0.11852 - 0.05478 * ln(pd_f)) * (0.11852 - 0.05478 * ln(pd_f)))"
+
+_IRB_PARAM_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + f"""
+    , routedp AS (
+        SELECT w.*,
+               CASE WHEN w.is_defaulted THEN 1.0
+                    ELSE greatest(coalesce(w.pd, 1.0), 0.0003) END AS pd_f,
+               greatest(coalesce(w.lgd, 0.45), 0.0) AS lgd_f,
+               least(greatest(coalesce(w.m, 2.5), 1.0), 5.0) AS m_eff
+        FROM with_ead w
+        WHERE w.has_irb_permission
+    ), perfp AS (
+        SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM routedp WHERE pd_f < 1.0
+    ), gp AS (
+        SELECT * EXCLUDE (x0), {sql_halley_step('x0', 'pd_f')} AS g_pd FROM perfp
+    ), rp AS (
+        SELECT *, {_SQL_R_ROUTED} AS r_routed FROM gp
+    ), kp AS (
+        SELECT *, {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_routed')} AS k,
+               {_SQL_MA_ROUTED} AS ma,
+               CASE WHEN exposure_class = 'retail' THEN NULL
+                    ELSE {_B_SQL} END AS b
+        FROM rp
+    ), ledgerp AS (
+        SELECT exposure_class, ead, pd_f, lgd_f, m_eff, r_routed, b, k,
+               ((k * ma) * 12.5) * 1.06 AS rw_v
+        FROM kp
+        UNION ALL
+        SELECT exposure_class, ead, pd_f, lgd_f, m_eff,
+               NULL, NULL, 0.0, 0.0
+        FROM routedp WHERE pd_f >= 1.0
+    )
+    SELECT exposure_class AS row_label, count(*) AS n_rows,
+           {sql_scaled_sum('ead', 2)} AS total_ead,
+           round(({sql_scaled_sum('pd_f * ead', 6)}) / ({sql_scaled_sum('ead', 2)}), 10)
+               AS avg_pd,
+           round(({sql_scaled_sum('lgd_f * ead', 6)}) / ({sql_scaled_sum('ead', 2)}), 10)
+               AS avg_lgd,
+           round(({sql_scaled_sum('coalesce(r_routed, 0.0) * ead', 6)})
+                 / ({sql_scaled_sum('ead', 2)}), 10) AS avg_r,
+           round(({sql_scaled_sum('coalesce(b, 0.0) * ead', 6)})
+                 / ({sql_scaled_sum('ead', 2)}), 10) AS avg_b,
+           round(({sql_scaled_sum('k * ead', 6)}) / ({sql_scaled_sum('ead', 2)}), 10)
+               AS avg_k,
+           round(({sql_scaled_sum('rw_v * ead', 4)}) / ({sql_scaled_sum('ead', 2)}), 10)
+               AS avg_rw_presubst
+    FROM ledgerp GROUP BY exposure_class
+"""
+
+
+@query("irb_param_ledger", oracle=_IRB_PARAM_ORACLE, tags=("rwa", "irb", "tolerant"))
+def irb_param_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRB parameter decomposition carriers through the REAL pipeline:
+    run_irb seals PD/LGD raw-vs-floored provenance, effective maturity,
+    the routed correlation R (retail curves / SME size adjustment / FI
+    multiplier), the Art.153(1) maturity slope b (null on retail — no
+    maturity adjustment), capital K and the pre-substitution Vasicek
+    weight, each from the SAME expression that priced the row. The oracle
+    re-derives every carrier independently in DuckDB (Acklam+Halley Φ⁻¹,
+    routed R, closed-form K). EAD-weighted averages per class."""
+    r = _irb_ledger(spark, sf_dir)
+    ead = F.col("ead_after_crm")
+    ead_sum = scaled_sum(ead, 2)
+
+    def wavg(col, scale=6):
+        return F.round(scaled_sum(col * ead, scale) / ead_sum, 10)
+
+    return r.groupBy(F.col("exposure_class").alias("row_label")).agg(
+        F.count("*").alias("n_rows"),
+        ead_sum.alias("total_ead"),
+        wavg(F.col("irb_pd_floored")).alias("avg_pd"),
+        wavg(F.col("irb_lgd_floored")).alias("avg_lgd"),
+        wavg(F.coalesce(F.col("irb_correlation_r"), F.lit(0.0))).alias("avg_r"),
+        wavg(F.coalesce(F.col("irb_maturity_adj_b"), F.lit(0.0))).alias("avg_b"),
+        wavg(F.coalesce(F.col("irb_capital_k"), F.lit(0.0))).alias("avg_k"),
+        wavg(F.coalesce(F.col("irb_risk_weight"), F.lit(0.0)), 4).alias(
+            "avg_rw_presubst"
+        ),
+    )

@@ -2198,3 +2198,299 @@ def crm_collateral_type_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scaled_sum(F.col("ead_after_crm"), 2).alias("ead_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Guarantee-impact ledger block (ref CALCULATION_OUTPUT_SCHEMA
+# data/schemas.py:2972-3005 + engine/irb/guarantee.py:865-903): the
+# covered/retained EAD split, the Art.233(3) protection-value haircuts
+# (credit derivative without restructuring −40%, currency mismatch −8%),
+# the isolated substitution benefit and the status enums, all sealed as
+# per-exposure carriers by the CRM stage + SA calculator.
+# ---------------------------------------------------------------------------
+
+_GTEE_LEDGER_ORACLE = """
+    WITH cps AS (
+        -- every literal-derived numeric is CAST AS DOUBLE: DuckDB types
+        -- bare decimal CASE literals as DECIMAL and would evaluate the
+        -- coverage/blend arithmetic exactly instead of in binary doubles
+        -- (the recorded verify gotcha)
+        SELECT c_custkey AS cp,
+               CAST(CASE CAST(c_custkey % 7 AS INTEGER)
+                    WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                    WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
+                    ELSE 1.0 END AS DOUBLE) AS own_rw
+        FROM customer
+    ), loans AS (
+        SELECT o.o_orderkey AS ok, o.o_totalprice AS ead, c.own_rw
+        FROM orders o JOIN cps c ON o.o_custkey = c.cp
+    ), gtees AS (
+        SELECT *,
+               (ok % 4 <> 3) AS has_g,
+               CAST(CASE WHEN ok % 4 <> 3 AND ok % 5 = 0 THEN 0.08
+                    ELSE 0.0 END AS DOUBLE) AS fx_h,
+               CAST(CASE WHEN ok % 4 <> 3 AND ok % 3 = 0 AND ok % 2 <> 0
+                    THEN 0.40 ELSE 0.0 END AS DOUBLE) AS restr_h,
+               CAST(CASE WHEN ok % 4 <> 3 THEN
+                    CASE CAST(ok % 7 AS INTEGER)
+                         WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 0.5
+                         WHEN 4 THEN 1.0 WHEN 5 THEN 1.0 WHEN 6 THEN 1.5
+                         ELSE 0.5 END END AS DOUBLE) AS g_rw
+        FROM loans
+    ), eff AS (
+        SELECT *,
+               CASE WHEN has_g
+                    THEN CAST(0.6 AS DOUBLE) * (1.0 - fx_h) * (1.0 - restr_h)
+                    ELSE CAST(0.0 AS DOUBLE) END AS g_eff
+        FROM gtees
+    ), priced AS (
+        SELECT *,
+               (g_eff > 0 AND g_rw < own_rw) AS beneficial,
+               g_eff * least(own_rw, coalesce(g_rw, own_rw))
+                   + (1.0 - g_eff) * own_rw AS rw
+        FROM eff
+    ), labelled AS (
+        SELECT *,
+               CASE WHEN NOT has_g THEN 'NO_GUARANTEE'
+                    WHEN NOT beneficial
+                         THEN 'GUARANTEE_NOT_APPLIED_NON_BENEFICIAL'
+                    ELSE 'SA_RW_SUBSTITUTION' END AS guarantee_status,
+               g_eff * ead AS g_portion,
+               CASE WHEN beneficial
+                    THEN g_eff * (own_rw - g_rw) * ead ELSE 0.0 END AS benefit
+        FROM priced
+    )
+    SELECT guarantee_status, count(*) AS n_rows,
+           -- floor(x*100 + 0.5) half-up in BOTH engines: the blended-RW
+           -- products land on exact half-cents where Spark/DuckDB round()
+           -- disagree (the recorded verify gotcha)
+           sum(CAST(floor(ead * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_ead,
+           sum(CAST(floor(g_portion * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS guaranteed_ead,
+           sum(CAST(floor((ead - g_portion) * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS unguaranteed_ead,
+           sum(CAST(floor(benefit * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_benefit,
+           sum(CAST(floor((ead * rw) * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_rwa,
+           CAST(sum(CAST(floor(fx_h * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS fx_haircut_sum,
+           CAST(sum(CAST(floor(restr_h * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS restr_haircut_sum
+    FROM labelled GROUP BY 1
+"""
+
+
+@query(
+    "crm_guarantee_ledger",
+    oracle=_GTEE_LEDGER_ORACLE,
+    tags=("engine", "crm", "rwa"),
+)
+def crm_guarantee_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarantee-impact ledger carriers through the REAL pipeline: CRR
+    Art.233(3) protection-value haircuts reduce the EFFECTIVE coverage (a
+    credit derivative whose events exclude restructuring loses 40%, a
+    currency-mismatched protection loses the 8% supervisory FX haircut —
+    both multiplicative), the SA calculator blends the covered share at
+    min(own RW, guarantor RW), and the ledger seals the covered/retained
+    EAD split, the isolated benefit g·(own−g_rw)·EAD, and the
+    NO_GUARANTEE / GUARANTEE_NOT_APPLIED_NON_BENEFICIAL /
+    SA_RW_SUBSTITUTION status enum. Aggregated by guarantee_status."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    gtees = o.where(F.col("o_orderkey") % 4 != 3).select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.lit(0.6).alias("coverage_pct"),
+        F.lit("institution").alias("guarantor_class"),
+        (F.col("o_orderkey") % 7).cast("int").alias("guarantor_cqs"),
+        F.concat(F.lit("GCP"), F.col("o_orderkey")).alias("guarantor_reference"),
+        F.concat(F.lit("G"), F.col("o_orderkey")).alias("guarantee_reference"),
+        F.when(F.col("o_orderkey") % 3 == 0, "credit_derivative")
+        .otherwise("guarantee")
+        .alias("protection_type"),
+        (F.col("o_orderkey") % 2 == 0).alias("includes_restructuring"),
+        (F.col("o_orderkey") % 5 == 0).alias("currency_mismatch"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, guarantees=gtees),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    def fsum(col):
+        # floor(x*100 + 0.5) half-up fixed point — both engines agree on
+        # exact half-cent ties, unlike round() (recorded verify gotcha)
+        return F.sum(F.floor(col * 100.0 + 0.5).cast("long")) / F.lit(100.0)
+
+    return out.results.groupBy("guarantee_status").agg(
+        F.count("*").alias("n_rows"),
+        fsum(F.col("ead_after_crm")).alias("total_ead"),
+        fsum(F.col("guaranteed_portion")).alias("guaranteed_ead"),
+        fsum(F.col("unguaranteed_portion")).alias("unguaranteed_ead"),
+        fsum(F.col("guarantee_benefit")).alias("total_benefit"),
+        fsum(F.col("rwa")).alias("total_rwa"),
+        fsum(F.coalesce(F.col("guarantee_fx_haircut"), F.lit(0.0))).alias(
+            "fx_haircut_sum"
+        ),
+        fsum(
+            F.coalesce(F.col("guarantee_restructuring_haircut"), F.lit(0.0))
+        ).alias("restr_haircut_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Provision-impact ledger block (ref CALCULATION_OUTPUT_SCHEMA
+# data/schemas.py:3005-3008): provision_references (which provisions were
+# applied, across all allocation levels), the IFRS 9 SCRA/GCRA split of the
+# allocated total, and provision_capped_amount — the amount that actually
+# reduced the SA exposure value (drawn-first, Art.110/111(2)).
+# ---------------------------------------------------------------------------
+
+_PROV_LEDGER_ORACLE = """
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp, o_totalprice AS drawn,
+               CASE WHEN o_custkey % 2 = 0 THEN 'corporate'
+                    ELSE 'institution' END AS exposure_class
+        FROM orders
+    ), denoms AS (
+        SELECT cp,
+               sum(CAST(round(drawn * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS cp_denom
+        FROM loans GROUP BY cp
+    ), allocs AS (
+        SELECT l.*,
+               CASE WHEN l.ok % 3 = 0
+                    THEN l.drawn * CAST(0.05 AS DOUBLE) ELSE 0.0 END AS p_direct,
+               CASE WHEN l.ok % 3 = 0 AND l.ok % 2 <> 0
+                    THEN l.drawn * CAST(0.05 AS DOUBLE) ELSE 0.0 END AS p_direct_g,
+               CASE WHEN l.cp % 4 = 0
+                    THEN CAST(1000.0 AS DOUBLE) * (l.drawn / d.cp_denom)
+                    ELSE 0.0 END AS p_cp,
+               (CASE WHEN l.ok % 3 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN l.cp % 4 = 0 THEN 1 ELSE 0 END) AS n_refs
+        FROM loans l JOIN denoms d ON l.cp = d.cp
+    ), carriers AS (
+        SELECT exposure_class, n_refs,
+               p_direct + p_cp AS alloc,
+               p_direct_g + p_cp AS gcra,
+               (p_direct + p_cp) - (p_direct_g + p_cp) AS scra,
+               least(p_direct + p_cp, greatest(drawn, 0.0)) AS capped,
+               drawn - least(p_direct + p_cp, greatest(drawn, 0.0)) AS ead_after
+        FROM allocs
+    )
+    SELECT exposure_class, count(*) AS n_rows,
+           CAST(sum(n_refs) AS BIGINT) AS total_refs,
+           sum(CAST(floor(alloc * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS prov_allocated,
+           sum(CAST(floor(scra * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS scra_amount,
+           sum(CAST(floor(gcra * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS gcra_amount,
+           sum(CAST(floor(capped * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS capped_amount,
+           sum(CAST(floor(ead_after * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS ead_after
+    FROM carriers GROUP BY 1
+"""
+
+
+@query(
+    "crm_provision_ledger",
+    oracle=_PROV_LEDGER_ORACLE,
+    tags=("engine", "crm", "provisions"),
+)
+def crm_provision_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provision-impact ledger carriers through the REAL pipeline: direct
+    (exposure-named) SCRA/GCRA provisions plus counterparty-level pots
+    pro-rata'd over the obligor's CCF-weighted basis; the ledger seals
+    provision_references (sorted union across levels),
+    scra/gcra_provision_amount (the typed amounts riding the same
+    allocation fractions, scra + gcra ≡ provision_allocated) and
+    provision_capped_amount — the drawn-first deduction that actually
+    reduced the SA exposure value. Aggregated by exposure_class."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.col("c_custkey") % 2 == 0, "corporate")
+        .otherwise("institution")
+        .alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    direct = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("beneficiary_reference"),
+        F.lit("exposure").alias("beneficiary_type"),
+        (F.col("o_totalprice") * F.lit(0.05)).alias("amount"),
+        F.when(F.col("o_orderkey") % 2 != 0, "gcra")
+        .otherwise("scra")
+        .alias("provision_type"),
+        F.concat(F.lit("P"), F.col("o_orderkey")).alias("provision_reference"),
+    )
+    cp_pots = c.where(F.col("c_custkey") % 4 == 0).select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("beneficiary_reference"),
+        F.lit("counterparty").alias("beneficiary_type"),
+        F.lit(1000.0).alias("amount"),
+        F.lit("gcra").alias("provision_type"),
+        F.concat(F.lit("PC"), F.col("c_custkey")).alias("provision_reference"),
+    )
+    provisions = direct.unionByName(cp_pots)
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, provisions=provisions),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+
+    def fsum(col):
+        # floor(x*100 + 0.5) half-up: direct provisions are 2-dp × 0.05
+        # products that land on exact half-cents where the engines' round()
+        # disagree (recorded verify gotcha)
+        return F.sum(F.floor(col * 100.0 + 0.5).cast("long")) / F.lit(100.0)
+
+    r = out.results
+    return r.groupBy("exposure_class").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.size(F.coalesce(F.col("provision_references"), F.array()))
+        ).alias("total_refs"),
+        fsum(F.col("provision_allocated")).alias("prov_allocated"),
+        fsum(F.col("scra_provision_amount")).alias("scra_amount"),
+        fsum(F.col("gcra_provision_amount")).alias("gcra_amount"),
+        fsum(F.col("provision_capped_amount")).alias("capped_amount"),
+        fsum(F.col("ead_after_crm")).alias("ead_after"),
+    )

@@ -58,9 +58,14 @@ def _bundle(spark, seed: int, n_cp: int = 60, collateral_frac: float = 0.0,
         {
             "loan_reference": [f"L{i:06d}" for i in range(n_loans)],
             "counterparty_reference": np.array(cp_ref)[rng.integers(0, n_cp, n_loans)],
-            "drawn_amount": np.round(
-                rng.uniform(1_000, 2_000_000, n_loans) * amount_scale, 2
-            ),
+            # scale AFTER rounding: round(λx, 2) ≠ λ·round(x, 2) — rounding
+            # a pre-scaled draw injects ±half-cent noise per loan that sums
+            # to ~0.3 on this book, exactly the 1e-9 tolerance the
+            # homogeneity test asserts (λ = 2 is a power of two, so the
+            # post-round multiply is exact in binary and the property holds
+            # bit-for-bit)
+            "drawn_amount": np.round(rng.uniform(1_000, 2_000_000, n_loans), 2)
+            * amount_scale,
             "is_defaulted": rng.random(n_loans) < 0.05,
             "pd": np.round(
                 np.clip(rng.uniform(0.0005, 0.2, n_loans) * pd_scale, 1e-5, 0.999), 6

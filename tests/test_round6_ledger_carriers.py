@@ -260,3 +260,208 @@ def test_collateral_re_value_sealed_on_both_split_parts(spark):
         assert rows[ref].collateral_re_value == pytest.approx(900.0)
         assert rows[ref].collateral_financial_value == pytest.approx(0.0)
         assert rows[ref].collateral_value == pytest.approx(0.0)
+
+
+def _gtee_sa_book(spark, g_cqs=1, coverage=0.5, ptype="guarantee",
+                  restructuring=True, ccy_mm=False):
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", 0, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 1000.0)],
+        "loan_reference string, counterparty_reference string, drawn_amount double",
+    ).selectExpr(
+        "*", "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    gtees = spark.createDataFrame(
+        [("L1", coverage, "institution", g_cqs, "GCP", "G1", ptype,
+          restructuring, ccy_mm)],
+        "exposure_reference string, coverage_pct double, guarantor_class string, "
+        "guarantor_cqs int, guarantor_reference string, guarantee_reference string, "
+        "protection_type string, includes_restructuring boolean, "
+        "currency_mismatch boolean",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, guarantees=gtees),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    return out.results.collect()[0]
+
+
+def test_guarantee_block_sa_substitution_carriers(spark):
+    # unrated corporate (100%) with a CQS1 institution guarantor (20%) at
+    # 50% coverage: rw = 0.5×0.2 + 0.5×1.0 = 0.60; benefit_rw = 0.5×0.8.
+    r = _gtee_sa_book(spark)
+    assert r.guarantee_status == "SA_RW_SUBSTITUTION"
+    assert r.guarantee_method_used == "SA_RW_SUBSTITUTION"
+    assert r.is_guaranteed is True
+    assert r.guaranteed_portion == pytest.approx(500.0)
+    assert r.unguaranteed_portion == pytest.approx(500.0)
+    assert r.guarantor_risk_weight == pytest.approx(0.20)
+    assert r.pre_crm_risk_weight == pytest.approx(1.0)
+    assert r.guarantee_benefit_rw == pytest.approx(0.40)
+    assert r.guarantee_benefit == pytest.approx(400.0)
+    assert r.guarantee_references == ["G1"]
+    assert r.protection_type == "guarantee"
+    assert r.guarantee_coverage_pct == pytest.approx(0.5)
+    assert r.pre_crm_counterparty_reference == "CP1"
+    assert r.post_crm_counterparty_guaranteed == "GCP"
+    assert r.post_crm_exposure_class_guaranteed == "institution"
+    assert r.guarantee_fx_haircut == pytest.approx(0.0)
+    assert r.guarantee_restructuring_haircut == pytest.approx(0.0)
+
+
+def test_guarantee_cds_restructuring_haircut(spark):
+    # CRR Art.233(3): a credit derivative whose events exclude
+    # restructuring loses 40% of its protection value — effective coverage
+    # 0.5 × 0.6 = 0.30, rw = 0.3×0.2 + 0.7×1.0 = 0.76.
+    r = _gtee_sa_book(spark, ptype="credit_derivative", restructuring=False)
+    assert r.guarantee_restructuring_haircut == pytest.approx(0.40)
+    assert r.guarantee_coverage_pct == pytest.approx(0.30)
+    assert r.guaranteed_portion == pytest.approx(300.0)
+    assert r.risk_weight == pytest.approx(0.76)
+    # a CDS that DOES cover restructuring keeps full value
+    r2 = _gtee_sa_book(spark, ptype="credit_derivative", restructuring=True)
+    assert r2.guarantee_restructuring_haircut == pytest.approx(0.0)
+    assert r2.risk_weight == pytest.approx(0.60)
+
+
+def test_guarantee_fx_mismatch_haircut(spark):
+    # currency-mismatched protection loses the 8% supervisory FX haircut:
+    # effective coverage 0.5 × 0.92 = 0.46, rw = 0.46×0.2 + 0.54×1.0.
+    r = _gtee_sa_book(spark, ccy_mm=True)
+    assert r.guarantee_fx_haircut == pytest.approx(0.08)
+    assert r.guaranteed_portion == pytest.approx(460.0)
+    assert r.risk_weight == pytest.approx(0.46 * 0.2 + 0.54 * 1.0)
+
+
+def test_guarantee_non_beneficial_status(spark):
+    # CQS6 institution guarantor (150%) cannot improve an unrated
+    # corporate (100%): the blend keeps the own weight, the status says so.
+    r = _gtee_sa_book(spark, g_cqs=6)
+    assert r.guarantee_status == "GUARANTEE_NOT_APPLIED_NON_BENEFICIAL"
+    assert r.guarantee_method_used == "NO_SUBSTITUTION"
+    assert r.is_guaranteed is False
+    assert r.risk_weight == pytest.approx(1.0)
+    assert r.guarantee_benefit == pytest.approx(0.0)
+    # coverage still REPORTS (the portion exists; it just brought no benefit)
+    assert r.guaranteed_portion == pytest.approx(500.0)
+
+
+def test_guarantee_status_on_irb_paths(spark):
+    from rwa_calculator_spark.engine.stages.calculators import run_irb
+
+    # the DD book prices through double default → both enums say so
+    r = run_irb(CRMOutput(exposures=_dd_book(spark)), CRR_PACK).results.collect()[0]
+    assert r.guarantee_status == "DOUBLE_DEFAULT"
+    assert r.guarantee_method_used == "DOUBLE_DEFAULT"
+    assert r.is_guaranteed is True
+    # PSM route: status records the non-beneficial outcome if any, method
+    # records the PATH traversed (PS1/26 Art.236(1)(a)) — here beneficial
+    r2 = run_irb(
+        CRMOutput(exposures=_dd_book(spark, pd_g=0.002, seniority="senior")),
+        CRR_PACK,
+    ).results.collect()[0]
+    assert r2.guarantee_status == "PD_PARAMETER_SUBSTITUTION"
+    assert r2.guarantee_method_used == "PD_PARAMETER_SUBSTITUTION"
+
+
+def test_provision_block_carriers_sealed(spark):
+    # L1 (drawn 600) and L2 (drawn 400), same obligor. Direct SCRA 50 on
+    # L1 (ref PA); counterparty-level GCRA pot 100 pro-rata by basis:
+    # L1 60, L2 40 (ref PB). Carriers: L1 allocated 110 = scra 50 +
+    # gcra 60, refs [PA, PB]; L2 allocated 40 gcra, refs [PB]; SA
+    # drawn-first cap binds nothing here (allocations < drawn), so
+    # capped == allocated and EAD nets the full amount.
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 600.0), ("L2", "CP1", 400.0)],
+        "loan_reference string, counterparty_reference string, drawn_amount double",
+    ).selectExpr(
+        "*", "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    provisions = spark.createDataFrame(
+        [
+            ("L1", "exposure", 50.0, "scra", "PA"),
+            ("CP1", "counterparty", 100.0, "gcra", "PB"),
+        ],
+        "beneficiary_reference string, beneficiary_type string, amount double, "
+        "provision_type string, provision_reference string",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, provisions=provisions),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    r1, r2 = rows["L1"], rows["L2"]
+    assert r1.scra_provision_amount == pytest.approx(50.0)
+    assert r1.gcra_provision_amount == pytest.approx(60.0)
+    assert r1.provision_capped_amount == pytest.approx(110.0)
+    assert r1.provision_references == ["PA", "PB"]
+    assert r1.ead_after_crm == pytest.approx(490.0)
+    assert r2.scra_provision_amount == pytest.approx(0.0)
+    assert r2.gcra_provision_amount == pytest.approx(40.0)
+    assert r2.provision_references == ["PB"]
+    assert r2.ead_after_crm == pytest.approx(360.0)
+
+
+def test_ead_block_and_irb_param_carriers(spark):
+    # A 600-drawn/400-undrawn contingent-less book is hard to build from
+    # loans alone, so use a loan (drawn only): gross_ead = 1000, EAD
+    # method 'comprehensive' (the config default), final_ead tracks
+    # ead_after_crm. The IRB leg seals the kernel decomposition: raw PD
+    # 0.01 vs floor 0.0003 → floored 0.01; supplied LGD 0.25 (A-IRB,
+    # 'modelled'); R from the corporate curve; b = (0.11852 −
+    # 0.05478·ln 0.01)²; K and the pre-substitution Vasicek weight
+    # reproduce risk_weight exactly (×12.5 ×1.06 under CRR).
+    import math
+
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", 2, False, 0.0, True)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 1000.0, 0.01, 0.25, 2.5)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "pd double, lgd double, effective_maturity double",
+    ).selectExpr(
+        "loan_reference", "counterparty_reference", "drawn_amount",
+        "false AS is_defaulted", "pd", "lgd", "effective_maturity",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=CRR_PACK)
+    )
+    r = out.results.collect()[0]
+    assert r.gross_ead == pytest.approx(1000.0)
+    assert r.converted_undrawn == pytest.approx(0.0)
+    assert r.ead_after_collateral == pytest.approx(1000.0)
+    assert r.final_ead == pytest.approx(1000.0)
+    assert r.ead_calculation_method == "comprehensive"
+    assert r.irb_pd_original == pytest.approx(0.01)
+    assert r.irb_pd_floor == pytest.approx(0.0003)
+    assert r.irb_pd_floored == pytest.approx(0.01)
+    assert r.irb_lgd_original == pytest.approx(0.25)
+    assert r.irb_lgd_floored == pytest.approx(0.25)
+    assert r.irb_lgd_type == "modelled"
+    assert r.irb_maturity_m == pytest.approx(2.5)
+    # corporate correlation at PD 0.01 (CRR Art.153(1) closed form)
+    e50 = 1.0 - math.exp(-50.0)
+    w = (1.0 - math.exp(-50.0 * 0.01)) / e50
+    r_exp = 0.12 * w + 0.24 * (1.0 - w)
+    assert r.irb_correlation_r == pytest.approx(r_exp, rel=1e-12)
+    b_exp = (0.11852 - 0.05478 * math.log(0.01)) ** 2
+    assert r.irb_maturity_adj_b == pytest.approx(b_exp, rel=1e-12)
+    ma = (1.0 + (2.5 - 2.5) * b_exp) / (1.0 - 1.5 * b_exp)
+    assert r.irb_risk_weight == pytest.approx(r.irb_capital_k * ma * 12.5 * 1.06)
+    assert r.risk_weight == pytest.approx(r.irb_risk_weight)
