@@ -70,6 +70,29 @@ def run_aggregate(
             .drop("modelled_total", "std_total")
         )
 
+    # output-floor decomposition under the reference's own column names
+    # (ref CALCULATION_OUTPUT_SCHEMA :3055-3063): the pre-floor RWA, the
+    # floor percentage and per-row floored base, whether the floor bound,
+    # the uplift it added, the final figure and the implied effective
+    # weight — pure aliases/arithmetic over carriers this stage already
+    # computes, so reference-trained readers find the exact names
+    results = (
+        results.withColumn("rwa_before_floor", F.col("rwa_pre_floor"))
+        .withColumn("sa_equivalent_rwa", F.col("rwa_sa_equivalent"))
+        .withColumn("output_floor_pct", F.lit(alpha))
+        .withColumn(
+            "output_floor_rwa",
+            F.lit(alpha) * F.coalesce("rwa_sa_equivalent", F.col("rwa_pre_floor")),
+        )
+        .withColumn("floor_binding", F.col("floor_applied"))
+        .withColumn("floor_impact", F.col("rwa") - F.col("rwa_pre_floor"))
+        .withColumn("final_rwa", F.col("rwa"))
+        .withColumn(
+            "risk_weight_effective",
+            F.col("rwa") / F.nullif(F.col("ead_after_crm"), F.lit(0.0)),
+        )
+    )
+
     by_class = results.groupBy("exposure_class").agg(
         F.count("*").alias("n_exposures"),
         scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),

@@ -194,6 +194,29 @@ _RESULT_COLS = [
     "irb_maturity_adj_b",
     "irb_capital_k",
     "irb_risk_weight",
+    # SA decision block (ref :3021-3025): the CQS consulted, the base
+    # ladder weight, the final weight after every override, their delta
+    # (rw_source remains the which-branch-fired reason carrier)
+    "sa_cqs",
+    "sa_base_risk_weight",
+    "sa_final_risk_weight",
+    "sa_rw_adjustment",
+    # currency-mismatch decomposition (ref :3066-3068): the pre-multiplier
+    # snapshot and whether the Art.123A ×1.5 actually applied
+    "risk_weight_pre_currency_mismatch",
+    "currency_mismatch_multiplier_applied",
+    # RE decision block (ref :3045-3053): property type/LTV, the band the
+    # income track priced on, the Art.124A qualification outcome, the
+    # cash-flow dependency that routed the row, the raw income/ADC input
+    # flags, and the RW the RE treatment assigned
+    "property_type",
+    "property_ltv",
+    "ltv_band",
+    "is_income_producing",
+    "is_adc",
+    "is_qualifying_re",
+    "materially_dependent_on_property",
+    "mortgage_risk_weight",
     # WHY the approach routed as it did (permission diagnostic where the
     # model-permission stage ran, branch rule otherwise — calculators)
     "approach_reason",
@@ -322,6 +345,20 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("irb_maturity_adj_b", "double"),
         ("irb_capital_k", "double"),
         ("irb_risk_weight", "double"),
+        ("sa_cqs", "int"),
+        ("sa_base_risk_weight", "double"),
+        ("sa_final_risk_weight", "double"),
+        ("sa_rw_adjustment", "double"),
+        ("risk_weight_pre_currency_mismatch", "double"),
+        ("currency_mismatch_multiplier_applied", "boolean"),
+        ("property_type", "string"),
+        ("property_ltv", "double"),
+        ("ltv_band", "string"),
+        ("is_income_producing", "boolean"),
+        ("is_adc", "boolean"),
+        ("is_qualifying_re", "boolean"),
+        ("materially_dependent_on_property", "boolean"),
+        ("mortgage_risk_weight", "double"),
         ("is_double_default_eligible", "boolean"),
         ("double_default_unfunded_protection", "double"),
         ("irb_lgd_double_default", "double"),
@@ -691,6 +728,14 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         .when(F.col("rw").isNotNull(), "sa_cqs_lookup")
         .otherwise("sa_unrated")
     )
+    # SA decision-block carriers (ref :3021-3025): the CQS consulted and
+    # the BASE ladder weight before any branch override — the final weight
+    # and their delta seal at the end of this function, after every
+    # adjustment (covered-bond/RE/sovereign-derived/ccymm/due-diligence/
+    # intragroup) has run; rw_source remains the adjustment-reason carrier
+    exp = exp.withColumn("sa_cqs", F.coalesce(F.col("cqs"), F.lit(0))).withColumn(
+        "sa_base_risk_weight", base_rw
+    )
     # CRR Art.129 covered bonds (ref engine/sa/covered_bond.py): rated
     # bonds price on the bond's OWN CQS (Art.129(4) Table 6A); unrated
     # bonds derive from the issuing institution's senior unsecured weight
@@ -933,6 +978,36 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             .when(re_row & ltv_ok & commercial, "b31_cre_loan_split")
             .when(re_row & ltv_ok, "b31_rre_loan_split")
             .otherwise(rw_source)
+        )
+        # RE decision carriers only the band chain knows (ref :3047-3052):
+        # the LTV band the income track priced on (a label derived from
+        # the same pack rows as the weights — no second table to drift),
+        # the Art.124A qualification outcome, and the cash-flow dependency
+        # that routed the row (explicit flag OR three-property re-route)
+        def _band_label(track: str):
+            rows = sorted(
+                (float(u), float(w))
+                for t, u, w in pack.tables["re_ltv_rw"][1]
+                if t == track
+            )
+            chain = F.lit(f"{track}:>{rows[-2][0]:g}")
+            for upper, _w in reversed(rows[:-1]):
+                chain = F.when(
+                    ltv <= F.lit(upper), F.lit(f"{track}:<={upper:g}")
+                ).otherwise(chain)
+            return chain
+
+        exp = (
+            exp.withColumn(
+                "ltv_band",
+                F.when(
+                    re_row & ltv_ok & income & commercial, _band_label("cre_income")
+                ).when(re_row & ltv_ok & income, _band_label("rre_income")),
+            )
+            .withColumn("is_qualifying_re", F.when(re_row, ~other_re))
+            .withColumn(
+                "materially_dependent_on_property", F.when(re_row, income)
+            )
         )
 
     # Unrated-institution RW: CRR Art.121 derives it from the CENTRAL
@@ -1218,6 +1293,13 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         else:
             cov_ok = F.lit(False)
         ccymm = in_scope & mismatch & ~(hedged | cov_ok)
+        # ledger carriers (ref :3066-3068): the pre-multiplier snapshot and
+        # whether the ×1.5 actually applied — sealed BEFORE the mutation
+        exp = exp.withColumn(
+            "risk_weight_pre_currency_mismatch", F.col("risk_weight")
+        ).withColumn(
+            "currency_mismatch_multiplier_applied", F.coalesce(ccymm, F.lit(False))
+        )
         exp = exp.withColumn(
             "risk_weight",
             F.when(
@@ -1356,6 +1438,32 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
     exp = _el_columns(exp, F.lit(0.0))  # EL treatment is IRB-only; SA deducts
     exp = _param_cols(exp)  # SA uses CCF only
     exp = exp.withColumn("rwa_sa_equivalent", F.col("rwa"))
+    # SA decision block, final leg (ref :3024-3025): the weight every
+    # adjustment landed on and its delta from the base ladder value
+    exp = exp.withColumn("sa_final_risk_weight", F.col("risk_weight")).withColumn(
+        "sa_rw_adjustment",
+        F.col("risk_weight") - F.col("sa_base_risk_weight"),
+    )
+    # RE decision block (ref :3045-3053): sealed generically so the CRR
+    # flat Art.125 branch carries them too; the LTV-band label seals in
+    # the B3.1 block where the band chain runs
+    _re = F.col("exposure_class") == "re_secured"
+    exp = exp.withColumn(
+        "mortgage_risk_weight", F.when(_re, F.col("risk_weight"))
+    ).withColumn(
+        "property_type",
+        F.when(
+            _re,
+            F.when(
+                F.coalesce(F.col("is_commercial_re"), F.lit(False)), "commercial"
+            ).otherwise("residential")
+            if "is_commercial_re" in exp.columns
+            else F.lit("residential"),
+        ),
+    ).withColumn(
+        "property_ltv",
+        F.when(_re, F.col("ltv")) if "ltv" in exp.columns else F.lit(None).cast("double"),
+    )
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 

@@ -465,3 +465,58 @@ def test_ead_block_and_irb_param_carriers(spark):
     ma = (1.0 + (2.5 - 2.5) * b_exp) / (1.0 - 1.5 * b_exp)
     assert r.irb_risk_weight == pytest.approx(r.irb_capital_k * ma * 12.5 * 1.06)
     assert r.risk_weight == pytest.approx(r.irb_risk_weight)
+
+
+def test_sa_decision_floor_and_re_decision_carriers(spark):
+    # B3.1 book: an income-producing CRE loan at LTV 0.65 prices on the
+    # Art.124I band (100%) — the decision block records the base ladder
+    # weight (re_secured flat 30% under the B31 pack never fires; class
+    # route goes via the RE chain), the band label, qualification and
+    # dependency; the output floor aliases carry the reference's names.
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 1000.0, 0.65, True, True), ("L2", "CP1", 500.0, None, False, False)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "ltv double, is_income_producing boolean, is_commercial_re boolean",
+    ).selectExpr(
+        "loan_reference", "counterparty_reference", "drawn_amount",
+        "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+        "loan_reference = 'L1' AS is_property_secured",
+        "ltv", "is_income_producing", "is_commercial_re",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=B31_PACK)
+    )
+    rows = {r.exposure_reference: r for r in out.results.collect()}
+    r1, r2 = rows["L1"], rows["L2"]
+    assert r1.property_type == "commercial"
+    assert r1.property_ltv == pytest.approx(0.65)
+    assert r1.ltv_band == "cre_income:<=0.8"
+    assert r1.is_qualifying_re is True
+    assert r1.materially_dependent_on_property is True
+    assert r1.mortgage_risk_weight == pytest.approx(1.0)
+    assert r1.sa_final_risk_weight == pytest.approx(1.0)
+    assert r1.sa_rw_adjustment == pytest.approx(
+        r1.sa_final_risk_weight - r1.sa_base_risk_weight
+    )
+    # plain corporate row: no RE decision, CQS2 ladder 50% base == final
+    assert r2.property_type is None and r2.ltv_band is None
+    assert r2.sa_cqs == 2
+    assert r2.sa_base_risk_weight == pytest.approx(0.5)
+    assert r2.sa_final_risk_weight == pytest.approx(0.5)
+    assert r2.sa_rw_adjustment == pytest.approx(0.0)
+    # output-floor aliases (B3.1 alpha 0.725): modelled == SA-equivalent
+    # on an SA-only book, so the floor cannot bind
+    assert r1.output_floor_pct == pytest.approx(0.725)
+    assert r1.floor_binding is False
+    assert r1.final_rwa == pytest.approx(r1.rwa)
+    assert r1.rwa_before_floor == pytest.approx(r1.rwa)
+    assert r1.floor_impact == pytest.approx(0.0)
+    assert r1.risk_weight_effective == pytest.approx(r1.rwa / r1.ead_after_crm)
+    assert r1.output_floor_rwa == pytest.approx(0.725 * r1.rwa_sa_equivalent)
