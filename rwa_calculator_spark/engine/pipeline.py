@@ -60,6 +60,14 @@ class PipelineConfig:
     # case); switch off for continuous parameters, where distinct ≈ rows
     # and per-row evaluation is cheaper.
     irb_dictionary: bool = True
+    # PS1/26 Art.153(5A)/154(4A)/158(6A) post-model adjustment ELECTIONS
+    # (ref contracts/config.py PostModelAdjustmentsConfig): additive
+    # fractions of post-mortgage-floor RWEA (general PMA, unrecognised
+    # exposures) and of EL. Regulatory gate + the 10% mortgage RW floor
+    # are PACK data; these three are firm choices, defaulting to zero.
+    pma_rwa_scalar: float = 0.0
+    pma_el_scalar: float = 0.0
+    pma_unrecognised_scalar: float = 0.0
     # Opt-in audit-cache sink (ref observability/audit_cache.py): a
     # cross-cutting diagnostics side-effect called with (name, frame) at
     # existing hook points. None (default) = no-op. The sink materialises
@@ -239,7 +247,16 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
     _t = _time.perf_counter()
     branches = [
         run_sa(crm, config.pack, threshold_scale=threshold_scale),
-        run_irb(crm, config.pack, dictionary=config.irb_dictionary),
+        run_irb(
+            crm,
+            config.pack,
+            dictionary=config.irb_dictionary,
+            pma=(
+                config.pma_rwa_scalar,
+                config.pma_el_scalar,
+                config.pma_unrecognised_scalar,
+            ),
+        ),
     ]
     if pools is not None:
         from rwa_calculator_spark.engine.stages.calculators import run_secsa

@@ -540,6 +540,14 @@ B31_PACK = RulePack(
         # counterparty RW) for registered social housing (limb c), the
         # full unsecured counterparty RW otherwise (ref
         # b31_risk_weight_tables.py:144-156 + packs/b31.py:1198-1217)
+        # PS1/26 Art.153(5A)/154(4A)/158(6A) post-model adjustments
+        # (B3.1-only Feature; CRR applies none): the 10% residential
+        # mortgage RW floor is REGULATORY pack data, the general-PMA /
+        # unrecognised-exposure scalars are firm elections on the run
+        # config (ref contracts/config.py pma_rwa_scalar — Decimal 0
+        # defaults) and never live in the pack
+        "post_model_adjustments": RuleEntry(_D("1"), "PS1/26 Art.154(4A)"),
+        "mortgage_rw_floor": RuleEntry(_D("0.10"), "PS1/26 Art.154(4A)(b)"),
         "b31_rre_residual_rw_person": RuleEntry(_D("0.75"), "PS1/26 Art.124L(a)"),
         "b31_rre_residual_rw_other_sme": RuleEntry(_D("0.85"), "PS1/26 Art.124L(b)"),
         "b31_rre_residual_rw_social_floor": RuleEntry(

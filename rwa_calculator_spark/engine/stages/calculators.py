@@ -217,6 +217,19 @@ _RESULT_COLS = [
     "is_qualifying_re",
     "materially_dependent_on_property",
     "mortgage_risk_weight",
+    # PS1/26 Art.153(5A)/154(4A)/158(6A) post-model adjustments (ref
+    # :3070-3076): pre-PMA RWEA, the mortgage-floor increase applied
+    # FIRST, the general-PMA/unrecognised scalars on the post-floor base,
+    # and the EL twins (expected_loss keeps the pre-PMA value;
+    # el_after_adjustment carries the floored-at-zero adjusted figure).
+    # IRB-branch columns; zeros under CRR, null on non-IRB branches.
+    "rwa_pre_adjustments",
+    "mortgage_rw_floor_adjustment",
+    "post_model_adjustment_rwa",
+    "unrecognised_exposure_adjustment",
+    "el_pre_adjustment",
+    "post_model_adjustment_el",
+    "el_after_adjustment",
     # WHY the approach routed as it did (permission diagnostic where the
     # model-permission stage ran, branch rule otherwise — calculators)
     "approach_reason",
@@ -359,6 +372,13 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("is_qualifying_re", "boolean"),
         ("materially_dependent_on_property", "boolean"),
         ("mortgage_risk_weight", "double"),
+        ("rwa_pre_adjustments", "double"),
+        ("mortgage_rw_floor_adjustment", "double"),
+        ("post_model_adjustment_rwa", "double"),
+        ("unrecognised_exposure_adjustment", "double"),
+        ("el_pre_adjustment", "double"),
+        ("post_model_adjustment_el", "double"),
+        ("el_after_adjustment", "double"),
         ("is_double_default_eligible", "boolean"),
         ("double_default_unfunded_protection", "double"),
         ("irb_lgd_double_default", "double"),
@@ -1467,7 +1487,79 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
-def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutput:
+def _apply_pma(df: DataFrame, pack: RulePack, pma) -> DataFrame:
+    """PS1/26 Art.153(5A)/154(4A)/158(6A) post-model adjustments on the
+    IRB branch (ref engine/irb/adjustments.py:122-279
+    apply_post_model_adjustments). B3.1-only (pack Feature); CRR rows
+    carry the zero columns for schema consistency.
+
+    Sequencing per Art.154(4A) — it is load-bearing: (b) the 10%
+    residential-mortgage RW floor applies FIRST and establishes the
+    post-floor RWEA base; (a) the general-PMA and unrecognised-exposure
+    scalars then multiply THAT base, so capital on floored rows is not
+    understated. EL PMAs are floored at zero (Art.158(6A) — a PMA can
+    never decrease expected loss); expected_loss keeps the pre-PMA value
+    and el_after_adjustment carries the adjusted figure, mirroring the
+    reference's column contract."""
+    pma_rwa, pma_el, pma_unrec = pma
+    zero = F.lit(0.0)
+    if (
+        "post_model_adjustments" not in pack.scalars
+        or pack.scalar("post_model_adjustments") < 1.0
+    ):
+        return (
+            df.withColumn("rwa_pre_adjustments", F.col("rwa"))
+            .withColumn("mortgage_rw_floor_adjustment", zero)
+            .withColumn("post_model_adjustment_rwa", zero)
+            .withColumn("unrecognised_exposure_adjustment", zero)
+            .withColumn("el_pre_adjustment", F.col("expected_loss"))
+            .withColumn("post_model_adjustment_el", zero)
+            .withColumn("el_after_adjustment", F.col("expected_loss"))
+        )
+    floor = pack.lit("mortgage_rw_floor")
+    is_mortgage = F.col("exposure_class") == "re_secured"
+    if "retail_subtype" in df.columns:
+        is_mortgage = is_mortgage | (
+            (F.col("exposure_class") == "retail")
+            & (F.col("retail_subtype") == "mortgage")
+        )
+    mortgage_adj = F.when(
+        is_mortgage,
+        F.greatest(zero, floor - F.col("risk_weight")) * F.col("ead_after_crm"),
+    ).otherwise(zero)
+    df = (
+        df.withColumn("rwa_pre_adjustments", F.col("rwa"))
+        .withColumn("mortgage_rw_floor_adjustment", mortgage_adj)
+        .withColumn("rwa", F.col("rwa") + F.col("mortgage_rw_floor_adjustment"))
+    )
+    df = (
+        df.withColumn("post_model_adjustment_rwa", F.col("rwa") * F.lit(pma_rwa))
+        .withColumn(
+            "unrecognised_exposure_adjustment", F.col("rwa") * F.lit(pma_unrec)
+        )
+        .withColumn(
+            "rwa",
+            F.col("rwa")
+            + F.col("post_model_adjustment_rwa")
+            + F.col("unrecognised_exposure_adjustment"),
+        )
+    )
+    el_pma = F.greatest(zero, F.col("expected_loss") * F.lit(pma_el))
+    return (
+        df.withColumn("el_pre_adjustment", F.col("expected_loss"))
+        .withColumn("post_model_adjustment_el", el_pma)
+        .withColumn(
+            "el_after_adjustment", F.col("expected_loss") + el_pma
+        )
+    )
+
+
+def run_irb(
+    crm: CRMOutput,
+    pack: RulePack,
+    dictionary: bool = True,
+    pma: tuple = (0.0, 0.0, 0.0),
+) -> CalcOutput:
     spark = crm.exposures.sparkSession
     exp = crm.exposures.where(
         F.col("has_irb_permission")
@@ -1708,6 +1800,7 @@ def run_irb(crm: CRMOutput, pack: RulePack, dictionary: bool = True) -> CalcOutp
             lgd_col=F.col("lgd_floored"),
             m_col=F.col("m_eff"),
         )
+        df = _apply_pma(df, pack, pma)
         return df.select(*_RESULT_COLS)
 
     return CalcOutput(results=_finish(perf).unionByName(_finish(dflt)))

@@ -2494,3 +2494,137 @@ def crm_provision_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsum(F.col("provision_capped_amount")).alias("capped_amount"),
         fsum(F.col("ead_after_crm")).alias("ead_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PS1/26 Art.153(5A)/154(4A)/158(6A) post-model adjustments (ref
+# engine/irb/adjustments.py:122-279): the 10% residential-mortgage RW floor
+# applies FIRST (its increase establishes the post-floor RWEA base), then
+# the firm-elected general-PMA and unrecognised-exposure scalars multiply
+# that base; EL PMAs are floored at zero. B3.1-only (pack Feature).
+# ---------------------------------------------------------------------------
+
+
+def _pma_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+    from rwa_calculator_spark.functions.irb import sql_capital_k_r
+    from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
+
+    return f"""
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_totalprice / 1000.0 AS ead,
+               0.0005 + CAST(o_orderkey % 10 AS DOUBLE) * 0.0005 AS pd_raw
+        FROM orders
+    ), fl AS (
+        -- B3.1 PD floor 0.0005 (BCBS CRE36.79) — the pack value run_irb uses
+        SELECT *, greatest(pd_raw, 0.0005) AS pd_f,
+               -- supplied LGD 0.20 floors at the pack's 0.25 unsecured
+               -- LGD floor, exactly as run_irb applies it
+               CAST(0.25 AS DOUBLE) AS lgd_f,
+               CAST(0.15 AS DOUBLE) AS r_c
+        FROM loans
+    ), g AS (
+        SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM fl
+    ), g2 AS (
+        SELECT * EXCLUDE (x0), {sql_halley_step('x0', 'pd_f')} AS g_pd FROM g
+    ), k AS (
+        SELECT *, {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_c')} AS kv FROM g2
+    ), priced AS (
+        -- retail: no maturity adjustment; B3.1 scaling factor 1.0
+        SELECT *, (kv * 12.5) AS rw, ead * (kv * 12.5) AS rwa0,
+               (pd_f * lgd_f) * ead AS el0
+        FROM k
+    ), adjusted AS (
+        SELECT *,
+               CASE WHEN rw < 0.10 THEN (0.10 - rw) * ead ELSE 0.0 END AS mort_adj
+        FROM priced
+    ), scaled AS (
+        SELECT *,
+               rwa0 + mort_adj AS rwa_floored,
+               (rwa0 + mort_adj) * 0.05 AS pma_rwa,
+               (rwa0 + mort_adj) * 0.02 AS unrec_adj,
+               greatest(0.0, el0 * 0.10) AS el_pma
+        FROM adjusted
+    )
+    SELECT count(*) AS n_rows,
+           (CASE WHEN count(CASE WHEN mort_adj > 0 THEN 1 END) > 0
+                 THEN count(CASE WHEN mort_adj > 0 THEN 1 END) END) AS n_floored,
+           {sql_scaled_sum('rwa0', 4)} AS rwa_pre_adj,
+           {sql_scaled_sum('mort_adj', 4)} AS mortgage_floor_adj,
+           {sql_scaled_sum('pma_rwa', 4)} AS general_pma,
+           {sql_scaled_sum('unrec_adj', 4)} AS unrecognised_adj,
+           {sql_scaled_sum('rwa_floored + pma_rwa + unrec_adj', 4)} AS rwa_final,
+           {sql_scaled_sum('el0', 4)} AS el_pre,
+           {sql_scaled_sum('el_pma', 4)} AS el_pma,
+           {sql_scaled_sum('el0 + el_pma', 4)} AS el_after
+    FROM scaled
+    """
+
+
+@query("irb_pma_adjustments", oracle=_pma_oracle(), tags=("engine", "irb", "rwa", "tolerant"))
+def irb_pma_adjustments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-model adjustments through the REAL B3.1 pipeline: a low-PD
+    retail-mortgage IRB book (modelled weights 1-8%, all below the
+    Art.154(4A)(b) 10% floor), with firm elections PMA 5% / unrecognised
+    2% of post-floor RWEA and 10% of EL. The oracle re-derives the retail
+    Vasicek kernel (R = 0.15, no maturity adjustment, B3.1 scaling 1.0),
+    applies the floor FIRST, scales the post-floor base, and floors the
+    EL add-on at zero — the reference's recorded sequencing, which this
+    query would catch being reordered (scalars on the pre-floor base
+    understate capital on every floored row)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("individual").alias("entity_type"),
+        F.lit(0).cast("int").alias("cqs"),
+        F.lit(True).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(True).alias("has_irb_permission"),
+        F.lit("mortgage").alias("retail_subtype"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        (F.col("o_totalprice") / F.lit(1000.0)).alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        (F.lit(0.0005) + (F.col("o_orderkey") % 10).cast("double") * F.lit(0.0005)).alias(
+            "pd"
+        ),
+        F.lit(0.20).alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(
+            pack=B31_PACK,
+            persist_edges=True,
+            pma_rwa_scalar=0.05,
+            pma_el_scalar=0.10,
+            pma_unrecognised_scalar=0.02,
+        ),
+    )
+    r = out.results
+    return r.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("mortgage_rw_floor_adjustment") > 0, 1)
+        ).alias("n_floored"),
+        scaled_sum(F.col("rwa_pre_adjustments"), 4).alias("rwa_pre_adj"),
+        scaled_sum(F.col("mortgage_rw_floor_adjustment"), 4).alias(
+            "mortgage_floor_adj"
+        ),
+        scaled_sum(F.col("post_model_adjustment_rwa"), 4).alias("general_pma"),
+        scaled_sum(F.col("unrecognised_exposure_adjustment"), 4).alias(
+            "unrecognised_adj"
+        ),
+        scaled_sum(F.col("rwa_pre_floor"), 4).alias("rwa_final"),
+        scaled_sum(F.col("el_pre_adjustment"), 4).alias("el_pre"),
+        scaled_sum(F.col("post_model_adjustment_el"), 4).alias("el_pma"),
+        scaled_sum(F.col("el_after_adjustment"), 4).alias("el_after"),
+    )

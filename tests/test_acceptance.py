@@ -1070,3 +1070,77 @@ def test_b31_sa_specialised_lending_art122a(spark):
     assert rows["L_S2"].rw_source == "sa_cqs_lookup"
     assert rows["L_S3"].risk_weight == pytest.approx(0.80)
     assert rows["L_S3"].rw_source == "b31_sa_sl_project_finance_high_quality"
+
+
+def test_b31_post_model_adjustments_sequencing(spark):
+    # PS1/26 Art.154(4A): one retail-mortgage IRB loan, PD at the 0.0005
+    # B3.1 floor, LGD floored to 0.25, EAD 1000. Retail mortgage R = 0.15,
+    # no maturity adjustment, scaling 1.0. The modelled RW lands ~2.6%,
+    # far below the 10% floor, so with PMA 5% / unrecognised 2% / EL 10%:
+    #   mortgage_adj = (0.10 − rw_model) × 1000
+    #   post-floor base = 100.0 exactly; general PMA = 5.0; unrec = 2.0
+    #   rwa (pre output floor) = 107.0 — scalars on the PRE-floor base
+    #   would give less, which is the ordering error this pins.
+    cps = spark.createDataFrame(
+        [("CP1", "individual", 0, True, 0.0, True, "mortgage")],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, "
+        "has_irb_permission boolean, retail_subtype string",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 1000.0, 0.0005, 0.25, None)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "pd double, lgd double, effective_maturity double",
+    ).selectExpr(
+        "loan_reference", "counterparty_reference", "drawn_amount",
+        "false AS is_defaulted", "pd", "lgd", "effective_maturity",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(
+            pack=B31_PACK, pma_rwa_scalar=0.05, pma_el_scalar=0.10,
+            pma_unrecognised_scalar=0.02,
+        ),
+    )
+    r = out.results.collect()[0]
+    assert r.mortgage_rw_floor_adjustment == pytest.approx(
+        (0.10 - r.rwa_pre_adjustments / 1000.0) * 1000.0
+    )
+    post_floor = r.rwa_pre_adjustments + r.mortgage_rw_floor_adjustment
+    assert post_floor == pytest.approx(100.0)
+    assert r.post_model_adjustment_rwa == pytest.approx(5.0)
+    assert r.unrecognised_exposure_adjustment == pytest.approx(2.0)
+    # rwa_pre_floor is the post-PMA, pre-OUTPUT-floor figure
+    assert r.rwa_pre_floor == pytest.approx(107.0)
+    assert r.el_pre_adjustment == pytest.approx(0.0005 * 0.25 * 1000.0)
+    assert r.post_model_adjustment_el == pytest.approx(r.el_pre_adjustment * 0.10)
+    assert r.el_after_adjustment == pytest.approx(r.el_pre_adjustment * 1.10)
+    # expected_loss keeps the PRE-PMA value (the reference's contract)
+    assert r.expected_loss == pytest.approx(r.el_pre_adjustment)
+
+
+def test_pma_zero_columns_under_crr(spark):
+    # CRR applies no post-model adjustments: zero-valued columns, EL twins
+    # alias the unadjusted figure, rwa untouched.
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", 2, False, 0.0, True)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 1000.0, 0.01, 0.45, 2.5)],
+        "loan_reference string, counterparty_reference string, drawn_amount double, "
+        "pd double, lgd double, effective_maturity double",
+    ).selectExpr(
+        "loan_reference", "counterparty_reference", "drawn_amount",
+        "false AS is_defaulted", "pd", "lgd", "effective_maturity",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=CRR_PACK, pma_rwa_scalar=0.05),
+    )
+    r = out.results.collect()[0]
+    assert r.mortgage_rw_floor_adjustment == pytest.approx(0.0)
+    assert r.post_model_adjustment_rwa == pytest.approx(0.0)
+    assert r.rwa_pre_adjustments == pytest.approx(r.rwa_pre_floor)
+    assert r.el_after_adjustment == pytest.approx(r.expected_loss)
