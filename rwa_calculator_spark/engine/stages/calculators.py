@@ -230,6 +230,19 @@ _RESULT_COLS = [
     "el_pre_adjustment",
     "post_model_adjustment_el",
     "el_after_adjustment",
+    # FCSM decomposition (ref :3016-3018) — simple-method collateral
+    # value/substitute weight and the pre-substitution RW snapshot
+    "fcsm_collateral_value",
+    "fcsm_collateral_rw",
+    "pre_fcsm_risk_weight",
+    # SL + equity decomposition (ref :3042-3045): the input carriers under
+    # the reference's names and each branch's assigned weight
+    "sl_type",
+    "sl_project_phase",
+    "sl_risk_weight",
+    "equity_type",
+    "equity_risk_weight",
+    "equity_higher_risk",
     # WHY the approach routed as it did (permission diagnostic where the
     # model-permission stage ran, branch rule otherwise — calculators)
     "approach_reason",
@@ -379,6 +392,15 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("el_pre_adjustment", "double"),
         ("post_model_adjustment_el", "double"),
         ("el_after_adjustment", "double"),
+        ("fcsm_collateral_value", "double"),
+        ("fcsm_collateral_rw", "double"),
+        ("pre_fcsm_risk_weight", "double"),
+        ("sl_type", "string"),
+        ("sl_project_phase", "string"),
+        ("sl_risk_weight", "double"),
+        ("equity_type", "string"),
+        ("equity_risk_weight", "double"),
+        ("equity_higher_risk", "boolean"),
         ("is_double_default_eligible", "boolean"),
         ("double_default_unfunded_protection", "double"),
         ("irb_lgd_double_default", "double"),
@@ -1249,6 +1271,14 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         ead_nz = F.nullif(F.col("ead_after_crm"), F.lit(0.0))
         avail = F.greatest(1 - F.col("g_coverage"), F.lit(0.0))
         benefit = F.lit(0.0)
+        # FCSM decomposition carriers (ref :3016-3018): the simple-method
+        # collateral value, its substitute weight, and the RW snapshot
+        # before any funded-substitution channel subtracted its benefit
+        exp = (
+            exp.withColumn("pre_fcsm_risk_weight", F.col("risk_weight"))
+            .withColumn("fcsm_collateral_value", F.coalesce("fcsm_value", F.lit(0.0)))
+            .withColumn("fcsm_collateral_rw", F.col("fcsm_rw"))
+        )
         for vcol, rcol in (
             ("li_value", "li_rw"),
             ("tpd_value", "tpd_rw"),
@@ -1951,6 +1981,10 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         )
         .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
         .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight"))
+        # SL decomposition (ref :3042-3045): the category's assigned weight
+        # under its own name (sl_type/sl_project_phase ride through as
+        # input carriers where the bundle declares them)
+        .withColumn("sl_risk_weight", F.col("risk_weight"))
     )
     exp = _el_columns(
         exp, F.coalesce("el_rate", F.lit(0.0)) * F.col("ead_after_crm")
@@ -2035,6 +2069,9 @@ def _equity_pd_lgd(equity: DataFrame, pack: RulePack) -> DataFrame:
         F.col("_lgd_eq").alias("lgd_used"),
         pack.lit("equity_pdlgd_maturity").alias("maturity_used"),
         rwa.alias("rwa_sa_equivalent"),
+        F.lit("pd_lgd").alias("equity_type"),
+        F.col("_rw_eq").alias("equity_risk_weight"),
+        (F.col("_rw_eq") >= F.lit(4.0)).alias("equity_higher_risk"),
     )
 
 
@@ -2124,5 +2161,17 @@ def _equity_simple(equity: DataFrame, pack: RulePack) -> DataFrame:
         F.lit(None).cast("double").alias("lgd_used"),
         F.lit(None).cast("double").alias("maturity_used"),
         (mv * rw).alias("rwa_sa_equivalent"),
+        # equity decomposition (ref :3042-3045): WHICH category priced the
+        # holding, its weight under its own name, and the higher-risk flag
+        # (≥400% — speculative/venture under either regime)
+        (
+            F.when(pe_div, "diversified_pe")
+            .when(listed, "exchange_traded")
+            .otherwise("other")
+            if pack.scalar("equity_irb_available") >= 1.0
+            else F.when(spec, "speculative").otherwise("standard")
+        ).alias("equity_type"),
+        rw.alias("equity_risk_weight"),
+        (rw >= F.lit(4.0)).alias("equity_higher_risk"),
     )
     return out
