@@ -81,7 +81,11 @@ def run_classify(
     # caps scale with the run's EUR rate exactly like the retail
     # threshold. Sealed as a ledger carrier and consumed by the Art.124L
     # counterparty-type table in the calculators RE block.
-    turnover = F.coalesce(F.col("annual_revenue"), F.lit(0.0))
+    turnover = (
+        F.coalesce(F.col("annual_revenue"), F.lit(0.0))
+        if "annual_revenue" in exp.columns
+        else F.lit(0.0)
+    )
     assets = (
         F.coalesce(F.col("total_assets"), F.lit(0.0))
         if "total_assets" in exp.columns

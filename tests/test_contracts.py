@@ -48,11 +48,20 @@ def test_results_ledger_carries_audit_columns(spark):
     out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK))
     # the aggregator appends the floor provenance carriers (pre-floor RWA,
     # uplift ratio and the applied flag stay on the ledger for the
-    # attribution waterfall / transitional schedule / CMS templates)
+    # attribution waterfall / transitional schedule / CMS templates) plus
+    # the reference-named floor decomposition aliases (round-6 widening)
     assert out.results.columns == _RESULT_COLS + [
         "rwa_pre_floor",
         "floor_uplift",
         "floor_applied",
+        "rwa_before_floor",
+        "sa_equivalent_rwa",
+        "output_floor_pct",
+        "output_floor_rwa",
+        "floor_binding",
+        "floor_impact",
+        "final_rwa",
+        "risk_weight_effective",
     ]
     for required in (
         "ead",

@@ -202,3 +202,63 @@ def test_pii_redaction_stays_codegen(spark, sf_dir):
     plan = pii_redaction(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ledger_widening_adds_no_exchange(spark):
+    """The round-6 per-type collateral decomposition and SCRA/GCRA
+    provision split ride EXISTING aggregations. Pinned DIFFERENTIALLY:
+    the same book run with typed collateral/provisions must plan exactly
+    as many shuffles as run with untyped ones — the carriers are
+    conditional sums inside aggregations the untyped plan already has,
+    so the Exchange census of the two executed plans must be equal."""
+    from rwa_calculator_spark.engine.bundles import RawBundle
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", 2, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 1000.0)],
+        "loan_reference string, counterparty_reference string, drawn_amount double",
+    ).selectExpr(
+        "*", "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd", "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    links = spark.createDataFrame(
+        [("C1", "L1"), ("C2", "L1")],
+        "collateral_reference string, exposure_reference string",
+    )
+
+    def census(coll_schema, coll_rows, prov_schema, prov_rows):
+        coll = spark.createDataFrame(coll_rows, coll_schema)
+        provs = spark.createDataFrame(prov_rows, prov_schema)
+        out = run_pipeline(
+            RawBundle(
+                counterparties=cps, loans=loans, collateral=coll,
+                collateral_links=links, provisions=provs,
+            ),
+            PipelineConfig(pack=CRR_PACK),
+        )
+        plan = out.results._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange ")
+
+    typed = census(
+        "collateral_reference string, collateral_type string, "
+        "market_value double, haircut double",
+        [("C1", "cash", 100.0, 0.1), ("C2", "receivables", 50.0, 0.1)],
+        "beneficiary_reference string, beneficiary_type string, amount double, "
+        "provision_type string, provision_reference string",
+        [("L1", "exposure", 10.0, "scra", "P1"),
+         ("CP1", "counterparty", 5.0, "gcra", "P2")],
+    )
+    untyped = census(
+        "collateral_reference string, collateral_type string, "
+        "market_value double, haircut double",
+        [("C1", "cash", 100.0, 0.1), ("C2", "cash", 50.0, 0.1)],
+        "beneficiary_reference string, beneficiary_type string, amount double",
+        [("L1", "exposure", 10.0), ("CP1", "counterparty", 5.0)],
+    )
+    assert typed == untyped, f"typed={typed} untyped={untyped}"
