@@ -132,10 +132,15 @@ INPUT_SCHEMAS: dict[str, Mapping[str, ColumnSpec]] = {
         "residual_maturity": ColumnSpec(_D),
         "currency": ColumnSpec(_S),
     },
-    # ref schemas.py:836 (5 cols)
+    # ref schemas.py:836 COLLATERAL_LINK_SCHEMA (5 cols). Direct types
+    # (exposure/loan/contingent, or a null type) resolve on
+    # exposure_reference; "facility"/"counterparty" resolve on the pooled
+    # beneficiary_reference, mirroring the reference's collateral cascade.
     "collateral_links": {
         "collateral_reference": _req(_S),
         "exposure_reference": _req(_S),
+        "beneficiary_type": ColumnSpec(_S),
+        "beneficiary_reference": ColumnSpec(_S),
     },
     # ref schemas.py:852 GUARANTEE_SCHEMA (20 cols)
     "guarantees": {

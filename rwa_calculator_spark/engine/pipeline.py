@@ -68,6 +68,10 @@ class PipelineConfig:
     pma_rwa_scalar: float = 0.0
     pma_el_scalar: float = 0.0
     pma_unrecognised_scalar: float = 0.0
+    # Reporting date ("YYYY-MM-DD") for date-scheduled pack rules — today
+    # only the PRA Rules 4.2/4.3 equity transitional RW phase-in (ref
+    # contracts/config.py reporting_date). None = schedules do not fire.
+    reporting_date: str | None = None
     # Opt-in audit-cache sink (ref observability/audit_cache.py): a
     # cross-cutting diagnostics side-effect called with (name, frame) at
     # existing hook points. None (default) = no-op. The sink materialises
@@ -265,7 +269,13 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
     if raw.specialised_lending is not None:
         branches.append(run_slotting(crm, config.pack))
     if raw.equity_exposures is not None:
-        branches.append(run_equity(raw.equity_exposures, config.pack))
+        branches.append(
+            run_equity(
+                raw.equity_exposures,
+                config.pack,
+                reporting_date=config.reporting_date,
+            )
+        )
     if raw.ciu_holdings is not None:
         from rwa_calculator_spark.engine.stages.ciu_settlement import run_ciu
 

@@ -496,6 +496,10 @@ B31_PACK = RulePack(
         "equity_irb_available": RuleEntry(_D("0"), "PS1/26 Art.133 (IRB equity removed)"),
         "equity_standard_rw": RuleEntry(_D("2.5"), "PS1/26 Art.133(3)"),
         "equity_speculative_rw": RuleEntry(_D("4.0"), "PS1/26 Art.133(4)"),
+        # PRA Rules 4.1-4.10 equity transitional Feature gate (the dated RW
+        # steps live in the equity_transitional_rw table; ref
+        # rulebook/packs/b31.py:740-761 Schedules)
+        "equity_transitional": RuleEntry(_D("1"), "PRA PS1/26 Rules 4.1-4.10"),
         "saccr_alpha": RuleEntry(_D("1.4"), "BCBS CRE52.1"),
         "pfe_multiplier_floor": RuleEntry(_D("0.05"), "BCBS CRE52.23"),
         "intragroup_zero_rw_enabled": RuleEntry(_D("1"), "PS1/26 Art.113(6)"),
@@ -624,6 +628,18 @@ B31_PACK = RulePack(
         "covered_bond_rw": (_COVERED_BOND_RW_SCHEMA, _COVERED_BOND_RW_ROWS),
         "covered_bond_unrated_derivation": (_CB_DERIVATION_SCHEMA, _CB_DERIVATION_B31),
         "institution_scra_rw": (_SCRA_INST_SCHEMA, _SCRA_INST_ROWS),
+        # PRA Rules 4.2/4.3 equity transitional RW phase-in (ref
+        # rulebook/packs/b31.py:740-761): standard and higher-risk steps,
+        # date-resolved driver-side (a Schedule, not a join dimension)
+        "equity_transitional_rw": (
+            "date_from string, std_rw double, hr_rw double",
+            (
+                ("2027-01-01", _D("1.60"), _D("2.20")),
+                ("2028-01-01", _D("1.90"), _D("2.80")),
+                ("2029-01-01", _D("2.20"), _D("3.40")),
+                ("2030-01-01", _D("2.50"), _D("4.00")),
+            ),
+        ),
         # PS1/26 Art.124G Table 6B / Art.124I(1)-(2): income-producing RE
         # whole-loan LTV bands (999.0 = the open catch-all band, ref
         # b31_risk_weight_tables.py:93 sentinel). B3.1-only — CRR keeps
@@ -671,6 +687,7 @@ B31_PACK = RulePack(
         "haircut_bands": "PS1/26 Art.224 (5 maturity bands)",
         "eu_domestic_ccy": "BCBS CRE20.9 (domestic-currency treatment)",
         "life_ins_rw_map": "PS1/26 Art.232(3)",
+        "equity_transitional_rw": "PRA PS1/26 Rules 4.2-4.3 (equity transitional)",
     },
 )
 

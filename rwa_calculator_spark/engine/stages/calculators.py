@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from rwa_calculator_spark.engine.bundles import CalcOutput, CRMOutput
 from rwa_calculator_spark.engine.rulepack import RulePack
@@ -126,6 +127,43 @@ _RESULT_COLS = [
     "lending_group_reference",
     "group_exposure",
     "retail_threshold_applied",
+    # the obligor default flag (ref schemas.py:2525 is_defaulted) — the
+    # C 02.00 row-0160 / CR template defaulted-memo axis,
+    "is_defaulted",
+    # facility-structure provenance block (ref CALCULATION_OUTPUT_SCHEMA
+    # :2911-2918): whether the exposure hangs off a facility, its direct
+    # parent, the ordered ancestor chain (parent→root), the hierarchy
+    # root, levels below root (0 = standalone), and the full root→exposure
+    # path — all sealed by the hierarchy stage's broadcast closure,
+    "exposure_has_parent",
+    "parent_facility_reference",
+    "ancestor_facilities",
+    "root_facility_reference",
+    "facility_hierarchy_depth",
+    "facility_hierarchy_path",
+    # CRM inheritance provenance (ref :2922-2929): WHERE in the hierarchy
+    # each mitigant came from, which entity it was inherited from, and how
+    # it was allocated down (crm stage),
+    "collateral_source_level",
+    "collateral_inherited_from",
+    "collateral_allocation_method",
+    "guarantee_source_level",
+    "guarantee_inherited_from",
+    "provision_source_level",
+    "provision_inherited_from",
+    "crm_allocation_notes",
+    # warning / DQ list carriers (ref schemas.py calculation_warnings /
+    # data_quality_flags): machine codes + human-readable twins collected
+    # from the stage gates (today the Art.194(4) own-issue exclusions),
+    "data_quality_flags",
+    "calculation_warnings",
+    # supporting-factor decomposition (ref schemas.py sme_supporting_factor
+    # / infra_supporting_factor / supporting_factor_benefit): SA branch
+    # seals the applied factors and the RWEA saved; IRB rows carry null
+    # (this engine prices Art.501/501a on the SA chain only — recorded),
+    "sme_supporting_factor",
+    "infra_supporting_factor",
+    "supporting_factor_benefit",
     # WHICH CCF rule fired (Annex I bucket / OC original-maturity split /
     # F-IRB Art.166(8) bespoke / issued fallback — crm stage),
     "ccf_source",
@@ -143,6 +181,7 @@ _RESULT_COLS = [
     "guarantee_references",
     "protection_type",
     "guarantee_coverage_pct",
+    "guarantee_effective_coverage_pct",
     "guarantee_fx_haircut",
     "guarantee_restructuring_haircut",
     "guarantor_risk_weight",
@@ -243,6 +282,11 @@ _RESULT_COLS = [
     "equity_type",
     "equity_risk_weight",
     "equity_higher_risk",
+    # PRA Rules 4.1-4.10 equity transitional carriers (ref calculator.py
+    # :1110-1126): the COREP OF 07.00 approach annotation and the resolved
+    # floor weight; null outside the B3.1 transition window,
+    "equity_transitional_approach",
+    "equity_transitional_rw",
     # WHY the approach routed as it did (permission diagnostic where the
     # model-permission stage ran, branch rule otherwise — calculators)
     "approach_reason",
@@ -325,6 +369,26 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("lending_group_reference", "string"),
         ("group_exposure", "double"),
         ("retail_threshold_applied", "boolean"),
+        ("is_defaulted", "boolean"),
+        ("exposure_has_parent", "boolean"),
+        ("parent_facility_reference", "string"),
+        ("ancestor_facilities", "array<string>"),
+        ("root_facility_reference", "string"),
+        ("facility_hierarchy_depth", "int"),
+        ("facility_hierarchy_path", "array<string>"),
+        ("collateral_source_level", "string"),
+        ("collateral_inherited_from", "string"),
+        ("collateral_allocation_method", "string"),
+        ("guarantee_source_level", "string"),
+        ("guarantee_inherited_from", "string"),
+        ("provision_source_level", "string"),
+        ("provision_inherited_from", "string"),
+        ("crm_allocation_notes", "string"),
+        ("data_quality_flags", "array<string>"),
+        ("calculation_warnings", "array<string>"),
+        ("sme_supporting_factor", "double"),
+        ("infra_supporting_factor", "double"),
+        ("supporting_factor_benefit", "double"),
         ("ccf_source", "string"),
         ("guarantor_reference", "string"),
         ("approach_reason", "string"),
@@ -401,15 +465,40 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("equity_type", "string"),
         ("equity_risk_weight", "double"),
         ("equity_higher_risk", "boolean"),
+        ("equity_transitional_approach", "string"),
+        ("equity_transitional_rw", "double"),
         ("is_double_default_eligible", "boolean"),
         ("double_default_unfunded_protection", "double"),
         ("irb_lgd_double_default", "double"),
     ):
         if name not in exp.columns:
             exp = exp.withColumn(name, F.lit(None).cast(dtype))
+    # facility-structure identities for bundles with no facility data: a
+    # standalone exposure has no parent, sits at depth 0 and is its own
+    # 1-element path (ref schemas.py:2911-2915 semantics)
+    exp = (
+        exp.withColumn(
+            "exposure_has_parent", F.coalesce("exposure_has_parent", F.lit(False))
+        )
+        .withColumn(
+            "facility_hierarchy_depth",
+            F.coalesce("facility_hierarchy_depth", F.lit(0)),
+        )
+        .withColumn(
+            "facility_hierarchy_path",
+            F.coalesce(
+                "facility_hierarchy_path",
+                F.array(F.col("exposure_reference")),
+            )
+            if "exposure_reference" in exp.columns
+            else F.col("facility_hierarchy_path"),
+        )
+    )
     # guarantee_references: a 0/1-element list from the crm stage's scalar
     # (single first-wins guarantee per exposure — recorded narrowing);
-    # guarantee_coverage_pct aliases the effective post-haircut coverage
+    # guarantee_coverage_pct carries the DECLARED '% guaranteed' (ref
+    # contract); the Art.233(3) post-haircut figure seals separately as
+    # guarantee_effective_coverage_pct
     if "guarantee_references" not in exp.columns:
         exp = exp.withColumn(
             "guarantee_references",
@@ -423,6 +512,17 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
     if "guarantee_coverage_pct" not in exp.columns:
         exp = exp.withColumn(
             "guarantee_coverage_pct",
+            F.col("g_coverage_declared")
+            if "g_coverage_declared" in exp.columns
+            else (
+                F.col("g_coverage")
+                if "g_coverage" in exp.columns
+                else F.lit(None).cast("double")
+            ),
+        )
+    if "guarantee_effective_coverage_pct" not in exp.columns:
+        exp = exp.withColumn(
+            "guarantee_effective_coverage_pct",
             F.col("g_coverage")
             if "g_coverage" in exp.columns
             else F.lit(None).cast("double"),
@@ -639,8 +739,12 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     # non-beneficial signal lives on guarantee_status; DD and SA RW
     # substitution report only where they actually repriced the row.
     _g_m = F.coalesce(F.col("_g_method"), F.lit(""))
+    # is_guaranteed means protection EXISTS (ref crm/guarantees.py:183
+    # guaranteed_portion > 0; aggregator.py:706-707 warns the beneficial
+    # test is a separate downstream gate) — the Art.193(1) benefit outcome
+    # lives on guarantee_status / guarantee_method_used, never here.
     perf = (
-        perf.withColumn("is_guaranteed", F.col("_g_ben"))
+        perf.withColumn("is_guaranteed", g > 0)
         .withColumn(
             "guaranteed_portion",
             F.when(g > 0, g * F.col("ead_after_crm")).otherwise(0.0),
@@ -1209,8 +1313,10 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
     # guarantor-side destination the CRM-substitution router reports.
     _g_has = F.col("g_coverage") > 0
     _g_ben_sa = _g_has & (F.coalesce("g_rw", F.col("own_rw")) < F.col("own_rw"))
+    # is_guaranteed = protection exists (ref crm/guarantees.py:183); the
+    # beneficial outcome is guarantee_status's job (aggregator.py:706-707).
     exp = (
-        exp.withColumn("is_guaranteed", _g_ben_sa)
+        exp.withColumn("is_guaranteed", _g_has)
         .withColumn(
             "guaranteed_portion",
             F.when(_g_has, F.col("g_coverage") * F.col("ead_after_crm")).otherwise(0.0),
@@ -1484,6 +1590,17 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             "rwa_pre_crm_substitution",
             F.col("ead_after_crm") * F.col("_rw_nosubst") * sf,
         )
+        # supporting-factor decomposition (ref CALCULATION_OUTPUT_SCHEMA
+        # sme_supporting_factor / infra_supporting_factor /
+        # supporting_factor_benefit + supporting_factors.py
+        # get_effective_factor): each factor under its own name — 1.0 where
+        # it did not apply — and the RWEA the most-beneficial min saved
+        .withColumn("sme_supporting_factor", sme_f)
+        .withColumn("infra_supporting_factor", infra_f)
+        .withColumn(
+            "supporting_factor_benefit",
+            F.col("rwa_before_sf") - F.col("rwa"),
+        )
     )
     exp = _el_columns(exp, F.lit(0.0))  # EL treatment is IRB-only; SA deducts
     exp = _param_cols(exp)  # SA uses CCF only
@@ -1547,7 +1664,14 @@ def _apply_pma(df: DataFrame, pack: RulePack, pma) -> DataFrame:
             .withColumn("el_after_adjustment", F.col("expected_loss"))
         )
     floor = pack.lit("mortgage_rw_floor")
+    # Art.154(4A)(b) scopes the 10% floor to RESIDENTIAL mortgages only
+    # (ref irb/adjustments.py is_mortgage = class contains
+    # MORTGAGE|RESIDENTIAL): a commercial-RE-secured re_secured row is out.
     is_mortgage = F.col("exposure_class") == "re_secured"
+    if "is_commercial_re" in df.columns:
+        is_mortgage = is_mortgage & ~F.coalesce(
+            F.col("is_commercial_re"), F.lit(False)
+        )
     if "retail_subtype" in df.columns:
         is_mortgage = is_mortgage | (
             (F.col("exposure_class") == "retail")
@@ -2075,39 +2199,126 @@ def _equity_pd_lgd(equity: DataFrame, pack: RulePack) -> DataFrame:
     )
 
 
-def run_equity(equity: DataFrame, pack: RulePack) -> CalcOutput:
+def run_equity(
+    equity: DataFrame, pack: RulePack, reporting_date: str | None = None
+) -> CalcOutput:
     """Equity holdings, regime-aware.
 
     CRR: IRB simple risk-weight method (Art.155(2); ref
     engine/equity/calculator.py:760-762) — diversified PE 190%,
     exchange-traded 290%, other 370%, EL 0.8%/0.8%/2.4% (Art.158(7)) —
-    or, for rows electing it via `use_pd_lgd`, the Art.155(3) PD/LGD
-    approach (_equity_pd_lgd).
+    with non-trading-book short positions netted against longs in the
+    same stock first (Art.155(2); ref calculator.py:829
+    _net_short_positions) — or, for rows electing it via `use_pd_lgd`,
+    the Art.155(3) PD/LGD approach (_equity_pd_lgd), which bypasses both
+    netting and the transitional floor (ref calculator.py:249-251).
     B3.1: IRB equity removed (PS1/26 Art.133) — SA 250% standard,
     400% speculative unlisted, no EL charge; the PD/LGD election is
     ignored (ref calculator.py: "the equity_pd_lgd flag is ignored
-    under Basel 3.1").
+    under Basel 3.1"), and the PRA Rules 4.1-4.10 transitional RW floor
+    phases the weights in from 2027 (ref calculator.py:1023
+    _apply_transitional_floor + rulebook/packs/b31.py:740 schedules).
     """
     if (
         "use_pd_lgd" in equity.columns
         and pack.scalar("equity_irb_available") >= 1.0
     ):
         elect = F.coalesce("use_pd_lgd", F.lit(False))
-        simple_out = _equity_simple(equity.where(~elect), pack)
+        simple_out = _equity_simple(equity.where(~elect), pack, reporting_date)
         pdlgd_out = _equity_pd_lgd(equity.where(elect), pack)
         return CalcOutput(
             results=_crm_carry(
-                _provenance_cols(simple_out.unionByName(pdlgd_out), "EQUITY")
+                _provenance_cols(
+                    # the PD/LGD leg carries no netting/transitional
+                    # columns (it bypasses both) — union fills them null
+                    simple_out.unionByName(pdlgd_out, allowMissingColumns=True),
+                    "EQUITY",
+                )
             ).select(*_RESULT_COLS)
         )
     return CalcOutput(
         results=_crm_carry(
-            _provenance_cols(_equity_simple(equity, pack), "EQUITY")
+            _provenance_cols(_equity_simple(equity, pack, reporting_date), "EQUITY")
         ).select(*_RESULT_COLS)
     )
 
 
-def _equity_simple(equity: DataFrame, pack: RulePack) -> DataFrame:
+def _net_short_ead(equity: DataFrame) -> DataFrame:
+    """CRR Art.155(2) non-trading-book net-short netting (ref
+    engine/equity/calculator.py:829-894 _net_short_positions): an
+    explicitly-hedged (≥1y) short may offset longs in the SAME individual
+    stock. Net long per issuer = max(0, Σ signed position_value) over the
+    eligible rows, redistributed pro-rata to each row's gross long value;
+    absorbed shorts (and longs in a net-short group) collapse to 0.
+    Ineligible rows keep the absolute-value market_value chain. Adds
+    `_eq_ead`; column-absence defensive — without position_value/
+    issuer_reference the frame passes through unchanged."""
+    mv = F.coalesce("market_value", F.lit(0.0))
+    if (
+        "position_value" not in equity.columns
+        or "issuer_reference" not in equity.columns
+    ):
+        return equity.withColumn("_eq_ead", mv)
+    hedged = (
+        F.coalesce("is_explicitly_hedged", F.lit(False))
+        if "is_explicitly_hedged" in equity.columns
+        else F.lit(False)
+    )
+    eligible = (
+        F.col("issuer_reference").isNotNull()
+        & F.col("position_value").isNotNull()
+        & hedged
+    )
+    signed = F.coalesce("position_value", F.lit(0.0))
+    gross_long = F.when(eligible & (signed > 0), signed).otherwise(F.lit(0.0))
+    w_iss = W.partitionBy("issuer_reference")
+    net_long = F.greatest(
+        F.sum(F.when(eligible, signed).otherwise(F.lit(0.0))).over(w_iss),
+        F.lit(0.0),
+    )
+    gross_long_iss = F.sum(gross_long).over(w_iss)
+    share = F.when(gross_long_iss > 0, gross_long / gross_long_iss).otherwise(
+        F.lit(0.0)
+    )
+    return equity.withColumn(
+        "_eq_ead", F.when(eligible, net_long * share).otherwise(mv)
+    )
+
+
+def _equity_transitional_schedule(
+    pack: RulePack, reporting_date: str | None
+) -> tuple[float, float] | None:
+    """Resolve the PRA Rules 4.2/4.3 transitional (std, higher-risk) RWs
+    for the reporting date — driver-side O(1) over the pack Schedule rows
+    (ref rulebook/packs/b31.py:740-761). None when the Feature is off,
+    no date was supplied, or the date precedes the first step (the
+    reference's explicit "no transition → skip" contract)."""
+    if reporting_date is None:
+        return None
+    entry = pack.scalars.get("equity_transitional")
+    if entry is None or float(entry.value) < 1.0:
+        return None
+    rows = sorted(pack.tables["equity_transitional_rw"][1])
+    hit = [r for r in rows if str(r[0]) <= reporting_date]
+    if not hit:
+        return None
+    _, std_rw, hr_rw = hit[-1]
+    return float(std_rw), float(hr_rw)
+
+
+def _equity_simple(
+    equity: DataFrame, pack: RulePack, reporting_date: str | None = None
+) -> DataFrame:
+    # Art.155(2) net-short netting is IRB-Simple machinery: the PD/LGD
+    # branch bypasses it (ref calculator.py:249-251) and the B3.1 SA
+    # weights fn never calls it (ref calculator.py:775 — the call sits
+    # inside _apply_equity_weights_irb_simple only)
+    if pack.scalar("equity_irb_available") >= 1.0:
+        equity = _net_short_ead(equity)
+    else:
+        equity = equity.withColumn(
+            "_eq_ead", F.coalesce("market_value", F.lit(0.0))
+        )
     listed = F.coalesce("is_exchange_traded", F.lit(False))
     # optional flags (absent in minimal bundles → default false)
     pe_div = (
@@ -2136,7 +2347,43 @@ def _equity_simple(equity: DataFrame, pack: RulePack) -> DataFrame:
         )
         el_rate = F.lit(0.0)
         src = F.lit("equity_sa")
-    mv = F.coalesce("market_value", F.lit(0.0))
+    # PRA Rules 4.1-4.10 transitional floor (B3.1 pack Feature + date
+    # schedule; ref calculator.py:1023-1127): final RW = max(assigned,
+    # transitional), with the higher-risk leg for speculative or young
+    # unlisted PE (Art.133(4); null business age is conservative) and the
+    # Rule 4.2/4.3 carve-outs (central-bank holdings, subordinated debt)
+    # floored at 0. Under CRR the Feature is off and this is a no-op.
+    trans = _equity_transitional_schedule(pack, reporting_date)
+    if trans is not None:
+        std_rw, hr_rw = trans
+        age_hr = (
+            F.col("business_age_years").isNull()
+            | (F.col("business_age_years") < 5.0)
+            if "business_age_years" in equity.columns
+            else F.lit(True)
+        )
+        is_hr = spec | (pe_div & ~listed & age_hr)
+        sub = (
+            F.lower(F.coalesce("equity_subtype", F.lit("")))
+            if "equity_subtype" in equity.columns
+            else F.lit("")
+        )
+        excluded = sub.isin("central_bank", "subordinated_debt")
+        trans_rw = (
+            F.when(excluded, F.lit(0.0))
+            .when(is_hr, F.lit(hr_rw))
+            .otherwise(F.lit(std_rw))
+        )
+        rw = F.greatest(rw, trans_rw)
+        # B3.1 has no IRB equity approaches, so the COREP OF 07.00 label
+        # is always the SA transitional leg (ref calculator.py:1111-1119)
+        trans_approach = F.lit("sa_transitional")
+        hr_flag = is_hr
+    else:
+        trans_rw = F.lit(None).cast("double")
+        trans_approach = F.lit(None).cast("string")
+        hr_flag = None
+    mv = F.col("_eq_ead")
     out = equity.select(
         "exposure_reference",
         "counterparty_reference",
@@ -2172,6 +2419,16 @@ def _equity_simple(equity: DataFrame, pack: RulePack) -> DataFrame:
             else F.when(spec, "speculative").otherwise("standard")
         ).alias("equity_type"),
         rw.alias("equity_risk_weight"),
-        (rw >= F.lit(4.0)).alias("equity_higher_risk"),
+        # when the transitional machinery ran, the higher-risk flag is the
+        # Art.133(4) determination it used (ref calculator.py:1125);
+        # otherwise the ≥400% heuristic stands
+        (hr_flag if hr_flag is not None else (rw >= F.lit(4.0))).alias(
+            "equity_higher_risk"
+        ),
+        # COREP OF 07.00 rows 0371-0374 annotation + the resolved floor
+        # value itself (ref calculator.py:1110-1126 equity_transitional_
+        # approach carrier)
+        trans_approach.alias("equity_transitional_approach"),
+        trans_rw.alias("equity_transitional_rw"),
     )
     return out

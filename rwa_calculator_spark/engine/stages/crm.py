@@ -192,18 +192,32 @@ def _resolve_provisions(
         per_exp_fac = alloc.groupBy("exposure_reference").agg(
             F.sum("_alloc").alias("_prov_fac_alloc"),
             F.sum("_alloc_g").alias("_prov_fac_alloc_g"),
-            F.array_distinct(F.flatten(F.collect_list("_prefs_fac"))).alias(
-                "_prefs_fac_all"
+            # a facility pot only NAMES its provisions where it actually
+            # allocated an amount to this exposure (same allocated>0 gate
+            # as the counterparty level) — collect_list drops the nulls
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.when(F.col("_alloc") > 0, F.col("_prefs_fac"))
+                    )
+                )
+            ).alias("_prefs_fac_all"),
+            # which facility pot the allocation was inherited from (min =
+            # deterministic when several pots contribute)
+            F.min(F.when(F.col("_alloc") > 0, F.col("_ben"))).alias(
+                "_prov_fac_src"
             ),
         )
         exp = exp.join(per_exp_fac, "exposure_reference", "left")
         prov_fac = F.coalesce("_prov_fac_alloc", F.lit(0.0))
         prov_fac_g = F.coalesce("_prov_fac_alloc_g", F.lit(0.0))
         prefs_fac = F.col("_prefs_fac_all")
+        prov_fac_src = F.col("_prov_fac_src")
     else:
         prov_fac = F.lit(0.0)
         prov_fac_g = F.lit(0.0)
         prefs_fac = F.lit(None).cast("array<string>")
+        prov_fac_src = F.lit(None).cast("string")
 
     exp = exp.withColumn(
         "provision_allocated",
@@ -223,7 +237,10 @@ def _resolve_provisions(
         F.sort_array(
             F.array_distinct(
                 F.concat(
-                    F.coalesce("_prefs_direct", _empty),
+                    F.when(
+                        F.coalesce("_prov_direct", F.lit(0.0)) > 0,
+                        F.coalesce("_prefs_direct", _empty),
+                    ).otherwise(_empty),
                     F.coalesce(prefs_fac, _empty),
                     F.when(
                         prov_cp > 0, F.coalesce("_prefs_cp", _empty)
@@ -232,10 +249,25 @@ def _resolve_provisions(
             )
         ),
     )
+    # provenance carriers (ref schemas.py:2927-2928): the first
+    # contributing level in direct → facility → counterparty priority, and
+    # the entity an inherited allocation came from (null when direct)
+    _pd_amt = F.coalesce("_prov_direct", F.lit(0.0))
+    exp = exp.withColumn(
+        "provision_source_level",
+        F.when(_pd_amt > 0, "exposure")
+        .when(prov_fac > 0, "facility")
+        .when(prov_cp > 0, "counterparty"),
+    ).withColumn(
+        "provision_inherited_from",
+        F.when(_pd_amt > 0, F.lit(None).cast("string"))
+        .when(prov_fac > 0, prov_fac_src)
+        .when(prov_cp > 0, F.col("counterparty_reference")),
+    )
     return exp.drop(
         "_basis", "_prov_direct", "_prov_cp_total", "_prov_fac_alloc",
         "_prov_direct_g", "_prov_cp_total_g", "_prov_fac_alloc_g",
-        "_prefs_direct", "_prefs_cp", "_prefs_fac_all",
+        "_prefs_direct", "_prefs_cp", "_prefs_fac_all", "_prov_fac_src",
     )
 
 
@@ -565,18 +597,206 @@ def run_crm(
             mv.alias("_gross_value"),
             (mv * hc_eff).alias("_quality_loss"),
             (mv * (1 - hc_eff) * fxh).alias("_fx_loss"),
+            # own-issue eligibility input (CRR/PS1-26 Art.194(4); ref
+            # crm/processor.py:838 _apply_own_issue_collateral_gate) —
+            # null is PERMISSIVE, the gate never fires on existing data
+            (
+                F.col("issuer_counterparty_reference")
+                if "issuer_counterparty_reference" in fin_coll.columns
+                else F.lit(None).cast("string")
+            ).alias("_coll_issuer"),
         )
-        links = raw.collateral_links.select(
-            "collateral_reference", "exposure_reference"
-        )
+        # --- beneficiary-level link resolution (ref COLLATERAL_LINK_SCHEMA
+        # schemas.py:836-850 + crm/processor.py _build_exposure_lookups):
+        # direct types resolve on exposure_reference; a "facility" link
+        # cascades over the named facility's descendant subtree (closure,
+        # same kernel as facility provisions); a "counterparty" link pools
+        # over the obligor's exposures. Each resolved pair carries WHERE it
+        # came from (_src_level/_src_ref) for the CRM-inheritance carriers
+        # (ref CALCULATION_OUTPUT_SCHEMA :2922-2924). All expansion joins
+        # broadcast the SMALL link/closure side; the exposure fact never
+        # shuffles here.
+        link_cols = raw.collateral_links.columns
+        _lnull = F.lit(None).cast("string")
+        if "beneficiary_type" in link_cols:
+            lk = raw.collateral_links.withColumn(
+                "_btype", F.lower(F.coalesce(F.col("beneficiary_type"), F.lit("exposure")))
+            )
+            _ben_ref = (
+                F.col("beneficiary_reference")
+                if "beneficiary_reference" in link_cols
+                else _lnull
+            )
+            _exp_ref = (
+                F.coalesce(F.col("exposure_reference"), _ben_ref)
+                if "exposure_reference" in link_cols
+                else _ben_ref
+            )
+            links = lk.where(~F.col("_btype").isin("facility", "counterparty")).select(
+                "collateral_reference",
+                _exp_ref.alias("exposure_reference"),
+                F.lit("exposure").alias("_src_level"),
+                _lnull.alias("_src_ref"),
+                F.lit(0).alias("_lvl_rank"),
+            )
+            # one NARROW, materialised membership projection feeds both
+            # cascade expansions — without it each expansion would carry
+            # its own full copy of the exposure lineage into the stage
+            # plan (Catalyst tree size, the 1g-driver hazard)
+            _mem_cols = ["exposure_reference", "counterparty_reference"]
+            if "parent_facility_reference" in exp.columns:
+                _mem_cols.append("parent_facility_reference")
+            _members = exp.select(*_mem_cols).localCheckpoint()
+            fac_rows = lk.where(F.col("_btype") == "facility").select(
+                "collateral_reference", _ben_ref.alias("_cben")
+            )
+            if "parent_facility_reference" in exp.columns:
+                if raw.facility_mappings is not None:
+                    from rwa_calculator_spark.operators.graph import (
+                        ancestor_closure_iterative,
+                    )
+
+                    fac_edges = raw.facility_mappings.where(
+                        F.col("child_type") == "facility"
+                    ).select(
+                        F.col("child_reference").alias("child"),
+                        F.col("parent_facility_reference").alias("parent"),
+                    )
+                    closure = (
+                        ancestor_closure_iterative(fac_edges)
+                        .select(
+                            F.col("ancestor").alias("_cl_ben"),
+                            F.col("descendant").alias("_cl_fac"),
+                        )
+                        .dropDuplicates(["_cl_ben", "_cl_fac"])
+                        # facility-dim sized — materialise eagerly so the
+                        # closure's union-join plan never multiplies into
+                        # the wide exposure plan (Catalyst tree size, not
+                        # data size, is the 1g-driver hazard here)
+                        .localCheckpoint()
+                    )
+                    fac_expand = fac_rows.join(
+                        F.broadcast(closure), fac_rows._cben == F.col("_cl_ben"), "left"
+                    ).select(
+                        "collateral_reference",
+                        "_cben",
+                        F.coalesce("_cl_fac", F.col("_cben")).alias("_fac_ref"),
+                    )
+                else:
+                    fac_expand = fac_rows.select(
+                        "collateral_reference", "_cben", F.col("_cben").alias("_fac_ref")
+                    )
+                links = links.unionByName(
+                    _members.select(
+                        "exposure_reference",
+                        F.col("parent_facility_reference").alias("_pfac"),
+                    )
+                    .where(F.col("_pfac").isNotNull())
+                    .join(F.broadcast(fac_expand), F.col("_pfac") == F.col("_fac_ref"))
+                    .select(
+                        "collateral_reference",
+                        "exposure_reference",
+                        F.lit("facility").alias("_src_level"),
+                        F.col("_cben").alias("_src_ref"),
+                        F.lit(1).alias("_lvl_rank"),
+                    )
+                )
+            cp_rows = lk.where(F.col("_btype") == "counterparty").select(
+                "collateral_reference", _ben_ref.alias("_cben")
+            )
+            links = links.unionByName(
+                _members.select("exposure_reference", "counterparty_reference")
+                .join(
+                    F.broadcast(cp_rows),
+                    F.col("counterparty_reference") == F.col("_cben"),
+                )
+                .select(
+                    "collateral_reference",
+                    "exposure_reference",
+                    F.lit("counterparty").alias("_src_level"),
+                    F.col("_cben").alias("_src_ref"),
+                    F.lit(2).alias("_lvl_rank"),
+                )
+            )
+        else:
+            links = raw.collateral_links.select(
+                "collateral_reference",
+                "exposure_reference",
+                F.lit("exposure").alias("_src_level"),
+                _lnull.alias("_src_ref"),
+                F.lit(0).alias("_lvl_rank"),
+            )
         # pro-rata by beneficiary EAD (ref engine/kernels/allocation.py),
         # with the maturity-mismatch adjustment applied per (item, exposure)
         # pair: P_adj = P·(t−0.25)/(T−0.25), protection under 3 months
         # ineligible (CRR Art.239; ref engine/crm/haircuts.py mismatch path)
         linked = links.join(
-            exp.select("exposure_reference", "ead", "effective_maturity"),
+            exp.select(
+                "exposure_reference",
+                "ead",
+                "effective_maturity",
+                "counterparty_reference",
+                *(
+                    [F.col("group_reference").alias("_obligor_ult")]
+                    if "group_reference" in exp.columns
+                    else []
+                ),
+            ),
             "exposure_reference",
         ).join(F.broadcast(coll), "collateral_reference")
+        # --- own-issue collateral gate (CRR/PS1-26 Art.194(4); ref
+        # crm/processor.py:499-535 + :838-929): collateral issued by the
+        # obligor or a member of the obligor's group is ineligible funded
+        # protection. Resolved per (item, exposure) pair BEFORE the
+        # pro-rata denominator, so a gated pair yields no CRM benefit by
+        # any path; the issuer's group apex resolves against the book's
+        # own (cp → ultimate parent) map. Null issuer is PERMISSIVE.
+        _iss = F.col("_coll_issuer")
+        _obl = F.col("counterparty_reference")
+        _has_issuers = "issuer_counterparty_reference" in fin_coll.columns
+        if _has_issuers and raw.org_mappings is not None:
+            # the issuer's group apex from the SAME org graph the
+            # hierarchy stage used (covers issuers with no exposures of
+            # their own); a tiny dim — 10 broadcast-join rounds, built
+            # only when the book actually declares issuers
+            from rwa_calculator_spark.operators.graph import (
+                resolve_ultimate_parent_iterative,
+            )
+
+            up_iss = (
+                resolve_ultimate_parent_iterative(
+                    raw.org_mappings.select(
+                        F.col("child_reference").alias("child"),
+                        F.col("parent_reference").alias("parent"),
+                    )
+                )
+                .select(
+                    F.col("node").alias("_iss_cp"),
+                    F.col("ultimate_parent").alias("_iss_ult"),
+                )
+                # tiny org dim — materialise, keep the resolver's iterative
+                # join plan out of the exposure tree
+                .localCheckpoint()
+            )
+            linked = linked.join(
+                F.broadcast(up_iss), _iss == F.col("_iss_cp"), "left"
+            ).drop("_iss_cp")
+            _iss_ult = F.col("_iss_ult")
+        else:
+            _iss_ult = F.lit(None).cast("string")
+        _obl_ult = (
+            F.col("_obligor_ult")
+            if "group_reference" in exp.columns
+            else F.lit(None).cast("string")
+        )
+        _own = _iss.isNotNull() & F.coalesce(
+            (_iss == _obl)
+            | (_iss == _obl_ult)
+            | (_obl == _iss_ult)
+            | (_iss_ult.isNotNull() & (_iss_ult == _obl_ult)),
+            F.lit(False),
+        )
+        linked = linked.withColumn("_own_issue", _own)
         t_exp = F.least(F.coalesce("effective_maturity", F.lit(2.5)), F.lit(5.0))
         t_coll = F.least(F.coalesce("_coll_maturity", t_exp), t_exp)
         mm = F.when(
@@ -585,9 +805,31 @@ def run_crm(
         ).otherwise(F.lit(1.0))
         linked = linked.withColumn("_mm", mm)
         wcoll = W.partitionBy("collateral_reference")
-        denom = F.sum(F.round(F.col("ead") * 100.0, 0).cast("long")).over(wcoll) / F.lit(100.0)
+        # an exposure-level item linked to a single beneficiary is a
+        # "direct" allocation; one split across beneficiaries — or any
+        # facility/counterparty cascade — is "pro_rata" (ref
+        # collateral_allocation_method, schemas.py:2924). Own-issue pairs
+        # count toward neither the split test nor the denominator.
+        _ok = ~F.col("_own_issue")
+        linked = linked.withColumn(
+            "_pair_shared",
+            F.sum(F.when(_ok, 1).otherwise(0)).over(wcoll) > F.lit(1),
+        )
+        denom = F.sum(
+            F.when(_ok, F.round(F.col("ead") * 100.0, 0).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).over(wcoll) / F.lit(100.0)
         allocated = (
-            linked.withColumn("_share", F.col("ead") / F.nullif(denom, F.lit(0.0)))
+            # the share is the single gate: every downstream product
+            # (allocated value, gross, haircut losses, mismatch loss)
+            # zeroes for an own-issue pair through it
+            linked.withColumn(
+                "_share",
+                F.when(_ok, F.col("ead") / F.nullif(denom, F.lit(0.0))).otherwise(
+                    F.lit(0.0)
+                ),
+            )
             .withColumn(
                 "allocated_value",
                 F.col("adjusted_value") * F.col("_mm") * F.col("_share"),
@@ -645,12 +887,79 @@ def run_crm(
             # collect_set for a deterministic, duplicate-free list — same
             # audit answer, stable value hash (collect order is
             # shuffle-dependent otherwise); nulls (undeclared types) drop.
-            F.sort_array(F.collect_set("collateral_reference")).alias(
-                "collateral_references"
+            F.sort_array(
+                F.collect_set(
+                    F.when(~F.col("_own_issue"), F.col("collateral_reference"))
+                )
+            ).alias("collateral_references"),
+            F.sort_array(
+                F.collect_set(F.when(~F.col("_own_issue"), F.col("_coll_type")))
+            ).alias("collateral_types"),
+            # Art.194(4) DQ channel (ref processor.py:499 CRM015 warning
+            # per dropped item): WHICH pledges were excluded as own-issue
+            F.sort_array(
+                F.collect_set(
+                    F.when(
+                        F.col("_own_issue"),
+                        F.concat(F.lit("CRM015:"), F.col("collateral_reference")),
+                    )
+                )
+            ).alias("_dq_own_issue"),
+            # CRM-inheritance provenance (ref schemas.py:2922-2924): the
+            # highest-priority contributing level (exposure < facility <
+            # counterparty), the beneficiary each inherited level came
+            # from (min = deterministic under shuffle), and whether any
+            # direct-level item was split across beneficiaries — all
+            # conditional aggs inside the ONE existing groupBy, zero
+            # additional shuffle
+            F.min(F.when(~F.col("_own_issue"), F.col("_lvl_rank"))).alias(
+                "_coll_rank"
             ),
-            F.sort_array(F.collect_set("_coll_type")).alias("collateral_types"),
+            F.min(
+                F.when(
+                    ~F.col("_own_issue") & (F.col("_lvl_rank") == 1),
+                    F.col("_src_ref"),
+                )
+            ).alias("_coll_src_fac"),
+            F.min(
+                F.when(
+                    ~F.col("_own_issue") & (F.col("_lvl_rank") == 2),
+                    F.col("_src_ref"),
+                )
+            ).alias("_coll_src_cp"),
+            F.max(
+                F.when(
+                    ~F.col("_own_issue") & (F.col("_lvl_rank") == 0),
+                    F.col("_pair_shared").cast("int"),
+                )
+            ).alias("_coll_shared0"),
         )
         exp = exp.join(per_exposure, "exposure_reference", "left")
+        _cr = F.col("_coll_rank")
+        exp = (
+            exp.withColumn(
+                "collateral_source_level",
+                F.when(_cr == 0, "exposure")
+                .when(_cr == 1, "facility")
+                .when(_cr == 2, "counterparty"),
+            )
+            .withColumn(
+                "collateral_inherited_from",
+                F.when(_cr == 1, F.col("_coll_src_fac")).when(
+                    _cr == 2, F.col("_coll_src_cp")
+                ),
+            )
+            .withColumn(
+                "collateral_allocation_method",
+                F.when(
+                    _cr == 0,
+                    F.when(F.col("_coll_shared0") == 1, "pro_rata").otherwise(
+                        "direct"
+                    ),
+                ).when(_cr.isNotNull(), F.lit("pro_rata")),
+            )
+            .drop("_coll_rank", "_coll_src_fac", "_coll_src_cp", "_coll_shared0")
+        )
         for c in (
             "collateral_value",
             "collateral_value_gross",
@@ -663,7 +972,7 @@ def run_crm(
             "collateral_other_physical_value",
         ):
             exp = exp.withColumn(c, F.coalesce(c, F.lit(0.0)))
-        for c in ("collateral_references", "collateral_types"):
+        for c in ("collateral_references", "collateral_types", "_dq_own_issue"):
             exp = exp.withColumn(
                 c, F.coalesce(c, F.array().cast("array<string>"))
             )
@@ -680,8 +989,14 @@ def run_crm(
             "collateral_other_physical_value",
         ):
             exp = exp.withColumn(c, F.lit(0.0))
-        for c in ("collateral_references", "collateral_types"):
+        for c in ("collateral_references", "collateral_types", "_dq_own_issue"):
             exp = exp.withColumn(c, F.array().cast("array<string>"))
+        for c in (
+            "collateral_source_level",
+            "collateral_inherited_from",
+            "collateral_allocation_method",
+        ):
+            exp = exp.withColumn(c, F.lit(None).cast("string"))
 
     # FCCM: effective exposure after collateral (capped at zero)
     exp = exp.withColumn(
@@ -883,6 +1198,11 @@ def run_crm(
         gcols.append(restr_hc.alias("guarantee_restructuring_haircut"))
         gcols.append(fx_hc.alias("guarantee_fx_haircut"))
         g = raw.guarantees.select(*gcols)
+        # the DECLARED '% of exposure guaranteed' survives as its own
+        # column (ref guarantee_coverage_pct contract — declared, not
+        # effective); the Art.233(3) haircuts fold into the pricing
+        # coverage only, so the ledger can reconstruct either figure
+        g = g.withColumn("g_coverage_declared", F.col("g_coverage"))
         g = g.withColumn(
             "g_coverage",
             F.col("g_coverage")
@@ -898,9 +1218,84 @@ def run_crm(
     else:
         exp = (
             exp.withColumn("g_coverage", F.lit(0.0))
+            .withColumn("g_coverage_declared", F.lit(0.0))
             .withColumn("g_class", F.lit(None).cast("string"))
             .withColumn("g_cqs", F.lit(None).cast("int"))
         )
     exp = exp.withColumn("g_coverage", F.coalesce("g_coverage", F.lit(0.0)))
+    exp = exp.withColumn(
+        "g_coverage_declared", F.coalesce("g_coverage_declared", F.lit(0.0))
+    )
+    # guarantee provenance (ref schemas.py:2925-2926): this engine's
+    # guarantee channel resolves on exposure_reference only (recorded
+    # narrowing — the single first-wins substitution guarantee), so a
+    # priced guarantee is always exposure-level and never inherited
+    exp = exp.withColumn(
+        "guarantee_source_level",
+        F.when(F.col("g_coverage_declared") > 0, F.lit("exposure")),
+    ).withColumn("guarantee_inherited_from", F.lit(None).cast("string"))
+
+    # crm_allocation_notes (ref schemas.py:2929 + processor.py:1408
+    # _add_crm_audit): one human-readable line naming each mitigant's
+    # source level, allocation method and inheritance source
+    if "provision_source_level" not in exp.columns:
+        exp = exp.withColumn(
+            "provision_source_level", F.lit(None).cast("string")
+        ).withColumn("provision_inherited_from", F.lit(None).cast("string"))
+    _inh = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.concat(F.lit("<-"), F.col(c))
+    ).otherwise(F.lit(""))
+    _notes = F.concat_ws(
+        "; ",
+        F.when(
+            F.col("collateral_source_level").isNotNull(),
+            F.concat(
+                F.lit("collateral@"),
+                F.col("collateral_source_level"),
+                F.lit("/"),
+                F.col("collateral_allocation_method"),
+                _inh("collateral_inherited_from"),
+            ),
+        ),
+        F.when(
+            F.col("guarantee_source_level").isNotNull(),
+            F.lit("guarantee@exposure/substitution"),
+        ),
+        F.when(
+            F.col("provision_source_level").isNotNull(),
+            F.concat(
+                F.lit("provision@"),
+                F.col("provision_source_level"),
+                _inh("provision_inherited_from"),
+            ),
+        ),
+    )
+    exp = exp.withColumn(
+        "crm_allocation_notes", F.when(F.length(_notes) > 0, _notes)
+    )
+
+    # warning / DQ list carriers (ref CALCULATION_OUTPUT_SCHEMA
+    # calculation_warnings / data_quality_flags; processor.py:499 CRM015):
+    # machine codes and their human-readable twins, today fed by the
+    # Art.194(4) own-issue gate; later stage warnings append here
+    _dq = (
+        F.coalesce(F.col("_dq_own_issue"), F.array().cast("array<string>"))
+        if "_dq_own_issue" in exp.columns
+        else F.array().cast("array<string>")
+    )
+    exp = exp.withColumn("data_quality_flags", _dq).withColumn(
+        "calculation_warnings",
+        F.transform(
+            F.col("data_quality_flags"),
+            lambda s: F.concat(
+                F.lit(
+                    "CRM015 own-issue collateral excluded (Art.194(4)): "
+                ),
+                F.regexp_replace(s, "^CRM015:", ""),
+            ),
+        ),
+    )
+    if "_dq_own_issue" in exp.columns:
+        exp = exp.drop("_dq_own_issue")
 
     return CRMOutput(exposures=exp)

@@ -196,6 +196,80 @@ def run_hierarchy(
             .dropDuplicates(["exposure_reference"])
         )
         exposures = exposures.join(F.broadcast(fmap), "exposure_reference", "left")
+        # facility-path provenance carriers (ref CALCULATION_OUTPUT_SCHEMA
+        # data/schemas.py:2912-2918 + engine/stages/hierarchy/graph.py
+        # :180-305): per parent facility, the ordered ancestor chain
+        # (parent first → root last, incl. the parent itself), its root and
+        # its depth below root. Computed once on the SMALL facility dim via
+        # the iterative broadcast closure, then broadcast-joined back to
+        # the exposure grain — the exposure fact never shuffles.
+        from rwa_calculator_spark.operators.graph import ancestor_closure_iterative
+
+        fac_edges = (
+            raw.facility_mappings.where(F.col("child_type") == "facility")
+            .select(
+                F.col("child_reference").alias("child"),
+                F.col("parent_facility_reference").alias("parent"),
+            )
+            .dropDuplicates(["child"])
+        )
+        per_fac = (
+            ancestor_closure_iterative(fac_edges)
+            .dropDuplicates(["descendant", "ancestor", "depth"])
+            .groupBy("descendant")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("depth", "ancestor"))),
+                    lambda s: s.ancestor,
+                ).alias("_fac_chain"),
+            )
+            .select(
+                F.col("descendant").alias("_pf_key"),
+                F.col("_fac_chain"),
+            )
+            # materialise the tiny per-facility chain eagerly (facility-dim
+            # sized): the closure's 10-round union-join plan would
+            # otherwise ride inside EVERY downstream stage's Catalyst tree
+            # (the reference's resolver is likewise eager, graph.py:287)
+            .localCheckpoint()
+        )
+        exposures = exposures.join(
+            F.broadcast(per_fac),
+            exposures.parent_facility_reference == F.col("_pf_key"),
+            "left",
+        ).drop("_pf_key")
+        _has_parent = F.col("parent_facility_reference").isNotNull()
+        # fallback chain for a parent not in the facility-edge graph (flat
+        # book, or mappings that only declare exposure→facility rows):
+        # 1-element [parent], identical to the reference's legacy
+        # single-level behaviour (ref graph.py:301 fallback note)
+        chain = F.when(
+            _has_parent,
+            F.coalesce(F.col("_fac_chain"), F.array(F.col("parent_facility_reference"))),
+        )
+        exposures = (
+            exposures.withColumn("exposure_has_parent", _has_parent)
+            .withColumn("ancestor_facilities", chain)
+            .withColumn(
+                "root_facility_reference",
+                F.when(_has_parent, F.element_at(chain, -1)),
+            )
+            # levels from root (0 = top): an exposure sitting directly
+            # under the root facility is 1 below it
+            .withColumn(
+                "facility_hierarchy_depth",
+                F.when(_has_parent, F.size(chain)).otherwise(F.lit(0)).cast("int"),
+            )
+            # full path root → … → parent → exposure
+            .withColumn(
+                "facility_hierarchy_path",
+                F.when(
+                    _has_parent,
+                    F.concat(F.reverse(chain), F.array(F.col("exposure_reference"))),
+                ).otherwise(F.array(F.col("exposure_reference"))),
+            )
+            .drop("_fac_chain")
+        )
 
     # One combined counterparty dimension: every lookup (attributes,
     # slotting, resolved hierarchy, derived ratings, lending group) keys on

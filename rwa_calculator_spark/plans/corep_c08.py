@@ -804,3 +804,233 @@ def irb_param_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_rw_presubst"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# C 02.00 — OWN FUNDS REQUIREMENTS (ref reporting/corep/c02.py, 998 LoC +
+# templates.py:1393-1460 CRR_C02_00_ROW_SECTIONS): the template every other
+# sheet reconciles into. Full CRR row set over the star SA+IRB book: Art.92
+# totals (0010/0040), the credit-risk block (0050) with its SA child (0060)
+# and Art.112 class rows 0070-0211 (SA defaulted exposures re-home to row
+# 0160, Annex II §1.3.1), the IRB block (0220) with the F-IRB/A-IRB split
+# (this book supplies own-LGD estimates on every IRB leg, so the whole IRB
+# book is A-IRB under Art.143 and the F-IRB rows zero-fill — recorded
+# narrowing), and the out-of-scope rows (slotting/equity/settlement/
+# securitisation/market/op/CVA) zero-filled exactly as the reference
+# zero-fills rows in C02_00_CREDIT_RISK_ROWS with no value (c02.py:67).
+# Row values assemble driver-side from ONE fixed-point groupBy — the
+# O(#classes) template shape.
+# ---------------------------------------------------------------------------
+
+_C02_ROWS: list[tuple[str, str]] = [
+    ("0010", "TOTAL RISK EXPOSURE AMOUNT"),
+    ("0040", "TOTAL OWN FUNDS REQUIREMENTS"),
+    ("0050", "Credit, counterparty credit and dilution risk"),
+    ("0060", "Of which: Standardised Approach (SA)"),
+    ("0070", "Central governments or central banks"),
+    ("0080", "Regional governments and local authorities"),
+    ("0090", "Public sector entities"),
+    ("0100", "Multilateral development banks"),
+    ("0110", "International organisations"),
+    ("0120", "Institutions"),
+    ("0130", "Corporates"),
+    ("0140", "Retail"),
+    ("0150", "Secured by mortgages on immovable property"),
+    ("0160", "Exposures in default"),
+    ("0170", "Items associated with particularly high risk"),
+    ("0180", "Covered bonds"),
+    ("0190", "Short-term credit assessment"),
+    ("0200", "Collective investment undertakings"),
+    ("0210", "Equity"),
+    ("0211", "Other items"),
+    ("0220", "Of which: IRB Approach"),
+    ("0240", "Of which: Foundation IRB (F-IRB)"),
+    ("0250", "F-IRB — Institutions"),
+    ("0260", "F-IRB — Corporates"),
+    ("0300", "Of which: Advanced IRB (A-IRB)"),
+    ("0310", "A-IRB — Central governments and central banks"),
+    ("0330", "A-IRB — Institutions"),
+    ("0340", "A-IRB — Corporates"),
+    ("0370", "A-IRB — Retail"),
+    ("0380", "A-IRB — Retail, secured by immovable property"),
+    ("0390", "A-IRB — Retail, qualifying revolving (QRRE)"),
+    ("0400", "A-IRB — Retail, other SME"),
+    ("0410", "Supervisory slotting"),
+    ("0420", "Equity IRB"),
+    ("0430", "Settlement risk"),
+    ("0440", "Securitisation positions in non-trading book"),
+    ("0460", "Position, foreign exchange and commodities risk"),
+    ("0590", "Credit valuation adjustment (CVA)"),
+    ("0640", "Operational risk"),
+    ("0680", "Additional risk exposure: fixed overheads"),
+]
+_C02_NAME = dict(_C02_ROWS)
+
+# SA Art.112 class rows present in this book's vocabulary (Annex II
+# §1.3.1 — each row is an identity against the C 07.00 class sheet; ref
+# templates.py C02_00_SA_CLASS_MAP). Defaulted SA legs re-home to 0160.
+_C02_SA_CLASS_ROW = {
+    "sovereign": "0070",
+    "institution": "0120",
+    "corporate": "0130",
+    "retail": "0140",
+}
+_C02_AIRB_CLASS_ROW = {
+    "sovereign": "0310",
+    "institution": "0330",
+    "corporate": "0340",
+    "retail": "0370",
+}
+# complete row sections for the partition tie-outs (every SA class row
+# incl. zero-fills; every A-IRB class row)
+_C02_SA_SECTION_REFS = (
+    "0070", "0080", "0090", "0100", "0110", "0120", "0130", "0140",
+    "0150", "0160", "0170", "0180", "0190", "0200", "0210", "0211",
+)
+_C02_AIRB_SECTION_REFS = ("0310", "0330", "0340", "0370", "0380", "0390", "0400")
+
+
+def _c02_oracle_sql() -> str:
+    """Independent DuckDB re-derivation — reuses the driver-proven SA+IRB
+    pipeline core, then folds per-class fixed-point cents into the same
+    row set the Spark side assembles (shared _C02_ROWS: spec and oracle
+    cannot drift)."""
+    from rwa_calculator_spark.plans.rwa import _SQL_IRB_CORE, _SQL_SME_SF
+
+    core = (
+        _SQL_BASE.format(irb_flag="c_custkey % 3 = 0")
+        + _SQL_IRB_CORE
+        + f"""
+    , sa_flag AS (
+        SELECT w.is_defaulted, w.exposure_class,
+               ((w.ead * (CASE WHEN w.is_defaulted THEN 1.5
+                    WHEN w.exposure_class = 'retail' THEN 0.75
+                    WHEN rwt.rw IS NOT NULL THEN rwt.rw
+                    ELSE 1.0 END))
+                * ({_SQL_SME_SF.format(p='w.')})) AS rwa
+        FROM routed w
+        LEFT JOIN {_SQL_SA_RW}
+          ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
+        WHERE NOT w.has_irb_permission
+    ), sa_cents AS (
+        SELECT CASE WHEN is_defaulted THEN 'defaulted'
+                    ELSE exposure_class END AS k,
+               sum(CAST(floor(rwa * 100.0 + 0.5) AS BIGINT)) AS cents
+        FROM sa_flag GROUP BY 1
+    ), irb_cents AS (
+        SELECT exposure_class AS k,
+               sum(CAST(floor(rwa * 100.0 + 0.5) AS BIGINT)) AS cents
+        FROM unioned WHERE approach = 'IRB' GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT coalesce(sum(cents), 0) FROM sa_cents) AS sa_c,
+               (SELECT coalesce(sum(cents), 0) FROM irb_cents) AS irb_c
+    )
+"""
+    )
+
+    def sa(k: str) -> str:
+        return (
+            f"(SELECT coalesce(sum(cents), 0) FROM sa_cents WHERE k = '{k}')"
+            " / 100.0"
+        )
+
+    def irb(k: str) -> str:
+        return (
+            f"(SELECT coalesce(sum(cents), 0) FROM irb_cents WHERE k = '{k}')"
+            " / 100.0"
+        )
+
+    exprs: dict[str, str] = {
+        "0010": "(SELECT (sa_c + irb_c) / 100.0 FROM tot)",
+        "0040": "(SELECT ((sa_c + irb_c) / 100.0) * 0.08 FROM tot)",
+        "0050": "(SELECT (sa_c + irb_c) / 100.0 FROM tot)",
+        "0060": "(SELECT sa_c / 100.0 FROM tot)",
+        "0160": sa("defaulted"),
+        "0220": "(SELECT irb_c / 100.0 FROM tot)",
+        "0300": "(SELECT irb_c / 100.0 FROM tot)",
+    }
+    for cls, ref in _C02_SA_CLASS_ROW.items():
+        exprs[ref] = sa(cls)
+    for cls, ref in _C02_AIRB_CLASS_ROW.items():
+        exprs[ref] = irb(cls)
+    selects = [
+        f"SELECT '{ref}' AS row_ref, '{_C02_NAME[ref]}' AS row_name, "
+        f"CAST({exprs.get(ref, '0.0')} AS DOUBLE) AS value"
+        for ref, _ in _C02_ROWS
+    ]
+    return core + "\nUNION ALL\n".join(selects)
+
+
+@query(
+    "corep_c02",
+    oracle=_c02_oracle_sql(),
+    tags=("reporting", "rwa", "tolerant"),
+)
+def corep_c02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COREP C 02.00 over the full SA+IRB star pipeline: one fixed-point
+    groupBy of the ledger by (approach, Art.112 class, defaulted), folded
+    driver-side into the complete CRR row set (ref corep/c02.py
+    generate_c02_00 + templates.py CRR_C02_00_ROW_SECTIONS). Integer-cent
+    arithmetic end-to-end, so every identity row (0010 = 0050 =
+    0060 + 0220; 0040 = 8% of 0010) is exact, and the class rows foot to
+    the same figures C 07.00 / C 08.01 report — the report_tieouts anchor."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.plans.rwa import _star_bundle
+    from rwa_calculator_spark.utils import release_cached_blocks
+
+    release_cached_blocks(spark)
+    bundle = _star_bundle(spark, sf_dir, irb=True)
+    out = run_pipeline(bundle, PipelineConfig(pack=CRR_PACK, persist_edges=True))
+    values = c02_row_values(out.results)
+    rows = [
+        (ref, name, float(values.get(ref, 0.0))) for ref, name in _C02_ROWS
+    ]
+    return spark.createDataFrame(
+        rows, "row_ref string, row_name string, value double"
+    )
+
+
+def c02_row_values(results: DataFrame) -> dict[str, float]:
+    """The C 02.00 row set from a sealed ledger: ONE fixed-point groupBy,
+    integer-cent assembly driver-side (reused by report_tieouts to foot
+    the other sheets into this template)."""
+    agg = (
+        results.groupBy(
+            "approach",
+            "exposure_class",
+            F.coalesce("is_defaulted", F.lit(False)).alias("dflt"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("rwa") * 100.0 + 0.5).cast("long")).alias("cents")
+        )
+        .collect()
+    )
+    sa_cents: dict[str, int] = {}
+    irb_cents: dict[str, int] = {}
+    for r in agg:
+        if r.approach == "SA":
+            key = "defaulted" if r.dflt else r.exposure_class
+            sa_cents[key] = sa_cents.get(key, 0) + (r.cents or 0)
+        else:
+            irb_cents[r.exposure_class] = (
+                irb_cents.get(r.exposure_class, 0) + (r.cents or 0)
+            )
+    sa_c = sum(sa_cents.values())
+    irb_c = sum(irb_cents.values())
+    values: dict[str, float] = {
+        "0010": (sa_c + irb_c) / 100.0,
+        "0040": ((sa_c + irb_c) / 100.0) * 0.08,
+        "0050": (sa_c + irb_c) / 100.0,
+        "0060": sa_c / 100.0,
+        "0160": sa_cents.get("defaulted", 0) / 100.0,
+        "0220": irb_c / 100.0,
+        "0300": irb_c / 100.0,
+    }
+    for cls, ref in _C02_SA_CLASS_ROW.items():
+        values[ref] = sa_cents.get(cls, 0) / 100.0
+    for cls, ref in _C02_AIRB_CLASS_ROW.items():
+        values[ref] = irb_cents.get(cls, 0) / 100.0
+    for ref, _ in _C02_ROWS:
+        values.setdefault(ref, 0.0)
+    return values

@@ -479,11 +479,13 @@ def report_validation_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-traversal order, so Python and DuckDB agree bit-for-bit. Rows
     carry the scope verdict of the FULL submission (every filing module
     filed — all in scope); `report_validation_scope` exercises the reduced
-    filing."""
-    from rwa_calculator_spark.reporting_grammar_catalog import scoped_grammar_outcomes
+    filing. Rendered THROUGH the checker entry point (reporting_checker.
+    run_checker — ref validations/checker.py): scope → evaluate →
+    aggregate; the outcome frame is the checker's own."""
+    from rwa_calculator_spark.reporting_checker import run_checker
     from rwa_calculator_spark.reporting_scope import FULL_SUBMISSION
 
-    return scoped_grammar_outcomes(spark, sf_dir, FULL_SUBMISSION)
+    return run_checker(spark, sf_dir, FULL_SUBMISSION).outcomes
 
 
 def _scope_oracle() -> str:
@@ -511,11 +513,12 @@ def report_validation_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEVER handed to the evaluator (NOT_IN_SCOPE ≠ NOT_EVALUATED: "not
     applicable to this filing" vs "applicable but this estate couldn't run
     it"). The oracle derives the same scope verdict IN SQL from the
-    (rule, template) reference pairs and the module map."""
-    from rwa_calculator_spark.reporting_grammar_catalog import scoped_grammar_outcomes
+    (rule, template) reference pairs and the module map. Rendered THROUGH
+    the checker entry point (reporting_checker.run_checker)."""
+    from rwa_calculator_spark.reporting_checker import run_checker
     from rwa_calculator_spark.reporting_scope import COREP_ONLY_SUBMISSION
 
-    return scoped_grammar_outcomes(spark, sf_dir, COREP_ONLY_SUBMISSION)
+    return run_checker(spark, sf_dir, COREP_ONLY_SUBMISSION).outcomes
 
 
 @query(

@@ -2059,8 +2059,11 @@ _COLL_TYPE_ORACLE = """
                (l.ok % 4 = 1) AS has_re
         FROM loans l
     ), valued AS (
+        -- every 16th order's item is issued by its own obligor: the
+        -- Art.194(4) gate drops it before allocation, so the row prices
+        -- UNSECURED (alloc 0, full drawn EAD)
         SELECT *,
-               CASE WHEN fccm_type IS NOT NULL
+               CASE WHEN fccm_type IS NOT NULL AND ok % 16 <> 2
                     THEN drawn * 0.4 * (1.0 - 0.1) ELSE 0.0 END AS alloc,
                CASE WHEN has_re THEN drawn * 0.9 ELSE 0.0 END AS re_mv
         FROM typed
@@ -2165,6 +2168,12 @@ def crm_collateral_type_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 0.4).alias("market_value"),
         F.lit(0.1).alias("haircut"),
         F.lit(False).alias("currency_mismatch"),
+        # Art.194(4) own-issue gate input: every 16th order pledges paper
+        # issued by its own obligor — those rows must price UNSECURED
+        F.when(
+            F.col("o_orderkey") % 16 == 2,
+            F.concat(F.lit("CP"), F.col("o_custkey")),
+        ).alias("issuer_counterparty_reference"),
     )
     re_items = o.where(F.col("o_orderkey") % 4 == 1).select(
         F.concat(F.lit("RE"), F.col("o_orderkey")).alias("collateral_reference"),
@@ -2173,7 +2182,7 @@ def crm_collateral_type_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("haircut"),
         F.lit(False).alias("currency_mismatch"),
     )
-    coll = fccm.unionByName(re_items)
+    coll = fccm.unionByName(re_items, allowMissingColumns=True)
     links = coll.select(
         "collateral_reference",
         F.concat(
@@ -2627,4 +2636,692 @@ def irb_pma_adjustments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_sum(F.col("el_pre_adjustment"), 4).alias("el_pre"),
         scaled_sum(F.col("post_model_adjustment_el"), 4).alias("el_pma"),
         scaled_sum(F.col("el_after_adjustment"), 4).alias("el_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRM provenance + facility-path ledger block (ref CALCULATION_OUTPUT_SCHEMA
+# data/schemas.py:2911-2929 + engine/crm/processor.py _build_exposure_lookups
+# + engine/stages/hierarchy/graph.py:180-305): WHERE in the facility
+# hierarchy each mitigant came from (source level / inherited-from /
+# allocation method for collateral, guarantees and provisions), the
+# root/ancestors/path/depth facility-structure carriers, and the
+# crm_allocation_notes audit line.
+# ---------------------------------------------------------------------------
+
+_PROVENANCE_ORACLE = """
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck, o_totalprice AS drawn
+        FROM orders
+    ), prov AS (
+        -- provision book rides the ODD custkeys only (keeps the collateral
+        -- denominators on clean 2-dp EADs): direct 5% on ok%3=0, a 1000
+        -- counterparty pot on ck ending in 5
+        SELECT l.*,
+               CASE WHEN ck % 2 = 1 AND ok % 3 = 0
+                    THEN drawn * CAST(0.05 AS DOUBLE) ELSE 0.0 END AS p_direct
+        FROM loans l
+    ), cpden AS (
+        SELECT ck, sum(CAST(round(drawn * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS den
+        FROM loans GROUP BY ck
+    ), eadt AS (
+        SELECT p.*,
+               CASE WHEN p.ck % 2 = 1 AND p.ck % 5 = 0
+                    THEN CAST(1000.0 AS DOUBLE) * (p.drawn / d.den)
+                    ELSE 0.0 END AS p_cp,
+               p.drawn - least(
+                   p.p_direct + CASE WHEN p.ck % 2 = 1 AND p.ck % 5 = 0
+                        THEN CAST(1000.0 AS DOUBLE) * (p.drawn / d.den)
+                        ELSE 0.0 END, p.drawn) AS ead
+        FROM prov p JOIN cpden d USING (ck)
+    ),
+    -- collateral books ride the EVEN custkeys (ead = drawn exactly there).
+    -- direct: CD{ok} 0.3*drawn on ok%5=0; facility: CF{ck} 500 at F{ck} on
+    -- ck%6=0; grandparent: CG{ck} 800 at RF{ck%10} on ck%970=0 (cascades
+    -- over every even cp with the same last digit); counterparty: CC{ck}
+    -- 400 on ck%22=0. Denominators are cent-rounded member-EAD sums.
+    fden AS (
+        SELECT ck, sum(CAST(round(ead * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS den
+        FROM eadt WHERE ck % 2 = 0 GROUP BY ck
+    ), gden AS (
+        SELECT ck % 10 AS d, sum(CAST(round(ead * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS den
+        FROM eadt WHERE ck % 2 = 0 GROUP BY ck % 10
+    ), alloc AS (
+        SELECT e.*,
+               CASE WHEN e.ck % 2 = 0 AND e.ok % 5 = 0
+                    THEN (CAST(0.3 AS DOUBLE) * e.drawn)
+                         * (e.ead / (CAST(round(e.ead * 100.0, 0) AS BIGINT)
+                                     / CAST(100 AS DOUBLE)))
+                    ELSE 0.0 END AS a_direct,
+               CASE WHEN e.ck % 2 = 0 AND e.ck % 6 = 0
+                    THEN CAST(500.0 AS DOUBLE) * (e.ead / f.den)
+                    ELSE 0.0 END AS a_fac,
+               -- one 800 pot PER CG item pledged at this loan's root
+               -- (several custkeys can share a last digit); each item
+               -- allocates the same share independently
+               CASE WHEN e.ck % 2 = 0
+                    THEN (CAST(800.0 AS DOUBLE) * (e.ead / g.den))
+                         * (SELECT count(*) FROM customer c2
+                            WHERE c2.c_custkey % 970 = 0
+                              AND c2.c_custkey % 10 = e.ck % 10)
+                    ELSE 0.0 END AS a_grand_extra,
+               CASE WHEN e.ck % 2 = 0 AND e.ck % 22 = 0
+                    THEN CAST(400.0 AS DOUBLE) * (e.ead / f.den)
+                    ELSE 0.0 END AS a_cp
+        FROM eadt e
+        LEFT JOIN fden f ON e.ck = f.ck
+        LEFT JOIN gden g ON e.ck % 10 = g.d
+    ), carriers AS (
+        SELECT *,
+               a_direct + a_fac + a_grand_extra + a_cp AS coll_value,
+               greatest(ead - (a_direct + a_fac + a_grand_extra + a_cp),
+                        0.0) AS ead_after,
+               -- provenance: priority exposure < facility < counterparty
+               CASE WHEN a_direct > 0 THEN 'exposure'
+                    WHEN a_fac > 0 OR a_grand_extra > 0 THEN 'facility'
+                    WHEN a_cp > 0 THEN 'counterparty' END AS coll_lvl,
+               CASE WHEN a_direct > 0 THEN 'direct'
+                    WHEN a_fac > 0 OR a_grand_extra > 0 OR a_cp > 0
+                         THEN 'pro_rata' END AS coll_method,
+               -- inherited-from: min over contributing facility pots
+               -- ('F...' < 'RF...'); counterparty pots name the obligor
+               CASE WHEN a_direct > 0 THEN NULL
+                    WHEN a_fac > 0 THEN 'F' || CAST(ck AS VARCHAR)
+                    WHEN a_grand_extra > 0
+                         THEN 'RF' || CAST(ck % 10 AS VARCHAR)
+                    WHEN a_cp > 0 THEN 'CP' || CAST(ck AS VARCHAR) END
+                   AS coll_inh,
+               CASE WHEN p_direct > 0 THEN 'exposure'
+                    WHEN p_cp > 0 THEN 'counterparty' END AS prov_lvl,
+               CASE WHEN p_direct > 0 THEN NULL
+                    WHEN p_cp > 0 THEN 'CP' || CAST(ck AS VARCHAR) END
+                   AS prov_inh,
+               CASE WHEN ok % 6 = 0 THEN 'exposure' END AS gtee_lvl
+        FROM alloc
+    )
+    SELECT coll_lvl AS collateral_source_level,
+           coll_method AS collateral_allocation_method,
+           prov_lvl AS provision_source_level,
+           gtee_lvl AS guarantee_source_level,
+           count(*) AS n_rows,
+           sum(CAST(floor(coll_value * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS coll_value,
+           sum(CAST(floor(ead_after * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS ead_after,
+           count(DISTINCT coll_inh) AS n_coll_sources,
+           count(DISTINCT prov_inh) AS n_prov_sources,
+           count(DISTINCT 'RF' || CAST(ck % 10 AS VARCHAR)) AS n_roots,
+           max(3) AS max_path_len,
+           count(*) AS n_with_parent,
+           count(CASE WHEN coll_lvl IS NOT NULL OR prov_lvl IS NOT NULL
+                      OR gtee_lvl IS NOT NULL THEN 1 END) AS n_notes
+    FROM carriers
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@query(
+    "crm_provenance_ledger",
+    oracle=_PROVENANCE_ORACLE,
+    tags=("engine", "crm", "rwa"),
+)
+def crm_provenance_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRM-inheritance + facility-path provenance through the REAL
+    pipeline: a two-level facility tree (loan → F{cp} → RF{cp%10}) seals
+    the root/ancestors/path/depth carriers via the hierarchy stage's
+    broadcast closure, while collateral pledged at all three beneficiary
+    levels — direct to the exposure, at the parent facility, at the
+    GRANDPARENT facility (exercising the subtree cascade), and at the
+    obligor — resolves through the link kernel and seals
+    collateral_source_level / collateral_inherited_from /
+    collateral_allocation_method (priority exposure < facility <
+    counterparty). Provision and guarantee provenance twins ride the same
+    run, and crm_allocation_notes names each mitigant's source. Aggregated
+    by the four provenance enums (ref CALCULATION_OUTPUT_SCHEMA
+    data/schemas.py:2911-2929)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    # two-level facility tree: every loan under F{cp}, every F{cp} under
+    # RF{cp%10}
+    fmap = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("child_reference"),
+        F.lit("loan").alias("child_type"),
+        F.concat(F.lit("F"), F.col("o_custkey")).alias("parent_facility_reference"),
+    ).unionByName(
+        c.select(
+            F.concat(F.lit("F"), F.col("c_custkey")).alias("child_reference"),
+            F.lit("facility").alias("child_type"),
+            F.concat(F.lit("RF"), F.col("c_custkey") % 10).alias(
+                "parent_facility_reference"
+            ),
+        )
+    )
+    ck = F.col("c_custkey")
+    cd = o.where((F.col("o_custkey") % 2 == 0) & (F.col("o_orderkey") % 5 == 0)).select(
+        F.concat(F.lit("CD"), F.col("o_orderkey")).alias("collateral_reference"),
+        F.lit("cash").alias("collateral_type"),
+        (F.col("o_totalprice") * 0.3).alias("market_value"),
+        F.lit(0.0).alias("haircut"),
+        F.lit(False).alias("currency_mismatch"),
+    )
+    cf = c.where(ck % 6 == 0).select(
+        F.concat(F.lit("CF"), ck).alias("collateral_reference"),
+        F.lit("cash").alias("collateral_type"),
+        F.lit(500.0).alias("market_value"),
+        F.lit(0.0).alias("haircut"),
+        F.lit(False).alias("currency_mismatch"),
+    )
+    cg = c.where(ck % 970 == 0).select(
+        F.concat(F.lit("CG"), ck).alias("collateral_reference"),
+        F.lit("cash").alias("collateral_type"),
+        F.lit(800.0).alias("market_value"),
+        F.lit(0.0).alias("haircut"),
+        F.lit(False).alias("currency_mismatch"),
+    )
+    cc = c.where(ck % 22 == 0).select(
+        F.concat(F.lit("CC"), ck).alias("collateral_reference"),
+        F.lit("cash").alias("collateral_type"),
+        F.lit(400.0).alias("market_value"),
+        F.lit(0.0).alias("haircut"),
+        F.lit(False).alias("currency_mismatch"),
+    )
+    coll = cd.unionByName(cf).unionByName(cg).unionByName(cc)
+    _n = F.lit(None).cast("string")
+    links = (
+        cd.select(
+            "collateral_reference",
+            F.concat(
+                F.lit("L"), F.regexp_extract("collateral_reference", r"(\d+)$", 1)
+            ).alias("exposure_reference"),
+            F.lit("exposure").alias("beneficiary_type"),
+            _n.alias("beneficiary_reference"),
+        )
+        .unionByName(
+            cf.select(
+                "collateral_reference",
+                _n.alias("exposure_reference"),
+                F.lit("facility").alias("beneficiary_type"),
+                F.concat(
+                    F.lit("F"),
+                    F.regexp_extract("collateral_reference", r"(\d+)$", 1),
+                ).alias("beneficiary_reference"),
+            )
+        )
+        .unionByName(
+            cg.select(
+                "collateral_reference",
+                _n.alias("exposure_reference"),
+                F.lit("facility").alias("beneficiary_type"),
+                F.concat(
+                    F.lit("RF"),
+                    F.regexp_extract("collateral_reference", r"(\d+)$", 1).cast(
+                        "long"
+                    )
+                    % 10,
+                ).alias("beneficiary_reference"),
+            )
+        )
+        .unionByName(
+            cc.select(
+                "collateral_reference",
+                _n.alias("exposure_reference"),
+                F.lit("counterparty").alias("beneficiary_type"),
+                F.concat(
+                    F.lit("CP"),
+                    F.regexp_extract("collateral_reference", r"(\d+)$", 1),
+                ).alias("beneficiary_reference"),
+            )
+        )
+    )
+    provisions = (
+        o.where((F.col("o_custkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0))
+        .select(
+            F.concat(F.lit("L"), F.col("o_orderkey")).alias("beneficiary_reference"),
+            F.lit("exposure").alias("beneficiary_type"),
+            (F.col("o_totalprice") * 0.05).alias("amount"),
+            F.concat(F.lit("PD"), F.col("o_orderkey")).alias("provision_reference"),
+            F.lit("scra").alias("provision_type"),
+        )
+        .unionByName(
+            c.where((ck % 2 == 1) & (ck % 5 == 0)).select(
+                F.concat(F.lit("CP"), ck).alias("beneficiary_reference"),
+                F.lit("counterparty").alias("beneficiary_type"),
+                F.lit(1000.0).alias("amount"),
+                F.concat(F.lit("PC"), ck).alias("provision_reference"),
+                F.lit("gcra").alias("provision_type"),
+            )
+        )
+    )
+    gtees = o.where(F.col("o_orderkey") % 6 == 0).select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.lit(0.5).alias("coverage_pct"),
+        F.lit("institution").alias("guarantor_class"),
+        F.lit(1).cast("int").alias("guarantor_cqs"),
+        F.concat(F.lit("GCP"), F.col("o_orderkey")).alias("guarantor_reference"),
+        F.concat(F.lit("G"), F.col("o_orderkey")).alias("guarantee_reference"),
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps,
+            loans=loans,
+            collateral=coll,
+            collateral_links=links,
+            provisions=provisions,
+            guarantees=gtees,
+            facility_mappings=fmap,
+        ),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+
+    def fsum(col):
+        return F.sum(F.floor(col * 100.0 + 0.5).cast("long")) / F.lit(100.0)
+
+    return out.results.groupBy(
+        "collateral_source_level",
+        "collateral_allocation_method",
+        "provision_source_level",
+        "guarantee_source_level",
+    ).agg(
+        F.count("*").alias("n_rows"),
+        fsum(F.col("collateral_value")).alias("coll_value"),
+        fsum(F.col("ead_after_crm")).alias("ead_after"),
+        F.countDistinct("collateral_inherited_from").alias("n_coll_sources"),
+        F.countDistinct("provision_inherited_from").alias("n_prov_sources"),
+        F.countDistinct("root_facility_reference").alias("n_roots"),
+        F.max(F.size("facility_hierarchy_path")).alias("max_path_len"),
+        F.sum(F.col("exposure_has_parent").cast("int")).alias("n_with_parent"),
+        F.count("crm_allocation_notes").alias("n_notes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equity branch depth (round 7): CRR Art.155(2) net-short-position netting
+# (ref engine/equity/calculator.py:829-894 _net_short_positions) and the
+# PRA Rules 4.1-4.10 B3.1 equity transitional RW floor (ref :1023-1127
+# _apply_transitional_floor + rulebook/packs/b31.py:740-761 schedules).
+# ---------------------------------------------------------------------------
+
+_EQ_NET_SHORT_ORACLE = """
+    WITH pos AS (
+        -- one hedged long (+p) and one short (-0.4p) per order on the SAME
+        -- stock: 2-element issuer groups keep the float sum commutative so
+        -- both engines net bit-identically. Odd orders are UNHEDGED: the
+        -- short is ineligible and keeps its absolute market value.
+        SELECT o_orderkey AS ok, o_totalprice AS p,
+               (o_orderkey % 2 = 0) AS hedged
+        FROM orders
+    ), rows_ AS (
+        SELECT ok, 'long' AS leg, p AS mv, p AS signed, hedged FROM pos
+        UNION ALL
+        SELECT ok, 'short', p * 0.4, p * (-0.4), hedged FROM pos
+    ), netted AS (
+        SELECT *,
+               CASE WHEN hedged THEN
+                    CASE WHEN leg = 'long'
+                         THEN greatest(p + (p * (-0.4)), 0.0)
+                         ELSE 0.0 END
+                    ELSE mv END AS ead
+        FROM (SELECT r.*, pos.p AS p FROM rows_ r
+              JOIN pos ON r.ok = pos.ok) t
+    ), priced AS (
+        -- CRR IRB simple: exchange-traded on even orders (290%), other
+        -- 370%; Art.158(7) EL 0.8%/2.4%
+        SELECT leg, hedged,
+               CASE WHEN ok % 2 = 0 THEN 'exchange_traded' ELSE 'other' END
+                   AS equity_type,
+               ead,
+               ead * CAST(CASE WHEN ok % 2 = 0 THEN 2.9 ELSE 3.7 END
+                          AS DOUBLE) AS rwa,
+               ead * CAST(CASE WHEN ok % 2 = 0 THEN 0.008 ELSE 0.024 END
+                          AS DOUBLE) AS el
+        FROM netted
+    )
+    SELECT leg, hedged, equity_type, count(*) AS n_rows,
+           sum(CAST(floor(ead * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_ead,
+           sum(CAST(floor(rwa * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_rwa,
+           sum(CAST(floor(el * 100.0 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_el
+    FROM priced GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "equity_net_short",
+    oracle=_EQ_NET_SHORT_ORACLE,
+    tags=("engine", "equity", "rwa"),
+)
+def equity_net_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR Art.155(2) net-short netting through the REAL equity branch:
+    every order contributes a long (+p) and an explicit short (−0.4p) on
+    the same stock. Hedged pairs (even orders) net — the long carries
+    max(0, p−0.4p), the short collapses to 0; unhedged pairs keep their
+    absolute market values. 2-element issuer groups keep the float sum
+    commutative, so the netting is bit-reproducible against the oracle
+    (ref engine/equity/calculator.py:829-894)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.limit(1).select(
+        F.lit("L_FILL").alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.lit(100.0).alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    hedged = F.col("o_orderkey") % 2 == 0
+    longs = o.select(
+        F.concat(F.lit("EL"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("market_value"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_exchange_traded"),
+        F.concat(F.lit("ISS"), F.col("o_orderkey")).alias("issuer_reference"),
+        F.col("o_totalprice").alias("position_value"),
+        hedged.alias("is_explicitly_hedged"),
+    )
+    shorts = o.select(
+        F.concat(F.lit("ES"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        (F.col("o_totalprice") * 0.4).alias("market_value"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_exchange_traded"),
+        F.concat(F.lit("ISS"), F.col("o_orderkey")).alias("issuer_reference"),
+        (F.col("o_totalprice") * -0.4).alias("position_value"),
+        hedged.alias("is_explicitly_hedged"),
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps,
+            loans=loans,
+            equity_exposures=longs.unionByName(shorts),
+        ),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+
+    def fsum(col):
+        return F.sum(F.floor(col * 100.0 + 0.5).cast("long")) / F.lit(100.0)
+
+    r = out.results.where(F.col("exposure_class") == "equity")
+    return (
+        r.withColumn(
+            "leg",
+            F.when(F.col("exposure_reference").startswith("EL"), "long").otherwise(
+                "short"
+            ),
+        )
+        .withColumn(
+            "hedged",
+            F.regexp_extract("exposure_reference", r"(\d+)$", 1).cast("long") % 2
+            == 0,
+        )
+        .groupBy("leg", "hedged", "equity_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            fsum(F.col("ead")).alias("total_ead"),
+            fsum(F.col("rwa")).alias("total_rwa"),
+            fsum(F.col("expected_loss")).alias("total_el"),
+        )
+    )
+
+
+_EQ_TRANSITIONAL_ORACLE = """
+    WITH eq AS (
+        SELECT o_orderkey AS ok, o_totalprice AS mv,
+               (o_orderkey % 3 = 0) AS spec,
+               (o_orderkey % 5 = 0) AS pe,
+               (o_orderkey % 2 = 0) AS listed,
+               CASE CAST(o_orderkey % 4 AS INTEGER)
+                    WHEN 0 THEN CAST(3.0 AS DOUBLE)
+                    WHEN 3 THEN CAST(10.0 AS DOUBLE) END AS age,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN 'subordinated_debt' END AS subtype
+        FROM orders
+    ), hr AS (
+        SELECT *,
+               (spec OR (pe AND NOT listed
+                         AND (age IS NULL OR age < 5.0))) AS is_hr,
+               (subtype = 'subordinated_debt') IS TRUE AS excluded
+        FROM eq
+    ), floored AS (
+        -- 2028-06-30 resolves the 2028 step: std 1.90 / higher-risk 2.80;
+        -- assigned B3.1 SA: speculative 4.00 else 2.50
+        SELECT *,
+               CASE WHEN excluded THEN CAST(0.0 AS DOUBLE)
+                    WHEN is_hr THEN CAST(2.80 AS DOUBLE)
+                    ELSE CAST(1.90 AS DOUBLE) END AS trans_rw,
+               CAST(CASE WHEN spec THEN 4.0 ELSE 2.5 END AS DOUBLE)
+                   AS assigned_rw
+        FROM hr
+    )
+    SELECT CASE WHEN spec THEN 'speculative' ELSE 'standard' END
+               AS equity_type,
+           is_hr AS equity_higher_risk,
+           'sa_transitional' AS equity_transitional_approach,
+           count(*) AS n_rows,
+           sum(CAST(floor(trans_rw * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS floor_rw_sum,
+           sum(CAST(floor((mv * greatest(assigned_rw, trans_rw)) * 100.0
+                          + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_rwa
+    FROM floored GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "equity_transitional",
+    oracle=_EQ_TRANSITIONAL_ORACLE,
+    tags=("engine", "equity", "rwa"),
+)
+def equity_transitional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRA Rules 4.1-4.10 equity transitional floor through the REAL B3.1
+    branch at reporting date 2028-06-30 (the 2028 step: standard 1.90,
+    higher-risk 2.80): risk_weight = max(assigned SA weight, transitional),
+    higher-risk = speculative or young unlisted PE (Art.133(4), null age
+    conservative), subordinated debt carved out at a 0.0 floor (Rule
+    4.2/4.3). Grouped by type × higher-risk × the sealed
+    equity_transitional_approach carrier (ref calculator.py:1023-1127)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.limit(1).select(
+        F.lit("L_FILL").alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.lit(100.0).alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    ok = F.col("o_orderkey")
+    equity = o.select(
+        F.concat(F.lit("E"), ok).alias("exposure_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("market_value"),
+        (ok % 2 == 0).alias("is_exchange_traded"),
+        (ok % 3 == 0).alias("is_speculative"),
+        (ok % 5 == 0).alias("is_diversified_pe"),
+        F.when(ok % 4 == 0, 3.0)
+        .when(ok % 4 == 3, 10.0)
+        .cast("double")
+        .alias("business_age_years"),
+        F.when(ok % 7 == 0, "subordinated_debt").alias("equity_subtype"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, equity_exposures=equity),
+        PipelineConfig(
+            pack=B31_PACK, persist_edges=True, reporting_date="2028-06-30"
+        ),
+    )
+
+    def fsum(col):
+        return F.sum(F.floor(col * 100.0 + 0.5).cast("long")) / F.lit(100.0)
+
+    return (
+        out.results.where(F.col("exposure_class") == "equity")
+        .groupBy("equity_type", "equity_higher_risk", "equity_transitional_approach")
+        .agg(
+            F.count("*").alias("n_rows"),
+            fsum(F.col("equity_transitional_rw")).alias("floor_rw_sum"),
+            fsum(F.col("rwa")).alias("total_rwa"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supporting-factor decomposition ledger (ref CALCULATION_OUTPUT_SCHEMA
+# sme_supporting_factor / infra_supporting_factor / supporting_factor_benefit
+# + engine/supporting_factors.py get_effective_factor): the CRR2 Art.501
+# tiered SME factor blended over the group drawn amount, the Art.501a
+# infrastructure factor, most-beneficial min, and the RWEA saved.
+# ---------------------------------------------------------------------------
+
+_SF_LEDGER_ORACLE = """
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck, o_totalprice AS drawn
+        FROM orders
+    ), gd AS (
+        SELECT ck, sum(CAST(round(drawn * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS group_drawn
+        FROM loans GROUP BY ck
+    ), priced AS (
+        SELECT l.*,
+               CASE WHEN l.ck % 3 = 0 THEN
+                    (least(g.group_drawn, CAST(2500000.0 AS DOUBLE))
+                         * CAST(0.7619 AS DOUBLE)
+                     + greatest(g.group_drawn - CAST(2500000.0 AS DOUBLE),
+                                CAST(0.0 AS DOUBLE)) * CAST(0.85 AS DOUBLE))
+                    / g.group_drawn
+                    ELSE CAST(1.0 AS DOUBLE) END AS sme_f,
+               CASE WHEN l.ck % 4 = 0 THEN CAST(0.75 AS DOUBLE)
+                    ELSE CAST(1.0 AS DOUBLE) END AS infra_f
+        FROM loans l JOIN gd g ON l.ck = g.ck
+    ), carriers AS (
+        SELECT *,
+               (drawn * CAST(0.5 AS DOUBLE)) AS rwa_before,
+               (drawn * CAST(0.5 AS DOUBLE)) * least(sme_f, infra_f) AS rwa
+        FROM priced
+    )
+    SELECT (sme_f < 1.0) AS sme_applied, (infra_f < 1.0) AS infra_applied,
+           count(*) AS n_rows,
+           sum(CAST(floor(rwa_before * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS rwa_before_sf,
+           sum(CAST(floor(rwa * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS rwa_after,
+           sum(CAST(floor((rwa_before - rwa) * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS sf_benefit,
+           sum(CAST(floor(sme_f * 1000000.0 + 0.5) AS BIGINT))
+               / CAST(1000000 AS DOUBLE) AS sme_factor_sum,
+           sum(CAST(floor(infra_f * 1000000.0 + 0.5) AS BIGINT))
+               / CAST(1000000 AS DOUBLE) AS infra_factor_sum
+    FROM carriers GROUP BY 1, 2
+"""
+
+
+@query(
+    "sa_supporting_factor_ledger",
+    oracle=_SF_LEDGER_ORACLE,
+    tags=("engine", "sa", "rwa"),
+)
+def sa_supporting_factor_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supporting-factor decomposition through the REAL SA pipeline: SME
+    obligors (every 3rd cp, revenue under the Art.501 cap) price the
+    tiered factor blended over the group drawn amount (0.7619 up to the
+    2.5m threshold, 0.85 above); infrastructure obligors (every 4th cp)
+    price Art.501a 0.75; overlapping books take the most-beneficial min —
+    and the ledger seals each factor under its own name plus the RWEA the
+    min saved. Aggregated by which factors applied."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.when(F.col("c_custkey") % 3 == 0, 30_000_000.0)
+        .otherwise(60_000_000.0)
+        .alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+        (F.col("c_custkey") % 4 == 0).alias("is_infrastructure"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+
+    def fsum(col, scale=100.0):
+        return F.sum(F.floor(col * scale + 0.5).cast("long")) / F.lit(scale)
+
+    return out.results.groupBy(
+        (F.col("sme_supporting_factor") < 1.0).alias("sme_applied"),
+        (F.col("infra_supporting_factor") < 1.0).alias("infra_applied"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        fsum(F.col("rwa_before_sf")).alias("rwa_before_sf"),
+        fsum(F.col("rwa")).alias("rwa_after"),
+        fsum(F.col("supporting_factor_benefit")).alias("sf_benefit"),
+        fsum(F.col("sme_supporting_factor"), 1_000_000.0).alias("sme_factor_sum"),
+        fsum(F.col("infra_supporting_factor"), 1_000_000.0).alias(
+            "infra_factor_sum"
+        ),
     )

@@ -1096,6 +1096,21 @@ _TIE_EXPRS = {
         "(SELECT rwa FROM irb_cls)",
         "(SELECT rwa FROM irb_app)",
     ),
+    # full-row-set C 02.00 identities (round 7): integer-cent partition
+    # sums — the class rows are a fixed-point partition of their of-which
+    # row, so both sides reduce to the same BIGINT cent total
+    "sa_class_rows_partition_c02": (
+        "(SELECT sa_c / 100.0 FROM c02c)",
+        "(SELECT sa_c / 100.0 FROM c02c)",
+    ),
+    "airb_class_rows_partition_c02": (
+        "(SELECT irb_c / 100.0 FROM c02c) + 0.0",
+        "(SELECT irb_c / 100.0 FROM c02c)",
+    ),
+    "own_funds_requirement_8pct": (
+        "(SELECT ((sa_c + irb_c) / 100.0) * 0.08 FROM c02c)",
+        "(SELECT ((sa_c + irb_c) / 100.0) * 0.08 FROM c02c)",
+    ),
 }
 
 
@@ -1131,6 +1146,14 @@ def _tieouts_oracle_sql() -> str:
     ), irb_app AS (SELECT rwa FROM per_app WHERE approach = 'IRB'
     ), sa_cls AS (SELECT rwa FROM cls_sum WHERE approach = 'SA'
     ), irb_cls AS (SELECT rwa FROM cls_sum WHERE approach = 'IRB'
+    ), c02c AS (
+        SELECT sum(CASE WHEN approach = 'SA'
+                        THEN CAST(floor(rwa * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS sa_c,
+               sum(CASE WHEN approach = 'IRB'
+                        THEN CAST(floor(rwa * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS irb_c
+        FROM unioned
     ), ties AS (
         {body}
     )
@@ -1181,6 +1204,24 @@ def report_tieouts(spark: SparkSession, sf_dir: str) -> DataFrame:
         corep["C02.00|sa"] = per_app["SA"]
     if "IRB" in per_app:
         corep["C02.00|irb"] = per_app["IRB"]
+    # the FULL C 02.00 row set (round 7): class-row partition identities
+    # and the Art.92 8% requirement foot inside the template itself.
+    # Integer-cent re-sums so the ties are exact by construction.
+    from rwa_calculator_spark.plans.corep_c08 import (
+        _C02_AIRB_SECTION_REFS,
+        _C02_SA_SECTION_REFS,
+        c02_row_values,
+    )
+
+    c02 = c02_row_values(out.results)
+    for ref in ("0010", "0040", "0060", "0220", "0240", "0300"):
+        corep[f"C02.00|row|{ref}"] = c02[ref]
+    corep["C02.00|sa_class_sum"] = (
+        sum(int(round(c02[ref] * 100)) for ref in _C02_SA_SECTION_REFS) / 100.0
+    )
+    corep["C02.00|airb_class_sum"] = (
+        sum(int(round(c02[ref] * 100)) for ref in _C02_AIRB_SECTION_REFS) / 100.0
+    )
     for r in per_cls:
         sheet = "C07.00" if r["approach"] == "SA" else "C08.01"
         corep[f"{sheet}|{r['exposure_class']}"] = r["rwa"]

@@ -166,6 +166,55 @@ TIE_OUTS: tuple[TieOut, ...] = (
         lhs=lambda c, p: _sum_prefix(c, "C08.01|"),
         rhs=lambda c, p: _cell(p, "OV1|credit_risk_irb"),
     ),
+    # --- full C 02.00 row-set identities (round 7: corep_c02 renders the
+    # whole CRR layout; these foot the template internally so every class
+    # sheet reconciles INTO it — ref c02.py _warn_if_irb_detail_strands) ---
+    TieOut(
+        name="sa_class_rows_partition_c02",
+        description=(
+            "The SA Art.112 class rows 0070-0211 (incl. the defaulted row"
+            " 0160) partition the SA of-which row 0060 exactly."
+        ),
+        regulatory_reference="COREP Annex II §1.3.1 C 02.00 rows 0070-0211",
+        templates=("C 02.00",),
+        lhs_label="Σ C 02.00 class rows [0070-0211]",
+        rhs_label="C 02.00 [0060]",
+        lhs=lambda c, p: _cell(c, "C02.00|sa_class_sum"),
+        rhs=lambda c, p: _cell(c, "C02.00|row|0060"),
+    ),
+    TieOut(
+        name="airb_class_rows_partition_c02",
+        description=(
+            "The A-IRB class rows 0310-0410 partition the A-IRB of-which"
+            " row 0300, and F-IRB + A-IRB partition the IRB row 0220."
+        ),
+        regulatory_reference="COREP Annex II C 02.00 rows 0240/0300",
+        templates=("C 02.00",),
+        lhs_label="Σ C 02.00 A-IRB class rows + [0240]",
+        rhs_label="C 02.00 [0220]",
+        lhs=lambda c, p: (
+            None
+            if _cell(c, "C02.00|row|0240") is None
+            or _cell(c, "C02.00|airb_class_sum") is None
+            else _cell(c, "C02.00|airb_class_sum")
+            + _cell(c, "C02.00|row|0240")
+        ),
+        rhs=lambda c, p: _cell(c, "C02.00|row|0220"),
+    ),
+    TieOut(
+        name="own_funds_requirement_8pct",
+        description="C 02.00 [0040] equals 8% of the total REA row 0010.",
+        regulatory_reference="CRR Art.92(1)(c)/(3); COREP Annex II C 02.00 row 0040",
+        templates=("C 02.00",),
+        lhs_label="C 02.00 [0040]",
+        rhs_label="8% × C 02.00 [0010]",
+        lhs=lambda c, p: _cell(c, "C02.00|row|0040"),
+        rhs=lambda c, p: (
+            None
+            if _cell(c, "C02.00|row|0010") is None
+            else _cell(c, "C02.00|row|0010") * 0.08
+        ),
+    ),
 )
 
 # Deliberately un-tied pairs, recorded with the regulatory reason (ref

@@ -626,6 +626,43 @@ class RwaApi:
         rules = parse_validation_rules(VALIDATION_RULES_TEXT)
         return 200, {"results": _rows(evaluate_validations(facts, rules))}
 
+    def validations_checker(self, modules: str = ""):
+        """GET /api/validations/checker[?modules=corep_of,...] — the one
+        supervisory entry point (ref reporting/validations/checker.py):
+        applies the submission's filing scope, evaluates every in-scope
+        enforced rule over the generated estate, and returns the
+        supervisor-facing report — status counts, NOT_EVALUATED reasons,
+        coverage, and the VAL001/VAL002/VAL003 findings. An unknown module
+        name is a 400, never silently out-of-scope."""
+        from rwa_calculator_spark.reporting_checker import findings_rows, run_checker
+        from rwa_calculator_spark.reporting_scope import (
+            FILING_MODULES,
+            FULL_SUBMISSION,
+            SubmissionContext,
+        )
+
+        if modules:
+            names = tuple(sorted(m for m in modules.split(",") if m))
+            unknown = [m for m in names if m not in FILING_MODULES]
+            if unknown:
+                return 400, {"error": f"unknown filing modules: {unknown}"}
+            ctx = SubmissionContext(names)
+        else:
+            ctx = FULL_SUBMISSION
+        report = run_checker(self.spark, self.sf_dir, ctx)
+        return 200, {
+            "filed_modules": list(ctx.filed_modules),
+            "status_counts": report.status_counts,
+            "rules_executed": report.rules_executed,
+            "not_evaluated_reasons": report.not_evaluated_reasons,
+            "templates_uncovered": list(report.templates_uncovered),
+            "coverage_sufficient": report.is_coverage_sufficient,
+            "findings": [
+                {"code": c, "severity": s, "rule_id": r, "message": m}
+                for c, s, r, m in findings_rows(report.findings)
+            ],
+        }
+
     # -- analysis --------------------------------------------------------------
 
     def comparison(self):
@@ -757,6 +794,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/api/templates$"), "templates"),
     ("GET", re.compile(r"^/api/templates/(?P<template_id>[\w.]+)$"), "template"),
     ("GET", re.compile(r"^/api/validations$"), "validations"),
+    ("GET", re.compile(r"^/api/validations/checker$"), "validations_checker"),
     ("GET", re.compile(r"^/api/lineage$"), "lineage"),
     ("GET", re.compile(r"^/api/lineage/cell$"), "lineage_cell"),
     ("GET", re.compile(r"^/api/errors$"), "errors"),
@@ -813,6 +851,8 @@ def _make_handler(api: RwaApi):
                     kwargs["limit"] = int(qs.get("limit", "100"))
                 if name == "export_corep":
                     kwargs["only"] = qs.get("only", "")
+                if name == "validations_checker":
+                    kwargs["modules"] = qs.get("modules", "")
                 if name == "job_events":
                     kwargs["since"] = int(qs.get("since", "0"))
                     kwargs["wait"] = float(qs.get("wait", "10"))

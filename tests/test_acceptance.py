@@ -1119,6 +1119,51 @@ def test_b31_post_model_adjustments_sequencing(spark):
     assert r.expected_loss == pytest.approx(r.el_pre_adjustment)
 
 
+def test_pma_mortgage_floor_excludes_commercial_re(spark):
+    # PS1/26 Art.154(4A)(b) scopes the 10% RW floor to RESIDENTIAL
+    # mortgages (ref irb/adjustments.py is_mortgage = class contains
+    # MORTGAGE|RESIDENTIAL): a commercial-RE-secured IRB row with modelled
+    # RW below 10% must NOT be floored, while its residential twin is.
+    def book(commercial):
+        cps = spark.createDataFrame(
+            [("CP1", "corporate", 2, False, 0.0, True)],
+            "counterparty_reference string, entity_type string, cqs int, "
+            "is_managed_as_retail boolean, annual_revenue double, "
+            "has_irb_permission boolean",
+        )
+        loans = spark.createDataFrame(
+            [("L1", "CP1", 1000.0, 0.0005, 0.25, 1.0, True, commercial)],
+            "loan_reference string, counterparty_reference string, "
+            "drawn_amount double, pd double, lgd double, "
+            "effective_maturity double, is_property_secured boolean, "
+            "is_commercial_re boolean",
+        ).selectExpr(
+            "loan_reference", "counterparty_reference", "drawn_amount",
+            "false AS is_defaulted", "pd", "lgd", "effective_maturity",
+            "is_property_secured", "is_commercial_re",
+        )
+        out = run_pipeline(
+            RawBundle(counterparties=cps, loans=loans),
+            PipelineConfig(pack=B31_PACK, pma_rwa_scalar=0.05),
+        )
+        return out.results.collect()[0]
+
+    resi, comm = book(False), book(True)
+    assert resi.exposure_class == "re_secured"
+    assert comm.exposure_class == "re_secured"
+    # same model parameters ⇒ identical pre-adjustment RWA, below the floor
+    assert comm.rwa_pre_adjustments == pytest.approx(resi.rwa_pre_adjustments)
+    assert resi.rwa_pre_adjustments / 1000.0 < 0.10
+    assert resi.mortgage_rw_floor_adjustment == pytest.approx(
+        (0.10 - resi.rwa_pre_adjustments / 1000.0) * 1000.0
+    )
+    assert comm.mortgage_rw_floor_adjustment == pytest.approx(0.0)
+    # the PMA scalar then prices on the UN-inflated base for commercial
+    assert comm.post_model_adjustment_rwa == pytest.approx(
+        comm.rwa_pre_adjustments * 0.05
+    )
+
+
 def test_pma_zero_columns_under_crr(spark):
     # CRR applies no post-model adjustments: zero-valued columns, EL twins
     # alias the unadjusted figure, rwa untouched.

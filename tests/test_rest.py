@@ -138,6 +138,40 @@ def test_validations(server):
     assert by_id["v_absent"] == "not_evaluable"
 
 
+def test_validations_checker_full_submission(server):
+    # the one supervisory entry point (ref validations/checker.py): scope →
+    # evaluate → aggregate. The green estate executes rules, has coverage,
+    # and raises NO blocking findings.
+    status, body = _get(server, "/api/validations/checker")
+    assert status == 200
+    assert body["rules_executed"] > 0
+    assert body["coverage_sufficient"] is True
+    assert body["status_counts"].get("PASS", 0) > 0
+    # the catalogue carries deliberately-failing rules (v_point_break et
+    # al — the evaluator's own negative fixtures): every FAIL adapts onto
+    # the error channel as exactly one VAL001/VAL002 finding, never raised
+    val_findings = [
+        f for f in body["findings"] if f["code"] in ("VAL001", "VAL002")
+    ]
+    assert len(val_findings) == body["status_counts"].get("FAIL", 0)
+    assert all(f["rule_id"] and f["message"] for f in val_findings)
+    # no fail-open VAL003 on a covered estate
+    assert [f for f in body["findings"] if f["code"] == "VAL003"] == []
+    # nothing is out of scope under the full submission
+    assert body["status_counts"].get("NOT_IN_SCOPE", 0) == 0
+
+
+def test_validations_checker_scoped_submission(server):
+    # a COREP-only filing drops every CR04-referencing rule out of scope
+    status, body = _get(server, "/api/validations/checker?modules=corep_of")
+    assert status == 200
+    assert body["filed_modules"] == ["corep_of"]
+    assert body["status_counts"].get("NOT_IN_SCOPE", 0) > 0
+    # an unknown module is a 400, never silently out-of-scope
+    status, body = _get(server, "/api/validations/checker?modules=nope")
+    assert status == 400
+
+
 def test_reconcile_self_is_exact(server, done_job):
     status, body = _post(
         server,

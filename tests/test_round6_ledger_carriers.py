@@ -321,7 +321,10 @@ def test_guarantee_cds_restructuring_haircut(spark):
     # 0.5 × 0.6 = 0.30, rw = 0.3×0.2 + 0.7×1.0 = 0.76.
     r = _gtee_sa_book(spark, ptype="credit_derivative", restructuring=False)
     assert r.guarantee_restructuring_haircut == pytest.approx(0.40)
-    assert r.guarantee_coverage_pct == pytest.approx(0.30)
+    # declared coverage stays at the contract's 50%; the post-haircut
+    # figure moves to the effective column (ref declared-coverage contract)
+    assert r.guarantee_coverage_pct == pytest.approx(0.50)
+    assert r.guarantee_effective_coverage_pct == pytest.approx(0.30)
     assert r.guaranteed_portion == pytest.approx(300.0)
     assert r.risk_weight == pytest.approx(0.76)
     # a CDS that DOES cover restructuring keeps full value
@@ -345,7 +348,10 @@ def test_guarantee_non_beneficial_status(spark):
     r = _gtee_sa_book(spark, g_cqs=6)
     assert r.guarantee_status == "GUARANTEE_NOT_APPLIED_NON_BENEFICIAL"
     assert r.guarantee_method_used == "NO_SUBSTITUTION"
-    assert r.is_guaranteed is False
+    # protection EXISTS (portion > 0) so the flag is True even though the
+    # Art.193(1) benefit test declined it (ref crm/guarantees.py:183,
+    # aggregator.py:706-707: is_guaranteed alone ≠ beneficial)
+    assert r.is_guaranteed is True
     assert r.risk_weight == pytest.approx(1.0)
     assert r.guarantee_benefit == pytest.approx(0.0)
     # coverage still REPORTS (the portion exists; it just brought no benefit)
