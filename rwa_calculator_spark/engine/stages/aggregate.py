@@ -91,6 +91,9 @@ def run_aggregate(
             "risk_weight_effective",
             F.col("rwa") / F.nullif(F.col("ead_after_crm"), F.lit(0.0)),
         )
+        # run-level regime stamp (ref CALCULATION_OUTPUT_SCHEMA
+        # basel_version): which rule set priced this ledger
+        .withColumn("basel_version", F.lit(pack.regime))
     )
 
     by_class = results.groupBy("exposure_class").agg(

@@ -130,6 +130,19 @@ _RESULT_COLS = [
     # the obligor default flag (ref schemas.py:2525 is_defaulted) — the
     # C 02.00 row-0160 / CR template defaulted-memo axis,
     "is_defaulted",
+    # identity/provenance fringe (ref :2877 block headers): the pre-split
+    # source reference (RE-split stage; own reference when never split),
+    # the source row type, the obligor's IMMEDIATE org parent + flag
+    # (hierarchy dim), and whether the Art.123 retail test decided on a
+    # group base (classify),
+    "source_exposure_reference",
+    "exposure_type",
+    # denomination currency input (rides from the loader; ref schemas.py
+    # currency — the Art.141 test input, reported as supplied),
+    "currency",
+    "parent_counterparty_reference",
+    "counterparty_has_parent",
+    "retail_eligible_via_group",
     # facility-structure provenance block (ref CALCULATION_OUTPUT_SCHEMA
     # :2911-2918): whether the exposure hangs off a facility, its direct
     # parent, the ordered ancestor chain (parent→root), the hierarchy
@@ -364,12 +377,21 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
             if "group_reference" in exp.columns
             else F.lit(None).cast("string"),
         )
+    # ONE batched withColumns call: a per-column withColumn chain copies
+    # and re-analyses the (wide) plan once per column — at 70+ fill
+    # candidates the driver-side analysis cost dominates small-SF runs
+    _fill: dict[str, Column] = {}
     for name, dtype in (
         ("hierarchy_depth", "int"),
         ("lending_group_reference", "string"),
         ("group_exposure", "double"),
         ("retail_threshold_applied", "boolean"),
         ("is_defaulted", "boolean"),
+        ("exposure_type", "string"),
+        ("currency", "string"),
+        ("parent_counterparty_reference", "string"),
+        ("counterparty_has_parent", "boolean"),
+        ("retail_eligible_via_group", "boolean"),
         ("exposure_has_parent", "boolean"),
         ("parent_facility_reference", "string"),
         ("ancestor_facilities", "array<string>"),
@@ -472,77 +494,81 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("irb_lgd_double_default", "double"),
     ):
         if name not in exp.columns:
-            exp = exp.withColumn(name, F.lit(None).cast(dtype))
-    # facility-structure identities for bundles with no facility data: a
-    # standalone exposure has no parent, sits at depth 0 and is its own
-    # 1-element path (ref schemas.py:2911-2915 semantics)
-    exp = (
-        exp.withColumn(
-            "exposure_has_parent", F.coalesce("exposure_has_parent", F.lit(False))
+            _fill[name] = F.lit(None).cast(dtype)
+    if _fill:
+        exp = exp.withColumns(_fill)
+    # identity fills, one more batched withColumns (same plan-copy
+    # rationale as the null fill above):
+    # - source_exposure_reference: a never-split row is its own source
+    # - facility-structure identities for bundles with no facility data
+    #   (no parent, depth 0, own 1-element path; ref schemas.py:2911-2915)
+    # - guarantee_references: 0/1-element list from the crm stage's scalar
+    #   (single first-wins guarantee per exposure — recorded narrowing)
+    # - guarantee_coverage_pct carries the DECLARED '% guaranteed' (ref
+    #   contract); the Art.233(3) post-haircut figure seals separately as
+    #   guarantee_effective_coverage_pct
+    # - final_ead: the figure RWA actually priced on
+    _ident: dict[str, Column] = {}
+    has_ref = "exposure_reference" in exp.columns
+    if has_ref:
+        _ident["source_exposure_reference"] = F.coalesce(
+            *(
+                [F.col("source_exposure_reference")]
+                if "source_exposure_reference" in exp.columns
+                else []
+            ),
+            F.col("exposure_reference"),
         )
-        .withColumn(
-            "facility_hierarchy_depth",
-            F.coalesce("facility_hierarchy_depth", F.lit(0)),
-        )
-        .withColumn(
-            "facility_hierarchy_path",
-            F.coalesce(
-                "facility_hierarchy_path",
-                F.array(F.col("exposure_reference")),
-            )
-            if "exposure_reference" in exp.columns
-            else F.col("facility_hierarchy_path"),
-        )
+    elif "source_exposure_reference" not in exp.columns:
+        _ident["source_exposure_reference"] = F.lit(None).cast("string")
+    _ident["exposure_has_parent"] = F.coalesce(
+        "exposure_has_parent", F.lit(False)
     )
-    # guarantee_references: a 0/1-element list from the crm stage's scalar
-    # (single first-wins guarantee per exposure — recorded narrowing);
-    # guarantee_coverage_pct carries the DECLARED '% guaranteed' (ref
-    # contract); the Art.233(3) post-haircut figure seals separately as
-    # guarantee_effective_coverage_pct
+    _ident["facility_hierarchy_depth"] = F.coalesce(
+        "facility_hierarchy_depth", F.lit(0)
+    )
+    if has_ref:
+        _ident["facility_hierarchy_path"] = F.coalesce(
+            "facility_hierarchy_path", F.array(F.col("exposure_reference"))
+        )
     if "guarantee_references" not in exp.columns:
-        exp = exp.withColumn(
-            "guarantee_references",
+        _ident["guarantee_references"] = (
             F.when(
                 F.col("guarantee_reference").isNotNull(),
                 F.array(F.col("guarantee_reference")),
             )
             if "guarantee_reference" in exp.columns
-            else F.lit(None).cast("array<string>"),
+            else F.lit(None).cast("array<string>")
         )
     if "guarantee_coverage_pct" not in exp.columns:
-        exp = exp.withColumn(
-            "guarantee_coverage_pct",
+        _ident["guarantee_coverage_pct"] = (
             F.col("g_coverage_declared")
             if "g_coverage_declared" in exp.columns
             else (
                 F.col("g_coverage")
                 if "g_coverage" in exp.columns
                 else F.lit(None).cast("double")
-            ),
+            )
         )
     if "guarantee_effective_coverage_pct" not in exp.columns:
-        exp = exp.withColumn(
-            "guarantee_effective_coverage_pct",
+        _ident["guarantee_effective_coverage_pct"] = (
             F.col("g_coverage")
             if "g_coverage" in exp.columns
-            else F.lit(None).cast("double"),
+            else F.lit(None).cast("double")
         )
-    # final_ead: the figure RWA actually priced on — the post-CRM (and,
-    # where split, post-RE-split) exposure value of THIS row
     if "final_ead" not in exp.columns:
-        exp = exp.withColumn(
-            "final_ead",
+        _ident["final_ead"] = (
             F.col("ead_after_crm")
             if "ead_after_crm" in exp.columns
             else (
                 F.col("ead") if "ead" in exp.columns else F.lit(None).cast("double")
-            ),
+            )
         )
     # substitution-free branches: the hypothetical equals the actual (only
     # frames that already carry rwa — SA/IRB set their own upstream)
     if "rwa_pre_crm_substitution" not in exp.columns and "rwa" in exp.columns:
-        exp = exp.withColumn("rwa_pre_crm_substitution", F.col("rwa"))
-    return exp
+        _ident["rwa_pre_crm_substitution"] = F.col("rwa")
+    return exp.withColumns(_ident)
 
 
 def _param_cols(
@@ -566,19 +592,20 @@ def _param_cols(
 def _crm_carry(exp: DataFrame) -> DataFrame:
     """Ensure the CRM component columns exist (zero when the branch input
     never went through run_crm, e.g. equity)."""
-    for c in (
-        "provision_allocated",
-        "collateral_value",
-        "g_coverage",
-        "collateral_value_gross",
-        "haircut_quality",
-        "haircut_fx",
-        "haircut_maturity_mismatch",
-    ):
-        if c not in exp.columns:
-            exp = exp.withColumn(c, F.lit(0.0))
-        else:
-            exp = exp.withColumn(c, F.coalesce(c, F.lit(0.0)))
+    exp = exp.withColumns(
+        {
+            c: (F.coalesce(c, F.lit(0.0)) if c in exp.columns else F.lit(0.0))
+            for c in (
+                "provision_allocated",
+                "collateral_value",
+                "g_coverage",
+                "collateral_value_gross",
+                "haircut_quality",
+                "haircut_fx",
+                "haircut_maturity_mismatch",
+            )
+        }
+    )
     return _provenance_cols(exp)
 
 

@@ -102,6 +102,21 @@ def run_classify(
     # distinct from retail_threshold_applied (which records that the test
     # ran); the Art.124L(a) retail-qualifying-SME limb keys on it
     exp = exp.withColumn("qualifies_as_retail", F.coalesce(is_retail, F.lit(False)))
+    # ref CALCULATION_OUTPUT_SCHEMA retail_eligible_via_group: the Art.123
+    # aggregate ran over a CONNECTED-CLIENTS base (a lending group, or a
+    # resolved parent group beyond the obligor itself), not just the
+    # obligor's own book
+    _grp_base = F.lit(False)
+    if "lending_group_reference" in exp.columns:
+        _grp_base = _grp_base | F.col("lending_group_reference").isNotNull()
+    if "group_reference" in exp.columns:
+        _grp_base = _grp_base | (
+            F.col("group_reference") != F.col("counterparty_reference")
+        )
+    exp = exp.withColumn(
+        "retail_eligible_via_group",
+        F.col("qualifies_as_retail") & F.coalesce(_grp_base, F.lit(False)),
+    )
 
     # property-secured carrier: a loan declared secured on real estate
     # routes to the RE class directly (ref data/schemas.py

@@ -960,43 +960,47 @@ def run_crm(
             )
             .drop("_coll_rank", "_coll_src_fac", "_coll_src_cp", "_coll_shared0")
         )
-        for c in (
-            "collateral_value",
-            "collateral_value_gross",
-            "haircut_quality",
-            "haircut_fx",
-            "haircut_maturity_mismatch",
-            "collateral_financial_value",
-            "collateral_cash_value",
-            "collateral_receivables_value",
-            "collateral_other_physical_value",
-        ):
-            exp = exp.withColumn(c, F.coalesce(c, F.lit(0.0)))
-        for c in ("collateral_references", "collateral_types", "_dq_own_issue"):
-            exp = exp.withColumn(
-                c, F.coalesce(c, F.array().cast("array<string>"))
+        _coal: dict = {
+            c: F.coalesce(c, F.lit(0.0))
+            for c in (
+                "collateral_value",
+                "collateral_value_gross",
+                "haircut_quality",
+                "haircut_fx",
+                "haircut_maturity_mismatch",
+                "collateral_financial_value",
+                "collateral_cash_value",
+                "collateral_receivables_value",
+                "collateral_other_physical_value",
             )
-    else:
-        exp = exp.withColumn("collateral_value", F.lit(0.0))
-        for c in (
-            "collateral_value_gross",
-            "haircut_quality",
-            "haircut_fx",
-            "haircut_maturity_mismatch",
-            "collateral_financial_value",
-            "collateral_cash_value",
-            "collateral_receivables_value",
-            "collateral_other_physical_value",
-        ):
-            exp = exp.withColumn(c, F.lit(0.0))
+        }
         for c in ("collateral_references", "collateral_types", "_dq_own_issue"):
-            exp = exp.withColumn(c, F.array().cast("array<string>"))
+            _coal[c] = F.coalesce(c, F.array().cast("array<string>"))
+        exp = exp.withColumns(_coal)
+    else:
+        _zeros: dict = {
+            c: F.lit(0.0)
+            for c in (
+                "collateral_value",
+                "collateral_value_gross",
+                "haircut_quality",
+                "haircut_fx",
+                "haircut_maturity_mismatch",
+                "collateral_financial_value",
+                "collateral_cash_value",
+                "collateral_receivables_value",
+                "collateral_other_physical_value",
+            )
+        }
+        for c in ("collateral_references", "collateral_types", "_dq_own_issue"):
+            _zeros[c] = F.array().cast("array<string>")
         for c in (
             "collateral_source_level",
             "collateral_inherited_from",
             "collateral_allocation_method",
         ):
-            exp = exp.withColumn(c, F.lit(None).cast("string"))
+            _zeros[c] = F.lit(None).cast("string")
+        exp = exp.withColumns(_zeros)
 
     # FCCM: effective exposure after collateral (capped at zero)
     exp = exp.withColumn(

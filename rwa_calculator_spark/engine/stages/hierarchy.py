@@ -367,9 +367,25 @@ def run_hierarchy(
             F.col("depth").alias("hierarchy_depth"),
         )
         dim = dim.join(up, "counterparty_reference", "left")
+        # direct-parent carriers (ref CALCULATION_OUTPUT_SCHEMA
+        # counterparty_has_parent / parent_counterparty_reference): the
+        # obligor's IMMEDIATE org parent, distinct from the resolved apex
+        direct = raw.org_mappings.select(
+            F.col("child_reference").alias("counterparty_reference"),
+            F.col("parent_reference").alias("parent_counterparty_reference"),
+        ).dropDuplicates(["counterparty_reference"])
+        dim = dim.join(direct, "counterparty_reference", "left").withColumn(
+            "counterparty_has_parent",
+            F.col("parent_counterparty_reference").isNotNull(),
+        )
     else:
-        dim = dim.withColumn("group_reference", F.lit(None).cast("string")).withColumn(
-            "hierarchy_depth", F.lit(None).cast("int")
+        dim = (
+            dim.withColumn("group_reference", F.lit(None).cast("string"))
+            .withColumn("hierarchy_depth", F.lit(None).cast("int"))
+            .withColumn(
+                "parent_counterparty_reference", F.lit(None).cast("string")
+            )
+            .withColumn("counterparty_has_parent", F.lit(False))
         )
 
     if raw.ratings is not None:

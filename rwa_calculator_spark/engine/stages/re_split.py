@@ -58,7 +58,11 @@ def run_re_split(crm: CRMOutput, raw: RawBundle, pack: RulePack) -> CRMOutput:
         & (secured > 0)
     )
 
-    plain = exp.where(~splittable).drop("_re_value")
+    plain = (
+        exp.where(~splittable)
+        .drop("_re_value")
+        .withColumn("source_exposure_reference", F.col("exposure_reference"))
+    )
 
     split_src = exp.where(splittable).withColumn("_secured", secured)
     # pre-CRM EAD splits pro-rata with the post-CRM split so component
@@ -84,7 +88,14 @@ def run_re_split(crm: CRMOutput, raw: RawBundle, pack: RulePack) -> CRMOutput:
         ),
     ).where((F.col("_part.part_ead_after") > 0) | (F.col("_part.suffix") == "_RESEC"))
     split_rows = (
+        # split provenance (ref CALCULATION_OUTPUT_SCHEMA
+        # source_exposure_reference: "original exposure before any splits"):
+        # both parts name the pre-split reference; unsplit rows seal their
+        # own reference in the calculators' identity fill
         parts.withColumn(
+            "source_exposure_reference", F.col("exposure_reference")
+        )
+        .withColumn(
             "exposure_reference",
             F.concat(F.col("exposure_reference"), F.col("_part.suffix")),
         )

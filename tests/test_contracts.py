@@ -62,6 +62,7 @@ def test_results_ledger_carries_audit_columns(spark):
         "floor_impact",
         "final_rwa",
         "risk_weight_effective",
+        "basel_version",
     ]
     for required in (
         "ead",
