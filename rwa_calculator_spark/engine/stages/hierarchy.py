@@ -374,7 +374,9 @@ def run_hierarchy(
             F.col("child_reference").alias("counterparty_reference"),
             F.col("parent_reference").alias("parent_counterparty_reference"),
         ).dropDuplicates(["counterparty_reference"])
-        dim = dim.join(direct, "counterparty_reference", "left").withColumn(
+        # counterparty-dim-sized: broadcast explicitly (same intent as the
+        # apex join) so the plan never SMJ-shuffles the dim lane at scale
+        dim = dim.join(F.broadcast(direct), "counterparty_reference", "left").withColumn(
             "counterparty_has_parent",
             F.col("parent_counterparty_reference").isNotNull(),
         )
