@@ -184,6 +184,12 @@ class CreditRiskCalc:
                     reporting_basis=reporting_basis,
                     audit_sink=audit_sink,
                     progress=progress,
+                    # identification block (ref CALCULATION_OUTPUT_SCHEMA
+                    # :2881-2882) — sealed per-row by the aggregate stage;
+                    # registered plan queries never set these, so every
+                    # oracle-compared plan stays deterministic
+                    run_id=run_id,
+                    run_timestamp=datetime.now(timezone.utc).isoformat(),
                 ),
             )
         os.makedirs(self.cache_dir, exist_ok=True)
@@ -208,21 +214,12 @@ class CreditRiskCalc:
                 except Exception:  # noqa: BLE001 — observability, never fatal
                     pass
 
-        # run identity stamped per-row at SEAL time (ref
-        # CALCULATION_OUTPUT_SCHEMA cols 1-2 calculation_run_id /
-        # calculation_timestamp, data/schemas.py:2877): a multi-run store
+        # run identity rides per-row from the aggregate stage (ref
+        # CALCULATION_OUTPUT_SCHEMA cols 1-2, data/schemas.py:2877),
+        # supplied through PipelineConfig above: a multi-run store
         # concatenating sealed caches keeps row→run lineage without
-        # joining back to manifests. Seal-time only — registered queries
-        # stay deterministic (no wall-clock in any oracle-compared plan).
-        from pyspark.sql import functions as F  # noqa: N812
-
-        stamped = out.results.withColumn(
-            "calculation_run_id", F.lit(run_id)
-        ).withColumn(
-            "calculation_timestamp",
-            F.lit(datetime.now(timezone.utc).isoformat()),
-        )
-        _seal(stamped, "results")
+        # joining back to manifests.
+        _seal(out.results, "results")
         _seal(out.summary_by_class, "summary_class")
         _seal(out.summary_by_approach, "summary_approach")
         if out.errors is not None:

@@ -67,6 +67,12 @@ class PipelineConfig:
     # are PACK data; these three are firm choices, defaulting to zero.
     pma_rwa_scalar: float = 0.0
     pma_el_scalar: float = 0.0
+    # Identification block (ref CALCULATION_OUTPUT_SCHEMA :2881-2882):
+    # run id + timestamp sealed onto every ledger row. Caller-supplied —
+    # api.py passes its run-registry id; null (never fabricated) when the
+    # pipeline runs outside a registered run.
+    run_id: str | None = None
+    run_timestamp: str | None = None
     pma_unrecognised_scalar: float = 0.0
     # Reporting date ("YYYY-MM-DD") for date-scheduled pack rules — today
     # only the PRA Rules 4.2/4.3 equity transitional RW phase-in (ref
@@ -293,6 +299,12 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
             continue
         errors = frame if errors is None else errors.unionByName(frame)
     _t = _time.perf_counter()
-    out = run_aggregate(*branches, pack=config.pack, errors=errors)
+    out = run_aggregate(
+        *branches,
+        pack=config.pack,
+        errors=errors,
+        run_id=config.run_id,
+        run_timestamp=config.run_timestamp,
+    )
     _mark("aggregate", _t)
     return replace(out, stage_wall_ms=timings)

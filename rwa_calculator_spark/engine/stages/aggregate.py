@@ -17,7 +17,11 @@ from rwa_calculator_spark.functions.exact import scaled_sum
 
 
 def run_aggregate(
-    *branches: CalcOutput, pack: RulePack, errors=None
+    *branches: CalcOutput,
+    pack: RulePack,
+    errors=None,
+    run_id: str | None = None,
+    run_timestamp: str | None = None,
 ) -> AggregatedOutput:
     """Recombine any number of calculator branches (SA/IRB/slotting/equity —
     the reference's diagonal_relaxed concat of result frames,
@@ -94,6 +98,15 @@ def run_aggregate(
         # run-level regime stamp (ref CALCULATION_OUTPUT_SCHEMA
         # basel_version): which rule set priced this ledger
         .withColumn("basel_version", F.lit(pack.regime))
+        # identification block (ref :2881-2882): the caller-supplied run id
+        # and timestamp — null, never fabricated, when the caller runs the
+        # pipeline outside a registered run (api.py supplies both)
+        .withColumn(
+            "calculation_run_id", F.lit(run_id).cast("string")
+        )
+        .withColumn(
+            "calculation_timestamp", F.lit(run_timestamp).cast("timestamp")
+        )
     )
 
     by_class = results.groupBy("exposure_class").agg(

@@ -140,9 +140,37 @@ _RESULT_COLS = [
     # denomination currency input (rides from the loader; ref schemas.py
     # currency — the Art.141 test input, reported as supplied),
     "currency",
+    # the borrower's income currency as supplied (ref :3082 — the Art.123A
+    # mismatch test input the SA chain consumes),
+    "borrower_income_currency",
     "parent_counterparty_reference",
     "counterparty_has_parent",
     "retail_eligible_via_group",
+    # identity long tail (ref :2885-2905): the pre-guarantor-split parent
+    # (this engine keeps guarantee portions ON-ROW, never row-splits, so
+    # the parent is the row's own reference — recorded narrowing), the
+    # book/portfolio code and contractual maturity date as supplied, the
+    # internal-model PD fed by the Art.171/175 inheritance channel, and
+    # the Art.138-resolved external CQS kept under its own name,
+    "parent_exposure_reference",
+    "book_code",
+    "original_maturity_date",
+    "internal_pd",
+    "external_cqs",
+    # approach permission grant consulted by routing (ref :2935
+    # approach_permitted; permissions stage grants where present, else the
+    # bundle's has_irb_permission flag),
+    "approach_permitted",
+    # CRR Art.159(1)(c)/(d) Pool-B components (ref data/schemas.py:405-413:
+    # per-exposure AVAs / other own-funds reductions, null when unreported
+    # — absence of data must not imply a zero AVA),
+    "ava_amount",
+    "other_own_funds_reductions",
+    # CRR Art.195/219 on-balance-sheet netting benefit allocated to this
+    # exposure (ref :2961; crm stage netting kernel) and the agreement it
+    # came through (audit carrier),
+    "on_bs_netting_amount",
+    "netting_agreement_reference",
     # facility-structure provenance block (ref CALCULATION_OUTPUT_SCHEMA
     # :2911-2918): whether the exposure hangs off a facility, its direct
     # parent, the ordered ancestor chain (parent→root), the hierarchy
@@ -192,6 +220,9 @@ _RESULT_COLS = [
     # reference's multi-guarantee waterfall (the waterfall shape itself is
     # driver-proven by window_cumsum_waterfall).
     "guarantee_references",
+    # guarantor counterparty ids as a list (ref :2973 guarantor_references
+    # — same 0/1-element narrowing as guarantee_references),
+    "guarantor_references",
     "protection_type",
     "guarantee_coverage_pct",
     "guarantee_effective_coverage_pct",
@@ -253,6 +284,13 @@ _RESULT_COLS = [
     "sa_base_risk_weight",
     "sa_final_risk_weight",
     "sa_rw_adjustment",
+    # the remaining SA decision strings (ref :3025-3030): which rating
+    # channel supplied the CQS (agency name / "internal" / null unrated),
+    # why the final weight moved off the base ladder, and the CRR / PS1/26
+    # article the pricing branch carries,
+    "sa_rating_source",
+    "sa_rw_adjustment_reason",
+    "sa_rw_regulatory_ref",
     # currency-mismatch decomposition (ref :3066-3068): the pre-multiplier
     # snapshot and whether the Art.123A ×1.5 actually applied
     "risk_weight_pre_currency_mismatch",
@@ -414,6 +452,18 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("ccf_source", "string"),
         ("guarantor_reference", "string"),
         ("approach_reason", "string"),
+        ("book_code", "string"),
+        ("original_maturity_date", "date"),
+        ("approach_permitted", "string"),
+        ("borrower_income_currency", "string"),
+        ("netting_agreement_reference", "string"),
+        ("internal_pd", "double"),
+        ("external_cqs", "int"),
+        ("ava_amount", "double"),
+        ("other_own_funds_reductions", "double"),
+        ("sa_rating_source", "string"),
+        ("sa_rw_adjustment_reason", "string"),
+        ("sa_rw_regulatory_ref", "string"),
         ("collateral_references", "array<string>"),
         ("collateral_types", "array<string>"),
         ("collateral_financial_value", "double"),
@@ -531,6 +581,47 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         _ident["facility_hierarchy_path"] = F.coalesce(
             "facility_hierarchy_path", F.array(F.col("exposure_reference"))
         )
+    # parent_exposure_reference (ref :2885 "original exposure before
+    # multi-guarantor split"): this engine never row-splits on guarantors
+    # (portions stay on-row), so the parent IS the row's own reference
+    if has_ref:
+        _ident["parent_exposure_reference"] = F.coalesce(
+            *(
+                [F.col("parent_exposure_reference")]
+                if "parent_exposure_reference" in exp.columns
+                else []
+            ),
+            F.col("exposure_reference"),
+        )
+    elif "parent_exposure_reference" not in exp.columns:
+        _ident["parent_exposure_reference"] = F.lit(None).cast("string")
+    # approach_permitted (ref :2935): the permission grant routing
+    # consulted — model-permission grants where that stage ran, else the
+    # bundle's blanket has_irb_permission flag
+    if "model_airb_permitted" in exp.columns:
+        _ident["approach_permitted"] = (
+            F.when(F.coalesce("model_airb_permitted", F.lit(False)), "AIRB")
+            .when(F.coalesce("model_firb_permitted", F.lit(False)), "FIRB")
+            .when(F.coalesce("model_slotting_permitted", F.lit(False)), "SLOTTING")
+            .otherwise("SA")
+        )
+    elif "has_irb_permission" in exp.columns:
+        _ident["approach_permitted"] = F.when(
+            F.coalesce("has_irb_permission", F.lit(False)), "AIRB"
+        ).otherwise("SA")
+    # guarantor id list (ref :2973 — 0/1-element, same narrowing as
+    # guarantee_references); guarantor_reference was null-filled above
+    _ident["guarantor_references"] = F.coalesce(
+        *(
+            [F.col("guarantor_references")]
+            if "guarantor_references" in exp.columns
+            else []
+        ),
+        F.when(
+            F.col("guarantor_reference").isNotNull(),
+            F.array(F.col("guarantor_reference")),
+        ),
+    )
     if "guarantee_references" not in exp.columns:
         _ident["guarantee_references"] = (
             F.when(
@@ -603,21 +694,37 @@ def _crm_carry(exp: DataFrame) -> DataFrame:
                 "haircut_quality",
                 "haircut_fx",
                 "haircut_maturity_mismatch",
+                "on_bs_netting_amount",
             )
         }
     )
     return _provenance_cols(exp)
 
 
-def _el_columns(exp: DataFrame, expected_loss: Column) -> DataFrame:
-    """EL + shortfall/excess vs allocated provisions (CRR Art.158-159:
-    Pool B distilled to provision_allocated; ref engine/irb/adjustments.py
-    compute_el_shortfall_excess)."""
-    prov = F.coalesce("provision_allocated", F.lit(0.0))
+def _el_columns(
+    exp: DataFrame, expected_loss: Column, pool_b_extras: bool = False
+) -> DataFrame:
+    """EL + shortfall/excess vs the CRR Art.159(1) Pool B: allocated
+    provisions plus, on the IRB legs only (pool_b_extras=True) and when the
+    loader supplied them, the per-exposure Art.159(1)(c)/(d) components —
+    additional value adjustments (Art.34/105 AVAs) and other own-funds
+    reductions (ref engine/irb/adjustments.py
+    compute_el_shortfall_excess:306-353 — components enter the pool exactly
+    once, at this stage; null inputs contribute 0 to the POOL but stay null
+    on their ledger carriers)."""
+    pool_b = F.coalesce("provision_allocated", F.lit(0.0))
+    if pool_b_extras:
+        for extra in ("ava_amount", "other_own_funds_reductions"):
+            if extra in exp.columns:
+                pool_b = pool_b + F.coalesce(extra, F.lit(0.0))
     return (
         exp.withColumn("expected_loss", expected_loss)
-        .withColumn("el_shortfall", F.greatest(F.col("expected_loss") - prov, F.lit(0.0)))
-        .withColumn("el_excess", F.greatest(prov - F.col("expected_loss"), F.lit(0.0)))
+        .withColumn(
+            "el_shortfall", F.greatest(F.col("expected_loss") - pool_b, F.lit(0.0))
+        )
+        .withColumn(
+            "el_excess", F.greatest(pool_b - F.col("expected_loss"), F.lit(0.0))
+        )
     )
 
 
@@ -1638,6 +1745,87 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         "sa_rw_adjustment",
         F.col("risk_weight") - F.col("sa_base_risk_weight"),
     )
+    # SA decision strings (ref :3025-3030). sa_rating_source: the Art.138
+    # pick's agency where the ratings channel resolved the CQS, "internal"
+    # where the counterparty-supplied mapping was consulted, null unrated.
+    _rated = F.col("sa_cqs") > 0
+    if "external_rating_agency" in exp.columns:
+        _rating_src = F.when(
+            F.col("external_rating_agency").isNotNull() & _rated,
+            F.col("external_rating_agency"),
+        ).when(_rated, F.lit("internal"))
+    else:
+        _rating_src = F.when(_rated, F.lit("internal"))
+    # sa_rw_adjustment_reason: the branch that moved the weight off the
+    # base ladder (rw_source IS the which-branch carrier, incl. the
+    # +guarantee substitution suffix), plus the Art.123A currency-mismatch
+    # multiplier when it fired on top; null when nothing moved.
+    _adj_reason = F.when(
+        F.col("sa_rw_adjustment") != 0,
+        F.concat_ws(
+            "+",
+            F.col("rw_source"),
+            F.when(
+                F.coalesce("currency_mismatch_multiplier_applied", F.lit(False)),
+                F.lit("art123a_ccy_mismatch"),
+            ),
+        ),
+    )
+    # sa_rw_regulatory_ref: the CRR / PS1/26 article each pricing branch
+    # carries (same citations as the branch comments above; the CQS-ladder
+    # and unrated rows resolve per Art.112 class).
+    _src = F.regexp_replace(F.col("rw_source"), r"\+.*$", "")
+    _cls = F.col("exposure_class")
+    _reg_ref = (
+        F.when(_src == "sa_defaulted_secured", "CRR Art.127(1)(b)")
+        .when(_src == "sa_defaulted", "CRR Art.127(1)")
+        .when(_src == "sa_re_secured", "CRR Art.125-126")
+        .when(_src == "sa_retail", "CRR Art.123")
+        .when(_src == "sa_covered_bond_rated", "CRR Art.129(4)")
+        .when(_src == "sa_covered_bond_unrated_derived", "CRR Art.129(5)")
+        .when(_src == "sa_sovereign_derived", "CRR Art.121")
+        .when(_src == "sa_scra", "PS1/26 Art.121A")
+        .when(_src == "sovereign_eu_domestic", "CRR Art.114(4)")
+        .when(_src.isin("b31_adc", "b31_adc_presold"), "PS1/26 Art.124K")
+        .when(
+            _src.isin("b31_other_re_income", "b31_other_re_cre", "b31_other_re_resi"),
+            "PS1/26 Art.124J",
+        )
+        .when(_src == "b31_cre_income_ltv", "PS1/26 Art.124I")
+        .when(_src == "b31_rre_income_ltv", "PS1/26 Art.124G")
+        .when(_src == "b31_rre_three_property", "PS1/26 Art.124E(2)")
+        .when(_src == "b31_cre_art124h3", "PS1/26 Art.124H(3)")
+        .when(_src == "b31_cre_loan_split", "PS1/26 Art.124H")
+        .when(_src == "b31_rre_loan_split", "PS1/26 Art.124F")
+        .when(_src.startswith("b31_sa_sl_"), "PS1/26 Art.122A-122B")
+        .when(
+            _src == "sa_cqs_lookup",
+            # the ladder table includes the unrated CQS-0 row, so split on
+            # ratedness: rated rows cite the per-class assessment article,
+            # unrated rows its unrated limb
+            F.when(
+                _rated,
+                F.when(_cls == "sovereign", F.lit("CRR Art.114"))
+                .when(_cls == "institution", F.lit("CRR Art.120"))
+                .otherwise(F.lit("CRR Art.122")),
+            )
+            .when(_cls == "institution", F.lit("CRR Art.121"))
+            .otherwise(F.lit("CRR Art.122(2)")),
+        )
+        .when(
+            _src == "sa_unrated",
+            F.when(_cls == "institution", F.lit("CRR Art.121")).otherwise(
+                F.lit("CRR Art.122(2)")
+            ),
+        )
+    )
+    exp = exp.withColumns(
+        {
+            "sa_rating_source": _rating_src,
+            "sa_rw_adjustment_reason": _adj_reason,
+            "sa_rw_regulatory_ref": _reg_ref,
+        }
+    )
     # RE decision block (ref :3045-3053): sealed generically so the CRR
     # flat Art.125 branch carries them too; the LTV-band label seals in
     # the B3.1 block where the band chain runs
@@ -1911,7 +2099,7 @@ def run_irb(
     # "RWEA without substitution effects" hypothetical
     perf = perf.withColumn("_rw_pre_subst", F.col("risk_weight"))
     perf, el_expr = _irb_guarantee_adjust(perf, pack, spark)
-    perf = _el_columns(perf, el_expr)
+    perf = _el_columns(perf, el_expr, pool_b_extras=True)
 
     # defaulted bypasses Vasicek (CRR Art.153(1)(ii)/154(1)(i), CRE31.3):
     # A-IRB (own BEEL supplied): K = max(0, LGD − BEEL), no MA, no 1.06;
@@ -1949,6 +2137,7 @@ def run_irb(
     dflt = _el_columns(
         dflt,
         F.coalesce("el_be", F.col("lgd_floored")) * F.col("ead_after_crm"),
+        pool_b_extras=True,
     )
 
     # defaulted rows never substitute — the hypothetical equals the actual

@@ -1002,6 +1002,156 @@ def run_crm(
             _zeros[c] = F.lit(None).cast("string")
         exp = exp.withColumns(_zeros)
 
+    # --- CRR Art.195/219 on-balance-sheet netting (ref engine/crm/
+    # collateral.py:170 generate_netting_collateral + processor.py:445
+    # _join_netting_amounts): a negative-drawn LOAN (deposit / credit
+    # balance) carrying a netting_agreement_reference becomes synthetic
+    # cash collateral for the positive-drawn LOAN siblings of the SAME
+    # (agreement, counterparty) — Art.195 limits set-off to mutual claims
+    # with a single counterparty, Art.219 to drawn loans and deposits
+    # (contingents / facility_undrawn rows are off-balance-sheet and never
+    # participate). Pools key (agreement, counterparty, currency) so an
+    # FX haircut prices when the deposit currency differs; the pool
+    # carries the EARLIEST deposit maturity (conservative single-value
+    # summary) and the Art.238-239 mismatch factor applies against each
+    # beneficiary's own residual maturity, zeroing below the Art.237(1)
+    # 0.25y gate. Allocation is pro-rata by the drawn portion in exact
+    # cents. Plan shape: two groupBys + joins over the NETTED-LOAN subset
+    # only — the full fact joins the (sparse) per-exposure allocation on
+    # its primary key, which AQE broadcast-converts when small; books
+    # whose loader never supplies the column skip the block entirely. ---
+    if "netting_agreement_reference" in exp.columns:
+        _n_ccy = (
+            F.col("currency") if "currency" in exp.columns else F.lit(None).cast("string")
+        )
+        _n_mat = (
+            F.col("effective_maturity")
+            if "effective_maturity" in exp.columns
+            else F.lit(None).cast("double")
+        )
+        nl = exp.where(
+            F.col("netting_agreement_reference").isNotNull()
+            & (F.col("exposure_type") == "loan")
+        ).select(
+            "exposure_reference",
+            "netting_agreement_reference",
+            "counterparty_reference",
+            _n_ccy.alias("_n_ccy"),
+            "drawn_amount",
+            _n_mat.alias("_n_mat"),
+        )
+        # Art.195 single-counterparty boundary: an agreement spanning >1
+        # counterparty is a CRM016 data-quality condition — the offset is
+        # disallowed, so cross-counterparty pools must not form (pools and
+        # beneficiaries key on (agreement, counterparty) which already
+        # prevents it; the flag makes the invisible disallowance visible)
+        spans = (
+            nl.groupBy("netting_agreement_reference")
+            .agg(F.count_distinct("counterparty_reference").alias("_n_cp"))
+            .where(F.col("_n_cp") > 1)
+            .select("netting_agreement_reference", F.lit(True).alias("_crm016"))
+        )
+        _cents = lambda c: (  # noqa: E731 — exact-cent pool sums
+            F.sum(F.round(c * 100.0, 0).cast("long")) / F.lit(100.0)
+        )
+        pools = (
+            nl.where(F.col("drawn_amount") < 0)
+            .groupBy(
+                "netting_agreement_reference", "counterparty_reference", "_n_ccy"
+            )
+            .agg(
+                _cents(-F.col("drawn_amount")).alias("_pool_value"),
+                F.min("_n_mat").alias("_pool_mat"),
+            )
+            .withColumnRenamed("_n_ccy", "_pool_ccy")
+        )
+        bens = nl.where(F.col("drawn_amount") > 0)
+        tot = bens.groupBy(
+            "netting_agreement_reference", "counterparty_reference"
+        ).agg(_cents(F.col("drawn_amount")).alias("_tot_drawn"))
+        _share = F.col("drawn_amount") / F.nullif(F.col("_tot_drawn"), F.lit(0.0))
+        _alloc = F.col("_pool_value") * _share
+        _fx_h = F.when(
+            F.col("_pool_ccy").isNotNull()
+            & F.col("_n_ccy").isNotNull()
+            & (F.col("_pool_ccy") != F.col("_n_ccy")),
+            pack.lit("fx_haircut"),
+        ).otherwise(F.lit(0.0))
+        # Art.238-239 against the DEPOSIT residual t and the loan residual
+        # T; null maturities are permissive (no mismatch establishable —
+        # the same convention ordinary financial collateral follows)
+        _t, _T = F.col("_pool_mat"), F.col("_n_mat")
+        _mm = (
+            F.when(_t.isNull() | _T.isNull() | (_t >= _T), F.lit(1.0))
+            .when(_t < 0.25, F.lit(0.0))
+            .otherwise((_t - 0.25) / F.greatest(_T - 0.25, F.lit(1e-9)))
+        )
+        per_exp = (
+            bens.join(tot, ["netting_agreement_reference", "counterparty_reference"])
+            .join(
+                pools, ["netting_agreement_reference", "counterparty_reference"]
+            )
+            .select(
+                "exposure_reference",
+                _alloc.alias("_a"),
+                (_alloc * (1 - _fx_h) * _mm).alias("_adj"),
+                (_alloc * _fx_h).alias("_fxa"),
+                (_alloc * (1 - _fx_h) * (1 - _mm)).alias("_mma"),
+            )
+            .groupBy("exposure_reference")
+            .agg(
+                _cents(F.col("_a")).alias("_net_alloc"),
+                _cents(F.col("_adj")).alias("_net_adj"),
+                _cents(F.col("_fxa")).alias("_net_fx"),
+                _cents(F.col("_mma")).alias("_net_mm"),
+            )
+        )
+        exp = exp.join(per_exp, "exposure_reference", "left").join(
+            F.broadcast(spans), "netting_agreement_reference", "left"
+        )
+        _na = F.coalesce("_net_alloc", F.lit(0.0))
+        _nj = F.coalesce("_net_adj", F.lit(0.0))
+        _is_dep = (
+            F.col("netting_agreement_reference").isNotNull()
+            & (F.col("exposure_type") == "loan")
+            & (F.col("drawn_amount") < 0)
+        )
+        exp = exp.withColumns(
+            {
+                # the COREP col-0035 carrier: the pre-haircut pool value
+                # allocated to this exposure (ref processor.py:456)
+                "on_bs_netting_amount": _na,
+                # the synthetic cash collateral flows through FCCM exactly
+                # like any funded protection (Art.219 → cash collateral)
+                "collateral_value": F.col("collateral_value") + _nj,
+                "collateral_value_gross": F.col("collateral_value_gross") + _na,
+                "collateral_cash_value": F.col("collateral_cash_value") + _nj,
+                "collateral_financial_value": F.col("collateral_financial_value")
+                + _nj,
+                "haircut_fx": F.col("haircut_fx") + F.coalesce("_net_fx", F.lit(0.0)),
+                "haircut_maturity_mismatch": F.col("haircut_maturity_mismatch")
+                + F.coalesce("_net_mm", F.lit(0.0)),
+                # the deposit leg's credit balance IS the protection — it
+                # leaves the RWA base rather than pricing at negative EAD
+                "ead": F.when(_is_dep, F.greatest(F.col("ead"), F.lit(0.0))).otherwise(
+                    F.col("ead")
+                ),
+                "_dq_netting": F.when(
+                    F.coalesce("_crm016", F.lit(False)),
+                    F.array(
+                        F.lit(
+                            "CRM016: netting agreement spans multiple"
+                            " counterparties (Art.195 mutual-claims boundary)"
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            }
+        ).drop("_net_alloc", "_net_adj", "_net_fx", "_net_mm", "_crm016")
+    else:
+        exp = exp.withColumn("on_bs_netting_amount", F.lit(0.0)).withColumn(
+            "_dq_netting", F.array().cast("array<string>")
+        )
+
     # FCCM: effective exposure after collateral (capped at zero)
     exp = exp.withColumn(
         "ead_after_crm", F.greatest(F.col("ead") - F.col("collateral_value"), F.lit(0.0))
@@ -1279,27 +1429,32 @@ def run_crm(
     )
 
     # warning / DQ list carriers (ref CALCULATION_OUTPUT_SCHEMA
-    # calculation_warnings / data_quality_flags; processor.py:499 CRM015):
-    # machine codes and their human-readable twins, today fed by the
-    # Art.194(4) own-issue gate; later stage warnings append here
-    _dq = (
-        F.coalesce(F.col("_dq_own_issue"), F.array().cast("array<string>"))
-        if "_dq_own_issue" in exp.columns
-        else F.array().cast("array<string>")
-    )
+    # calculation_warnings / data_quality_flags; processor.py:499 CRM015,
+    # collateral.py:194 CRM016): machine codes and their human-readable
+    # twins, fed by the Art.194(4) own-issue gate and the Art.195
+    # cross-counterparty netting check; later stage warnings append here
+    _empty = F.array().cast("array<string>")
+    _dq_parts = [
+        F.coalesce(F.col(c), _empty)
+        for c in ("_dq_own_issue", "_dq_netting")
+        if c in exp.columns
+    ]
+    _dq = F.concat(*_dq_parts) if _dq_parts else _empty
     exp = exp.withColumn("data_quality_flags", _dq).withColumn(
         "calculation_warnings",
         F.transform(
             F.col("data_quality_flags"),
-            lambda s: F.concat(
-                F.lit(
-                    "CRM015 own-issue collateral excluded (Art.194(4)): "
+            lambda s: F.when(
+                s.startswith("CRM015"),
+                F.concat(
+                    F.lit("CRM015 own-issue collateral excluded (Art.194(4)): "),
+                    F.regexp_replace(s, "^CRM015:", ""),
                 ),
-                F.regexp_replace(s, "^CRM015:", ""),
-            ),
+            ).otherwise(s),
         ),
     )
-    if "_dq_own_issue" in exp.columns:
-        exp = exp.drop("_dq_own_issue")
+    exp = exp.drop(
+        *[c for c in ("_dq_own_issue", "_dq_netting") if c in exp.columns]
+    )
 
     return CRMOutput(exposures=exp)

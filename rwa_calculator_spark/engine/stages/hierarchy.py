@@ -125,6 +125,18 @@ def run_hierarchy(
         "is_presold",
         "is_other_re",
         "prior_charge_ltv",
+        # identity / audit passthroughs (ref CALCULATION_OUTPUT_SCHEMA
+        # book_code :2888, original_maturity_date :2943) and the CRR
+        # Art.159(1)(c)/(d) Pool-B components entering EL shortfall (ref
+        # data/schemas.py:405-413 — null, never 0, when unreported)
+        "book_code",
+        "original_maturity_date",
+        "ava_amount",
+        "other_own_funds_reductions",
+        # CRR Art.195/219 on-balance-sheet netting: the agreement that
+        # lets a negative-drawn (deposit) loan net its positive-drawn
+        # siblings — consumed by run_crm's netting kernel
+        "netting_agreement_reference",
     ):
         if opt in raw.loans.columns:
             loan_cols.append(F.col(opt))
@@ -152,6 +164,8 @@ def run_hierarchy(
             "is_obs_commitment",
             "is_short_term_trade_lc",
             "original_maturity_years",
+            "book_code",
+            "original_maturity_date",
         ):
             if opt in raw.contingents.columns:
                 cont_cols.append(F.col(opt))
@@ -398,7 +412,10 @@ def run_hierarchy(
         dim = (
             dim.drop("cqs")
             .join(ext, "counterparty_reference", "left")
-            .withColumnRenamed("external_cqs", "cqs")
+            # the resolved external CQS both REPLACES the supplied cqs and
+            # stays under its own name as the ledger's external_cqs audit
+            # carrier (ref schemas.py:2905 external_cqs)
+            .withColumn("cqs", F.col("external_cqs"))
         )
         ups = dim.select(
             "counterparty_reference",

@@ -62,7 +62,11 @@ def resolve_external_cqs(ratings: DataFrame) -> DataFrame:
         | ((F.col("_n") >= 2) & (F.col("_rank") == 2))
     )
     return picked.select(
-        "counterparty_reference", F.col("cqs").cast("int").alias("external_cqs")
+        "counterparty_reference",
+        F.col("cqs").cast("int").alias("external_cqs"),
+        # the agency behind the Art.138 pick — the ledger's
+        # sa_rating_source audit carrier (ref schemas.py:3025)
+        F.col("rating_agency").alias("external_rating_agency"),
     )
 
 

@@ -3325,3 +3325,169 @@ def sa_supporting_factor_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "infra_factor_sum"
         ),
     )
+
+
+_ONBAL_NETTING_ORACLE = """
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN -0.25 * o_totalprice ELSE o_totalprice END AS drawn,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN 'NA' || o_custkey ELSE NULL END AS na,
+               CASE WHEN o_orderkey % 21 = 0 THEN 'USD' ELSE 'GBP' END AS ccy,
+               CAST(CASE WHEN o_orderkey % 7 = 0 THEN 1.5 ELSE 2.5 END
+                    AS DOUBLE) AS mat,
+               CASE WHEN o_custkey % 2 = 0 THEN 'corporate'
+                    ELSE 'institution' END AS exposure_class
+        FROM orders
+    ), pools AS (
+        SELECT na, cp, ccy AS pool_ccy,
+               sum(CAST(round(-drawn * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS pool_value,
+               min(mat) AS pool_mat
+        FROM loans WHERE drawn < 0 AND na IS NOT NULL
+        GROUP BY na, cp, ccy
+    ), tot AS (
+        SELECT na, cp,
+               sum(CAST(round(drawn * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS tot_drawn
+        FROM loans WHERE drawn > 0 AND na IS NOT NULL GROUP BY na, cp
+    ), alloc AS (
+        SELECT l.ok,
+               p.pool_value * (l.drawn / t.tot_drawn) AS a,
+               CASE WHEN p.pool_ccy <> l.ccy
+                    THEN CAST(0.08 AS DOUBLE) ELSE 0.0 END AS fxh,
+               CASE WHEN p.pool_mat >= l.mat THEN 1.0
+                    WHEN p.pool_mat < 0.25 THEN 0.0
+                    ELSE (p.pool_mat - 0.25)
+                         / greatest(l.mat - 0.25, 1e-9) END AS mm
+        FROM loans l
+        JOIN tot t ON l.na = t.na AND l.cp = t.cp
+        JOIN pools p ON l.na = p.na AND l.cp = p.cp
+        WHERE l.drawn > 0
+    ), per_exp AS (
+        SELECT ok,
+               sum(CAST(round(a * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS net_alloc,
+               sum(CAST(round(a * (1 - fxh) * mm * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS net_adj,
+               sum(CAST(round(a * fxh * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS net_fx,
+               sum(CAST(round(a * (1 - fxh) * (1 - mm) * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS net_mm
+        FROM alloc GROUP BY ok
+    ), ledger AS (
+        SELECT l.exposure_class,
+               CASE WHEN l.drawn < 0 AND l.na IS NOT NULL
+                    THEN 0.0 ELSE l.drawn END AS ead,
+               coalesce(p.net_alloc, 0.0) AS net_alloc,
+               coalesce(p.net_adj, 0.0) AS net_adj,
+               coalesce(p.net_fx, 0.0) AS net_fx,
+               coalesce(p.net_mm, 0.0) AS net_mm,
+               greatest(
+                   (CASE WHEN l.drawn < 0 AND l.na IS NOT NULL
+                         THEN 0.0 ELSE l.drawn END)
+                   - coalesce(p.net_adj, 0.0), 0.0) AS ead_after,
+               CASE WHEN l.drawn < 0 AND l.na IS NOT NULL
+                    THEN 1 ELSE 0 END AS n_deposit
+        FROM loans l LEFT JOIN per_exp p ON l.ok = p.ok
+    )
+    SELECT exposure_class, count(*) AS n_rows,
+           CAST(sum(n_deposit) AS BIGINT) AS n_deposits,
+           sum(CAST(floor(net_alloc * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS onbal_netting,
+           sum(CAST(floor(net_adj * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS collateral_value,
+           sum(CAST(floor(net_fx * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS fx_haircut,
+           sum(CAST(floor(net_mm * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS mm_haircut,
+           sum(CAST(floor(ead * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS ead_total,
+           sum(CAST(floor(ead_after * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS ead_after_crm
+    FROM ledger GROUP BY 1
+"""
+
+
+@query(
+    "onbal_netting_ledger",
+    oracle=_ONBAL_NETTING_ORACLE,
+    tags=("engine", "crm", "netting"),
+)
+def onbal_netting_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR Art.195/219 on-balance-sheet netting through the REAL pipeline
+    (ref engine/crm/collateral.py:170 generate_netting_collateral +
+    processor.py:445 _join_netting_amounts): every 7th order is a deposit
+    (negative drawn); even orders participate in their counterparty's
+    netting agreement. Participating deposits pool per (agreement,
+    counterparty, currency) — USD deposits (every 21st order) price the 8%
+    FX haircut against the GBP loan book — carry the earliest deposit
+    maturity (1.5y vs 2.5y loans → the Art.238-239 factor), allocate
+    pro-rata by drawn in exact cents, ride FCCM as synthetic cash
+    collateral, and seal on_bs_netting_amount; participating deposit legs
+    leave the RWA base (EAD 0). Aggregated by exposure_class."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.col("c_custkey") % 2 == 0, "corporate")
+        .otherwise("institution")
+        .alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, -0.25 * F.col("o_totalprice")
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("drawn_amount"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.concat(F.lit("NA"), F.col("o_custkey")),
+        ).alias("netting_agreement_reference"),
+        F.when(F.col("o_orderkey") % 21 == 0, "USD")
+        .otherwise("GBP")
+        .alias("currency"),
+        F.when(F.col("o_orderkey") % 7 == 0, 1.5)
+        .otherwise(2.5)
+        .alias("effective_maturity"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+
+    def fsum(col):
+        return F.sum(F.floor(col * 100.0 + 0.5).cast("long")) / F.lit(100.0)
+
+    return out.results.groupBy("exposure_class").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("drawn_amount") < 0)
+                & F.col("netting_agreement_reference").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_deposits"),
+        fsum(F.col("on_bs_netting_amount")).alias("onbal_netting"),
+        fsum(F.col("collateral_value")).alias("collateral_value"),
+        fsum(F.col("haircut_fx")).alias("fx_haircut"),
+        fsum(F.col("haircut_maturity_mismatch")).alias("mm_haircut"),
+        fsum(F.col("ead")).alias("ead_total"),
+        fsum(F.col("ead_after_crm")).alias("ead_after_crm"),
+    )

@@ -63,6 +63,8 @@ def test_results_ledger_carries_audit_columns(spark):
         "final_rwa",
         "risk_weight_effective",
         "basel_version",
+        "calculation_run_id",
+        "calculation_timestamp",
     ]
     for required in (
         "ead",
