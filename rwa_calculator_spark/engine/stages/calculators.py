@@ -758,6 +758,10 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     el_own = F.col("pd_floored") * F.col("lgd_floored") * F.col("ead_after_crm")
     if "g_class" not in perf.columns:
         return perf, el_own
+    # IRB unfunded protection keys on the RANK-1 guarantee only (recorded
+    # narrowing — the multi-guarantee stack prices on the SA substitution
+    # channel; parameter substitution / double default with several
+    # modelled guarantors on one exposure stays single-best)
     g = F.coalesce("g_coverage", F.lit(0.0))
 
     grw = pack.table_df(spark, "sa_rw").select(
@@ -1415,7 +1419,34 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         & (F.coalesce(F.col("g_cqs"), F.lit(0)) == F.col("g_cqs_t")),
         "left",
     ).drop("g_class_t", "g_cqs_t")
-    eff_rw = (
+    # multi-guarantee fold (crm stage `_mg`: priority-ordered (slice, rw)
+    # structs, slices capped at 100% coverage): G = Σ slice, and the
+    # covered term Σ slice·least(own, rw) — each slice individually
+    # neutral-or-beneficial, exactly the legacy least() semantics per
+    # guarantee. Gated on size>1 so single-guarantee books keep the
+    # legacy expressions bit-for-bit.
+    _own = F.col("own_rw")
+    if "_mg" in exp.columns:
+        _fold = F.aggregate(
+            F.coalesce(F.col("_mg"), F.array().cast(exp.schema["_mg"].dataType)),
+            F.struct(F.lit(0.0).alias("g"), F.lit(0.0).alias("t")),
+            lambda acc, x: F.struct(
+                (acc.g + x.slice).alias("g"),
+                (
+                    acc.t
+                    + x.slice * F.least(_own, F.coalesce(x.rw, _own))
+                ).alias("t"),
+            ),
+        )
+        _is_multi = F.size(F.coalesce(F.col("_mg"), F.array())) > 1
+        _mg_g, _mg_t = _fold.getField("g"), _fold.getField("t")
+    else:
+        _is_multi = F.lit(False)
+        _mg_g, _mg_t = F.lit(0.0), F.lit(0.0)
+    # total coverage / covered-term for the ledger portions below: the
+    # rank-1 scalars on the n≤1 path, the fold on the multi path
+    _g_total = F.when(_is_multi, _mg_g).otherwise(F.col("g_coverage"))
+    eff_rw = F.when(_is_multi, _mg_t + (1 - _mg_g) * _own).otherwise(
         F.col("g_coverage") * F.least(F.col("own_rw"), F.coalesce("g_rw", F.col("own_rw")))
         + (1 - F.col("g_coverage")) * F.col("own_rw")
     )
@@ -1430,8 +1461,10 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         .withColumn(
             "rw_source",
             F.when(
-                (F.col("g_coverage") > 0)
-                & (F.coalesce("g_rw", F.col("own_rw")) < F.col("own_rw")),
+                F.when(_is_multi, _mg_t < _mg_g * _own).otherwise(
+                    (F.col("g_coverage") > 0)
+                    & (F.coalesce("g_rw", F.col("own_rw")) < F.col("own_rw"))
+                ),
                 F.concat(F.col("rw_source"), F.lit("+guarantee")),
             ).otherwise(F.col("rw_source")),
         )
@@ -1445,28 +1478,31 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
     # never as a later difference), and the status/method enums. Pre/post
     # substitution tracking: the borrower-side identity and the
     # guarantor-side destination the CRM-substitution router reports.
-    _g_has = F.col("g_coverage") > 0
-    _g_ben_sa = _g_has & (F.coalesce("g_rw", F.col("own_rw")) < F.col("own_rw"))
+    _g_has = _g_total > 0
+    _g_ben_sa = F.when(_is_multi, _mg_t < _mg_g * _own).otherwise(
+        (F.col("g_coverage") > 0)
+        & (F.coalesce("g_rw", F.col("own_rw")) < F.col("own_rw"))
+    )
     # is_guaranteed = protection exists (ref crm/guarantees.py:183); the
     # beneficial outcome is guarantee_status's job (aggregator.py:706-707).
     exp = (
         exp.withColumn("is_guaranteed", _g_has)
         .withColumn(
             "guaranteed_portion",
-            F.when(_g_has, F.col("g_coverage") * F.col("ead_after_crm")).otherwise(0.0),
+            F.when(_g_has, _g_total * F.col("ead_after_crm")).otherwise(0.0),
         )
         .withColumn(
             "unguaranteed_portion",
             F.col("ead_after_crm")
-            - F.when(_g_has, F.col("g_coverage") * F.col("ead_after_crm")).otherwise(
-                0.0
-            ),
+            - F.when(_g_has, _g_total * F.col("ead_after_crm")).otherwise(0.0),
         )
         .withColumn("guarantor_risk_weight", F.when(_g_has, F.col("g_rw")))
         .withColumn("pre_crm_risk_weight", F.col("own_rw"))
         .withColumn(
             "guarantee_benefit_rw",
             F.when(
+                _is_multi, F.greatest(_mg_g * _own - _mg_t, F.lit(0.0))
+            ).when(
                 _g_ben_sa, F.col("g_coverage") * (F.col("own_rw") - F.col("g_rw"))
             ).otherwise(0.0),
         )
@@ -1509,7 +1545,7 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
     if "li_value" in exp.columns:
         own = F.col("own_rw")
         ead_nz = F.nullif(F.col("ead_after_crm"), F.lit(0.0))
-        avail = F.greatest(1 - F.col("g_coverage"), F.lit(0.0))
+        avail = F.greatest(1 - _g_total, F.lit(0.0))
         benefit = F.lit(0.0)
         # FCSM decomposition carriers (ref :3016-3018): the simple-method
         # collateral value, its substitute weight, and the RW snapshot

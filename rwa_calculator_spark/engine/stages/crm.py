@@ -1363,12 +1363,90 @@ def run_crm(
             * (F.lit(1.0) - F.col("guarantee_fx_haircut"))
             * (F.lit(1.0) - F.col("guarantee_restructuring_haircut")),
         )
-        # one guarantee per exposure in this slice; first-wins dedup guards
-        wg = W.partitionBy("exposure_reference").orderBy(
-            F.col("g_coverage").desc(), F.col("g_class")
+        # guarantee priority: highest post-haircut coverage first (the
+        # legacy first-wins order, with the reference id as a full
+        # deterministic tiebreak where supplied)
+        _worder = [F.col("g_coverage").desc(), F.col("g_class")]
+        if "guarantee_reference" in g.columns:
+            _worder.append(F.col("guarantee_reference"))
+        wg = W.partitionBy("exposure_reference").orderBy(*_worder)
+        g = g.withColumn("rn", F.row_number().over(wg))
+        # --- multi-guarantee stacking (closes the round-≤6 single-
+        # guarantee narrowing for the SA substitution channel; ref
+        # engine/irb/guarantee.py multi-leg waterfall, re-expressed on-row):
+        # guarantees stack in priority order, each claiming the coverage
+        # slice still uncovered (capped at 100% of the exposure); each
+        # guarantee's SA ladder weight resolves HERE from the same pack
+        # table the calculators use, so the calculators can fold the
+        # priority-ordered (slice, rw) array without another join. The
+        # rank-1 scalars below stay exactly the legacy columns — books
+        # with at most one guarantee per exposure price bit-identically.
+        _mg_tab = pack.table_df(spark, "sa_rw").select(
+            F.col("exposure_class").alias("_mg_class"),
+            F.col("cqs").alias("_mg_cqs"),
+            F.col("rw").alias("_mg_rw"),
         )
-        g = g.withColumn("rn", F.row_number().over(wg)).where(F.col("rn") == 1).drop("rn")
-        exp = exp.join(F.broadcast(g), "exposure_reference", "left")
+        g = g.join(
+            F.broadcast(_mg_tab),
+            (F.col("g_class") == F.col("_mg_class"))
+            & (F.coalesce(F.col("g_cqs"), F.lit(0)) == F.col("_mg_cqs")),
+            "left",
+        ).drop("_mg_class", "_mg_cqs")
+        _wcum = wg.rowsBetween(W.unboundedPreceding, W.currentRow)
+        _cum = F.sum("g_coverage").over(_wcum)
+        g = g.withColumn(
+            "_mg_slice",
+            F.greatest(
+                F.least(
+                    F.col("g_coverage"), F.lit(1.0) - (_cum - F.col("g_coverage"))
+                ),
+                F.lit(0.0),
+            ),
+        )
+        _gm_aggs = [
+            F.sort_array(
+                F.collect_list(F.struct("rn", "_mg_slice", "_mg_rw"))
+            ).alias("_mg_raw")
+        ]
+        if "guarantee_reference" in g.columns:
+            _gm_aggs.append(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", F.col("guarantee_reference")))
+                ).alias("_mg_gref")
+            )
+        if "guarantor_reference" in g.columns:
+            _gm_aggs.append(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", F.col("guarantor_reference")))
+                ).alias("_mg_gtor")
+            )
+        gm = g.groupBy("exposure_reference").agg(*_gm_aggs)
+        _gm_cols = [
+            "exposure_reference",
+            F.transform(
+                F.col("_mg_raw"),
+                lambda s: F.struct(
+                    s._mg_slice.alias("slice"), s._mg_rw.alias("rw")
+                ),
+            ).alias("_mg"),
+        ]
+        if "guarantee_reference" in g.columns:
+            _gm_cols.append(
+                F.transform(F.col("_mg_gref"), lambda s: s.guarantee_reference).alias(
+                    "guarantee_references"
+                )
+            )
+        if "guarantor_reference" in g.columns:
+            _gm_cols.append(
+                F.transform(F.col("_mg_gtor"), lambda s: s.guarantor_reference).alias(
+                    "guarantor_references"
+                )
+            )
+        gm = gm.select(*_gm_cols)
+        g1 = g.where(F.col("rn") == 1).drop("rn", "_mg_slice", "_mg_rw")
+        exp = exp.join(F.broadcast(g1), "exposure_reference", "left").join(
+            F.broadcast(gm), "exposure_reference", "left"
+        )
     else:
         exp = (
             exp.withColumn("g_coverage", F.lit(0.0))

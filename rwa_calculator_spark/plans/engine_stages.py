@@ -3491,3 +3491,173 @@ def onbal_netting_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsum(F.col("ead")).alias("ead_total"),
         fsum(F.col("ead_after_crm")).alias("ead_after_crm"),
     )
+
+
+_MULTI_GTEE_ORACLE = """
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp, o_totalprice AS drawn
+        FROM orders
+    ), gtees AS (
+        SELECT ok, 'G1_' || ok AS gref, 'sovereign' AS gclass, 1 AS gcqs,
+               CAST(0.0 AS DOUBLE) AS grw,
+               -- binary-exact eighths: both engines hold identical
+               -- coverage bits, so rw and price*rw round identically
+               CAST(0.5 + (ok % 4) * 0.125 AS DOUBLE) AS cov
+        FROM loans WHERE ok % 3 = 0
+        UNION ALL
+        SELECT ok, 'G2_' || ok, 'institution', 2, CAST(0.5 AS DOUBLE),
+               CAST(0.375 + (ok % 5) * 0.125 AS DOUBLE)
+        FROM loans WHERE ok % 6 = 0
+        UNION ALL
+        SELECT ok, 'G3_' || ok, 'corporate', 3, CAST(1.0 AS DOUBLE),
+               CAST(0.25 AS DOUBLE)
+        FROM loans WHERE ok % 12 = 0
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY ok ORDER BY cov DESC, gclass, gref
+               ) AS rn,
+               sum(cov) OVER (
+                   PARTITION BY ok ORDER BY cov DESC, gclass, gref
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM gtees
+    ), sliced AS (
+        SELECT ok, rn, grw,
+               greatest(least(cov, 1.0 - (cum - cov)), 0.0) AS sl
+        FROM ranked
+    ), folded AS (
+        -- ordered left-to-right additions mirror the engine's
+        -- priority-ordered array fold bit-for-bit (a bare SUM() may
+        -- accumulate in any order; n <= 3 by construction)
+        SELECT ok, count(*) AS n_g,
+               ((coalesce(max(CASE WHEN rn = 1 THEN sl END), 0.0)
+                 + coalesce(max(CASE WHEN rn = 2 THEN sl END), 0.0))
+                 + coalesce(max(CASE WHEN rn = 3 THEN sl END), 0.0))
+                   AS g_total,
+               ((coalesce(max(CASE WHEN rn = 1
+                              THEN sl * least(1.5, grw) END), 0.0)
+                 + coalesce(max(CASE WHEN rn = 2
+                              THEN sl * least(1.5, grw) END), 0.0))
+                 + coalesce(max(CASE WHEN rn = 3
+                              THEN sl * least(1.5, grw) END), 0.0))
+                   AS sub_term,
+               max(CASE WHEN rn = 1 THEN sl END) AS sl1,
+               max(CASE WHEN rn = 1 THEN grw END) AS grw1
+        FROM sliced GROUP BY ok
+    ), ledger AS (
+        SELECT l.ok, l.drawn,
+               coalesce(f.n_g, 0) AS n_guarantees,
+               CASE WHEN f.ok IS NULL THEN 1.5
+                    WHEN f.n_g = 1
+                    THEN f.sub_term + (1.0 - f.g_total) * 1.5
+                    ELSE f.sub_term + (1.0 - f.g_total) * 1.5 END AS rw,
+               coalesce(f.g_total, 0.0) * l.drawn AS gportion,
+               -- n=1 mirrors the engine's legacy association
+               -- g·(own − g_rw); the stack uses the closed form
+               CASE WHEN f.ok IS NULL THEN 0.0
+                    WHEN f.n_g = 1
+                    THEN f.sl1 * (1.5 - least(1.5, f.grw1))
+                    ELSE greatest(f.g_total * 1.5 - f.sub_term, 0.0)
+               END AS benefit_rw
+        FROM loans l LEFT JOIN folded f ON l.ok = f.ok
+    )
+    SELECT CAST(n_guarantees AS INTEGER) AS n_guarantees,
+           count(*) AS n_rows,
+           sum(CAST(floor(rw * 1000000.0 + 0.5) AS BIGINT))
+               / CAST(1000000 AS DOUBLE) AS rw_sum,
+           sum(CAST(floor(gportion * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS guaranteed_portion,
+           sum(CAST(floor(benefit_rw * 1000000.0 + 0.5) AS BIGINT))
+               / CAST(1000000 AS DOUBLE) AS benefit_rw_sum,
+           sum(CAST(floor(drawn * rw * 100.0 + 0.5) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS rwa
+    FROM ledger GROUP BY 1
+"""
+
+
+@query(
+    "crm_multi_guarantee",
+    oracle=_MULTI_GTEE_ORACLE,
+    tags=("engine", "crm", "tolerant"),
+)
+def crm_multi_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stacked multi-guarantee substitution through the REAL pipeline
+    (closes the single-guarantee narrowing; ref engine/irb/guarantee.py
+    multi-leg waterfall re-expressed on-row): up to three guarantees per
+    exposure — sovereign CQS1 (0%), institution CQS2 (50%), corporate CQS3
+    (100%) against a 150% unrated... rated-CQS5 corporate book — stack in
+    priority order (post-haircut coverage desc, class, reference), each
+    claiming the still-uncovered slice capped at 100%; the effective
+    weight folds Σ slice·least(own, guarantor_rw) + uncovered·own, and
+    guarantee_benefit_rw seals the stack's isolated RW relief. Grouped by
+    the number of stacked guarantees (0/1/2/3)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(5).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+
+    def _g(pred, tag, gclass, gcqs, cov):
+        return o.where(pred).select(
+            F.concat(F.lit(tag), F.col("o_orderkey")).alias("guarantee_reference"),
+            F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+            cov.alias("coverage_pct"),
+            F.lit(gclass).alias("guarantor_class"),
+            F.lit(gcqs).cast("int").alias("guarantor_cqs"),
+            F.concat(F.lit("GTOR_"), F.col("o_orderkey")).alias(
+                "guarantor_reference"
+            ),
+        )
+
+    gtees = (
+        _g(
+            F.col("o_orderkey") % 3 == 0, "G1_", "sovereign", 1,
+            0.5 + (F.col("o_orderkey") % 4).cast("double") * 0.125,
+        )
+        .unionByName(
+            _g(
+                F.col("o_orderkey") % 6 == 0, "G2_", "institution", 2,
+                0.375 + (F.col("o_orderkey") % 5).cast("double") * 0.125,
+            )
+        )
+        .unionByName(
+            _g(F.col("o_orderkey") % 12 == 0, "G3_", "corporate", 3, F.lit(0.25))
+        )
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, guarantees=gtees),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+
+    def fsum(col, scale=100.0):
+        return F.sum(F.floor(col * scale + 0.5).cast("long")) / F.lit(scale)
+
+    return out.results.groupBy(
+        F.coalesce(F.size("guarantee_references"), F.lit(0))
+        .cast("int")
+        .alias("n_guarantees")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        fsum(F.col("risk_weight"), 1_000_000.0).alias("rw_sum"),
+        fsum(F.col("guaranteed_portion")).alias("guaranteed_portion"),
+        fsum(F.col("guarantee_benefit_rw"), 1_000_000.0).alias("benefit_rw_sum"),
+        fsum(F.col("rwa")).alias("rwa"),
+    )

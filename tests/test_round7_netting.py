@@ -236,3 +236,99 @@ def test_sa_decision_strings(spark):
     assert rows["L2"]["sa_rating_source"] is None
     assert rows["L2"]["sa_rw_regulatory_ref"] == "CRR Art.122(2)"
     assert rows["L3"]["sa_rw_regulatory_ref"] == "CRR Art.127(1)"
+
+
+def _gtees(spark, rows):
+    """rows: (guarantee_ref, exposure_ref, coverage, class, cqs, guarantor)."""
+    return spark.createDataFrame(
+        rows,
+        "guarantee_reference string, exposure_reference string, "
+        "coverage_pct double, guarantor_class string, guarantor_cqs int, "
+        "guarantor_reference string",
+    )
+
+
+def _run_gtee(spark, gtees, cqs=5):
+    cps = spark.createDataFrame(
+        [("CP1", "corporate", cqs, False, 0.0, False)],
+        "counterparty_reference string, entity_type string, cqs int, "
+        "is_managed_as_retail boolean, annual_revenue double, "
+        "has_irb_permission boolean",
+    )
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 100.0)],
+        "loan_reference string, counterparty_reference string, "
+        "drawn_amount double",
+    ).selectExpr(
+        "*", "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, guarantees=gtees),
+        PipelineConfig(pack=CRR_PACK),
+    )
+    return out.results.select(
+        "risk_weight", "guaranteed_portion", "unguaranteed_portion",
+        "guarantee_references", "guarantor_references", "guarantee_benefit_rw",
+        "guarantor_risk_weight", "rw_source", "rwa",
+    ).collect()[0]
+
+
+def test_multi_guarantee_stacks_by_priority(spark):
+    # own 150% (corporate cqs5); institution cqs2 (50%) covers 0.7 first
+    # (higher coverage), sovereign cqs1 (0%) claims the remaining 0.3:
+    # rw = 0.7*0.5 + 0.3*0.0 + 0*1.5 = 0.35
+    r = _run_gtee(
+        spark,
+        _gtees(
+            spark,
+            [
+                ("G1", "L1", 0.6, "sovereign", 1, "GA"),
+                ("G2", "L1", 0.7, "institution", 2, "GB"),
+            ],
+        ),
+    )
+    assert r["risk_weight"] == pytest.approx(0.35)
+    assert r["guaranteed_portion"] == pytest.approx(100.0)
+    assert r["unguaranteed_portion"] == pytest.approx(0.0)
+    assert list(r["guarantee_references"]) == ["G2", "G1"]
+    assert list(r["guarantor_references"]) == ["GB", "GA"]
+    assert r["guarantee_benefit_rw"] == pytest.approx(1.15)
+    # rank-1 carriers stay the dominant guarantee's
+    assert r["guarantor_risk_weight"] == pytest.approx(0.5)
+    assert r["rw_source"].endswith("+guarantee")
+    assert r["rwa"] == pytest.approx(35.0)
+
+
+def test_multi_guarantee_cap_and_worse_guarantor_neutral(spark):
+    # corporate cqs3 guarantor (100%) under a 150% obligor still helps;
+    # a 150%-equal guarantor slice is neutral (least semantics); total
+    # coverage caps at 100% so the third guarantee adds nothing
+    r = _run_gtee(
+        spark,
+        _gtees(
+            spark,
+            [
+                ("G1", "L1", 0.8, "corporate", 3, "GA"),   # rw 1.0
+                ("G2", "L1", 0.5, "corporate", 5, "GB"),   # rw 1.5 neutral
+                ("G3", "L1", 0.4, "sovereign", 1, "GC"),   # crowded out
+            ],
+        ),
+    )
+    # slices: G1 0.8 (rw 1.0), G2 0.2 (rw 1.5 -> neutral at own), G3 0.0
+    assert r["risk_weight"] == pytest.approx(0.8 * 1.0 + 0.2 * 1.5)
+    assert r["guarantee_benefit_rw"] == pytest.approx(0.8 * 0.5)
+    assert list(r["guarantee_references"]) == ["G1", "G2", "G3"]
+
+
+def test_single_guarantee_unchanged_by_stacking_machinery(spark):
+    # the legacy single-guarantee path must price identically (the 169
+    # oracled queries pin this too — this is the local fast pin)
+    r = _run_gtee(
+        spark, _gtees(spark, [("G1", "L1", 0.6, "sovereign", 1, "GA")])
+    )
+    assert r["risk_weight"] == pytest.approx(0.6 * 0.0 + 0.4 * 1.5)
+    assert r["guaranteed_portion"] == pytest.approx(60.0)
+    assert list(r["guarantee_references"]) == ["G1"]
+    assert r["guarantee_benefit_rw"] == pytest.approx(0.6 * 1.5)
