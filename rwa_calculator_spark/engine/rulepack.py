@@ -59,6 +59,13 @@ class RulePack:
     def lit(self, name: str):
         return F.lit(self.scalar(name))
 
+    def table_map(self, name: str) -> dict:
+        """A 2-column lookup table as a plain {key: float} dict — for
+        dimension-sized tables the stages compile into when-chains
+        driver-side instead of joining (pd_floor_by_class, lgd_floors)."""
+        _, rows = self.tables[name]
+        return {r[0]: float(r[1]) for r in rows}
+
     def table_df(self, spark: SparkSession, name: str) -> DataFrame:
         schema, rows = self.tables[name]
         return spark.createDataFrame([tuple(_to_py(v) for v in r) for r in rows], schema)
@@ -322,6 +329,54 @@ _HAIRCUT_ROWS_B31 = _haircut_rows(
     },
 )
 
+# Per-exposure-class IRB PD floors (ref rulebook/packs/{crr,b31}.py
+# "pd_floors" + engine/irb/formulas.py _pd_floor_expression): under CRR the
+# 0.03% floor has two homes and one gap — Art.160(1) corporates/institutions,
+# Art.163(1) retail, and NO article reaches central governments/central
+# banks, so the CRR sovereign floor is 0. PS1/26 (BCBS CRE30.55)
+# differentiates: retail mortgage and QRRE revolvers 0.10%, QRRE
+# transactors and everything else 0.05%.
+_PD_FLOOR_SCHEMA = "floor_class string, pd_floor double"
+_PD_FLOOR_CLASSES = (
+    "corporate", "corporate_sme", "sovereign", "institution",
+    "retail_mortgage", "retail_other", "retail_qrre_transactor",
+    "retail_qrre_revolver",
+)
+_PD_FLOOR_ROWS_CRR = tuple(
+    (k, _D("0" if k == "sovereign" else "0.0003")) for k in _PD_FLOOR_CLASSES
+)
+_PD_FLOOR_ROWS_B31 = tuple(
+    (
+        k,
+        _D(
+            "0.0010"
+            if k in ("retail_mortgage", "retail_qrre_revolver")
+            else "0.0005"
+        ),
+    )
+    for k in _PD_FLOOR_CLASSES
+)
+
+# A-IRB LGD floors (ref rulebook/packs/b31.py "lgd_floors" + engine/irb/
+# formulas.py _lgd_floor_* builders): CRR has none (all zero, feature off);
+# PS1/26 Art.161(5) corporate — 25% unsecured with per-collateral-type
+# secured floors (financial 0%, receivables/RE 10%, other physical 15%) —
+# and Art.164(4) retail — RRE 5%, QRRE 50%, other 30%.
+_LGD_FLOOR_SCHEMA = "floor_key string, lgd_floor double"
+_LGD_FLOOR_KEYS_B31 = {
+    "unsecured": "0.25",
+    "financial_collateral": "0.0",
+    "receivables": "0.10",
+    "residential_real_estate": "0.10",
+    "commercial_real_estate": "0.10",
+    "other_physical": "0.15",
+    "retail_rre": "0.05",
+    "retail_qrre_unsecured": "0.50",
+    "retail_other_unsecured": "0.30",
+}
+_LGD_FLOOR_ROWS_CRR = tuple((k, _D("0.0")) for k in _LGD_FLOOR_KEYS_B31)
+_LGD_FLOOR_ROWS_B31 = tuple((k, _D(v)) for k, v in _LGD_FLOOR_KEYS_B31.items())
+
 CRR_PACK = RulePack(
     regime="crr",
     version="2026-01",
@@ -357,6 +412,9 @@ CRR_PACK = RulePack(
         "infra_supporting_factor": RuleEntry(_D("0.75"), "CRR Art.501a"),
         "pd_floor": RuleEntry(_D("0.0003"), "CRR Art.160(1)"),
         "lgd_floor_unsecured": RuleEntry(_D("0.0"), "CRR Art.161"),
+        # CRR carries no A-IRB LGD input floors (Art.161 sets F-IRB
+        # supervisory LGDs, not A-IRB floors) — feature off
+        "airb_lgd_floor": RuleEntry(_D("0"), "CRR — no A-IRB LGD floors"),
         # CRR Art.153(1): RWA = 12.5 · 1.06 · K · EAD for non-defaulted IRB
         "irb_scaling_factor": RuleEntry(_D("1.06"), "CRR Art.153(1)"),
         "output_floor_alpha": RuleEntry(_D("0.0"), "n/a in CRR"),
@@ -449,9 +507,13 @@ CRR_PACK = RulePack(
         "covered_bond_rw": (_COVERED_BOND_RW_SCHEMA, _COVERED_BOND_RW_ROWS),
         "covered_bond_unrated_derivation": (_CB_DERIVATION_SCHEMA, _CB_DERIVATION_CRR),
         "institution_rw_sovereign_derived": (_SOV_DERIVED_INST_SCHEMA, _SOV_DERIVED_INST_ROWS),
+        "pd_floor_by_class": (_PD_FLOOR_SCHEMA, _PD_FLOOR_ROWS_CRR),
+        "lgd_floors": (_LGD_FLOOR_SCHEMA, _LGD_FLOOR_ROWS_CRR),
     },
     table_citations={
         "sa_rw": "CRR Art.114-122",
+        "pd_floor_by_class": "CRR Art.160(1)/163(1) (sovereigns unfloored)",
+        "lgd_floors": "CRR Art.161 — no A-IRB LGD input floors",
         "covered_bond_rw": "CRR Art.129(4) Table 6A",
         "covered_bond_unrated_derivation": "CRR Art.129(5)(a)-(d)",
         "institution_rw_sovereign_derived": "CRR Art.121 Table 5",
@@ -485,6 +547,9 @@ B31_PACK = RulePack(
         "infra_supporting_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
         "pd_floor": RuleEntry(_D("0.0005"), "BCBS CRE36.79 (B3.1)"),
         "lgd_floor_unsecured": RuleEntry(_D("0.25"), "BCBS CRE36.86"),
+        "airb_lgd_floor": RuleEntry(
+            _D("1"), "PS1/26 Art.161(5)/164(4) A-IRB LGD input floors"
+        ),
         # scaling factor removed under Basel 3.1 (BCBS CRE30-36 / PS1/26)
         "irb_scaling_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
         "output_floor_alpha": RuleEntry(_D("0.725"), "BCBS RBC20.11"),
@@ -672,9 +737,13 @@ B31_PACK = RulePack(
                 ("project_finance_high_quality", _D("0.80")),
             ),
         ),
+        "pd_floor_by_class": (_PD_FLOOR_SCHEMA, _PD_FLOOR_ROWS_B31),
+        "lgd_floors": (_LGD_FLOOR_SCHEMA, _LGD_FLOOR_ROWS_B31),
     },
     table_citations={
         "sa_rw": "BCBS CRE20 / PS1/26 Art.114-122",
+        "pd_floor_by_class": "PS1/26 Art.160(1)/163(1) / BCBS CRE30.55",
+        "lgd_floors": "PS1/26 Art.161(5)/164(4) (BCBS CRE30.56)",
         "covered_bond_rw": "PS1/26 Art.129(4) Table 7",
         "covered_bond_unrated_derivation": "PS1/26 Art.129(5) (7-input chain)",
         "institution_scra_rw": "PS1/26 Art.121A / BCBS CRE20.21",
@@ -706,6 +775,7 @@ REQUIRED_SCALARS = (
     "defaulted_rw_secured", "unrated_corp_rw", "sme_supporting_factor",
     "sme_factor_above_threshold", "sme_exposure_threshold",
     "infra_supporting_factor", "pd_floor", "lgd_floor_unsecured",
+    "airb_lgd_floor",
     "irb_scaling_factor", "output_floor_alpha", "fx_haircut",
     "fcsm_rw_floor", "saccr_alpha", "pfe_multiplier_floor",
     "secsa_ksa", "secsa_p", "secsa_p_sts", "secsa_floor_rw",
@@ -723,6 +793,8 @@ REQUIRED_TABLES = {
     "haircut_bands": _HAIRCUT_BANDS_SCHEMA,
     "covered_bond_rw": _COVERED_BOND_RW_SCHEMA,
     "covered_bond_unrated_derivation": _CB_DERIVATION_SCHEMA,
+    "pd_floor_by_class": _PD_FLOOR_SCHEMA,
+    "lgd_floors": _LGD_FLOOR_SCHEMA,
 }
 
 

@@ -728,6 +728,138 @@ def _el_columns(
     )
 
 
+def _pd_floor_class_expr(pack: RulePack, df: DataFrame) -> Column:
+    """Per-exposure-class IRB PD floor (ref engine/irb/formulas.py
+    _pd_floor_expression + rulebook/packs "pd_floors"): under CRR the 0.03%
+    floor reaches corporates/institutions (Art.160(1)) and retail
+    (Art.163(1)) but NO article reaches central governments/central banks —
+    the sovereign floor is 0. B3.1 (PS1/26 / BCBS CRE30.55) differentiates:
+    retail mortgages and QRRE revolvers 0.10%, QRRE transactors and
+    everything else 0.05%. Frames without an is_qrre_transactor carrier
+    take the conservative revolver floor (the reference's
+    has_transactor_col=False path); unknown classes default to the
+    corporate floor (the reference's fill_null('CORPORATE'))."""
+    f = pack.table_map("pd_floor_by_class")
+    sub = (
+        F.col("retail_subtype")
+        if "retail_subtype" in df.columns
+        else F.lit(None).cast("string")
+    )
+    trans = (
+        F.coalesce(F.col("is_qrre_transactor"), F.lit(False))
+        if "is_qrre_transactor" in df.columns
+        else F.lit(False)
+    )
+    cls = F.col("exposure_class")
+    is_retail = cls == "retail"
+    return (
+        F.when(cls == "sovereign", F.lit(f["sovereign"]))
+        .when(is_retail & (sub == "mortgage"), F.lit(f["retail_mortgage"]))
+        .when(
+            is_retail & (sub == "qrre") & trans,
+            F.lit(f["retail_qrre_transactor"]),
+        )
+        .when(is_retail & (sub == "qrre"), F.lit(f["retail_qrre_revolver"]))
+        .when(is_retail, F.lit(f["retail_other"]))
+        .when(cls == "institution", F.lit(f["institution"]))
+        .otherwise(F.lit(f["corporate"]))
+    )
+
+
+def _guarantor_pd_floor_expr(pack: RulePack, gclass: Column) -> Column:
+    """PD floor for a substituted guarantor PD, keyed on the GUARANTOR's
+    own class (CRR Art.160(4) / ref _pd_floor_expression's
+    guarantor_exposure_class routing — the covered portion is a direct
+    exposure to the guarantor, so the guarantor's class floor governs;
+    sovereign guarantors are unfloored under CRR)."""
+    f = pack.table_map("pd_floor_by_class")
+    return (
+        F.when(gclass == "sovereign", F.lit(f["sovereign"]))
+        .when(gclass == "institution", F.lit(f["institution"]))
+        .otherwise(F.lit(f["corporate"]))
+    )
+
+
+def _lgd_floor_expr(pack: RulePack, df: DataFrame) -> Column:
+    """A-IRB LGD input floor (feature-gated; ref engine/irb/formulas.py
+    _lgd_floor_expression / _lgd_floor_blended_expression, PS1/26
+    Art.161(5) corporate + Art.164(4) retail; CRR returns 0 — no A-IRB
+    floors). Flat class floor (25% corporate / 5% retail-RRE / 50% QRRE /
+    30% other-retail) for unprotected rows; where recognised funded
+    protection is present the Art.161(5)(b)/164(4)(c) floor is the blend
+    of per-collateral-type LGDS and the class LGDU, weighted over the
+    Art.230(1) CCF=100% basis E = drawn + undrawn — the per-type
+    allocations are the CRM stage's own sealed decomposition (financial /
+    receivables / other-physical; RE rides collateral_re_value). Retail
+    mortgages keep the flat 5% (Art.164(4)(a) — the reference's blend
+    deny-list). F-IRB rows are never floored (supervisory LGDs)."""
+    if pack.scalar("airb_lgd_floor") < 1.0:
+        return F.lit(0.0)
+    f = pack.table_map("lgd_floors")
+    have = set(df.columns)
+    sub = (
+        F.col("retail_subtype")
+        if "retail_subtype" in have
+        else F.lit(None).cast("string")
+    )
+    cls = F.col("exposure_class")
+    is_retail = cls == "retail"
+    is_mortgage = is_retail & (sub == "mortgage")
+    lgdu = (
+        F.when(is_mortgage, F.lit(f["retail_rre"]))
+        .when(is_retail & (sub == "qrre"), F.lit(f["retail_qrre_unsecured"]))
+        .when(is_retail, F.lit(f["retail_other_unsecured"]))
+        .otherwise(F.lit(f["unsecured"]))
+    )
+    floor = lgdu
+    if "collateral_value" in have and "collateral_financial_value" in have:
+        fin = F.coalesce("collateral_financial_value", F.lit(0.0))
+        recv = (
+            F.coalesce("collateral_receivables_value", F.lit(0.0))
+            if "collateral_receivables_value" in have
+            else F.lit(0.0)
+        )
+        oth = (
+            F.coalesce("collateral_other_physical_value", F.lit(0.0))
+            if "collateral_other_physical_value" in have
+            else F.lit(0.0)
+        )
+        re_v = (
+            F.coalesce("collateral_re_value", F.lit(0.0))
+            if "collateral_re_value" in have
+            else F.lit(0.0)
+        )
+        tot = F.coalesce("collateral_value", F.lit(0.0)) + re_v
+        raw_basis = (
+            F.coalesce("drawn_amount", F.lit(0.0))
+            + F.coalesce("undrawn_amount", F.lit(0.0))
+            if "drawn_amount" in have
+            else F.coalesce("ead", F.lit(0.0))
+        )
+        # convexity guard: allocations never exceed the basis they were
+        # allocated against, but a basis narrower than total protection
+        # (bundle shapes without drawn/undrawn carriers) must not produce
+        # negative unsecured weight
+        basis = F.greatest(raw_basis, tot)
+        unsec = F.greatest(basis - tot, F.lit(0.0))
+        blend = (
+            unsec * lgdu
+            + fin * F.lit(f["financial_collateral"])
+            + recv * F.lit(f["receivables"])
+            + re_v * F.lit(f["residential_real_estate"])
+            + oth * F.lit(f["other_physical"])
+        ) / F.nullif(basis, F.lit(0.0))
+        floor = F.when(
+            (tot > 0) & ~is_mortgage, F.coalesce(blend, lgdu)
+        ).otherwise(lgdu)
+    if "irb_subapproach" in have:
+        floor = F.when(
+            F.coalesce(F.col("irb_subapproach"), F.lit("airb")) == "firb",
+            F.lit(0.0),
+        ).otherwise(floor)
+    return floor
+
+
 def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataFrame, Column]:
     """IRB unfunded-protection treatment (ref engine/irb/guarantee.py
     apply_guarantee_substitution, 902 LoC distilled to its dataflow):
@@ -783,7 +915,11 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     has_gpd = "guarantor_pd" in perf.columns
     if has_gpd:
         perf = perf.withColumn(
-            "_pd_g_fl", F.greatest(F.col("guarantor_pd"), pack.lit("pd_floor"))
+            "_pd_g_fl",
+            F.greatest(
+                F.col("guarantor_pd"),
+                _guarantor_pd_floor_expr(pack, F.col("g_class")),
+            ),
         )
         sen = (
             F.coalesce(F.col("guarantor_seniority"), F.lit("senior"))
@@ -856,17 +992,203 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
             (g > 0) & F.col("_g_rw").isNotNull() & (F.col("_g_rw") < F.col("risk_weight")),
         )
     )
+
+    # --- multi-guarantee stack on the IRB channel (closes the rank-1
+    # narrowing; ref engine/irb/guarantee.py multi-leg waterfall): the crm
+    # stage's priority-ordered `_mg` structs now carry each leg's modelled
+    # carriers (pd/seniority/FSE/class/CQS), so EVERY leg prices through
+    # its own channel — SA RW substitution from the pre-resolved ladder
+    # weight, parameter substitution through the full Vasicek kernel with
+    # the leg's floored PD + Art.161(1) LGD, double default per leg where
+    # Art.202/203 eligible — entirely in array expressions (zero new
+    # shuffle; the per-leg Φ/Φ⁻¹ route through the same generated-Java
+    # kernel as the scalar path, pure-Column Cody/Acklam fallback).
+    # Gated on size>1: books with at most one guarantee per exposure keep
+    # the legacy rank-1 expressions bit-for-bit. The rank-1 scalar
+    # carriers (guarantor_risk_weight, the method enums, the DD block)
+    # keep describing the PRIORITY-1 leg — the stack's pricing is total,
+    # its audit detail per-leg lives in guarantee_references order.
+    has_mg = "_mg" in perf.columns
+    if has_mg:
+        from rwa_calculator_spark.functions.irb import correlation_v
+        from rwa_calculator_spark.functions.jvm_kernel import (
+            CDF_FN,
+            PPF_FN,
+            ensure_jvm_kernel,
+        )
+        from rwa_calculator_spark.functions.stats import (
+            G_999,
+            SparkB,
+            V,
+            norm_cdf_v,
+            norm_ppf_v,
+        )
+
+        _mg_arr = F.coalesce(
+            F.col("_mg"), F.array().cast(perf.schema["_mg"].dataType)
+        )
+        _is_multi = F.size(_mg_arr) > 1
+        _own0 = F.col("risk_weight")
+        _kern = ensure_jvm_kernel(spark)
+        _row_airb = (
+            F.coalesce(F.col("irb_subapproach"), F.lit("")) == "airb"
+            if "irb_subapproach" in perf.columns
+            else F.lit(False)
+        )
+        _dd_pack = pack.scalar("double_default_available") >= 1.0
+
+        def _leg_params(x):
+            pdfl = F.when(
+                x["pd"].isNotNull(),
+                F.greatest(x["pd"], _guarantor_pd_floor_expr(pack, x["gclass"])),
+            )
+            lgdg = (
+                F.when(
+                    F.coalesce(x["sen"], F.lit("senior")) == "subordinated",
+                    pack.lit("firb_lgd_subordinated"),
+                )
+                .when(
+                    F.coalesce(x["fse"], F.lit(False)),
+                    pack.lit("firb_lgd_senior_fse"),
+                )
+                .otherwise(pack.lit("firb_lgd_senior"))
+            )
+            gq = (
+                F.call_function(PPF_FN, pdfl)
+                if _kern
+                else norm_ppf_v(V(SparkB, pdfl)).v
+            )
+            return F.struct(
+                x["slice"].alias("slice"),
+                x["rw"].alias("rw"),
+                pdfl.alias("pdfl"),
+                lgdg.alias("lgdg"),
+                x["gclass"].alias("gclass"),
+                x["gcqs"].alias("gcqs"),
+                gq.alias("gq"),
+                correlation_v(V(SparkB, pdfl)).v.alias("r"),
+            )
+
+        perf = perf.withColumn(
+            "_mgl", F.when(_is_multi, F.transform(_mg_arr, _leg_params))
+        )
+
+        def _leg_rw(x):
+            arg = (x["gq"] + F.sqrt(x["r"]) * F.lit(G_999)) / F.sqrt(
+                F.lit(1.0) - x["r"]
+            )
+            phi = (
+                F.call_function(CDF_FN, arg)
+                if _kern
+                else norm_cdf_v(V(SparkB, arg)).v
+            )
+            k_leg = x["lgdg"] * phi - x["pdfl"] * x["lgdg"]
+            rw_irb = (
+                k_leg
+                * irb_maturity_adj(x["pdfl"], F.col("m_eff"))
+                * F.lit(12.5)
+                * pack.lit("irb_scaling_factor")
+            )
+            rw_sub = F.when(x["pdfl"].isNotNull(), rw_irb).otherwise(x["rw"])
+            meth = F.when(x["pdfl"].isNotNull(), F.lit("sub_pd")).otherwise(
+                F.when(x["rw"].isNotNull(), F.lit("sub_sa"))
+            )
+            if _dd_pack:
+                elig_t = F.coalesce(x["gclass"], F.lit("")).isin(
+                    "institution", "sovereign", "mdb"
+                ) | (
+                    (x["gclass"] == "corporate")
+                    & (F.coalesce(x["gcqs"], F.lit(99)) <= 2)
+                )
+                dd_elig = (
+                    (x["slice"] > 0)
+                    & (F.col("exposure_class") == "corporate")
+                    & elig_t
+                    & x["pdfl"].isNotNull()
+                    & _row_airb
+                )
+                rw_dd = _own0 * (
+                    pack.lit("dd_k_base") + pack.lit("dd_k_slope") * x["pdfl"]
+                )
+                dd_app = dd_elig & (
+                    rw_dd < F.coalesce(rw_sub, F.lit(float("inf")))
+                )
+                rw_sub = F.when(dd_app, rw_dd).otherwise(rw_sub)
+                meth = F.when(dd_app, F.lit("dd")).otherwise(meth)
+            return F.struct(
+                x["slice"].alias("slice"),
+                rw_sub.alias("rwl"),
+                x["pdfl"].alias("pdfl"),
+                x["lgdg"].alias("lgdg"),
+                meth.alias("meth"),
+            )
+
+        perf = perf.withColumn("_mgl", F.transform(F.col("_mgl"), _leg_rw))
+
+        # priority-ordered left fold (deterministic addition order — the
+        # oracle mirrors it term-by-term): per leg the covered slice takes
+        # min(own, leg RW) — each slice individually neutral-or-beneficial
+        # (Art.193(1) per leg) — and the EL rate follows the leg's channel:
+        # DD retains full obligor EL, parameter substitution re-prices the
+        # slice at PD_g·LGD_g, SA substitution drops the slice's EL,
+        # a non-beneficial leg keeps the obligor rate.
+        _el_rate_own = F.col("pd_floored") * F.col("lgd_floored")
+        _mg_fold = F.aggregate(
+            F.coalesce(F.col("_mgl"), F.array().cast(perf.schema["_mgl"].dataType)),
+            F.struct(
+                F.lit(0.0).alias("g"),
+                F.lit(0.0).alias("t"),
+                F.lit(0.0).alias("el"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["g"] + x["slice"]).alias("g"),
+                (
+                    acc["t"]
+                    + x["slice"] * F.least(_own0, F.coalesce(x["rwl"], _own0))
+                ).alias("t"),
+                (
+                    acc["el"]
+                    + F.when(
+                        F.coalesce(x["rwl"] < _own0, F.lit(False)),
+                        F.when(x["meth"] == "dd", x["slice"] * _el_rate_own)
+                        .when(
+                            x["meth"] == "sub_pd",
+                            x["slice"] * x["pdfl"] * x["lgdg"],
+                        )
+                        .otherwise(F.lit(0.0)),
+                    ).otherwise(x["slice"] * _el_rate_own)
+                ).alias("el"),
+            ),
+        )
+        perf = perf.withColumn("_mgf", F.when(_is_multi, _mg_fold))
+        _mg_g = F.col("_mgf").getField("g")
+        _mg_t = F.col("_mgf").getField("t")
+    else:
+        _is_multi = F.lit(False)
+        _mg_g = F.lit(0.0)
+        _mg_t = F.lit(0.0)
+
     perf = perf.withColumn("pre_crm_risk_weight", F.col("risk_weight"))
+    # every expression BELOW the blend references the sealed snapshot —
+    # F.col("risk_weight") would re-resolve to the mutated value
+    _own_p = F.col("pre_crm_risk_weight")
+    _mg_ben = _is_multi & (_mg_t < _mg_g * _own_p)
     perf = perf.withColumn(
         "risk_weight",
-        F.when(
+        F.when(_is_multi, _mg_t + (F.lit(1.0) - _mg_g) * _own_p)
+        .when(
             F.col("_g_ben"), (F.lit(1.0) - g) * F.col("risk_weight") + g * F.col("_g_rw")
-        ).otherwise(F.col("risk_weight")),
+        )
+        .otherwise(F.col("risk_weight")),
     ).withColumn(
         "rw_source",
-        F.when(
-            F.col("_g_ben"), F.concat(F.col("rw_source"), F.lit("+g"), F.col("_g_method"))
-        ).otherwise(F.col("rw_source")),
+        F.when(_mg_ben, F.concat(F.col("rw_source"), F.lit("+gmulti")))
+        .when(
+            _is_multi | ~F.col("_g_ben"), F.col("rw_source")
+        )
+        .otherwise(
+            F.concat(F.col("rw_source"), F.lit("+g"), F.col("_g_method"))
+        ),
     )
     # guarantee-impact ledger block, IRB side (ref
     # engine/irb/guarantee.py:865-903 _add_guarantee_status_columns +
@@ -881,22 +1203,28 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     # guaranteed_portion > 0; aggregator.py:706-707 warns the beneficial
     # test is a separate downstream gate) — the Art.193(1) benefit outcome
     # lives on guarantee_status / guarantee_method_used, never here.
+    # Multi-guarantee rows: the portion/benefit columns cover the WHOLE
+    # stack (Σ slices, aggregate RW relief); the method/status enums and
+    # guarantor_risk_weight keep describing the priority-1 leg (same
+    # convention as the SA channel).
+    _g_eff = F.when(_is_multi, _mg_g).otherwise(g)
+    _ben_eff = F.when(_is_multi, _mg_ben).otherwise(F.col("_g_ben"))
     perf = (
-        perf.withColumn("is_guaranteed", g > 0)
+        perf.withColumn("is_guaranteed", _g_eff > 0)
         .withColumn(
             "guaranteed_portion",
-            F.when(g > 0, g * F.col("ead_after_crm")).otherwise(0.0),
+            F.when(_g_eff > 0, _g_eff * F.col("ead_after_crm")).otherwise(0.0),
         )
         .withColumn(
             "unguaranteed_portion",
             F.col("ead_after_crm")
-            - F.when(g > 0, g * F.col("ead_after_crm")).otherwise(0.0),
+            - F.when(_g_eff > 0, _g_eff * F.col("ead_after_crm")).otherwise(0.0),
         )
-        .withColumn("guarantor_risk_weight", F.when(g > 0, F.col("_g_rw")))
+        .withColumn("guarantor_risk_weight", F.when(_g_eff > 0, F.col("_g_rw")))
         .withColumn(
             "guarantee_benefit_rw",
             F.when(
-                F.col("_g_ben"),
+                _ben_eff,
                 F.col("pre_crm_risk_weight") - F.col("risk_weight"),
             ).otherwise(0.0),
         )
@@ -906,17 +1234,17 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
         )
         .withColumn(
             "guarantee_status",
-            F.when(~(g > 0), "NO_GUARANTEE")
-            .when(~F.col("_g_ben"), "GUARANTEE_NOT_APPLIED_NON_BENEFICIAL")
+            F.when(~(_g_eff > 0), "NO_GUARANTEE")
+            .when(~_ben_eff, "GUARANTEE_NOT_APPLIED_NON_BENEFICIAL")
             .when(_g_m == "dd", "DOUBLE_DEFAULT")
             .when(_g_m == "sub_pd", "PD_PARAMETER_SUBSTITUTION")
             .otherwise("SA_RW_SUBSTITUTION"),
         )
         .withColumn(
             "guarantee_method_used",
-            F.when(F.col("_g_ben") & (_g_m == "dd"), "DOUBLE_DEFAULT")
-            .when((g > 0) & (_g_m == "sub_pd"), "PD_PARAMETER_SUBSTITUTION")
-            .when(F.col("_g_ben"), "SA_RW_SUBSTITUTION")
+            F.when(_ben_eff & (_g_m == "dd"), "DOUBLE_DEFAULT")
+            .when((_g_eff > 0) & (_g_m == "sub_pd"), "PD_PARAMETER_SUBSTITUTION")
+            .when(_ben_eff, "SA_RW_SUBSTITUTION")
             .otherwise("NO_SUBSTITUTION"),
         )
         .withColumn("pre_crm_counterparty_reference", F.col("counterparty_reference"))
@@ -971,6 +1299,15 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
         )
     else:
         el = F.when(F.col("_g_ben"), (F.lit(1.0) - g) * el_own).otherwise(el_own)
+    if has_mg:
+        # stack EL: the fold accumulated per-unit-EAD rates leg by leg in
+        # priority order; the uncovered remainder keeps the obligor rate
+        _el_multi = (
+            F.col("_mgf").getField("el")
+            + (F.lit(1.0) - _mg_g)
+            * (F.col("pd_floored") * F.col("lgd_floored"))
+        ) * F.col("ead_after_crm")
+        el = F.when(_is_multi, _el_multi).otherwise(el)
     return perf, el
 
 
@@ -1999,14 +2336,21 @@ def run_irb(
     exp = exp.withColumn(
         "rwa_sa_equivalent", F.col("ead_after_crm") * sa_equiv_rw
     ).drop("_sa_rw")
+    # per-class PD floor + feature-gated A-IRB LGD floor, staged as real
+    # columns so pd_floored/lgd_floored AND the irb_*_floor audit carriers
+    # read the same expression (ref _pd_floor_expression /
+    # _lgd_floor_blended_expression in engine/irb/formulas.py)
+    exp = exp.withColumn("_pd_floor_in", _pd_floor_class_expr(pack, exp)).withColumn(
+        "_lgd_floor_in", _lgd_floor_expr(pack, exp)
+    )
     exp = exp.withColumn(
         "pd_floored",
         F.when(F.col("is_defaulted"), F.lit(1.0)).otherwise(
-            F.greatest(F.coalesce("pd", F.lit(1.0)), pack.lit("pd_floor"))
+            F.greatest(F.coalesce("pd", F.lit(1.0)), F.col("_pd_floor_in"))
         ),
     ).withColumn(
         "lgd_floored",
-        F.greatest(F.coalesce("lgd", F.lit(0.45)), pack.lit("lgd_floor_unsecured")),
+        F.greatest(F.coalesce("lgd", F.lit(0.45)), F.col("_lgd_floor_in")),
     ).withColumn(
         "m_eff", F.least(F.greatest(F.coalesce("effective_maturity", F.lit(2.5)), F.lit(1.0)), F.lit(5.0))
     )
@@ -2114,10 +2458,10 @@ def run_irb(
     )
     perf = (
         perf.withColumn("irb_pd_original", F.col("pd"))
-        .withColumn("irb_pd_floor", pack.lit("pd_floor"))
+        .withColumn("irb_pd_floor", F.col("_pd_floor_in"))
         .withColumn("irb_pd_floored", F.col("pd_floored"))
         .withColumn("irb_lgd_original", F.col("lgd"))
-        .withColumn("irb_lgd_floor", pack.lit("lgd_floor_unsecured"))
+        .withColumn("irb_lgd_floor", F.col("_lgd_floor_in"))
         .withColumn("irb_lgd_floored", F.col("lgd_floored"))
         .withColumn(
             "irb_lgd_type",
@@ -2160,7 +2504,7 @@ def run_irb(
         .withColumn("irb_pd_original", F.col("pd"))
         .withColumn("irb_pd_floored", F.col("pd_floored"))
         .withColumn("irb_lgd_original", F.col("lgd"))
-        .withColumn("irb_lgd_floor", pack.lit("lgd_floor_unsecured"))
+        .withColumn("irb_lgd_floor", F.col("_lgd_floor_in"))
         .withColumn("irb_lgd_floored", F.col("lgd_floored"))
         .withColumn(
             "irb_lgd_type",

@@ -1403,9 +1403,41 @@ def run_crm(
                 F.lit(0.0),
             ),
         )
+        # per-leg modelled-guarantor carriers ride inside the stack struct
+        # (typed nulls when the bundle declares none) so the IRB channel
+        # can price EVERY leg — parameter substitution needs the leg's
+        # internal PD + Art.161(1) seniority/FSE LGD pick, double default
+        # its class/CQS — without another join (ref engine/irb/guarantee.py
+        # multi-leg waterfall)
+        _leg_pd = (
+            F.col("guarantor_pd").cast("double")
+            if "guarantor_pd" in g.columns
+            else F.lit(None).cast("double")
+        )
+        _leg_sen = (
+            F.col("guarantor_seniority")
+            if "guarantor_seniority" in g.columns
+            else F.lit(None).cast("string")
+        )
+        _leg_fse = (
+            F.col("guarantor_is_fse").cast("boolean")
+            if "guarantor_is_fse" in g.columns
+            else F.lit(None).cast("boolean")
+        )
         _gm_aggs = [
             F.sort_array(
-                F.collect_list(F.struct("rn", "_mg_slice", "_mg_rw"))
+                F.collect_list(
+                    F.struct(
+                        "rn",
+                        "_mg_slice",
+                        "_mg_rw",
+                        _leg_pd.alias("_mg_pd"),
+                        _leg_sen.alias("_mg_sen"),
+                        _leg_fse.alias("_mg_fse"),
+                        F.col("g_class").alias("_mg_gclass"),
+                        F.col("g_cqs").alias("_mg_gcqs"),
+                    )
+                )
             ).alias("_mg_raw")
         ]
         if "guarantee_reference" in g.columns:
@@ -1426,7 +1458,13 @@ def run_crm(
             F.transform(
                 F.col("_mg_raw"),
                 lambda s: F.struct(
-                    s._mg_slice.alias("slice"), s._mg_rw.alias("rw")
+                    s._mg_slice.alias("slice"),
+                    s._mg_rw.alias("rw"),
+                    s._mg_pd.alias("pd"),
+                    s._mg_sen.alias("sen"),
+                    s._mg_fse.alias("fse"),
+                    s._mg_gclass.alias("gclass"),
+                    s._mg_gcqs.alias("gcqs"),
                 ),
             ).alias("_mg"),
         ]

@@ -318,6 +318,10 @@ def run_hierarchy(
     # sub-portfolio (mortgage / qrre / other) and the large-financial flag
     if "retail_subtype" in raw.counterparties.columns:
         dim_cols.append(F.col("retail_subtype"))
+    # QRRE transactor/revolver split (BCBS CRE30.55 — transactors floor
+    # PD at 0.05%, revolvers at 0.10%; absent carrier = revolver floor)
+    if "is_qrre_transactor" in raw.counterparties.columns:
+        dim_cols.append(F.col("is_qrre_transactor"))
     if "is_large_financial" in raw.counterparties.columns:
         dim_cols.append(
             F.coalesce("is_large_financial", F.lit(False)).alias("is_large_financial")

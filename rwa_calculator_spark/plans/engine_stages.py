@@ -211,7 +211,8 @@ WITH ratings AS (
            count(*) OVER (PARTITION BY cp) AS n
     FROM latest
 )
-SELECT cp AS counterparty_reference, cqs AS external_cqs
+SELECT cp AS counterparty_reference, cqs AS external_cqs,
+       agency AS external_rating_agency
 FROM ranked WHERE (n = 1 AND rk = 1) OR (n >= 2 AND rk = 2)
 """
 
@@ -2525,11 +2526,12 @@ def _pma_oracle() -> str:
                0.0005 + CAST(o_orderkey % 10 AS DOUBLE) * 0.0005 AS pd_raw
         FROM orders
     ), fl AS (
-        -- B3.1 PD floor 0.0005 (BCBS CRE36.79) — the pack value run_irb uses
-        SELECT *, greatest(pd_raw, 0.0005) AS pd_f,
-               -- supplied LGD 0.20 floors at the pack's 0.25 unsecured
-               -- LGD floor, exactly as run_irb applies it
-               CAST(0.25 AS DOUBLE) AS lgd_f,
+        -- PS1/26 Art.163(1)(b) retail-MORTGAGE PD floor 0.0010 (the
+        -- class-routed floor run_irb applies; was the flat 0.0005)
+        SELECT *, greatest(pd_raw, 0.0010) AS pd_f,
+               -- Art.164(4)(a) retail-RRE A-IRB LGD floor is 5%, so the
+               -- supplied modelled LGD 0.20 stands
+               CAST(0.20 AS DOUBLE) AS lgd_f,
                CAST(0.15 AS DOUBLE) AS r_c
         FROM loans
     ), g AS (
@@ -3660,4 +3662,446 @@ def crm_multi_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsum(F.col("guaranteed_portion")).alias("guaranteed_portion"),
         fsum(F.col("guarantee_benefit_rw"), 1_000_000.0).alias("benefit_rw_sum"),
         fsum(F.col("rwa")).alias("rwa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IRB multi-guarantee stacking (closes the rank-1 narrowing; ref
+# engine/irb/guarantee.py multi-leg waterfall): up to three guarantees per
+# IRB exposure — a sovereign SA leg, a senior modelled institution leg
+# (parameter substitution through the full Vasicek kernel), a subordinated
+# modelled corporate leg (Art.161(1) 75% LGD) — stack in priority order;
+# each covered slice takes min(own, leg RW) per Art.193(1) and the EL
+# follows each leg's channel. The oracle independently re-derives every
+# leg's kernel (acklam/halley/correlation/K staged at the LEG grain) and
+# folds the priority-ordered terms with explicit left-to-right additions so
+# the sums match the engine's ordered array fold bit-for-bit. Every kernel
+# input is band-constant on (ok%24, ck%5), so per-band min() is exact.
+# ---------------------------------------------------------------------------
+
+
+def _irb_multi_gtee_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+    from rwa_calculator_spark.functions.irb import (
+        sql_capital_k_r,
+        sql_correlation,
+        sql_maturity_adj,
+    )
+    from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
+
+    sa_rw = """CASE gclass
+        WHEN 'institution' THEN CASE gcqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+            WHEN 3 THEN 0.5 WHEN 4 THEN 1.0 ELSE 1.0 END
+        WHEN 'corporate' THEN CASE gcqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+            WHEN 3 THEN 1.0 WHEN 4 THEN 1.0 ELSE 1.5 END
+        ELSE CASE gcqs WHEN 1 THEN 0.0 WHEN 2 THEN 0.2 WHEN 3 THEN 0.5
+            WHEN 4 THEN 1.0 ELSE 1.0 END END"""
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck, o_totalprice AS price
+        FROM orders
+    ), ob AS (
+        SELECT ok, ck, price,
+               CAST(ok % 24 AS INTEGER) AS band_ok,
+               CAST(ck % 5 AS INTEGER) AS band_ck,
+               greatest(coalesce(CAST(1 + ok % 8 AS DOUBLE) / 100.0, 1.0),
+                        0.0003) AS pd_fl,
+               (0.25 + CAST(ok % 2 AS DOUBLE) * 0.20) AS lgd,
+               CAST(2.5 AS DOUBLE) AS m
+        FROM base
+    ), ob1 AS (
+        SELECT *, {sql_acklam_raw('pd_fl')} AS x0 FROM ob
+    ), ob2 AS (
+        SELECT *, {sql_halley_step('x0', 'pd_fl')} AS gq,
+               {sql_correlation('pd_fl')} AS r
+        FROM ob1
+    ), ob3 AS (
+        SELECT *, {sql_capital_k_r('pd_fl', 'lgd', 'gq', 'r')} AS k,
+               {sql_maturity_adj('pd_fl', 'm')} AS ma
+        FROM ob2
+    ), own AS (
+        SELECT ok, ck, price, band_ok, band_ck, pd_fl, lgd,
+               (((k * ma) * 12.5) * 1.06) AS rw_own
+        FROM ob3
+    ), legs0 AS (
+        SELECT ok, 'G1_' || ok AS gref, 'sovereign' AS gclass, 1 AS gcqs,
+               CAST(NULL AS DOUBLE) AS gpd, 'senior' AS sen,
+               CAST(0.5 + (ok % 4) * 0.125 AS DOUBLE) AS cov
+        FROM base WHERE ok % 3 = 0
+        UNION ALL
+        SELECT ok, 'G2_' || ok, 'institution', 2,
+               CAST(1 + ck % 5 AS DOUBLE) / 1000.0, 'senior',
+               CAST(0.375 + (ok % 4) * 0.125 AS DOUBLE)
+        FROM base WHERE ok % 6 = 0
+        UNION ALL
+        SELECT ok, 'G3_' || ok, 'corporate', 4,
+               CAST(2 + ck % 5 AS DOUBLE) / 1000.0, 'subordinated',
+               CAST(0.25 AS DOUBLE)
+        FROM base WHERE ok % 12 = 0
+    ), l1 AS (
+        SELECT *, CASE WHEN gpd IS NOT NULL
+                       THEN greatest(gpd, 0.0003) END AS pdg,
+               CASE sen WHEN 'subordinated' THEN 0.75 ELSE 0.45 END AS lgdg,
+               CAST(2.5 AS DOUBLE) AS gm
+        FROM legs0
+    ), l2 AS (
+        SELECT *, {sql_acklam_raw('pdg')} AS x0g FROM l1
+    ), l3 AS (
+        SELECT *, {sql_halley_step('x0g', 'pdg')} AS gqg,
+               {sql_correlation('pdg')} AS rg
+        FROM l2
+    ), l4 AS (
+        SELECT *, {sql_capital_k_r('pdg', 'lgdg', 'gqg', 'rg')} AS kg,
+               {sql_maturity_adj('pdg', 'gm')} AS mag
+        FROM l3
+    ), legs AS (
+        SELECT ok, gref, gclass, cov, pdg, lgdg,
+               CASE WHEN pdg IS NOT NULL THEN (((kg * mag) * 12.5) * 1.06)
+                    ELSE ({sa_rw}) END AS rw_leg
+        FROM l4
+    ), ranked AS (
+        SELECT g.*, w.rw_own, (w.pd_fl * w.lgd) AS rate_own,
+               row_number() OVER (
+                   PARTITION BY g.ok ORDER BY g.cov DESC, g.gclass, g.gref
+               ) AS rn,
+               sum(g.cov) OVER (
+                   PARTITION BY g.ok ORDER BY g.cov DESC, g.gclass, g.gref
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM legs g JOIN own w ON g.ok = w.ok
+    ), sliced AS (
+        SELECT ok, rn, rw_own, rate_own, rw_leg, pdg, lgdg,
+               greatest(least(cov, 1.0 - (cum - cov)), 0.0) AS sl
+        FROM ranked
+    ), terms AS (
+        SELECT ok, rn, rw_own, rate_own,
+               (sl * least(rw_own, coalesce(rw_leg, rw_own))) AS ct,
+               CASE WHEN rw_leg < rw_own THEN
+                        CASE WHEN pdg IS NOT NULL THEN ((sl * pdg) * lgdg)
+                             ELSE 0.0 END
+                    ELSE (sl * rate_own) END AS elt,
+               sl, rw_leg
+        FROM sliced
+    ), folded AS (
+        -- explicit left-to-right additions mirror the engine's ordered
+        -- array fold bit-for-bit (n <= 3 by construction)
+        SELECT ok, count(*) AS n_g,
+               ((coalesce(max(CASE WHEN rn = 1 THEN sl END), 0.0)
+                 + coalesce(max(CASE WHEN rn = 2 THEN sl END), 0.0))
+                 + coalesce(max(CASE WHEN rn = 3 THEN sl END), 0.0)) AS g_total,
+               ((coalesce(max(CASE WHEN rn = 1 THEN ct END), 0.0)
+                 + coalesce(max(CASE WHEN rn = 2 THEN ct END), 0.0))
+                 + coalesce(max(CASE WHEN rn = 3 THEN ct END), 0.0)) AS t,
+               ((coalesce(max(CASE WHEN rn = 1 THEN elt END), 0.0)
+                 + coalesce(max(CASE WHEN rn = 2 THEN elt END), 0.0))
+                 + coalesce(max(CASE WHEN rn = 3 THEN elt END), 0.0)) AS elf,
+               max(CASE WHEN rn = 1 THEN sl END) AS sl1,
+               max(CASE WHEN rn = 1 THEN rw_leg END) AS rw1
+        FROM terms GROUP BY ok
+    ), ledger AS (
+        SELECT w.band_ok, w.band_ck, w.price,
+               coalesce(f.n_g, 0) AS n_guarantees,
+               CASE WHEN f.ok IS NULL THEN w.rw_own
+                    WHEN f.n_g = 1 THEN
+                        -- legacy rank-1 blend (sovereign SA leg only at n=1)
+                        ((1.0 - f.sl1) * w.rw_own) + (f.sl1 * f.rw1)
+                    ELSE f.t + ((1.0 - f.g_total) * w.rw_own) END AS rw,
+               CASE WHEN f.ok IS NULL THEN ((w.pd_fl * w.lgd) * w.price)
+                    WHEN f.n_g = 1 THEN
+                        -- n=1 sovereign leg is always beneficial (rw 0):
+                        -- legacy sub_sa EL = (1-g) * el_own
+                        ((1.0 - f.sl1) * ((w.pd_fl * w.lgd) * w.price))
+                    ELSE (f.elf + ((1.0 - f.g_total) * (w.pd_fl * w.lgd)))
+                         * w.price END AS el
+        FROM own w LEFT JOIN folded f ON w.ok = f.ok
+    )
+    SELECT band_ok, band_ck, CAST(n_guarantees AS INTEGER) AS n_guarantees,
+           count(*) AS n_rows,
+           round(min(rw), 8) AS rw,
+           round(min(rw) * ({sql_scaled_sum('price', 2)}), 2) AS rwa,
+           round(min(el / price) * ({sql_scaled_sum('price', 2)}), 2) AS el_amt
+    FROM ledger GROUP BY 1, 2, 3
+    """
+
+
+@query(
+    "irb_multi_guarantee",
+    oracle=_irb_multi_gtee_oracle(),
+    tags=("engine", "irb", "crm", "tolerant"),
+)
+def irb_multi_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stacked multi-guarantee protection on the IRB channel through the
+    REAL pipeline (closes the rank-1 narrowing; ref engine/irb/guarantee.py
+    multi-leg waterfall): sovereign SA leg + senior modelled institution
+    leg (parameter substitution, full Vasicek with the guarantor's floored
+    PD) + subordinated modelled corporate leg (Art.161(1) 75% LGD) stack
+    in priority order over a corporate A-IRB book; each covered slice is
+    neutral-or-beneficial per Art.193(1) and the EL follows each leg's
+    channel (PD-substituted slices re-price at PD_g·LGD_g, SA-substituted
+    slices drop EL, uncovered keeps the obligor rate). Single-guarantee
+    rows price through the legacy rank-1 blend — pinned here too."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(3).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(2.0e8).alias("annual_revenue"),
+        F.lit(True).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        ((1 + F.col("o_orderkey") % 8).cast("double") / F.lit(100.0)).alias("pd"),
+        (F.lit(0.25) + (F.col("o_orderkey") % 2).cast("double") * F.lit(0.20)).alias(
+            "lgd"
+        ),
+        F.lit(2.5).alias("effective_maturity"),
+    )
+
+    def _g(pred, tag, gclass, gcqs, cov, gpd, sen):
+        return o.where(pred).select(
+            F.concat(F.lit(tag), F.col("o_orderkey")).alias("guarantee_reference"),
+            F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+            cov.alias("coverage_pct"),
+            F.lit(gclass).alias("guarantor_class"),
+            F.lit(gcqs).cast("int").alias("guarantor_cqs"),
+            F.concat(F.lit("GTOR_"), F.col("o_orderkey")).alias(
+                "guarantor_reference"
+            ),
+            gpd.alias("guarantor_pd"),
+            F.lit(sen).alias("guarantor_seniority"),
+        )
+
+    eighth = (F.col("o_orderkey") % 4).cast("double") * 0.125
+    gtees = (
+        _g(
+            F.col("o_orderkey") % 3 == 0, "G1_", "sovereign", 1,
+            F.lit(0.5) + eighth, F.lit(None).cast("double"), "senior",
+        )
+        .unionByName(
+            _g(
+                F.col("o_orderkey") % 6 == 0, "G2_", "institution", 2,
+                F.lit(0.375) + eighth,
+                (1 + F.col("o_custkey") % 5).cast("double") / F.lit(1000.0),
+                "senior",
+            )
+        )
+        .unionByName(
+            _g(
+                F.col("o_orderkey") % 12 == 0, "G3_", "corporate", 4,
+                F.lit(0.25),
+                (2 + F.col("o_custkey") % 5).cast("double") / F.lit(1000.0),
+                "subordinated",
+            )
+        )
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, guarantees=gtees),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    keys = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        (F.col("o_orderkey") % 24).cast("int").alias("band_ok"),
+        (F.col("o_custkey") % 5).cast("int").alias("band_ck"),
+    )
+    r = out.results.join(keys, "exposure_reference")
+    return r.groupBy(
+        "band_ok",
+        "band_ck",
+        F.coalesce(F.size("guarantee_references"), F.lit(0))
+        .cast("int")
+        .alias("n_guarantees"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("risk_weight"), 8).alias("rw"),
+        F.round(
+            F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2
+        ).alias("rwa"),
+        F.round(
+            F.min(F.col("expected_loss") / F.col("ead_after_crm"))
+            * scaled_sum(F.col("ead_after_crm"), 2),
+            2,
+        ).alias("el_amt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-class IRB PD floors + A-IRB LGD input floors under B3.1 (ref
+# engine/irb/formulas.py _pd_floor_expression / _lgd_floor_expression +
+# rulebook/packs/b31.py pd_floors / lgd_floors; PS1/26 Art.160(1)/163(1) +
+# Art.161(5)/164(4), BCBS CRE30.55-56): retail mortgages and QRRE revolvers
+# floor PD at 0.10% (transactors and everything else 0.05%); A-IRB LGDs
+# floor at 25% corporate / 5% RRE / 50% QRRE / 30% other retail. The book
+# spans sovereign / corporate / retail-mortgage / QRRE(transactor+revolver)
+# obligors with PDs straddling every floor and LGDs straddling every LGD
+# floor; the oracle re-derives the whole routing and the per-class Vasicek.
+# ---------------------------------------------------------------------------
+
+
+def _irb_floor_routing_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+    from rwa_calculator_spark.functions.irb import (
+        sql_capital_k_r,
+        sql_correlation,
+        sql_correlation_other_retail,
+        sql_maturity_adj,
+    )
+    from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
+
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck,
+               o_totalprice / 1000.0 AS ead
+        FROM orders
+    ), classified AS (
+        SELECT *,
+               CASE CAST(ck % 4 AS INTEGER)
+                    WHEN 0 THEN 'sovereign' WHEN 1 THEN 'corporate'
+                    ELSE 'retail' END AS exposure_class,
+               CASE CAST(ck % 4 AS INTEGER)
+                    WHEN 2 THEN 'mortgage'
+                    WHEN 3 THEN CASE WHEN ck % 8 = 3 THEN 'qrre_t'
+                                     ELSE 'qrre_r' END END AS subtype,
+               (0.0001 + CAST(ok % 6 AS DOUBLE) * 0.0002) AS pd_raw,
+               (0.05 + CAST(ok % 5 AS DOUBLE) * 0.10) AS lgd_raw,
+               CAST(2.5 AS DOUBLE) AS m
+        FROM base
+    ), floored AS (
+        SELECT *,
+               greatest(pd_raw, CASE
+                   WHEN exposure_class = 'sovereign' THEN 0.0005
+                   WHEN subtype = 'mortgage' THEN 0.0010
+                   WHEN subtype = 'qrre_r' THEN 0.0010
+                   ELSE 0.0005 END) AS pd_f,
+               greatest(lgd_raw, CASE
+                   WHEN subtype = 'mortgage' THEN 0.05
+                   WHEN subtype IN ('qrre_t', 'qrre_r') THEN 0.50
+                   WHEN exposure_class = 'retail' THEN 0.30
+                   ELSE 0.25 END) AS lgd_f
+        FROM classified
+    ), g1 AS (
+        SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM floored
+    ), g2 AS (
+        SELECT * EXCLUDE (x0), {sql_halley_step('x0', 'pd_f')} AS g_pd FROM g1
+    ), routed AS (
+        SELECT *,
+               CASE WHEN subtype = 'mortgage' THEN 0.15
+                    WHEN subtype IN ('qrre_t', 'qrre_r') THEN 0.04
+                    WHEN exposure_class = 'retail'
+                        THEN {sql_correlation_other_retail('pd_f')}
+                    ELSE {sql_correlation('pd_f')} END AS r_c
+        FROM g2
+    ), k AS (
+        SELECT *, {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_c')} AS kv
+        FROM routed
+    ), priced AS (
+        -- B3.1: scaling 1.0; retail takes no maturity adjustment
+        SELECT exposure_class, subtype, ok, ck, ead, pd_f, lgd_f,
+               (kv * CASE WHEN exposure_class = 'retail' THEN 1.0
+                          ELSE {sql_maturity_adj('pd_f', 'm')} END * 12.5)
+                   AS rw
+        FROM k
+    )
+    SELECT exposure_class, coalesce(subtype, '-') AS subtype,
+           CAST(ok % 6 AS INTEGER) AS band_pd,
+           CAST(ok % 5 AS INTEGER) AS band_lgd,
+           count(*) AS n_rows,
+           round(min(pd_f), 8) AS pd_floored,
+           round(min(lgd_f), 8) AS lgd_floored,
+           round(min(rw), 8) AS rw,
+           round(min(rw) * ({sql_scaled_sum('ead', 2)}), 2) AS rwa
+    FROM priced GROUP BY 1, 2, 3, 4
+    """
+
+
+@query(
+    "irb_floor_routing",
+    oracle=_irb_floor_routing_oracle(),
+    tags=("engine", "irb", "tolerant"),
+)
+def irb_floor_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class B3.1 IRB parameter floors through the REAL pipeline (ref
+    engine/irb/formulas.py _pd_floor_expression / _lgd_floor_expression;
+    PS1/26 Art.160(1)/163(1) + Art.161(5)/164(4)): sovereign / corporate /
+    retail-mortgage / QRRE transactor+revolver obligors with PDs straddling
+    the 0.05% and 0.10% floors and modelled LGDs straddling the 25% / 5% /
+    50% / 30% A-IRB floors — the oracle re-derives the full routing, the
+    subtype-specific correlations, and the retail no-MA Vasicek."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ckm = (F.col("c_custkey") % 4).cast("int")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(ckm == 0, "sovereign")
+        .when(ckm == 1, "corporate")
+        .otherwise("individual")
+        .alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        (ckm >= 2).alias("is_managed_as_retail"),
+        F.lit(2.0e8).alias("annual_revenue"),
+        F.lit(True).alias("has_irb_permission"),
+        F.when(ckm == 2, "mortgage")
+        .when(ckm == 3, "qrre")
+        .alias("retail_subtype"),
+        F.when(ckm == 3, F.col("c_custkey") % 8 == 3).alias("is_qrre_transactor"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        (F.col("o_totalprice") / F.lit(1000.0)).alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        (F.lit(0.0001) + (F.col("o_orderkey") % 6).cast("double") * F.lit(0.0002)).alias(
+            "pd"
+        ),
+        (F.lit(0.05) + (F.col("o_orderkey") % 5).cast("double") * F.lit(0.10)).alias(
+            "lgd"
+        ),
+        F.lit(2.5).alias("effective_maturity"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=B31_PACK, persist_edges=True),
+    )
+    _km = (F.col("o_custkey") % 4).cast("int")
+    keys = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        (F.col("o_orderkey") % 6).cast("int").alias("band_pd"),
+        (F.col("o_orderkey") % 5).cast("int").alias("band_lgd"),
+        # the ledger seal drops the routing inputs — re-derive the subtype
+        # band from the SAME custkey mapping the book used
+        F.when(_km == 2, "mortgage")
+        .when(
+            _km == 3,
+            F.when(F.col("o_custkey") % 8 == 3, "qrre_t").otherwise("qrre_r"),
+        )
+        .otherwise("-")
+        .alias("subtype"),
+    )
+    r = out.results.join(keys, "exposure_reference")
+    return r.groupBy(
+        "exposure_class",
+        "subtype",
+        "band_pd",
+        "band_lgd",
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("irb_pd_floored"), 8).alias("pd_floored"),
+        F.round(F.min("irb_lgd_floored"), 8).alias("lgd_floored"),
+        F.round(F.min("risk_weight"), 8).alias("rw"),
+        F.round(
+            F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2
+        ).alias("rwa"),
     )

@@ -751,7 +751,11 @@ _SQL_B31_SIDE = f"""
         SELECT *,
                CASE WHEN is_defaulted THEN 1.0
                     ELSE greatest(coalesce(pd, 1.0), 0.0005) END AS pd_f,
-               greatest(coalesce(lgd, 0.45), 0.25) AS lgd_f,
+               -- PS1/26 Art.161(5)/164(4) class-routed A-IRB LGD floors:
+               -- retail (no subtype carrier => retail_other) 30%, else 25%
+               greatest(coalesce(lgd, 0.45),
+                        CASE WHEN exposure_class = 'retail'
+                             THEN 0.30 ELSE 0.25 END) AS lgd_f,
                least(greatest(coalesce(m, 2.5), 1.0), 5.0) AS m_eff
         FROM b_ead
     ), b_rw AS (

@@ -1073,8 +1073,9 @@ def test_b31_sa_specialised_lending_art122a(spark):
 
 
 def test_b31_post_model_adjustments_sequencing(spark):
-    # PS1/26 Art.154(4A): one retail-mortgage IRB loan, PD at the 0.0005
-    # B3.1 floor, LGD floored to 0.25, EAD 1000. Retail mortgage R = 0.15,
+    # PS1/26 Art.154(4A): one retail-mortgage IRB loan, PD 0.0005 floored
+    # to the Art.163(1)(b) retail-MORTGAGE 0.0010 floor, LGD 0.25 (above
+    # the Art.164(4)(a) 5% RRE floor), EAD 1000. Retail mortgage R = 0.15,
     # no maturity adjustment, scaling 1.0. The modelled RW lands ~2.6%,
     # far below the 10% floor, so with PMA 5% / unrecognised 2% / EL 10%:
     #   mortgage_adj = (0.10 − rw_model) × 1000
@@ -1112,7 +1113,8 @@ def test_b31_post_model_adjustments_sequencing(spark):
     assert r.unrecognised_exposure_adjustment == pytest.approx(2.0)
     # rwa_pre_floor is the post-PMA, pre-OUTPUT-floor figure
     assert r.rwa_pre_floor == pytest.approx(107.0)
-    assert r.el_pre_adjustment == pytest.approx(0.0005 * 0.25 * 1000.0)
+    # EL prices on the FLOORED PD (retail-mortgage floor 0.0010)
+    assert r.el_pre_adjustment == pytest.approx(0.0010 * 0.25 * 1000.0)
     assert r.post_model_adjustment_el == pytest.approx(r.el_pre_adjustment * 0.10)
     assert r.el_after_adjustment == pytest.approx(r.el_pre_adjustment * 1.10)
     # expected_loss keeps the PRE-PMA value (the reference's contract)
