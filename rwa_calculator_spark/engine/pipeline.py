@@ -78,6 +78,13 @@ class PipelineConfig:
     # only the PRA Rules 4.2/4.3 equity transitional RW phase-in (ref
     # contracts/config.py reporting_date). None = schedules do not fire.
     reporting_date: str | None = None
+    # CRR Art.162(1) second sentence / Art.143: the firm's election to use
+    # the FIXED F-IRB supervisory maturity (2.5y) instead of the per-
+    # exposure Art.162(2) derivation. CRR-only (pack feature); default off
+    # = date-derived M unchanged (ref contracts/config.py
+    # firb_fixed_maturity, engine/irb/transforms.py
+    # _apply_firb_fixed_supervisory_maturity).
+    firb_fixed_maturity: bool = False
     # Opt-in audit-cache sink (ref observability/audit_cache.py): a
     # cross-cutting diagnostics side-effect called with (name, frame) at
     # existing hook points. None (default) = no-op. The sink materialises
@@ -266,6 +273,8 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
                 config.pma_el_scalar,
                 config.pma_unrecognised_scalar,
             ),
+            firb_fixed_maturity=config.firb_fixed_maturity,
+            reporting_date=config.reporting_date,
         ),
     ]
     if pools is not None:

@@ -415,6 +415,26 @@ CRR_PACK = RulePack(
         # CRR carries no A-IRB LGD input floors (Art.161 sets F-IRB
         # supervisory LGDs, not A-IRB floors) — feature off
         "airb_lgd_floor": RuleEntry(_D("0"), "CRR — no A-IRB LGD floors"),
+        # Art.162 maturity-treatment regime features (ref rulebook/packs/
+        # crr.py — PS1/26 drops the one-day derivation and the fixed F-IRB
+        # limb but adds the revolving termination-date rung)
+        "one_day_maturity_floor": RuleEntry(
+            _D("1"), "CRR Art.162(3)(b) short-term trade-finance one-day floor"
+        ),
+        "revolving_uses_termination_maturity": RuleEntry(
+            _D("0"), "CRR Art.162 — standard M derivation for revolvers"
+        ),
+        "firb_fixed_supervisory_maturity": RuleEntry(
+            _D("1"), "CRR Art.162(1) fixed F-IRB supervisory M (Art.143 election)"
+        ),
+        "firb_fixed_supervisory_maturity_years": RuleEntry(
+            _D("2.5"), "CRR Art.162(1)"
+        ),
+        # Art.213(1)(c)(i): unilateral CANCEL makes UCP ineligible in both
+        # regimes; the unilateral-CHANGE arm is PS1/26-only
+        "ucp_unilateral_change_ineligible": RuleEntry(
+            _D("0"), "CRR Art.213(1)(c)(i) — cancel arm only"
+        ),
         # CRR Art.153(1): RWA = 12.5 · 1.06 · K · EAD for non-defaulted IRB
         "irb_scaling_factor": RuleEntry(_D("1.06"), "CRR Art.153(1)"),
         "output_floor_alpha": RuleEntry(_D("0.0"), "n/a in CRR"),
@@ -549,6 +569,21 @@ B31_PACK = RulePack(
         "lgd_floor_unsecured": RuleEntry(_D("0.25"), "BCBS CRE36.86"),
         "airb_lgd_floor": RuleEntry(
             _D("1"), "PS1/26 Art.161(5)/164(4) A-IRB LGD input floors"
+        ),
+        "one_day_maturity_floor": RuleEntry(
+            _D("0"), "PS1/26 Art.162 — no one-day-floor derivation"
+        ),
+        "revolving_uses_termination_maturity": RuleEntry(
+            _D("1"), "PS1/26 Art.162(2A)(k) revolvers use facility termination date"
+        ),
+        "firb_fixed_supervisory_maturity": RuleEntry(
+            _D("0"), "PS1/26 Art.162(1) left blank — no fixed F-IRB M"
+        ),
+        "firb_fixed_supervisory_maturity_years": RuleEntry(
+            _D("2.5"), "n/a under PS1/26 (feature off)"
+        ),
+        "ucp_unilateral_change_ineligible": RuleEntry(
+            _D("1"), "PS1/26 Art.213(1)(c)(i) — adds the unilateral-change arm"
         ),
         # scaling factor removed under Basel 3.1 (BCBS CRE30-36 / PS1/26)
         "irb_scaling_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
@@ -775,7 +810,9 @@ REQUIRED_SCALARS = (
     "defaulted_rw_secured", "unrated_corp_rw", "sme_supporting_factor",
     "sme_factor_above_threshold", "sme_exposure_threshold",
     "infra_supporting_factor", "pd_floor", "lgd_floor_unsecured",
-    "airb_lgd_floor",
+    "airb_lgd_floor", "one_day_maturity_floor",
+    "revolving_uses_termination_maturity", "firb_fixed_supervisory_maturity",
+    "firb_fixed_supervisory_maturity_years", "ucp_unilateral_change_ineligible",
     "irb_scaling_factor", "output_floor_alpha", "fx_haircut",
     "fcsm_rw_floor", "saccr_alpha", "pfe_multiplier_floor",
     "secsa_ksa", "secsa_p", "secsa_p_sts", "secsa_floor_rw",

@@ -215,13 +215,12 @@ _RESULT_COLS = [
     # stage), the covered/retained EAD split, substitute weight, isolated
     # benefit, and the status/method enums plus pre/post-substitution
     # counterparty tracking (SA and IRB calculators). guarantee_references
-    # is a 0/1-element list — this engine's substitution channel prices
-    # ONE (first-wins) guarantee per exposure, a recorded narrowing of the
-    # reference's multi-guarantee waterfall (the waterfall shape itself is
-    # driver-proven by window_cumsum_waterfall).
+    # carries the FULL priority-ordered stack (both channels price every
+    # leg since the round-7 multi-guarantee fold); the 0/1-element fill is
+    # only the fallback for direct-call frames without the crm stack.
     "guarantee_references",
     # guarantor counterparty ids as a list (ref :2973 guarantor_references
-    # — same 0/1-element narrowing as guarantee_references),
+    # — same stack ordering as guarantee_references),
     "guarantor_references",
     "protection_type",
     "guarantee_coverage_pct",
@@ -890,10 +889,9 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     el_own = F.col("pd_floored") * F.col("lgd_floored") * F.col("ead_after_crm")
     if "g_class" not in perf.columns:
         return perf, el_own
-    # IRB unfunded protection keys on the RANK-1 guarantee only (recorded
-    # narrowing — the multi-guarantee stack prices on the SA substitution
-    # channel; parameter substitution / double default with several
-    # modelled guarantors on one exposure stays single-best)
+    # rank-1 scalars price the n<=1 books bit-for-bit and feed the
+    # priority-1 audit carriers; exposures with 2+ guarantees take the
+    # multi-leg stack fold below (every leg through its own channel)
     g = F.coalesce("g_coverage", F.lit(0.0))
 
     grw = pack.table_df(spark, "sa_rw").select(
@@ -2301,6 +2299,8 @@ def run_irb(
     pack: RulePack,
     dictionary: bool = True,
     pma: tuple = (0.0, 0.0, 0.0),
+    firb_fixed_maturity: bool = False,
+    reporting_date: str | None = None,
 ) -> CalcOutput:
     spark = crm.exposures.sparkSession
     exp = crm.exposures.where(
@@ -2351,8 +2351,78 @@ def run_irb(
     ).withColumn(
         "lgd_floored",
         F.greatest(F.coalesce("lgd", F.lit(0.45)), F.col("_lgd_floor_in")),
-    ).withColumn(
-        "m_eff", F.least(F.greatest(F.coalesce("effective_maturity", F.lit(2.5)), F.lit(1.0)), F.lit(5.0))
+    )
+    # Art.162 maturity priority chain (ref engine/irb/transforms.py
+    # _build_maturity_exprs — highest rung wins):
+    #   1. supplied effective_maturity = the firm's own Art.162(2) figure,
+    #      trusted to the [1 day, 5y] clip (the 1-year floor is the firm's
+    #      to apply; carve-outs may legitimately sit below it)
+    #   2. the Art.162(3) one-day carve-out flag — explicit column, or
+    #      derived under the CRR-only Art.162(3)(b) feature from
+    #      self-liquidating short-term trade finance with residual <= 1y
+    #   3. B3.1 revolvers price to the facility termination date
+    #      (PS1/26 Art.162(2A)(k), feature-gated, needs reporting_date)
+    #   4. F-IRB fixed supervisory 2.5y (CRR Art.162(1) first sentence;
+    #      only under the firm's Art.143 election — config, default off)
+    #   5. fallback 2.5y
+    _one_day = (
+        F.coalesce("has_one_day_maturity_floor", F.lit(False))
+        if "has_one_day_maturity_floor" in exp.columns
+        else F.lit(False)
+    )
+    if (
+        pack.scalar("one_day_maturity_floor") >= 1.0
+        and "is_short_term_trade_lc" in exp.columns
+    ):
+        _resid_cands = [
+            c
+            for c in ("residual_maturity_years", "original_maturity_years")
+            if c in exp.columns
+        ]
+        if _resid_cands:
+            _resid = F.coalesce(*[F.col(c) for c in _resid_cands])
+            _one_day = _one_day | (
+                F.coalesce("is_short_term_trade_lc", F.lit(False))
+                & (_resid <= 1.0)
+            )
+    _m_base = F.lit(2.5)
+    if (
+        pack.scalar("revolving_uses_termination_maturity") >= 1.0
+        and reporting_date is not None
+        and "is_revolving" in exp.columns
+        and "facility_termination_date" in exp.columns
+    ):
+        _term_y = (
+            F.datediff(
+                F.col("facility_termination_date").cast("date"),
+                F.lit(reporting_date).cast("date"),
+            )
+            / F.lit(365.0)
+        )
+        _m_base = F.when(
+            F.coalesce("is_revolving", F.lit(False)) & _term_y.isNotNull(),
+            F.least(F.greatest(_term_y, F.lit(1.0)), F.lit(5.0)),
+        ).otherwise(_m_base)
+    if (
+        firb_fixed_maturity
+        and pack.scalar("firb_fixed_supervisory_maturity") >= 1.0
+        and "irb_subapproach" in exp.columns
+    ):
+        _m_base = F.when(
+            F.col("irb_subapproach") == "firb",
+            pack.lit("firb_fixed_supervisory_maturity_years"),
+        ).otherwise(_m_base)
+    exp = exp.withColumn(
+        "m_eff",
+        F.when(
+            F.col("effective_maturity").isNotNull(),
+            F.least(
+                F.greatest(F.col("effective_maturity"), F.lit(1.0 / 365.0)),
+                F.lit(5.0),
+            ),
+        )
+        .when(_one_day, F.lit(1.0 / 365.0))
+        .otherwise(_m_base),
     )
 
     perf = exp.where(F.col("pd_floored") < 1.0)

@@ -1351,7 +1351,48 @@ def run_crm(
         gcols.append(ptype.alias("protection_type"))
         gcols.append(restr_hc.alias("guarantee_restructuring_haircut"))
         gcols.append(fx_hc.alias("guarantee_fx_haircut"))
-        g = raw.guarantees.select(*gcols)
+        # Art.213(1)(c)(i) UCP eligibility gate (ref crm/guarantees.py:258
+        # _gate_unilateral_protection): protection the provider can
+        # unilaterally CANCEL is ineligible under both regimes; protection
+        # whose terms the provider can unilaterally CHANGE (raising its
+        # effective cost) is additionally ineligible under PS1/26 — the
+        # change arm is the pack-gated ucp_unilateral_change_ineligible
+        # feature. Nulls are permissive (no known defect => eligible).
+        # Dropped guarantees leave the exposure un-guaranteed and flag
+        # CRM012 into the data-quality list carriers.
+        g_src = raw.guarantees
+        _ucp_dq = None
+        _has_cancel = "is_unilaterally_cancellable" in g_src.columns
+        _has_change = "is_unilaterally_changeable" in g_src.columns
+        if _has_cancel or _has_change:
+            _inel = F.lit(False)
+            if _has_cancel:
+                _inel = _inel | F.coalesce(
+                    "is_unilaterally_cancellable", F.lit(False)
+                )
+            if (
+                _has_change
+                and pack.scalar("ucp_unilateral_change_ineligible") >= 1.0
+            ):
+                _inel = _inel | F.coalesce(
+                    "is_unilaterally_changeable", F.lit(False)
+                )
+            _gref = (
+                F.col("guarantee_reference")
+                if "guarantee_reference" in g_src.columns
+                else F.lit("guarantee")
+            )
+            _ucp_dq = (
+                g_src.where(_inel)
+                .groupBy("exposure_reference")
+                .agg(
+                    F.sort_array(
+                        F.collect_set(F.concat(F.lit("CRM012:"), _gref))
+                    ).alias("_dq_ucp")
+                )
+            )
+            g_src = g_src.where(~_inel)
+        g = g_src.select(*gcols)
         # the DECLARED '% of exposure guaranteed' survives as its own
         # column (ref guarantee_coverage_pct contract — declared, not
         # effective); the Art.233(3) haircuts fold into the pricing
@@ -1485,6 +1526,8 @@ def run_crm(
         exp = exp.join(F.broadcast(g1), "exposure_reference", "left").join(
             F.broadcast(gm), "exposure_reference", "left"
         )
+        if _ucp_dq is not None:
+            exp = exp.join(F.broadcast(_ucp_dq), "exposure_reference", "left")
     else:
         exp = (
             exp.withColumn("g_coverage", F.lit(0.0))
@@ -1498,7 +1541,7 @@ def run_crm(
     )
     # guarantee provenance (ref schemas.py:2925-2926): this engine's
     # guarantee channel resolves on exposure_reference only (recorded
-    # narrowing — the single first-wins substitution guarantee), so a
+    # narrowing — guarantees never inherit down the facility tree), so a
     # priced guarantee is always exposure-level and never inherited
     exp = exp.withColumn(
         "guarantee_source_level",
@@ -1552,7 +1595,7 @@ def run_crm(
     _empty = F.array().cast("array<string>")
     _dq_parts = [
         F.coalesce(F.col(c), _empty)
-        for c in ("_dq_own_issue", "_dq_netting")
+        for c in ("_dq_own_issue", "_dq_netting", "_dq_ucp")
         if c in exp.columns
     ]
     _dq = F.concat(*_dq_parts) if _dq_parts else _empty
@@ -1566,11 +1609,26 @@ def run_crm(
                     F.lit("CRM015 own-issue collateral excluded (Art.194(4)): "),
                     F.regexp_replace(s, "^CRM015:", ""),
                 ),
-            ).otherwise(s),
+            )
+            .when(
+                s.startswith("CRM012"),
+                F.concat(
+                    F.lit(
+                        "CRM012 guarantee ineligible — unilateral"
+                        " cancel/change clause (Art.213(1)(c)(i)): "
+                    ),
+                    F.regexp_replace(s, "^CRM012:", ""),
+                ),
+            )
+            .otherwise(s),
         ),
     )
     exp = exp.drop(
-        *[c for c in ("_dq_own_issue", "_dq_netting") if c in exp.columns]
+        *[
+            c
+            for c in ("_dq_own_issue", "_dq_netting", "_dq_ucp")
+            if c in exp.columns
+        ]
     )
 
     return CRMOutput(exposures=exp)

@@ -137,6 +137,14 @@ def run_hierarchy(
         # lets a negative-drawn (deposit) loan net its positive-drawn
         # siblings — consumed by run_crm's netting kernel
         "netting_agreement_reference",
+        # Art.162 maturity-chain inputs (ref engine/irb/transforms.py
+        # _build_maturity_exprs): the explicit one-day carve-out flag,
+        # the trade-finance derivation inputs, and the B3.1 revolving
+        # termination date
+        "has_one_day_maturity_floor",
+        "is_short_term_trade_lc",
+        "residual_maturity_years",
+        "facility_termination_date",
     ):
         if opt in raw.loans.columns:
             loan_cols.append(F.col(opt))
@@ -166,6 +174,9 @@ def run_hierarchy(
             "original_maturity_years",
             "book_code",
             "original_maturity_date",
+            "has_one_day_maturity_floor",
+            "residual_maturity_years",
+            "facility_termination_date",
         ):
             if opt in raw.contingents.columns:
                 cont_cols.append(F.col(opt))

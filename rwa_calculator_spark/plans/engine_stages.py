@@ -4105,3 +4105,142 @@ def irb_floor_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2
         ).alias("rwa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Art.162 maturity priority chain + Art.213(1)(c)(i) UCP gate (ref
+# engine/irb/transforms.py _build_maturity_exprs + engine/crm/guarantees.py
+# _gate_unilateral_protection): supplied effective maturities are the firm's
+# own Art.162(2) figures trusted to the [1 day, 5y] clip; short-term trade
+# finance with residual <= 1y derives the CRR Art.162(3)(b) one-day floor;
+# everything else defaults to 2.5y. A guarantee the provider can
+# unilaterally cancel is ineligible (CRM012) and its exposure prices
+# unguaranteed.
+# ---------------------------------------------------------------------------
+
+
+def _irb_maturity_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+    from rwa_calculator_spark.functions.irb import (
+        sql_capital_k_r,
+        sql_correlation,
+        sql_maturity_adj,
+    )
+    from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
+
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey AS ok, o_totalprice AS ead,
+               greatest(coalesce(CAST(1 + o_orderkey % 8 AS DOUBLE) / 100.0,
+                        1.0), 0.0003) AS pd_fl,
+               CAST(0.45 AS DOUBLE) AS lgd,
+               -- the engine's maturity rungs, re-derived: supplied 0.5 /
+               -- supplied 3.0 / trade-LC one-day carve-out / 2.5 default
+               CASE CAST(o_orderkey % 4 AS INTEGER)
+                    WHEN 0 THEN least(greatest(CAST(0.5 AS DOUBLE),
+                                               (1.0 / 365.0)), 5.0)
+                    WHEN 1 THEN least(greatest(CAST(3.0 AS DOUBLE),
+                                               (1.0 / 365.0)), 5.0)
+                    WHEN 2 THEN (1.0 / 365.0)
+                    ELSE CAST(2.5 AS DOUBLE) END AS m
+        FROM orders
+    ), g1 AS (
+        SELECT *, {sql_acklam_raw('pd_fl')} AS x0 FROM base
+    ), g2 AS (
+        SELECT * EXCLUDE (x0), {sql_halley_step('x0', 'pd_fl')} AS g_pd,
+               {sql_correlation('pd_fl')} AS r_c
+        FROM g1
+    ), k AS (
+        SELECT *, {sql_capital_k_r('pd_fl', 'lgd', 'g_pd', 'r_c')} AS kv,
+               {sql_maturity_adj('pd_fl', 'm')} AS ma
+        FROM g2
+    ), priced AS (
+        SELECT ok, ead, m, (((kv * ma) * 12.5) * 1.06) AS rw_own,
+               (ok % 5 = 0) AS has_g, (ok % 10 = 0) AS ucp_dropped
+        FROM k
+    ), final AS (
+        SELECT *,
+               CASE WHEN has_g AND NOT ucp_dropped
+                    THEN ((1.0 - 0.5) * rw_own) + (0.5 * 0.0)
+                    ELSE rw_own END AS rw
+        FROM priced
+    )
+    SELECT CAST(ok % 4 AS INTEGER) AS band_m,
+           CAST(ok % 8 AS INTEGER) AS band_pd,
+           has_g, ucp_dropped,
+           count(*) AS n_rows,
+           round(min(m), 8) AS m_eff,
+           round(min(rw), 8) AS rw,
+           round(min(rw) * ({sql_scaled_sum('ead', 2)}), 2) AS rwa
+    FROM final GROUP BY 1, 2, 3, 4
+    """
+
+
+@query(
+    "irb_maturity_chain",
+    oracle=_irb_maturity_oracle(),
+    tags=("engine", "irb", "crm", "tolerant"),
+)
+def irb_maturity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Art.162 maturity chain + Art.213(1)(c)(i) UCP gate through the REAL
+    pipeline (ref engine/irb/transforms.py _build_maturity_exprs +
+    crm/guarantees.py _gate_unilateral_protection): supplied maturities 0.5
+    and 3.0 are trusted to the [1 day, 5y] clip, self-liquidating
+    short-term trade finance derives the CRR one-day floor, the rest
+    default to 2.5y; every 5th exposure carries a 50% sovereign guarantee,
+    every 10th one the provider can unilaterally CANCEL — those drop
+    (CRM012) and price unguaranteed."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(3).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(2.0e8).alias("annual_revenue"),
+        F.lit(True).alias("has_irb_permission"),
+    )
+    okm = (F.col("o_orderkey") % 4).cast("int")
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        ((1 + F.col("o_orderkey") % 8).cast("double") / F.lit(100.0)).alias("pd"),
+        F.lit(0.45).alias("lgd"),
+        F.when(okm == 0, 0.5).when(okm == 1, 3.0).alias("effective_maturity"),
+        (okm == 2).alias("is_short_term_trade_lc"),
+        F.when(okm == 2, 0.5).alias("residual_maturity_years"),
+    )
+    gtees = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.concat(F.lit("G"), F.col("o_orderkey")).alias("guarantee_reference"),
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.lit(0.5).alias("coverage_pct"),
+        F.lit("sovereign").alias("guarantor_class"),
+        F.lit(1).cast("int").alias("guarantor_cqs"),
+        (F.col("o_orderkey") % 10 == 0).alias("is_unilaterally_cancellable"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, guarantees=gtees),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    keys = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        (F.col("o_orderkey") % 4).cast("int").alias("band_m"),
+        (F.col("o_orderkey") % 8).cast("int").alias("band_pd"),
+        (F.col("o_orderkey") % 5 == 0).alias("has_g"),
+        (F.col("o_orderkey") % 10 == 0).alias("ucp_dropped"),
+    )
+    r = out.results.join(keys, "exposure_reference")
+    return r.groupBy("band_m", "band_pd", "has_g", "ucp_dropped").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("irb_maturity_m"), 8).alias("m_eff"),
+        F.round(F.min("risk_weight"), 8).alias("rw"),
+        F.round(
+            F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2
+        ).alias("rwa"),
+    )

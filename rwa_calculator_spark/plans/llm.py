@@ -1344,3 +1344,150 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Lloyd's k-means over the embedding corpus — the IVF
+# quantizer's trainer as a first-class, EXACTLY-oracled iterative
+# algorithm. Cross-engine determinism protocol:
+#   - init: centroid k = the embedding of vec_id k (k < K);
+#   - distances: the 64 squared-difference terms are summed in one FIXED
+#     left-to-right unrolled chain, generated from the same Python loop
+#     for both engines — no engine-chosen summation order;
+#   - argmin tiebreak on centroid id;
+#   - centroid update: per-dimension FIXED-POINT mean
+#     (Σ floor(v·1e6 + 0.5) as long) / n / 1e6 — integer sums are
+#     order-independent, the two divisions are identical IEEE ops.
+# Scale posture: assignment is a broadcast of K centroid rows against the
+# N-row corpus (no shuffle on the big side); the update is one groupBy on
+# K keys with 64 integer sums (map-side combined). Iterations are
+# driver-scheduled — the standard Spark k-means shape.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+_KM_ITERS = 2
+
+
+def _km_dist_spark(vec, cvec):
+    # every element casts to DOUBLE before any arithmetic (the parquet
+    # embeddings are float32 and the two engines promote mixed-precision
+    # expressions differently), and plain multiplication, never **2 —
+    # POWER() routes through libm pow() whose last ulp can differ from
+    # x*x; the fixed-point inertia floor amplifies either into an
+    # off-by-one at the sixth decimal
+    def _t(i):
+        d = F.element_at(vec, i + 1).cast("double") - F.element_at(
+            cvec, i + 1
+        ).cast("double")
+        return d * d
+
+    return reduce(lambda a, b: a + b, [_t(i) for i in range(_KM_DIM)])
+
+
+def _km_dist_sql(v: str, c: str) -> str:
+    def _d(i):
+        return (
+            f"(CAST({v}[{i}] AS DOUBLE) - CAST({c}[{i}] AS DOUBLE))"
+        )
+
+    expr = f"({_d(1)} * {_d(1)})"
+    for i in range(2, _KM_DIM + 1):
+        expr = f"({expr} + ({_d(i)} * {_d(i)}))"
+    return expr
+
+
+def _kmeans_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+
+    dist = _km_dist_sql("e.embedding", "c.cvec")
+    mean_cols = ", ".join(
+        f"(CAST(sum(CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 1000000.0"
+        f" + 0.5) AS BIGINT)) "
+        f"AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0"
+        for i in range(1, _KM_DIM + 1)
+    )
+    assign = """
+        SELECT vec_id, embedding, cid, dist FROM (
+            SELECT e.vec_id, e.embedding, c.cid, {dist} AS dist,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC
+                   ) AS rn
+            FROM emb e CROSS JOIN {cents} c
+        ) WHERE rn = 1
+    """
+    sql = f"""
+    WITH emb AS (
+        SELECT vec_id, embedding FROM embeddings
+    ), cents0 AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM emb
+        WHERE vec_id < {_KM_K}
+    ), a1 AS ({assign.format(dist=dist, cents='cents0')}
+    ), cents1 AS (
+        SELECT cid, [{mean_cols}] AS cvec FROM a1 GROUP BY cid
+    ), a2 AS ({assign.format(dist=dist, cents='cents1')}
+    ), cents2 AS (
+        SELECT cid, [{mean_cols}] AS cvec FROM a2 GROUP BY cid
+    ), final AS ({assign.format(dist=dist, cents='cents2')})
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           count(*) AS n_members,
+           round({sql_scaled_sum('dist', 6)}, 6) AS inertia,
+           round(min(dist), 9) AS nearest_dist
+    FROM final GROUP BY 1
+    """
+    return sql
+
+
+@query("kmeans_lloyd", oracle=_kmeans_oracle(), tags=("llm", "similarity", "tolerant"))
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd's iterations over the embedding corpus
+    (the IVF coarse-quantizer trainer as a first-class op): K=8 centroids
+    seeded from the first K vectors, unrolled fixed-order distances,
+    fixed-point centroid means — the DuckDB oracle replays the identical
+    arithmetic, so even this ITERATIVE algorithm is value-hash checked,
+    not rows-only. Reports per-cluster membership and inertia after the
+    final assignment."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+    def _assign(e: DataFrame, c: DataFrame) -> DataFrame:
+        pairs = e.crossJoin(F.broadcast(c)).withColumn(
+            "dist", _km_dist_spark(F.col("embedding"), F.col("cvec"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cid", "dist")
+        )
+
+    def _update(a: DataFrame) -> DataFrame:
+        aggs = [
+            F.sum(
+                F.floor(
+                    F.element_at("embedding", i).cast("double") * 1_000_000.0
+                    + 0.5
+                ).cast("long")
+            ).alias(f"_s{i}")
+            for i in range(1, _KM_DIM + 1)
+        ] + [F.count("*").alias("_n")]
+        g = a.groupBy("cid").agg(*aggs)
+        dims = [
+            (
+                F.col(f"_s{i}").cast("double") / F.col("_n").cast("double")
+            )
+            / F.lit(1_000_000.0)
+            for i in range(1, _KM_DIM + 1)
+        ]
+        return g.select("cid", F.array(*dims).alias("cvec"))
+
+    for _ in range(_KM_ITERS):
+        cents = _update(_assign(emb, cents))
+    final = _assign(emb, cents)
+    return final.groupBy(F.col("cid").cast("long").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.round(scaled_sum(F.col("dist"), 6), 6).alias("inertia"),
+        F.round(F.min("dist"), 9).alias("nearest_dist"),
+    )
