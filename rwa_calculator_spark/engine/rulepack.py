@@ -435,6 +435,18 @@ CRR_PACK = RulePack(
         "ucp_unilateral_change_ineligible": RuleEntry(
             _D("0"), "CRR Art.213(1)(c)(i) — cancel arm only"
         ),
+        # CRR Art.164(4): retail-RE PORTFOLIO EW-avg LGD floors (warning
+        # check at the aggregator; B3.1 disables — its per-exposure A-IRB
+        # floors supersede)
+        "crr_retail_re_portfolio_lgd_floor": RuleEntry(
+            _D("1"), "CRR Art.164(4) portfolio LGD floor check"
+        ),
+        "retail_residential_re_portfolio_lgd_floor": RuleEntry(
+            _D("0.10"), "CRR Art.164(4)"
+        ),
+        "retail_commercial_re_portfolio_lgd_floor": RuleEntry(
+            _D("0.15"), "CRR Art.164(4)"
+        ),
         # CRR Art.153(1): RWA = 12.5 · 1.06 · K · EAD for non-defaulted IRB
         "irb_scaling_factor": RuleEntry(_D("1.06"), "CRR Art.153(1)"),
         "output_floor_alpha": RuleEntry(_D("0.0"), "n/a in CRR"),
@@ -584,6 +596,16 @@ B31_PACK = RulePack(
         ),
         "ucp_unilateral_change_ineligible": RuleEntry(
             _D("1"), "PS1/26 Art.213(1)(c)(i) — adds the unilateral-change arm"
+        ),
+        "crr_retail_re_portfolio_lgd_floor": RuleEntry(
+            _D("0"),
+            "PS1/26 — superseded by the per-exposure Art.164(4) A-IRB floors",
+        ),
+        "retail_residential_re_portfolio_lgd_floor": RuleEntry(
+            _D("0.10"), "n/a under PS1/26 (check disabled)"
+        ),
+        "retail_commercial_re_portfolio_lgd_floor": RuleEntry(
+            _D("0.15"), "n/a under PS1/26 (check disabled)"
         ),
         # scaling factor removed under Basel 3.1 (BCBS CRE30-36 / PS1/26)
         "irb_scaling_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
@@ -813,6 +835,9 @@ REQUIRED_SCALARS = (
     "airb_lgd_floor", "one_day_maturity_floor",
     "revolving_uses_termination_maturity", "firb_fixed_supervisory_maturity",
     "firb_fixed_supervisory_maturity_years", "ucp_unilateral_change_ineligible",
+    "crr_retail_re_portfolio_lgd_floor",
+    "retail_residential_re_portfolio_lgd_floor",
+    "retail_commercial_re_portfolio_lgd_floor",
     "irb_scaling_factor", "output_floor_alpha", "fx_haircut",
     "fcsm_rw_floor", "saccr_alpha", "pfe_multiplier_floor",
     "secsa_ksa", "secsa_p", "secsa_p_sts", "secsa_floor_rw",

@@ -109,6 +109,103 @@ def run_aggregate(
         )
     )
 
+    # CRR Art.164(4) retail-RE PORTFOLIO LGD floor check (ref
+    # engine/aggregator/_lgd_floor_check.py check_retail_re_portfolio_lgd_
+    # floors): the A-IRB retail-mortgage book, minus central-government-
+    # guaranteed legs, split residential/commercial; each sub-portfolio's
+    # EAD-weighted-average own-estimate LGD below its floor (10% / 15%)
+    # raises ONE IRB007 warning onto the error channel. CRR-only (B3.1's
+    # per-exposure airb_lgd_floor already floors each row); warning-only —
+    # the reference never reprices here. Fully distributed: one groupBy
+    # over <=2 bucket keys, the warning rows built AS a frame (no collect).
+    if (
+        pack.scalar("crr_retail_re_portfolio_lgd_floor") >= 1.0
+        and {"exposure_class", "irb_lgd_original", "ead_after_crm"}
+        <= set(results.columns)
+    ):
+        cols = set(results.columns)
+        _sub = (
+            F.col("retail_subtype")
+            if "retail_subtype" in cols
+            else F.lit(None).cast("string")
+        )
+        # own-estimate LGD = the supplied figure the IRB branch priced
+        # (ledger irb_lgd_original; irb_lgd_type 'modelled' excludes the
+        # F-IRB supervisory fallback)
+        _own_lgd = F.col("irb_lgd_original").isNotNull()
+        if "irb_lgd_type" in cols:
+            _own_lgd = _own_lgd & (
+                F.coalesce(F.col("irb_lgd_type"), F.lit("")) == "modelled"
+            )
+        _cgov_g = F.lit(False)
+        if {"is_guaranteed", "post_crm_exposure_class_guaranteed"} <= cols:
+            _cgov_g = F.coalesce(F.col("is_guaranteed"), F.lit(False)) & (
+                F.col("post_crm_exposure_class_guaranteed") == "sovereign"
+            )
+        _pop = (
+            (F.col("exposure_class") == "retail")
+            & (_sub == "mortgage")
+            & (F.coalesce(F.col("approach"), F.lit("")) == "IRB")
+            & _own_lgd
+            & ~_cgov_g
+        )
+        _bucket = (
+            F.when(
+                F.coalesce(
+                    F.col("is_commercial_re")
+                    if "is_commercial_re" in cols
+                    else F.lit(False),
+                    F.lit(False),
+                ),
+                "commercial",
+            ).otherwise("residential")
+        )
+        _per = (
+            results.where(_pop)
+            .groupBy(_bucket.alias("_b"))
+            .agg(
+                scaled_sum(
+                    F.col("irb_lgd_original") * F.col("ead_after_crm"), 2
+                ).alias(
+                    "_lgd_ead"
+                ),
+                scaled_sum(F.col("ead_after_crm"), 2).alias("_ead"),
+                F.count("*").alias("_n"),
+            )
+            .where(F.col("_ead") > 0.0)
+            .withColumn("_avg", F.col("_lgd_ead") / F.col("_ead"))
+            .withColumn(
+                "_floor",
+                F.when(
+                    F.col("_b") == "commercial",
+                    pack.lit("retail_commercial_re_portfolio_lgd_floor"),
+                ).otherwise(
+                    pack.lit("retail_residential_re_portfolio_lgd_floor")
+                ),
+            )
+        )
+        _warn = _per.where(F.col("_avg") < F.col("_floor")).select(
+            F.lit("IRB007").alias("code"),
+            F.lit("warning").alias("severity"),
+            F.lit("aggregate").alias("stage"),
+            F.col("_b").alias("key"),
+            F.concat(
+                F.lit(
+                    "CRR Art.164(4) retail-RE portfolio EW-avg LGD below"
+                    " floor: "
+                ),
+                F.round(F.col("_avg"), 6).cast("string"),
+                F.lit(" < "),
+                F.col("_floor").cast("string"),
+                F.lit(" over "),
+                F.col("_n").cast("string"),
+                F.lit(" exposures (EAD "),
+                F.col("_ead").cast("string"),
+                F.lit(")"),
+            ).alias("message"),
+        )
+        errors = _warn if errors is None else errors.unionByName(_warn)
+
     by_class = results.groupBy("exposure_class").agg(
         F.count("*").alias("n_exposures"),
         scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),

@@ -127,6 +127,13 @@ _RESULT_COLS = [
     "lending_group_reference",
     "group_exposure",
     "retail_threshold_applied",
+    # retail sub-portfolio + commercial-property routing carriers (ref: the
+    # reference's class enum IS the subtype — retail_mortgage/retail_qrre/
+    # retail_other — and property_type; this ledger keeps class 'retail'
+    # with the subtype alongside, consumed by the Art.164(4) portfolio
+    # LGD-floor check and the per-class parameter floors)
+    "retail_subtype",
+    "is_commercial_re",
     # the obligor default flag (ref schemas.py:2525 is_defaulted) — the
     # C 02.00 row-0160 / CR template defaulted-memo axis,
     "is_defaulted",
@@ -423,6 +430,8 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("lending_group_reference", "string"),
         ("group_exposure", "double"),
         ("retail_threshold_applied", "boolean"),
+        ("retail_subtype", "string"),
+        ("is_commercial_re", "boolean"),
         ("is_defaulted", "boolean"),
         ("exposure_type", "string"),
         ("currency", "string"),

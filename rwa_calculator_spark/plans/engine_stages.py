@@ -4244,3 +4244,103 @@ def irb_maturity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2
         ).alias("rwa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CRR Art.164(4) retail-RE portfolio LGD floor check (ref
+# engine/aggregator/_lgd_floor_check.py): the A-IRB retail-mortgage book
+# splits residential/commercial; each sub-portfolio whose EAD-weighted
+# average own-estimate LGD sits below its floor (10% residential / 15%
+# commercial) raises one IRB007 warning — warning-only, never repriced.
+# ---------------------------------------------------------------------------
+
+_PORTFOLIO_LGD_ORACLE = """
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_totalprice AS ead,
+               0.05 + CAST(o_orderkey % 3 AS DOUBLE) * 0.02 AS lgd,
+               (o_orderkey % 2 = 0) AS commercial
+        FROM orders
+    ), buckets AS (
+        SELECT CASE WHEN commercial THEN 'commercial'
+                    ELSE 'residential' END AS bucket,
+               count(*) AS n_rows,
+               (CAST(sum(CAST(floor((lgd * ead) * 100.0 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 100.0)
+               / (CAST(sum(CAST(floor(ead * 100.0 + 0.5) AS BIGINT))
+                       AS DOUBLE) / 100.0) AS ew_avg,
+               CASE WHEN commercial THEN CAST(0.15 AS DOUBLE)
+                    ELSE CAST(0.10 AS DOUBLE) END AS floor_pct
+        FROM loans GROUP BY 1, 4
+    )
+    SELECT bucket, n_rows, round(ew_avg, 8) AS ew_avg_lgd, floor_pct,
+           (ew_avg < floor_pct) AS breached
+    FROM buckets
+"""
+
+
+@query(
+    "irb_portfolio_lgd_floor_check",
+    oracle=_PORTFOLIO_LGD_ORACLE,
+    tags=("engine", "irb", "validation", "tolerant"),
+)
+def irb_portfolio_lgd_floor_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR Art.164(4) portfolio LGD floor through the REAL pipeline (ref
+    engine/aggregator/_lgd_floor_check.py): an A-IRB retail-mortgage book
+    with modelled LGDs 5/7/9% (EW-avg ~7% — below both floors), split
+    residential/commercial on the is_commercial_re carrier; the aggregator
+    raises one IRB007 per breaching bucket, surfaced here as the breached
+    flag alongside the recomputed EW-avg."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("individual").alias("entity_type"),
+        F.lit(0).cast("int").alias("cqs"),
+        F.lit(True).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(True).alias("has_irb_permission"),
+        F.lit("mortgage").alias("retail_subtype"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(0.01).alias("pd"),
+        (F.lit(0.05) + (F.col("o_orderkey") % 3).cast("double") * F.lit(0.02)).alias(
+            "lgd"
+        ),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_commercial_re"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    bucket = F.when(
+        F.coalesce("is_commercial_re", F.lit(False)), "commercial"
+    ).otherwise("residential")
+    stats = out.results.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            scaled_sum(F.col("irb_lgd_original") * F.col("ead_after_crm"), 2)
+            / scaled_sum(F.col("ead_after_crm"), 2),
+            8,
+        ).alias("ew_avg_lgd"),
+        F.max(
+            F.when(F.coalesce("is_commercial_re", F.lit(False)), 0.15).otherwise(
+                0.10
+            )
+        ).alias("floor_pct"),
+    )
+    warned = out.errors.where(F.col("code") == "IRB007").select(
+        F.col("key").alias("bucket"), F.lit(True).alias("breached")
+    )
+    return stats.join(warned, "bucket", "left").withColumn(
+        "breached", F.coalesce("breached", F.lit(False))
+    )

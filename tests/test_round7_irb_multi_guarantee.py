@@ -171,3 +171,65 @@ def test_irb_single_guarantee_keeps_legacy_blend(spark):
     )
     assert not r["rw_source"].endswith("+gmulti")
     assert r["guarantee_status"] == "PD_PARAMETER_SUBSTITUTION"
+
+
+def test_irb_double_default_inside_the_stack(spark):
+    # per-leg CRR Art.153(3) double default: an A-IRB corporate exposure
+    # with a modelled institution guarantor (DD-eligible) stacked over a
+    # sovereign SA leg — the institution leg prices min(parameter
+    # substitution, RW_own·(0.15+160·PD_g)) and the DD leg retains the
+    # FULL obligor EL rate on its slice. Direct run_irb call with the crm
+    # stack struct (irb_subapproach is a model-permissions output).
+    from rwa_calculator_spark.engine.bundles import CRMOutput
+    from rwa_calculator_spark.engine.stages.calculators import run_irb
+
+    exp = spark.createDataFrame(
+        [("L1", "CP1")],
+        "exposure_reference string, counterparty_reference string",
+    ).selectExpr(
+        "*",
+        "'corporate' AS exposure_class",
+        "CAST(2 AS INT) AS cqs",
+        "'airb' AS irb_subapproach",
+        "true AS has_irb_permission",
+        "false AS is_specialised",
+        "false AS is_defaulted",
+        "CAST(0.01 AS DOUBLE) AS pd",
+        "CAST(0.45 AS DOUBLE) AS lgd",
+        "CAST(2.5 AS DOUBLE) AS effective_maturity",
+        "CAST(2.0e8 AS DOUBLE) AS annual_revenue",
+        "CAST(100.0 AS DOUBLE) AS drawn_amount",
+        "CAST(0.0 AS DOUBLE) AS undrawn_amount",
+        "CAST(100.0 AS DOUBLE) AS ead",
+        "CAST(100.0 AS DOUBLE) AS ead_after_crm",
+        # rank-1 scalars mirror the priority-1 (institution) leg
+        "CAST(0.5 AS DOUBLE) AS g_coverage",
+        "'institution' AS g_class",
+        "CAST(1 AS INT) AS g_cqs",
+        "CAST(0.002 AS DOUBLE) AS guarantor_pd",
+        "'senior' AS guarantor_seniority",
+        "array("
+        " named_struct('slice', CAST(0.5 AS DOUBLE), 'rw', CAST(0.2 AS DOUBLE),"
+        "   'pd', CAST(0.002 AS DOUBLE), 'sen', 'senior',"
+        "   'fse', CAST(NULL AS BOOLEAN), 'gclass', 'institution',"
+        "   'gcqs', CAST(1 AS INT)),"
+        " named_struct('slice', CAST(0.3 AS DOUBLE), 'rw', CAST(0.0 AS DOUBLE),"
+        "   'pd', CAST(NULL AS DOUBLE), 'sen', CAST(NULL AS STRING),"
+        "   'fse', CAST(NULL AS BOOLEAN), 'gclass', 'sovereign',"
+        "   'gcqs', CAST(1 AS INT))"
+        ") AS _mg",
+    )
+    r = run_irb(CRMOutput(exposures=exp), CRR_PACK).results.collect()[0]
+    own = _vasicek_rw(0.01, 0.45)
+    rw_sub = _vasicek_rw(0.002, 0.45)
+    rw_dd = own * (0.15 + 160.0 * 0.002)
+    leg1 = min(own, min(rw_sub, rw_dd))
+    assert r["risk_weight"] == pytest.approx(
+        0.5 * leg1 + 0.3 * 0.0 + 0.2 * own, rel=1e-9
+    )
+    # DD retains the obligor EL on its slice; the SA slice drops EL
+    dd_applies = rw_dd < rw_sub
+    leg1_el = 0.5 * (0.01 * 0.45 if dd_applies else 0.002 * 0.45)
+    assert r["expected_loss"] == pytest.approx(
+        (leg1_el + 0.2 * 0.01 * 0.45) * 100.0, rel=1e-9
+    )
