@@ -441,6 +441,11 @@ CRR_PACK = RulePack(
         "crr_retail_re_portfolio_lgd_floor": RuleEntry(
             _D("1"), "CRR Art.164(4) portfolio LGD floor check"
         ),
+        # PS1/26 Art.114(2A) central-bank/sovereign CQS read-across is a
+        # B3.1 innovation — no CRR counterpart
+        "central_bank_uses_sovereign_cqs": RuleEntry(
+            _D("0"), "CRR Art.114 — no Art.114(2A) read-across"
+        ),
         "retail_residential_re_portfolio_lgd_floor": RuleEntry(
             _D("0.10"), "CRR Art.164(4)"
         ),
@@ -600,6 +605,9 @@ B31_PACK = RulePack(
         "crr_retail_re_portfolio_lgd_floor": RuleEntry(
             _D("0"),
             "PS1/26 — superseded by the per-exposure Art.164(4) A-IRB floors",
+        ),
+        "central_bank_uses_sovereign_cqs": RuleEntry(
+            _D("1"), "PS1/26 Art.114(2A) central-bank CQS read-across"
         ),
         "retail_residential_re_portfolio_lgd_floor": RuleEntry(
             _D("0.10"), "n/a under PS1/26 (check disabled)"
@@ -838,6 +846,7 @@ REQUIRED_SCALARS = (
     "crr_retail_re_portfolio_lgd_floor",
     "retail_residential_re_portfolio_lgd_floor",
     "retail_commercial_re_portfolio_lgd_floor",
+    "central_bank_uses_sovereign_cqs",
     "irb_scaling_factor", "output_floor_alpha", "fx_haircut",
     "fcsm_rw_floor", "saccr_alpha", "pfe_multiplier_floor",
     "secsa_ksa", "secsa_p", "secsa_p_sts", "secsa_floor_rw",

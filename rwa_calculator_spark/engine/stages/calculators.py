@@ -1727,6 +1727,16 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
             sl_row, F.concat(F.lit("b31_sa_sl_"), sl_key)
         ).otherwise(rw_source)
 
+    # CRR/PS1/26 Art.114(3): exposures to the ECB take an UNCONDITIONAL
+    # 0% risk weight — no currency test, no rating test, both regimes
+    # (ref engine/sa/central_bank.py ecb_rw_expr; 'central_bank_ecb' is
+    # the documented entity-type convention — the ECB is supranational,
+    # so no country code can identify it)
+    if "entity_type" in exp.columns:
+        _is_ecb = F.col("entity_type") == "central_bank_ecb"
+        base_rw = F.when(_is_ecb, F.lit(0.0)).otherwise(base_rw)
+        rw_source = F.when(_is_ecb, "ecb_art114_3").otherwise(rw_source)
+
     # CRR Art.114(4)/(7) + Art.141: EU central-government exposures
     # denominated in the member state's domestic currency take 0% RW,
     # overriding the CQS ladder (ref engine/eu_sovereign.py — consumed by
@@ -2166,6 +2176,7 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         .when(_src == "sa_sovereign_derived", "CRR Art.121")
         .when(_src == "sa_scra", "PS1/26 Art.121A")
         .when(_src == "sovereign_eu_domestic", "CRR Art.114(4)")
+        .when(_src == "ecb_art114_3", "CRR Art.114(3)")
         .when(_src.isin("b31_adc", "b31_adc_presold"), "PS1/26 Art.124K")
         .when(
             _src.isin("b31_other_re_income", "b31_other_re_cre", "b31_other_re_resi"),

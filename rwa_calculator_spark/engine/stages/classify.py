@@ -128,9 +128,33 @@ def run_classify(
         if "is_property_secured" in exp.columns
         else F.lit(False)
     )
+    # PS1/26 Art.114(2A) (B3.1-feature-gated; ref engine/sa/central_bank.py
+    # lift_central_bank_cqs): an UNRATED central bank reads across its
+    # government's ECAI assessment — the sovereign_cqs carrier the Art.121
+    # sovereign-derived institution path already consumes
+    if (
+        pack.scalar("central_bank_uses_sovereign_cqs") >= 1.0
+        and "sovereign_cqs" in exp.columns
+    ):
+        exp = exp.withColumn(
+            "cqs",
+            F.when(
+                (F.col("entity_type") == "central_bank")
+                & F.col("cqs").isNull(),
+                F.col("sovereign_cqs"),
+            ).otherwise(F.col("cqs")),
+        )
     cls = (
         F.when(F.col("exposure_type") == "securitisation_pool", "securitisation")
         .when(F.col("entity_type") == "sovereign", "sovereign")
+        # CRR Art.114(2): central banks sit on the SAME central-government
+        # ladder (ref engine/sa/central_bank.py — 'central_bank_ecb' is
+        # the documented data convention for the supranational ECB, whose
+        # Art.114(3) unconditional 0% the SA calculator overrides)
+        .when(
+            F.col("entity_type").isin("central_bank", "central_bank_ecb"),
+            "sovereign",
+        )
         # CRR Art.115(2)/(4): RGLAs on the equivalence lists are "treated
         # as exposures to the central government" — priced on the Art.114
         # CGCB ladder, NOT pinned to 0% (ref engine/sa/rgla.py: 0% only
@@ -155,6 +179,8 @@ def run_classify(
     reason = (
         F.when(F.col("exposure_type") == "securitisation_pool", "CLS_SEC_POOL")
         .when(F.col("entity_type") == "sovereign", "CLS_ENTITY_SOVEREIGN")
+        .when(F.col("entity_type") == "central_bank_ecb", "CLS_ENTITY_ECB")
+        .when(F.col("entity_type") == "central_bank", "CLS_ENTITY_CENTRAL_BANK")
         .when(F.col("entity_type") == "rgla_sovereign", "CLS_RGLA_EQUIVALENCE")
         .when(F.col("entity_type") == "rgla", "CLS_RGLA_INSTITUTION")
         .when(F.col("entity_type") == "institution", "CLS_ENTITY_INSTITUTION")

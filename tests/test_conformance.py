@@ -23,7 +23,10 @@ from rwa_calculator_spark.engine.bundles import HierarchyOutput
 from rwa_calculator_spark.engine.rulepack import B31_PACK, CRR_PACK
 from rwa_calculator_spark.engine.stages.classify import run_classify
 
-ENTITY_TYPES = ("corporate", "individual", "institution", "sovereign")
+ENTITY_TYPES = (
+    "corporate", "individual", "institution", "sovereign",
+    "central_bank", "central_bank_ecb",
+)
 BOOLS = (True, False)
 EXPOSURE_TYPES = ("loan", "securitisation_pool")
 
@@ -36,6 +39,10 @@ def expected_class(entity_type, managed_retail, under_threshold, exposure_type):
     if exposure_type == "securitisation_pool":
         return "securitisation"
     if entity_type == "sovereign":
+        return "sovereign"
+    # CRR Art.114(2)/(3): central banks (the ECB included) sit on the
+    # central-government ladder
+    if entity_type in ("central_bank", "central_bank_ecb"):
         return "sovereign"
     if entity_type == "institution":
         return "institution"

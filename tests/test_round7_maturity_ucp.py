@@ -227,3 +227,61 @@ def test_ucp_null_flags_are_permissive(spark):
     )
     assert r["is_guaranteed"]
     assert r["risk_weight"] == pytest.approx(0.2 * 1.5)
+
+
+# --- Art.114 central-bank treatments (ref engine/sa/central_bank.py) -------
+
+
+def _cb_book(spark, entity, cqs, pack, sovereign_cqs=None):
+    cp_cols = [
+        "counterparty_reference string", "entity_type string", "cqs int",
+        "is_managed_as_retail boolean", "annual_revenue double",
+        "has_irb_permission boolean",
+    ]
+    row = ["CP1", entity, cqs, False, 0.0, False]
+    if sovereign_cqs is not None:
+        cp_cols.append("sovereign_cqs int")
+        row.append(sovereign_cqs)
+    cps = spark.createDataFrame([tuple(row)], ", ".join(cp_cols))
+    loans = spark.createDataFrame(
+        [("L1", "CP1", 100.0)],
+        "loan_reference string, counterparty_reference string, "
+        "drawn_amount double",
+    ).selectExpr(
+        "*", "false AS is_defaulted", "CAST(NULL AS DOUBLE) AS pd",
+        "CAST(NULL AS DOUBLE) AS lgd",
+        "CAST(NULL AS DOUBLE) AS effective_maturity",
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=pack)
+    )
+    return out.results.select(
+        "exposure_class", "risk_weight", "rw_source", "class_reason"
+    ).collect()[0]
+
+
+def test_central_bank_takes_the_cgcb_ladder(spark):
+    # CRR Art.114(2): central banks price on the central-government ladder
+    r = _cb_book(spark, "central_bank", 2, CRR_PACK)
+    assert r["exposure_class"] == "sovereign"
+    assert r["risk_weight"] == pytest.approx(0.2)
+    assert r["class_reason"] == "CLS_ENTITY_CENTRAL_BANK"
+
+
+def test_ecb_unconditional_zero_rw(spark):
+    # Art.114(3): the ECB is 0% regardless of rating — a CQS-5 assessment
+    # would ladder to 100% but the override wins, in BOTH regimes
+    for pack in (CRR_PACK, B31_PACK):
+        r = _cb_book(spark, "central_bank_ecb", 5, pack)
+        assert r["risk_weight"] == pytest.approx(0.0)
+        assert r["rw_source"] == "ecb_art114_3"
+
+
+def test_b31_central_bank_cqs_read_across(spark):
+    # PS1/26 Art.114(2A): an unrated central bank reads across its
+    # government's CQS (carrier sovereign_cqs=1 -> 0%); under CRR the
+    # same book stays unrated-sovereign (100%)
+    b31 = _cb_book(spark, "central_bank", None, B31_PACK, sovereign_cqs=1)
+    assert b31["risk_weight"] == pytest.approx(0.0)
+    crr = _cb_book(spark, "central_bank", None, CRR_PACK, sovereign_cqs=1)
+    assert crr["risk_weight"] == pytest.approx(1.0)

@@ -14,7 +14,20 @@ from rwa_calculator_spark.reporting_tieouts import (
 
 
 def _cells(total=300.0, sa=100.0, irb=200.0, classes=None):
-    corep = {"C02.00|total": total, "C02.00|sa": sa, "C02.00|irb": irb}
+    corep = {
+        "C02.00|total": total,
+        "C02.00|sa": sa,
+        "C02.00|irb": irb,
+        # the round-7 C 02.00 internal-footing cells (rows + class-row
+        # sums) — consistent by construction: all-A-IRB book, no F-IRB
+        "C02.00|row|0010": total,
+        "C02.00|row|0040": total * 0.08,
+        "C02.00|row|0060": sa,
+        "C02.00|sa_class_sum": sa,
+        "C02.00|row|0220": irb,
+        "C02.00|row|0240": 0.0,
+        "C02.00|airb_class_sum": irb,
+    }
     for cls, (s, i) in (classes or {"corporate": (60.0, 150.0), "retail": (40.0, 50.0)}).items():
         corep[f"C07.00|{cls}"] = s
         corep[f"C08.01|{cls}"] = i
