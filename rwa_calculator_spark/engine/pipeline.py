@@ -256,7 +256,15 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
     exposures = crm.exposures
     if config.persist_edges:
-        exposures = exposures.localCheckpoint(eager=False)
+        # width-aware barrier: constant contract carriers (lit-fills for
+        # absent CRM frames) don't transit the checkpoint — they re-attach
+        # as literals so Catalyst folds them into BOTH calculator branches
+        # (a book with no guarantees pays zero guarantee-pricing work)
+        from rwa_calculator_spark.operators.checkpoint import (
+            localcheckpoint_folded,
+        )
+
+        exposures = localcheckpoint_folded(exposures, eager=False)
         from rwa_calculator_spark.engine.bundles import CRMOutput
 
         crm = CRMOutput(exposures=exposures)

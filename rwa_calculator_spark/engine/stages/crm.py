@@ -274,6 +274,162 @@ def _resolve_provisions(
 _OFCP_TYPES = ("life_insurance", "third_party_deposit")
 
 
+def _expand_guarantee_beneficiaries(
+    g_src: DataFrame, exp: DataFrame, raw: RawBundle
+) -> DataFrame:
+    """Multi-level guarantee resolution (closes the recorded round-7
+    narrowing — guarantees now cascade down the facility tree and pool over
+    the obligor, mirroring the collateral/provision kernels; ref
+    engine/crm/guarantees.py:594-655 _expand_guarantee_beneficiaries):
+
+    1. direct (beneficiary_type null/loan/exposure/contingent/direct) —
+       beneficiary names the exposure; coverage unchanged;
+    2. facility — the guarantee cascades over the named facility's whole
+       descendant subtree (same closure kernel as collateral/provisions);
+       a DECLARED % passes through unchanged (it applies equally to each
+       child's EAD, ref guarantees.py:602-604), an amount allocates
+       pro-rata by ead_after_collateral — which folds to the uniform
+       fraction amount/Σead per member;
+    3. counterparty — pools over the obligor's exposures, same semantics.
+
+    Every expanded row carries WHERE it came from (_g_src_level /
+    _g_src_ref) for the guarantee provenance carriers. All expansion joins
+    broadcast the SMALL guarantee/closure/denominator side; the exposure
+    fact never shuffles — the only aggregations are map-side-combinable
+    groupBys that collapse to facility-/counterparty-dim results."""
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    _gnull = F.lit(None).cast("string")
+    cols = g_src.columns
+    gb = g_src.withColumn(
+        "_gbt", F.lower(F.coalesce(F.col("beneficiary_type"), F.lit("exposure")))
+    )
+    ben = F.col("beneficiary_reference") if "beneficiary_reference" in cols else _gnull
+    exp_ref = (
+        F.coalesce(F.col("exposure_reference"), ben)
+        if "exposure_reference" in cols
+        else ben
+    )
+    attrs = [
+        c
+        for c in cols
+        if c not in ("exposure_reference", "beneficiary_type", "beneficiary_reference")
+    ]
+    # narrow membership projection, materialised once: the cascade joins
+    # must not re-embed the full exposure lineage into the stage plan
+    has_fac = "parent_facility_reference" in exp.columns
+    mem_cols = [
+        F.col("exposure_reference").alias("_m_exp"),
+        F.col("counterparty_reference").alias("_m_cp"),
+        F.col("ead_after_collateral").alias("_m_ead"),
+    ]
+    if has_fac:
+        mem_cols.append(F.col("parent_facility_reference").alias("_m_pfac"))
+    mem = exp.select(*mem_cols).localCheckpoint()
+
+    direct_g = gb.where(~F.col("_gbt").isin("facility", "counterparty")).withColumn(
+        "_g_exp", exp_ref
+    )
+    parts = [
+        mem.join(F.broadcast(direct_g), F.col("_m_exp") == F.col("_g_exp")).select(
+            *attrs,
+            F.col("_m_exp").alias("exposure_reference"),
+            F.lit("exposure").alias("_g_src_level"),
+            _gnull.alias("_g_src_ref"),
+            F.col("_m_ead").alias("_gden"),
+        )
+    ]
+
+    if has_fac:
+        fac_g = gb.where(F.col("_gbt") == "facility").withColumn("_g_ben", ben)
+        fset = fac_g.select(F.col("_g_ben").alias("_gf")).distinct()
+        if raw.facility_mappings is not None:
+            from rwa_calculator_spark.operators.graph import ancestor_closure_iterative
+
+            fac_edges = raw.facility_mappings.where(
+                F.col("child_type") == "facility"
+            ).select(
+                F.col("child_reference").alias("child"),
+                F.col("parent_facility_reference").alias("parent"),
+            )
+            closure = (
+                ancestor_closure_iterative(fac_edges)
+                .select(
+                    F.col("ancestor").alias("_gf_anc"),
+                    F.col("descendant").alias("_gf_desc"),
+                )
+                .dropDuplicates(["_gf_anc", "_gf_desc"])
+                # facility-dim sized — keep the closure's union-join plan
+                # out of the wide exposure tree
+                .localCheckpoint()
+            )
+            fmap = fset.join(
+                F.broadcast(closure), F.col("_gf") == F.col("_gf_anc"), "left"
+            ).select("_gf", F.coalesce("_gf_desc", F.col("_gf")).alias("_gfd"))
+        else:
+            fmap = fset.withColumn("_gfd", F.col("_gf"))
+        memf = mem.where(F.col("_m_pfac").isNotNull()).join(
+            F.broadcast(fmap), F.col("_m_pfac") == F.col("_gfd")
+        )
+        # pro-rata denominator = Σ ead_after_collateral over the subtree;
+        # per-FACILITY (not per guarantee row), so two guarantees pledged
+        # at the same facility share one membership sum. Map-side partial
+        # agg collapses to a facility-dim frame — broadcast back.
+        denf = memf.groupBy("_gf").agg(scaled_sum(F.col("_m_ead"), 2).alias("_gden"))
+        parts.append(
+            memf.join(F.broadcast(denf), "_gf")
+            .join(F.broadcast(fac_g), F.col("_gf") == F.col("_g_ben"))
+            .select(
+                *attrs,
+                F.col("_m_exp").alias("exposure_reference"),
+                F.lit("facility").alias("_g_src_level"),
+                F.col("_g_ben").alias("_g_src_ref"),
+                F.col("_gden"),
+            )
+        )
+
+    cp_g = gb.where(F.col("_gbt") == "counterparty").withColumn("_g_ben", ben)
+    memc = mem.join(
+        F.broadcast(cp_g.select(F.col("_g_ben").alias("_gc")).distinct()),
+        F.col("_m_cp") == F.col("_gc"),
+    )
+    denc = memc.groupBy("_gc").agg(scaled_sum(F.col("_m_ead"), 2).alias("_gden"))
+    parts.append(
+        memc.join(F.broadcast(denc), "_gc")
+        .join(F.broadcast(cp_g), F.col("_gc") == F.col("_g_ben"))
+        .select(
+            *attrs,
+            F.col("_m_exp").alias("exposure_reference"),
+            F.lit("counterparty").alias("_g_src_level"),
+            F.col("_g_ben").alias("_g_src_ref"),
+            F.col("_gden"),
+        )
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+
+    # final coverage: declared % wins; an amount-based guarantee derives
+    # the uniform fraction amount/denominator (per-member pro-rata amount
+    # divided by the member's own EAD), capped at full coverage
+    pct = (
+        F.col("coverage_pct")
+        if "coverage_pct" in attrs
+        else F.lit(None).cast("double")
+    )
+    amt_cols = [c for c in ("guarantee_amount", "amount") if c in attrs]
+    if amt_cols:
+        amt = F.coalesce(*[F.col(c) for c in amt_cols])
+        derived = F.least(
+            amt / F.nullif(F.col("_gden"), F.lit(0.0)), F.lit(1.0)
+        )
+        out = out.withColumn("coverage_pct", F.coalesce(pct, derived, F.lit(0.0)))
+    else:
+        out = out.withColumn("coverage_pct", F.coalesce(pct, F.lit(0.0)))
+    return out.drop("_gden", "_gbt", "_g_exp", "_g_ben")
+
+
 def _allocate_items(exp: DataFrame, items: DataFrame, links: DataFrame):
     """Pro-rata allocation of item values across linked exposures by EAD,
     returning per-exposure (value total, value-weighted item RW) — the
@@ -1361,6 +1517,14 @@ def run_crm(
         # Dropped guarantees leave the exposure un-guaranteed and flag
         # CRM012 into the data-quality list carriers.
         g_src = raw.guarantees
+        # multi-level beneficiary cascade (facility subtree / obligor pool)
+        # — column-gated: books that key guarantees on exposure_reference
+        # alone keep the legacy single-level path bit-identically
+        _g_cascade = "beneficiary_type" in g_src.columns
+        if _g_cascade:
+            g_src = _expand_guarantee_beneficiaries(g_src, exp, raw)
+            gcols.append(F.col("_g_src_level").alias("g_src_level"))
+            gcols.append(F.col("_g_src_ref").alias("g_src_ref"))
         _ucp_dq = None
         _has_cancel = "is_unilaterally_cancellable" in g_src.columns
         _has_change = "is_unilaterally_changeable" in g_src.columns
@@ -1539,14 +1703,35 @@ def run_crm(
     exp = exp.withColumn(
         "g_coverage_declared", F.coalesce("g_coverage_declared", F.lit(0.0))
     )
-    # guarantee provenance (ref schemas.py:2925-2926): this engine's
-    # guarantee channel resolves on exposure_reference only (recorded
-    # narrowing — guarantees never inherit down the facility tree), so a
-    # priced guarantee is always exposure-level and never inherited
-    exp = exp.withColumn(
-        "guarantee_source_level",
-        F.when(F.col("g_coverage_declared") > 0, F.lit("exposure")),
-    ).withColumn("guarantee_inherited_from", F.lit(None).cast("string"))
+    # guarantee provenance (ref schemas.py:2925-2926): where in the
+    # hierarchy the priced guarantee came from. Books without a
+    # beneficiary_type column resolve on exposure_reference only, so their
+    # level is always 'exposure' and never inherited; cascade books seal
+    # the rank-1 leg's level + the beneficiary it cascaded from
+    if "g_src_level" in exp.columns:
+        exp = (
+            exp.withColumn(
+                "guarantee_source_level",
+                F.when(
+                    F.col("g_coverage_declared") > 0,
+                    F.coalesce(F.col("g_src_level"), F.lit("exposure")),
+                ),
+            )
+            .withColumn(
+                "guarantee_inherited_from",
+                F.when(
+                    (F.col("g_coverage_declared") > 0)
+                    & (F.col("guarantee_source_level") != "exposure"),
+                    F.col("g_src_ref"),
+                ),
+            )
+            .drop("g_src_level", "g_src_ref")
+        )
+    else:
+        exp = exp.withColumn(
+            "guarantee_source_level",
+            F.when(F.col("g_coverage_declared") > 0, F.lit("exposure")),
+        ).withColumn("guarantee_inherited_from", F.lit(None).cast("string"))
 
     # crm_allocation_notes (ref schemas.py:2929 + processor.py:1408
     # _add_crm_audit): one human-readable line naming each mitigant's
@@ -1572,7 +1757,12 @@ def run_crm(
         ),
         F.when(
             F.col("guarantee_source_level").isNotNull(),
-            F.lit("guarantee@exposure/substitution"),
+            F.concat(
+                F.lit("guarantee@"),
+                F.col("guarantee_source_level"),
+                F.lit("/substitution"),
+                _inh("guarantee_inherited_from"),
+            ),
         ),
         F.when(
             F.col("provision_source_level").isNotNull(),

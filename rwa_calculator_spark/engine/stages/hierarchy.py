@@ -399,10 +399,15 @@ def run_hierarchy(
         # direct-parent carriers (ref CALCULATION_OUTPUT_SCHEMA
         # counterparty_has_parent / parent_counterparty_reference): the
         # obligor's IMMEDIATE org parent, distinct from the resolved apex
+        # one row per child is the stage's input contract (validate's DQ004
+        # dedup enforces it upstream, and the iterative resolver's hop join
+        # already depends on it — duplicate edges would row-explode there
+        # first), so no defensive dropDuplicates: it forced a SortAggregate
+        # exchange on the dim lane that the contract makes redundant
         direct = raw.org_mappings.select(
             F.col("child_reference").alias("counterparty_reference"),
             F.col("parent_reference").alias("parent_counterparty_reference"),
-        ).dropDuplicates(["counterparty_reference"])
+        )
         # counterparty-dim-sized: broadcast explicitly (same intent as the
         # apex join) so the plan never SMJ-shuffles the dim lane at scale
         dim = dim.join(F.broadcast(direct), "counterparty_reference", "left").withColumn(

@@ -152,7 +152,16 @@ def run_validation(raw: RawBundle) -> tuple[RawBundle, DataFrame]:
             )
         )
     if raw.guarantees is not None and "coverage_pct" in raw.guarantees.columns:
-        bad_cov = raw.guarantees.select("exposure_reference", "coverage_pct").where(
+        # the guarantee key is exposure_reference on single-level books,
+        # beneficiary_reference on multi-level (cascade) books
+        _gkey = (
+            "exposure_reference"
+            if "exposure_reference" in raw.guarantees.columns
+            else "beneficiary_reference"
+        )
+        bad_cov = raw.guarantees.select(
+            F.col(_gkey).alias("exposure_reference"), "coverage_pct"
+        ).where(
             F.col("coverage_pct").isNotNull()
             & ~F.col("coverage_pct").between(0.0, 1.0)
         )

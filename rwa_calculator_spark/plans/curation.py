@@ -232,3 +232,104 @@ def quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("expected_sample_size"),
     )
+
+
+# per-domain document cap (web-corpus curation: a handful of domains
+# dominate a crawl; capping docs/domain before training is standard —
+# the C4/Gopher pipelines cap or downweight dominant hosts)
+_DOMAIN_CAP = 15
+
+
+@query(
+    "curation_domain_cap",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, source,
+               CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl
+        FROM documents
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY mwl DESC, doc_id
+               ) AS rn
+        FROM feats
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN doc_id END) AS BIGINT)
+               AS kept_doc_id_sum,
+           sum(CASE WHEN rn <= {_DOMAIN_CAP}
+               THEN CAST(round(mwl * 10000.0, 0) AS BIGINT) END)
+               / CAST(10000 AS DOUBLE) AS kept_mwl_sum
+    FROM ranked GROUP BY source
+    """,
+    tags=("llm", "curation"),
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep the top-{cap} docs per source ranked
+    by word-density quality (mean word length desc, doc_id tiebreak), drop
+    the tail. One partitioned window — at 100 TB this is a shuffle keyed
+    by domain; heavy-tail hosts are the classic skew key, so the at-scale
+    variant pre-filters with an approximate per-domain count and salts the
+    dominant hosts (operators/skew.py) before the exact window."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    mwl = (F.length("text").cast("long") - n_words + 1).cast("double") / n_words.cast(
+        "double"
+    )
+    ranked = d.select("doc_id", "source", mwl.alias("mwl")).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("mwl").desc(), "doc_id")
+        ),
+    )
+    kept = F.col("rn") <= _DOMAIN_CAP
+    return ranked.groupBy("source").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.sum(F.when(kept, F.col("doc_id"))).cast("long").alias("kept_doc_id_sum"),
+        (
+            F.sum(F.when(kept, F.round(F.col("mwl") * 10000.0, 0).cast("long")))
+            / 10000.0
+        ).alias("kept_mwl_sum"),
+    )
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+    tags=("llm", "text"),
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global token frequencies with document
+    frequencies, top-50 by count (the df side feeds TF-IDF/BM25-style
+    quality signals and tokenizer-vocab diagnostics). Map-side-combinable
+    aggregation over exploded tokens; the top-k is a TakeOrdered over the
+    vocab-sized aggregate, never a full sort of the token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )

@@ -3090,7 +3090,14 @@ def equity_net_short(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "hedged",
-            F.regexp_extract("exposure_reference", r"(\d+)$", 1).cast("long") % 2
+            # try_cast: the book's filler loan row carries a LITERAL
+            # non-numeric reference; the equity filter excludes it, but
+            # ConstantFolding may compile-time-evaluate this expression on
+            # the literal branch of the union (ANSI cast('') would throw
+            # at plan time) — a partial function over a filtered frame
+            # must be total, same as on any non-checkpointed plan
+            F.regexp_extract("exposure_reference", r"(\d+)$", 1).try_cast("long")
+            % 2
             == 0,
         )
         .groupBy("leg", "hedged", "equity_type")
@@ -4343,4 +4350,217 @@ def irb_portfolio_lgd_floor_check(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return stats.join(warned, "bucket", "left").withColumn(
         "breached", F.coalesce("breached", F.lit(False))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: multi-level guarantee beneficiary cascade through the REAL
+# pipeline (closes the recorded round-7 narrowing; ref
+# engine/crm/guarantees.py:594-655 _expand_guarantee_beneficiaries) —
+# facility-level guarantees cascade over the named facility's descendant
+# subtree, counterparty-level guarantees pool pro-rata over the obligor's
+# book, direct guarantees pass through; declared percentages pass through
+# unchanged while amounts derive the uniform fraction amount/Σead. Legs
+# from different levels stack in the round-7 priority order.
+# ---------------------------------------------------------------------------
+
+
+def _gtee_cascade_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+
+    return f"""
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck, o_totalprice AS drawn
+        FROM orders
+    ), flegs AS (
+        -- sovereign CQS1 (RW 0%) declared at root facility RF(ck%10):
+        -- cascades RF -> FAC(ck) -> every even-keyed loan under it
+        SELECT ok, 'GF_' || (ck % 10) AS gref, 'sovereign' AS gclass,
+               CAST(0.0 AS DOUBLE) AS grw,
+               CAST(0.25 + ((ck % 10) % 4) * 0.125 AS DOUBLE) AS cov,
+               'facility' AS lvl, 'RF' || (ck % 10) AS src
+        FROM loans WHERE ok % 2 = 0
+    ), cpden AS (
+        SELECT ck, {sql_scaled_sum('drawn', 2)} AS den
+        FROM loans GROUP BY ck
+    ), clegs AS (
+        -- institution CQS1 (RW 20%) amount guarantee pooled over the
+        -- obligor: uniform fraction amount/Sigma ead, capped at 1
+        SELECT l.ok, 'GC_' || l.ck AS gref, 'institution' AS gclass,
+               CAST(0.2 AS DOUBLE) AS grw,
+               least(100000.0 / d.den, 1.0) AS cov,
+               'counterparty' AS lvl, 'CP' || l.ck AS src
+        FROM loans l JOIN cpden d ON l.ck = d.ck WHERE l.ck % 3 = 0
+    ), dlegs AS (
+        SELECT ok, 'GD_' || ok AS gref, 'corporate' AS gclass,
+               CAST(0.2 AS DOUBLE) AS grw, CAST(0.5 AS DOUBLE) AS cov,
+               'exposure' AS lvl, CAST(NULL AS VARCHAR) AS src
+        FROM loans WHERE ok % 5 = 0
+    ), legs AS (
+        SELECT * FROM flegs UNION ALL SELECT * FROM clegs
+        UNION ALL SELECT * FROM dlegs
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY ok ORDER BY cov DESC, gclass, gref
+               ) AS rn,
+               sum(cov) OVER (
+                   PARTITION BY ok ORDER BY cov DESC, gclass, gref
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM legs
+    ), sliced AS (
+        SELECT ok, rn, grw, lvl, src,
+               greatest(least(cov, 1.0 - (cum - cov)), 0.0) AS sl
+        FROM ranked
+    ), folded AS (
+        -- ordered left-to-right additions mirror the engine's
+        -- priority-ordered array fold bit-for-bit (n <= 3 by construction)
+        SELECT ok,
+               ((coalesce(max(CASE WHEN rn = 1 THEN sl END), 0.0)
+                 + coalesce(max(CASE WHEN rn = 2 THEN sl END), 0.0))
+                 + coalesce(max(CASE WHEN rn = 3 THEN sl END), 0.0))
+                   AS g_total,
+               ((coalesce(max(CASE WHEN rn = 1
+                              THEN sl * least(0.5, grw) END), 0.0)
+                 + coalesce(max(CASE WHEN rn = 2
+                              THEN sl * least(0.5, grw) END), 0.0))
+                 + coalesce(max(CASE WHEN rn = 3
+                              THEN sl * least(0.5, grw) END), 0.0))
+                   AS sub_term,
+               max(CASE WHEN rn = 1 THEN lvl END) AS lvl1,
+               max(CASE WHEN rn = 1 THEN src END) AS src1
+        FROM sliced GROUP BY ok
+    ), ledger AS (
+        SELECT l.ok, l.drawn,
+               coalesce(f.lvl1, 'none') AS source_level,
+               CASE WHEN f.lvl1 IS NOT NULL AND f.lvl1 <> 'exposure'
+                    THEN f.src1 END AS inherited_from,
+               CASE WHEN f.ok IS NULL THEN 0.5
+                    ELSE f.sub_term + (1.0 - f.g_total) * 0.5 END AS rw,
+               coalesce(f.g_total, 0.0) * l.drawn AS gportion
+        FROM loans l LEFT JOIN folded f ON l.ok = f.ok
+    )
+    SELECT source_level, count(*) AS n_rows,
+           CAST(sum(CASE WHEN inherited_from IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inherited,
+           sum(CAST(round(rw * 1000000.0, 0) AS BIGINT))
+               / CAST(1000000 AS DOUBLE) AS rw_sum,
+           {sql_scaled_sum('gportion', 2)} AS guaranteed_portion,
+           {sql_scaled_sum('drawn * rw', 2)} AS rwa
+    FROM ledger GROUP BY source_level
+    """
+
+
+@query(
+    "crm_guarantee_cascade",
+    oracle=_gtee_cascade_oracle(),
+    tags=("engine", "crm", "tolerant"),
+)
+def crm_guarantee_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facility-subtree + obligor-pool guarantee cascade through the REAL
+    pipeline: every even-keyed loan sits under FAC(cp) -> RF(cp%10) with a
+    sovereign %-guarantee declared at the ROOT facility (cascades two
+    levels down), every third counterparty carries an institution AMOUNT
+    guarantee pooled pro-rata over its whole book, every fifth loan a
+    direct corporate guarantee. Legs stack in priority order; the ledger
+    groups by the rank-1 leg's provenance level (ref
+    engine/crm/guarantees.py:594-655, CALCULATION_OUTPUT_SCHEMA
+    guarantee_source_level/guarantee_inherited_from)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    fmap = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.concat(F.lit("L"), F.col("o_orderkey")).alias("child_reference"),
+            F.lit("loan").alias("child_type"),
+            F.concat(F.lit("FAC"), F.col("o_custkey")).alias(
+                "parent_facility_reference"
+            ),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("FAC"), F.col("c_custkey")).alias("child_reference"),
+                F.lit("facility").alias("child_type"),
+                F.concat(F.lit("RF"), F.col("c_custkey") % 10).alias(
+                    "parent_facility_reference"
+                ),
+            )
+        )
+    )
+    _gnum = F.lit(None).cast("double")
+    fac_g = (
+        c.select((F.col("c_custkey") % 10).alias("j"))
+        .distinct()
+        .select(
+            F.lit("facility").alias("beneficiary_type"),
+            F.concat(F.lit("RF"), F.col("j")).alias("beneficiary_reference"),
+            (0.25 + (F.col("j") % 4).cast("double") * 0.125).alias("coverage_pct"),
+            _gnum.alias("guarantee_amount"),
+            F.lit("sovereign").alias("guarantor_class"),
+            F.lit(1).cast("int").alias("guarantor_cqs"),
+            F.concat(F.lit("GF_"), F.col("j")).alias("guarantee_reference"),
+        )
+    )
+    cp_g = c.where(F.col("c_custkey") % 3 == 0).select(
+        F.lit("counterparty").alias("beneficiary_type"),
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("beneficiary_reference"),
+        _gnum.alias("coverage_pct"),
+        F.lit(100000.0).alias("guarantee_amount"),
+        F.lit("institution").alias("guarantor_class"),
+        F.lit(1).cast("int").alias("guarantor_cqs"),
+        F.concat(F.lit("GC_"), F.col("c_custkey")).alias("guarantee_reference"),
+    )
+    d_g = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.lit("loan").alias("beneficiary_type"),
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("beneficiary_reference"),
+        F.lit(0.5).alias("coverage_pct"),
+        _gnum.alias("guarantee_amount"),
+        F.lit("corporate").alias("guarantor_class"),
+        F.lit(1).cast("int").alias("guarantor_cqs"),
+        F.concat(F.lit("GD_"), F.col("o_orderkey")).alias("guarantee_reference"),
+    )
+    out = run_pipeline(
+        RawBundle(
+            counterparties=cps,
+            loans=loans,
+            facility_mappings=fmap,
+            guarantees=fac_g.unionByName(cp_g).unionByName(d_g),
+        ),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    return out.results.groupBy(
+        F.coalesce("guarantee_source_level", F.lit("none")).alias("source_level")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("guarantee_inherited_from").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_inherited"),
+        scaled_sum(F.col("risk_weight"), 6).alias("rw_sum"),
+        scaled_sum(F.col("guaranteed_portion"), 2).alias("guaranteed_portion"),
+        scaled_sum(F.col("rwa"), 2).alias("rwa"),
     )
