@@ -85,6 +85,12 @@ class PipelineConfig:
     # firb_fixed_maturity, engine/irb/transforms.py
     # _apply_firb_fixed_supervisory_maturity).
     firb_fixed_maturity: bool = False
+    # PS1/26 Art.122(6)/(8): the firm's PRA permission to risk-weight
+    # unrated corporates by investment-grade assessment (IG 65% / non-IG
+    # 135%). Off = all unrated corporates take Art.122(2) 100% (ref
+    # contracts/config.py use_investment_grade_assessment). B3.1-only
+    # (the scalars are pack data); ignored under the CRR.
+    use_investment_grade_assessment: bool = False
     # Opt-in audit-cache sink (ref observability/audit_cache.py): a
     # cross-cutting diagnostics side-effect called with (name, frame) at
     # existing hook points. None (default) = no-op. The sink materialises
@@ -271,7 +277,12 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
     _t = _time.perf_counter()
     branches = [
-        run_sa(crm, config.pack, threshold_scale=threshold_scale),
+        run_sa(
+            crm,
+            config.pack,
+            threshold_scale=threshold_scale,
+            use_ig_assessment=config.use_investment_grade_assessment,
+        ),
         run_irb(
             crm,
             config.pack,

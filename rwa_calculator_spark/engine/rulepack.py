@@ -160,6 +160,22 @@ _SA_RW_ROWS = tuple(
     for cqs, rw in row.items()
 )
 
+# Basel 3.1 ladders genuinely diverge from the CRR (ref rulebook/packs/
+# b31.py institution_rw_b31_ecra "Table 3 ECRA institution RW (CQS2 30%,
+# unrated 40%)" + b31_corporate_risk_weights "Corporate CQS3=75% (vs CRR
+# 100%)"; PRA PS1/26 Art.120 Table 3 / Art.122(2) Table 6): institution
+# CQS2 50%→30%, unrated fallback 50%→40% (SCRA grading overrides where a
+# grade is supplied), corporate CQS3 100%→75%. Sovereign Table 1 unchanged.
+_SA_RW_ROWS_B31 = tuple(
+    (cls, cqs, _D(rw))
+    for cls, row in {
+        "sovereign": {1: "0.0", 2: "0.2", 3: "0.5", 4: "1.0", 5: "1.0", 6: "1.5", 0: "1.0"},
+        "institution": {1: "0.2", 2: "0.3", 3: "0.5", 4: "1.0", 5: "1.0", 6: "1.5", 0: "0.4"},
+        "corporate": {1: "0.2", 2: "0.5", 3: "0.75", 4: "1.0", 5: "1.5", 6: "1.5", 0: "1.0"},
+    }.items()
+    for cqs, rw in row.items()
+)
+
 # CCF by off-balance risk bucket (CRR Annex I).
 _CCF_ROWS = (
     ("full_risk", _D("1.0")),
@@ -246,7 +262,43 @@ _SOV_DERIVED_INST_ROWS = (
     (4, _D("1.00")), (5, _D("1.00")), (6, _D("1.50")),
 )
 _SCRA_INST_SCHEMA = "grade string, rw double"
-_SCRA_INST_ROWS = (("A", _D("0.40")), ("B", _D("0.75")), ("C", _D("1.50")))
+# A_ENHANCED: Grade A institutions meeting the enhanced capital criteria
+# take 30% (BCBS CRE20.22 / PS1/26 Art.121A; ref packs/b31.py
+# b31_scra_risk_weights)
+_SCRA_INST_ROWS = (
+    ("A", _D("0.40")),
+    ("A_ENHANCED", _D("0.30")),
+    ("B", _D("0.75")),
+    ("C", _D("1.50")),
+)
+# PS1/26 Art.120A: SCRA short-term (original maturity <= 3m) institution RW
+# (ref packs/b31.py b31_scra_short_term_risk_weights)
+_SCRA_INST_ST_ROWS = (
+    ("A", _D("0.20")),
+    ("A_ENHANCED", _D("0.20")),
+    ("B", _D("0.50")),
+    ("C", _D("1.50")),
+)
+_CQS_RW_SCHEMA = "cqs int, rw double"
+# PS1/26 Art.120(2) Table 4: ECRA short-term — a LONG-TERM rating mapped
+# onto a <=3m exposure (CQS 1-3 20%, 4-5 50%, 6 150%)
+_ECRA_ST_ROWS = (
+    (1, _D("0.20")), (2, _D("0.20")), (3, _D("0.20")),
+    (4, _D("0.50")), (5, _D("0.50")), (6, _D("1.50")),
+)
+# PS1/26 Art.120(2B) Table 4A: dedicated short-term ECAI institution
+# assessment (5 bands; 4-5 both 150%)
+_ECRA_ST_ECAI_ROWS = (
+    (1, _D("0.20")), (2, _D("0.50")), (3, _D("1.00")),
+    (4, _D("1.50")), (5, _D("1.50")),
+)
+# PS1/26 Art.122(3) Table 6A: dedicated short-term ECAI corporate
+# assessment (CQS 4-6 all 150%) — Basel-3.1-only, the CRR has no
+# short-term corporate ECAI table
+_CORP_ST_ECAI_ROWS = (
+    (1, _D("0.20")), (2, _D("0.50")), (3, _D("1.00")),
+    (4, _D("1.50")), (5, _D("1.50")), (6, _D("1.50")),
+)
 
 # SA-CCR supervisory factors by asset class (BCBS CRE52.72 Table 2 /
 # CRR Art.280a-280f; ref engine/ccr/addons.py supervisory factor tables).
@@ -403,6 +455,17 @@ CRR_PACK = RulePack(
         "re_secured_rw": RuleEntry(_D("0.35"), "CRR Art.125"),
         "defaulted_rw": RuleEntry(_D("1.5"), "CRR Art.127"),
         "defaulted_rw_secured": RuleEntry(_D("1.0"), "CRR Art.127(1)"),
+        # CRR Art.127(1) provision test on the UNSECURED defaulted part:
+        # 100% where specific credit risk adjustments are >= 20% of the
+        # pre-provision exposure value, 150% below (ref rulebook/packs/
+        # crr.py crr_defaulted_rw_{high,low}_provision + threshold;
+        # engine/sa/risk_weights.py _apply_defaulted_risk_weight)
+        "defaulted_rw_high_provision": RuleEntry(_D("1.0"), "CRR Art.127(1)(b)"),
+        "defaulted_rw_low_provision": RuleEntry(_D("1.5"), "CRR Art.127(1)(a)"),
+        "defaulted_provision_threshold": RuleEntry(_D("0.20"), "CRR Art.127(1)"),
+        # CRR Art.123 second subparagraph (CRR2 Reg (EU) 2019/876 F68):
+        # payroll/pension-secured retail loans take 35%
+        "retail_payroll_rw": RuleEntry(_D("0.35"), "CRR Art.123 (CRR2 F68)"),
         "unrated_corp_rw": RuleEntry(_D("1.0"), "CRR Art.122(2)"),
         # CRR2 Art.501 tiered SME factor: 0.7619 on the group drawn amount
         # up to the threshold, 0.85 on the excess, blended per row
@@ -577,6 +640,33 @@ B31_PACK = RulePack(
         "re_secured_rw": RuleEntry(_D("0.30"), "BCBS CRE20.71 (LTV<60%)"),
         "defaulted_rw": RuleEntry(_D("1.5"), "BCBS CRE20.104"),
         "defaulted_rw_secured": RuleEntry(_D("1.0"), "BCBS CRE20.105"),
+        # PS1/26 Art.127(1) provision test (denominator = gross outstanding,
+        # unlike the CRR's pre-provision EXPOSURE VALUE — the
+        # defaulted_denom_gross_outstanding Feature flips the basis; ref
+        # engine/sa/risk_weights.py _apply_defaulted_risk_weight B31 arm)
+        "defaulted_rw_high_provision": RuleEntry(_D("1.0"), "PS1/26 Art.127(1)"),
+        "defaulted_rw_low_provision": RuleEntry(_D("1.5"), "PS1/26 Art.127(1)"),
+        "defaulted_provision_threshold": RuleEntry(_D("0.20"), "PS1/26 Art.127(1)"),
+        "defaulted_denom_gross_outstanding": RuleEntry(
+            _D("1"), "PS1/26 Art.127(1) 'outstanding amount of the item'"
+        ),
+        # PS1/26 Art.127(3) / CRE20.88: a defaulted general (non-income-
+        # dependent) residential-RE exposure takes 100% flat regardless of
+        # provisions
+        "defaulted_resi_re_non_income_rw": RuleEntry(
+            _D("1.0"), "PS1/26 Art.127(3) / CRE20.88"
+        ),
+        # PS1/26 Art.123 retail product branches: QRRE transactor 45%
+        # (Art.123(2)), payroll/pension loans 35% (Art.123(4))
+        "retail_transactor_rw": RuleEntry(_D("0.45"), "PS1/26 Art.123(2) / CRE20.66"),
+        "retail_payroll_rw": RuleEntry(_D("0.35"), "PS1/26 Art.123(4)"),
+        # PS1/26 Art.122(11): unrated corporate SME 85% (CRE20.47)
+        "corporate_sme_rw": RuleEntry(_D("0.85"), "PS1/26 Art.122(11) / CRE20.47"),
+        # PS1/26 Art.122(6)/(8): investment-grade assessment for unrated
+        # corporates — IG 65% / non-IG 135%, active only under the firm's
+        # PRA permission (PipelineConfig.use_investment_grade_assessment)
+        "corporate_ig_rw": RuleEntry(_D("0.65"), "PS1/26 Art.122(6)(a) / CRE20.46"),
+        "corporate_non_ig_rw": RuleEntry(_D("1.35"), "PS1/26 Art.122(6)(b)"),
         "unrated_corp_rw": RuleEntry(_D("1.0"), "BCBS CRE20.25"),
         "sme_supporting_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
         "sme_factor_above_threshold": RuleEntry(_D("1.0"), "removed in B3.1"),
@@ -747,7 +837,7 @@ B31_PACK = RulePack(
         "oc_short_maturity_ccf": RuleEntry(_D("0.2"), "n/a in B3.1 (gated off)"),
     },
     tables={
-        "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
+        "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS_B31),
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS_B31),
         "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
         "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
@@ -758,6 +848,14 @@ B31_PACK = RulePack(
         "covered_bond_rw": (_COVERED_BOND_RW_SCHEMA, _COVERED_BOND_RW_ROWS),
         "covered_bond_unrated_derivation": (_CB_DERIVATION_SCHEMA, _CB_DERIVATION_B31),
         "institution_scra_rw": (_SCRA_INST_SCHEMA, _SCRA_INST_ROWS),
+        # PS1/26 short-term institution / corporate RW tables (4 / 4A /
+        # SCRA-ST / 6A; ref engine/sa/risk_weights.py
+        # _b31_append_institution_maturity_branches,
+        # _b31_append_corporate_maturity_branches)
+        "scra_short_term_rw": (_SCRA_INST_SCHEMA, _SCRA_INST_ST_ROWS),
+        "ecra_short_term_rw": (_CQS_RW_SCHEMA, _ECRA_ST_ROWS),
+        "ecra_short_term_ecai_rw": (_CQS_RW_SCHEMA, _ECRA_ST_ECAI_ROWS),
+        "corporate_st_ecai_rw": (_CQS_RW_SCHEMA, _CORP_ST_ECAI_ROWS),
         # PRA Rules 4.2/4.3 equity transitional RW phase-in (ref
         # rulebook/packs/b31.py:740-761): standard and higher-risk steps,
         # date-resolved driver-side (a Schedule, not a join dimension)
@@ -812,6 +910,10 @@ B31_PACK = RulePack(
         "covered_bond_rw": "PS1/26 Art.129(4) Table 7",
         "covered_bond_unrated_derivation": "PS1/26 Art.129(5) (7-input chain)",
         "institution_scra_rw": "PS1/26 Art.121A / BCBS CRE20.21",
+        "scra_short_term_rw": "PS1/26 Art.120A (SCRA short-term)",
+        "ecra_short_term_rw": "PS1/26 Art.120(2) Table 4",
+        "ecra_short_term_ecai_rw": "PS1/26 Art.120(2B) Table 4A",
+        "corporate_st_ecai_rw": "PS1/26 Art.122(3) Table 6A",
         "re_ltv_rw": "PS1/26 Art.124G Table 6B / Art.124I (BCBS CRE20.83/20.86)",
         "b31_sa_sl_rw": "PS1/26 Art.122A-122B (BCBS CRE20.48-52)",
         "ccf": "BCBS CRE20.94-101 / PS1/26 Art.111",

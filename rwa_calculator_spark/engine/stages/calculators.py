@@ -1318,7 +1318,12 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     return perf, el
 
 
-def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> CalcOutput:
+def run_sa(
+    crm: CRMOutput,
+    pack: RulePack,
+    threshold_scale: float = 1.0,
+    use_ig_assessment: bool = False,
+) -> CalcOutput:
     spark = crm.exposures.sparkSession
     exp = crm.exposures.where(
         ~F.col("has_irb_permission")
@@ -1725,6 +1730,213 @@ def run_sa(crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0) -> Calc
         base_rw = F.when(sl_row, sl_rw).otherwise(base_rw)
         rw_source = F.when(
             sl_row, F.concat(F.lit("b31_sa_sl_"), sl_key)
+        ).otherwise(rw_source)
+
+    # --- PS1/26 short-term institution / corporate ECAI routing (ref
+    # engine/sa/risk_weights.py _b31_append_institution_maturity_branches +
+    # _b31_append_corporate_maturity_branches). Pack-gated (the CRR has no
+    # short-term tables) and column-gated per bundle; all four tables are
+    # dim-sized broadcast lookups. Precedence mirrors the reference chain:
+    # dedicated short-term ECAI (Table 4A) beats the long-term-rating
+    # short-term window (Table 4); SCRA-ST beats the long-term SCRA
+    # override above (applied later wins).
+    _nd = ~F.col("is_defaulted")
+    _rated = F.coalesce(F.col("cqs"), F.lit(0)) > 0
+    _inst = F.col("exposure_class") == "institution"
+    _has_st_ecai = (
+        F.coalesce(F.col("has_short_term_ecai"), F.lit(False))
+        if "has_short_term_ecai" in exp.columns
+        else F.lit(False)
+    )
+    if "original_maturity_years" in exp.columns:
+        _om = F.coalesce(F.col("original_maturity_years"), F.lit(1.0))
+        _st_lc = (
+            F.coalesce(F.col("is_short_term_trade_lc"), F.lit(False))
+            if "is_short_term_trade_lc" in exp.columns
+            else F.lit(False)
+        )
+        # Art.120(2)/121(5): original maturity <= 3m, or trade finance <= 6m
+        _st_window = (_om <= 0.25) | (_st_lc & (_om <= 0.5))
+    else:
+        _st_window = F.lit(False)
+    if "ecra_short_term_rw" in pack.tables and "original_maturity_years" in exp.columns:
+        t4 = pack.table_df(spark, "ecra_short_term_rw").select(
+            F.col("cqs").alias("_t4_cqs"), F.col("rw").alias("_t4_rw")
+        )
+        exp = exp.join(
+            F.broadcast(t4), F.col("cqs") == F.col("_t4_cqs"), "left"
+        ).drop("_t4_cqs")
+        m_t4 = _inst & _rated & ~_has_st_ecai & _st_window & _nd
+        base_rw = F.when(m_t4, F.coalesce(F.col("_t4_rw"), F.lit(1.5))).otherwise(
+            base_rw
+        )
+        rw_source = F.when(m_t4, "sa_ecra_short_term").otherwise(rw_source)
+    if "scra_short_term_rw" in pack.tables and "scra_grade" in exp.columns:
+        sst = pack.table_df(spark, "scra_short_term_rw").select(
+            F.col("grade").alias("_sst_grade"), F.col("rw").alias("_sst_rw")
+        )
+        exp = exp.join(
+            F.broadcast(sst), F.col("scra_grade") == F.col("_sst_grade"), "left"
+        ).drop("_sst_grade")
+        m_sst = (
+            _inst
+            & (F.coalesce(F.col("cqs"), F.lit(0)) == 0)
+            & _st_window
+            & _nd
+            & F.col("_sst_rw").isNotNull()
+        )
+        base_rw = F.when(m_sst, F.col("_sst_rw")).otherwise(base_rw)
+        rw_source = F.when(m_sst, "sa_scra_short_term").otherwise(rw_source)
+    if (
+        "ecra_short_term_ecai_rw" in pack.tables
+        and "has_short_term_ecai" in exp.columns
+    ):
+        t4a = pack.table_df(spark, "ecra_short_term_ecai_rw").select(
+            F.col("cqs").alias("_t4a_cqs"), F.col("rw").alias("_t4a_rw")
+        )
+        exp = exp.join(
+            F.broadcast(t4a), F.col("cqs") == F.col("_t4a_cqs"), "left"
+        ).drop("_t4a_cqs")
+        m_t4a = _inst & _rated & _has_st_ecai & _nd
+        base_rw = F.when(m_t4a, F.coalesce(F.col("_t4a_rw"), F.lit(1.5))).otherwise(
+            base_rw
+        )
+        rw_source = F.when(m_t4a, "sa_ecra_st_ecai").otherwise(rw_source)
+    if "corporate_st_ecai_rw" in pack.tables and "has_short_term_ecai" in exp.columns:
+        t6a = pack.table_df(spark, "corporate_st_ecai_rw").select(
+            F.col("cqs").alias("_t6a_cqs"), F.col("rw").alias("_t6a_rw")
+        )
+        exp = exp.join(
+            F.broadcast(t6a), F.col("cqs") == F.col("_t6a_cqs"), "left"
+        ).drop("_t6a_cqs")
+        # SME corporates stay on the dedicated 85% path (ref excludes the
+        # SME class from Table 6A)
+        m_t6a = (
+            (F.col("exposure_class") == "corporate")
+            & _rated
+            & _has_st_ecai
+            & ~F.coalesce(F.col("is_sme"), F.lit(False))
+            & _nd
+        )
+        base_rw = F.when(m_t6a, F.coalesce(F.col("_t6a_rw"), F.lit(1.5))).otherwise(
+            base_rw
+        )
+        rw_source = F.when(m_t6a, "sa_corp_st_ecai").otherwise(rw_source)
+
+    # --- PS1/26 Art.122(11) unrated corporate SME 85% and Art.122(6)/(8)
+    # investment-grade assessment (65% IG / 135% non-IG, active only under
+    # the firm's PRA permission — use_ig_assessment). Pack-gated: the CRR
+    # prices unrated corporates flat at Art.122(2) 100%.
+    _unrated_corp = (
+        (F.col("exposure_class") == "corporate")
+        & (F.coalesce(F.col("cqs"), F.lit(0)) == 0)
+        & _nd
+    )
+    _is_sme = F.coalesce(F.col("is_sme"), F.lit(False))
+    if "corporate_sme_rw" in pack.scalars:
+        m_sme = _unrated_corp & _is_sme
+        base_rw = F.when(m_sme, pack.lit("corporate_sme_rw")).otherwise(base_rw)
+        rw_source = F.when(m_sme, "sa_corporate_sme").otherwise(rw_source)
+    if (
+        use_ig_assessment
+        and "corporate_ig_rw" in pack.scalars
+        and "is_investment_grade" in exp.columns
+    ):
+        _ig = F.coalesce(F.col("is_investment_grade"), F.lit(False))
+        m_ig = _unrated_corp & ~_is_sme & _ig
+        m_nig = _unrated_corp & ~_is_sme & ~_ig
+        base_rw = (
+            F.when(m_ig, pack.lit("corporate_ig_rw"))
+            .when(m_nig, pack.lit("corporate_non_ig_rw"))
+            .otherwise(base_rw)
+        )
+        rw_source = (
+            F.when(m_ig, "sa_corporate_ig")
+            .when(m_nig, "sa_corporate_non_ig")
+            .otherwise(rw_source)
+        )
+
+    # --- Art.123 retail product branches: payroll/pension 35% (CRR2 F68 /
+    # PS1/26 Art.123(4)), QRRE transactor 45% (PS1/26 Art.123(2), B3.1
+    # only — transactor applied after payroll so it wins ties, mirroring
+    # the reference chain order)
+    _retail_nd = (F.col("exposure_class") == "retail") & _nd
+    if "retail_payroll_rw" in pack.scalars and "is_payroll_loan" in exp.columns:
+        m_pay = _retail_nd & F.coalesce(F.col("is_payroll_loan"), F.lit(False))
+        base_rw = F.when(m_pay, pack.lit("retail_payroll_rw")).otherwise(base_rw)
+        rw_source = F.when(m_pay, "sa_retail_payroll").otherwise(rw_source)
+    if "retail_transactor_rw" in pack.scalars and "is_qrre_transactor" in exp.columns:
+        m_tx = _retail_nd & F.coalesce(F.col("is_qrre_transactor"), F.lit(False))
+        base_rw = F.when(m_tx, pack.lit("retail_transactor_rw")).otherwise(base_rw)
+        rw_source = F.when(m_tx, "sa_retail_transactor").otherwise(rw_source)
+
+    # --- Art.127 defaulted provision test (ref engine/sa/risk_weights.py
+    # _apply_defaulted_risk_weight): the unsecured defaulted part takes
+    # 100% where specific provisions >= 20% of the denominator, 150%
+    # below. Denominator is regime data: CRR = pre-provision EXPOSURE
+    # VALUE (post-CRM EAD + the provision that reduced it), B3.1 = gross
+    # outstanding (the defaulted_denom_gross_outstanding Feature). B3.1
+    # additionally prices ALL defaulted RE-secured rows through the test
+    # except general (non-income) residential RE, which stays flat 100%
+    # (Art.127(3)/CRE20.88); the CRR keeps the flat Art.127(3)/(4) secured
+    # leg from the base chain. Applied LAST so the provision-based weight
+    # overrides every non-defaulted branch above, like the reference's
+    # unconditional Art.127 overwrite.
+    if "defaulted_provision_threshold" in pack.scalars:
+        _prov = F.coalesce(F.col("provision_allocated"), F.lit(0.0))
+        _gross_basis = (
+            "defaulted_denom_gross_outstanding" in pack.scalars
+            and pack.scalar("defaulted_denom_gross_outstanding") >= 1.0
+        )
+        _denom = (
+            F.col("gross_ead")
+            if _gross_basis
+            else F.col("ead_after_crm")
+            + F.coalesce(F.col("provision_capped_amount"), F.lit(0.0))
+        )
+        _high = _prov >= pack.lit("defaulted_provision_threshold") * _denom
+        _prov_rw = F.when(_high, pack.lit("defaulted_rw_high_provision")).otherwise(
+            pack.lit("defaulted_rw_low_provision")
+        )
+        _re_sec = F.col("exposure_class") == "re_secured"
+        if "defaulted_resi_re_non_income_rw" in pack.scalars:
+            _comm = (
+                F.coalesce(F.col("is_commercial_re"), F.lit(False))
+                if "is_commercial_re" in exp.columns
+                else F.lit(False)
+            )
+            _inc = (
+                F.coalesce(F.col("is_income_producing"), F.lit(False))
+                if "is_income_producing" in exp.columns
+                else F.lit(False)
+            )
+            # ADC / other-RE are their own classes in the reference's
+            # Art.127(3) carve-out (residential only) — they join the
+            # provision test like income/commercial rows
+            _adc = (
+                F.coalesce(F.col("is_adc"), F.lit(False))
+                if "is_adc" in exp.columns
+                else F.lit(False)
+            )
+            _oth = (
+                F.coalesce(F.col("is_other_re"), F.lit(False))
+                if "is_other_re" in exp.columns
+                else F.lit(False)
+            )
+            # general resi RE stays flat 100% (the base chain's secured
+            # leg); income-producing / commercial / ADC / other-RE secured
+            # rows join the provision test
+            m_prov = F.col("is_defaulted") & ~(
+                _re_sec & ~_comm & ~_inc & ~_adc & ~_oth
+            )
+        else:
+            m_prov = F.col("is_defaulted") & ~_re_sec
+        base_rw = F.when(m_prov, _prov_rw).otherwise(base_rw)
+        rw_source = F.when(
+            m_prov,
+            F.when(_high, F.lit("sa_defaulted_high_provision")).otherwise(
+                F.lit("sa_defaulted")
+            ),
         ).otherwise(rw_source)
 
     # CRR/PS1/26 Art.114(3): exposures to the ECB take an UNCONDITIONAL

@@ -145,6 +145,12 @@ def run_hierarchy(
         "is_short_term_trade_lc",
         "residual_maturity_years",
         "facility_termination_date",
+        # PS1/26 Art.120(2) Table 4 short-term window input (contingents
+        # already carry it for the Annex I OC split)
+        "original_maturity_years",
+        # CRR Art.123 (CRR2 F68) / PS1/26 Art.123(4): payroll/pension-
+        # secured retail loan product flag (35% RW branch)
+        "is_payroll_loan",
     ):
         if opt in raw.loans.columns:
             loan_cols.append(F.col(opt))
@@ -333,6 +339,17 @@ def run_hierarchy(
     # PD at 0.05%, revolvers at 0.10%; absent carrier = revolver floor)
     if "is_qrre_transactor" in raw.counterparties.columns:
         dim_cols.append(F.col("is_qrre_transactor"))
+    # PS1/26 Art.122(6)/(8) investment-grade assessment input for unrated
+    # corporates (active only under the firm's PRA permission; ref
+    # risk_weights.py cp_is_investment_grade)
+    if "is_investment_grade" in raw.counterparties.columns:
+        dim_cols.append(F.col("is_investment_grade"))
+    # PS1/26 Art.120(2B)/122(3): the obligor carries a DEDICATED short-term
+    # ECAI assessment (Tables 4A / 6A route; the producer flags only
+    # obligors whose exposures satisfy the maturity rule — ref
+    # HierarchyResolver._apply_short_term_rating_override)
+    if "has_short_term_ecai" in raw.counterparties.columns:
+        dim_cols.append(F.col("has_short_term_ecai"))
     if "is_large_financial" in raw.counterparties.columns:
         dim_cols.append(
             F.coalesce("is_large_financial", F.lit(False)).alias("is_large_financial")

@@ -1266,7 +1266,7 @@ _B31_ADJ_ORACLE = """
         SELECT *,
                CASE WHEN is_retail THEN 0.75 ELSE
                     CASE coalesce(cqs, 0) WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
-                         WHEN 3 THEN 1.0 WHEN 4 THEN 1.0 WHEN 5 THEN 1.5
+                         WHEN 3 THEN 0.75 WHEN 4 THEN 1.0 WHEN 5 THEN 1.5
                          WHEN 6 THEN 1.5 ELSE 1.0 END END AS rw_base,
                CASE WHEN is_retail THEN 'sa_retail'
                     ELSE 'sa_cqs_lookup' END AS src0
@@ -1612,7 +1612,7 @@ _B31_RE_ORACLE = """
                    AS income,
                CASE WHEN c.is_person THEN 0.75
                     ELSE CASE coalesce(c.cqs, 0)
-                         WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                         WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 0.75
                          WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
                          ELSE 1.0 END END AS cp_rw
         FROM loans l JOIN cps c ON l.cp = c.cp
@@ -1626,7 +1626,13 @@ _B31_RE_ORACLE = """
     ), priced AS (
         SELECT *,
                CASE
-                 WHEN is_defaulted THEN 1.0
+                 -- PS1/26 Art.127(3): general (non-income) resi RE defaults
+                 -- stay flat 100%; income/commercial/ADC/other-RE defaults
+                 -- take the Art.127(1) provision test (no provisions in
+                 -- this book -> 150%)
+                 WHEN is_defaulted AND NOT commercial AND NOT explicit_income
+                      AND NOT adc AND NOT other_re THEN 1.0
+                 WHEN is_defaulted THEN 1.5
                  WHEN adc AND NOT commercial AND presold THEN 1.00
                  WHEN adc THEN 1.50
                  WHEN other_re AND income THEN 1.50
@@ -1652,7 +1658,9 @@ _B31_RE_ORACLE = """
                       + cp_rw * (1.0 - secured_share)
                END AS rw,
                CASE
-                 WHEN is_defaulted THEN 'sa_defaulted_secured'
+                 WHEN is_defaulted AND NOT commercial AND NOT explicit_income
+                      AND NOT adc AND NOT other_re THEN 'sa_defaulted_secured'
+                 WHEN is_defaulted THEN 'sa_defaulted'
                  WHEN adc AND NOT commercial AND presold THEN 'b31_adc_presold'
                  WHEN adc THEN 'b31_adc'
                  WHEN other_re AND income THEN 'b31_other_re_income'
@@ -1794,7 +1802,7 @@ _B31_SA_SL_ORACLE = """
                         WHEN phase = 'high_quality_operational' THEN 0.80
                         ELSE 1.00 END
                  ELSE CASE coalesce(cqs, 0)
-                      WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                      WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 0.75
                       WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
                       ELSE 1.0 END
                END AS rw,
@@ -1910,7 +1918,7 @@ _B31_RE_124L_ORACLE = """
                     ELSE assets > 0 AND assets < 43000000.0 END AS is_sme,
                CASE WHEN is_person OR managed_retail THEN 0.75
                     ELSE CASE coalesce(cqs, 0)
-                         WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                         WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 0.75
                          WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
                          ELSE 1.0 END END AS cp_rw
         FROM cps
@@ -1939,7 +1947,12 @@ _B31_RE_124L_ORACLE = """
     ), priced AS (
         SELECT *,
                CASE
-                 WHEN is_defaulted THEN 1.0
+                 -- Art.127(3): only general (non-income) resi RE defaults
+                 -- keep the flat 100%; commercial / other-RE defaults take
+                 -- the Art.127(1) provision test (no provisions -> 150%)
+                 WHEN is_defaulted AND NOT commercial AND NOT other_re
+                      THEN 1.0
+                 WHEN is_defaulted THEN 1.5
                  WHEN other_re AND commercial THEN greatest(0.60, cp_rw_124l)
                  WHEN other_re THEN cp_rw_124l
                  WHEN commercial AND NOT person_or_sme THEN
@@ -1948,7 +1961,9 @@ _B31_RE_124L_ORACLE = """
                  ELSE 0.20 * ss + cp_rw_124l * (1.0 - ss)
                END AS rw,
                CASE
-                 WHEN is_defaulted THEN 'sa_defaulted_secured'
+                 WHEN is_defaulted AND NOT commercial AND NOT other_re
+                      THEN 'sa_defaulted_secured'
+                 WHEN is_defaulted THEN 'sa_defaulted'
                  WHEN other_re AND commercial THEN 'b31_other_re_cre'
                  WHEN other_re THEN 'b31_other_re_resi'
                  WHEN commercial AND NOT person_or_sme THEN 'b31_cre_art124h3'
@@ -4563,4 +4578,265 @@ def crm_guarantee_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_sum(F.col("risk_weight"), 6).alias("rw_sum"),
         scaled_sum(F.col("guaranteed_portion"), 2).alias("guaranteed_portion"),
         scaled_sum(F.col("rwa"), 2).alias("rwa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the B3.1 SA risk-weight branches the repo previously lacked —
+# PS1/26 Art.120 Tables 3/4/4A + Art.120A SCRA-ST, Art.122(3) Table 6A,
+# Art.122(6)/(11) IG assessment + corporate SME, Art.123(2)/(4) retail
+# transactor/payroll — and the Art.127 defaulted provision test.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sa_b31_rw_branches",
+    oracle="""
+    WITH cps AS (
+        SELECT c_custkey AS cp,
+               CASE WHEN c_custkey % 5 = 0 THEN 'individual'
+                    WHEN c_custkey % 5 = 1 THEN 'institution'
+                    ELSE 'corporate' END AS entity,
+               CAST(c_custkey % 7 AS INTEGER) AS cqs,
+               (c_custkey % 2 = 0) AS sme,         -- revenue 40m < 50m cap
+               CASE CAST(c_custkey % 4 AS INTEGER)
+                    WHEN 0 THEN 'A' WHEN 1 THEN 'A_ENHANCED'
+                    WHEN 2 THEN 'B' ELSE 'C' END AS grade,
+               (c_custkey % 3 = 0) AS st_ecai,
+               (c_custkey % 3 = 0) AS ig,
+               (c_custkey % 4 = 0) AS transactor
+        FROM customer
+    ), loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp,
+               o_totalprice / 1000.0 AS drawn,
+               (o_orderkey % 6 = 0) AS payroll,
+               CASE CAST(o_orderkey % 4 AS INTEGER)
+                    WHEN 0 THEN 0.2 WHEN 1 THEN 0.4 ELSE 2.0 END AS om,
+               (o_orderkey % 3 = 0) AS st_lc
+        FROM orders
+    ), j AS (
+        SELECT l.*, c.entity, c.cqs, c.sme, c.grade, c.st_ecai, c.ig,
+               c.transactor,
+               ((l.om <= 0.25) OR (l.st_lc AND l.om <= 0.5)) AS st_window
+        FROM loans l JOIN cps c ON l.cp = c.cp
+    ), priced AS (
+        SELECT *,
+          CASE
+            -- retail (individuals, group exposure far below 1m)
+            WHEN entity = 'individual' AND transactor THEN 0.45
+            WHEN entity = 'individual' AND payroll THEN 0.35
+            WHEN entity = 'individual' THEN 0.75
+            -- institutions
+            WHEN entity = 'institution' AND cqs > 0 AND st_ecai THEN
+                 CASE cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                          ELSE 1.5 END                       -- Table 4A
+            WHEN entity = 'institution' AND cqs > 0 AND st_window THEN
+                 CASE WHEN cqs <= 3 THEN 0.2 WHEN cqs <= 5 THEN 0.5
+                      ELSE 1.5 END                           -- Table 4
+            WHEN entity = 'institution' AND cqs > 0 THEN
+                 CASE cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.3 WHEN 3 THEN 0.5
+                          WHEN 4 THEN 1.0 WHEN 5 THEN 1.0 ELSE 1.5 END
+            WHEN entity = 'institution' AND st_window THEN
+                 CASE grade WHEN 'B' THEN 0.5 WHEN 'C' THEN 1.5
+                      ELSE 0.2 END                           -- SCRA-ST
+            WHEN entity = 'institution' THEN
+                 CASE grade WHEN 'A' THEN 0.4 WHEN 'A_ENHANCED' THEN 0.3
+                      WHEN 'B' THEN 0.75 ELSE 1.5 END        -- SCRA
+            -- corporates
+            WHEN cqs > 0 AND st_ecai AND NOT sme THEN
+                 CASE cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                      ELSE 1.5 END                           -- Table 6A
+            WHEN cqs > 0 THEN
+                 CASE cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 0.75
+                      WHEN 4 THEN 1.0 ELSE 1.5 END           -- B31 Table 6
+            WHEN sme THEN 0.85                               -- Art.122(11)
+            WHEN ig THEN 0.65                                -- Art.122(6)(a)
+            ELSE 1.35                                        -- Art.122(6)(b)
+          END AS rw,
+          CASE
+            WHEN entity = 'individual' AND transactor THEN 'sa_retail_transactor'
+            WHEN entity = 'individual' AND payroll THEN 'sa_retail_payroll'
+            WHEN entity = 'individual' THEN 'sa_retail'
+            WHEN entity = 'institution' AND cqs > 0 AND st_ecai
+                 THEN 'sa_ecra_st_ecai'
+            WHEN entity = 'institution' AND cqs > 0 AND st_window
+                 THEN 'sa_ecra_short_term'
+            WHEN entity = 'institution' AND cqs > 0 THEN 'sa_cqs_lookup'
+            WHEN entity = 'institution' AND st_window THEN 'sa_scra_short_term'
+            WHEN entity = 'institution' THEN 'sa_scra'
+            WHEN cqs > 0 AND st_ecai AND NOT sme THEN 'sa_corp_st_ecai'
+            WHEN cqs > 0 THEN 'sa_cqs_lookup'
+            WHEN sme THEN 'sa_corporate_sme'
+            WHEN ig THEN 'sa_corporate_ig'
+            ELSE 'sa_corporate_non_ig'
+          END AS rw_source
+        FROM j
+    )
+    SELECT rw_source, count(*) AS n_exposures,
+           sum(CAST(round(drawn * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_ead,
+           sum(CAST(round((drawn * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_rwa
+    FROM priced GROUP BY rw_source
+    """,
+    tags=("engine", "sa", "rwa"),
+)
+def sa_b31_rw_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The B3.1 SA risk-weight branch family through the REAL pipeline
+    (ref engine/sa/risk_weights.py _b31_append_* + b31_risk_weight_tables):
+    retail transactor 45% / payroll 35% (Art.123(2)/(4)), short-term
+    institution routing (Table 4A dedicated ECAI beats Table 4's <=3m /
+    trade-LC <=6m window; SCRA-ST for unrated), the B3.1 Table 3/Table 6
+    ladders (institution CQS2 30%, corporate CQS3 75%), corporate Table 6A,
+    unrated corporate SME 85% (Art.122(11)) and the IG assessment 65%/135%
+    under the firm's permission (Art.122(6))."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.col("c_custkey") % 5 == 0, "individual")
+        .when(F.col("c_custkey") % 5 == 1, "institution")
+        .otherwise("corporate")
+        .alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.when(F.col("c_custkey") % 2 == 0, 40000000.0)
+        .otherwise(60000000.0)
+        .alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+        F.when(F.col("c_custkey") % 4 == 0, "A")
+        .when(F.col("c_custkey") % 4 == 1, "A_ENHANCED")
+        .when(F.col("c_custkey") % 4 == 2, "B")
+        .otherwise("C")
+        .alias("scra_grade"),
+        (F.col("c_custkey") % 3 == 0).alias("has_short_term_ecai"),
+        (F.col("c_custkey") % 3 == 0).alias("is_investment_grade"),
+        (F.col("c_custkey") % 4 == 0).alias("is_qrre_transactor"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        (F.col("o_totalprice") / 1000.0).alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        (F.col("o_orderkey") % 6 == 0).alias("is_payroll_loan"),
+        F.when(F.col("o_orderkey") % 4 == 0, 0.2)
+        .when(F.col("o_orderkey") % 4 == 1, 0.4)
+        .otherwise(2.0)
+        .alias("original_maturity_years"),
+        (F.col("o_orderkey") % 3 == 0).alias("is_short_term_trade_lc"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(
+            pack=B31_PACK,
+            persist_edges=True,
+            use_investment_grade_assessment=True,
+        ),
+    )
+    return out.results.groupBy("rw_source").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )
+
+
+@query(
+    "sa_defaulted_provisions",
+    oracle="""
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_totalprice AS drawn,
+               (o_orderkey % 3 = 0) AS def
+        FROM orders
+    ), p AS (
+        SELECT *,
+               CASE WHEN def AND ok % 5 <> 0
+                    THEN (CASE WHEN ok % 2 = 0 THEN 0.30 ELSE 0.10 END) * drawn
+                    ELSE 0.0 END AS prov
+        FROM loans
+    ), priced AS (
+        SELECT *, drawn - prov AS ead,
+               CASE WHEN def AND prov >= 0.2 * drawn THEN 1.0
+                    WHEN def THEN 1.5
+                    ELSE 1.0 END AS rw,
+               CASE WHEN def AND prov >= 0.2 * drawn
+                    THEN 'sa_defaulted_high_provision'
+                    WHEN def THEN 'sa_defaulted'
+                    ELSE 'sa_cqs_lookup' END AS rw_source
+        FROM p
+    )
+    SELECT rw_source, count(*) AS n_exposures,
+           sum(CAST(round(ead * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_ead,
+           sum(CAST(round((ead * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_rwa,
+           sum(CAST(round(prov * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_provisions
+    FROM priced GROUP BY rw_source
+    """,
+    tags=("engine", "sa", "rwa", "provisions"),
+)
+def sa_defaulted_provisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR Art.127(1) defaulted provision test through the REAL pipeline
+    (ref engine/sa/risk_weights.py _apply_defaulted_risk_weight): the
+    unsecured defaulted part takes 100% where specific credit risk
+    adjustments >= 20% of the pre-provision exposure value, 150% below —
+    three cohorts (30% provisioned, 10% provisioned, unprovisioned) against
+    a rated-corporate CQS3 performing book. Provisions deduct from EAD
+    drawn-first, so the denominator reconstructs exactly to the original
+    drawn amount."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(3).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        (F.col("o_orderkey") % 3 == 0).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    provisions = o.where(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 5 != 0)
+    ).select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("beneficiary_reference"),
+        F.lit("exposure").alias("beneficiary_type"),
+        (
+            F.when(F.col("o_orderkey") % 2 == 0, 0.30).otherwise(0.10)
+            * F.col("o_totalprice")
+        ).alias("amount"),
+        F.lit("scra").alias("provision_type"),
+        F.concat(F.lit("P"), F.col("o_orderkey")).alias("provision_reference"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, provisions=provisions),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("rw_source").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+        scaled_sum(F.col("provision_allocated"), 2).alias("total_provisions"),
     )

@@ -196,6 +196,25 @@ _SQL_SA_RW = """(VALUES
     ('corporate', 0, CAST(1.0 AS DOUBLE))
 ) AS rwt(rw_class, rw_cqs, rw)"""
 
+# Basel 3.1 ladder (PRA PS1/26 Art.120 Table 3 / Art.122(2) Table 6:
+# institution CQS2 30% + unrated 40%, corporate CQS3 75%) — mirrors the
+# engine's _SA_RW_ROWS_B31
+_SQL_SA_RW_B31 = """(VALUES
+    ('sovereign', 1, CAST(0.0 AS DOUBLE)), ('sovereign', 2, CAST(0.2 AS DOUBLE)),
+    ('sovereign', 3, CAST(0.5 AS DOUBLE)), ('sovereign', 4, CAST(1.0 AS DOUBLE)),
+    ('sovereign', 5, CAST(1.0 AS DOUBLE)), ('sovereign', 6, CAST(1.5 AS DOUBLE)),
+    ('sovereign', 0, CAST(1.0 AS DOUBLE)),
+    ('institution', 1, CAST(0.2 AS DOUBLE)), ('institution', 2, CAST(0.3 AS DOUBLE)),
+    ('institution', 3, CAST(0.5 AS DOUBLE)), ('institution', 4, CAST(1.0 AS DOUBLE)),
+    ('institution', 5, CAST(1.0 AS DOUBLE)), ('institution', 6, CAST(1.5 AS DOUBLE)),
+    ('institution', 0, CAST(0.4 AS DOUBLE)),
+    ('corporate', 1, CAST(0.2 AS DOUBLE)), ('corporate', 2, CAST(0.5 AS DOUBLE)),
+    ('corporate', 3, CAST(0.75 AS DOUBLE)), ('corporate', 4, CAST(1.0 AS DOUBLE)),
+    ('corporate', 5, CAST(1.5 AS DOUBLE)), ('corporate', 6, CAST(1.5 AS DOUBLE)),
+    ('corporate', 0, CAST(1.0 AS DOUBLE))
+) AS rwt(rw_class, rw_cqs, rw)"""
+
+
 
 @query(
     "rwa_pipeline_sa",
@@ -612,10 +631,14 @@ def rwa_pipeline_ccr_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w.exposure_class, w.ead_b31,
                CASE WHEN w.is_defaulted THEN 1.5
                     WHEN w.exposure_class = 'retail' THEN 0.75
+                    -- PS1/26 Art.122(11): unrated corporate SME 85%
+                    WHEN w.exposure_class = 'corporate' AND coalesce(w.cqs, 0) = 0
+                         AND w.annual_revenue > 0
+                         AND w.annual_revenue < 50000000.0 THEN 0.85
                     WHEN rwt.rw IS NOT NULL THEN rwt.rw
                     ELSE 1.0 END AS risk_weight
         FROM b31_ead w
-        LEFT JOIN {_SQL_SA_RW}
+        LEFT JOIN {_SQL_SA_RW_B31}
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
     ), crr AS (
         SELECT exposure_class, {sql_scaled_sum('(ead * risk_weight) * sf_crr', 2)} AS rwa_crr
@@ -765,11 +788,23 @@ _SQL_B31_SIDE = f"""
                     WHEN rwt.rw IS NOT NULL THEN rwt.rw
                     ELSE 1.0 END AS sa_rw
         FROM b_routed w
-        LEFT JOIN {_SQL_SA_RW}
+        LEFT JOIN {_SQL_SA_RW_B31}
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
     ), b_sa AS (
+        -- the SA branch additionally prices the Art.122(11) unrated-SME
+        -- 85% (run_sa override); the IRB arm's SA-equivalent keeps the
+        -- plain ladder, matching the engine's run_irb floor base
         SELECT 'SA' AS approach, exposure_class,
-               (ead * sa_rw) AS rwa, (ead * sa_rw) AS sa_equiv
+               (ead * (CASE WHEN exposure_class = 'corporate'
+                            AND coalesce(cqs, 0) = 0 AND annual_revenue > 0
+                            AND annual_revenue < 50000000.0
+                            AND NOT is_defaulted
+                       THEN 0.85 ELSE sa_rw END)) AS rwa,
+               (ead * (CASE WHEN exposure_class = 'corporate'
+                            AND coalesce(cqs, 0) = 0 AND annual_revenue > 0
+                            AND annual_revenue < 50000000.0
+                            AND NOT is_defaulted
+                       THEN 0.85 ELSE sa_rw END)) AS sa_equiv
         FROM b_rw WHERE NOT has_irb_permission
     ), b_irb_perf AS (
         SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM b_rw
