@@ -91,6 +91,12 @@ class PipelineConfig:
     # contracts/config.py use_investment_grade_assessment). B3.1-only
     # (the scalars are pack data); ignored under the CRR.
     use_investment_grade_assessment: bool = False
+    # PS1/26 Art.123A(1)(b)(ii) / CRE20.66 retail granularity limb (0.2%
+    # single-obligor share of the regulatory-retail portfolio). Default off
+    # — the reference's own enforce_retail_granularity suppression under
+    # CRE20.66's national discretion; flip on to route over-concentrated
+    # obligors out of regulatory retail. Pack-gated (B3.1 only).
+    enforce_retail_granularity: bool = False
     # Opt-in audit-cache sink (ref observability/audit_cache.py): a
     # cross-cutting diagnostics side-effect called with (name, frame) at
     # existing hook points. None (default) = no-op. The sink materialises
@@ -224,7 +230,12 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
     if config.audit_sink is not None:
         config.audit_sink("unified_exposures", h.exposures)
     _t = _time.perf_counter()
-    classified = run_classify(h, config.pack, threshold_scale=threshold_scale)
+    classified = run_classify(
+        h,
+        config.pack,
+        threshold_scale=threshold_scale,
+        enforce_retail_granularity=config.enforce_retail_granularity,
+    )
     _mark("classify", _t)
 
     # --- model-permission approach routing (ref classify/permissions.py +

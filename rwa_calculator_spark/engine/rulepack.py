@@ -280,6 +280,30 @@ _SCRA_INST_ST_ROWS = (
     ("C", _D("1.50")),
 )
 _CQS_RW_SCHEMA = "cqs int, rw double"
+# CRR Art.116(1) Table 2 / (2) Table 2A: PSE risk weights — sovereign-
+# derived for unrated PSEs, own-rating otherwise (ref rulebook/packs/crr.py
+# pse_risk_weights_sovereign_derived / pse_risk_weights_own_rating).
+# Regime-invariant (PS1/26 Art.116 retains the CRR tables).
+_PSE_SOV_DERIVED_ROWS = (
+    (1, _D("0.20")), (2, _D("0.50")), (3, _D("1.00")),
+    (4, _D("1.00")), (5, _D("1.00")), (6, _D("1.50")),
+)
+_PSE_OWN_RATING_ROWS = (
+    (1, _D("0.20")), (2, _D("0.50")), (3, _D("0.50")),
+    (4, _D("1.00")), (5, _D("1.00")), (6, _D("1.50")),
+)
+# CRR Art.117(1) Table 2B: non-named MDB RW by CQS (unrated 50% is the
+# calculators' fallback, not a table row)
+_MDB_TABLE_2B_ROWS = (
+    (1, _D("0.20")), (2, _D("0.30")), (3, _D("0.50")),
+    (4, _D("1.00")), (5, _D("1.00")), (6, _D("1.50")),
+)
+# CRR Art.137(1)-(2) Table 9: ECA minimum export insurance premium score →
+# sovereign RW (scores 0-7; out-of-range defers to the Art.114 fallback)
+_ECA_MEIP_ROWS = (
+    (0, _D("0.00")), (1, _D("0.00")), (2, _D("0.20")), (3, _D("0.50")),
+    (4, _D("1.00")), (5, _D("1.00")), (6, _D("1.00")), (7, _D("1.50")),
+)
 # PS1/26 Art.120(2) Table 4: ECRA short-term — a LONG-TERM rating mapped
 # onto a <=3m exposure (CQS 1-3 20%, 4-5 50%, 6 150%)
 _ECRA_ST_ROWS = (
@@ -467,6 +491,19 @@ CRR_PACK = RulePack(
         # payroll/pension-secured retail loans take 35%
         "retail_payroll_rw": RuleEntry(_D("0.35"), "CRR Art.123 (CRR2 F68)"),
         "unrated_corp_rw": RuleEntry(_D("1.0"), "CRR Art.122(2)"),
+        # CRR Art.116/117/118 PSE / MDB / IO invariant scalars (ref
+        # rulebook/packs/common.py:477-540)
+        "pse_short_term_rw": RuleEntry(_D("0.20"), "CRR Art.116(3) short-term PSE 20%"),
+        "pse_unrated_rw": RuleEntry(_D("1.0"), "CRR Art.116(1) unrated fallback 100%"),
+        "pse_non_equivalent_rw": RuleEntry(
+            _D("1.0"), "CRR Art.116(5) third-country PSE without equivalence 100%"
+        ),
+        "mdb_named_rw": RuleEntry(_D("0.0"), "CRR Art.117(2) named MDB 0%"),
+        "mdb_unrated_rw": RuleEntry(_D("0.50"), "CRR Art.117(1) unrated MDB 50%"),
+        "io_rw": RuleEntry(_D("0.0"), "CRR Art.118 international organisations 0%"),
+        # CRR Art.115(5): UK RGLA exposures denominated and funded in
+        # sterling take 20% (the 'GB'/'GBP' carrier convention)
+        "rgla_domestic_rw": RuleEntry(_D("0.20"), "CRR Art.115(5) / PS1/26 Art.115"),
         # CRR2 Art.501 tiered SME factor: 0.7619 on the group drawn amount
         # up to the threshold, 0.85 on the excess, blended per row
         "sme_supporting_factor": RuleEntry(_D("0.7619"), "CRR2 Art.501 (tier 1)"),
@@ -597,6 +634,17 @@ CRR_PACK = RulePack(
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS),
+        # CRR Art.116/117/137 sovereign-family tables (regime-invariant;
+        # ref rulebook/packs/crr.py:981-1052 + common.py eca_meip)
+        "pse_sovereign_derived_rw": (_CQS_RW_SCHEMA, _PSE_SOV_DERIVED_ROWS),
+        "pse_own_rating_rw": (_CQS_RW_SCHEMA, _PSE_OWN_RATING_ROWS),
+        "mdb_rw_table2b": (_CQS_RW_SCHEMA, _MDB_TABLE_2B_ROWS),
+        "eca_meip_rw": ("score int, rw double", _ECA_MEIP_ROWS),
+        # CRR Art.115(1) Tables 1A/1B: RGLA sovereign-derived / own-rating
+        # (values shared with the PSE Art.116 tables; separate names keep
+        # the citations honest)
+        "rgla_sovereign_derived_rw": (_CQS_RW_SCHEMA, _PSE_SOV_DERIVED_ROWS),
+        "rgla_own_rating_rw": (_CQS_RW_SCHEMA, _PSE_OWN_RATING_ROWS),
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS),
         "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
         "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
@@ -612,6 +660,12 @@ CRR_PACK = RulePack(
     },
     table_citations={
         "sa_rw": "CRR Art.114-122",
+        "pse_sovereign_derived_rw": "CRR Art.116(1) Table 2",
+        "pse_own_rating_rw": "CRR Art.116(2) Table 2A",
+        "mdb_rw_table2b": "CRR Art.117(1) Table 2B",
+        "eca_meip_rw": "CRR Art.137(1)-(2) Table 9",
+        "rgla_sovereign_derived_rw": "CRR Art.115(1)(a) Table 1A",
+        "rgla_own_rating_rw": "CRR Art.115(1)(b) Table 1B",
         "pd_floor_by_class": "CRR Art.160(1)/163(1) (sovereigns unfloored)",
         "lgd_floors": "CRR Art.161 — no A-IRB LGD input floors",
         "covered_bond_rw": "CRR Art.129(4) Table 6A",
@@ -668,6 +722,33 @@ B31_PACK = RulePack(
         "corporate_ig_rw": RuleEntry(_D("0.65"), "PS1/26 Art.122(6)(a) / CRE20.46"),
         "corporate_non_ig_rw": RuleEntry(_D("1.35"), "PS1/26 Art.122(6)(b)"),
         "unrated_corp_rw": RuleEntry(_D("1.0"), "BCBS CRE20.25"),
+        # CRR Art.116/117/118 PSE / MDB / IO invariant scalars (ref
+        # rulebook/packs/common.py:477-540)
+        "pse_short_term_rw": RuleEntry(_D("0.20"), "CRR Art.116(3) short-term PSE 20%"),
+        "pse_unrated_rw": RuleEntry(_D("1.0"), "CRR Art.116(1) unrated fallback 100%"),
+        "pse_non_equivalent_rw": RuleEntry(
+            _D("1.0"), "CRR Art.116(5) third-country PSE without equivalence 100%"
+        ),
+        "mdb_named_rw": RuleEntry(_D("0.0"), "CRR Art.117(2) named MDB 0%"),
+        "mdb_unrated_rw": RuleEntry(_D("0.50"), "CRR Art.117(1) unrated MDB 50%"),
+        "io_rw": RuleEntry(_D("0.0"), "CRR Art.118 international organisations 0%"),
+        # CRR Art.115(5): UK RGLA exposures denominated and funded in
+        # sterling take 20% (the 'GB'/'GBP' carrier convention)
+        "rgla_domestic_rw": RuleEntry(_D("0.20"), "CRR Art.115(5) / PS1/26 Art.115"),
+        # PS1/26 Art.128/133A high-risk + subordinated-debt classes (B3.1
+        # only: Art.128 was omitted from UK CRR by SI 2021/1078, so the CRR
+        # path prices both through the residual 100%; ref packs/common.py
+        # high_risk_rw + packs/b31.py b31_subordinated_debt_rw)
+        "high_risk_rw": RuleEntry(_D("1.5"), "PS1/26 Art.128 / CRE20.49-52"),
+        "subordinated_debt_rw": RuleEntry(_D("1.5"), "PS1/26 Art.133A / CRE20.49"),
+        # PS1/26 Art.123A(1)(b)(ii) / BCBS CRE20.66: single-obligor share
+        # of the regulatory-retail portfolio capped at 0.2% (the limb is
+        # applied when PipelineConfig.enforce_retail_granularity is on —
+        # CRE20.66 allows suppression where granularity is assessed by
+        # another method)
+        "retail_granularity_limit": RuleEntry(
+            _D("0.002"), "PS1/26 Art.123A(1)(b)(ii) / CRE20.66"
+        ),
         "sme_supporting_factor": RuleEntry(_D("1.0"), "removed in B3.1"),
         "sme_factor_above_threshold": RuleEntry(_D("1.0"), "removed in B3.1"),
         "sme_exposure_threshold": RuleEntry(_D("2500000"), "n/a in B3.1"),
@@ -838,6 +919,17 @@ B31_PACK = RulePack(
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS_B31),
+        # CRR Art.116/117/137 sovereign-family tables (regime-invariant;
+        # ref rulebook/packs/crr.py:981-1052 + common.py eca_meip)
+        "pse_sovereign_derived_rw": (_CQS_RW_SCHEMA, _PSE_SOV_DERIVED_ROWS),
+        "pse_own_rating_rw": (_CQS_RW_SCHEMA, _PSE_OWN_RATING_ROWS),
+        "mdb_rw_table2b": (_CQS_RW_SCHEMA, _MDB_TABLE_2B_ROWS),
+        "eca_meip_rw": ("score int, rw double", _ECA_MEIP_ROWS),
+        # CRR Art.115(1) Tables 1A/1B: RGLA sovereign-derived / own-rating
+        # (values shared with the PSE Art.116 tables; separate names keep
+        # the citations honest)
+        "rgla_sovereign_derived_rw": (_CQS_RW_SCHEMA, _PSE_SOV_DERIVED_ROWS),
+        "rgla_own_rating_rw": (_CQS_RW_SCHEMA, _PSE_OWN_RATING_ROWS),
         "ccf": ("risk_bucket string, ccf double", _CCF_ROWS_B31),
         "slotting_rw": (_SLOTTING_SCHEMA, _SLOTTING_ROWS),
         "saccr_sf": ("asset_class string, sf double", _SACCR_SF_ROWS),
@@ -910,6 +1002,12 @@ B31_PACK = RulePack(
         "covered_bond_rw": "PS1/26 Art.129(4) Table 7",
         "covered_bond_unrated_derivation": "PS1/26 Art.129(5) (7-input chain)",
         "institution_scra_rw": "PS1/26 Art.121A / BCBS CRE20.21",
+        "pse_sovereign_derived_rw": "CRR Art.116(1) Table 2",
+        "pse_own_rating_rw": "CRR Art.116(2) Table 2A",
+        "mdb_rw_table2b": "CRR Art.117(1) Table 2B",
+        "eca_meip_rw": "CRR Art.137(1)-(2) Table 9",
+        "rgla_sovereign_derived_rw": "CRR Art.115(1)(a) Table 1A",
+        "rgla_own_rating_rw": "CRR Art.115(1)(b) Table 1B",
         "scra_short_term_rw": "PS1/26 Art.120A (SCRA short-term)",
         "ecra_short_term_rw": "PS1/26 Art.120(2) Table 4",
         "ecra_short_term_ecai_rw": "PS1/26 Art.120(2B) Table 4A",

@@ -1870,6 +1870,172 @@ def run_sa(
         base_rw = F.when(m_tx, pack.lit("retail_transactor_rw")).otherwise(base_rw)
         rw_source = F.when(m_tx, "sa_retail_transactor").otherwise(rw_source)
 
+    # --- CRR Art.116-118 / Art.137 sovereign-family branches (ref
+    # engine/sa/risk_weights.py PSE/RGLA/MDB/IO chain + _eca_meip_rw_expr).
+    # All lookups are pack-dim broadcast joins; fallbacks are the cited
+    # Art.116(1)/117(1) conservative defaults.
+    if "io_rw" in pack.scalars:
+        m_io = (F.col("exposure_class") == "international_organisation") & _nd
+        base_rw = F.when(m_io, pack.lit("io_rw")).otherwise(base_rw)
+        rw_source = F.when(m_io, "sa_art118_io").otherwise(rw_source)
+    if "mdb_rw_table2b" in pack.tables:
+        t2b = pack.table_df(spark, "mdb_rw_table2b").select(
+            F.col("cqs").alias("_2b_cqs"), F.col("rw").alias("_2b_rw")
+        )
+        exp = exp.join(
+            F.broadcast(t2b),
+            F.coalesce(F.col("cqs"), F.lit(0)) == F.col("_2b_cqs"),
+            "left",
+        ).drop("_2b_cqs")
+        _mdb = (F.col("exposure_class") == "mdb") & _nd
+        m_named = _mdb & (F.col("entity_type") == "mdb_named")
+        m_2b = _mdb & (F.col("entity_type") != "mdb_named")
+        base_rw = (
+            F.when(m_named, pack.lit("mdb_named_rw"))
+            .when(m_2b, F.coalesce(F.col("_2b_rw"), pack.lit("mdb_unrated_rw")))
+            .otherwise(base_rw)
+        )
+        rw_source = (
+            F.when(m_named, "sa_mdb_named")
+            .when(m_2b, "sa_mdb_table2b")
+            .otherwise(rw_source)
+        )
+    if "pse_own_rating_rw" in pack.tables:
+        por = pack.table_df(spark, "pse_own_rating_rw").select(
+            F.col("cqs").alias("_por_cqs"), F.col("rw").alias("_por_rw")
+        )
+        exp = exp.join(
+            F.broadcast(por), F.col("cqs") == F.col("_por_cqs"), "left"
+        ).drop("_por_cqs")
+        if "sovereign_cqs" in exp.columns:
+            psd = pack.table_df(spark, "pse_sovereign_derived_rw").select(
+                F.col("cqs").alias("_psd_cqs"), F.col("rw").alias("_psd_rw")
+            )
+            exp = exp.join(
+                F.broadcast(psd),
+                F.col("sovereign_cqs") == F.col("_psd_cqs"),
+                "left",
+            ).drop("_psd_cqs")
+            _psd_rw = F.col("_psd_rw")
+        else:
+            _psd_rw = F.lit(None).cast("double")
+        _pse = (F.col("exposure_class") == "pse") & _nd
+        # Art.116(5): an EXPLICIT non-equivalence flag prices 100%; null is
+        # permissive (no Treasury determination recorded ≠ negative one)
+        _pse_ne = (
+            ~F.coalesce(F.col("pse_jurisdiction_equivalent"), F.lit(True))
+            if "pse_jurisdiction_equivalent" in exp.columns
+            else F.lit(False)
+        )
+        _pse_st = (
+            F.coalesce(F.col("original_maturity_years"), F.lit(1.0)) <= 0.25
+            if "original_maturity_years" in exp.columns
+            else F.lit(False)
+        )
+        base_rw = (
+            F.when(_pse & _pse_ne, pack.lit("pse_non_equivalent_rw"))
+            .when(_pse & _pse_st, pack.lit("pse_short_term_rw"))
+            .when(
+                _pse & (F.coalesce(F.col("cqs"), F.lit(0)) == 0),
+                F.coalesce(_psd_rw, pack.lit("pse_unrated_rw")),
+            )
+            .when(_pse, F.coalesce(F.col("_por_rw"), pack.lit("pse_unrated_rw")))
+            .otherwise(base_rw)
+        )
+        rw_source = (
+            F.when(_pse & _pse_ne, "sa_pse_non_equivalent")
+            .when(_pse & _pse_st, "sa_pse_short_term")
+            .when(
+                _pse & (F.coalesce(F.col("cqs"), F.lit(0)) == 0),
+                "sa_pse_sovereign_derived",
+            )
+            .when(_pse, "sa_pse_own_rating")
+            .otherwise(rw_source)
+        )
+    if "rgla_own_rating_rw" in pack.tables:
+        r1b = pack.table_df(spark, "rgla_own_rating_rw").select(
+            F.col("cqs").alias("_1b_cqs"), F.col("rw").alias("_1b_rw")
+        )
+        exp = exp.join(
+            F.broadcast(r1b), F.col("cqs") == F.col("_1b_cqs"), "left"
+        ).drop("_1b_cqs")
+        if "sovereign_cqs" in exp.columns:
+            r1a = pack.table_df(spark, "rgla_sovereign_derived_rw").select(
+                F.col("cqs").alias("_1a_cqs"), F.col("rw").alias("_1a_rw")
+            )
+            exp = exp.join(
+                F.broadcast(r1a),
+                F.col("sovereign_cqs") == F.col("_1a_cqs"),
+                "left",
+            ).drop("_1a_cqs")
+            _r1a_rw = F.col("_1a_rw")
+        else:
+            _r1a_rw = F.lit(None).cast("double")
+        _rgla = (F.col("exposure_class") == "rgla") & _nd
+        # Art.115(5): sterling-domestic UK RGLAs take the flat 20% — the
+        # 'GB'/'GBP' carrier convention; non-UK domestic-currency RGLAs
+        # fall through to the (1) rating tables (the reference deliberately
+        # does NOT reuse the composite EU-domestic flag here)
+        _rgla_dom = (
+            (F.col("country") == "GB") & (F.col("currency") == "GBP")
+            if "country" in exp.columns and "currency" in exp.columns
+            else F.lit(False)
+        )
+        base_rw = (
+            F.when(_rgla & _rgla_dom, pack.lit("rgla_domestic_rw"))
+            .when(
+                _rgla & (F.coalesce(F.col("cqs"), F.lit(0)) == 0),
+                F.coalesce(_r1a_rw, pack.lit("pse_unrated_rw")),
+            )
+            .when(_rgla, F.coalesce(F.col("_1b_rw"), pack.lit("pse_unrated_rw")))
+            .otherwise(base_rw)
+        )
+        rw_source = (
+            F.when(_rgla & _rgla_dom, "sa_rgla_domestic")
+            .when(
+                _rgla & (F.coalesce(F.col("cqs"), F.lit(0)) == 0),
+                "sa_rgla_sovereign_derived",
+            )
+            .when(_rgla, "sa_rgla_own_rating")
+            .otherwise(rw_source)
+        )
+    if "eca_meip_rw" in pack.tables and "eca_meip_score" in exp.columns:
+        eca = pack.table_df(spark, "eca_meip_rw").select(
+            F.col("score").alias("_eca_score"), F.col("rw").alias("_eca_rw")
+        )
+        exp = exp.join(
+            F.broadcast(eca),
+            F.col("eca_meip_score") == F.col("_eca_score"),
+            "left",
+        ).drop("_eca_score")
+        m_eca = (
+            (F.col("exposure_class") == "sovereign")
+            & (F.coalesce(F.col("cqs"), F.lit(0)) == 0)
+            & _nd
+            & F.col("_eca_rw").isNotNull()
+        )
+        base_rw = F.when(m_eca, F.col("_eca_rw")).otherwise(base_rw)
+        rw_source = F.when(m_eca, "sa_eca_meip").otherwise(rw_source)
+
+    # --- Art.112 Table A2 rows 3-4: subordinated debt / high-risk classes.
+    # Both outrank the defaulted rule (priority 3/4 > 5, ref
+    # risk_weights.py "_uc != HIGH_RISK" defaulted gate), so neither is
+    # gated on ~is_defaulted and both are excluded from the provision
+    # override below. The B3.1 pack prices them (Art.133A / Art.128); the
+    # CRR omitted Art.128 — its high-risk rows take the residual 100%,
+    # including defaulted ones (the Table A2 precedence, not an oversight).
+    if "subordinated_debt_rw" in pack.scalars:
+        m_sd = F.col("exposure_class") == "subordinated_debt"
+        base_rw = F.when(m_sd, pack.lit("subordinated_debt_rw")).otherwise(base_rw)
+        rw_source = F.when(m_sd, "sa_subordinated_debt").otherwise(rw_source)
+    m_hr = F.col("exposure_class") == "high_risk"
+    if "high_risk_rw" in pack.scalars:
+        base_rw = F.when(m_hr, pack.lit("high_risk_rw")).otherwise(base_rw)
+        rw_source = F.when(m_hr, "sa_high_risk").otherwise(rw_source)
+    else:
+        base_rw = F.when(m_hr, pack.lit("unrated_corp_rw")).otherwise(base_rw)
+        rw_source = F.when(m_hr, "sa_unrated").otherwise(rw_source)
+
     # --- Art.127 defaulted provision test (ref engine/sa/risk_weights.py
     # _apply_defaulted_risk_weight): the unsecured defaulted part takes
     # 100% where specific provisions >= 20% of the denominator, 150%
@@ -1931,6 +2097,10 @@ def run_sa(
             )
         else:
             m_prov = F.col("is_defaulted") & ~_re_sec
+        # Table A2 rows 3-4 outrank the defaulted rule (see above)
+        m_prov = m_prov & ~F.col("exposure_class").isin(
+            "high_risk", "subordinated_debt"
+        )
         base_rw = F.when(m_prov, _prov_rw).otherwise(base_rw)
         rw_source = F.when(
             m_prov,

@@ -28,7 +28,10 @@ def _cents_sum_over(expr, w):
 
 
 def run_classify(
-    h: HierarchyOutput, pack: RulePack, threshold_scale: float = 1.0
+    h: HierarchyOutput,
+    pack: RulePack,
+    threshold_scale: float = 1.0,
+    enforce_retail_granularity: bool = False,
 ) -> ClassifiedOutput:
     """threshold_scale: the run's EUR→reporting conversion applied to
     EUR-based CRR monetary thresholds (ref engine/thresholds.py — "CRR
@@ -66,6 +69,47 @@ def run_classify(
     is_retail = retail_candidate & (
         F.col("group_exposure") <= pack.lit("retail_threshold") * F.lit(threshold_scale)
     )
+    # PS1/26 Art.123A(1)(b)(ii) / BCBS CRE20.66 granularity limb: no single
+    # obligor's aggregate may exceed 0.2% of the regulatory-retail
+    # portfolio (ref classify/attributes.py _build_qualifies_as_retail_expr
+    # granularity_fail). Gated on the caller flag — OFF by default, the
+    # reference's own config.enforce_retail_granularity suppression under
+    # CRE20.66's national-discretion clause — and on the pack feature (the
+    # CRR has no granularity limb). The portfolio total is ONE scalar agg
+    # (each group counted once via its row count) broadcast back; the
+    # per-row test stays codegen-resident.
+    if enforce_retail_granularity and "retail_granularity_limit" in pack.scalars:
+        _grp_key = F.coalesce(F.col("group_reference"), F.col("counterparty_reference"))
+        _nrows = F.count(F.lit(1)).over(W.partitionBy(_grp_key))
+        _contrib = F.when(
+            retail_candidate, F.col("group_exposure") / _nrows
+        ).otherwise(F.lit(0.0))
+        _tot = (
+            exp.withColumn("_g_contrib", _contrib)
+            .agg(
+                (
+                    F.sum(F.round(F.col("_g_contrib") * 100.0, 0).cast("long"))
+                    / 100.0
+                ).alias("_retail_portfolio_total")
+            )
+        )
+        exp = (
+            exp.crossJoin(F.broadcast(_tot))
+            .withColumn(
+                "retail_granularity_applied",
+                retail_candidate
+                & (F.col("_retail_portfolio_total") > 0)
+                & (
+                    F.col("group_exposure") / F.col("_retail_portfolio_total")
+                    > pack.lit("retail_granularity_limit")
+                ),
+            )
+            .drop("_retail_portfolio_total")
+        )
+        is_retail = is_retail & ~F.col("retail_granularity_applied")
+        gran_applied = F.col("retail_granularity_applied")
+    else:
+        gran_applied = F.lit(False)
     # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA retail_threshold_applied):
     # true where the Art.123 aggregate-exposure test DECIDED the class —
     # the row was a retail candidate, so passing/failing the threshold is
@@ -128,6 +172,17 @@ def run_classify(
         if "is_property_secured" in exp.columns
         else F.lit(False)
     )
+    subdebt = (
+        F.coalesce(F.col("is_subordinated_debt"), F.lit(False))
+        if "is_subordinated_debt" in exp.columns
+        and "subordinated_debt_rw" in pack.scalars
+        else F.lit(False)
+    )
+    highrisk = (
+        F.coalesce(F.col("is_high_risk"), F.lit(False))
+        if "is_high_risk" in exp.columns
+        else F.lit(False)
+    )
     # PS1/26 Art.114(2A) (B3.1-feature-gated; ref engine/sa/central_bank.py
     # lift_central_bank_cqs): an UNRATED central bank reads across its
     # government's ECAI assessment — the sovereign_cqs carrier the Art.121
@@ -160,9 +215,35 @@ def run_classify(
         # CGCB ladder, NOT pinned to 0% (ref engine/sa/rgla.py: 0% only
         # arrives via Table 1 at CQS1)
         .when(F.col("entity_type") == "rgla_sovereign", "sovereign")
-        # Art.115(1): every other RGLA takes the institution treatment
-        .when(F.col("entity_type") == "rgla", "institution")
+        # Art.115(1): every other RGLA is its own class — own-rating Table
+        # 1B / sovereign-derived Table 1A / the (5) sterling-domestic 20%
+        # (ref engine/sa/rgla.py; was flattened to the institution
+        # treatment through round 7 — Table 1B equals the CRR institution
+        # ladder, but diverges from the B3.1 Table 3 at CQS2)
+        .when(F.col("entity_type") == "rgla", "rgla")
         .when(F.col("entity_type") == "institution", "institution")
+        # CRR Art.116: public sector entities are their own class — priced
+        # on the sovereign-derived Table 2 / own-rating Table 2A / the (3)
+        # short-term 20% / the (5) non-equivalent-jurisdiction 100%
+        .when(F.col("entity_type") == "pse", "pse")
+        # CRR Art.117: multilateral development banks ('mdb_named' = the
+        # Art.117(2) zero-weight list, the documented data convention)
+        .when(F.col("entity_type").isin("mdb", "mdb_named"), "mdb")
+        # CRR Art.118: international organisations, unconditional 0%
+        .when(
+            F.col("entity_type") == "international_organisation",
+            "international_organisation",
+        )
+        # Art.112 Table A2 rows 3-4 (ref risk_weights.py priority note):
+        # subordinated debt then high-risk items sit ABOVE the RE route and
+        # the retail test. The sub-debt class exists only where the pack
+        # prices it (PS1/26 Art.133A — B3.1); the high-risk class is a
+        # property of the exposure in BOTH regimes, but only the B3.1 pack
+        # carries the Art.128 150% branch — UK CRR omitted Art.128
+        # (SI 2021/1078), so CRR high-risk rows price through the residual
+        # 100% AND keep their Table A2 precedence over the defaulted rule
+        .when(subdebt, "subordinated_debt")
+        .when(highrisk, "high_risk")
         # the RE route sits BELOW the entity-type gates: only the
         # corporate/retail/individual book reclassifies on property
         # security — a property-secured loan to a sovereign stays on the
@@ -182,8 +263,16 @@ def run_classify(
         .when(F.col("entity_type") == "central_bank_ecb", "CLS_ENTITY_ECB")
         .when(F.col("entity_type") == "central_bank", "CLS_ENTITY_CENTRAL_BANK")
         .when(F.col("entity_type") == "rgla_sovereign", "CLS_RGLA_EQUIVALENCE")
-        .when(F.col("entity_type") == "rgla", "CLS_RGLA_INSTITUTION")
+        .when(F.col("entity_type") == "rgla", "CLS_RGLA_ART115")
         .when(F.col("entity_type") == "institution", "CLS_ENTITY_INSTITUTION")
+        .when(F.col("entity_type") == "pse", "CLS_ENTITY_PSE")
+        .when(F.col("entity_type").isin("mdb", "mdb_named"), "CLS_ENTITY_MDB")
+        .when(
+            F.col("entity_type") == "international_organisation",
+            "CLS_ENTITY_IO",
+        )
+        .when(subdebt, "CLS_SUBORDINATED_DEBT")
+        .when(highrisk, "CLS_HIGH_RISK")
         .when(prop, "CLS_PROPERTY_SECURED")
         .when(
             is_retail & (F.col("entity_type") == "individual"), "CLS_RETAIL_INDIVIDUAL"
@@ -192,6 +281,7 @@ def run_classify(
         # over-threshold would-be retail is its own reason: the Art.123(c)
         # group test failing is the single most-asked "why is this
         # corporate?" lineage question
+        .when(gran_applied, "CLS_RETAIL_GRANULARITY")
         .when(
             (F.col("entity_type") == "individual") | F.col("is_managed_as_retail"),
             "CLS_RETAIL_OVER_THRESHOLD",

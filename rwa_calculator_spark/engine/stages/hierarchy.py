@@ -151,6 +151,11 @@ def run_hierarchy(
         # CRR Art.123 (CRR2 F68) / PS1/26 Art.123(4): payroll/pension-
         # secured retail loan product flag (35% RW branch)
         "is_payroll_loan",
+        # Art.112 Table A2 rows 3-4 classification inputs: PS1/26 Art.128
+        # particularly-high-risk items (VC/PE/speculative immovable) and
+        # Art.133A subordinated debt
+        "is_high_risk",
+        "is_subordinated_debt",
     ):
         if opt in raw.loans.columns:
             loan_cols.append(F.col(opt))
@@ -329,6 +334,13 @@ def run_hierarchy(
     # keep their exact plan shape
     if "sovereign_cqs" in raw.counterparties.columns:
         dim_cols.append(F.col("sovereign_cqs").cast("int").alias("sovereign_cqs"))
+    # CRR Art.137 ECA/MEIP score for unrated sovereigns (Table 9) and the
+    # Art.116(5) third-country-PSE Treasury-equivalence flag (null =
+    # permissive — an unflagged jurisdiction prices normally)
+    if "eca_meip_score" in raw.counterparties.columns:
+        dim_cols.append(F.col("eca_meip_score").cast("int").alias("eca_meip_score"))
+    if "pse_jurisdiction_equivalent" in raw.counterparties.columns:
+        dim_cols.append(F.col("pse_jurisdiction_equivalent"))
     if "scra_grade" in raw.counterparties.columns:
         dim_cols.append(F.col("scra_grade"))
     # IRB correlation-routing carriers (CRR Art.153(2)/154): retail

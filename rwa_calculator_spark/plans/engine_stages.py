@@ -797,6 +797,8 @@ def sa_covered_bond_rw(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RGLA_ORACLE = f"""
     WITH cps AS (
         SELECT c_custkey AS cp, CAST(c_custkey % 7 AS INTEGER) AS cqs,
+               CAST(c_custkey % 8 AS INTEGER) AS sov_cqs,
+               CASE WHEN c_custkey % 5 = 0 THEN 'GB' ELSE 'FR' END AS ctry,
                CASE c_mktsegment
                     WHEN 'BUILDING' THEN 'rgla_sovereign'
                     WHEN 'FURNITURE' THEN 'rgla'
@@ -805,11 +807,12 @@ _RGLA_ORACLE = f"""
                     ELSE 'corporate' END AS entity_type
         FROM customer
     ), j AS (
-        SELECT o.o_totalprice AS ead, c.cqs, c.entity_type,
+        SELECT o.o_totalprice AS ead, c.cqs, c.sov_cqs, c.entity_type,
+               (c.ctry = 'GB' AND o.o_orderkey % 2 = 0) AS dom,
                CASE WHEN c.entity_type IN ('rgla_sovereign', 'sovereign')
                     THEN 'sovereign'
-                    WHEN c.entity_type IN ('rgla', 'institution')
-                    THEN 'institution'
+                    WHEN c.entity_type = 'rgla' THEN 'rgla'
+                    WHEN c.entity_type = 'institution' THEN 'institution'
                     ELSE 'corporate' END AS exposure_class
         FROM orders o JOIN cps c ON o.o_custkey = c.cp
     ), w AS (
@@ -820,6 +823,18 @@ _RGLA_ORACLE = f"""
                              WHEN 3 THEN 0.5 WHEN 4 THEN 1.0 WHEN 5 THEN 1.0
                              WHEN 6 THEN 1.5 ELSE 1.0 END
                     WHEN 'institution' THEN {_INST_LADDER_SQL.format(cqs='cqs')}
+                    -- Art.115(5) sterling-domestic 20% > (1)(a) Table 1A
+                    -- sovereign-derived for unrated > (1)(b) Table 1B
+                    WHEN 'rgla' THEN
+                        CASE WHEN dom THEN 0.2
+                             WHEN coalesce(cqs, 0) = 0 THEN
+                                  CASE sov_cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+                                       WHEN 3 THEN 1.0 WHEN 4 THEN 1.0
+                                       WHEN 5 THEN 1.0 WHEN 6 THEN 1.5
+                                       ELSE 1.0 END
+                             ELSE CASE cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+                                  WHEN 3 THEN 0.5 WHEN 4 THEN 1.0
+                                  WHEN 5 THEN 1.0 ELSE 1.5 END END
                     ELSE
                         CASE coalesce(cqs, 0) WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
                              WHEN 3 THEN 1.0 WHEN 4 THEN 1.0 WHEN 5 THEN 1.5
@@ -860,6 +875,16 @@ def sa_rgla_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
         entity.alias("entity_type"),
         (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        # rgla-only carriers: a country/sovereign-CQS on the OTHER entity
+        # types would trip the Art.114(4) EU-domestic and Art.121
+        # sovereign-derived-institution paths this book does not test
+        F.when(F.col("c_mktsegment") == "FURNITURE", F.col("c_custkey") % 8)
+        .cast("int")
+        .alias("sovereign_cqs"),
+        F.when(
+            F.col("c_mktsegment") == "FURNITURE",
+            F.when(F.col("c_custkey") % 5 == 0, "GB").otherwise("FR"),
+        ).alias("country"),
         F.lit(False).alias("is_managed_as_retail"),
         F.lit(0.0).alias("annual_revenue"),
         F.lit(False).alias("has_irb_permission"),
@@ -868,6 +893,7 @@ def sa_rgla_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
         F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
         F.col("o_totalprice").alias("drawn_amount"),
+        F.when(F.col("o_orderkey") % 2 == 0, "GBP").otherwise("EUR").alias("currency"),
         F.lit(False).alias("is_defaulted"),
         F.lit(None).cast("double").alias("pd"),
         F.lit(None).cast("double").alias("lgd"),
@@ -4839,4 +4865,249 @@ def sa_defaulted_provisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
         scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
         scaled_sum(F.col("provision_allocated"), 2).alias("total_provisions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the CRR Art.116-118 / Art.137 sovereign family (PSE four-leg
+# routing, MDB named/Table-2B, international organisations, ECA/MEIP
+# sovereign scores) + the Art.112 Table A2 rows 3-4 classes (subordinated
+# debt, high-risk) the B3.1 pack prices.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sa_sovereign_family",
+    oracle="""
+    WITH cps AS (
+        SELECT c_custkey AS cp,
+               CASE CAST(c_custkey % 6 AS INTEGER)
+                    WHEN 0 THEN 'pse' WHEN 1 THEN 'mdb' WHEN 2 THEN 'mdb_named'
+                    WHEN 3 THEN 'international_organisation'
+                    WHEN 4 THEN 'sovereign' ELSE 'corporate' END AS entity,
+               CAST(c_custkey % 7 AS INTEGER) AS cqs,
+               CAST(1 + c_custkey % 6 AS INTEGER) AS sov_cqs,
+               CAST(c_custkey % 9 AS INTEGER) AS eca,
+               NOT (c_custkey % 5 = 0) AS pse_eq
+        FROM customer
+    ), loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp, o_totalprice AS drawn,
+               CASE WHEN o_orderkey % 4 = 0 THEN 0.2 ELSE 2.0 END AS om,
+               (o_orderkey % 10 = 0) AS hr, (o_orderkey % 11 = 0) AS sd
+        FROM orders
+    ), j AS (
+        SELECT l.*, c.entity, c.cqs, c.sov_cqs, c.eca, c.pse_eq,
+               -- classification mirrors the engine chain: entity gates
+               -- first, then Table A2 rows 3-4, else corporate
+               CASE WHEN c.entity IN ('mdb', 'mdb_named') THEN 'mdb'
+                    WHEN c.entity IN ('pse', 'international_organisation',
+                                      'sovereign') THEN c.entity
+                    WHEN l.sd THEN 'subordinated_debt'
+                    WHEN l.hr THEN 'high_risk'
+                    ELSE 'corporate' END AS cls
+        FROM loans l JOIN cps c ON l.cp = c.cp
+    ), priced AS (
+        SELECT *,
+          CASE
+            WHEN cls = 'international_organisation' THEN 0.0
+            WHEN cls = 'mdb' AND entity = 'mdb_named' THEN 0.0
+            WHEN cls = 'mdb' THEN
+                 CASE cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.3 WHEN 3 THEN 0.5
+                      WHEN 4 THEN 1.0 WHEN 5 THEN 1.0 WHEN 6 THEN 1.5
+                      ELSE 0.5 END
+            WHEN cls = 'pse' AND NOT pse_eq THEN 1.0
+            WHEN cls = 'pse' AND om <= 0.25 THEN 0.2
+            WHEN cls = 'pse' AND cqs = 0 THEN
+                 CASE sov_cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+                      WHEN 6 THEN 1.5 ELSE 1.0 END
+            WHEN cls = 'pse' THEN
+                 CASE cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 0.5
+                      WHEN 6 THEN 1.5 ELSE 1.0 END
+            WHEN cls = 'sovereign' AND cqs = 0 AND eca <= 7 THEN
+                 CASE eca WHEN 0 THEN 0.0 WHEN 1 THEN 0.0 WHEN 2 THEN 0.2
+                      WHEN 3 THEN 0.5 WHEN 7 THEN 1.5 ELSE 1.0 END
+            WHEN cls = 'sovereign' THEN
+                 CASE cqs WHEN 1 THEN 0.0 WHEN 2 THEN 0.2 WHEN 3 THEN 0.5
+                      WHEN 6 THEN 1.5 ELSE 1.0 END
+            WHEN cls = 'subordinated_debt' THEN 1.5
+            WHEN cls = 'high_risk' THEN 1.5
+            ELSE CASE cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 0.75
+                      WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
+                      ELSE 1.0 END
+          END AS rw,
+          CASE
+            WHEN cls = 'international_organisation' THEN 'sa_art118_io'
+            WHEN cls = 'mdb' AND entity = 'mdb_named' THEN 'sa_mdb_named'
+            WHEN cls = 'mdb' THEN 'sa_mdb_table2b'
+            WHEN cls = 'pse' AND NOT pse_eq THEN 'sa_pse_non_equivalent'
+            WHEN cls = 'pse' AND om <= 0.25 THEN 'sa_pse_short_term'
+            WHEN cls = 'pse' AND cqs = 0 THEN 'sa_pse_sovereign_derived'
+            WHEN cls = 'pse' THEN 'sa_pse_own_rating'
+            WHEN cls = 'sovereign' AND cqs = 0 AND eca <= 7 THEN 'sa_eca_meip'
+            WHEN cls = 'sovereign' THEN 'sa_cqs_lookup'
+            WHEN cls = 'subordinated_debt' THEN 'sa_subordinated_debt'
+            WHEN cls = 'high_risk' THEN 'sa_high_risk'
+            ELSE 'sa_cqs_lookup'
+          END AS rw_source
+        FROM j
+    )
+    SELECT cls AS exposure_class, rw_source, count(*) AS n_exposures,
+           sum(CAST(round(drawn * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_ead,
+           sum(CAST(round((drawn * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_rwa
+    FROM priced GROUP BY cls, rw_source
+    """,
+    tags=("engine", "sa", "rwa", "sovereign"),
+)
+def sa_sovereign_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRR Art.116-118/137 sovereign family through the REAL pipeline
+    (ref engine/sa/risk_weights.py PSE/MDB/IO chain + _eca_meip_rw_expr):
+    PSE four-leg routing (Art.116(5) non-equivalence 100% > (3) short-term
+    20% > (1) Table 2 sovereign-derived > (2) Table 2A own-rating), named
+    MDBs at 0% vs Table 2B by CQS (unrated 50%), international
+    organisations 0%, unrated sovereigns on the Art.137 Table 9 ECA/MEIP
+    score, plus the Art.112 Table A2 rows 3-4 classes the B3.1 pack prices
+    (subordinated debt / high-risk 150%, PS1/26 Art.133A/128)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(F.col("c_custkey") % 6 == 0, "pse")
+        .when(F.col("c_custkey") % 6 == 1, "mdb")
+        .when(F.col("c_custkey") % 6 == 2, "mdb_named")
+        .when(F.col("c_custkey") % 6 == 3, "international_organisation")
+        .when(F.col("c_custkey") % 6 == 4, "sovereign")
+        .otherwise("corporate")
+        .alias("entity_type"),
+        (F.col("c_custkey") % 7).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+        (1 + F.col("c_custkey") % 6).cast("int").alias("sovereign_cqs"),
+        (F.col("c_custkey") % 9).cast("int").alias("eca_meip_score"),
+        (~(F.col("c_custkey") % 5 == 0)).alias("pse_jurisdiction_equivalent"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        F.when(F.col("o_orderkey") % 4 == 0, 0.2)
+        .otherwise(2.0)
+        .alias("original_maturity_years"),
+        (F.col("o_orderkey") % 10 == 0).alias("is_high_risk"),
+        (F.col("o_orderkey") % 11 == 0).alias("is_subordinated_debt"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=B31_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("exposure_class", "rw_source").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )
+
+
+@query(
+    "sa_retail_granularity",
+    oracle="""
+    WITH loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp,
+               (o_totalprice / 1000.0)
+                   * (CASE WHEN o_custkey % 40 = 0 THEN 500.0 ELSE 1.0 END)
+                   AS drawn
+        FROM orders
+    ), grp AS (
+        SELECT *,
+               sum(CAST(round(drawn * 100.0, 0) AS BIGINT)) OVER (PARTITION BY cp)
+                   / CAST(100 AS DOUBLE) AS ge,
+               count(*) OVER (PARTITION BY cp) AS n
+        FROM loans
+    ), tot AS (
+        SELECT sum(CAST(round((ge / n) * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS total
+        FROM grp
+    ), flagged AS (
+        SELECT g.*, t.total,
+               g.ge > 1000000.0 AS fail_thresh,
+               (t.total > 0 AND g.ge / t.total > 0.002) AS fail_gran
+        FROM grp g CROSS JOIN tot t
+    ), priced AS (
+        SELECT *,
+               CASE WHEN NOT fail_thresh AND NOT fail_gran THEN 'retail'
+                    ELSE 'corporate' END AS exposure_class,
+               CASE WHEN NOT fail_thresh AND NOT fail_gran
+                         THEN 'CLS_RETAIL_INDIVIDUAL'
+                    WHEN fail_gran THEN 'CLS_RETAIL_GRANULARITY'
+                    ELSE 'CLS_RETAIL_OVER_THRESHOLD' END AS class_reason,
+               CASE WHEN NOT fail_thresh AND NOT fail_gran THEN 0.75
+                    ELSE 1.0 END AS rw
+        FROM flagged
+    )
+    SELECT exposure_class, class_reason, count(*) AS n_exposures,
+           sum(CAST(round(drawn * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_ead,
+           sum(CAST(round((drawn * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_rwa
+    FROM priced GROUP BY exposure_class, class_reason
+    """,
+    tags=("engine", "sa", "classify"),
+)
+def sa_retail_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PS1/26 Art.123A(1)(b)(ii) / CRE20.66 retail granularity limb through
+    the REAL pipeline (ref classify/attributes.py granularity_fail,
+    enabled via the reference's enforce_retail_granularity config): every
+    40th obligor's book is inflated 500x, so its single-obligor share of
+    the regulatory-retail portfolio exceeds 0.2% and it routes out of
+    retail (CLS_RETAIL_GRANULARITY) — or out on the 1m threshold where the
+    inflated book also breaches Art.123A(1)(b)(i). The portfolio total is
+    one fixed-point scalar agg broadcast back (each obligor counted once),
+    never a second pass."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("individual").alias("entity_type"),
+        F.lit(0).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        (
+            (F.col("o_totalprice") / 1000.0)
+            * F.when(F.col("o_custkey") % 40 == 0, 500.0).otherwise(1.0)
+        ).alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(
+            pack=B31_PACK, persist_edges=True, enforce_retail_granularity=True
+        ),
+    )
+    return out.results.groupBy("exposure_class", "class_reason").agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
     )

@@ -1781,7 +1781,8 @@ def test_floor_transition_schedule_hand_computed(spark):
     sched = {r.year: r for r in floor_transition_schedule(spark, out).collect()}
     assert set(sched) == {2027, 2028, 2029, 2030}
     row = sched[2030]
-    assert row.std_total == pytest.approx(1000.0)  # CQS3 corporate → 100% RW
+    # B3.1 Table 6 corporate CQS3 → 75% (round 8 regime-split ladder)
+    assert row.std_total == pytest.approx(750.0)
     assert row.floor_alpha == 0.725
     # modelled K(pd=0.001 floored to 0.0005... pd=0.001 > floor) is small →
     # floor binds at every transitional percentage
@@ -2203,7 +2204,10 @@ def test_rgla_sovereign_not_pinned_to_zero(spark):
     }
     assert got["L1"] == ("sovereign", 0.0)  # CGCB ladder at CQS1
     assert got["L2"] == ("sovereign", 0.2)  # NOT a flat 0%
-    assert got["L3"] == ("institution", 0.2)  # Art.115(1) institution treatment
+    # Art.115(1)(b): own-rating Table 1B (round 8 — RGLA is its own class,
+    # no longer flattened to the institution treatment; CQS1 is 20% on
+    # both ladders so the priced figure is unchanged)
+    assert got["L3"] == ("rgla", 0.2)
 
 
 def _py_irb_rw(pd, lgd, m, scaling, pd_floor, with_ma=True):
