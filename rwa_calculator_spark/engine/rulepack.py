@@ -67,8 +67,12 @@ class RulePack:
         return {r[0]: float(r[1]) for r in rows}
 
     def table_df(self, spark: SparkSession, name: str) -> DataFrame:
+        from rwa_calculator_spark.operators.localrel import local_literal_df
+
         schema, rows = self.tables[name]
-        return spark.createDataFrame([tuple(_to_py(v) for v in r) for r in rows], schema)
+        return local_literal_df(
+            spark, schema, [tuple(_to_py(v) for v in r) for r in rows]
+        )
 
     def broadcast_table(self, spark: SparkSession, name: str) -> DataFrame:
         return F.broadcast(self.table_df(spark, name))
@@ -687,6 +691,14 @@ B31_PACK = RulePack(
     scalars={
         "retail_rw": RuleEntry(_D("0.75"), "BCBS CRE20.65"),
         "retail_threshold": RuleEntry(_D("1000000"), "BCBS CRE20.65 (native)"),
+        # Art.123A two-path retail qualification feature (ref rulebook/
+        # packs/b31.py retail_art_123a_two_path_applicable): SMEs
+        # auto-qualify by size without pool attestation (limb a); non-SMEs
+        # need the managed-as-retail attestation, null defaulting to True
+        # (limb b(iii) KEEP semantics). CRR has no Art.123A — threshold only.
+        "retail_art_123a_two_path": RuleEntry(
+            _D("1"), "PS1/26 Art.123A(1)(a)-(b)"
+        ),
         "thresholds_fx_derived": RuleEntry(_D("0"), "PS1/26 native GBP thresholds"),
         "sme_revenue_cap": RuleEntry(_D("50000000"), "PS1/26 Art.501 native"),
         "sme_balance_sheet_cap": RuleEntry(_D("43000000"), "PS1/26 Art.4 SME (native)"),

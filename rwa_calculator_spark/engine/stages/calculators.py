@@ -758,7 +758,13 @@ def _pd_floor_class_expr(pack: RulePack, df: DataFrame) -> Column:
         if "is_qrre_transactor" in df.columns
         else F.lit(False)
     )
-    cls = F.col("exposure_class")
+    # Art.147(3)/(4)(b): floors key on the IRB-equivalent class where the
+    # caller has routed one (run_irb seals irb_exposure_class)
+    cls = (
+        F.col("irb_exposure_class")
+        if "irb_exposure_class" in df.columns
+        else F.col("exposure_class")
+    )
     is_retail = cls == "retail"
     return (
         F.when(cls == "sovereign", F.lit(f["sovereign"]))
@@ -810,7 +816,11 @@ def _lgd_floor_expr(pack: RulePack, df: DataFrame) -> Column:
         if "retail_subtype" in have
         else F.lit(None).cast("string")
     )
-    cls = F.col("exposure_class")
+    cls = (
+        F.col("irb_exposure_class")
+        if "irb_exposure_class" in have
+        else F.col("exposure_class")
+    )
     is_retail = cls == "retail"
     is_mortgage = is_retail & (sub == "mortgage")
     lgdu = (
@@ -2713,6 +2723,22 @@ def run_irb(
     exp = _crm_carry(exp)
     if "el_be" not in exp.columns:
         exp = exp.withColumn("el_be", F.lit(None).cast("double"))
+    # CRR Art.147(3)/(4)(b) IRB class equivalence (ref rulebook/packs/
+    # common.py entity_type_to_irb_class + engine/entity_class_maps.py):
+    # MDBs and international organisations take the central-government
+    # treatment under IRB (Art.147(3)); the institution-leg RGLA/PSE
+    # classes take the institution treatment (Art.147(4)(b)). The SA class
+    # on exposure_class is untouched — this routes IRB floors/curves only
+    # (the sovereign-equivalent RGLA leg already classifies as sovereign).
+    exp = exp.withColumn(
+        "irb_exposure_class",
+        F.when(
+            F.col("exposure_class").isin("mdb", "international_organisation"),
+            F.lit("sovereign"),
+        )
+        .when(F.col("exposure_class").isin("pse", "rgla"), F.lit("institution"))
+        .otherwise(F.col("exposure_class")),
+    )
 
     # standardised-equivalent RWA for the Art.92(3) output floor: the SAME
     # SA ladder the SA branch runs (class × CQS lookup + overrides), so the

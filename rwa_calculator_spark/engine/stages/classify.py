@@ -142,10 +142,43 @@ def run_classify(
         (assets > 0) & (assets < pack.lit("sme_balance_sheet_cap") * scale)
     )
     exp = exp.withColumn("is_sme", F.coalesce(is_sme, F.lit(False)))
-    # the Art.123 qualification OUTCOME (candidate AND under-threshold) —
-    # distinct from retail_threshold_applied (which records that the test
-    # ran); the Art.124L(a) retail-qualifying-SME limb keys on it
-    exp = exp.withColumn("qualifies_as_retail", F.coalesce(is_retail, F.lit(False)))
+    # the Art.123 qualification OUTCOME — distinct from
+    # retail_threshold_applied (which records that the test ran); the
+    # Art.124L(a) retail-qualifying-SME limb keys on it.
+    # Under B3.1 the attribute takes the full Art.123A two-path form (ref
+    # classify/attributes.py _build_qualifies_as_retail_expr): threshold
+    # fail disqualifies; SMEs then AUTO-qualify by the Art.4(1)(128D) size
+    # test with no pool attestation (limb (a)) and skip the granularity
+    # limb; non-SMEs fail on the granularity cap or on an explicit
+    # managed-as-retail=False (null KEEPS qualification — the reference's
+    # documented backward-compatible default); everything else qualifies.
+    # CRR keeps the plain Art.123 outcome (candidate AND under-threshold).
+    # The retail CLASS route (is_retail) is unchanged in both regimes —
+    # corporate->retail reclassification still needs the managed-as-retail
+    # attestation, mirroring the reference's reclassify_corporate_to_retail.
+    if pack.scalars.get("retail_art_123a_two_path") is not None and pack.scalar(
+        "retail_art_123a_two_path"
+    ) >= 1.0:
+        _managed = (
+            F.col("is_managed_as_retail")
+            if "is_managed_as_retail" in exp.columns
+            else F.lit(None).cast("boolean")
+        )
+        _under = F.col("group_exposure") <= pack.lit("retail_threshold") * F.lit(
+            threshold_scale
+        )
+        q123a = (
+            F.when(~_under, F.lit(False))
+            .when(F.col("is_sme"), F.lit(True))
+            .when(gran_applied, F.lit(False))
+            .when(~F.coalesce(_managed, F.lit(True)), F.lit(False))
+            .otherwise(F.lit(True))
+        )
+        exp = exp.withColumn("qualifies_as_retail", q123a)
+    else:
+        exp = exp.withColumn(
+            "qualifies_as_retail", F.coalesce(is_retail, F.lit(False))
+        )
     # ref CALCULATION_OUTPUT_SCHEMA retail_eligible_via_group: the Art.123
     # aggregate ran over a CONNECTED-CLIENTS base (a lending group, or a
     # resolved parent group beyond the obligor itself), not just the

@@ -320,7 +320,11 @@ def run_hierarchy(
             else F.lit(None).cast("string")
         ).alias("country"),
         F.col("cqs").cast("int").alias("cqs"),
-        F.coalesce("is_managed_as_retail", F.lit(False)).alias("is_managed_as_retail"),
+        # kept NULLABLE: Art.123A(1)(b)(iii) distinguishes an explicit
+        # False (disqualifies a non-SME) from an absent attestation (KEEPS
+        # qualification — ref attributes.py fill_null(True) at the limb);
+        # every candidate/reason consumer treats null as falsy already
+        F.col("is_managed_as_retail").cast("boolean").alias("is_managed_as_retail"),
         F.coalesce("annual_revenue", F.lit(0.0)).alias("annual_revenue"),
         F.coalesce("has_irb_permission", F.lit(False)).alias("has_irb_permission"),
         (

@@ -1948,23 +1948,38 @@ _B31_RE_124L_ORACLE = """
                          WHEN 4 THEN 1.0 WHEN 5 THEN 1.5 WHEN 6 THEN 1.5
                          ELSE 1.0 END END AS cp_rw
         FROM cps
-    ), limbed AS (
-        SELECT *,
-               CASE WHEN is_person OR (is_sme AND (is_person OR managed_retail))
-                         THEN 0.75
-                    WHEN is_sme THEN 0.85
-                    WHEN social THEN greatest(0.75, cp_rw)
-                    ELSE cp_rw END AS cp_rw_124l,
-               (is_person OR managed_retail OR is_sme) AS person_or_sme
-        FROM typed
     ), loans AS (
         SELECT o_orderkey AS ok, o_custkey AS cp,
-               o_totalprice / 1000.0 AS drawn,
+               o_totalprice / 1000.0
+                   * CASE WHEN o_custkey % 9 = 0 THEN 10000.0 ELSE 1.0 END
+                   AS drawn,
                0.35 + CAST(o_orderkey % 17 AS DOUBLE) * 0.05 AS ltv,
                (o_orderkey % 4 = 0) AS commercial,
                (o_orderkey % 11 = 0) AS other_re,
                (o_orderkey % 29 = 0) AS is_defaulted
         FROM orders
+    ), grouped AS (
+        -- the classify stage's fixed-point group aggregate (cents-rounded
+        -- per row before summing) against the Art.123 threshold
+        SELECT cp,
+               sum(CAST(round(drawn * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS group_exposure
+        FROM loans GROUP BY cp
+    ), limbed AS (
+        SELECT t.*, g.group_exposure <= 1000000.0 AS under_threshold,
+               -- PS1/26 Art.123A two-path: threshold fail disqualifies,
+               -- SMEs auto-qualify by size (limb a), non-SMEs need the
+               -- managed-as-retail attestation
+               (g.group_exposure <= 1000000.0
+                AND (t.is_sme OR t.managed_retail)) AS qualifies,
+               CASE WHEN t.is_person
+                         OR (t.is_sme AND g.group_exposure <= 1000000.0)
+                         THEN 0.75
+                    WHEN t.is_sme THEN 0.85
+                    WHEN t.social THEN greatest(0.75, t.cp_rw)
+                    ELSE t.cp_rw END AS cp_rw_124l,
+               (t.is_person OR t.managed_retail OR t.is_sme) AS person_or_sme
+        FROM typed t JOIN grouped g ON t.cp = g.cp
     ), j AS (
         SELECT l.*, c.cp_rw, c.cp_rw_124l, c.person_or_sme,
                least(0.55 / l.ltv, 1.0) AS ss,
@@ -2048,7 +2063,17 @@ def sa_b31_re_art124l(spark: SparkSession, sf_dir: str) -> DataFrame:
     loans = o.select(
         F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
         F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
-        (F.col("o_totalprice") / F.lit(1000.0)).alias("drawn_amount"),
+        # every 9th obligor's book is scaled over the Art.123A(1)(b)(i)
+        # aggregate threshold so BOTH limbs of the two-path stay
+        # value-visible: an over-threshold SME prices on the 85% limb (b),
+        # an under-threshold unmanaged SME AUTO-qualifies onto limb (a)
+        (
+            F.col("o_totalprice")
+            / F.lit(1000.0)
+            * F.when(F.col("o_custkey") % 9 == 0, F.lit(10000.0)).otherwise(
+                F.lit(1.0)
+            )
+        ).alias("drawn_amount"),
         (F.col("o_orderkey") % 29 == 0).alias("is_defaulted"),
         F.lit(None).cast("double").alias("pd"),
         F.lit(None).cast("double").alias("lgd"),
@@ -4148,6 +4173,171 @@ def irb_floor_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.round(F.min("irb_pd_floored"), 8).alias("pd_floored"),
         F.round(F.min("irb_lgd_floored"), 8).alias("lgd_floored"),
+        F.round(F.min("risk_weight"), 8).alias("rw"),
+        F.round(
+            F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2
+        ).alias("rwa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRR Art.147(3)/(4)(b) IRB class equivalence (ref rulebook/packs/common.py
+# entity_type_to_irb_class + data/schemas.py RGLA_PSE_ENTITY_TYPES — the
+# reference rewrites the post-approach exposure_class so the IRB calculator
+# sees CGCB / INSTITUTION rather than RGLA / PSE / MDB): MDBs and
+# international organisations take the central-government IRB treatment —
+# under CRR that means NO PD floor (Art.160(1) reaches corporates and
+# institutions only); the institution-leg RGLA/PSE classes take the
+# institution treatment (floored 0.03%). The book spans every mapped entity
+# type with PDs straddling the 0.03% floor; the oracle re-derives the
+# mapping, the class-routed floor, and the corporate-curve Vasicek.
+# ---------------------------------------------------------------------------
+
+
+def _irb_class_equivalence_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+    from rwa_calculator_spark.functions.irb import (
+        sql_capital_k_r,
+        sql_correlation,
+        sql_maturity_adj,
+    )
+    from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
+
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck,
+               o_totalprice / 1000.0 AS ead,
+               (0.0001 + CAST(o_orderkey % 6 AS DOUBLE) * 0.0002) AS pd_raw,
+               CAST(0.45 AS DOUBLE) AS lgd,
+               CAST(2.5 AS DOUBLE) AS m
+        FROM orders
+    ), classified AS (
+        SELECT *,
+               CASE CAST(ck % 7 AS INTEGER)
+                    WHEN 0 THEN 'pse' WHEN 1 THEN 'mdb' WHEN 2 THEN 'mdb_named'
+                    WHEN 3 THEN 'international_organisation'
+                    WHEN 4 THEN 'rgla' WHEN 5 THEN 'rgla_sovereign'
+                    ELSE 'corporate' END AS entity
+        FROM base
+    ), mapped AS (
+        -- classify: rgla_sovereign -> sovereign; mdb/mdb_named -> mdb;
+        -- then Art.147(3)/(4)(b): mdb + international_organisation -> CGCB,
+        -- pse + rgla (institution legs) -> institution
+        SELECT *,
+               CASE WHEN entity IN ('mdb', 'mdb_named') THEN 'mdb'
+                    WHEN entity = 'rgla_sovereign' THEN 'sovereign'
+                    ELSE entity END AS exposure_class,
+               CASE WHEN entity IN ('mdb', 'mdb_named',
+                                    'international_organisation',
+                                    'rgla_sovereign') THEN 'sovereign'
+                    WHEN entity IN ('pse', 'rgla') THEN 'institution'
+                    ELSE 'corporate' END AS irb_class
+        FROM classified
+    ), floored AS (
+        SELECT *,
+               CAST(CASE WHEN irb_class = 'sovereign' THEN 0.0
+                         ELSE 0.0003 END AS DOUBLE) AS pd_floor,
+               greatest(pd_raw, CASE WHEN irb_class = 'sovereign' THEN 0.0
+                                     ELSE 0.0003 END) AS pd_f
+        FROM mapped
+    ), g1 AS (
+        SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM floored
+    ), g2 AS (
+        SELECT * EXCLUDE (x0), {sql_halley_step('x0', 'pd_f')} AS g_pd,
+               {sql_correlation('pd_f')} AS r_c
+        FROM g1
+    ), k AS (
+        SELECT *, {sql_capital_k_r('pd_f', 'lgd', 'g_pd', 'r_c')} AS kv
+        FROM g2
+    ), priced AS (
+        -- CRR: x1.06 scaling, corporate-curve MA for every non-retail class
+        SELECT entity, exposure_class, ok, ck, ead, pd_floor, pd_f,
+               (kv * {sql_maturity_adj('pd_f', 'm')} * 12.5 * 1.06) AS rw
+        FROM k
+    )
+    SELECT entity, exposure_class,
+           CAST(ok % 6 AS INTEGER) AS band_pd,
+           count(*) AS n_rows,
+           round(min(pd_floor), 8) AS pd_floor,
+           round(min(pd_f), 8) AS pd_floored,
+           round(min(rw), 8) AS rw,
+           round(min(rw) * ({sql_scaled_sum('ead', 2)}), 2) AS rwa
+    FROM priced GROUP BY 1, 2, 3
+    """
+
+
+@query(
+    "irb_class_equivalence",
+    oracle=_irb_class_equivalence_oracle(),
+    tags=("engine", "irb", "tolerant"),
+)
+def irb_class_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Art.147(3)/(4)(b) IRB class equivalence through the REAL pipeline
+    (ref rulebook/packs/common.py entity_type_to_irb_class +
+    engine/entity_class_maps.py): MDB / named-MDB / international-
+    organisation obligors route onto the central-government IRB treatment
+    (CRR: unfloored PD), institution-leg RGLA/PSE obligors onto the
+    institution treatment (0.03% floor), sovereign-equivalent RGLAs having
+    already classified as sovereign — with PDs straddling the floor so the
+    mapping is value-visible, and the SA exposure_class untouched on the
+    ledger."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ck7 = (F.col("c_custkey") % 7).cast("int")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(ck7 == 0, "pse")
+        .when(ck7 == 1, "mdb")
+        .when(ck7 == 2, "mdb_named")
+        .when(ck7 == 3, "international_organisation")
+        .when(ck7 == 4, "rgla")
+        .when(ck7 == 5, "rgla_sovereign")
+        .otherwise("corporate")
+        .alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(2.0e8).alias("annual_revenue"),
+        F.lit(True).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        (F.col("o_totalprice") / F.lit(1000.0)).alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        (
+            F.lit(0.0001)
+            + (F.col("o_orderkey") % 6).cast("double") * F.lit(0.0002)
+        ).alias("pd"),
+        F.lit(0.45).alias("lgd"),
+        F.lit(2.5).alias("effective_maturity"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    _k7 = (F.col("o_custkey") % 7).cast("int")
+    keys = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.when(_k7 == 0, "pse")
+        .when(_k7 == 1, "mdb")
+        .when(_k7 == 2, "mdb_named")
+        .when(_k7 == 3, "international_organisation")
+        .when(_k7 == 4, "rgla")
+        .when(_k7 == 5, "rgla_sovereign")
+        .otherwise("corporate")
+        .alias("entity"),
+        (F.col("o_orderkey") % 6).cast("int").alias("band_pd"),
+    )
+    r = out.results.join(keys, "exposure_reference")
+    return r.groupBy("entity", "exposure_class", "band_pd").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("irb_pd_floor"), 8).alias("pd_floor"),
+        F.round(F.min("irb_pd_floored"), 8).alias("pd_floored"),
         F.round(F.min("risk_weight"), 8).alias("rw"),
         F.round(
             F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2

@@ -42,6 +42,12 @@ def build_session(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Engine rows are narrow to store but expensive to compute (160+
+        # derived columns over checkpointed edges): the default 64m advisory
+        # target coalesces the ~17MB calc shuffle to 6 partitions and strands
+        # 26 cores. 8m keeps post-shuffle stages parallel at bench scale and
+        # is still far above the scheduler-overhead floor at cluster scale.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
