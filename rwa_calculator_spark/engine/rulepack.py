@@ -605,6 +605,12 @@ CRR_PACK = RulePack(
         "firb_lgd_senior": RuleEntry(_D("0.45"), "CRR Art.161(1)(a)"),
         "firb_lgd_senior_fse": RuleEntry(_D("0.45"), "CRR Art.161(1)(a)"),
         "firb_lgd_subordinated": RuleEntry(_D("0.75"), "CRR Art.161(1)(b)"),
+        # Art.161(1)(e)/(f)/(g): purchased-receivables sub-type supervisory
+        # LGDs — dispatch via purchased_receivables_subtype, NOT seniority
+        # (subordinated purchased receivables deviate from the standard 75%)
+        "firb_lgd_pr_senior": RuleEntry(_D("0.45"), "CRR Art.161(1)(e)"),
+        "firb_lgd_pr_subordinated": RuleEntry(_D("1.00"), "CRR Art.161(1)(f)"),
+        "firb_lgd_dilution": RuleEntry(_D("0.75"), "CRR Art.161(1)(g)"),
         "double_default_available": RuleEntry(_D("1"), "CRR Art.153(3), 202-203"),
         "dd_k_base": RuleEntry(_D("0.15"), "CRR Art.153(3)"),
         "dd_k_slope": RuleEntry(_D("160"), "CRR Art.153(3)"),
@@ -909,6 +915,11 @@ B31_PACK = RulePack(
         "firb_lgd_senior": RuleEntry(_D("0.40"), "PS1/26 Art.161(1)(aa)"),
         "firb_lgd_senior_fse": RuleEntry(_D("0.45"), "PS1/26 Art.161(1)(a)"),
         "firb_lgd_subordinated": RuleEntry(_D("0.75"), "PS1/26 Art.161(1)(b)"),
+        # PS1/26 Art.161(1)(e)/(f)/(g) (CRE32.10-12): purchased-receivables
+        # senior follows the 40% non-FSE senior rate; dilution rises to 100%
+        "firb_lgd_pr_senior": RuleEntry(_D("0.40"), "PS1/26 Art.161(1)(e)"),
+        "firb_lgd_pr_subordinated": RuleEntry(_D("1.00"), "PS1/26 Art.161(1)(f)"),
+        "firb_lgd_dilution": RuleEntry(_D("1.00"), "PS1/26 Art.161(1)(g)"),
         "double_default_available": RuleEntry(_D("0"), "not onshored in PS1/26"),
         "dd_k_base": RuleEntry(_D("0.15"), "n/a in B3.1 (gated off)"),
         "dd_k_slope": RuleEntry(_D("160"), "n/a in B3.1 (gated off)"),
@@ -1063,6 +1074,7 @@ REQUIRED_SCALARS = (
     "fcsm_rw_floor", "saccr_alpha", "pfe_multiplier_floor",
     "secsa_ksa", "secsa_p", "secsa_p_sts", "secsa_floor_rw",
     "firb_lgd_senior", "firb_lgd_senior_fse", "firb_lgd_subordinated",
+    "firb_lgd_pr_senior", "firb_lgd_pr_subordinated", "firb_lgd_dilution",
     "double_default_available", "dd_k_base", "dd_k_slope",
 )
 

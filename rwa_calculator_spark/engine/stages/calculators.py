@@ -2771,6 +2771,39 @@ def run_irb(
     exp = exp.withColumn("_pd_floor_in", _pd_floor_class_expr(pack, exp)).withColumn(
         "_lgd_floor_in", _lgd_floor_expr(pack, exp)
     )
+    # F-IRB supervisory LGD for rows with no own estimate (ref
+    # engine/irb/transforms.py apply_firb_lgd): seniority-routed senior/
+    # subordinated with the B3.1 Art.161(1)(aa) FSE split, OVERRIDDEN by
+    # the Art.161(1)(e)/(f)/(g) purchased-receivables sub-type rates when
+    # purchased_receivables_subtype is set — subtype dispatch, not
+    # seniority (subordinated purchased receivables carry 100%, dilution
+    # risk 75% CRR / 100% B3.1). The subtype rates bind on BOTH approaches
+    # for the Art.160(2)/(6) top-down population: a row carrying a subtype
+    # with no own LGD is that population by construction, and the ref
+    # records that gating them on approach==FIRB was anti-conservative.
+    _sen_sub = (
+        F.coalesce(F.col("seniority"), F.lit("senior")).contains("sub")
+        if "seniority" in exp.columns
+        else F.lit(False)
+    )
+    _fse_flag = (
+        F.coalesce(F.col("is_financial_sector_entity"), F.lit(False))
+        if "is_financial_sector_entity" in exp.columns
+        else F.lit(False)
+    )
+    _supervisory_lgd = F.when(_sen_sub, pack.lit("firb_lgd_subordinated")).otherwise(
+        F.when(_fse_flag, pack.lit("firb_lgd_senior_fse")).otherwise(
+            pack.lit("firb_lgd_senior")
+        )
+    )
+    if "purchased_receivables_subtype" in exp.columns:
+        _prs = F.col("purchased_receivables_subtype")
+        _supervisory_lgd = (
+            F.when(_prs == "senior", pack.lit("firb_lgd_pr_senior"))
+            .when(_prs == "subordinated", pack.lit("firb_lgd_pr_subordinated"))
+            .when(_prs == "dilution_risk", pack.lit("firb_lgd_dilution"))
+            .otherwise(_supervisory_lgd)
+        )
     exp = exp.withColumn(
         "pd_floored",
         F.when(F.col("is_defaulted"), F.lit(1.0)).otherwise(
@@ -2778,7 +2811,9 @@ def run_irb(
         ),
     ).withColumn(
         "lgd_floored",
-        F.greatest(F.coalesce("lgd", F.lit(0.45)), F.col("_lgd_floor_in")),
+        F.greatest(
+            F.coalesce(F.col("lgd"), _supervisory_lgd), F.col("_lgd_floor_in")
+        ),
     )
     # Art.162 maturity priority chain (ref engine/irb/transforms.py
     # _build_maturity_exprs — highest rung wins):

@@ -156,6 +156,11 @@ def run_hierarchy(
         # Art.133A subordinated debt
         "is_high_risk",
         "is_subordinated_debt",
+        # F-IRB supervisory LGD routing inputs (ref engine/irb/transforms.py
+        # apply_firb_lgd): instrument seniority and the Art.161(1)(e)/(f)/(g)
+        # purchased-receivables sub-type (senior/subordinated/dilution_risk)
+        "seniority",
+        "purchased_receivables_subtype",
     ):
         if opt in raw.loans.columns:
             loan_cols.append(F.col(opt))
@@ -369,6 +374,15 @@ def run_hierarchy(
     if "is_large_financial" in raw.counterparties.columns:
         dim_cols.append(
             F.coalesce("is_large_financial", F.lit(False)).alias("is_large_financial")
+        )
+    # B3.1 Art.161(1)(a)/(aa) FSE split input for the F-IRB supervisory
+    # LGD (ref transforms.py apply_firb_lgd cp_is_financial_sector_entity)
+    # — also consumed by the Art.147A A-IRB restriction in permissions
+    if "is_financial_sector_entity" in raw.counterparties.columns:
+        dim_cols.append(
+            F.coalesce("is_financial_sector_entity", F.lit(False)).alias(
+                "is_financial_sector_entity"
+            )
         )
     # PS1/26 Art.139(2B) inferred-rating disapplication input for the SA
     # specialised-lending routing (ref risk_weights.py:973-991)

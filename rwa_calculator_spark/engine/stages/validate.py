@@ -605,6 +605,13 @@ _VALUE_DOMAINS: tuple[tuple[str, str, tuple[str, ...]], ...] = (
     ("loans", "seniority", ("senior", "subordinated")),
     ("contingents", "seniority", ("senior", "subordinated")),
     ("facilities", "seniority", ("senior", "subordinated")),
+    # PS1/26 Art.161(1)(e)/(f)/(g) purchased-receivables F-IRB LGD
+    # sub-types (VALID_PURCHASED_RECEIVABLES_SUBTYPES, ref schemas.py)
+    (
+        "loans",
+        "purchased_receivables_subtype",
+        ("senior", "subordinated", "dilution_risk"),
+    ),
     # guarantees (VALID_PROTECTION_TYPES, VALID_BENEFICIARY_TYPES,
     # VALID_LOOK_THROUGH_ELECTIONS — PS1/26 Art.191A(2)(e)(i))
     ("guarantees", "protection_type", ("guarantee", "credit_derivative")),

@@ -161,7 +161,9 @@ def haircut_fccm(spark: SparkSession, sf_dir: str) -> DataFrame:
     of banded tables). The lookup is a literal broadcast dim — the rulepack
     compile-to-data pattern (SURVEY §1.1 Rulepack)."""
     li = load_table(spark, sf_dir, "lineitem")
-    hc = spark.createDataFrame(_HAIRCUTS, "band string, ctype string, haircut double")
+    from rwa_calculator_spark.operators.localrel import local_literal_df
+
+    hc = local_literal_df(spark, "band string, ctype string, haircut double", _HAIRCUTS)
     band = (
         F.when(F.col("l_quantity") < 10, "short")
         .when(F.col("l_quantity") < 30, "mid")

@@ -4346,6 +4346,149 @@ def irb_class_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CRR Art.161(1)(e)/(f)/(g) purchased-receivables F-IRB supervisory LGDs
+# (ref engine/irb/transforms.py apply_firb_lgd + rulebook/packs
+# firb_supervisory_lgd): rows with no own LGD estimate take the
+# seniority-routed supervisory value (senior 45% / subordinated 75% under
+# CRR), OVERRIDDEN by the purchased-receivables sub-type when declared —
+# senior receivables 45%, subordinated receivables 100% (deviating from
+# the plain 75% subordinated), dilution risk 75%. Dispatch is via the
+# sub-type, not seniority, exactly because (f)/(g) deviate. The book mixes
+# all three sub-types with undeclared rows across both seniorities; the
+# oracle re-derives the routing and the corporate Vasicek.
+# ---------------------------------------------------------------------------
+
+
+def _irb_purchased_receivables_oracle() -> str:
+    from rwa_calculator_spark.functions.exact import sql_scaled_sum
+    from rwa_calculator_spark.functions.irb import (
+        sql_capital_k_r,
+        sql_correlation,
+        sql_maturity_adj,
+    )
+    from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
+
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck,
+               o_totalprice / 1000.0 AS ead,
+               greatest((CAST(1 + o_orderkey % 8 AS DOUBLE)) / 100.0,
+                        0.0003) AS pd_f,
+               CASE CAST(o_orderkey % 4 AS INTEGER)
+                    WHEN 1 THEN 'senior' WHEN 2 THEN 'subordinated'
+                    WHEN 3 THEN 'dilution_risk' END AS pr_subtype,
+               CASE WHEN o_custkey % 3 = 0 THEN 'subordinated'
+                    ELSE 'senior' END AS sen,
+               CAST(2.5 AS DOUBLE) AS m
+        FROM orders
+    ), routed AS (
+        SELECT *,
+               CAST(CASE pr_subtype
+                    WHEN 'senior' THEN 0.45
+                    WHEN 'subordinated' THEN 1.00
+                    WHEN 'dilution_risk' THEN 0.75
+                    ELSE CASE WHEN sen = 'subordinated' THEN 0.75
+                              ELSE 0.45 END
+                    END AS DOUBLE) AS lgd_f
+        FROM base
+    ), g1 AS (
+        SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM routed
+    ), g2 AS (
+        SELECT * EXCLUDE (x0), {sql_halley_step('x0', 'pd_f')} AS g_pd,
+               {sql_correlation('pd_f')} AS r_c
+        FROM g1
+    ), k AS (
+        SELECT *, {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_c')} AS kv
+        FROM g2
+    ), priced AS (
+        SELECT coalesce(pr_subtype, '-') AS pr_subtype, sen, ok, ead, lgd_f,
+               CAST(ok % 8 AS INTEGER) AS band_pd,
+               (kv * {sql_maturity_adj('pd_f', 'm')} * 12.5 * 1.06) AS rw
+        FROM k
+    )
+    SELECT pr_subtype, sen, band_pd,
+           count(*) AS n_rows,
+           round(min(lgd_f), 8) AS lgd_used,
+           round(min(rw), 8) AS rw,
+           round(min(rw) * ({sql_scaled_sum('ead', 2)}), 2) AS rwa
+    FROM priced GROUP BY 1, 2, 3
+    """
+
+
+@query(
+    "irb_purchased_receivables",
+    oracle=_irb_purchased_receivables_oracle(),
+    tags=("engine", "irb", "tolerant"),
+)
+def irb_purchased_receivables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Art.161(1)(e)/(f)/(g) purchased-receivables supervisory LGDs through
+    the REAL pipeline (ref engine/irb/transforms.py apply_firb_lgd): F-IRB
+    rows with no own LGD route senior 45% / subordinated 75%, and a
+    declared purchased_receivables_subtype overrides BOTH — subordinated
+    receivables at 100% and dilution risk at 75% deviate from the plain
+    seniority rates, which is exactly why dispatch is sub-type-first. The
+    oracle re-derives the routing and the corporate-curve Vasicek."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(3).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(2.0e8).alias("annual_revenue"),
+        F.lit(True).alias("has_irb_permission"),
+    )
+    ok4 = (F.col("o_orderkey") % 4).cast("int")
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        (F.col("o_totalprice") / F.lit(1000.0)).alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        ((1 + F.col("o_orderkey") % 8).cast("double") / F.lit(100.0)).alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(2.5).alias("effective_maturity"),
+        F.when(ok4 == 1, "senior")
+        .when(ok4 == 2, "subordinated")
+        .when(ok4 == 3, "dilution_risk")
+        .alias("purchased_receivables_subtype"),
+        F.when(F.col("o_custkey") % 3 == 0, "subordinated")
+        .otherwise("senior")
+        .alias("seniority"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    keys = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        F.coalesce(
+            F.when(ok4 == 1, "senior")
+            .when(ok4 == 2, "subordinated")
+            .when(ok4 == 3, "dilution_risk"),
+            F.lit("-"),
+        ).alias("pr_subtype"),
+        F.when(F.col("o_custkey") % 3 == 0, "subordinated")
+        .otherwise("senior")
+        .alias("sen"),
+        (F.col("o_orderkey") % 8).cast("int").alias("band_pd"),
+    )
+    r = out.results.join(keys, "exposure_reference")
+    return r.groupBy("pr_subtype", "sen", "band_pd").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("irb_lgd_floored"), 8).alias("lgd_used"),
+        F.round(F.min("risk_weight"), 8).alias("rw"),
+        F.round(
+            F.min("risk_weight") * scaled_sum(F.col("ead_after_crm"), 2), 2
+        ).alias("rwa"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Art.162 maturity priority chain + Art.213(1)(c)(i) UCP gate (ref
 # engine/irb/transforms.py _build_maturity_exprs + engine/crm/guarantees.py
 # _gate_unilateral_protection): supplied effective maturities are the firm's

@@ -321,7 +321,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tiebreak, 'und' when no stopword hits. Output is the
     confusion matrix against the labelled lang column."""
     d = load_table(spark, sf_dir, "documents")
-    sw = spark.createDataFrame(_STOPWORDS, "sw_lang string, sw_word string")
+    from rwa_calculator_spark.operators.localrel import local_literal_df
+
+    sw = local_literal_df(spark, "sw_lang string, sw_word string", _STOPWORDS)
     w = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
     votes = (
         w.join(F.broadcast(sw), w.word == sw.sw_word)
