@@ -599,6 +599,13 @@ CRR_PACK = RulePack(
         # Art.121 sovereign-derived unrated-institution method is a
         # CRR-only Feature (B3.1 replaces it with SCRA grading)
         "sovereign_derived_institutions": RuleEntry(_D("1"), "CRR Art.121"),
+        # CRR Art.306(1) / BCBS CRE54.14-15: trade exposures to a
+        # QUALIFYING CCP — 2% for a clearing member's own trades, 4% for
+        # client-cleared trades through a clearing member; a NON-qualifying
+        # CCP demotes to the institution treatment (Art.107(2)(a), applied
+        # at classify). Regime-invariant (CRE54 carries the same weights).
+        "qccp_trade_rw": RuleEntry(_D("0.02"), "CRR Art.306(1)(a)"),
+        "qccp_client_cleared_rw": RuleEntry(_D("0.04"), "CRR Art.306(1)(c)"),
         # IRB unfunded-protection treatment (ref engine/irb/guarantee.py):
         # F-IRB supervisory LGDs for the guarantor leg (Art.161(1)), and the
         # Art.153(3) double-default multiplier K_dd = K·(base + slope·PD_g)
@@ -912,6 +919,10 @@ B31_PACK = RulePack(
         # B3.1 parameter substitution (CRE22.70-85): senior non-FSE guarantor
         # LGD drops to 0.40 (PS1/26 Art.161(1)(aa)); double default was Basel
         # II para 284 / CRR Art.153(3) and is NOT carried into PS1/26
+        "qccp_trade_rw": RuleEntry(_D("0.02"), "BCBS CRE54.14 / PS1/26 Art.306"),
+        "qccp_client_cleared_rw": RuleEntry(
+            _D("0.04"), "BCBS CRE54.15 / PS1/26 Art.306"
+        ),
         "firb_lgd_senior": RuleEntry(_D("0.40"), "PS1/26 Art.161(1)(aa)"),
         "firb_lgd_senior_fse": RuleEntry(_D("0.45"), "PS1/26 Art.161(1)(a)"),
         "firb_lgd_subordinated": RuleEntry(_D("0.75"), "PS1/26 Art.161(1)(b)"),
@@ -939,6 +950,25 @@ B31_PACK = RulePack(
         "firb_trade_lc_ccf": RuleEntry(_D("0.2"), "n/a in B3.1 (gated off)"),
         "sa_oc_maturity_split": RuleEntry(_D("0"), "retired in PS1/26 Art.111"),
         "oc_short_maturity_ccf": RuleEntry(_D("0.2"), "n/a in B3.1 (gated off)"),
+        # PS1/26 Art.111(1) Table A1 Row 4(b): UK residential-mortgage
+        # commitments not already at the Row 7 UCC 10% or the Row 1/2 100%
+        # take a fixed 50% CCF; Art.166C(1) reads the same factor into the
+        # F-IRB / slotting exposure value (ref engine/ccf.py
+        # _apply_uk_residential_mortgage_ccf). PRA construct — no CRR
+        # equivalent, so the scalars exist only here.
+        "uk_resi_mortgage_commitment_ccf": RuleEntry(
+            _D("0.5"), "PS1/26 Art.111(1) Table A1 Row 4(b)"
+        ),
+        # PS1/26 Art.166E(5): the undrawn purchase commitment of a
+        # REVOLVING purchased-receivables facility takes the Row 5 OC 40%,
+        # dropping to the Row 7 UCC 10% where unconditionally cancellable
+        # (ref engine/ccf.py _apply_purchased_receivable_ccf)
+        "pr_revolving_commitment_ccf": RuleEntry(
+            _D("0.4"), "PS1/26 Art.166E(5) / Table A1 Row 5"
+        ),
+        "pr_revolving_ucc_ccf": RuleEntry(
+            _D("0.1"), "PS1/26 Art.166E(5) / Table A1 Row 7"
+        ),
     },
     tables={
         "sa_rw": ("exposure_class string, cqs int, rw double", _SA_RW_ROWS_B31),

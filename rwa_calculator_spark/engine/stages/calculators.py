@@ -2129,6 +2129,35 @@ def run_sa(
         base_rw = F.when(_is_ecb, F.lit(0.0)).otherwise(base_rw)
         rw_source = F.when(_is_ecb, "ecb_art114_3").otherwise(rw_source)
 
+    # CRR Art.306(1) / BCBS CRE54.14-15: trade exposures to a QUALIFYING
+    # CCP take 2% (clearing member's own trades, (1)(a)) or 4% (client-
+    # cleared through a clearing member, (1)(c)), overriding the
+    # institution ladder the Art.107(2)(a) class demotion put them on; a
+    # non-qualifying CCP simply stays on that ladder (ref engine/ccr/
+    # ccp.py apply_ccp_risk_weight + engine/sa/cqs_lift.py). Carrier- and
+    # pack-gated; defaulted rows keep the defaulted treatment.
+    if "is_qccp" in exp.columns and "qccp_trade_rw" in pack.scalars:
+        _qccp = (
+            (F.col("entity_type") == "ccp")
+            & ~F.col("is_defaulted")
+            & F.coalesce("is_qccp", F.lit(False))
+        )
+        _cleared = (
+            F.coalesce("is_client_cleared", F.lit(False))
+            if "is_client_cleared" in exp.columns
+            else F.lit(False)
+        )
+        base_rw = (
+            F.when(_qccp & _cleared, pack.lit("qccp_client_cleared_rw"))
+            .when(_qccp, pack.lit("qccp_trade_rw"))
+            .otherwise(base_rw)
+        )
+        rw_source = (
+            F.when(_qccp & _cleared, "sa_qccp_client_cleared_art306_1c")
+            .when(_qccp, "sa_qccp_trade_art306_1a")
+            .otherwise(rw_source)
+        )
+
     # CRR Art.114(4)/(7) + Art.141: EU central-government exposures
     # denominated in the member state's domestic currency take 0% RW,
     # overriding the CQS ladder (ref engine/eu_sovereign.py — consumed by
@@ -2165,6 +2194,43 @@ def run_sa(
         & (F.coalesce(F.col("g_cqs"), F.lit(0)) == F.col("g_cqs_t")),
         "left",
     ).drop("g_class_t", "g_cqs_t")
+    # CRR Art.235(3) + Art.114(4)/(7): a central-government guarantee from
+    # an EU member state, DENOMINATED and FUNDED in that state's domestic
+    # currency, extends the sovereign 0% to the covered portion — the
+    # guarantor's own CQS ladder weight is bypassed (ref engine/sa/
+    # rw_adjustments.py _build_domestic_guarantor_expr +
+    # build_domestic_cgcb_guarantor_expr). Denomination falls back to the
+    # exposure's currency when the guarantee declares none; the funding
+    # limb is null-PERMISSIVE (funding_currency absent = funded in the
+    # denomination). Carrier-gated on the guarantor country column.
+    if "g_country" in exp.columns:
+        _gd = pack.broadcast_table(spark, "eu_domestic_ccy").select(
+            F.col("country").alias("_gd_country"),
+            F.col("domestic_ccy").alias("_gd_ccy"),
+        )
+        exp = exp.join(_gd, F.col("g_country") == F.col("_gd_country"), "left")
+        _den_cands = [
+            c for c in ("g_currency", "currency") if c in exp.columns
+        ]
+        _g_den = (
+            F.coalesce(*[F.col(c) for c in _den_cands])
+            if _den_cands
+            else F.lit(None).cast("string")
+        )
+        _g_fund = (
+            F.coalesce(F.col("funding_currency"), _g_den)
+            if "funding_currency" in exp.columns
+            else _g_den
+        )
+        _g_dom = (
+            (F.col("g_class") == "sovereign")
+            & F.col("_gd_ccy").isNotNull()
+            & (_g_den == F.col("_gd_ccy"))
+            & (_g_fund == F.col("_gd_ccy"))
+        )
+        exp = exp.withColumn(
+            "g_rw", F.when(_g_dom, F.lit(0.0)).otherwise(F.col("g_rw"))
+        ).drop("_gd_country", "_gd_ccy")
     # multi-guarantee fold (crm stage `_mg`: priority-ordered (slice, rw)
     # structs, slices capped at 100% coverage): G = Σ slice, and the
     # covered term Σ slice·least(own, rw) — each slice individually

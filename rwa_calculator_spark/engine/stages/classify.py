@@ -255,6 +255,12 @@ def run_classify(
         # ladder, but diverges from the B3.1 Table 3 at CQS2)
         .when(F.col("entity_type") == "rgla", "rgla")
         .when(F.col("entity_type") == "institution", "institution")
+        # CRR Art.107(2)(a): exposures to a CCP take the institution
+        # treatment as their CLASS — qualifying CCPs then price their
+        # trade exposures at the Art.306(1) 2%/4% override in run_sa,
+        # non-qualifying CCPs stay on the institution ladder (ref
+        # engine/sa/cqs_lift.py lift_institution_cqs + ccr/ccp.py)
+        .when(F.col("entity_type") == "ccp", "institution")
         # CRR Art.116: public sector entities are their own class — priced
         # on the sovereign-derived Table 2 / own-rating Table 2A / the (3)
         # short-term 20% / the (5) non-equivalent-jurisdiction 100%
@@ -298,6 +304,7 @@ def run_classify(
         .when(F.col("entity_type") == "rgla_sovereign", "CLS_RGLA_EQUIVALENCE")
         .when(F.col("entity_type") == "rgla", "CLS_RGLA_ART115")
         .when(F.col("entity_type") == "institution", "CLS_ENTITY_INSTITUTION")
+        .when(F.col("entity_type") == "ccp", "CLS_ENTITY_CCP_ART107")
         .when(F.col("entity_type") == "pse", "CLS_ENTITY_PSE")
         .when(F.col("entity_type").isin("mdb", "mdb_named"), "CLS_ENTITY_MDB")
         .when(

@@ -577,6 +577,64 @@ def run_crm(
             ),
         )
 
+    # PS1/26 Art.111(1) Table A1 Row 4(b): UK residential-mortgage
+    # commitments take a fixed 50% CCF unless already in the Row 7 UCC 10%
+    # or Row 1/2 100% carve-out — tested against the RESOLVED factor, not
+    # the bucket (ref engine/ccf.py _apply_uk_residential_mortgage_ccf).
+    # Art.166C(1) reads the same factor into the F-IRB exposure value, and
+    # under B3.1 the F-IRB carrier IS the SA table (firb_ccf_bespoke off),
+    # so one override patches both. Pack- and carrier-gated.
+    if (
+        "uk_resi_mortgage_commitment_ccf" in pack.scalars
+        and "is_uk_residential_mortgage_commitment" in exp.columns
+    ):
+        _resi = F.coalesce("is_uk_residential_mortgage_commitment", F.lit(False))
+        _carve = F.col("ccf").isin(
+            pack.scalar("pr_revolving_ucc_ccf"), 1.0
+        )
+        resi_fires = _resi & ~_carve
+        exp = exp.withColumn(
+            "ccf",
+            F.when(resi_fires, pack.lit("uk_resi_mortgage_commitment_ccf")).otherwise(
+                F.col("ccf")
+            ),
+        ).withColumn(
+            "ccf_source",
+            F.when(resi_fires, F.lit("uk_resi_commitment_row4b")).otherwise(
+                F.col("ccf_source")
+            ),
+        )
+
+    # PS1/26 Art.166E(5): a REVOLVING purchased-receivables purchase
+    # commitment routes to the Row 5 OC 40% regardless of its generic
+    # bucket, dropping to the Row 7 UCC 10% where unconditionally
+    # cancellable (low_risk bucket) — ref engine/ccf.py
+    # _apply_purchased_receivable_ccf. Pack- and carrier-gated.
+    if (
+        "pr_revolving_commitment_ccf" in pack.scalars
+        and "is_purchased_receivable_commitment" in exp.columns
+    ):
+        _revolving = (
+            F.coalesce("is_revolving", F.lit(False))
+            if "is_revolving" in exp.columns
+            else F.lit(False)
+        )
+        pr_fires = (
+            F.coalesce("is_purchased_receivable_commitment", F.lit(False))
+            & _revolving
+        )
+        pr_ccf = F.when(
+            F.col("risk_bucket") == "low_risk", pack.lit("pr_revolving_ucc_ccf")
+        ).otherwise(pack.lit("pr_revolving_commitment_ccf"))
+        exp = exp.withColumn(
+            "ccf", F.when(pr_fires, pr_ccf).otherwise(F.col("ccf"))
+        ).withColumn(
+            "ccf_source",
+            F.when(pr_fires, F.lit("pr_revolving_art166e5")).otherwise(
+                F.col("ccf_source")
+            ),
+        )
+
     # --- provisions: multi-level allocation + SA drawn-first deduction ----
     # (CRR Art.110-111(2); ref engine/crm/provisions.py resolve_provisions)
     if raw.provisions is not None:
@@ -1472,6 +1530,11 @@ def run_crm(
             # guarantor_reference) — who provides the protection
             ("guarantor_reference", "guarantor_reference"),
             ("guarantee_reference", "guarantee_reference"),
+            # Art.235(3) domestic CGCB-guarantor inputs (ref
+            # sa/rw_adjustments.py _build_domestic_guarantor_expr): the
+            # guarantor's member state and the guarantee's denomination
+            ("guarantor_country_code", "g_country"),
+            ("guarantee_currency", "g_currency"),
         ):
             if opt in raw.guarantees.columns:
                 gcols.append(F.col(opt).alias(out))

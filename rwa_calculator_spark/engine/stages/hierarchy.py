@@ -161,6 +161,11 @@ def run_hierarchy(
         # purchased-receivables sub-type (senior/subordinated/dilution_risk)
         "seniority",
         "purchased_receivables_subtype",
+        # CRR Art.306(1)(c) client-cleared trade flag (ref ccr/ccp.py)
+        "is_client_cleared",
+        # Art.235(3) funding-currency limb (ref sa/rw_adjustments.py
+        # funding_currency_expr — null-PERMISSIVE fallback to denomination)
+        "funding_currency",
     ):
         if opt in raw.loans.columns:
             loan_cols.append(F.col(opt))
@@ -193,6 +198,12 @@ def run_hierarchy(
             "has_one_day_maturity_floor",
             "residual_maturity_years",
             "facility_termination_date",
+            # PS1/26 Table A1 Row 4(b) / Art.166E(5) CCF override inputs
+            # (ref engine/ccf.py _apply_uk_residential_mortgage_ccf /
+            # _apply_purchased_receivable_ccf)
+            "is_uk_residential_mortgage_commitment",
+            "is_purchased_receivable_commitment",
+            "is_revolving",
         ):
             if opt in raw.contingents.columns:
                 cont_cols.append(F.col(opt))
@@ -375,6 +386,10 @@ def run_hierarchy(
         dim_cols.append(
             F.coalesce("is_large_financial", F.lit(False)).alias("is_large_financial")
         )
+    # CRR Art.306(1) qualifying-CCP flag (ref ccr/ccp.py is_qccp) — drives
+    # the 2%/4% trade-exposure override in run_sa; absent = non-qualifying
+    if "is_qccp" in raw.counterparties.columns:
+        dim_cols.append(F.coalesce("is_qccp", F.lit(False)).alias("is_qccp"))
     # B3.1 Art.161(1)(a)/(aa) FSE split input for the F-IRB supervisory
     # LGD (ref transforms.py apply_firb_lgd cp_is_financial_sector_entity)
     # — also consumed by the Art.147A A-IRB restriction in permissions

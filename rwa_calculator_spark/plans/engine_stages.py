@@ -4489,6 +4489,336 @@ def irb_purchased_receivables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CRR Art.235(3) + Art.114(4)/(7) domestic CGCB-guarantor extension (ref
+# engine/sa/rw_adjustments.py _build_domestic_guarantor_expr +
+# build_domestic_cgcb_guarantor_expr): a central-government guarantee from
+# an EU member state, DENOMINATED and FUNDED in that state's domestic
+# currency, extends the sovereign 0% to the covered portion — bypassing
+# the guarantor's own CQS ladder weight. Denomination falls back to the
+# exposure currency; the funding limb is null-PERMISSIVE. The book crosses
+# guarantor countries (US / DE / PL), guarantee currencies (EUR / USD) and
+# funding currencies (null / USD) so match, currency-mismatch,
+# wrong-member-state and foreign-funding routes all price.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "crm_domestic_guarantor",
+    oracle="""
+    WITH cps AS (
+        SELECT c_custkey AS cp,
+               CAST(1 + c_custkey % 6 AS INTEGER) AS cqs,
+               CAST(1 + c_custkey % 5 AS INTEGER) AS gcqs,
+               CASE CAST(c_custkey % 3 AS INTEGER)
+                    WHEN 0 THEN 'US' WHEN 1 THEN 'DE' ELSE 'PL'
+                    END AS g_country
+        FROM customer
+    ), loans AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp, o_totalprice AS ead,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'USD' END AS funding,
+               (o_orderkey % 2 = 0) AS has_g,
+               CAST(1 + o_orderkey % 4 AS DOUBLE) / 5.0 AS cov,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'USD'
+                    ELSE 'EUR' END AS g_ccy
+        FROM orders
+    ), priced AS (
+        SELECT l.*, c.cqs, c.gcqs, c.g_country,
+               CASE c.cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 WHEN 3 THEN 1.0
+                    WHEN 4 THEN 1.0 ELSE 1.5 END AS own_rw,
+               CASE WHEN c.g_country = 'DE' AND l.g_ccy = 'EUR'
+                         AND coalesce(l.funding, l.g_ccy) = 'EUR'
+                    THEN 0.0
+                    ELSE CASE c.gcqs WHEN 1 THEN 0.0 WHEN 2 THEN 0.2
+                         WHEN 3 THEN 0.5 WHEN 4 THEN 1.0 ELSE 1.0 END
+                    END AS g_rw
+        FROM loans l JOIN cps c ON l.cp = c.cp
+    ), final AS (
+        SELECT ead,
+               CASE WHEN has_g
+                    THEN cov * least(own_rw, g_rw) + (1.0 - cov) * own_rw
+                    ELSE own_rw END AS rw,
+               CASE WHEN has_g AND g_rw < own_rw
+                    THEN 'sa_cqs_lookup+guarantee'
+                    ELSE 'sa_cqs_lookup' END AS rw_source
+        FROM priced
+    )
+    SELECT rw_source, round(CAST(rw AS DOUBLE), 8) AS rw,
+           count(*) AS n_exposures,
+           sum(CAST(round(ead * 100.0, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+               AS total_ead,
+           sum(CAST(round((ead * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_rwa
+    FROM final GROUP BY 1, 2
+    """,
+    tags=("engine", "crm", "sa"),
+)
+def crm_domestic_guarantor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Art.235(3) domestic CGCB-guarantor 0% extension through the REAL
+    pipeline: sovereign guarantors from US / DE / PL with EUR / USD
+    guarantee denominations and null / USD funding — only the DE + EUR +
+    domestically-funded combination extends 0% onto the covered portion;
+    everything else prices the guarantor's own sovereign CQS weight
+    through the ordinary Art.235 substitution blend."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ck3 = (F.col("c_custkey") % 3).cast("int")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        (1 + F.col("c_custkey") % 6).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        F.when(F.col("o_orderkey") % 3 == 0, "USD").alias("funding_currency"),
+    )
+    _k3 = (F.col("o_custkey") % 3).cast("int")
+    gtees = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.concat(F.lit("G"), F.col("o_orderkey")).alias("guarantee_reference"),
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("exposure_reference"),
+        ((1 + F.col("o_orderkey") % 4).cast("double") / F.lit(5.0)).alias(
+            "coverage_pct"
+        ),
+        F.lit("sovereign").alias("guarantor_class"),
+        (1 + F.col("o_custkey") % 5).cast("int").alias("guarantor_cqs"),
+        F.when(_k3 == 0, "US").when(_k3 == 1, "DE").otherwise("PL").alias(
+            "guarantor_country_code"
+        ),
+        F.when(F.col("o_orderkey") % 5 == 0, "USD")
+        .otherwise("EUR")
+        .alias("guarantee_currency"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, guarantees=gtees),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    return out.results.groupBy(
+        "rw_source", F.round("risk_weight", 8).alias("rw")
+    ).agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRR Art.306(1) / Art.107(2)(a) CCP treatment (ref engine/ccr/ccp.py
+# apply_ccp_risk_weight + engine/sa/cqs_lift.py lift_institution_cqs +
+# classify/approach.py "CCP trade exposures -> SA"): a CCP counterparty
+# classifies onto the institution ladder; trade exposures to a QUALIFYING
+# CCP then override to 2% (clearing member's own trades) or 4%
+# (client-cleared), while a non-qualifying CCP keeps the institution CQS
+# weight. The book mixes qualifying/non-qualifying CCPs, cleared flags and
+# CQS bands; the oracle re-derives ladder + override + precedence.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sa_qccp_trade_exposures",
+    oracle="""
+    WITH cps AS (
+        SELECT c_custkey AS cp,
+               CAST(1 + c_custkey % 5 AS INTEGER) AS cqs,
+               (c_custkey % 3 <> 0) AS qccp
+        FROM customer
+    ), trades AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp, o_totalprice AS ead,
+               (o_orderkey % 2 = 0) AS cleared
+        FROM orders
+    ), priced AS (
+        SELECT t.*, c.qccp, c.cqs,
+               CAST(CASE
+                 WHEN c.qccp AND t.cleared THEN 0.04
+                 WHEN c.qccp THEN 0.02
+                 ELSE CASE c.cqs WHEN 1 THEN 0.2 WHEN 2 THEN 0.5
+                      WHEN 3 THEN 0.5 WHEN 4 THEN 1.0 ELSE 1.0 END
+                 END AS DOUBLE) AS rw,
+               CASE
+                 WHEN c.qccp AND t.cleared THEN 'sa_qccp_client_cleared_art306_1c'
+                 WHEN c.qccp THEN 'sa_qccp_trade_art306_1a'
+                 ELSE 'sa_cqs_lookup' END AS rw_source
+        FROM trades t JOIN cps c ON t.cp = c.cp
+    )
+    SELECT rw_source, cqs, rw, count(*) AS n_exposures,
+           sum(CAST(round((ead * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_rwa
+    FROM priced GROUP BY 1, 2, 3
+    """,
+    tags=("engine", "ccr", "sa"),
+)
+def sa_qccp_trade_exposures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Art.306(1) QCCP trade-exposure weights through the REAL pipeline
+    (ref engine/ccr/ccp.py apply_ccp_risk_weight): CCP counterparties
+    demote onto the institution ladder per Art.107(2)(a), qualifying CCPs
+    then price their clearing-member trades at 2% and client-cleared
+    trades at 4%, and non-qualifying CCPs keep the institution CQS weight
+    — all three routes value-visible by (rw_source, cqs, rw)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("ccp").alias("entity_type"),
+        (1 + F.col("c_custkey") % 5).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(0.0).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+        (F.col("c_custkey") % 3 != 0).alias("is_qccp"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_client_cleared"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    return out.results.groupBy(
+        "rw_source", F.col("sa_cqs").alias("cqs"), F.col("risk_weight").alias("rw")
+    ).agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("rwa"), 2).alias("total_rwa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PS1/26 Table A1 Row 4(b) + Art.166E(5) CCF overrides (ref engine/ccf.py
+# _apply_uk_residential_mortgage_ccf / _apply_purchased_receivable_ccf):
+# UK residential-mortgage commitments take a fixed 50% CCF unless already
+# at the Row 7 UCC 10% or the Row 1/2 100% (carve-out tested on the
+# RESOLVED factor); the undrawn purchase commitment of a REVOLVING
+# purchased-receivables facility routes to the Row 5 OC 40% regardless of
+# its generic bucket, dropping to the UCC 10% when unconditionally
+# cancellable. PR routing is applied after the mortgage override, so a
+# doubly-flagged row prices on Art.166E(5) — the oracle mirrors that
+# precedence. PRA constructs with no CRR equivalent (pack-gated).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sa_b31_ccf_overrides",
+    oracle="""
+    WITH cont AS (
+        SELECT o_orderkey AS ok, o_totalprice AS nominal,
+               CASE CAST(o_orderkey % 4 AS INTEGER)
+                    WHEN 0 THEN 'full_risk' WHEN 1 THEN 'medium_risk'
+                    WHEN 2 THEN 'medium_low_risk' ELSE 'low_risk'
+                    END AS bucket,
+               (o_orderkey % 5 = 0) AS resi,
+               (o_orderkey % 7 = 0) AS prc,
+               (o_orderkey % 2 = 0) AS revolving
+        FROM orders
+    ), resolved AS (
+        SELECT *,
+               CASE bucket WHEN 'full_risk' THEN 1.0 WHEN 'medium_risk'
+                    THEN 0.5 WHEN 'medium_low_risk' THEN 0.4
+                    ELSE 0.1 END AS ccf0
+        FROM cont
+    ), routed AS (
+        SELECT *,
+               CASE
+                 WHEN prc AND revolving THEN
+                      CASE WHEN bucket = 'low_risk' THEN 0.1 ELSE 0.4 END
+                 WHEN resi AND ccf0 NOT IN (0.1, 1.0) THEN 0.5
+                 ELSE ccf0 END AS ccf,
+               CASE
+                 WHEN prc AND revolving THEN 'pr_revolving_art166e5'
+                 WHEN resi AND ccf0 NOT IN (0.1, 1.0)
+                      THEN 'uk_resi_commitment_row4b'
+                 ELSE 'sa_annex_i_bucket' END AS ccf_source
+        FROM resolved
+    )
+    SELECT ccf_source, CAST(ccf AS DOUBLE) AS ccf,
+           count(*) AS n_exposures,
+           sum(CAST(round((nominal * ccf) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total_ead
+    FROM routed GROUP BY 1, 2
+    """,
+    tags=("engine", "ccf", "sa"),
+)
+def sa_b31_ccf_overrides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PS1/26 Table A1 Row 4(b) UK residential-mortgage commitment CCF +
+    the Art.166E(5) revolving purchased-receivables routing through the
+    REAL pipeline: a contingent book spanning all four Annex-equivalent
+    buckets with overlapping mortgage/receivables flags — the carve-out
+    (UCC 10% / full 100% rows keep their factor), the Row 5/Row 7 split on
+    cancellability, and the override precedence are all value-visible in
+    (ccf_source, ccf, converted EAD)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import B31_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(2.0e8).alias("annual_revenue"),
+        F.lit(False).alias("has_irb_permission"),
+    )
+    loans = spark.createDataFrame(
+        [],
+        "loan_reference string, counterparty_reference string, "
+        "drawn_amount double, is_defaulted boolean, pd double, lgd double, "
+        "effective_maturity double",
+    )
+    ok4 = (F.col("o_orderkey") % 4).cast("int")
+    cont = o.select(
+        F.concat(F.lit("K"), F.col("o_orderkey")).alias("contingent_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("nominal_amount"),
+        F.when(ok4 == 0, "full_risk")
+        .when(ok4 == 1, "medium_risk")
+        .when(ok4 == 2, "medium_low_risk")
+        .otherwise("low_risk")
+        .alias("risk_bucket"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+        (F.col("o_orderkey") % 5 == 0).alias(
+            "is_uk_residential_mortgage_commitment"
+        ),
+        (F.col("o_orderkey") % 7 == 0).alias("is_purchased_receivable_commitment"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_revolving"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, contingents=cont),
+        PipelineConfig(pack=B31_PACK, persist_edges=True),
+    )
+    return out.results.groupBy("ccf_source", F.col("ccf")).agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("ead_after_crm"), 2).alias("total_ead"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Art.162 maturity priority chain + Art.213(1)(c)(i) UCP gate (ref
 # engine/irb/transforms.py _build_maturity_exprs + engine/crm/guarantees.py
 # _gate_unilateral_protection): supplied effective maturities are the firm's

@@ -969,22 +969,31 @@ def test_b31_other_re_art124j(spark):
 def test_b31_art124l_counterparty_type_table(spark):
     # PS1/26 Art.124L: the general-RE loan-split REMAINDER prices by
     # counterparty type. All loans LTV 1.10 → secured share 0.55/1.10 = 0.5.
-    #  - L_SME: turnover-SME (10m < 50m), NOT retail-managed → limb (b)
-    #    85% residual. RRE split = 0.5×0.20 + 0.5×0.85 = 0.525.
+    # Round-9 two-path update (Art.123A(1)(a)): an under-threshold SME
+    # AUTO-qualifies as retail with no pool attestation, so limb (b) 85%
+    # is reached only by an OVER-threshold SME.
+    #  - L_SME: turnover-SME (10m < 50m), NOT retail-managed, under the
+    #    Art.123A threshold → auto-qualifies, limb (a) 75%.
+    #    RRE split = 0.5×0.20 + 0.5×0.75 = 0.475.
+    #  - L_OTS: the same SME shape with a 2m book — OVER the 1m aggregate
+    #    threshold → limb (b) 85%. Split = 0.5×0.20 + 0.5×0.85 = 0.525.
     #  - L_RSM: retail-qualifying SME (managed as retail, under the Art.123
-    #    threshold) → limb (a) 75%. Split = 0.5×0.20 + 0.5×0.75 = 0.475.
-    #  - L_SOC: registered social housing, CQS2 corporate (unsecured 50%)
+    #    threshold) → limb (a) 75%. Split = 0.475.
+    #  - L_SOC: registered social housing, CQS2 corporate (unsecured 50%),
+    #    non-SME with an explicit managed=False (limb b(iii) disqualifies)
     #    → limb (c) max(75%, 50%) = 75% — the floor LIFTS the residual.
     #    Split = 0.475 (would be 0.35 on the raw counterparty weight).
     #  - L_SCR: balance-sheet-SME (assets 30m < 43m, turnover absent) with
     #    COMMERCIAL property: the Art.124H(3) gate widens to any SME, so
-    #    the row keeps the split = 0.5×0.60 + 0.5×0.85 = 0.725 instead of
+    #    the row keeps the split — with the auto-qualified limb (a) 75%
+    #    residual = 0.5×0.60 + 0.5×0.75 = 0.675 — instead of
     #    H3's max(60%, min(50%, 110%)) = 60%.
-    #  - L_ORS: other-RE RESI non-dependent to the turnover-SME → the
-    #    Art.124J limb consumes the same table, UNFLOORED → 85% flat.
+    #  - L_ORS: other-RE RESI non-dependent to the auto-qualified SME →
+    #    the Art.124J limb consumes the same table, UNFLOORED → 75% flat.
     cps = spark.createDataFrame(
         [
             ("CP_SME", "corporate", 2, False, 10_000_000.0, 0.0, False, False),
+            ("CP_OTS", "corporate", 2, False, 10_000_000.0, 0.0, False, False),
             ("CP_RSM", "corporate", 2, True, 10_000_000.0, 0.0, False, False),
             ("CP_SOC", "corporate", 2, False, 0.0, 0.0, True, False),
             ("CP_BSH", "corporate", 2, False, 0.0, 30_000_000.0, False, False),
@@ -996,6 +1005,7 @@ def test_b31_art124l_counterparty_type_table(spark):
     loans = spark.createDataFrame(
         [
             ("L_SME", "CP_SME", 1000.0, False, False),
+            ("L_OTS", "CP_OTS", 2_000_000.0, False, False),
             ("L_RSM", "CP_RSM", 1000.0, False, False),
             ("L_SOC", "CP_SOC", 1000.0, False, False),
             ("L_SCR", "CP_BSH", 1000.0, True, False),
@@ -1015,13 +1025,15 @@ def test_b31_art124l_counterparty_type_table(spark):
         RawBundle(counterparties=cps, loans=loans), PipelineConfig(pack=B31_PACK)
     )
     rows = {r.exposure_reference: r for r in out.results.collect()}
-    assert rows["L_SME"].risk_weight == pytest.approx(0.525)
+    assert rows["L_SME"].risk_weight == pytest.approx(0.475)
     assert rows["L_SME"].rw_source == "b31_rre_loan_split"
+    assert rows["L_OTS"].risk_weight == pytest.approx(0.525)
+    assert rows["L_OTS"].rw_source == "b31_rre_loan_split"
     assert rows["L_RSM"].risk_weight == pytest.approx(0.475)
     assert rows["L_SOC"].risk_weight == pytest.approx(0.475)
-    assert rows["L_SCR"].risk_weight == pytest.approx(0.725)
+    assert rows["L_SCR"].risk_weight == pytest.approx(0.675)
     assert rows["L_SCR"].rw_source == "b31_cre_loan_split"
-    assert rows["L_ORS"].risk_weight == pytest.approx(0.85)
+    assert rows["L_ORS"].risk_weight == pytest.approx(0.75)
     assert rows["L_ORS"].rw_source == "b31_other_re_resi"
 
 
