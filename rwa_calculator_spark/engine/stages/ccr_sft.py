@@ -300,14 +300,63 @@ def sft_exposures(sft_trades: DataFrame, pack: RulePack) -> DataFrame:
     """SFT FCCM synthetic exposures, one per netting set.
 
     sft_trades: (netting_set_reference, counterparty_reference,
-    leg 'lent'|'collateral', value, haircut). E* = max(0, Σ lent −
+    leg 'lent'|'collateral', value, haircut). E* = max(0, Σ lent·(1+HE) −
     Σ collateral·(1−haircut)) — collateral received is haircut-reduced
     before it nets (CRR Art.223(5)).
+
+    HE — the Art.223(5) EXPOSURE-side volatility haircut for lent
+    SECURITIES (ref engine/crm/haircuts.py apply_exposure_haircut): when
+    the lent legs declare (security_type, security_residual_maturity_years
+    [, security_cqs]) the haircut derives from the same Art.224 Table 1 as
+    the collateral side, scaled to the Art.224(2)(c) 5-day SFT liquidation
+    period via Art.226(2) H5 = H10·sqrt(5/10). Cash lent (no/unknown type)
+    and legacy books without the columns keep HE = 0 — the prior shape,
+    bit-for-bit.
     """
+    spark = sft_trades.sparkSession
+    he = F.lit(0.0)
+    if {"security_type", "security_residual_maturity_years"} <= set(
+        sft_trades.columns
+    ):
+        bands = pack.broadcast_table(spark, "haircut_bands").select(
+            F.col("maturity_band").alias("_band_name"),
+            F.col("lo").alias("_band_lo"),
+            F.col("hi").alias("_band_hi"),
+        )
+        sft_trades = sft_trades.withColumn(
+            "_he_m", F.coalesce("security_residual_maturity_years", F.lit(0.0))
+        ).join(
+            bands,
+            (F.col("_he_m") > F.col("_band_lo"))
+            & (F.col("_he_m") <= F.col("_band_hi")),
+            "left",
+        )
+        _he_cqs = (
+            F.coalesce(F.col("security_cqs").cast("int"), F.lit(4))
+            if "security_cqs" in sft_trades.columns
+            else F.lit(1)
+        )
+        he_table = pack.broadcast_table(spark, "collateral_haircuts").select(
+            F.col("collateral_type").alias("_he_type"),
+            F.col("cqs").alias("_he_cqs_t"),
+            F.col("maturity_band").alias("_he_band"),
+            F.col("haircut").alias("_he_lookup"),
+        )
+        sft_trades = sft_trades.join(
+            he_table,
+            (F.col("security_type") == F.col("_he_type"))
+            & (_he_cqs == F.col("_he_cqs_t"))
+            & (F.coalesce("_band_name", F.lit("any")) == F.col("_he_band")),
+            "left",
+        )
+        # Art.226(2): 10-day base scaled to the 5-day SFT window
+        he = F.coalesce("_he_lookup", F.lit(0.0)) * F.sqrt(F.lit(5.0 / 10.0))
     legs = sft_trades.select(
         "netting_set_reference",
         "counterparty_reference",
-        F.when(F.col("leg") == "lent", F.col("value")).otherwise(0.0).alias("lent"),
+        F.when(F.col("leg") == "lent", F.col("value") * (1 + he))
+        .otherwise(0.0)
+        .alias("lent"),
         F.when(
             F.col("leg") == "collateral",
             F.col("value") * (1 - F.coalesce("haircut", F.lit(0.0))),

@@ -4489,6 +4489,117 @@ def irb_purchased_receivables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CRR Art.223(5) exposure-side volatility haircut HE on the SFT FCCM (ref
+# engine/crm/haircuts.py apply_exposure_haircut): when a firm LENDS a
+# security, E* = max(0, E(1+HE) - C(1-HC)) — HE derives from the same
+# Art.224 Table 1 as the collateral haircut, scaled to the Art.224(2)(c)
+# 5-day SFT liquidation period via Art.226(2) H5 = H10*sqrt(5/10). Cash
+# lent keeps HE = 0. The book mixes govt/corp/cash lent legs across CQS
+# and maturity bands; the oracle re-derives band classification, lookup,
+# scaling and the per-set netting.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sft_exposure_haircut",
+    oracle="""
+    WITH trades AS (
+        SELECT o_orderkey AS ok, o_custkey AS ns, o_totalprice AS value,
+               (o_orderkey % 2 = 0) AS is_lent,
+               0.02 * CAST(o_orderkey % 3 AS DOUBLE) AS c_haircut,
+               CASE WHEN o_orderkey % 2 = 0 THEN
+                    CASE CAST(o_orderkey % 6 AS INTEGER)
+                         WHEN 0 THEN 'govt_bond' WHEN 2 THEN 'govt_bond'
+                         WHEN 4 THEN 'corp_bond' END END AS sec_type,
+               CAST(1 + o_custkey % 3 AS INTEGER) AS sec_cqs,
+               CAST(o_orderkey % 12 AS DOUBLE) AS sec_m
+        FROM orders
+    ), he AS (
+        SELECT *,
+               CASE WHEN sec_type IS NULL THEN 0.0
+                    ELSE CASE sec_type
+                      WHEN 'govt_bond' THEN
+                        CASE WHEN sec_cqs = 1 THEN
+                             CASE WHEN sec_m <= 1 THEN 0.005
+                                  WHEN sec_m <= 5 THEN 0.02 ELSE 0.04 END
+                        ELSE CASE WHEN sec_m <= 1 THEN 0.01
+                                  WHEN sec_m <= 5 THEN 0.03 ELSE 0.06 END
+                        END
+                      WHEN 'corp_bond' THEN
+                        CASE WHEN sec_cqs = 1 THEN
+                             CASE WHEN sec_m <= 1 THEN 0.01
+                                  WHEN sec_m <= 5 THEN 0.04 ELSE 0.08 END
+                        ELSE CASE WHEN sec_m <= 1 THEN 0.02
+                                  WHEN sec_m <= 5 THEN 0.06 ELSE 0.12 END
+                        END
+                      END * sqrt(5.0 / 10.0)
+                    END AS he_v
+        FROM trades
+    ), legs AS (
+        SELECT ns,
+               CASE WHEN is_lent THEN value * (1.0 + he_v) ELSE 0.0 END AS lent,
+               CASE WHEN NOT is_lent THEN value * (1.0 - c_haircut)
+                    ELSE 0.0 END AS received
+        FROM he
+    ), per_set AS (
+        SELECT ns,
+               sum(CAST(round(lent * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS lent_total,
+               sum(CAST(round(received * 100.0, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS received_total
+        FROM legs GROUP BY ns
+    )
+    SELECT CAST(ns % 7 AS INTEGER) AS band,
+           count(*) AS n_sets,
+           sum(CAST(round(greatest(lent_total - received_total, 0.0) * 100.0,
+                          0) AS BIGINT)) / CAST(100 AS DOUBLE) AS sft_ead
+    FROM per_set GROUP BY 1
+    """,
+    tags=("engine", "sft", "ccr", "tolerant"),
+)
+def sft_exposure_haircut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Art.223(5) exposure-side haircut through the REAL SFT operator
+    (engine/stages/ccr_sft.py sft_exposures): lent government / corporate
+    bonds derive HE from the Art.224 Table 1 banded lookup at the 5-day
+    SFT liquidation scaling, cash lent stays at HE = 0, and the per-set
+    FCCM netting runs over the inflated lent totals."""
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.engine.stages.ccr_sft import sft_exposures
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    ok6 = (F.col("o_orderkey") % 6).cast("int")
+    trades = o.select(
+        F.col("o_custkey").cast("string").alias("netting_set_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.when(F.col("o_orderkey") % 2 == 0, "lent")
+        .otherwise("collateral")
+        .alias("leg"),
+        F.col("o_totalprice").alias("value"),
+        (F.lit(0.02) * (F.col("o_orderkey") % 3).cast("double")).alias("haircut"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.when(ok6.isin(0, 2), "govt_bond").when(ok6 == 4, "corp_bond"),
+        ).alias("security_type"),
+        (1 + F.col("o_custkey") % 3).cast("int").alias("security_cqs"),
+        (F.col("o_orderkey") % 12).cast("double").alias(
+            "security_residual_maturity_years"
+        ),
+    )
+    shaped = sft_exposures(trades, CRR_PACK)
+    return shaped.groupBy(
+        (
+            F.regexp_replace("exposure_reference", "_SFT$", "").cast("long") % 7
+        )
+        .cast("int")
+        .alias("band")
+    ).agg(
+        F.count("*").alias("n_sets"),
+        scaled_sum(F.col("drawn_amount"), 2).alias("sft_ead"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CRR Art.235(3) + Art.114(4)/(7) domestic CGCB-guarantor extension (ref
 # engine/sa/rw_adjustments.py _build_domestic_guarantor_expr +
 # build_domestic_cgcb_guarantor_expr): a central-government guarantee from
