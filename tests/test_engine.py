@@ -2121,7 +2121,10 @@ def test_covered_bond_derivation_diverges_by_regime(spark):
     assert crr["L4"][1] == "sa_defaulted"  # defaulted beats the CB override
 
     b31 = rw_by_ref(B31_PACK)
-    assert b31["L1"] == (0.25, "sa_covered_bond_unrated_derived")  # 50% -> 25%
+    # round-8 ladder split: the B3.1 ECRA CQS2 issuer weight is 30%
+    # (Table 3), and the PS1/26 derivation chain maps 30% -> 15% —
+    # reusing the CRR 50%->25% arm here would OVERSTATE by 10pp
+    assert b31["L1"] == (0.15, "sa_covered_bond_unrated_derived")
     assert b31["L2"] == (0.1, "sa_covered_bond_rated")
 
 
