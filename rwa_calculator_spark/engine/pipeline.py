@@ -305,6 +305,7 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
             ),
             firb_fixed_maturity=config.firb_fixed_maturity,
             reporting_date=config.reporting_date,
+            threshold_scale=threshold_scale,
         ),
     ]
     if pools is not None:
@@ -312,7 +313,9 @@ def run_pipeline(raw: RawBundle, config: PipelineConfig | None = None) -> Aggreg
 
         branches.append(run_secsa(crm, config.pack))
     if raw.specialised_lending is not None:
-        branches.append(run_slotting(crm, config.pack))
+        branches.append(
+            run_slotting(crm, config.pack, threshold_scale=threshold_scale)
+        )
     if raw.equity_exposures is not None:
         branches.append(
             run_equity(

@@ -1328,6 +1328,49 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     return perf, el
 
 
+def _supporting_factor_exprs(pack: RulePack, threshold_scale: float, columns):
+    """CRR2 Art.501 tiered SME factor + Art.501a infrastructure factor
+    (ref engine/supporting_factors.py SupportingFactorCalculator — the
+    reference applies them on EVERY branch: sa/factors_output.py,
+    irb/calculator.py:168, slotting/calculator.py:176). Returns
+    (sme_f, infra_f, sf = most-beneficial min).
+
+    Art.501(2)(b): defaulted exposures are excluded from the SME factor
+    (ref supporting_factors.py sme_eligible ~is_defaulted); the
+    infrastructure factor carries no defaulted exclusion. Both collapse to
+    1.0 under B3.1 (factors removed — pack scalars are 1.0)."""
+    f1 = pack.scalar("sme_supporting_factor")
+    f2 = pack.scalar("sme_factor_above_threshold")
+    thr = pack.scalar("sme_exposure_threshold") * threshold_scale
+    revenue_cap = pack.scalar("sme_revenue_cap") * threshold_scale
+    sme_cond = (
+        (F.col("exposure_class") == "corporate")
+        & (F.col("annual_revenue") > 0)
+        & (F.col("annual_revenue") <= revenue_cap)
+        & ~F.col("is_defaulted")
+    )
+    if f1 >= 1.0 and f2 >= 1.0:
+        sme_f = F.lit(1.0)  # factors removed (B3.1) — skip the blend
+    else:
+        gd = F.col("group_drawn")
+        blended = F.when(
+            gd > 0,
+            (
+                F.least(gd, F.lit(thr)) * F.lit(f1)
+                + F.greatest(gd - F.lit(thr), F.lit(0.0)) * F.lit(f2)
+            )
+            / gd,
+        ).otherwise(F.lit(f1))
+        sme_f = F.when(sme_cond, blended).otherwise(F.lit(1.0))
+    if "is_infrastructure" in columns:
+        infra_f = F.when(
+            F.col("is_infrastructure"), pack.lit("infra_supporting_factor")
+        ).otherwise(F.lit(1.0))
+    else:
+        infra_f = F.lit(1.0)
+    return sme_f, infra_f, F.least(sme_f, infra_f)
+
+
 def run_sa(
     crm: CRMOutput,
     pack: RulePack,
@@ -2522,35 +2565,13 @@ def run_sa(
 
     # CRR2 Art.501 tiered SME factor blended over the group drawn amount,
     # combined with the Art.501a infrastructure factor by most-beneficial
-    # min (ref supporting_factors.py get_effective_factor)
-    f1 = pack.scalar("sme_supporting_factor")
-    f2 = pack.scalar("sme_factor_above_threshold")
-    # EUR-based CRR monetary thresholds scale by the run's EUR rate (ref
-    # engine/thresholds.py FX seam); B3.1 passes 1.0 (native values)
-    thr = pack.scalar("sme_exposure_threshold") * threshold_scale
-    revenue_cap = pack.scalar("sme_revenue_cap") * threshold_scale
-    sme_cond = (
-        (F.col("exposure_class") == "corporate")
-        & (F.col("annual_revenue") > 0)
-        & (F.col("annual_revenue") <= revenue_cap)
+    # min (ref supporting_factors.py get_effective_factor). Round 9: the
+    # shared helper adds the Art.501(2)(b) defaulted exclusion and is the
+    # SAME expression the IRB and slotting branches now apply — the
+    # reference runs SupportingFactorCalculator on every branch.
+    sme_f, infra_f, sf = _supporting_factor_exprs(
+        pack, threshold_scale, exp.columns
     )
-    if f1 >= 1.0 and f2 >= 1.0:
-        sme_f = F.lit(1.0)  # factors removed (B3.1) — skip the blend
-    else:
-        gd = F.col("group_drawn")
-        blended = F.when(
-            gd > 0,
-            (
-                F.least(gd, F.lit(thr)) * F.lit(f1)
-                + F.greatest(gd - F.lit(thr), F.lit(0.0)) * F.lit(f2)
-            )
-            / gd,
-        ).otherwise(F.lit(f1))
-        sme_f = F.when(sme_cond, blended).otherwise(F.lit(1.0))
-    infra_f = F.when(
-        F.col("is_infrastructure"), pack.lit("infra_supporting_factor")
-    ).otherwise(F.lit(1.0))
-    sf = F.least(sme_f, infra_f)
 
     # routing provenance: the permission stage's diagnostic / PPU reason
     # where it ran (ref permissions.py approach_selection), else the
@@ -2779,6 +2800,7 @@ def run_irb(
     pma: tuple = (0.0, 0.0, 0.0),
     firb_fixed_maturity: bool = False,
     reporting_date: str | None = None,
+    threshold_scale: float = 1.0,
 ) -> CalcOutput:
     spark = crm.exposures.sparkSession
     exp = crm.exposures.where(
@@ -3133,14 +3155,26 @@ def run_irb(
             if "irb_subapproach" in df.columns
             else F.lit("irb_permission_granted")
         )
+        _sme_f, _infra_f, _sf = _supporting_factor_exprs(
+            pack, threshold_scale, df.columns
+        )
         df = (
             df.withColumn("approach", F.lit("IRB"))
             .withColumn("approach_reason", irb_reason)
             .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
-            .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight"))
+            .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight") * _sf)
             .withColumn(
                 "rwa_pre_crm_substitution",
-                F.col("ead_after_crm") * F.col("_rw_pre_subst"),
+                F.col("ead_after_crm") * F.col("_rw_pre_subst") * _sf,
+            )
+            # supporting-factor decomposition on the IRB branch (CRR
+            # Art.501/501a apply per RWEA regardless of approach — ref
+            # irb/calculator.py:168 SupportingFactorCalculator)
+            .withColumn("sme_supporting_factor", _sme_f)
+            .withColumn("infra_supporting_factor", _infra_f)
+            .withColumn(
+                "supporting_factor_benefit",
+                F.col("rwa_before_sf") - F.col("rwa"),
             )
         )
         df = _param_cols(
@@ -3248,7 +3282,9 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
-def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
+def run_slotting(
+    crm: CRMOutput, pack: RulePack, threshold_scale: float = 1.0
+) -> CalcOutput:
     """Specialised-lending supervisory slotting: exposures of counterparties
     in the specialised_lending table take the slot-category RW from the
     rulepack, with the table's EL rate feeding expected loss
@@ -3304,6 +3340,20 @@ def run_slotting(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         # under its own name (sl_type/sl_project_phase ride through as
         # input carriers where the bundle declares them)
         .withColumn("sl_risk_weight", F.col("risk_weight"))
+    )
+    # CRR Art.501/501a on the slotting branch (ref slotting/calculator.py
+    # :146 _apply_supporting_factors — infrastructure project finance in
+    # slotting qualifies for the 0.75 factor; B3.1 disables both)
+    _sme_f, _infra_f, _sf = _supporting_factor_exprs(
+        pack, threshold_scale, exp.columns
+    )
+    exp = (
+        exp.withColumn("rwa", F.col("rwa") * _sf)
+        .withColumn("sme_supporting_factor", _sme_f)
+        .withColumn("infra_supporting_factor", _infra_f)
+        .withColumn(
+            "supporting_factor_benefit", F.col("rwa_before_sf") - F.col("rwa")
+        )
     )
     exp = _el_columns(
         exp, F.coalesce("el_rate", F.lit(0.0)) * F.col("ead_after_crm")

@@ -56,6 +56,7 @@ from rwa_calculator_spark.plans.rwa import (
     _SQL_MA_ROUTED,
     _SQL_R_ROUTED,
     _SQL_SA_RW,
+    _SQL_SME_SF,
 )
 from rwa_calculator_spark.functions.irb import sql_capital_k_r
 from rwa_calculator_spark.functions.stats import sql_acklam_raw, sql_halley_step
@@ -78,6 +79,7 @@ _SQL_C08_LEDGER = f"""
                     ELSE greatest(coalesce(w.pd, 1.0), 0.0003) END AS pd_f,
                greatest(coalesce(w.lgd, 0.45), 0.0) AS lgd_f,
                least(greatest(coalesce(w.m, 2.5), 1.0), 5.0) AS m_eff,
+               ({_SQL_SME_SF.format(p='w.')}) AS sf,
                w.ead * (CASE WHEN w.is_defaulted THEN 1.5
                              WHEN w.exposure_class = 'retail' THEN 0.75
                              WHEN rwt.rw IS NOT NULL THEN rwt.rw
@@ -100,7 +102,9 @@ _SQL_C08_LEDGER = f"""
         SELECT exposure_reference, cp_key, exposure_class,
                drawn_amount, undrawn_amount, ead, sa_equiv,
                pd_f, lgd_f, m_eff,
-               ead * (((k * ma) * 12.5) * 1.06) AS rwa,
+               -- CRR Art.501 binds cross-approach (engine run_irb now
+               -- applies the same most-beneficial factor post-Vasicek)
+               ead * (((k * ma) * 12.5) * 1.06) * sf AS rwa,
                (pd_f * lgd_f) * ead AS el
         FROM k8
         UNION ALL

@@ -4600,6 +4600,101 @@ def sft_exposure_haircut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CRR Art.501a infrastructure factor on the SLOTTING branch (ref
+# slotting/calculator.py:146 _apply_supporting_factors — "infrastructure
+# project finance in slotting can qualify for the 0.75 infrastructure
+# supporting factor"; B3.1 disables supporting factors entirely): every
+# other SL obligor is infrastructure-flagged, so the Art.153(5) Table A
+# weight prices at x0.75 on those rows while the rest keep the full table
+# value; the benefit seals on the ledger decomposition carriers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "slotting_infra_factor",
+    oracle="""
+    WITH sl AS (
+        SELECT o_orderkey AS ok, o_custkey AS cp, o_totalprice AS ead,
+               CASE CAST(o_custkey % 4 AS INTEGER)
+                    WHEN 0 THEN 'strong' WHEN 1 THEN 'good'
+                    WHEN 2 THEN 'satisfactory' ELSE 'weak' END AS slot_category,
+               (o_custkey % 2 = 0) AS infra
+        FROM orders
+    ), priced AS (
+        SELECT slot_category, infra, ead,
+               CASE slot_category WHEN 'strong' THEN 0.70 WHEN 'good' THEN 0.90
+                    WHEN 'satisfactory' THEN 1.15 ELSE 2.50 END AS rw,
+               CASE WHEN infra THEN 0.75 ELSE 1.0 END AS sf
+        FROM sl
+    )
+    SELECT slot_category, infra, count(*) AS n_exposures,
+           sum(CAST(round((ead * rw) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS rwa_before_sf,
+           sum(CAST(round(((ead * rw) * sf) * 100.0, 0) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS rwa,
+           sum(CAST(round(((ead * rw) - (ead * rw) * sf) * 100.0, 0)
+                    AS BIGINT)) / CAST(100 AS DOUBLE) AS sf_benefit
+    FROM priced GROUP BY 1, 2
+    """,
+    tags=("engine", "slotting", "rwa"),
+)
+def slotting_infra_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Art.501a infrastructure factor through the REAL slotting branch
+    (ref slotting/calculator.py _apply_supporting_factors): infrastructure
+    SL obligors price the Art.153(5) Table A weight at x0.75, others keep
+    the full value, and the ledger seals the factor plus the RWEA saved —
+    value-visible per (category, infrastructure flag)."""
+    from rwa_calculator_spark.engine.pipeline import PipelineConfig, run_pipeline
+    from rwa_calculator_spark.engine.rulepack import CRR_PACK
+    from rwa_calculator_spark.functions.exact import scaled_sum
+
+    release_cached_blocks(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ck4 = (F.col("c_custkey") % 4).cast("int")
+    cps = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.lit("corporate").alias("entity_type"),
+        F.lit(2).cast("int").alias("cqs"),
+        F.lit(False).alias("is_managed_as_retail"),
+        F.lit(2.0e8).alias("annual_revenue"),
+        F.lit(True).alias("has_irb_permission"),
+        (F.col("c_custkey") % 2 == 0).alias("is_infrastructure"),
+    )
+    loans = o.select(
+        F.concat(F.lit("L"), F.col("o_orderkey")).alias("loan_reference"),
+        F.concat(F.lit("CP"), F.col("o_custkey")).alias("counterparty_reference"),
+        F.col("o_totalprice").alias("drawn_amount"),
+        F.lit(False).alias("is_defaulted"),
+        F.lit(None).cast("double").alias("pd"),
+        F.lit(None).cast("double").alias("lgd"),
+        F.lit(None).cast("double").alias("effective_maturity"),
+    )
+    sl = c.select(
+        F.concat(F.lit("CP"), F.col("c_custkey")).alias("counterparty_reference"),
+        F.when(ck4 == 0, "strong")
+        .when(ck4 == 1, "good")
+        .when(ck4 == 2, "satisfactory")
+        .otherwise("weak")
+        .alias("slot_category"),
+    )
+    out = run_pipeline(
+        RawBundle(counterparties=cps, loans=loans, specialised_lending=sl),
+        PipelineConfig(pack=CRR_PACK, persist_edges=True),
+    )
+    r = out.results.where(F.col("approach") == "SLOTTING")
+    return r.groupBy(
+        "slot_category",
+        (F.col("infra_supporting_factor") < 1.0).alias("infra"),
+    ).agg(
+        F.count("*").alias("n_exposures"),
+        scaled_sum(F.col("rwa_before_sf"), 2).alias("rwa_before_sf"),
+        scaled_sum(F.col("rwa"), 2).alias("rwa"),
+        scaled_sum(F.col("supporting_factor_benefit"), 2).alias("sf_benefit"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CRR Art.235(3) + Art.114(4)/(7) domestic CGCB-guarantor extension (ref
 # engine/sa/rw_adjustments.py _build_domestic_guarantor_expr +
 # build_domestic_cgcb_guarantor_expr): a central-government guarantee from

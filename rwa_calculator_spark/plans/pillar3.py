@@ -92,16 +92,18 @@ def _star_gtees(o: DataFrame) -> DataFrame:
 
 _CR7_ORACLE = _SQL_BASE.format(irb_flag=_IRB_FLAG) + _SQL_IRB_CORE + _GTEES_SQL + f"""
     , irb_rw AS (
-        SELECT exposure_reference, exposure_class, ead,
+        SELECT exposure_reference, exposure_class, ead, sf,
                ((k * ma) * 12.5) * 1.06 AS rw
         FROM irb_k
     ), irb_guar AS (
+        -- Art.501 binds cross-approach: both legs carry the factor,
+        -- mirroring the engine's post-substitution rwa = ead * rw * sf
         SELECT r.exposure_class,
-               r.ead * r.rw AS rwa_pre,
+               r.ead * r.rw * r.sf AS rwa_pre,
                r.ead * (CASE WHEN coalesce(g.g_coverage, 0.0) > 0
                                   AND grw.rw IS NOT NULL AND grw.rw < r.rw
                              THEN (1 - g.g_coverage) * r.rw + g.g_coverage * grw.rw
-                             ELSE r.rw END) AS rwa_post
+                             ELSE r.rw END) * r.sf AS rwa_post
         FROM irb_rw r
         LEFT JOIN gtees g ON r.exposure_reference = g.exposure_reference
         LEFT JOIN {_G_RW_SQL} ON g.g_class = grw.gc AND coalesce(g.g_cqs, 0) = grw.gq
@@ -885,6 +887,7 @@ _C09_RW = f"""
                     ELSE 1.0 END AS risk_weight,
                CASE WHEN w.exposure_class = 'corporate' AND w.annual_revenue > 0
                          AND w.annual_revenue <= 50000000
+                         AND NOT w.is_defaulted
                     THEN CASE WHEN w.group_drawn > 0
                          THEN (least(w.group_drawn, 2500000.0) * 0.7619
                                + greatest(w.group_drawn - 2500000.0, 0.0) * 0.85)

@@ -174,6 +174,7 @@ _SQL_BASE = """
 # identical float op order to the engine expression in run_sa
 _SQL_SME_SF = """CASE WHEN {p}exposure_class = 'corporate' AND {p}annual_revenue > 0
                          AND {p}annual_revenue <= 50000000
+                         AND NOT {p}is_defaulted
                     THEN CASE WHEN {p}group_drawn > 0
                          THEN (least({p}group_drawn, 2500000.0) * 0.7619
                                + greatest({p}group_drawn - 2500000.0, 0.0) * 0.85)
@@ -277,7 +278,8 @@ _SQL_IRB_CORE = f"""
                CASE WHEN is_defaulted THEN 1.0
                     ELSE greatest(coalesce(pd, 1.0), 0.0003) END AS pd_f,
                greatest(coalesce(lgd, 0.45), 0.0) AS lgd_f,
-               least(greatest(coalesce(m, 2.5), 1.0), 5.0) AS m_eff
+               least(greatest(coalesce(m, 2.5), 1.0), 5.0) AS m_eff,
+               ({_SQL_SME_SF.format(p='')}) AS sf
         FROM with_ead
     ), sa_branch AS (
         SELECT w.exposure_reference, w.exposure_class, w.ead,
@@ -285,7 +287,7 @@ _SQL_IRB_CORE = f"""
                     WHEN w.exposure_class = 'retail' THEN 0.75
                     WHEN rwt.rw IS NOT NULL THEN rwt.rw
                     ELSE 1.0 END))
-                * ({_SQL_SME_SF.format(p='w.')})) AS rwa
+                * w.sf) AS rwa
         FROM routed w
         LEFT JOIN {_SQL_SA_RW}
           ON w.exposure_class = rwt.rw_class AND coalesce(w.cqs, 0) = rwt.rw_cqs
@@ -295,19 +297,21 @@ _SQL_IRB_CORE = f"""
         WHERE has_irb_permission AND pd_f < 1.0
     ), irb_g AS (
         SELECT exposure_reference, exposure_class, annual_revenue, ead,
-               pd_f, lgd_f, m_eff,
+               pd_f, lgd_f, m_eff, sf,
                {sql_halley_step('x0', 'pd_f')} AS g_pd
         FROM irb_perf
     ), irb_r AS (
         SELECT *, {_SQL_R_ROUTED} AS r_routed FROM irb_g
     ), irb_k AS (
-        SELECT exposure_reference, exposure_class, ead,
+        SELECT exposure_reference, exposure_class, ead, sf,
                {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_routed')} AS k,
                {_SQL_MA_ROUTED} AS ma
         FROM irb_r
     ), irb_branch AS (
+        -- CRR Art.501 applies per RWEA regardless of approach (engine
+        -- run_irb applies the same most-beneficial factor post-Vasicek)
         SELECT exposure_reference, exposure_class, ead,
-               ead * (((k * ma) * 12.5) * 1.06) AS rwa FROM irb_k
+               ead * (((k * ma) * 12.5) * 1.06) * sf AS rwa FROM irb_k
         UNION ALL
         SELECT exposure_reference, exposure_class, ead, ead * 0.0 AS rwa FROM routed
         WHERE has_irb_permission AND pd_f >= 1.0
@@ -708,7 +712,8 @@ _SQL_CRR_ATTR = f"""
                CASE WHEN is_defaulted THEN 1.0
                     ELSE greatest(coalesce(pd, 1.0), 0.0003) END AS pd_f,
                greatest(coalesce(lgd, 0.45), 0.0) AS lgd_f,
-               least(greatest(coalesce(m, 2.5), 1.0), 5.0) AS m_eff
+               least(greatest(coalesce(m, 2.5), 1.0), 5.0) AS m_eff,
+               ({_SQL_SME_SF.format(p='')}) AS sf
         FROM with_ead
     ), c_sa AS (
         SELECT w.exposure_class,
@@ -716,7 +721,7 @@ _SQL_CRR_ATTR = f"""
                     WHEN w.exposure_class = 'retail' THEN 0.75
                     WHEN rwt.rw IS NOT NULL THEN rwt.rw
                     ELSE 1.0 END))
-                * ({_SQL_SME_SF.format(p='w.')})) AS rwa,
+                * w.sf) AS rwa,
                (w.ead * (CASE WHEN w.is_defaulted THEN 1.5
                     WHEN w.exposure_class = 'retail' THEN 0.75
                     WHEN rwt.rw IS NOT NULL THEN rwt.rw
@@ -730,18 +735,21 @@ _SQL_CRR_ATTR = f"""
         SELECT *, {sql_acklam_raw('pd_f')} AS x0 FROM c_routed
         WHERE has_irb_permission AND pd_f < 1.0
     ), c_irb_g AS (
-        SELECT exposure_class, annual_revenue, ead, pd_f, lgd_f, m_eff,
+        SELECT exposure_class, annual_revenue, ead, pd_f, lgd_f, m_eff, sf,
                {sql_halley_step('x0', 'pd_f')} AS g_pd
         FROM c_irb_perf
     ), c_irb_r AS (
         SELECT *, {_SQL_R_ROUTED} AS r_routed FROM c_irb_g
     ), c_irb_k AS (
-        SELECT exposure_class, ead,
+        SELECT exposure_class, ead, sf,
                {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_routed')} AS k,
                {_SQL_MA_ROUTED} AS ma
         FROM c_irb_r
     ), c_irb AS (
-        SELECT exposure_class, ead * (((k * ma) * 12.5) * 1.06) AS rwa,
+        -- Art.501 binds cross-approach: the IRB arm carries the factor on
+        -- rwa while rwa_before_sf keeps the unfactored figure (the
+        -- supporting-factor attribution driver reads their difference)
+        SELECT exposure_class, ead * (((k * ma) * 12.5) * 1.06) * sf AS rwa,
                ead * (((k * ma) * 12.5) * 1.06) AS rwa_before_sf,
                TRUE AS is_scaled
         FROM c_irb_k
@@ -1050,13 +1058,14 @@ def _cr6_band_col():
     , cr6_r AS (
         SELECT *, {_SQL_R_ROUTED} AS r_routed FROM irb_g
     ), cr6_k AS (
-        SELECT exposure_class, ead, pd_f, lgd_f,
+        SELECT exposure_class, ead, pd_f, lgd_f, sf,
                {sql_capital_k_r('pd_f', 'lgd_f', 'g_pd', 'r_routed')} AS k,
                {_SQL_MA_ROUTED} AS ma
         FROM cr6_r
     ), cr6_rows AS (
+        -- Art.501 binds cross-approach (engine ledger rwa carries it)
         SELECT exposure_class, ead, pd_f, lgd_f,
-               ead * (((k * ma) * 12.5) * 1.06) AS rwa
+               ead * (((k * ma) * 12.5) * 1.06) * sf AS rwa
         FROM cr6_k
         UNION ALL
         SELECT exposure_class, ead, 1.0 AS pd_f, lgd_f, ead * 0.0 AS rwa
