@@ -1343,14 +1343,19 @@ def _supporting_factor_exprs(pack: RulePack, threshold_scale: float, columns):
     f2 = pack.scalar("sme_factor_above_threshold")
     thr = pack.scalar("sme_exposure_threshold") * threshold_scale
     revenue_cap = pack.scalar("sme_revenue_cap") * threshold_scale
+    # column-presence guards: direct-call CRM-shaped frames (guarantee /
+    # double-default test books) skip classify and may not carry the
+    # group aggregate — they price factor 1.0 exactly as before
+    if not {"exposure_class", "annual_revenue", "is_defaulted"} <= set(columns):
+        return F.lit(1.0), F.lit(1.0), F.lit(1.0)
     sme_cond = (
         (F.col("exposure_class") == "corporate")
         & (F.col("annual_revenue") > 0)
         & (F.col("annual_revenue") <= revenue_cap)
         & ~F.col("is_defaulted")
     )
-    if f1 >= 1.0 and f2 >= 1.0:
-        sme_f = F.lit(1.0)  # factors removed (B3.1) — skip the blend
+    if (f1 >= 1.0 and f2 >= 1.0) or "group_drawn" not in columns:
+        sme_f = F.lit(1.0)  # factors removed (B3.1) / no group aggregate
     else:
         gd = F.col("group_drawn")
         blended = F.when(
