@@ -47,4 +47,8 @@ def local_literal_df(
         )
         for r in rows
     ]
-    return spark.range(1).select(F.inline(F.array(*structs)))
+    # numPartitions=1: spark.range defaults to default.parallelism splits,
+    # so every broadcast build of a literal dim would launch N-1 empty
+    # tasks (32-task ghost stages in the round-9 profile) — a literal
+    # relation is one partition by construction
+    return spark.range(0, 1, numPartitions=1).select(F.inline(F.array(*structs)))

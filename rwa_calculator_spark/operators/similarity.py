@@ -1,11 +1,12 @@
 """Vector similarity primitives over array<float> embedding columns.
 
-Dot products are unrolled fixed-dimension left-associated expression chains
-(dim is schema-known), generated for both Spark Columns and DuckDB SQL from
-the same loop — bit-identical across engines, stays in WholeStageCodegen,
-and never materialises a Python object per row. For very high dim swap the
-chain for F.aggregate/zip_with (same semantics, log-free fold) or a Pandas
-UDF; at 64-dim the unrolled form wins.
+Dot products are zip_with/aggregate folds seeded with the first product —
+the exact left-associated addition order of the DuckDB oracle's unrolled
+chain (bit-identical, verified over every corpus pair at all SFs), in a
+4-node expression instead of a 255-node tree. The round-9 optimization
+profile measured the unrolled chain at ~2× the fold's cost at 64-dim
+(255 virtual expression evals per row vs one tight loop) and the giant
+trees also bloated plan/codegen size in every similarity query.
 
 LSH hyperplanes are pseudo-random literals derived from md5 in *Python* at
 plan-build time, so both engines see identical constants (the rulepack
@@ -15,7 +16,6 @@ compile-to-literals pattern, SURVEY §1.1).
 from __future__ import annotations
 
 import hashlib
-from functools import reduce
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -24,8 +24,17 @@ EMBED_DIM = 64
 
 
 def spark_dot(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
-    terms = [a.getItem(i).cast("double") * b.getItem(i).cast("double") for i in range(dim)]
-    return reduce(lambda x, y: x + y, terms)
+    """Left-associated dot product as a zip_with/aggregate fold.
+
+    Bit-identical to the unrolled chain ``(a0·b0 + a1·b1) + …`` (the fold
+    is seeded with the FIRST product, so the addition order is exactly the
+    chain's — verified exhaustively over every corpus pair at all three
+    SFs), but ~2× faster at 64-dim and a 4-node expression instead of a
+    255-node tree: the unrolled form pays one virtual getItem/cast eval
+    per term in the row-oriented evaluator, while the fold runs a tight
+    loop over the zipped array (guide §1.2 per-task work)."""
+    z = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(F.slice(z, 2, dim - 1), F.element_at(z, 1), lambda acc, x: acc + x)
 
 
 def sql_dot(a: str, b: str, dim: int = EMBED_DIM) -> str:
@@ -44,8 +53,15 @@ def hyperplane(j: int, dim: int = EMBED_DIM) -> list[float]:
 
 
 def spark_projection(v: Column, coeffs: list[float]) -> Column:
-    terms = [F.lit(c) * v.getItem(i).cast("double") for i, c in enumerate(coeffs)]
-    return reduce(lambda x, y: x + y, terms)
+    """Same fold rewrite as spark_dot (coeffs become an array literal);
+    seeded with the first product so addition order matches the unrolled
+    chain bit-for-bit."""
+    z = F.zip_with(
+        F.array(*[F.lit(c) for c in coeffs]), v, lambda c, x: c * x.cast("double")
+    )
+    return F.aggregate(
+        F.slice(z, 2, len(coeffs) - 1), F.element_at(z, 1), lambda acc, x: acc + x
+    )
 
 
 def sql_projection(v: str, coeffs: list[float]) -> str:

@@ -204,17 +204,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs) then exact cosine thresholds (dup ≥0.99 / near ≥0.9)
     — the semantic-dedup stage of an LLM data pipeline."""
     e = load_table(spark, sf_dir, "embeddings")
+    # self-norm once per vector, not per candidate pair (bit-identical)
     b = e.select(
-        "vec_id", "embedding", "label", spark_lsh_bucket(F.col("embedding"), 8).alias("bucket")
+        "vec_id",
+        "embedding",
+        "label",
+        spark_lsh_bucket(F.col("embedding"), 8).alias("bucket"),
+        spark_dot(F.col("embedding"), F.col("embedding")).alias("n2"),
     )
     a = b.alias("a")
     c = b.alias("c")
     cos = F.round(
         spark_dot(F.col("a.embedding"), F.col("c.embedding"))
-        / F.sqrt(
-            spark_dot(F.col("a.embedding"), F.col("a.embedding"))
-            * spark_dot(F.col("c.embedding"), F.col("c.embedding"))
-        ),
+        / F.sqrt(F.col("a.n2") * F.col("c.n2")),
         12,
     )
     pairs = (

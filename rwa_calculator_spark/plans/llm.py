@@ -24,7 +24,7 @@ from rwa_calculator_spark.functions.text import (
     hash32,
 )
 from rwa_calculator_spark.plans.registry import query
-from rwa_calculator_spark.sources.star import load_table
+from rwa_calculator_spark.sources.star import load_table, load_table_fanned
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +194,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats and candidate-pair counts; candidates are verified by
     dedup_ngram_jaccard's exact pass. At scale only (band, sig) pairs
     shuffle — signature width is constant per doc."""
-    d = load_table(spark, sf_dir, "documents")
+    # fanned load: the explode + 16-hash chain above the scan is the heavy
+    # part; a single-row-group file would otherwise run it on one task
+    d = load_table_fanned(spark, sf_dir, "documents")
     # no distinct before the min-aggregation: min over the word *multiset*
     # equals min over the word *set*, so the dedup shuffle is pure waste
     ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -202,15 +204,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.min(seeded_hash32(s, F.col("word"))).alias(f"mh{s}") for s in range(_N_HASHES)]
     )
     rows_per_band = _N_HASHES // _BANDS
-    band_frames = []
-    for b in range(_BANDS):
-        sig = F.concat_ws(
-            ":", *[F.col(f"mh{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+    # one signature pass, not four: a union of per-band selects over `sigs`
+    # re-runs the whole explode+minhash aggregation per band (4 concurrent
+    # full passes in the round-9 profile, ~1 s CPU each); posexplode of the
+    # band-signature array emits the same (doc_id, band_id, sig) rows from
+    # a single aggregation subtree (guide §2.4: remove duplicate passes)
+    band_sigs = [
+        F.concat_ws(
+            ":",
+            *[
+                F.col(f"mh{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
         )
-        band_frames.append(
-            sigs.select("doc_id", F.lit(b).alias("band_id"), sig.alias("sig"))
-        )
-    bands = reduce(lambda x, y: x.union(y), band_frames)
+        for b in range(_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_sigs)).alias("band_id", "sig")
+    )
     buckets = bands.groupBy("band_id", "sig").agg(F.count("*").alias("bucket_size"))
     return buckets.groupBy("band_id").agg(
         F.count("*").alias("n_buckets"),
@@ -537,18 +548,27 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive the rank filter. The broadcast side is size-guarded
     (guard_broadcast_query) — an oversized query set must route through
     ann_ivf_probe / ann_lsh_bucket instead of a driver-melting broadcast."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # fanned load: the 64-term scoring chain over corpus × queries is the
+    # heavy part; a single-row-group file would run it all on one task
+    e = load_table_fanned(spark, sf_dir, "embeddings")
+    # self-norms are per-vector, not per-pair: compute nq²/nc² ONCE per row
+    # on each join input instead of re-evaluating a 64-term chain for every
+    # (query, candidate) pair — same arithmetic, same bits, 3× fewer flops
+    # in the pair stage (guide §2.3: shrink per-row work before the join)
     q = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
+    q = q.withColumn("nq2", spark_dot(F.col("qv"), F.col("qv")))
     q = guard_broadcast_query(q)
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        spark_dot(F.col("embedding"), F.col("embedding")).alias("nc2"),
+    )
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("cid") != F.col("qid"))
     dot = spark_dot(F.col("qv"), F.col("cv"))
-    nq2 = spark_dot(F.col("qv"), F.col("qv"))
-    nc2 = spark_dot(F.col("cv"), F.col("cv"))
     scored = pairs.select(
-        "qid", "cid", F.round(dot / F.sqrt(nq2 * nc2), 12).alias("cosine")
+        "qid", "cid", F.round(dot / F.sqrt(F.col("nq2") * F.col("nc2")), 12).alias("cosine")
     )
     win = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -592,16 +612,24 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         "vec_id", "embedding", spark_lsh_bucket(F.col("embedding"), _N_PLANES).alias("bucket")
     )
+    # per-vector self-norms computed once per side, not per candidate pair
+    # (same rewrite as ann_cosine_topk — bit-identical arithmetic)
     q = b.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+        spark_dot(F.col("embedding"), F.col("embedding")).alias("nq2"),
     )
-    c = b.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("bucket").alias("cbucket"))
+    c = b.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("bucket").alias("cbucket"),
+        spark_dot(F.col("embedding"), F.col("embedding")).alias("nc2"),
+    )
     pairs = c.join(F.broadcast(q), (F.col("bucket") == F.col("cbucket")) & (F.col("cid") != F.col("qid")))
     dot = spark_dot(F.col("qv"), F.col("cv"))
-    nq2 = spark_dot(F.col("qv"), F.col("qv"))
-    nc2 = spark_dot(F.col("cv"), F.col("cv"))
     scored = pairs.select(
-        "qid", "cid", "bucket", F.round(dot / F.sqrt(nq2 * nc2), 12).alias("cosine")
+        "qid", "cid", "bucket", F.round(dot / F.sqrt(F.col("nq2") * F.col("nc2")), 12).alias("cosine")
     )
     win = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -696,19 +724,22 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key: a query touches nprobe/K of the corpus instead of all
     of it."""
     e = load_table(spark, sf_dir, "embeddings")
+    # per-vector self-norms once per side — the assignment cross-join was
+    # re-evaluating the row's own 64-term norm for each of the 16 centroids
+    # (and the centroid's for every row); bit-identical arithmetic
+    e = e.withColumn("n2", spark_dot(F.col("embedding"), F.col("embedding")))
     cent = e.where(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        F.col("n2").alias("cn2"),
     )
     sim = F.round(
         spark_dot(F.col("embedding"), F.col("cv"))
-        / F.sqrt(
-            spark_dot(F.col("embedding"), F.col("embedding"))
-            * spark_dot(F.col("cv"), F.col("cv"))
-        ),
+        / F.sqrt(F.col("n2") * F.col("cn2")),
         12,
     )
     assigned = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "centroid_id", sim.alias("sim")
+        "vec_id", "embedding", F.col("n2"), "centroid_id", sim.alias("sim")
     )
 
     # corpus assignment: argmax via max(struct(sim, -centroid_id)) — struct
@@ -719,9 +750,10 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy(F.col("vec_id").alias("cid"))
         .agg(
             F.any_value("embedding").alias("cand_v"),
+            F.any_value("n2").alias("cand_n2"),
             F.max(F.struct(F.col("sim"), (-F.col("centroid_id")).alias("neg_id"))).alias("m"),
         )
-        .select("cid", "cand_v", (-F.col("m.neg_id")).alias("cell"))
+        .select("cid", "cand_v", "cand_n2", (-F.col("m.neg_id")).alias("cell"))
     )
 
     # query probes: top-nprobe cells per query (queries are a 1% slice —
@@ -734,6 +766,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
+            F.col("n2").alias("q_n2"),
             F.col("centroid_id").alias("cell"),
         )
     )
@@ -741,10 +774,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cells.join(F.broadcast(probes), "cell").where(F.col("cid") != F.col("qid"))
     cosine = F.round(
         spark_dot(F.col("qv"), F.col("cand_v"))
-        / F.sqrt(
-            spark_dot(F.col("qv"), F.col("qv"))
-            * spark_dot(F.col("cand_v"), F.col("cand_v"))
-        ),
+        / F.sqrt(F.col("q_n2") * F.col("cand_n2")),
         12,
     )
     scored = pairs.select("qid", "cid", cosine.alias("cosine"))
@@ -1290,19 +1320,21 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join shuffles once on cell id and the centroid assignment is one
     broadcast of K rows. No driver collect anywhere."""
     e = load_table(spark, sf_dir, "embeddings")
+    # per-vector self-norm once, reused by the centroid assignment AND both
+    # sides of the within-cell pair pass (bit-identical arithmetic)
+    e = e.withColumn("n2", spark_dot(F.col("embedding"), F.col("embedding")))
     cent = e.where(F.col("vec_id") < _SEMDEDUP_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        F.col("n2").alias("cn2"),
     )
     sim = F.round(
         spark_dot(F.col("embedding"), F.col("cv"))
-        / F.sqrt(
-            spark_dot(F.col("embedding"), F.col("embedding"))
-            * spark_dot(F.col("cv"), F.col("cv"))
-        ),
+        / F.sqrt(F.col("n2") * F.col("cn2")),
         12,
     )
     assigned = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "centroid_id", sim.alias("sim")
+        "vec_id", "embedding", "n2", "centroid_id", sim.alias("sim")
     )
     rn = F.row_number().over(
         W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "centroid_id")
@@ -1310,21 +1342,23 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         assigned.withColumn("rn", rn)
         .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+        .select("vec_id", "embedding", "n2", F.col("centroid_id").alias("cell"))
     )
     a = cells.select(
-        F.col("cell"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("av")
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("av"),
+        F.col("n2").alias("a_n2"),
     )
     b = cells.select(
         F.col("cell").alias("b_cell"),
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("bv"),
+        F.col("n2").alias("b_n2"),
     )
     pair_cos = F.round(
         spark_dot(F.col("av"), F.col("bv"))
-        / F.sqrt(
-            spark_dot(F.col("av"), F.col("av")) * spark_dot(F.col("bv"), F.col("bv"))
-        ),
+        / F.sqrt(F.col("a_n2") * F.col("b_n2")),
         12,
     )
     pruned = (

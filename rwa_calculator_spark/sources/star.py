@@ -71,6 +71,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(STAR_SCHEMAS[name]).parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Above this input size a scan parallelises naturally (many splits/files) and
+# the fan-out exchange would be pure overhead — so the helper is a no-op.
+_FAN_OUT_CAP_BYTES = 1 << 30
+_DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+
+
+def load_table_fanned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`load_table` + a deterministic round-robin fan-out for scans too small
+    to parallelise naturally.
+
+    The bench testdata is one parquet file with ONE row group per table, so
+    a scan stage is a single task no matter the core count — every map-side
+    operator above it (explodes, hash chains, join probes, partial
+    aggregation) runs serial. On a cluster-sized input the scan yields
+    (bytes / maxPartitionBytes) tasks and this helper is a no-op; the gate
+    is derived from the input size, not tuned to local[32] (guide §2:
+    partitioning must be scale-adaptive, §6 input split size).
+
+    Only worth using where per-row compute above the scan dominates; the
+    fan-out pays one exchange of the scanned bytes."""
+    df = load_table(spark, sf_dir, name)
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    natural_tasks = max(1, nbytes // _DEFAULT_SPLIT_BYTES)
+    if nbytes < _FAN_OUT_CAP_BYTES and natural_tasks < cores:
+        return df.repartition(cores)
+    return df
+
+
 def csv_mirror_path(sf_dir: str, name: str) -> str:
     """Materialise a CSV copy of a parquet table (once per sf_dir) so the
     CSV reader path (reference CSVLoader, `engine/loader.py:878-943`) can be
