@@ -392,39 +392,38 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
     built outside the hierarchy union (equity, CIU, settlement) pass their
     own default. `class_reason` defaults to the branch marker when the frame
     never went through run_classify."""
+    # ONE batched withColumns call: a per-column withColumn chain copies
+    # and re-analyses the (wide) plan once per column — at 70+ fill
+    # candidates the driver-side analysis cost dominates small-SF runs
+    _fill: dict[str, Column] = {}
     if "risk_type" not in exp.columns:
         if "exposure_type" in exp.columns:
             rt = F.lit(default_risk_type)
             for etype, label in _RISK_TYPE_BY_ETYPE.items():
                 rt = F.when(F.col("exposure_type") == etype, label).otherwise(rt)
-            exp = exp.withColumn("risk_type", rt)
+            _fill["risk_type"] = rt
         else:
-            exp = exp.withColumn("risk_type", F.lit(default_risk_type))
+            _fill["risk_type"] = F.lit(default_risk_type)
     if "class_reason" not in exp.columns:
-        exp = exp.withColumn("class_reason", F.lit("CLS_BRANCH_DIRECT"))
+        _fill["class_reason"] = F.lit("CLS_BRANCH_DIRECT")
     if "country" not in exp.columns:
-        exp = exp.withColumn("country", F.lit(None).cast("string"))
+        _fill["country"] = F.lit(None).cast("string")
     if "g_class" not in exp.columns:
-        exp = exp.withColumn("g_class", F.lit(None).cast("string"))
+        _fill["g_class"] = F.lit(None).cast("string")
     if "model_id" not in exp.columns:
-        exp = exp.withColumn("model_id", F.lit(None).cast("string"))
+        _fill["model_id"] = F.lit(None).cast("string")
     if "fx_rate" not in exp.columns:
-        exp = exp.withColumn("fx_rate", F.lit(None).cast("double"))
+        _fill["fx_rate"] = F.lit(None).cast("double")
     if "slot_category" not in exp.columns:
-        exp = exp.withColumn("slot_category", F.lit(None).cast("string"))
+        _fill["slot_category"] = F.lit(None).cast("string")
     # round-5 carriers: copy from the stage column where the frame went
     # through the hierarchy/classify/crm stages, else honest null
     if "ultimate_parent_reference" not in exp.columns:
-        exp = exp.withColumn(
-            "ultimate_parent_reference",
+        _fill["ultimate_parent_reference"] = (
             F.col("group_reference")
             if "group_reference" in exp.columns
-            else F.lit(None).cast("string"),
+            else F.lit(None).cast("string")
         )
-    # ONE batched withColumns call: a per-column withColumn chain copies
-    # and re-analyses the (wide) plan once per column — at 70+ fill
-    # candidates the driver-side analysis cost dominates small-SF runs
-    _fill: dict[str, Column] = {}
     for name, dtype in (
         ("hierarchy_depth", "int"),
         ("lending_group_reference", "string"),
@@ -2744,14 +2743,16 @@ def _apply_pma(df: DataFrame, pack: RulePack, pma) -> DataFrame:
         "post_model_adjustments" not in pack.scalars
         or pack.scalar("post_model_adjustments") < 1.0
     ):
-        return (
-            df.withColumn("rwa_pre_adjustments", F.col("rwa"))
-            .withColumn("mortgage_rw_floor_adjustment", zero)
-            .withColumn("post_model_adjustment_rwa", zero)
-            .withColumn("unrecognised_exposure_adjustment", zero)
-            .withColumn("el_pre_adjustment", F.col("expected_loss"))
-            .withColumn("post_model_adjustment_el", zero)
-            .withColumn("el_after_adjustment", F.col("expected_loss"))
+        return df.withColumns(
+            {
+                "rwa_pre_adjustments": F.col("rwa"),
+                "mortgage_rw_floor_adjustment": zero,
+                "post_model_adjustment_rwa": zero,
+                "unrecognised_exposure_adjustment": zero,
+                "el_pre_adjustment": F.col("expected_loss"),
+                "post_model_adjustment_el": zero,
+                "el_after_adjustment": F.col("expected_loss"),
+            }
         )
     floor = pack.lit("mortgage_rw_floor")
     # Art.154(4A)(b) scopes the 10% floor to RESIDENTIAL mortgages only
@@ -3082,22 +3083,23 @@ def run_irb(
         if "irb_subapproach" in perf.columns
         else F.lit("")
     )
-    perf = (
-        perf.withColumn("irb_pd_original", F.col("pd"))
-        .withColumn("irb_pd_floor", F.col("_pd_floor_in"))
-        .withColumn("irb_pd_floored", F.col("pd_floored"))
-        .withColumn("irb_lgd_original", F.col("lgd"))
-        .withColumn("irb_lgd_floor", F.col("_lgd_floor_in"))
-        .withColumn("irb_lgd_floored", F.col("lgd_floored"))
-        .withColumn(
-            "irb_lgd_type",
-            F.when(
+    # one batched withColumns — every carrier copies a pre-existing column,
+    # so a per-column chain would re-analyse the wide plan 10× for nothing
+    perf = perf.withColumns(
+        {
+            "irb_pd_original": F.col("pd"),
+            "irb_pd_floor": F.col("_pd_floor_in"),
+            "irb_pd_floored": F.col("pd_floored"),
+            "irb_lgd_original": F.col("lgd"),
+            "irb_lgd_floor": F.col("_lgd_floor_in"),
+            "irb_lgd_floored": F.col("lgd_floored"),
+            "irb_lgd_type": F.when(
                 F.col("lgd").isNotNull() & (_sub != "firb"), "modelled"
             ).otherwise("supervisory"),
-        )
-        .withColumn("irb_maturity_m", F.col("m_eff"))
-        .withColumn("irb_capital_k", F.col("k"))
-        .withColumn("irb_risk_weight", F.col("risk_weight"))
+            "irb_maturity_m": F.col("m_eff"),
+            "irb_capital_k": F.col("k"),
+            "irb_risk_weight": F.col("risk_weight"),
+        }
     )
     # IRB unfunded protection: substitution / parameter substitution /
     # double default on the covered leg, Art.193 benefit gate, EL blend.

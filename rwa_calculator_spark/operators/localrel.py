@@ -22,6 +22,7 @@ cost, and large data should be data, not plan).
 
 from __future__ import annotations
 
+import math
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,29 @@ from pyspark.sql.types import StructType
 MAX_LITERAL_ROWS = 1024
 
 
+def _sql_literal(v) -> str | None:
+    """Render one Python value as a SQL literal whose parse is bit-identical
+    to ``F.lit(v)`` after the column cast. None = not renderable (caller
+    falls back to the Column path)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            return None
+        # repr round-trips binary64; the decimal parse keeps every digit and
+        # the cast to DOUBLE rounds back to the identical bits
+        return repr(v)
+    if isinstance(v, str):
+        if "\\" in v or "\0" in v:
+            return None  # escape-sequence semantics differ; fall back
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
 def local_literal_df(
     spark: SparkSession, schema: str | StructType, rows: Iterable[Sequence]
 ) -> DataFrame:
@@ -41,14 +65,37 @@ def local_literal_df(
     st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
     if not rows or len(rows) > MAX_LITERAL_ROWS:
         return spark.createDataFrame(rows, schema)
+    # Compile the whole relation into ONE SQL expression string: a
+    # row-by-row Column build costs hundreds of py4j round-trips per table
+    # (lit + cast + alias per value), which the round-9 build profile showed
+    # as ~0.3 s per pack table of pure driver chatter. A single
+    # inline(array(named_struct(...))) expr is one gateway call and parses
+    # to the identical literal plan.
+    types = [f.dataType.simpleString() for f in st.fields]
+    names = [f.name for f in st.fields]
+    structs = []
+    for r in rows:
+        cells = []
+        for v, name, t in zip(r, names, types):
+            s = _sql_literal(v)
+            if s is None:
+                return _column_literal_df(spark, st, rows)
+            cells.append(f"'{name}', CAST({s} AS {t})")
+        structs.append(f"named_struct({', '.join(cells)})")
+    sql = f"inline(array({', '.join(structs)}))"
+    # numPartitions=1: spark.range defaults to default.parallelism splits,
+    # so every broadcast build of a literal dim would launch N-1 empty
+    # tasks (32-task ghost stages in the round-9 profile) — a literal
+    # relation is one partition by construction
+    return spark.range(0, 1, numPartitions=1).select(F.expr(sql))
+
+
+def _column_literal_df(spark: SparkSession, st: StructType, rows) -> DataFrame:
+    """Column-API fallback for values the SQL renderer refuses."""
     structs = [
         F.struct(
             *[F.lit(v).cast(f.dataType).alias(f.name) for v, f in zip(r, st.fields)]
         )
         for r in rows
     ]
-    # numPartitions=1: spark.range defaults to default.parallelism splits,
-    # so every broadcast build of a literal dim would launch N-1 empty
-    # tasks (32-task ghost stages in the round-9 profile) — a literal
-    # relation is one partition by construction
     return spark.range(0, 1, numPartitions=1).select(F.inline(F.array(*structs)))

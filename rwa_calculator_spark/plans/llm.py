@@ -1411,14 +1411,18 @@ def _km_dist_spark(vec, cvec):
     # expressions differently), and plain multiplication, never **2 —
     # POWER() routes through libm pow() whose last ulp can differ from
     # x*x; the fixed-point inertia floor amplifies either into an
-    # off-by-one at the sixth decimal
-    def _t(i):
-        d = F.element_at(vec, i + 1).cast("double") - F.element_at(
-            cvec, i + 1
-        ).cast("double")
+    # off-by-one at the sixth decimal. zip_with/aggregate fold seeded with
+    # the first term = the unrolled chain's exact left-associated addition
+    # order (the operators/similarity.py spark_dot rewrite) in a 4-node
+    # expression instead of a 255-node tree.
+    def _sq(x, y):
+        d = x.cast("double") - y.cast("double")
         return d * d
 
-    return reduce(lambda a, b: a + b, [_t(i) for i in range(_KM_DIM)])
+    z = F.zip_with(vec, cvec, _sq)
+    return F.aggregate(
+        F.slice(z, 2, _KM_DIM - 1), F.element_at(z, 1), lambda acc, t: acc + t
+    )
 
 
 def _km_dist_sql(v: str, c: str) -> str:

@@ -91,7 +91,10 @@ def run_checker(spark: SparkSession, sf_dir: str, ctx) -> ValidationReport:
     )
     from rwa_calculator_spark.reporting_scope import rule_scope, rule_templates
 
-    outcomes = scoped_grammar_outcomes(spark, sf_dir, ctx)
+    # one estate computation feeds both the evaluator and template coverage
+    # (previously computed twice — 2x the Spark jobs for identical facts)
+    index = grammar_estate(spark, sf_dir)
+    outcomes = scoped_grammar_outcomes(spark, sf_dir, ctx, index=index)
     rows = outcomes.collect()  # rule-catalogue grain — bounded, never data
 
     counts = Counter(r.status for r in rows)

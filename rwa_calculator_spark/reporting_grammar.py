@@ -830,6 +830,28 @@ class _RuleCompiler:
         self.missing_value = missing_value
         self.skips: list[tuple[str, str]] = []  # (condition_sql, reason) in eval order
         self.nonzero: list[str] = []  # per-ref "a nonzero cell was observed" conds
+        # distinct facts subqueries, interned once per rule: the compiled
+        # status/reason/lhs/rhs expressions repeat every subquery many times
+        # textually, and a catalogue-sized union of such selects is megabytes
+        # of SQL with tens of thousands of scalar subqueries for DuckDB to
+        # plan. Each subquery instead becomes ONE column of a per-rule
+        # derived table and is referenced by alias — identical values
+        # (scalar subqueries are deterministic over the materialized facts),
+        # ~10x less SQL
+        self.subs: dict[str, str] = {}
+
+    def intern(self, sql: str) -> str:
+        alias = self.subs.get(sql)
+        if alias is None:
+            alias = f"q{len(self.subs)}"
+            self.subs[sql] = alias
+        return alias
+
+    def from_clause(self) -> str:
+        if not self.subs:
+            return ""
+        cols = ", ".join(f"{sql} AS {alias}" for sql, alias in self.subs.items())
+        return f" FROM (SELECT {cols}) AS f"
 
     # -- facts predicates ---------------------------------------------------
 
@@ -840,13 +862,13 @@ class _RuleCompiler:
             f"AND row_id = '{r}' AND col_id = '{c}'"
         )
 
-    @staticmethod
-    def _val(t: str, s: str, r: str, c: str) -> str:
-        return f"(SELECT value FROM facts WHERE {_RuleCompiler._match(t, s, r, c)})"
+    def _val(self, t: str, s: str, r: str, c: str) -> str:
+        return self.intern(
+            f"(SELECT value FROM facts WHERE {self._match(t, s, r, c)})"
+        )
 
-    @staticmethod
-    def _exists(where: str) -> str:
-        return f"EXISTS(SELECT 1 FROM facts WHERE {where})"
+    def _exists(self, where: str) -> str:
+        return self.intern(f"EXISTS(SELECT 1 FROM facts WHERE {where})")
 
     # -- ref resolution (compile-time mirror of _reference_axes) ------------
 
@@ -1066,7 +1088,7 @@ class _RuleCompiler:
         self.skips.append(
             (f"NOT {self._exists(region)}", SKIP_CELL_NOT_EMITTED)
         )
-        return f"(SELECT {fn}({inner}) FROM facts WHERE {region})"
+        return self.intern(f"(SELECT {fn}({inner}) FROM facts WHERE {region})")
 
     # -- expression compile (mirror of _value_of) ---------------------------
 
@@ -1173,6 +1195,7 @@ def rule_oracle_select(
         f"CASE {skip_reason} ELSE '' END AS reason, "
         f"CASE WHEN {any_skip} THEN NULL ELSE ({lhs_sql}) END AS lhs, "
         f"CASE WHEN {any_skip} THEN NULL ELSE ({rhs_sql}) END AS rhs"
+        f"{comp.from_clause()}"
     )
 
 
@@ -1186,7 +1209,9 @@ def _empty_rule_select(rule, root: Compare, estate: dict, sheet_codes: dict) -> 
     comp = _RuleCompiler(estate, sheet_codes, rule.missing_value)
     table, sheets, rows, cols, sb, rb, cb = comp._resolve_ref(ref, aggregated=True)
     region = comp._region(table, sheets, rows, cols, sb, rb, cb)
-    reported = f"(SELECT count(*) FROM facts WHERE ({region}) AND value IS NOT NULL)"
+    reported = comp.intern(
+        f"(SELECT count(*) FROM facts WHERE ({region}) AND value IS NOT NULL)"
+    )
     skip_whens = " ".join(
         f"WHEN {cond} THEN '{STATUS_NOT_EVALUATED}'" for cond, _ in comp.skips
     )
@@ -1222,7 +1247,7 @@ def _empty_rule_select(rule, root: Compare, estate: dict, sheet_codes: dict) -> 
     return (
         f"SELECT '{rule.rule_id}' AS rule_id, '{rule.source}' AS source, "
         f"'' AS coordinate, {status} AS status, {reason} AS reason, "
-        f"{lhs} AS lhs, {rhs} AS rhs"
+        f"{lhs} AS lhs, {rhs} AS rhs{comp.from_clause()}"
     )
 
 

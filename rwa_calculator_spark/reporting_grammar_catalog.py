@@ -469,13 +469,18 @@ _SCOPED_SCHEMA = (
 )
 
 
-def scoped_grammar_outcomes(spark: SparkSession, sf_dir: str, ctx) -> DataFrame:
+def scoped_grammar_outcomes(
+    spark: SparkSession, sf_dir: str, ctx, index: TemplateIndex | None = None
+) -> DataFrame:
     """Evaluate the catalogue under a submission context (reporting_scope):
     out-of-scope rules emit one NOT_IN_SCOPE row and never reach the
-    evaluator; every row carries the scope verdict."""
+    evaluator; every row carries the scope verdict. Pass a pre-built
+    ``index`` to reuse one estate computation across consumers (the checker
+    needs the same index again for template coverage)."""
     from rwa_calculator_spark.reporting_scope import scoped_outcomes
 
-    index = grammar_estate(spark, sf_dir)
+    if index is None:
+        index = grammar_estate(spark, sf_dir)
     rows = scoped_outcomes(GRAMMAR_RULES, index, ctx)
     return spark.createDataFrame(rows, _SCOPED_SCHEMA)
 
