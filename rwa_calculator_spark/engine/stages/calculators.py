@@ -392,36 +392,40 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
     built outside the hierarchy union (equity, CIU, settlement) pass their
     own default. `class_reason` defaults to the branch marker when the frame
     never went through run_classify."""
+    # one JVM schema fetch: each `df.columns` access is a py4j schema
+    # call (~3.5 ms on a wide frame); this helper makes ~115 membership
+    # checks, so probe a local set instead
+    cols = set(exp.columns)
     # ONE batched withColumns call: a per-column withColumn chain copies
     # and re-analyses the (wide) plan once per column — at 70+ fill
     # candidates the driver-side analysis cost dominates small-SF runs
     _fill: dict[str, Column] = {}
-    if "risk_type" not in exp.columns:
-        if "exposure_type" in exp.columns:
+    if "risk_type" not in cols:
+        if "exposure_type" in cols:
             rt = F.lit(default_risk_type)
             for etype, label in _RISK_TYPE_BY_ETYPE.items():
                 rt = F.when(F.col("exposure_type") == etype, label).otherwise(rt)
             _fill["risk_type"] = rt
         else:
             _fill["risk_type"] = F.lit(default_risk_type)
-    if "class_reason" not in exp.columns:
+    if "class_reason" not in cols:
         _fill["class_reason"] = F.lit("CLS_BRANCH_DIRECT")
-    if "country" not in exp.columns:
+    if "country" not in cols:
         _fill["country"] = F.lit(None).cast("string")
-    if "g_class" not in exp.columns:
+    if "g_class" not in cols:
         _fill["g_class"] = F.lit(None).cast("string")
-    if "model_id" not in exp.columns:
+    if "model_id" not in cols:
         _fill["model_id"] = F.lit(None).cast("string")
-    if "fx_rate" not in exp.columns:
+    if "fx_rate" not in cols:
         _fill["fx_rate"] = F.lit(None).cast("double")
-    if "slot_category" not in exp.columns:
+    if "slot_category" not in cols:
         _fill["slot_category"] = F.lit(None).cast("string")
     # round-5 carriers: copy from the stage column where the frame went
     # through the hierarchy/classify/crm stages, else honest null
-    if "ultimate_parent_reference" not in exp.columns:
+    if "ultimate_parent_reference" not in cols:
         _fill["ultimate_parent_reference"] = (
             F.col("group_reference")
-            if "group_reference" in exp.columns
+            if "group_reference" in cols
             else F.lit(None).cast("string")
         )
     for name, dtype in (
@@ -550,10 +554,11 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         ("double_default_unfunded_protection", "double"),
         ("irb_lgd_double_default", "double"),
     ):
-        if name not in exp.columns:
+        if name not in cols:
             _fill[name] = F.lit(None).cast(dtype)
     if _fill:
         exp = exp.withColumns(_fill)
+        cols |= _fill.keys()
     # identity fills, one more batched withColumns (same plan-copy
     # rationale as the null fill above):
     # - source_exposure_reference: a never-split row is its own source
@@ -566,17 +571,17 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
     #   guarantee_effective_coverage_pct
     # - final_ead: the figure RWA actually priced on
     _ident: dict[str, Column] = {}
-    has_ref = "exposure_reference" in exp.columns
+    has_ref = "exposure_reference" in cols
     if has_ref:
         _ident["source_exposure_reference"] = F.coalesce(
             *(
                 [F.col("source_exposure_reference")]
-                if "source_exposure_reference" in exp.columns
+                if "source_exposure_reference" in cols
                 else []
             ),
             F.col("exposure_reference"),
         )
-    elif "source_exposure_reference" not in exp.columns:
+    elif "source_exposure_reference" not in cols:
         _ident["source_exposure_reference"] = F.lit(None).cast("string")
     _ident["exposure_has_parent"] = F.coalesce(
         "exposure_has_parent", F.lit(False)
@@ -595,24 +600,24 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
         _ident["parent_exposure_reference"] = F.coalesce(
             *(
                 [F.col("parent_exposure_reference")]
-                if "parent_exposure_reference" in exp.columns
+                if "parent_exposure_reference" in cols
                 else []
             ),
             F.col("exposure_reference"),
         )
-    elif "parent_exposure_reference" not in exp.columns:
+    elif "parent_exposure_reference" not in cols:
         _ident["parent_exposure_reference"] = F.lit(None).cast("string")
     # approach_permitted (ref :2935): the permission grant routing
     # consulted — model-permission grants where that stage ran, else the
     # bundle's blanket has_irb_permission flag
-    if "model_airb_permitted" in exp.columns:
+    if "model_airb_permitted" in cols:
         _ident["approach_permitted"] = (
             F.when(F.coalesce("model_airb_permitted", F.lit(False)), "AIRB")
             .when(F.coalesce("model_firb_permitted", F.lit(False)), "FIRB")
             .when(F.coalesce("model_slotting_permitted", F.lit(False)), "SLOTTING")
             .otherwise("SA")
         )
-    elif "has_irb_permission" in exp.columns:
+    elif "has_irb_permission" in cols:
         _ident["approach_permitted"] = F.when(
             F.coalesce("has_irb_permission", F.lit(False)), "AIRB"
         ).otherwise("SA")
@@ -621,7 +626,7 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
     _ident["guarantor_references"] = F.coalesce(
         *(
             [F.col("guarantor_references")]
-            if "guarantor_references" in exp.columns
+            if "guarantor_references" in cols
             else []
         ),
         F.when(
@@ -629,42 +634,42 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
             F.array(F.col("guarantor_reference")),
         ),
     )
-    if "guarantee_references" not in exp.columns:
+    if "guarantee_references" not in cols:
         _ident["guarantee_references"] = (
             F.when(
                 F.col("guarantee_reference").isNotNull(),
                 F.array(F.col("guarantee_reference")),
             )
-            if "guarantee_reference" in exp.columns
+            if "guarantee_reference" in cols
             else F.lit(None).cast("array<string>")
         )
-    if "guarantee_coverage_pct" not in exp.columns:
+    if "guarantee_coverage_pct" not in cols:
         _ident["guarantee_coverage_pct"] = (
             F.col("g_coverage_declared")
-            if "g_coverage_declared" in exp.columns
+            if "g_coverage_declared" in cols
             else (
                 F.col("g_coverage")
-                if "g_coverage" in exp.columns
+                if "g_coverage" in cols
                 else F.lit(None).cast("double")
             )
         )
-    if "guarantee_effective_coverage_pct" not in exp.columns:
+    if "guarantee_effective_coverage_pct" not in cols:
         _ident["guarantee_effective_coverage_pct"] = (
             F.col("g_coverage")
-            if "g_coverage" in exp.columns
+            if "g_coverage" in cols
             else F.lit(None).cast("double")
         )
-    if "final_ead" not in exp.columns:
+    if "final_ead" not in cols:
         _ident["final_ead"] = (
             F.col("ead_after_crm")
-            if "ead_after_crm" in exp.columns
+            if "ead_after_crm" in cols
             else (
-                F.col("ead") if "ead" in exp.columns else F.lit(None).cast("double")
+                F.col("ead") if "ead" in cols else F.lit(None).cast("double")
             )
         )
     # substitution-free branches: the hypothetical equals the actual (only
     # frames that already carry rwa — SA/IRB set their own upstream)
-    if "rwa_pre_crm_substitution" not in exp.columns and "rwa" in exp.columns:
+    if "rwa_pre_crm_substitution" not in cols and "rwa" in cols:
         _ident["rwa_pre_crm_substitution"] = F.col("rwa")
     return exp.withColumns(_ident)
 

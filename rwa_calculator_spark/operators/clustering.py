@@ -40,4 +40,12 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("neigh_min", F.col("label"))).alias("label"),
             )
         )
+        # truncate lineage every round: `labels` feeds BOTH joins of the
+        # next round, so an unmaterialised plan doubles per round — at 6
+        # rounds Catalyst planned 2^6 copies of round 1 (64 Exchanges / 94
+        # sort-merge joins in the physical plan). A lazy localCheckpoint
+        # physical-plans just this round's delta and keeps the tree linear
+        # (guide §3.3 / §5: materialise intermediates to truncate very
+        # large plans). Values are unchanged — same iteration, same rows.
+        labels = labels.localCheckpoint(eager=False)
     return labels.select(F.col("n").alias(node_col), F.col("label").alias("component"))
