@@ -109,8 +109,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A pair sharing ONLY ultra-common words is not generated as a candidate —
     the standard rare-feature trade-off, mirrored exactly in the oracle."""
+    from rwa_calculator_spark.utils import release_cached_blocks
+
+    release_cached_blocks(spark)  # bound the one-session cached footprint
     d = load_table(spark, sf_dir, "documents")
-    ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
+    # The word-set frame feeds FOUR consumers (sizes, the rare-word filter,
+    # and both sides of the verification join); without a barrier Spark
+    # re-instantiates the scan+split+explode+distinct subtree per consumer
+    # (guide §1.2: don't compute things twice / §3.3 materialise reused
+    # intermediates). The lazy localCheckpoint computes it once.
+    ws = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = ws.groupBy("doc_id").agg(F.count("*").alias("n_words"))
     wdf = W.partitionBy("word")
     rare = ws.withColumn("_df", F.count("*").over(wdf)).where(
