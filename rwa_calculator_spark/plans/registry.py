@@ -40,6 +40,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), benc
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every plans submodule so all @query decorators run."""
+    # Harnesses that build their own SparkSession (the round driver) can't
+    # set the static dataFrameDebugging conf — pre-seed its Python-side
+    # cache here, at the shared entry point of every query surface.
+    from rwa_calculator_spark.utils import disable_dataframe_debugging
+
+    disable_dataframe_debugging()
     from rwa_calculator_spark.plans import (  # noqa: F401
         ccr,
         corep_c08,

@@ -54,7 +54,15 @@ def build_session(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Per-call Python origin capture (error-message enrichment) costs 3
+        # py4j round trips per DataFrame/Column API call — ~60% of all
+        # gateway traffic on wide engine plans. See
+        # utils.disable_dataframe_debugging for the measurement.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
+    from rwa_calculator_spark.utils import disable_dataframe_debugging
+
+    disable_dataframe_debugging()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -33,6 +33,36 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     _SHIPPED.add(ctx_id)
 
 
+def disable_dataframe_debugging() -> None:
+    """Turn off PySpark's per-call DataFrame-debugging origin capture in
+    THIS Python process (the Python half of the public static conf
+    ``spark.python.sql.dataFrameDebugging.enabled``).
+
+    With the default (true), every wrapped DataFrame/Column API call walks
+    the Python stack and pays THREE extra py4j round trips (``conf.get`` of
+    the stack-depth conf + ``PySparkCurrentOrigin.set`` + ``.clear``) purely
+    to decorate potential error messages with user call sites. On a
+    160-column engine plan that is ~60% of all gateway traffic: one
+    measured pipeline-query build dropped from 29,699 to 12,269 py4j
+    commands with it off (guide §1.2 per-task work, applied to the driver).
+
+    ``build_session`` sets the static conf at builder time; sessions built
+    by EXTERNAL harnesses (the round driver's vanilla session) cannot — the
+    conf is static and pyspark caches its value in a module global on first
+    use. Pre-seeding that documented cache is the supported effect of the
+    same public conf, applied process-wide; results are unaffected (error
+    messages simply lose the Python call-site enrichment). Guarded so a
+    pyspark that renames the cache degrades to a no-op.
+    """
+    try:
+        import pyspark.errors.utils as _eu
+
+        if hasattr(_eu, "_enable_debugging_cache"):
+            _eu._enable_debugging_cache = False
+    except Exception:
+        pass  # observability-only tuning; never fail over it
+
+
 def release_cached_blocks(spark: SparkSession) -> None:
     """Unpersist every cached DataFrame and persistent RDD left by EARLIER
     queries in this session.
