@@ -38,8 +38,8 @@ def run_aggregate(
     if alpha <= 0.0:
         # floor provenance carriers exist on EVERY regime's ledger so
         # reporting queries (CMS2 col d, CR8 drivers) never column-gate
-        results = results.withColumn("floor_uplift", F.lit(1.0)).withColumn(
-            "floor_applied", F.lit(False)
+        results = results.withColumns(
+            {"floor_uplift": F.lit(1.0), "floor_applied": F.lit(False)}
         )
     if alpha > 0.0:
         # Art.92(3) output floor: floor the modelled total at alpha × the
@@ -68,11 +68,14 @@ def run_aggregate(
                 F.lit(1.0),
             ),
         )
-        results = (
-            results.withColumn("rwa", F.col("rwa") * F.col("floor_uplift"))
-            .withColumn("floor_applied", F.col("floor_uplift") > 1.0)
-            .drop("modelled_total", "std_total")
-        )
+        # both expressions read floor_uplift from the INPUT frame — merging
+        # them into one projection is semantics-preserving
+        results = results.withColumns(
+            {
+                "rwa": F.col("rwa") * F.col("floor_uplift"),
+                "floor_applied": F.col("floor_uplift") > 1.0,
+            }
+        ).drop("modelled_total", "std_total")
 
     # output-floor decomposition under the reference's own column names
     # (ref CALCULATION_OUTPUT_SCHEMA :3055-3063): the pre-floor RWA, the
@@ -80,33 +83,32 @@ def run_aggregate(
     # the uplift it added, the final figure and the implied effective
     # weight — pure aliases/arithmetic over carriers this stage already
     # computes, so reference-trained readers find the exact names
-    results = (
-        results.withColumn("rwa_before_floor", F.col("rwa_pre_floor"))
-        .withColumn("sa_equivalent_rwa", F.col("rwa_sa_equivalent"))
-        .withColumn("output_floor_pct", F.lit(alpha))
-        .withColumn(
-            "output_floor_rwa",
-            F.lit(alpha) * F.coalesce("rwa_sa_equivalent", F.col("rwa_pre_floor")),
-        )
-        .withColumn("floor_binding", F.col("floor_applied"))
-        .withColumn("floor_impact", F.col("rwa") - F.col("rwa_pre_floor"))
-        .withColumn("final_rwa", F.col("rwa"))
-        .withColumn(
-            "risk_weight_effective",
-            F.col("rwa") / F.nullif(F.col("ead_after_crm"), F.lit(0.0)),
-        )
-        # run-level regime stamp (ref CALCULATION_OUTPUT_SCHEMA
-        # basel_version): which rule set priced this ledger
-        .withColumn("basel_version", F.lit(pack.regime))
-        # identification block (ref :2881-2882): the caller-supplied run id
-        # and timestamp — null, never fabricated, when the caller runs the
-        # pipeline outside a registered run (api.py supplies both)
-        .withColumn(
-            "calculation_run_id", F.lit(run_id).cast("string")
-        )
-        .withColumn(
-            "calculation_timestamp", F.lit(run_timestamp).cast("timestamp")
-        )
+    # every expression below reads only columns that exist BEFORE this block
+    # (rwa, rwa_pre_floor, rwa_sa_equivalent, floor_applied, ead_after_crm) —
+    # one withColumns projection instead of an 11-deep withColumn chain
+    # (each link re-analysed the full ~160-column plan)
+    results = results.withColumns(
+        {
+            "rwa_before_floor": F.col("rwa_pre_floor"),
+            "sa_equivalent_rwa": F.col("rwa_sa_equivalent"),
+            "output_floor_pct": F.lit(alpha),
+            "output_floor_rwa": F.lit(alpha)
+            * F.coalesce("rwa_sa_equivalent", F.col("rwa_pre_floor")),
+            "floor_binding": F.col("floor_applied"),
+            "floor_impact": F.col("rwa") - F.col("rwa_pre_floor"),
+            "final_rwa": F.col("rwa"),
+            "risk_weight_effective": F.col("rwa")
+            / F.nullif(F.col("ead_after_crm"), F.lit(0.0)),
+            # run-level regime stamp (ref CALCULATION_OUTPUT_SCHEMA
+            # basel_version): which rule set priced this ledger
+            "basel_version": F.lit(pack.regime),
+            # identification block (ref :2881-2882): the caller-supplied run
+            # id and timestamp — null, never fabricated, when the caller
+            # runs the pipeline outside a registered run (api.py supplies
+            # both)
+            "calculation_run_id": F.lit(run_id).cast("string"),
+            "calculation_timestamp": F.lit(run_timestamp).cast("timestamp"),
+        }
     )
 
     # CRR Art.164(4) retail-RE PORTFOLIO LGD floor check (ref
@@ -173,15 +175,16 @@ def run_aggregate(
                 F.count("*").alias("_n"),
             )
             .where(F.col("_ead") > 0.0)
-            .withColumn("_avg", F.col("_lgd_ead") / F.col("_ead"))
-            .withColumn(
-                "_floor",
-                F.when(
-                    F.col("_b") == "commercial",
-                    pack.lit("retail_commercial_re_portfolio_lgd_floor"),
-                ).otherwise(
-                    pack.lit("retail_residential_re_portfolio_lgd_floor")
-                ),
+            .withColumns(
+                {
+                    "_avg": F.col("_lgd_ead") / F.col("_ead"),
+                    "_floor": F.when(
+                        F.col("_b") == "commercial",
+                        pack.lit("retail_commercial_re_portfolio_lgd_floor"),
+                    ).otherwise(
+                        pack.lit("retail_residential_re_portfolio_lgd_floor")
+                    ),
+                }
             )
         )
         _warn = _per.where(F.col("_avg") < F.col("_floor")).select(

@@ -677,18 +677,19 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
 def _param_cols(
     exp: DataFrame, pd_col=None, lgd_col=None, m_col=None
 ) -> DataFrame:
-    exp = exp.withColumn(
-        "ccf",
-        F.col("ccf").cast("double") if "ccf" in exp.columns else F.lit(None).cast("double"),
-    )
-    exp = exp.withColumn(
-        "pd_used", pd_col if pd_col is not None else F.lit(None).cast("double")
-    )
-    exp = exp.withColumn(
-        "lgd_used", lgd_col if lgd_col is not None else F.lit(None).cast("double")
-    )
-    return exp.withColumn(
-        "maturity_used", m_col if m_col is not None else F.lit(None).cast("double")
+    return exp.withColumns(
+        {
+            "ccf": F.col("ccf").cast("double")
+            if "ccf" in exp.columns
+            else F.lit(None).cast("double"),
+            "pd_used": pd_col if pd_col is not None else F.lit(None).cast("double"),
+            "lgd_used": lgd_col
+            if lgd_col is not None
+            else F.lit(None).cast("double"),
+            "maturity_used": m_col
+            if m_col is not None
+            else F.lit(None).cast("double"),
+        }
     )
 
 
@@ -729,14 +730,14 @@ def _el_columns(
         for extra in ("ava_amount", "other_own_funds_reductions"):
             if extra in exp.columns:
                 pool_b = pool_b + F.coalesce(extra, F.lit(0.0))
-    return (
-        exp.withColumn("expected_loss", expected_loss)
-        .withColumn(
-            "el_shortfall", F.greatest(F.col("expected_loss") - pool_b, F.lit(0.0))
-        )
-        .withColumn(
-            "el_excess", F.greatest(pool_b - F.col("expected_loss"), F.lit(0.0))
-        )
+    # shortfall/excess inline the expected_loss expression (identical
+    # arithmetic DAG) so all three land in one projection
+    return exp.withColumns(
+        {
+            "expected_loss": expected_loss,
+            "el_shortfall": F.greatest(expected_loss - pool_b, F.lit(0.0)),
+            "el_excess": F.greatest(pool_b - expected_loss, F.lit(0.0)),
+        }
     )
 
 
@@ -935,13 +936,6 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
 
     has_gpd = "guarantor_pd" in perf.columns
     if has_gpd:
-        perf = perf.withColumn(
-            "_pd_g_fl",
-            F.greatest(
-                F.col("guarantor_pd"),
-                _guarantor_pd_floor_expr(pack, F.col("g_class")),
-            ),
-        )
         sen = (
             F.coalesce(F.col("guarantor_seniority"), F.lit("senior"))
             if "guarantor_seniority" in perf.columns
@@ -952,11 +946,18 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
             if "guarantor_is_fse" in perf.columns
             else F.lit(False)
         )
-        perf = perf.withColumn(
-            "_lgd_g",
-            F.when(sen == "subordinated", pack.lit("firb_lgd_subordinated"))
-            .when(fse, pack.lit("firb_lgd_senior_fse"))
-            .otherwise(pack.lit("firb_lgd_senior")),
+        perf = perf.withColumns(
+            {
+                "_pd_g_fl": F.greatest(
+                    F.col("guarantor_pd"),
+                    _guarantor_pd_floor_expr(pack, F.col("g_class")),
+                ),
+                "_lgd_g": F.when(
+                    sen == "subordinated", pack.lit("firb_lgd_subordinated")
+                )
+                .when(fse, pack.lit("firb_lgd_senior_fse"))
+                .otherwise(pack.lit("firb_lgd_senior")),
+            }
         )
         perf = with_normal_ppf(perf, "_pd_g_fl", "_g_gpd")
         perf = perf.withColumn("_r_g", spark_correlation("_pd_g_fl"))
@@ -1005,13 +1006,17 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
             # below, which can still decline the guarantee
             perf = perf.withColumn("_dd_elig", dd_elig)
 
-    perf = (
-        perf.withColumn("_g_rw", guarantor_rw)
-        .withColumn("_g_method", method)
-        .withColumn(
-            "_g_ben",
-            (g > 0) & F.col("_g_rw").isNotNull() & (F.col("_g_rw") < F.col("risk_weight")),
-        )
+    # _g_ben re-uses the guarantor_rw Column object (same JVM expression,
+    # identical value to reading the _g_rw column) so all three land in one
+    # projection
+    perf = perf.withColumns(
+        {
+            "_g_rw": guarantor_rw,
+            "_g_method": method,
+            "_g_ben": (g > 0)
+            & guarantor_rw.isNotNull()
+            & (guarantor_rw < F.col("risk_weight")),
+        }
     )
 
     # --- multi-guarantee stack on the IRB channel (closes the rank-1
@@ -1194,22 +1199,25 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     # F.col("risk_weight") would re-resolve to the mutated value
     _own_p = F.col("pre_crm_risk_weight")
     _mg_ben = _is_multi & (_mg_t < _mg_g * _own_p)
-    perf = perf.withColumn(
-        "risk_weight",
-        F.when(_is_multi, _mg_t + (F.lit(1.0) - _mg_g) * _own_p)
-        .when(
-            F.col("_g_ben"), (F.lit(1.0) - g) * F.col("risk_weight") + g * F.col("_g_rw")
-        )
-        .otherwise(F.col("risk_weight")),
-    ).withColumn(
-        "rw_source",
-        F.when(_mg_ben, F.concat(F.col("rw_source"), F.lit("+gmulti")))
-        .when(
-            _is_multi | ~F.col("_g_ben"), F.col("rw_source")
-        )
-        .otherwise(
-            F.concat(F.col("rw_source"), F.lit("+g"), F.col("_g_method"))
-        ),
+    # both expressions read the PRE-blend risk_weight/rw_source — one
+    # batched projection preserves that (withColumns evaluates against the
+    # input frame)
+    perf = perf.withColumns(
+        {
+            "risk_weight": F.when(_is_multi, _mg_t + (F.lit(1.0) - _mg_g) * _own_p)
+            .when(
+                F.col("_g_ben"),
+                (F.lit(1.0) - g) * F.col("risk_weight") + g * F.col("_g_rw"),
+            )
+            .otherwise(F.col("risk_weight")),
+            "rw_source": F.when(
+                _mg_ben, F.concat(F.col("rw_source"), F.lit("+gmulti"))
+            )
+            .when(_is_multi | ~F.col("_g_ben"), F.col("rw_source"))
+            .otherwise(
+                F.concat(F.col("rw_source"), F.lit("+g"), F.col("_g_method"))
+            ),
+        }
     )
     # guarantee-impact ledger block, IRB side (ref
     # engine/irb/guarantee.py:865-903 _add_guarantee_status_columns +
@@ -1230,58 +1238,44 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     # convention as the SA channel).
     _g_eff = F.when(_is_multi, _mg_g).otherwise(g)
     _ben_eff = F.when(_is_multi, _mg_ben).otherwise(F.col("_g_ben"))
-    perf = (
-        perf.withColumn("is_guaranteed", _g_eff > 0)
-        .withColumn(
-            "guaranteed_portion",
-            F.when(_g_eff > 0, _g_eff * F.col("ead_after_crm")).otherwise(0.0),
-        )
-        .withColumn(
-            "unguaranteed_portion",
-            F.col("ead_after_crm")
-            - F.when(_g_eff > 0, _g_eff * F.col("ead_after_crm")).otherwise(0.0),
-        )
-        .withColumn("guarantor_risk_weight", F.when(_g_eff > 0, F.col("_g_rw")))
-        .withColumn(
-            "guarantee_benefit_rw",
-            F.when(
-                _ben_eff,
-                F.col("pre_crm_risk_weight") - F.col("risk_weight"),
+    # guarantee_benefit re-uses guarantee_benefit_rw's expression inline
+    # (same value) so the whole carrier block lands in ONE projection —
+    # every other expression reads only pre-block columns
+    _ben_rw = F.when(
+        _ben_eff, F.col("pre_crm_risk_weight") - F.col("risk_weight")
+    ).otherwise(0.0)
+    perf = perf.withColumns(
+        {
+            "is_guaranteed": _g_eff > 0,
+            "guaranteed_portion": F.when(
+                _g_eff > 0, _g_eff * F.col("ead_after_crm")
             ).otherwise(0.0),
-        )
-        .withColumn(
-            "guarantee_benefit",
-            F.col("guarantee_benefit_rw") * F.col("ead_after_crm"),
-        )
-        .withColumn(
-            "guarantee_status",
-            F.when(~(_g_eff > 0), "NO_GUARANTEE")
+            "unguaranteed_portion": F.col("ead_after_crm")
+            - F.when(_g_eff > 0, _g_eff * F.col("ead_after_crm")).otherwise(0.0),
+            "guarantor_risk_weight": F.when(_g_eff > 0, F.col("_g_rw")),
+            "guarantee_benefit_rw": _ben_rw,
+            "guarantee_benefit": _ben_rw * F.col("ead_after_crm"),
+            "guarantee_status": F.when(~(_g_eff > 0), "NO_GUARANTEE")
             .when(~_ben_eff, "GUARANTEE_NOT_APPLIED_NON_BENEFICIAL")
             .when(_g_m == "dd", "DOUBLE_DEFAULT")
             .when(_g_m == "sub_pd", "PD_PARAMETER_SUBSTITUTION")
             .otherwise("SA_RW_SUBSTITUTION"),
-        )
-        .withColumn(
-            "guarantee_method_used",
-            F.when(_ben_eff & (_g_m == "dd"), "DOUBLE_DEFAULT")
+            "guarantee_method_used": F.when(
+                _ben_eff & (_g_m == "dd"), "DOUBLE_DEFAULT"
+            )
             .when((_g_eff > 0) & (_g_m == "sub_pd"), "PD_PARAMETER_SUBSTITUTION")
             .when(_ben_eff, "SA_RW_SUBSTITUTION")
             .otherwise("NO_SUBSTITUTION"),
-        )
-        .withColumn("pre_crm_counterparty_reference", F.col("counterparty_reference"))
-        .withColumn("pre_crm_exposure_class", F.col("exposure_class"))
-        .withColumn(
-            "post_crm_counterparty_guaranteed",
-            F.when(
+            "pre_crm_counterparty_reference": F.col("counterparty_reference"),
+            "pre_crm_exposure_class": F.col("exposure_class"),
+            "post_crm_counterparty_guaranteed": F.when(
                 g > 0,
                 F.col("guarantor_reference")
                 if "guarantor_reference" in perf.columns
                 else F.lit(None).cast("string"),
             ),
-        )
-        .withColumn(
-            "post_crm_exposure_class_guaranteed", F.when(g > 0, F.col("g_class"))
-        )
+            "post_crm_exposure_class_guaranteed": F.when(g > 0, F.col("g_class")),
+        }
     )
 
     # double-default audit carriers (ref CALCULATION_OUTPUT_SCHEMA
@@ -1292,20 +1286,17 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     # (= the obligor's own floored LGD; DD modifies K through PD_g, not LGD)
     if "_dd_elig" in perf.columns:
         dd_on = F.col("_g_ben") & (F.col("_g_method") == "dd")
-        perf = (
-            perf.withColumn(
-                "is_double_default_eligible",
-                F.coalesce(F.col("_dd_elig"), F.lit(False)),
-            )
-            .withColumn(
-                "double_default_unfunded_protection",
-                F.when(dd_on, g * F.col("ead_after_crm")),
-            )
-            .withColumn(
-                "irb_lgd_double_default", F.when(dd_on, F.col("lgd_floored"))
-            )
-            .drop("_dd_elig")
-        )
+        perf = perf.withColumns(
+            {
+                "is_double_default_eligible": F.coalesce(
+                    F.col("_dd_elig"), F.lit(False)
+                ),
+                "double_default_unfunded_protection": F.when(
+                    dd_on, g * F.col("ead_after_crm")
+                ),
+                "irb_lgd_double_default": F.when(dd_on, F.col("lgd_floored")),
+            }
+        ).drop("_dd_elig")
 
     if has_gpd:
         el = (
@@ -2349,55 +2340,41 @@ def run_sa(
     )
     # is_guaranteed = protection exists (ref crm/guarantees.py:183); the
     # beneficial outcome is guarantee_status's job (aggregator.py:706-707).
-    exp = (
-        exp.withColumn("is_guaranteed", _g_has)
-        .withColumn(
-            "guaranteed_portion",
-            F.when(_g_has, _g_total * F.col("ead_after_crm")).otherwise(0.0),
-        )
-        .withColumn(
-            "unguaranteed_portion",
-            F.col("ead_after_crm")
-            - F.when(_g_has, _g_total * F.col("ead_after_crm")).otherwise(0.0),
-        )
-        .withColumn("guarantor_risk_weight", F.when(_g_has, F.col("g_rw")))
-        .withColumn("pre_crm_risk_weight", F.col("own_rw"))
-        .withColumn(
-            "guarantee_benefit_rw",
-            F.when(
-                _is_multi, F.greatest(_mg_g * _own - _mg_t, F.lit(0.0))
-            ).when(
-                _g_ben_sa, F.col("g_coverage") * (F.col("own_rw") - F.col("g_rw"))
+    # one batched projection: guarantee_benefit inlines benefit_rw's
+    # expression (same value); everything else reads pre-block columns only
+    _ben_rw_sa = (
+        F.when(_is_multi, F.greatest(_mg_g * _own - _mg_t, F.lit(0.0)))
+        .when(_g_ben_sa, F.col("g_coverage") * (F.col("own_rw") - F.col("g_rw")))
+        .otherwise(0.0)
+    )
+    exp = exp.withColumns(
+        {
+            "is_guaranteed": _g_has,
+            "guaranteed_portion": F.when(
+                _g_has, _g_total * F.col("ead_after_crm")
             ).otherwise(0.0),
-        )
-        .withColumn(
-            "guarantee_benefit",
-            F.col("guarantee_benefit_rw") * F.col("ead_after_crm"),
-        )
-        .withColumn(
-            "guarantee_status",
-            F.when(~_g_has, "NO_GUARANTEE")
+            "unguaranteed_portion": F.col("ead_after_crm")
+            - F.when(_g_has, _g_total * F.col("ead_after_crm")).otherwise(0.0),
+            "guarantor_risk_weight": F.when(_g_has, F.col("g_rw")),
+            "pre_crm_risk_weight": F.col("own_rw"),
+            "guarantee_benefit_rw": _ben_rw_sa,
+            "guarantee_benefit": _ben_rw_sa * F.col("ead_after_crm"),
+            "guarantee_status": F.when(~_g_has, "NO_GUARANTEE")
             .when(~_g_ben_sa, "GUARANTEE_NOT_APPLIED_NON_BENEFICIAL")
             .otherwise("SA_RW_SUBSTITUTION"),
-        )
-        .withColumn(
-            "guarantee_method_used",
-            F.when(_g_ben_sa, "SA_RW_SUBSTITUTION").otherwise("NO_SUBSTITUTION"),
-        )
-        .withColumn("pre_crm_counterparty_reference", F.col("counterparty_reference"))
-        .withColumn("pre_crm_exposure_class", F.col("exposure_class"))
-        .withColumn(
-            "post_crm_counterparty_guaranteed",
-            F.when(
+            "guarantee_method_used": F.when(
+                _g_ben_sa, "SA_RW_SUBSTITUTION"
+            ).otherwise("NO_SUBSTITUTION"),
+            "pre_crm_counterparty_reference": F.col("counterparty_reference"),
+            "pre_crm_exposure_class": F.col("exposure_class"),
+            "post_crm_counterparty_guaranteed": F.when(
                 _g_has,
                 F.col("guarantor_reference")
                 if "guarantor_reference" in exp.columns
                 else F.lit(None).cast("string"),
             ),
-        )
-        .withColumn(
-            "post_crm_exposure_class_guaranteed", F.when(_g_has, F.col("g_class"))
-        )
+            "post_crm_exposure_class_guaranteed": F.when(_g_has, F.col("g_class")),
+        }
     )
 
     # other-funded-protection RW substitution (CRR Art.222/232; ref
@@ -2590,39 +2567,40 @@ def run_sa(
         reason = F.coalesce(F.col("ppu_reason"), reason)
     if "permission_diagnostic" in exp.columns:
         reason = F.coalesce(F.col("permission_diagnostic"), reason)
-    exp = (
-        exp.withColumn("approach", F.lit("SA"))
-        .withColumn("approach_reason", reason)
-        .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
-        .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight") * sf)
-        # the CR7/CR7-A hypothetical: the own-ladder RW with every
-        # NON-substitution adjustment mirrored (_rw_nosubst tracks ccymm/
-        # ddq/intragroup), at the same supporting factor
-        .withColumn(
-            "rwa_pre_crm_substitution",
-            F.col("ead_after_crm") * F.col("_rw_nosubst") * sf,
-        )
-        # supporting-factor decomposition (ref CALCULATION_OUTPUT_SCHEMA
-        # sme_supporting_factor / infra_supporting_factor /
-        # supporting_factor_benefit + supporting_factors.py
-        # get_effective_factor): each factor under its own name — 1.0 where
-        # it did not apply — and the RWEA the most-beneficial min saved
-        .withColumn("sme_supporting_factor", sme_f)
-        .withColumn("infra_supporting_factor", infra_f)
-        .withColumn(
-            "supporting_factor_benefit",
-            F.col("rwa_before_sf") - F.col("rwa"),
-        )
+    # one batched projection; supporting_factor_benefit inlines the exact
+    # rwa_before_sf/rwa expressions (identical arithmetic DAG, bit-equal)
+    exp = exp.withColumns(
+        {
+            "approach": F.lit("SA"),
+            "approach_reason": reason,
+            "rwa_before_sf": F.col("ead_after_crm") * F.col("risk_weight"),
+            "rwa": F.col("ead_after_crm") * F.col("risk_weight") * sf,
+            # the CR7/CR7-A hypothetical: the own-ladder RW with every
+            # NON-substitution adjustment mirrored (_rw_nosubst tracks
+            # ccymm/ddq/intragroup), at the same supporting factor
+            "rwa_pre_crm_substitution": F.col("ead_after_crm")
+            * F.col("_rw_nosubst")
+            * sf,
+            # supporting-factor decomposition (ref CALCULATION_OUTPUT_SCHEMA
+            # sme_supporting_factor / infra_supporting_factor /
+            # supporting_factor_benefit + supporting_factors.py
+            # get_effective_factor): each factor under its own name — 1.0
+            # where it did not apply — and the RWEA the most-beneficial
+            # min saved
+            "sme_supporting_factor": sme_f,
+            "infra_supporting_factor": infra_f,
+            "supporting_factor_benefit": (
+                F.col("ead_after_crm") * F.col("risk_weight")
+            )
+            - (F.col("ead_after_crm") * F.col("risk_weight") * sf),
+        }
     )
     exp = _el_columns(exp, F.lit(0.0))  # EL treatment is IRB-only; SA deducts
     exp = _param_cols(exp)  # SA uses CCF only
-    exp = exp.withColumn("rwa_sa_equivalent", F.col("rwa"))
     # SA decision block, final leg (ref :3024-3025): the weight every
-    # adjustment landed on and its delta from the base ladder value
-    exp = exp.withColumn("sa_final_risk_weight", F.col("risk_weight")).withColumn(
-        "sa_rw_adjustment",
-        F.col("risk_weight") - F.col("sa_base_risk_weight"),
-    )
+    # adjustment landed on and its delta from the base ladder value —
+    # batched with the decision strings below into one projection
+    _sa_adj = F.col("risk_weight") - F.col("sa_base_risk_weight")
     # SA decision strings (ref :3025-3030). sa_rating_source: the Art.138
     # pick's agency where the ratings channel resolved the CQS, "internal"
     # where the counterparty-supplied mapping was consulted, null unrated.
@@ -2639,7 +2617,7 @@ def run_sa(
     # +guarantee substitution suffix), plus the Art.123A currency-mismatch
     # multiplier when it fired on top; null when nothing moved.
     _adj_reason = F.when(
-        F.col("sa_rw_adjustment") != 0,
+        _sa_adj != 0,
         F.concat_ws(
             "+",
             F.col("rw_source"),
@@ -2700,6 +2678,9 @@ def run_sa(
     )
     exp = exp.withColumns(
         {
+            "rwa_sa_equivalent": F.col("rwa"),
+            "sa_final_risk_weight": F.col("risk_weight"),
+            "sa_rw_adjustment": _sa_adj,
             "sa_rating_source": _rating_src,
             "sa_rw_adjustment_reason": _adj_reason,
             "sa_rw_regulatory_ref": _reg_ref,
@@ -2709,21 +2690,22 @@ def run_sa(
     # flat Art.125 branch carries them too; the LTV-band label seals in
     # the B3.1 block where the band chain runs
     _re = F.col("exposure_class") == "re_secured"
-    exp = exp.withColumn(
-        "mortgage_risk_weight", F.when(_re, F.col("risk_weight"))
-    ).withColumn(
-        "property_type",
-        F.when(
-            _re,
-            F.when(
-                F.coalesce(F.col("is_commercial_re"), F.lit(False)), "commercial"
-            ).otherwise("residential")
-            if "is_commercial_re" in exp.columns
-            else F.lit("residential"),
-        ),
-    ).withColumn(
-        "property_ltv",
-        F.when(_re, F.col("ltv")) if "ltv" in exp.columns else F.lit(None).cast("double"),
+    exp = exp.withColumns(
+        {
+            "mortgage_risk_weight": F.when(_re, F.col("risk_weight")),
+            "property_type": F.when(
+                _re,
+                F.when(
+                    F.coalesce(F.col("is_commercial_re"), F.lit(False)),
+                    "commercial",
+                ).otherwise("residential")
+                if "is_commercial_re" in exp.columns
+                else F.lit("residential"),
+            ),
+            "property_ltv": F.when(_re, F.col("ltv"))
+            if "ltv" in exp.columns
+            else F.lit(None).cast("double"),
+        }
     )
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
@@ -2777,30 +2759,27 @@ def _apply_pma(df: DataFrame, pack: RulePack, pma) -> DataFrame:
         is_mortgage,
         F.greatest(zero, floor - F.col("risk_weight")) * F.col("ead_after_crm"),
     ).otherwise(zero)
-    df = (
-        df.withColumn("rwa_pre_adjustments", F.col("rwa"))
-        .withColumn("mortgage_rw_floor_adjustment", mortgage_adj)
-        .withColumn("rwa", F.col("rwa") + F.col("mortgage_rw_floor_adjustment"))
-    )
-    df = (
-        df.withColumn("post_model_adjustment_rwa", F.col("rwa") * F.lit(pma_rwa))
-        .withColumn(
-            "unrecognised_exposure_adjustment", F.col("rwa") * F.lit(pma_unrec)
-        )
-        .withColumn(
-            "rwa",
-            F.col("rwa")
-            + F.col("post_model_adjustment_rwa")
-            + F.col("unrecognised_exposure_adjustment"),
-        )
-    )
+    # the Art.154(4A) sequencing is preserved by expression NESTING instead
+    # of column chaining (same arithmetic DAG, bit-identical): rwa_floored
+    # is the (b) post-floor base, the (a) scalars multiply THAT base, and
+    # the reused Column objects keep one JVM expression per step — the
+    # whole adjustment block is one projection instead of nine chained
+    # withColumn re-analyses of the ~160-column plan
+    rwa_floored = F.col("rwa") + mortgage_adj
+    pma_rwa_col = rwa_floored * F.lit(pma_rwa)
+    unrec_col = rwa_floored * F.lit(pma_unrec)
     el_pma = F.greatest(zero, F.col("expected_loss") * F.lit(pma_el))
-    return (
-        df.withColumn("el_pre_adjustment", F.col("expected_loss"))
-        .withColumn("post_model_adjustment_el", el_pma)
-        .withColumn(
-            "el_after_adjustment", F.col("expected_loss") + el_pma
-        )
+    return df.withColumns(
+        {
+            "rwa_pre_adjustments": F.col("rwa"),
+            "mortgage_rw_floor_adjustment": mortgage_adj,
+            "post_model_adjustment_rwa": pma_rwa_col,
+            "unrecognised_exposure_adjustment": unrec_col,
+            "rwa": rwa_floored + pma_rwa_col + unrec_col,
+            "el_pre_adjustment": F.col("expected_loss"),
+            "post_model_adjustment_el": el_pma,
+            "el_after_adjustment": F.col("expected_loss") + el_pma,
+        }
     )
 
 
@@ -3170,24 +3149,27 @@ def run_irb(
         _sme_f, _infra_f, _sf = _supporting_factor_exprs(
             pack, threshold_scale, df.columns
         )
-        df = (
-            df.withColumn("approach", F.lit("IRB"))
-            .withColumn("approach_reason", irb_reason)
-            .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
-            .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight") * _sf)
-            .withColumn(
-                "rwa_pre_crm_substitution",
-                F.col("ead_after_crm") * F.col("_rw_pre_subst") * _sf,
-            )
-            # supporting-factor decomposition on the IRB branch (CRR
-            # Art.501/501a apply per RWEA regardless of approach — ref
-            # irb/calculator.py:168 SupportingFactorCalculator)
-            .withColumn("sme_supporting_factor", _sme_f)
-            .withColumn("infra_supporting_factor", _infra_f)
-            .withColumn(
-                "supporting_factor_benefit",
-                F.col("rwa_before_sf") - F.col("rwa"),
-            )
+        # one batched projection; supporting_factor_benefit inlines the
+        # exact rwa_before_sf/rwa expressions (identical DAG, bit-equal)
+        df = df.withColumns(
+            {
+                "approach": F.lit("IRB"),
+                "approach_reason": irb_reason,
+                "rwa_before_sf": F.col("ead_after_crm") * F.col("risk_weight"),
+                "rwa": F.col("ead_after_crm") * F.col("risk_weight") * _sf,
+                "rwa_pre_crm_substitution": F.col("ead_after_crm")
+                * F.col("_rw_pre_subst")
+                * _sf,
+                # supporting-factor decomposition on the IRB branch (CRR
+                # Art.501/501a apply per RWEA regardless of approach — ref
+                # irb/calculator.py:168 SupportingFactorCalculator)
+                "sme_supporting_factor": _sme_f,
+                "infra_supporting_factor": _infra_f,
+                "supporting_factor_benefit": (
+                    F.col("ead_after_crm") * F.col("risk_weight")
+                )
+                - (F.col("ead_after_crm") * F.col("risk_weight") * _sf),
+            }
         )
         df = _param_cols(
             df,

@@ -57,11 +57,12 @@ def run_classify(
         w_grp = W.partitionBy("group_reference")
         total_exposure = _cents_sum_over(amount, w_grp)
         group_drawn = _cents_sum_over(F.col("drawn_amount"), w_grp)
-    exp = exp.withColumn("group_exposure", total_exposure)
-    # group DRAWN total — the CRR2 Art.501 SME-factor tier base (E*: drawn
-    # owed by the group of connected clients; ref supporting_factors.py
-    # compute_e_star_group_drawn)
-    exp = exp.withColumn("group_drawn", group_drawn)
+    # group total + group DRAWN total — the CRR2 Art.501 SME-factor tier
+    # base (E*: drawn owed by the group of connected clients; ref
+    # supporting_factors.py compute_e_star_group_drawn) — one projection
+    exp = exp.withColumns(
+        {"group_exposure": total_exposure, "group_drawn": group_drawn}
+    )
 
     retail_candidate = (F.col("entity_type") == "individual") | F.col(
         "is_managed_as_retail"
@@ -329,5 +330,7 @@ def run_classify(
         .otherwise("CLS_CORPORATE_RESIDUAL")
     )
     return ClassifiedOutput(
-        exposures=exp.withColumn("exposure_class", cls).withColumn("class_reason", reason)
+        exposures=exp.withColumns(
+            {"exposure_class": cls, "class_reason": reason}
+        )
     )

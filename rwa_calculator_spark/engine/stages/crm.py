@@ -219,50 +219,47 @@ def _resolve_provisions(
         prefs_fac = F.lit(None).cast("array<string>")
         prov_fac_src = F.lit(None).cast("string")
 
-    exp = exp.withColumn(
-        "provision_allocated",
-        F.coalesce("_prov_direct", F.lit(0.0)) + prov_fac + prov_cp,
-    )
     # per-type ledger carriers: GCRA rides the allocation fractions, SCRA
     # is the exact complement (so scra + gcra ≡ provision_allocated);
     # provision_references unions the applied provisions of all three
-    # levels — sorted + duplicate-free, deterministic under shuffle
-    gcra = F.coalesce("_prov_direct_g", F.lit(0.0)) + prov_fac_g + prov_cp_g
-    exp = exp.withColumn("gcra_provision_amount", gcra).withColumn(
-        "scra_provision_amount", F.col("provision_allocated") - gcra
-    )
-    _empty = F.array().cast("array<string>")
-    exp = exp.withColumn(
-        "provision_references",
-        F.sort_array(
-            F.array_distinct(
-                F.concat(
-                    F.when(
-                        F.coalesce("_prov_direct", F.lit(0.0)) > 0,
-                        F.coalesce("_prefs_direct", _empty),
-                    ).otherwise(_empty),
-                    F.coalesce(prefs_fac, _empty),
-                    F.when(
-                        prov_cp > 0, F.coalesce("_prefs_cp", _empty)
-                    ).otherwise(_empty),
-                )
-            )
-        ),
-    )
+    # levels — sorted + duplicate-free, deterministic under shuffle.
     # provenance carriers (ref schemas.py:2927-2928): the first
     # contributing level in direct → facility → counterparty priority, and
-    # the entity an inherited allocation came from (null when direct)
+    # the entity an inherited allocation came from (null when direct).
+    # scra reuses the provision_allocated/gcra Column objects (identical
+    # arithmetic DAG), so the whole block is one batched projection.
+    prov_all = F.coalesce("_prov_direct", F.lit(0.0)) + prov_fac + prov_cp
+    gcra = F.coalesce("_prov_direct_g", F.lit(0.0)) + prov_fac_g + prov_cp_g
+    _empty = F.array().cast("array<string>")
     _pd_amt = F.coalesce("_prov_direct", F.lit(0.0))
-    exp = exp.withColumn(
-        "provision_source_level",
-        F.when(_pd_amt > 0, "exposure")
-        .when(prov_fac > 0, "facility")
-        .when(prov_cp > 0, "counterparty"),
-    ).withColumn(
-        "provision_inherited_from",
-        F.when(_pd_amt > 0, F.lit(None).cast("string"))
-        .when(prov_fac > 0, prov_fac_src)
-        .when(prov_cp > 0, F.col("counterparty_reference")),
+    exp = exp.withColumns(
+        {
+            "provision_allocated": prov_all,
+            "gcra_provision_amount": gcra,
+            "scra_provision_amount": prov_all - gcra,
+            "provision_references": F.sort_array(
+                F.array_distinct(
+                    F.concat(
+                        F.when(
+                            F.coalesce("_prov_direct", F.lit(0.0)) > 0,
+                            F.coalesce("_prefs_direct", _empty),
+                        ).otherwise(_empty),
+                        F.coalesce(prefs_fac, _empty),
+                        F.when(
+                            prov_cp > 0, F.coalesce("_prefs_cp", _empty)
+                        ).otherwise(_empty),
+                    )
+                )
+            ),
+            "provision_source_level": F.when(_pd_amt > 0, "exposure")
+            .when(prov_fac > 0, "facility")
+            .when(prov_cp > 0, "counterparty"),
+            "provision_inherited_from": F.when(
+                _pd_amt > 0, F.lit(None).cast("string")
+            )
+            .when(prov_fac > 0, prov_fac_src)
+            .when(prov_cp > 0, F.col("counterparty_reference")),
+        }
     )
     return exp.drop(
         "_basis", "_prov_direct", "_prov_cp_total", "_prov_fac_alloc",
@@ -481,17 +478,17 @@ def run_crm(
     # CCF joins FIRST: the provision allocation basis is CCF-weighted
     # (ref engine/ccf.py + provisions.py basis)
     ccf = pack.broadcast_table(spark, "ccf")
-    exp = (
-        exp.join(ccf, "risk_bucket", "left")
-        # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA ccf_source): WHICH
-        # rule set the factor — read before the coalesce erases the miss
-        .withColumn(
-            "ccf_source",
-            F.when(F.col("ccf").isNotNull(), F.lit("sa_annex_i_bucket")).otherwise(
-                F.lit("default_full_conversion")
-            ),
-        )
-        .withColumn("ccf", F.coalesce("ccf", F.lit(1.0)))
+    exp = exp.join(ccf, "risk_bucket", "left").withColumns(
+        {
+            # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA ccf_source):
+            # WHICH rule set the factor — both expressions read the joined
+            # (pre-coalesce) ccf, so one batched projection preserves the
+            # read-before-the-coalesce-erases-the-miss ordering
+            "ccf_source": F.when(
+                F.col("ccf").isNotNull(), F.lit("sa_annex_i_bucket")
+            ).otherwise(F.lit("default_full_conversion")),
+            "ccf": F.coalesce("ccf", F.lit(1.0)),
+        }
     )
 
     # CRR Annex I items 2(b)/3(b): "other commitments" split on ORIGINAL
@@ -510,14 +507,15 @@ def run_crm(
         # 50%/20% rates with no maturity split
         sa_row = ~(F.col("has_irb_permission") & ~F.col("is_specialised"))
         oc_fires = sa_row & (F.col("risk_bucket") == "medium_risk") & oc_short
-        exp = exp.withColumn(
-            "ccf",
-            F.when(oc_fires, pack.lit("oc_short_maturity_ccf")).otherwise(F.col("ccf")),
-        ).withColumn(
-            "ccf_source",
-            F.when(oc_fires, F.lit("oc_annex_i_short_maturity")).otherwise(
-                F.col("ccf_source")
-            ),
+        exp = exp.withColumns(
+            {
+                "ccf": F.when(
+                    oc_fires, pack.lit("oc_short_maturity_ccf")
+                ).otherwise(F.col("ccf")),
+                "ccf_source": F.when(
+                    oc_fires, F.lit("oc_annex_i_short_maturity")
+                ).otherwise(F.col("ccf_source")),
+            }
         )
 
     # CRR Art.166(8)/(10): F-IRB CCFs for IRB-routed rows (ref
@@ -565,16 +563,15 @@ def run_crm(
             # the label keeps the underlying source visible
             .otherwise(F.concat(F.lit("firb_issued_fallback:"), F.col("ccf_source")))
         )
-        exp = exp.withColumn(
-            "ccf",
-            F.when(irb_row & F.col("risk_bucket").isNotNull(), firb_ccf).otherwise(
-                F.col("ccf")
-            ),
-        ).withColumn(
-            "ccf_source",
-            F.when(irb_row & F.col("risk_bucket").isNotNull(), firb_src).otherwise(
-                F.col("ccf_source")
-            ),
+        exp = exp.withColumns(
+            {
+                "ccf": F.when(
+                    irb_row & F.col("risk_bucket").isNotNull(), firb_ccf
+                ).otherwise(F.col("ccf")),
+                "ccf_source": F.when(
+                    irb_row & F.col("risk_bucket").isNotNull(), firb_src
+                ).otherwise(F.col("ccf_source")),
+            }
         )
 
     # PS1/26 Art.111(1) Table A1 Row 4(b): UK residential-mortgage
@@ -593,16 +590,15 @@ def run_crm(
             pack.scalar("pr_revolving_ucc_ccf"), 1.0
         )
         resi_fires = _resi & ~_carve
-        exp = exp.withColumn(
-            "ccf",
-            F.when(resi_fires, pack.lit("uk_resi_mortgage_commitment_ccf")).otherwise(
-                F.col("ccf")
-            ),
-        ).withColumn(
-            "ccf_source",
-            F.when(resi_fires, F.lit("uk_resi_commitment_row4b")).otherwise(
-                F.col("ccf_source")
-            ),
+        exp = exp.withColumns(
+            {
+                "ccf": F.when(
+                    resi_fires, pack.lit("uk_resi_mortgage_commitment_ccf")
+                ).otherwise(F.col("ccf")),
+                "ccf_source": F.when(
+                    resi_fires, F.lit("uk_resi_commitment_row4b")
+                ).otherwise(F.col("ccf_source")),
+            }
         )
 
     # PS1/26 Art.166E(5): a REVOLVING purchased-receivables purchase
@@ -626,13 +622,13 @@ def run_crm(
         pr_ccf = F.when(
             F.col("risk_bucket") == "low_risk", pack.lit("pr_revolving_ucc_ccf")
         ).otherwise(pack.lit("pr_revolving_commitment_ccf"))
-        exp = exp.withColumn(
-            "ccf", F.when(pr_fires, pr_ccf).otherwise(F.col("ccf"))
-        ).withColumn(
-            "ccf_source",
-            F.when(pr_fires, F.lit("pr_revolving_art166e5")).otherwise(
-                F.col("ccf_source")
-            ),
+        exp = exp.withColumns(
+            {
+                "ccf": F.when(pr_fires, pr_ccf).otherwise(F.col("ccf")),
+                "ccf_source": F.when(
+                    pr_fires, F.lit("pr_revolving_art166e5")
+                ).otherwise(F.col("ccf_source")),
+            }
         )
 
     # --- provisions: multi-level allocation + SA drawn-first deduction ----
@@ -640,13 +636,13 @@ def run_crm(
     if raw.provisions is not None:
         exp = _resolve_provisions(exp, raw.provisions, raw.facility_mappings)
     else:
-        exp = (
-            exp.withColumn("provision_allocated", F.lit(0.0))
-            .withColumn("scra_provision_amount", F.lit(0.0))
-            .withColumn("gcra_provision_amount", F.lit(0.0))
-            .withColumn(
-                "provision_references", F.lit(None).cast("array<string>")
-            )
+        exp = exp.withColumns(
+            {
+                "provision_allocated": F.lit(0.0),
+                "scra_provision_amount": F.lit(0.0),
+                "gcra_provision_amount": F.lit(0.0),
+                "provision_references": F.lit(None).cast("array<string>"),
+            }
         )
 
     # SA rows deduct drawn-first; IRB/slotting rows pass provisions through
@@ -657,43 +653,31 @@ def run_crm(
     prov_on_drawn = F.when(
         is_sa, F.least(F.col("provision_allocated"), floored_drawn)
     ).otherwise(F.lit(0.0))
-    exp = exp.withColumn("provision_on_drawn", prov_on_drawn).withColumn(
-        "provision_on_nominal",
-        F.when(
-            is_sa,
-            F.least(
-                F.col("provision_allocated") - F.col("provision_on_drawn"),
-                F.col("undrawn_amount"),
-            ),
-        ).otherwise(F.lit(0.0)),
-    )
-    # ledger carrier (ref CALCULATION_OUTPUT_SCHEMA :3008
-    # provision_capped_amount "Amount eligible for CRM"): what actually
-    # reduced the exposure value — the drawn-first deduction plus the
-    # nominal-side remainder on SA rows; zero on IRB/slotting rows, whose
-    # provisions route to the EL shortfall/excess comparison instead
-    exp = exp.withColumn(
-        "provision_capped_amount",
-        F.col("provision_on_drawn") + F.col("provision_on_nominal"),
-    )
-
-    # --- EAD: (drawn − prov) + CCF × (undrawn − prov) (ref engine/ccf.py) --
-    exp = exp.withColumn(
-        "ead",
-        (F.col("drawn_amount") - F.col("provision_on_drawn"))
-        + F.col("ccf") * (F.col("undrawn_amount") - F.col("provision_on_nominal")),
-    )
-    # EAD-calculation ledger carriers (ref CALCULATION_OUTPUT_SCHEMA
-    # :3010-3014): the converted off-BS amount, the gross (pre-provision)
-    # EAD, and which collateral method the run elected
-    exp = (
-        exp.withColumn(
-            "converted_undrawn", F.col("ccf") * F.col("undrawn_amount")
-        )
-        .withColumn(
-            "gross_ead", F.col("drawn_amount") + F.col("converted_undrawn")
-        )
-        .withColumn("ead_calculation_method", F.lit(collateral_method))
+    # provision split, the capped-amount carrier (ref CALCULATION_OUTPUT_
+    # SCHEMA :3008), the EAD formula (drawn − prov) + CCF × (undrawn −
+    # prov) (ref engine/ccf.py) and the EAD-calculation carriers
+    # (:3010-3014) — dependent steps expressed by reusing the SAME Column
+    # objects (identical arithmetic DAG to the former seven-link chain),
+    # landing the whole block in one projection
+    prov_on_nominal = F.when(
+        is_sa,
+        F.least(
+            F.col("provision_allocated") - prov_on_drawn,
+            F.col("undrawn_amount"),
+        ),
+    ).otherwise(F.lit(0.0))
+    converted_undrawn = F.col("ccf") * F.col("undrawn_amount")
+    exp = exp.withColumns(
+        {
+            "provision_on_drawn": prov_on_drawn,
+            "provision_on_nominal": prov_on_nominal,
+            "provision_capped_amount": prov_on_drawn + prov_on_nominal,
+            "ead": (F.col("drawn_amount") - prov_on_drawn)
+            + F.col("ccf") * (F.col("undrawn_amount") - prov_on_nominal),
+            "converted_undrawn": converted_undrawn,
+            "gross_ead": F.col("drawn_amount") + converted_undrawn,
+            "ead_calculation_method": F.lit(collateral_method),
+        }
     )
 
     # --- collateral: supervisory haircut then pro-rata allocation ---------
@@ -1034,26 +1018,24 @@ def run_crm(
                 F.lit(0).cast("long")
             )
         ).over(wcoll) / F.lit(100.0)
-        allocated = (
-            # the share is the single gate: every downstream product
-            # (allocated value, gross, haircut losses, mismatch loss)
-            # zeroes for an own-issue pair through it
-            linked.withColumn(
-                "_share",
-                F.when(_ok, F.col("ead") / F.nullif(denom, F.lit(0.0))).otherwise(
-                    F.lit(0.0)
-                ),
-            )
-            .withColumn(
-                "allocated_value",
-                F.col("adjusted_value") * F.col("_mm") * F.col("_share"),
-            )
-            .withColumn(
-                # per-pair decomposition at the SAME share: the mismatch loss
-                # is the haircut-adjusted value forfeited to Art.239 pro-rating
-                "_mm_loss",
-                F.col("adjusted_value") * (F.lit(1.0) - F.col("_mm")) * F.col("_share"),
-            )
+        # the share is the single gate: every downstream product (allocated
+        # value, gross, haircut losses, mismatch loss) zeroes for an
+        # own-issue pair through it; the downstream entries reuse the SAME
+        # share Column object (identical DAG) in one batched projection
+        _share = F.when(
+            _ok, F.col("ead") / F.nullif(denom, F.lit(0.0))
+        ).otherwise(F.lit(0.0))
+        allocated = linked.withColumns(
+            {
+                "_share": _share,
+                "allocated_value": F.col("adjusted_value") * F.col("_mm") * _share,
+                # per-pair decomposition at the SAME share: the mismatch
+                # loss is the haircut-adjusted value forfeited to Art.239
+                # pro-rating
+                "_mm_loss": F.col("adjusted_value")
+                * (F.lit(1.0) - F.col("_mm"))
+                * _share,
+            }
         )
         # per-type decomposition of the SAME allocated (post-haircut,
         # post-mismatch) value — conditional sums inside the one existing
@@ -1150,30 +1132,22 @@ def run_crm(
         )
         exp = exp.join(per_exposure, "exposure_reference", "left")
         _cr = F.col("_coll_rank")
-        exp = (
-            exp.withColumn(
-                "collateral_source_level",
-                F.when(_cr == 0, "exposure")
+        exp = exp.withColumns(
+            {
+                "collateral_source_level": F.when(_cr == 0, "exposure")
                 .when(_cr == 1, "facility")
                 .when(_cr == 2, "counterparty"),
-            )
-            .withColumn(
-                "collateral_inherited_from",
-                F.when(_cr == 1, F.col("_coll_src_fac")).when(
-                    _cr == 2, F.col("_coll_src_cp")
-                ),
-            )
-            .withColumn(
-                "collateral_allocation_method",
-                F.when(
+                "collateral_inherited_from": F.when(
+                    _cr == 1, F.col("_coll_src_fac")
+                ).when(_cr == 2, F.col("_coll_src_cp")),
+                "collateral_allocation_method": F.when(
                     _cr == 0,
                     F.when(F.col("_coll_shared0") == 1, "pro_rata").otherwise(
                         "direct"
                     ),
                 ).when(_cr.isNotNull(), F.lit("pro_rata")),
-            )
-            .drop("_coll_rank", "_coll_src_fac", "_coll_src_cp", "_coll_shared0")
-        )
+            }
+        ).drop("_coll_rank", "_coll_src_fac", "_coll_src_cp", "_coll_shared0")
         _coal: dict = {
             c: F.coalesce(c, F.lit(0.0))
             for c in (
@@ -1362,19 +1336,25 @@ def run_crm(
             }
         ).drop("_net_alloc", "_net_adj", "_net_fx", "_net_mm", "_crm016")
     else:
-        exp = exp.withColumn("on_bs_netting_amount", F.lit(0.0)).withColumn(
-            "_dq_netting", F.array().cast("array<string>")
+        exp = exp.withColumns(
+            {
+                "on_bs_netting_amount": F.lit(0.0),
+                "_dq_netting": F.array().cast("array<string>"),
+            }
         )
 
-    # FCCM: effective exposure after collateral (capped at zero)
-    exp = exp.withColumn(
-        "ead_after_crm", F.greatest(F.col("ead") - F.col("collateral_value"), F.lit(0.0))
-    )
+    # FCCM: effective exposure after collateral (capped at zero), plus the
     # ledger carrier (ref :3011 ead_after_collateral): the value at THIS
     # step — before any Art.124(2) RE split re-partitions ead_after_crm
     # across tranche rows (the split parts keep the parent's figure here,
-    # mirroring the pre/post provenance style of collateral_re_value)
-    exp = exp.withColumn("ead_after_collateral", F.col("ead_after_crm"))
+    # mirroring the pre/post provenance style of collateral_re_value).
+    # The carrier reuses the same Column object — identical value.
+    _ead_post_coll = F.greatest(
+        F.col("ead") - F.col("collateral_value"), F.lit(0.0)
+    )
+    exp = exp.withColumns(
+        {"ead_after_crm": _ead_post_coll, "ead_after_collateral": _ead_post_coll}
+    )
 
     # --- other funded credit protection: RW-substitution channels ---------
     # (no EAD reduction — the value carries a substitute risk weight that
@@ -1756,15 +1736,19 @@ def run_crm(
         if _ucp_dq is not None:
             exp = exp.join(F.broadcast(_ucp_dq), "exposure_reference", "left")
     else:
-        exp = (
-            exp.withColumn("g_coverage", F.lit(0.0))
-            .withColumn("g_coverage_declared", F.lit(0.0))
-            .withColumn("g_class", F.lit(None).cast("string"))
-            .withColumn("g_cqs", F.lit(None).cast("int"))
+        exp = exp.withColumns(
+            {
+                "g_coverage": F.lit(0.0),
+                "g_coverage_declared": F.lit(0.0),
+                "g_class": F.lit(None).cast("string"),
+                "g_cqs": F.lit(None).cast("int"),
+            }
         )
-    exp = exp.withColumn("g_coverage", F.coalesce("g_coverage", F.lit(0.0)))
-    exp = exp.withColumn(
-        "g_coverage_declared", F.coalesce("g_coverage_declared", F.lit(0.0))
+    exp = exp.withColumns(
+        {
+            "g_coverage": F.coalesce("g_coverage", F.lit(0.0)),
+            "g_coverage_declared": F.coalesce("g_coverage_declared", F.lit(0.0)),
+        }
     )
     # guarantee provenance (ref schemas.py:2925-2926): where in the
     # hierarchy the priced guarantee came from. Books without a
@@ -1772,37 +1756,42 @@ def run_crm(
     # level is always 'exposure' and never inherited; cascade books seal
     # the rank-1 leg's level + the beneficiary it cascaded from
     if "g_src_level" in exp.columns:
-        exp = (
-            exp.withColumn(
-                "guarantee_source_level",
-                F.when(
-                    F.col("g_coverage_declared") > 0,
-                    F.coalesce(F.col("g_src_level"), F.lit("exposure")),
-                ),
-            )
-            .withColumn(
-                "guarantee_inherited_from",
-                F.when(
+        # inherited_from reuses the source-level Column object (same value
+        # as reading the just-added column) — one batched projection
+        _g_lvl = F.when(
+            F.col("g_coverage_declared") > 0,
+            F.coalesce(F.col("g_src_level"), F.lit("exposure")),
+        )
+        exp = exp.withColumns(
+            {
+                "guarantee_source_level": _g_lvl,
+                "guarantee_inherited_from": F.when(
                     (F.col("g_coverage_declared") > 0)
-                    & (F.col("guarantee_source_level") != "exposure"),
+                    & (_g_lvl != "exposure"),
                     F.col("g_src_ref"),
                 ),
-            )
-            .drop("g_src_level", "g_src_ref")
-        )
+            }
+        ).drop("g_src_level", "g_src_ref")
     else:
-        exp = exp.withColumn(
-            "guarantee_source_level",
-            F.when(F.col("g_coverage_declared") > 0, F.lit("exposure")),
-        ).withColumn("guarantee_inherited_from", F.lit(None).cast("string"))
+        exp = exp.withColumns(
+            {
+                "guarantee_source_level": F.when(
+                    F.col("g_coverage_declared") > 0, F.lit("exposure")
+                ),
+                "guarantee_inherited_from": F.lit(None).cast("string"),
+            }
+        )
 
     # crm_allocation_notes (ref schemas.py:2929 + processor.py:1408
     # _add_crm_audit): one human-readable line naming each mitigant's
     # source level, allocation method and inheritance source
     if "provision_source_level" not in exp.columns:
-        exp = exp.withColumn(
-            "provision_source_level", F.lit(None).cast("string")
-        ).withColumn("provision_inherited_from", F.lit(None).cast("string"))
+        exp = exp.withColumns(
+            {
+                "provision_source_level": F.lit(None).cast("string"),
+                "provision_inherited_from": F.lit(None).cast("string"),
+            }
+        )
     _inh = lambda c: F.when(  # noqa: E731
         F.col(c).isNotNull(), F.concat(F.lit("<-"), F.col(c))
     ).otherwise(F.lit(""))
@@ -1852,10 +1841,13 @@ def run_crm(
         if c in exp.columns
     ]
     _dq = F.concat(*_dq_parts) if _dq_parts else _empty
-    exp = exp.withColumn("data_quality_flags", _dq).withColumn(
-        "calculation_warnings",
-        F.transform(
-            F.col("data_quality_flags"),
+    # calculation_warnings reuses the _dq Column object (identical value to
+    # reading the just-added column) — one batched projection
+    exp = exp.withColumns(
+        {
+            "data_quality_flags": _dq,
+            "calculation_warnings": F.transform(
+                _dq,
             lambda s: F.when(
                 s.startswith("CRM015"),
                 F.concat(
@@ -1874,7 +1866,8 @@ def run_crm(
                 ),
             )
             .otherwise(s),
-        ),
+            ),
+        }
     )
     exp = exp.drop(
         *[

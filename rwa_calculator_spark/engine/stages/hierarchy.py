@@ -52,9 +52,9 @@ def convert_monetary(df: DataFrame | None, fx_rates: DataFrame | None, cols: tup
     if df is None or fx_rates is None or "currency" not in df.columns:
         return df
     df = _fx_factor(df, fx_rates)
-    for c in cols:
-        if c in df.columns:
-            df = df.withColumn(c, F.col(c) * F.col("_fx"))
+    present = [c for c in cols if c in df.columns]
+    if present:
+        df = df.withColumns({c: F.col(c) * F.col("_fx") for c in present})
     return df.drop("_fx")
 
 
@@ -299,29 +299,29 @@ def run_hierarchy(
             _has_parent,
             F.coalesce(F.col("_fac_chain"), F.array(F.col("parent_facility_reference"))),
         )
-        exposures = (
-            exposures.withColumn("exposure_has_parent", _has_parent)
-            .withColumn("ancestor_facilities", chain)
-            .withColumn(
-                "root_facility_reference",
-                F.when(_has_parent, F.element_at(chain, -1)),
-            )
-            # levels from root (0 = top): an exposure sitting directly
-            # under the root facility is 1 below it
-            .withColumn(
-                "facility_hierarchy_depth",
-                F.when(_has_parent, F.size(chain)).otherwise(F.lit(0)).cast("int"),
-            )
-            # full path root → … → parent → exposure
-            .withColumn(
-                "facility_hierarchy_path",
-                F.when(
+        # every entry reads the local `chain` expression, not the new
+        # columns — one batched projection
+        exposures = exposures.withColumns(
+            {
+                "exposure_has_parent": _has_parent,
+                "ancestor_facilities": chain,
+                "root_facility_reference": F.when(
+                    _has_parent, F.element_at(chain, -1)
+                ),
+                # levels from root (0 = top): an exposure sitting directly
+                # under the root facility is 1 below it
+                "facility_hierarchy_depth": F.when(_has_parent, F.size(chain))
+                .otherwise(F.lit(0))
+                .cast("int"),
+                # full path root → … → parent → exposure
+                "facility_hierarchy_path": F.when(
                     _has_parent,
-                    F.concat(F.reverse(chain), F.array(F.col("exposure_reference"))),
+                    F.concat(
+                        F.reverse(chain), F.array(F.col("exposure_reference"))
+                    ),
                 ).otherwise(F.array(F.col("exposure_reference"))),
-            )
-            .drop("_fac_chain")
-        )
+            }
+        ).drop("_fac_chain")
 
     # One combined counterparty dimension: every lookup (attributes,
     # slotting, resolved hierarchy, derived ratings, lending group) keys on
@@ -477,13 +477,13 @@ def run_hierarchy(
             F.col("parent_counterparty_reference").isNotNull(),
         )
     else:
-        dim = (
-            dim.withColumn("group_reference", F.lit(None).cast("string"))
-            .withColumn("hierarchy_depth", F.lit(None).cast("int"))
-            .withColumn(
-                "parent_counterparty_reference", F.lit(None).cast("string")
-            )
-            .withColumn("counterparty_has_parent", F.lit(False))
+        dim = dim.withColumns(
+            {
+                "group_reference": F.lit(None).cast("string"),
+                "hierarchy_depth": F.lit(None).cast("int"),
+                "parent_counterparty_reference": F.lit(None).cast("string"),
+                "counterparty_has_parent": F.lit(False),
+            }
         )
 
     if raw.ratings is not None:
@@ -506,8 +506,11 @@ def run_hierarchy(
         ipd = resolve_internal_pd(raw.ratings, ups)
         dim = dim.join(ipd, "counterparty_reference", "left")
     else:
-        dim = dim.withColumn("internal_pd", F.lit(None).cast("double")).withColumn(
-            "model_id", F.lit(None).cast("string")
+        dim = dim.withColumns(
+            {
+                "internal_pd": F.lit(None).cast("double"),
+                "model_id": F.lit(None).cast("string"),
+            }
         )
 
     if raw.lending_mappings is not None:
@@ -530,17 +533,16 @@ def run_hierarchy(
     enriched = exposures.join(F.broadcast(dim), "counterparty_reference", "left")
     # exposures may reference counterparties absent from the dim (or with no
     # org edge): their group defaults to themselves, matching the reference
-    enriched = (
-        enriched.withColumn(
-            "group_reference", F.coalesce("group_reference", "counterparty_reference")
-        )
-        .withColumn("is_specialised", F.coalesce("is_specialised", F.lit(False)))
-        # synthetic rows (pools) and unknown obligors default to the SA path
-        .withColumn(
-            "has_irb_permission", F.coalesce("has_irb_permission", F.lit(False))
-        )
-        .withColumn("pd", F.coalesce("pd", "internal_pd"))
-        .drop("internal_pd")
-    )
+    enriched = enriched.withColumns(
+        {
+            "group_reference": F.coalesce(
+                "group_reference", "counterparty_reference"
+            ),
+            "is_specialised": F.coalesce("is_specialised", F.lit(False)),
+            # synthetic rows (pools) and unknown obligors default to SA
+            "has_irb_permission": F.coalesce("has_irb_permission", F.lit(False)),
+            "pd": F.coalesce("pd", "internal_pd"),
+        }
+    ).drop("internal_pd")
 
     return HierarchyOutput(exposures=enriched)

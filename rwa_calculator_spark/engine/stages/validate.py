@@ -61,15 +61,15 @@ def run_validation(raw: RawBundle) -> tuple[RawBundle, DataFrame]:
                 f"non-finite value in {name} scrubbed to null",
             )
         )
-        for c in present:
-            df = df.withColumn(
-                c,
-                F.when(
+        return df.withColumns(
+            {
+                c: F.when(
                     _nonfinite(F.coalesce(F.col(c), F.lit(0.0))),
                     F.lit(None).cast("double"),
-                ).otherwise(F.col(c)),
-            )
-        return df
+                ).otherwise(F.col(c))
+                for c in present
+            }
+        )
 
     loans = scrub(raw.loans, "loan_reference", "loans")
     contingents = scrub(raw.contingents, "contingent_reference", "contingents")
