@@ -558,16 +558,32 @@ def ba_cva_hedged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rw = F.when(F.col("r_name") == "EUROPE", 0.01).otherwise(0.03).cast("double")
     m_cp = 1.0 + (F.col("n_nationkey") % 5).cast("double")
-    scva = (
+    # one orders→counterparty aggregation feeds BOTH the SCVA leg (per
+    # nation) and the index-hedge regional totals below (guide §1.2: the
+    # two legs previously instantiated the identical 4-table join+agg
+    # twice). The cents stay integer until each leg's own /100.0, so the
+    # per-nation ead and the re-aggregated regional total are bit-identical
+    # to the two independent aggregations (integer addition is associative).
+    cp_cents = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy("n_name", "r_name", "n_nationkey")
-        .agg(scaled_sum(F.col("o_totalprice"), 2).alias("ead"))
-        .select(
-            "n_name",
-            ((1.0 / 1.4) * rw * m_cp * F.col("ead") * df_factor(m_cp)).alias("s_cva"),
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+            ).alias("_cents")
         )
+    )
+    scva = cp_cents.select(
+        "n_name",
+        (
+            (1.0 / 1.4)
+            * rw
+            * m_cp
+            * (F.col("_cents") / F.lit(100.0))
+            * df_factor(m_cp)
+        ).alias("s_cva"),
     )
     r_hc = (
         F.when(F.col("n_nationkey") % 3 == 0, 0.5)
@@ -594,12 +610,8 @@ def ba_cva_hedged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("hma"),
     )
-    reg_totals = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(scaled_sum(F.col("o_totalprice"), 2).alias("reg_total"))
+    reg_totals = cp_cents.groupBy("r_name").agg(
+        (F.sum("_cents") / F.lit(100.0)).alias("reg_total")
     )
     b_i = F.round(F.col("reg_total") * 0.001 * 100.0, 0).cast("long") / F.lit(100.0)
     ih = reg_totals.agg(
