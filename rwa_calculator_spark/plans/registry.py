@@ -32,7 +32,21 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), benc
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), bench)
+
+        def run(spark: SparkSession, sf_dir: str, /, *args, **kwargs) -> DataFrame:
+            # Session hygiene for harness-built sessions (the round driver):
+            # our own build_session sets this at builder time; external
+            # sessions get the same documented conf here, guarded to one
+            # round trip per call. See utils.allow_cached_plan_repartitioning.
+            from rwa_calculator_spark.utils import allow_cached_plan_repartitioning
+
+            allow_cached_plan_repartitioning(spark)
+            return fn(spark, sf_dir, *args, **kwargs)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        run.__wrapped__ = fn
+        REGISTRY[name] = QuerySpec(name, run, oracle, tuple(tags), bench)
         return fn
 
     return deco

@@ -59,6 +59,10 @@ def build_session(
         # gateway traffic on wide engine plans. See
         # utils.disable_dataframe_debugging for the measurement.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Let AQE coalesce the shuffles inside persisted subtrees (engine
+        # stages cache dimension-sized frames) — see
+        # utils.allow_cached_plan_repartitioning for the measurement.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     )
     spark = builder.getOrCreate()
     from rwa_calculator_spark.utils import disable_dataframe_debugging

@@ -63,6 +63,35 @@ def disable_dataframe_debugging() -> None:
         pass  # observability-only tuning; never fail over it
 
 
+def allow_cached_plan_repartitioning(spark: SparkSession) -> None:
+    """Let AQE re-optimise the shuffles INSIDE cached plans
+    (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``).
+
+    Engine stages persist dimension-sized frames (facility root lookup,
+    waterfall allocations, CRM membership edges). With the default (false),
+    every shuffle feeding a persisted frame materialises at the session's
+    full ``spark.sql.shuffle.partitions`` width — 200 near-empty cached
+    partitions per frame in a default session — and every consumer stage
+    (and the final branch union) pays that task count. With it on, AQE
+    coalesces those shuffles from runtime sizes exactly as it already does
+    for uncached plans (guide §2.2: fewer, larger partitions; derived from
+    data size, not a constant).
+
+    Results are unaffected: partitioning only. Every registered query is
+    partitioning-independent by construction (exact integer-cents sums,
+    explicit total orderings — SURVEY §7.2 hard-parts 1-3). Measured:
+    ``facility_undrawn_waterfall`` 8.5 s → 4.3 s per run (vanilla local[8],
+    sf0.01, interleaved A/B, 4 reps); engine/corep families neutral.
+    Guarded conf.get so sessions that already set it pay one round trip.
+    """
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    try:
+        if spark.conf.get(key, None) != "true":
+            spark.conf.set(key, "true")
+    except Exception:  # noqa: BLE001 — tuning, never fail a query over it
+        pass
+
+
 def release_cached_blocks(spark: SparkSession) -> None:
     """Unpersist every cached DataFrame and persistent RDD left by EARLIER
     queries in this session.
