@@ -515,9 +515,20 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component-size histogram; the oracle re-derives components via a
     recursive reachability CTE."""
     from rwa_calculator_spark.operators.clustering import connected_components
+    from rwa_calculator_spark.utils import release_cached_blocks
 
+    release_cached_blocks(spark)  # bound the one-session cached footprint
     d = load_table(spark, sf_dir, "documents")
-    ws = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
+    # Same shape as dedup_ngram_jaccard: the word-set frame feeds FOUR
+    # consumers (sizes, the rare-word filter, both sides of the exact
+    # intersection join) and would otherwise re-run the
+    # scan+split+explode+distinct subtree per consumer (guide §1.2 /
+    # §3.3). The lazy localCheckpoint computes it once.
+    ws = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = ws.groupBy("doc_id").agg(F.count("*").alias("n_words"))
     # df-capped candidate pass + exact verify (same scale-safe two-pass shape
     # as dedup_ngram_jaccard — no hot-token quadratic join)
