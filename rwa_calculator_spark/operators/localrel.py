@@ -8,12 +8,13 @@ worker round-trip, and every broadcast build of such a dim re-runs them.
 The bench profile showed six pack-table broadcasts burning ~40 s of task
 time at ~0 CPU on exactly this (stages 43-48, round-9 note).
 
-``local_literal_df`` instead compiles the rows into the plan itself:
-``range(1) -> inline(array(struct(lit(...), ...)))`` — a pure-JVM,
-single-partition generator Catalyst can constant-fold and broadcast
-without ever consulting Python. This is also the honest cluster shape for
-regime-as-data tables: the values are plan literals, exactly like the
-scalar ``pack.lit`` path, not distributed data.
+``local_literal_df`` instead compiles the rows into the plan itself as a
+foldable SQL ``VALUES`` table — a true ``LocalRelation`` Catalyst can
+constant-fold, fold filters into, and broadcast WITHOUT scheduling a job
+(``LocalTableScan.executeCollect`` is driver-side). This is also the
+honest cluster shape for regime-as-data tables: the values are plan
+literals, exactly like the scalar ``pack.lit`` path, not distributed
+data.
 
 Guard rails: tuples-only rows and a row cap — anything bigger or richer
 falls back to ``createDataFrame`` (expression-tree size is driver-side
@@ -65,29 +66,33 @@ def local_literal_df(
     st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
     if not rows or len(rows) > MAX_LITERAL_ROWS:
         return spark.createDataFrame(rows, schema)
-    # Compile the whole relation into ONE SQL expression string: a
-    # row-by-row Column build costs hundreds of py4j round-trips per table
-    # (lit + cast + alias per value), which the round-9 build profile showed
-    # as ~0.3 s per pack table of pure driver chatter. A single
-    # inline(array(named_struct(...))) expr is one gateway call and parses
-    # to the identical literal plan.
+    # Compile the whole relation into ONE SQL string: a row-by-row Column
+    # build costs hundreds of py4j round-trips per table (lit + cast +
+    # alias per value), which the round-9 build profile showed as ~0.3 s
+    # per pack table of pure driver chatter. A foldable VALUES table is one
+    # gateway call AND resolves to a true LocalRelation — unlike the
+    # earlier range(1)->inline(array(named_struct(...))) shape, whose
+    # Generate node is not a LocalRelation, so every broadcast build of it
+    # scheduled a real 1-task job. LocalTableScan.executeCollect is
+    # driver-side: broadcasting a pack dim launches NO job at all, and
+    # ConvertToLocalRelation folds pack-table filters at optimize time.
+    # CAST(<literal> AS <type>) parses bit-identically in both shapes
+    # (exactness audit in tests/test_localrel.py).
     types = [f.dataType.simpleString() for f in st.fields]
     names = [f.name for f in st.fields]
-    structs = []
+    tuples = []
     for r in rows:
         cells = []
-        for v, name, t in zip(r, names, types):
+        for v, t in zip(r, types):
             s = _sql_literal(v)
             if s is None:
                 return _column_literal_df(spark, st, rows)
-            cells.append(f"'{name}', CAST({s} AS {t})")
-        structs.append(f"named_struct({', '.join(cells)})")
-    sql = f"inline(array({', '.join(structs)}))"
-    # numPartitions=1: spark.range defaults to default.parallelism splits,
-    # so every broadcast build of a literal dim would launch N-1 empty
-    # tasks (32-task ghost stages in the round-9 profile) — a literal
-    # relation is one partition by construction
-    return spark.range(0, 1, numPartitions=1).select(F.expr(sql))
+            cells.append(f"CAST({s} AS {t})")
+        tuples.append(f"({', '.join(cells)})")
+    cols = ", ".join(f"`{n}`" for n in names)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {', '.join(tuples)}) AS _litrel({cols})"
+    )
 
 
 def _column_literal_df(spark: SparkSession, st: StructType, rows) -> DataFrame:
