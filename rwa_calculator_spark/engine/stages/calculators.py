@@ -41,6 +41,19 @@ from rwa_calculator_spark.functions.irb import (
 from rwa_calculator_spark.functions.stats import with_normal_ppf
 from rwa_calculator_spark.operators.dictionary import dictionary_apply
 
+
+def _colset(df: DataFrame) -> frozenset:
+    """ONE schema fetch for a stage's carrier-presence probes.
+
+    Each ``df.columns`` access is a py4j schema call (~10-15 ms on a
+    ~160-column frame: the full schema JSON crosses the gateway); the
+    calculator stages probe optional INPUT carriers ~50 times per branch,
+    so they snapshot once at entry. Only valid while the probed names are
+    input-level (the stage itself never adds or drops a probed name
+    between snapshot and probe) — stage-internal columns (_dd_elig) are
+    tracked with local flags instead."""
+    return frozenset(df.columns)
+
 # The audit ledger every calculator branch emits (ref CALCULATION_OUTPUT_
 # SCHEMA, data/schemas.py:2877 — distilled). Asserted by tests/test_contracts.
 _RESULT_COLS = [
@@ -675,12 +688,14 @@ def _provenance_cols(exp: DataFrame, default_risk_type: str = "CREDIT") -> DataF
 
 
 def _param_cols(
-    exp: DataFrame, pd_col=None, lgd_col=None, m_col=None
+    exp: DataFrame, pd_col=None, lgd_col=None, m_col=None, cols=None
 ) -> DataFrame:
+    if cols is None:
+        cols = _colset(exp)
     return exp.withColumns(
         {
             "ccf": F.col("ccf").cast("double")
-            if "ccf" in exp.columns
+            if "ccf" in cols
             else F.lit(None).cast("double"),
             "pd_used": pd_col if pd_col is not None else F.lit(None).cast("double"),
             "lgd_used": lgd_col
@@ -715,7 +730,7 @@ def _crm_carry(exp: DataFrame) -> DataFrame:
 
 
 def _el_columns(
-    exp: DataFrame, expected_loss: Column, pool_b_extras: bool = False
+    exp: DataFrame, expected_loss: Column, pool_b_extras: bool = False, cols=None
 ) -> DataFrame:
     """EL + shortfall/excess vs the CRR Art.159(1) Pool B: allocated
     provisions plus, on the IRB legs only (pool_b_extras=True) and when the
@@ -727,8 +742,10 @@ def _el_columns(
     on their ledger carriers)."""
     pool_b = F.coalesce("provision_allocated", F.lit(0.0))
     if pool_b_extras:
+        if cols is None:
+            cols = _colset(exp)
         for extra in ("ava_amount", "other_own_funds_reductions"):
-            if extra in exp.columns:
+            if extra in cols:
                 pool_b = pool_b + F.coalesce(extra, F.lit(0.0))
     # shortfall/excess inline the expected_loss expression (identical
     # arithmetic DAG) so all three land in one projection
@@ -741,7 +758,7 @@ def _el_columns(
     )
 
 
-def _pd_floor_class_expr(pack: RulePack, df: DataFrame) -> Column:
+def _pd_floor_class_expr(pack: RulePack, df: DataFrame, cols=None) -> Column:
     """Per-exposure-class IRB PD floor (ref engine/irb/formulas.py
     _pd_floor_expression + rulebook/packs "pd_floors"): under CRR the 0.03%
     floor reaches corporates/institutions (Art.160(1)) and retail
@@ -753,21 +770,23 @@ def _pd_floor_class_expr(pack: RulePack, df: DataFrame) -> Column:
     has_transactor_col=False path); unknown classes default to the
     corporate floor (the reference's fill_null('CORPORATE'))."""
     f = pack.table_map("pd_floor_by_class")
+    if cols is None:
+        cols = _colset(df)
     sub = (
         F.col("retail_subtype")
-        if "retail_subtype" in df.columns
+        if "retail_subtype" in cols
         else F.lit(None).cast("string")
     )
     trans = (
         F.coalesce(F.col("is_qrre_transactor"), F.lit(False))
-        if "is_qrre_transactor" in df.columns
+        if "is_qrre_transactor" in cols
         else F.lit(False)
     )
     # Art.147(3)/(4)(b): floors key on the IRB-equivalent class where the
     # caller has routed one (run_irb seals irb_exposure_class)
     cls = (
         F.col("irb_exposure_class")
-        if "irb_exposure_class" in df.columns
+        if "irb_exposure_class" in cols
         else F.col("exposure_class")
     )
     is_retail = cls == "retail"
@@ -799,7 +818,7 @@ def _guarantor_pd_floor_expr(pack: RulePack, gclass: Column) -> Column:
     )
 
 
-def _lgd_floor_expr(pack: RulePack, df: DataFrame) -> Column:
+def _lgd_floor_expr(pack: RulePack, df: DataFrame, cols=None) -> Column:
     """A-IRB LGD input floor (feature-gated; ref engine/irb/formulas.py
     _lgd_floor_expression / _lgd_floor_blended_expression, PS1/26
     Art.161(5) corporate + Art.164(4) retail; CRR returns 0 — no A-IRB
@@ -815,7 +834,7 @@ def _lgd_floor_expr(pack: RulePack, df: DataFrame) -> Column:
     if pack.scalar("airb_lgd_floor") < 1.0:
         return F.lit(0.0)
     f = pack.table_map("lgd_floors")
-    have = set(df.columns)
+    have = set(df.columns) if cols is None else cols
     sub = (
         F.col("retail_subtype")
         if "retail_subtype" in have
@@ -883,7 +902,9 @@ def _lgd_floor_expr(pack: RulePack, df: DataFrame) -> Column:
     return floor
 
 
-def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataFrame, Column]:
+def _irb_guarantee_adjust(
+    perf: DataFrame, pack: RulePack, spark, cols=None
+) -> tuple[DataFrame, Column]:
     """IRB unfunded-protection treatment (ref engine/irb/guarantee.py
     apply_guarantee_substitution, 902 LoC distilled to its dataflow):
 
@@ -911,7 +932,9 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     Returns the adjusted frame plus the EL expression for _el_columns.
     """
     el_own = F.col("pd_floored") * F.col("lgd_floored") * F.col("ead_after_crm")
-    if "g_class" not in perf.columns:
+    if cols is None:
+        cols = _colset(perf)
+    if "g_class" not in cols:
         return perf, el_own
     # rank-1 scalars price the n<=1 books bit-for-bit and feed the
     # priority-1 audit carriers; exposures with 2+ guarantees take the
@@ -934,16 +957,17 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
         F.lit(None).cast("string")
     )
 
-    has_gpd = "guarantor_pd" in perf.columns
+    has_gpd = "guarantor_pd" in cols
+    has_dd_carrier = False  # _dd_elig is stage-internal: tracked, not probed
     if has_gpd:
         sen = (
             F.coalesce(F.col("guarantor_seniority"), F.lit("senior"))
-            if "guarantor_seniority" in perf.columns
+            if "guarantor_seniority" in cols
             else F.lit("senior")
         )
         fse = (
             F.coalesce(F.col("guarantor_is_fse"), F.lit(False))
-            if "guarantor_is_fse" in perf.columns
+            if "guarantor_is_fse" in cols
             else F.lit(False)
         )
         perf = perf.withColumns(
@@ -977,7 +1001,7 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
         if pack.scalar("double_default_available") >= 1.0:
             is_airb = (
                 F.coalesce(F.col("irb_subapproach"), F.lit("")) == "airb"
-                if "irb_subapproach" in perf.columns
+                if "irb_subapproach" in cols
                 else F.lit(False)
             )
             elig_g_type = F.coalesce(F.col("g_class"), F.lit("")).isin(
@@ -1005,6 +1029,7 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
             # the APPLIED carriers seal after the Art.193(1) benefit test
             # below, which can still decline the guarantee
             perf = perf.withColumn("_dd_elig", dd_elig)
+            has_dd_carrier = True
 
     # _g_ben re-uses the guarantor_rw Column object (same JVM expression,
     # identical value to reading the _g_rw column) so all three land in one
@@ -1034,7 +1059,7 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     # carriers (guarantor_risk_weight, the method enums, the DD block)
     # keep describing the PRIORITY-1 leg — the stack's pricing is total,
     # its audit detail per-leg lives in guarantee_references order.
-    has_mg = "_mg" in perf.columns
+    has_mg = "_mg" in cols
     if has_mg:
         from rwa_calculator_spark.functions.irb import correlation_v
         from rwa_calculator_spark.functions.jvm_kernel import (
@@ -1058,7 +1083,7 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
         _kern = ensure_jvm_kernel(spark)
         _row_airb = (
             F.coalesce(F.col("irb_subapproach"), F.lit("")) == "airb"
-            if "irb_subapproach" in perf.columns
+            if "irb_subapproach" in cols
             else F.lit(False)
         )
         _dd_pack = pack.scalar("double_default_available") >= 1.0
@@ -1271,7 +1296,7 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
             "post_crm_counterparty_guaranteed": F.when(
                 g > 0,
                 F.col("guarantor_reference")
-                if "guarantor_reference" in perf.columns
+                if "guarantor_reference" in cols
                 else F.lit(None).cast("string"),
             ),
             "post_crm_exposure_class_guaranteed": F.when(g > 0, F.col("g_class")),
@@ -1284,7 +1309,7 @@ def _irb_guarantee_adjust(perf: DataFrame, pack: RulePack, spark) -> tuple[DataF
     # passed AND the DD K beat substitution) — the guaranteed portion
     # (g × EAD, the COREP 0220 figure) and the LGD the DD formula used
     # (= the obligor's own floored LGD; DD modifies K through PD_g, not LGD)
-    if "_dd_elig" in perf.columns:
+    if has_dd_carrier:
         dd_on = F.col("_g_ben") & (F.col("_g_method") == "dd")
         perf = perf.withColumns(
             {
@@ -1384,6 +1409,7 @@ def run_sa(
         & (F.col("exposure_class") != "securitisation")
     )
     exp = _crm_carry(exp)
+    cols = _colset(exp)
 
     rw_table = pack.broadcast_table(spark, "sa_rw")
     exp = exp.join(
@@ -1419,8 +1445,11 @@ def run_sa(
     # and their delta seal at the end of this function, after every
     # adjustment (covered-bond/RE/sovereign-derived/ccymm/due-diligence/
     # intragroup) has run; rw_source remains the adjustment-reason carrier
-    exp = exp.withColumn("sa_cqs", F.coalesce(F.col("cqs"), F.lit(0))).withColumn(
-        "sa_base_risk_weight", base_rw
+    exp = exp.withColumns(
+        {
+            "sa_cqs": F.coalesce(F.col("cqs"), F.lit(0)),
+            "sa_base_risk_weight": base_rw,
+        }
     )
     # CRR Art.129 covered bonds (ref engine/sa/covered_bond.py): rated
     # bonds price on the bond's OWN CQS (Art.129(4) Table 6A); unrated
@@ -1429,7 +1458,7 @@ def run_sa(
     # derivation table — the tables genuinely diverge (CRR (5)(b) maps a
     # 50% issuer weight to 20%, PS1/26 to 25%), which is why the table is
     # pack data, never shared code.
-    if "is_covered_bond" in exp.columns:
+    if "is_covered_bond" in cols:
         cbt = pack.table_df(spark, "covered_bond_rw").select(
             F.col("cqs").alias("_cb_cqs_t"), F.col("rw").alias("_cb_rated_rw")
         )
@@ -1472,7 +1501,7 @@ def run_sa(
     # presence (CRR keeps flat Art.125/126) and carrier-gated on ltv;
     # bands compile to a when-chain from the pack rows (pure literals —
     # band-count work, never a join against the fact table).
-    if "re_ltv_rw" in pack.tables and "ltv" in exp.columns:
+    if "re_ltv_rw" in pack.tables and "ltv" in cols:
         ltv = F.col("ltv")
         # the class gate; the LTV-dependent limbs (bands, split) require a
         # usable LTV on top — ADC and Art.124J other-RE price without one
@@ -1485,7 +1514,7 @@ def run_sa(
         def _flag(name):
             return (
                 F.coalesce(F.col(name), F.lit(False))
-                if name in exp.columns
+                if name in cols
                 else F.lit(False)
             )
 
@@ -1499,7 +1528,7 @@ def run_sa(
         # strict > — count 3 stays owner-occupied, 4 re-routes; null
         # counts never breach; an explicit upstream income flag wins)
         if (
-            "qualifying_property_count" in exp.columns
+            "qualifying_property_count" in cols
             and "b31_rre_three_property_limit" in pack.scalars
         ):
             three_prop = (F.col("entity_type") == "individual") & (
@@ -1516,7 +1545,7 @@ def run_sa(
         # position junior (ref b31_risk_weight_tables.py:526 is_junior)
         prior_chg = (
             F.coalesce(F.col("prior_charge_ltv"), F.lit(0.0))
-            if "prior_charge_ltv" in exp.columns
+            if "prior_charge_ltv" in cols
             else F.lit(0.0)
         )
         junior = _flag("is_junior_lien") | (prior_chg > 0)
@@ -1706,7 +1735,7 @@ def run_sa(
         & ~F.col("is_defaulted")
     )
     if (
-        "sovereign_cqs" in exp.columns
+        "sovereign_cqs" in cols
         and "sovereign_derived_institutions" in pack.scalars
         and pack.scalar("sovereign_derived_institutions") >= 1.0
     ):
@@ -1719,7 +1748,7 @@ def run_sa(
         sd_match = _unrated_inst & F.col("_sd_rw").isNotNull()
         base_rw = F.when(sd_match, F.col("_sd_rw")).otherwise(base_rw)
         rw_source = F.when(sd_match, "sa_sovereign_derived").otherwise(rw_source)
-    if "scra_grade" in exp.columns and "institution_scra_rw" in pack.tables:
+    if "scra_grade" in cols and "institution_scra_rw" in pack.tables:
         sc = pack.table_df(spark, "institution_scra_rw").select(
             F.col("grade").alias("_scra_grade_t"), F.col("rw").alias("_scra_rw")
         )
@@ -1739,12 +1768,12 @@ def run_sa(
     # (CRR has no Art.122A — unrated SL stays at the corporate 100%) and
     # carrier-gated on sl_type; weights compile from pack rows to literal
     # when-chains — never a fact-table join.
-    if "b31_sa_sl_rw" in pack.tables and "sl_type" in exp.columns:
+    if "b31_sa_sl_rw" in pack.tables and "sl_type" in cols:
         slw = {k: float(v) for k, v in pack.tables["b31_sa_sl_rw"][1]}
         sl = F.lower(F.coalesce(F.col("sl_type"), F.lit("")))
         phase = (
             F.lower(F.coalesce(F.col("sl_project_phase"), F.lit("")))
-            if "sl_project_phase" in exp.columns
+            if "sl_project_phase" in cols
             else F.lit("")
         )
         # Art.139(2B): an SL exposure whose only external assessment is
@@ -1752,7 +1781,7 @@ def run_sa(
         # unrated for this routing — ordinary rated corporates untouched
         cqs_eff = F.coalesce(F.col("cqs"), F.lit(0))
         if (
-            "external_rating_is_issue_specific" in exp.columns
+            "external_rating_is_issue_specific" in cols
             and "sa_sl_inferred_rating_disapplied" in pack.scalars
             and pack.scalar("sa_sl_inferred_rating_disapplied") >= 1.0
         ):
@@ -1798,21 +1827,21 @@ def run_sa(
     _inst = F.col("exposure_class") == "institution"
     _has_st_ecai = (
         F.coalesce(F.col("has_short_term_ecai"), F.lit(False))
-        if "has_short_term_ecai" in exp.columns
+        if "has_short_term_ecai" in cols
         else F.lit(False)
     )
-    if "original_maturity_years" in exp.columns:
+    if "original_maturity_years" in cols:
         _om = F.coalesce(F.col("original_maturity_years"), F.lit(1.0))
         _st_lc = (
             F.coalesce(F.col("is_short_term_trade_lc"), F.lit(False))
-            if "is_short_term_trade_lc" in exp.columns
+            if "is_short_term_trade_lc" in cols
             else F.lit(False)
         )
         # Art.120(2)/121(5): original maturity <= 3m, or trade finance <= 6m
         _st_window = (_om <= 0.25) | (_st_lc & (_om <= 0.5))
     else:
         _st_window = F.lit(False)
-    if "ecra_short_term_rw" in pack.tables and "original_maturity_years" in exp.columns:
+    if "ecra_short_term_rw" in pack.tables and "original_maturity_years" in cols:
         t4 = pack.table_df(spark, "ecra_short_term_rw").select(
             F.col("cqs").alias("_t4_cqs"), F.col("rw").alias("_t4_rw")
         )
@@ -1824,7 +1853,7 @@ def run_sa(
             base_rw
         )
         rw_source = F.when(m_t4, "sa_ecra_short_term").otherwise(rw_source)
-    if "scra_short_term_rw" in pack.tables and "scra_grade" in exp.columns:
+    if "scra_short_term_rw" in pack.tables and "scra_grade" in cols:
         sst = pack.table_df(spark, "scra_short_term_rw").select(
             F.col("grade").alias("_sst_grade"), F.col("rw").alias("_sst_rw")
         )
@@ -1842,7 +1871,7 @@ def run_sa(
         rw_source = F.when(m_sst, "sa_scra_short_term").otherwise(rw_source)
     if (
         "ecra_short_term_ecai_rw" in pack.tables
-        and "has_short_term_ecai" in exp.columns
+        and "has_short_term_ecai" in cols
     ):
         t4a = pack.table_df(spark, "ecra_short_term_ecai_rw").select(
             F.col("cqs").alias("_t4a_cqs"), F.col("rw").alias("_t4a_rw")
@@ -1855,7 +1884,7 @@ def run_sa(
             base_rw
         )
         rw_source = F.when(m_t4a, "sa_ecra_st_ecai").otherwise(rw_source)
-    if "corporate_st_ecai_rw" in pack.tables and "has_short_term_ecai" in exp.columns:
+    if "corporate_st_ecai_rw" in pack.tables and "has_short_term_ecai" in cols:
         t6a = pack.table_df(spark, "corporate_st_ecai_rw").select(
             F.col("cqs").alias("_t6a_cqs"), F.col("rw").alias("_t6a_rw")
         )
@@ -1893,7 +1922,7 @@ def run_sa(
     if (
         use_ig_assessment
         and "corporate_ig_rw" in pack.scalars
-        and "is_investment_grade" in exp.columns
+        and "is_investment_grade" in cols
     ):
         _ig = F.coalesce(F.col("is_investment_grade"), F.lit(False))
         m_ig = _unrated_corp & ~_is_sme & _ig
@@ -1914,11 +1943,11 @@ def run_sa(
     # only — transactor applied after payroll so it wins ties, mirroring
     # the reference chain order)
     _retail_nd = (F.col("exposure_class") == "retail") & _nd
-    if "retail_payroll_rw" in pack.scalars and "is_payroll_loan" in exp.columns:
+    if "retail_payroll_rw" in pack.scalars and "is_payroll_loan" in cols:
         m_pay = _retail_nd & F.coalesce(F.col("is_payroll_loan"), F.lit(False))
         base_rw = F.when(m_pay, pack.lit("retail_payroll_rw")).otherwise(base_rw)
         rw_source = F.when(m_pay, "sa_retail_payroll").otherwise(rw_source)
-    if "retail_transactor_rw" in pack.scalars and "is_qrre_transactor" in exp.columns:
+    if "retail_transactor_rw" in pack.scalars and "is_qrre_transactor" in cols:
         m_tx = _retail_nd & F.coalesce(F.col("is_qrre_transactor"), F.lit(False))
         base_rw = F.when(m_tx, pack.lit("retail_transactor_rw")).otherwise(base_rw)
         rw_source = F.when(m_tx, "sa_retail_transactor").otherwise(rw_source)
@@ -1960,7 +1989,7 @@ def run_sa(
         exp = exp.join(
             F.broadcast(por), F.col("cqs") == F.col("_por_cqs"), "left"
         ).drop("_por_cqs")
-        if "sovereign_cqs" in exp.columns:
+        if "sovereign_cqs" in cols:
             psd = pack.table_df(spark, "pse_sovereign_derived_rw").select(
                 F.col("cqs").alias("_psd_cqs"), F.col("rw").alias("_psd_rw")
             )
@@ -1977,12 +2006,12 @@ def run_sa(
         # permissive (no Treasury determination recorded ≠ negative one)
         _pse_ne = (
             ~F.coalesce(F.col("pse_jurisdiction_equivalent"), F.lit(True))
-            if "pse_jurisdiction_equivalent" in exp.columns
+            if "pse_jurisdiction_equivalent" in cols
             else F.lit(False)
         )
         _pse_st = (
             F.coalesce(F.col("original_maturity_years"), F.lit(1.0)) <= 0.25
-            if "original_maturity_years" in exp.columns
+            if "original_maturity_years" in cols
             else F.lit(False)
         )
         base_rw = (
@@ -2012,7 +2041,7 @@ def run_sa(
         exp = exp.join(
             F.broadcast(r1b), F.col("cqs") == F.col("_1b_cqs"), "left"
         ).drop("_1b_cqs")
-        if "sovereign_cqs" in exp.columns:
+        if "sovereign_cqs" in cols:
             r1a = pack.table_df(spark, "rgla_sovereign_derived_rw").select(
                 F.col("cqs").alias("_1a_cqs"), F.col("rw").alias("_1a_rw")
             )
@@ -2031,7 +2060,7 @@ def run_sa(
         # does NOT reuse the composite EU-domestic flag here)
         _rgla_dom = (
             (F.col("country") == "GB") & (F.col("currency") == "GBP")
-            if "country" in exp.columns and "currency" in exp.columns
+            if "country" in cols and "currency" in cols
             else F.lit(False)
         )
         base_rw = (
@@ -2052,7 +2081,7 @@ def run_sa(
             .when(_rgla, "sa_rgla_own_rating")
             .otherwise(rw_source)
         )
-    if "eca_meip_rw" in pack.tables and "eca_meip_score" in exp.columns:
+    if "eca_meip_rw" in pack.tables and "eca_meip_score" in cols:
         eca = pack.table_df(spark, "eca_meip_rw").select(
             F.col("score").alias("_eca_score"), F.col("rw").alias("_eca_rw")
         )
@@ -2121,12 +2150,12 @@ def run_sa(
         if "defaulted_resi_re_non_income_rw" in pack.scalars:
             _comm = (
                 F.coalesce(F.col("is_commercial_re"), F.lit(False))
-                if "is_commercial_re" in exp.columns
+                if "is_commercial_re" in cols
                 else F.lit(False)
             )
             _inc = (
                 F.coalesce(F.col("is_income_producing"), F.lit(False))
-                if "is_income_producing" in exp.columns
+                if "is_income_producing" in cols
                 else F.lit(False)
             )
             # ADC / other-RE are their own classes in the reference's
@@ -2134,12 +2163,12 @@ def run_sa(
             # provision test like income/commercial rows
             _adc = (
                 F.coalesce(F.col("is_adc"), F.lit(False))
-                if "is_adc" in exp.columns
+                if "is_adc" in cols
                 else F.lit(False)
             )
             _oth = (
                 F.coalesce(F.col("is_other_re"), F.lit(False))
-                if "is_other_re" in exp.columns
+                if "is_other_re" in cols
                 else F.lit(False)
             )
             # general resi RE stays flat 100% (the base chain's secured
@@ -2167,7 +2196,7 @@ def run_sa(
     # (ref engine/sa/central_bank.py ecb_rw_expr; 'central_bank_ecb' is
     # the documented entity-type convention — the ECB is supranational,
     # so no country code can identify it)
-    if "entity_type" in exp.columns:
+    if "entity_type" in cols:
         _is_ecb = F.col("entity_type") == "central_bank_ecb"
         base_rw = F.when(_is_ecb, F.lit(0.0)).otherwise(base_rw)
         rw_source = F.when(_is_ecb, "ecb_art114_3").otherwise(rw_source)
@@ -2179,7 +2208,7 @@ def run_sa(
     # non-qualifying CCP simply stays on that ladder (ref engine/ccr/
     # ccp.py apply_ccp_risk_weight + engine/sa/cqs_lift.py). Carrier- and
     # pack-gated; defaulted rows keep the defaulted treatment.
-    if "is_qccp" in exp.columns and "qccp_trade_rw" in pack.scalars:
+    if "is_qccp" in cols and "qccp_trade_rw" in pack.scalars:
         _qccp = (
             (F.col("entity_type") == "ccp")
             & ~F.col("is_defaulted")
@@ -2187,7 +2216,7 @@ def run_sa(
         )
         _cleared = (
             F.coalesce("is_client_cleared", F.lit(False))
-            if "is_client_cleared" in exp.columns
+            if "is_client_cleared" in cols
             else F.lit(False)
         )
         base_rw = (
@@ -2205,7 +2234,7 @@ def run_sa(
     # denominated in the member state's domestic currency take 0% RW,
     # overriding the CQS ladder (ref engine/eu_sovereign.py — consumed by
     # the SA risk-weight path; the country→currency map is pack data).
-    if "country" in exp.columns and "currency" in exp.columns:
+    if "country" in cols and "currency" in cols:
         eu = pack.broadcast_table(spark, "eu_domestic_ccy").select(
             F.col("country").alias("_eu_country"),
             F.col("domestic_ccy").alias("_eu_ccy"),
@@ -2219,11 +2248,11 @@ def run_sa(
         )
         base_rw = F.when(eu_match, F.lit(0.0)).otherwise(base_rw)
         rw_source = F.when(eu_match, "sovereign_eu_domestic").otherwise(rw_source)
-        exp = exp.withColumn("own_rw", base_rw).withColumn("rw_source", rw_source).drop(
+        exp = exp.withColumns({"own_rw": base_rw, "rw_source": rw_source}).drop(
             "_eu_country", "_eu_ccy"
         )
     else:
-        exp = exp.withColumn("own_rw", base_rw).withColumn("rw_source", rw_source)
+        exp = exp.withColumns({"own_rw": base_rw, "rw_source": rw_source})
 
     # guarantee substitution on the covered share (ref crm/guarantees.py)
     g_rw_table = pack.table_df(spark, "sa_rw").select(
@@ -2246,14 +2275,14 @@ def run_sa(
     # exposure's currency when the guarantee declares none; the funding
     # limb is null-PERMISSIVE (funding_currency absent = funded in the
     # denomination). Carrier-gated on the guarantor country column.
-    if "g_country" in exp.columns:
+    if "g_country" in cols:
         _gd = pack.broadcast_table(spark, "eu_domestic_ccy").select(
             F.col("country").alias("_gd_country"),
             F.col("domestic_ccy").alias("_gd_ccy"),
         )
         exp = exp.join(_gd, F.col("g_country") == F.col("_gd_country"), "left")
         _den_cands = [
-            c for c in ("g_currency", "currency") if c in exp.columns
+            c for c in ("g_currency", "currency") if c in cols
         ]
         _g_den = (
             F.coalesce(*[F.col(c) for c in _den_cands])
@@ -2262,7 +2291,7 @@ def run_sa(
         )
         _g_fund = (
             F.coalesce(F.col("funding_currency"), _g_den)
-            if "funding_currency" in exp.columns
+            if "funding_currency" in cols
             else _g_den
         )
         _g_dom = (
@@ -2281,7 +2310,7 @@ def run_sa(
     # guarantee. Gated on size>1 so single-guarantee books keep the
     # legacy expressions bit-for-bit.
     _own = F.col("own_rw")
-    if "_mg" in exp.columns:
+    if "_mg" in cols:
         _fold = F.aggregate(
             F.coalesce(F.col("_mg"), F.array().cast(exp.schema["_mg"].dataType)),
             F.struct(F.lit(0.0).alias("g"), F.lit(0.0).alias("t")),
@@ -2310,19 +2339,18 @@ def run_sa(
     # due-diligence override, Art.113(6) intragroup) in lockstep — only
     # the guarantee/OFCP substitution steps themselves are undone, so
     # CR7/CR7-A never misattribute a post-base override to CRM relief
-    exp = (
-        exp.withColumn("risk_weight", eff_rw)
-        .withColumn("_rw_nosubst", F.col("own_rw"))
-        .withColumn(
-            "rw_source",
-            F.when(
+    exp = exp.withColumns(
+        {
+            "risk_weight": eff_rw,
+            "_rw_nosubst": F.col("own_rw"),
+            "rw_source": F.when(
                 F.when(_is_multi, _mg_t < _mg_g * _own).otherwise(
                     (F.col("g_coverage") > 0)
                     & (F.coalesce("g_rw", F.col("own_rw")) < F.col("own_rw"))
                 ),
                 F.concat(F.col("rw_source"), F.lit("+guarantee")),
             ).otherwise(F.col("rw_source")),
-        )
+        }
     )
     # guarantee-impact ledger block (ref CALCULATION_OUTPUT_SCHEMA
     # :2972-3005 + engine/irb/guarantee.py:865-903
@@ -2370,7 +2398,7 @@ def run_sa(
             "post_crm_counterparty_guaranteed": F.when(
                 _g_has,
                 F.col("guarantor_reference")
-                if "guarantor_reference" in exp.columns
+                if "guarantor_reference" in cols
                 else F.lit(None).cast("string"),
             ),
             "post_crm_exposure_class_guaranteed": F.when(_g_has, F.col("g_class")),
@@ -2383,7 +2411,7 @@ def run_sa(
     # the blend composes as a subtraction of each channel's benefit from
     # the guarantee-blended RW; channels claim the unguaranteed remainder
     # in order (life insurance, third-party deposit, FCSM)
-    if "li_value" in exp.columns:
+    if "li_value" in cols:
         own = F.col("own_rw")
         ead_nz = F.nullif(F.col("ead_after_crm"), F.lit(0.0))
         avail = F.greatest(1 - _g_total, F.lit(0.0))
@@ -2391,10 +2419,12 @@ def run_sa(
         # FCSM decomposition carriers (ref :3016-3018): the simple-method
         # collateral value, its substitute weight, and the RW snapshot
         # before any funded-substitution channel subtracted its benefit
-        exp = (
-            exp.withColumn("pre_fcsm_risk_weight", F.col("risk_weight"))
-            .withColumn("fcsm_collateral_value", F.coalesce("fcsm_value", F.lit(0.0)))
-            .withColumn("fcsm_collateral_rw", F.col("fcsm_rw"))
+        exp = exp.withColumns(
+            {
+                "pre_fcsm_risk_weight": F.col("risk_weight"),
+                "fcsm_collateral_value": F.coalesce("fcsm_value", F.lit(0.0)),
+                "fcsm_collateral_rw": F.col("fcsm_rw"),
+            }
         )
         for vcol, rcol in (
             ("li_value", "li_rw"),
@@ -2408,13 +2438,13 @@ def run_sa(
                 own - F.coalesce(F.col(rcol), own), F.lit(0.0)
             )
             avail = avail - frac
-        exp = exp.withColumn(
-            "risk_weight", F.col("risk_weight") - benefit
-        ).withColumn(
-            "rw_source",
-            F.when(
-                benefit > 0, F.concat(F.col("rw_source"), F.lit("+ofcp"))
-            ).otherwise(F.col("rw_source")),
+        exp = exp.withColumns(
+            {
+                "risk_weight": F.col("risk_weight") - benefit,
+                "rw_source": F.when(
+                    benefit > 0, F.concat(F.col("rw_source"), F.lit("+ofcp"))
+                ).otherwise(F.col("rw_source")),
+            }
         )
 
     # PS1/26 Art.123B (B3.1 only, Feature-gated): ×1.5 RW multiplier for
@@ -2427,8 +2457,8 @@ def run_sa(
     # apply_currency_mismatch_multiplier).
     if (
         pack.scalar("sa_currency_mismatch_multiplier") >= 1.0
-        and "borrower_income_currency" in exp.columns
-        and "currency" in exp.columns
+        and "borrower_income_currency" in cols
+        and "currency" in cols
     ):
         in_scope = F.col("exposure_class").isin("retail", "re_secured")
         mismatch = F.col("borrower_income_currency").isNotNull() & (
@@ -2436,20 +2466,20 @@ def run_sa(
         )
         hedged = (
             F.coalesce("is_hedged", F.lit(False))
-            if "is_hedged" in exp.columns
+            if "is_hedged" in cols
             else F.lit(False)
         )
-        if "hedge_coverage_ratio" in exp.columns:
+        if "hedge_coverage_ratio" in cols:
             raw_cov = F.coalesce("hedge_coverage_ratio", F.lit(0.0))
             revolving = (
                 F.coalesce("is_revolving", F.lit(False))
-                if "is_revolving" in exp.columns
+                if "is_revolving" in cols
                 else F.lit(False)
             )
             drawn = F.coalesce("drawn_amount", F.lit(0.0))
             limit = (
                 F.coalesce(F.col("facility_limit"), drawn)
-                if "facility_limit" in exp.columns
+                if "facility_limit" in cols
                 else drawn
             )
             full_draw = F.greatest(drawn, limit)
@@ -2461,36 +2491,35 @@ def run_sa(
             cov_ok = F.lit(False)
         ccymm = in_scope & mismatch & ~(hedged | cov_ok)
         # ledger carriers (ref :3066-3068): the pre-multiplier snapshot and
-        # whether the ×1.5 actually applied — sealed BEFORE the mutation
-        exp = exp.withColumn(
-            "risk_weight_pre_currency_mismatch", F.col("risk_weight")
-        ).withColumn(
-            "currency_mismatch_multiplier_applied", F.coalesce(ccymm, F.lit(False))
-        )
-        exp = exp.withColumn(
-            "risk_weight",
-            F.when(
-                ccymm,
-                F.least(
-                    F.col("risk_weight") * pack.lit("currency_mismatch_multiplier"),
-                    pack.lit("currency_mismatch_cap"),
+        # whether the ×1.5 actually applied — every expression reads the
+        # PRE-block columns, so the whole block is one batched projection
+        # (the _rw_nosubst mirror is NOT a substitution effect)
+        exp = exp.withColumns(
+            {
+                "risk_weight_pre_currency_mismatch": F.col("risk_weight"),
+                "currency_mismatch_multiplier_applied": F.coalesce(
+                    ccymm, F.lit(False)
                 ),
-            ).otherwise(F.col("risk_weight")),
-        ).withColumn(
-            # NOT a substitution effect — mirrored onto the hypothetical
-            "_rw_nosubst",
-            F.when(
-                ccymm,
-                F.least(
-                    F.col("_rw_nosubst") * pack.lit("currency_mismatch_multiplier"),
-                    pack.lit("currency_mismatch_cap"),
-                ),
-            ).otherwise(F.col("_rw_nosubst")),
-        ).withColumn(
-            "rw_source",
-            F.when(ccymm, F.concat(F.col("rw_source"), F.lit("+ccymm"))).otherwise(
-                F.col("rw_source")
-            ),
+                "risk_weight": F.when(
+                    ccymm,
+                    F.least(
+                        F.col("risk_weight")
+                        * pack.lit("currency_mismatch_multiplier"),
+                        pack.lit("currency_mismatch_cap"),
+                    ),
+                ).otherwise(F.col("risk_weight")),
+                "_rw_nosubst": F.when(
+                    ccymm,
+                    F.least(
+                        F.col("_rw_nosubst")
+                        * pack.lit("currency_mismatch_multiplier"),
+                        pack.lit("currency_mismatch_cap"),
+                    ),
+                ).otherwise(F.col("_rw_nosubst")),
+                "rw_source": F.when(
+                    ccymm, F.concat(F.col("rw_source"), F.lit("+ccymm"))
+                ).otherwise(F.col("rw_source")),
+            }
         )
 
     # PS1/26 Art.110A (B3.1 only, Feature-gated): where the firm's due
@@ -2500,7 +2529,7 @@ def run_sa(
     # override, which is a hard permission and deliberately wins.
     if (
         pack.scalar("sa_due_diligence_override") >= 1.0
-        and "due_diligence_override_rw" in exp.columns
+        and "due_diligence_override_rw" in cols
     ):
         ddq = F.col("due_diligence_override_rw").isNotNull() & (
             F.col("due_diligence_override_rw") > F.col("risk_weight")
@@ -2530,23 +2559,23 @@ def run_sa(
     # individual-basis run. The carrier is set (and authoritatively
     # cleared) ONLY by resolve_scope — see engine/stages/scope.py (ref
     # engine/sa/rw_adjustments.py apply_intragroup_zero_rw).
-    if "intragroup_zero_rw_eligible" in exp.columns:
+    if "intragroup_zero_rw_eligible" in cols:
         elig = F.coalesce("intragroup_zero_rw_eligible", F.lit(False))
-        exp = exp.withColumn(
-            "risk_weight",
-            F.when(elig, pack.lit("intragroup_zero_rw_pct")).otherwise(
-                F.col("risk_weight")
-            ),
-        ).withColumn(
-            # a hard permission, not a substitution — the hypothetical is
-            # 0% too (CR7 must not report phantom CD relief on Art.113(6))
-            "_rw_nosubst",
-            F.when(elig, pack.lit("intragroup_zero_rw_pct")).otherwise(
-                F.col("_rw_nosubst")
-            ),
-        ).withColumn(
-            "rw_source",
-            F.when(elig, "intragroup_art113_6").otherwise(F.col("rw_source")),
+        # a hard permission, not a substitution — the hypothetical is
+        # 0% too (CR7 must not report phantom CD relief on Art.113(6));
+        # all three read pre-block columns — one batched projection
+        exp = exp.withColumns(
+            {
+                "risk_weight": F.when(
+                    elig, pack.lit("intragroup_zero_rw_pct")
+                ).otherwise(F.col("risk_weight")),
+                "_rw_nosubst": F.when(
+                    elig, pack.lit("intragroup_zero_rw_pct")
+                ).otherwise(F.col("_rw_nosubst")),
+                "rw_source": F.when(elig, "intragroup_art113_6").otherwise(
+                    F.col("rw_source")
+                ),
+            }
         )
 
     # CRR2 Art.501 tiered SME factor blended over the group drawn amount,
@@ -2556,16 +2585,16 @@ def run_sa(
     # SAME expression the IRB and slotting branches now apply — the
     # reference runs SupportingFactorCalculator on every branch.
     sme_f, infra_f, sf = _supporting_factor_exprs(
-        pack, threshold_scale, exp.columns
+        pack, threshold_scale, cols
     )
 
     # routing provenance: the permission stage's diagnostic / PPU reason
     # where it ran (ref permissions.py approach_selection), else the
     # pipeline's default SA routing rule
     reason = F.lit("sa_no_irb_permission")
-    if "ppu_reason" in exp.columns:
+    if "ppu_reason" in cols:
         reason = F.coalesce(F.col("ppu_reason"), reason)
-    if "permission_diagnostic" in exp.columns:
+    if "permission_diagnostic" in cols:
         reason = F.coalesce(F.col("permission_diagnostic"), reason)
     # one batched projection; supporting_factor_benefit inlines the exact
     # rwa_before_sf/rwa expressions (identical arithmetic DAG, bit-equal)
@@ -2596,7 +2625,7 @@ def run_sa(
         }
     )
     exp = _el_columns(exp, F.lit(0.0))  # EL treatment is IRB-only; SA deducts
-    exp = _param_cols(exp)  # SA uses CCF only
+    exp = _param_cols(exp, cols=cols)  # SA uses CCF only
     # SA decision block, final leg (ref :3024-3025): the weight every
     # adjustment landed on and its delta from the base ladder value —
     # batched with the decision strings below into one projection
@@ -2605,7 +2634,7 @@ def run_sa(
     # pick's agency where the ratings channel resolved the CQS, "internal"
     # where the counterparty-supplied mapping was consulted, null unrated.
     _rated = F.col("sa_cqs") > 0
-    if "external_rating_agency" in exp.columns:
+    if "external_rating_agency" in cols:
         _rating_src = F.when(
             F.col("external_rating_agency").isNotNull() & _rated,
             F.col("external_rating_agency"),
@@ -2699,18 +2728,18 @@ def run_sa(
                     F.coalesce(F.col("is_commercial_re"), F.lit(False)),
                     "commercial",
                 ).otherwise("residential")
-                if "is_commercial_re" in exp.columns
+                if "is_commercial_re" in cols
                 else F.lit("residential"),
             ),
             "property_ltv": F.when(_re, F.col("ltv"))
-            if "ltv" in exp.columns
+            if "ltv" in cols
             else F.lit(None).cast("double"),
         }
     )
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
-def _apply_pma(df: DataFrame, pack: RulePack, pma) -> DataFrame:
+def _apply_pma(df: DataFrame, pack: RulePack, pma, cols=None) -> DataFrame:
     """PS1/26 Art.153(5A)/154(4A)/158(6A) post-model adjustments on the
     IRB branch (ref engine/irb/adjustments.py:122-279
     apply_post_model_adjustments). B3.1-only (pack Feature); CRR rows
@@ -2746,11 +2775,13 @@ def _apply_pma(df: DataFrame, pack: RulePack, pma) -> DataFrame:
     # (ref irb/adjustments.py is_mortgage = class contains
     # MORTGAGE|RESIDENTIAL): a commercial-RE-secured re_secured row is out.
     is_mortgage = F.col("exposure_class") == "re_secured"
-    if "is_commercial_re" in df.columns:
+    if cols is None:
+        cols = _colset(df)
+    if "is_commercial_re" in cols:
         is_mortgage = is_mortgage & ~F.coalesce(
             F.col("is_commercial_re"), F.lit(False)
         )
-    if "retail_subtype" in df.columns:
+    if "retail_subtype" in cols:
         is_mortgage = is_mortgage | (
             (F.col("exposure_class") == "retail")
             & (F.col("retail_subtype") == "mortgage")
@@ -2799,8 +2830,10 @@ def run_irb(
         & (F.col("exposure_class") != "securitisation")
     )
     exp = _crm_carry(exp)
-    if "el_be" not in exp.columns:
+    cols = set(_colset(exp))
+    if "el_be" not in cols:
         exp = exp.withColumn("el_be", F.lit(None).cast("double"))
+        cols.add("el_be")
     # CRR Art.147(3)/(4)(b) IRB class equivalence (ref rulebook/packs/
     # common.py entity_type_to_irb_class + engine/entity_class_maps.py):
     # MDBs and international organisations take the central-government
@@ -2817,6 +2850,7 @@ def run_irb(
         .when(F.col("exposure_class").isin("pse", "rgla"), F.lit("institution"))
         .otherwise(F.col("exposure_class")),
     )
+    cols.add("irb_exposure_class")
 
     # standardised-equivalent RWA for the Art.92(3) output floor: the SAME
     # SA ladder the SA branch runs (class × CQS lookup + overrides), so the
@@ -2846,8 +2880,11 @@ def run_irb(
     # columns so pd_floored/lgd_floored AND the irb_*_floor audit carriers
     # read the same expression (ref _pd_floor_expression /
     # _lgd_floor_blended_expression in engine/irb/formulas.py)
-    exp = exp.withColumn("_pd_floor_in", _pd_floor_class_expr(pack, exp)).withColumn(
-        "_lgd_floor_in", _lgd_floor_expr(pack, exp)
+    exp = exp.withColumns(
+        {
+            "_pd_floor_in": _pd_floor_class_expr(pack, exp, cols=cols),
+            "_lgd_floor_in": _lgd_floor_expr(pack, exp, cols=cols),
+        }
     )
     # F-IRB supervisory LGD for rows with no own estimate (ref
     # engine/irb/transforms.py apply_firb_lgd): seniority-routed senior/
@@ -2861,12 +2898,12 @@ def run_irb(
     # records that gating them on approach==FIRB was anti-conservative.
     _sen_sub = (
         F.coalesce(F.col("seniority"), F.lit("senior")).contains("sub")
-        if "seniority" in exp.columns
+        if "seniority" in cols
         else F.lit(False)
     )
     _fse_flag = (
         F.coalesce(F.col("is_financial_sector_entity"), F.lit(False))
-        if "is_financial_sector_entity" in exp.columns
+        if "is_financial_sector_entity" in cols
         else F.lit(False)
     )
     _supervisory_lgd = F.when(_sen_sub, pack.lit("firb_lgd_subordinated")).otherwise(
@@ -2874,7 +2911,7 @@ def run_irb(
             pack.lit("firb_lgd_senior")
         )
     )
-    if "purchased_receivables_subtype" in exp.columns:
+    if "purchased_receivables_subtype" in cols:
         _prs = F.col("purchased_receivables_subtype")
         _supervisory_lgd = (
             F.when(_prs == "senior", pack.lit("firb_lgd_pr_senior"))
@@ -2882,17 +2919,14 @@ def run_irb(
             .when(_prs == "dilution_risk", pack.lit("firb_lgd_dilution"))
             .otherwise(_supervisory_lgd)
         )
-    exp = exp.withColumn(
-        "pd_floored",
-        F.when(F.col("is_defaulted"), F.lit(1.0)).otherwise(
+    _floored_cols = {
+        "pd_floored": F.when(F.col("is_defaulted"), F.lit(1.0)).otherwise(
             F.greatest(F.coalesce("pd", F.lit(1.0)), F.col("_pd_floor_in"))
         ),
-    ).withColumn(
-        "lgd_floored",
-        F.greatest(
+        "lgd_floored": F.greatest(
             F.coalesce(F.col("lgd"), _supervisory_lgd), F.col("_lgd_floor_in")
         ),
-    )
+    }
     # Art.162 maturity priority chain (ref engine/irb/transforms.py
     # _build_maturity_exprs — highest rung wins):
     #   1. supplied effective_maturity = the firm's own Art.162(2) figure,
@@ -2908,17 +2942,17 @@ def run_irb(
     #   5. fallback 2.5y
     _one_day = (
         F.coalesce("has_one_day_maturity_floor", F.lit(False))
-        if "has_one_day_maturity_floor" in exp.columns
+        if "has_one_day_maturity_floor" in cols
         else F.lit(False)
     )
     if (
         pack.scalar("one_day_maturity_floor") >= 1.0
-        and "is_short_term_trade_lc" in exp.columns
+        and "is_short_term_trade_lc" in cols
     ):
         _resid_cands = [
             c
             for c in ("residual_maturity_years", "original_maturity_years")
-            if c in exp.columns
+            if c in cols
         ]
         if _resid_cands:
             _resid = F.coalesce(*[F.col(c) for c in _resid_cands])
@@ -2930,8 +2964,8 @@ def run_irb(
     if (
         pack.scalar("revolving_uses_termination_maturity") >= 1.0
         and reporting_date is not None
-        and "is_revolving" in exp.columns
-        and "facility_termination_date" in exp.columns
+        and "is_revolving" in cols
+        and "facility_termination_date" in cols
     ):
         _term_y = (
             F.datediff(
@@ -2947,14 +2981,15 @@ def run_irb(
     if (
         firb_fixed_maturity
         and pack.scalar("firb_fixed_supervisory_maturity") >= 1.0
-        and "irb_subapproach" in exp.columns
+        and "irb_subapproach" in cols
     ):
         _m_base = F.when(
             F.col("irb_subapproach") == "firb",
             pack.lit("firb_fixed_supervisory_maturity_years"),
         ).otherwise(_m_base)
-    exp = exp.withColumn(
-        "m_eff",
+    # pd_floored / lgd_floored / m_eff all read columns present after the
+    # floor-in projection — one batched projection instead of three
+    _floored_cols["m_eff"] = (
         F.when(
             F.col("effective_maturity").isNotNull(),
             F.least(
@@ -2963,8 +2998,9 @@ def run_irb(
             ),
         )
         .when(_one_day, F.lit(1.0 / 365.0))
-        .otherwise(_m_base),
+        .otherwise(_m_base)
     )
+    exp = exp.withColumns(_floored_cols)
 
     perf = exp.where(F.col("pd_floored") < 1.0)
 
@@ -2985,7 +3021,7 @@ def run_irb(
         & (F.col("annual_revenue") <= 50_000_000.0),
         spark_sme_size_adjustment("(annual_revenue / 1000000.0D)"),
     ).otherwise(F.lit(0.0))
-    if "retail_subtype" in perf.columns:
+    if "retail_subtype" in cols:
         r_retail = (
             F.when(F.col("retail_subtype") == "mortgage", F.lit(R_RETAIL_MORTGAGE))
             .when(F.col("retail_subtype") == "qrre", F.lit(R_RETAIL_QRRE))
@@ -2994,15 +3030,19 @@ def run_irb(
     else:
         r_retail = r_other_retail
     r_nonretail = r_corp - sme_adj
-    if "is_large_financial" in perf.columns:
+    if "is_large_financial" in cols:
         r_nonretail = F.when(
             F.coalesce(F.col("is_large_financial"), F.lit(False)),
             r_nonretail * F.lit(FI_CORRELATION_MULTIPLIER),
         ).otherwise(r_nonretail)
-    perf = perf.withColumn(
-        "_irb_r_in",
-        F.when(F.col("exposure_class") == "retail", r_retail).otherwise(r_nonretail),
-    ).withColumn("_no_ma", F.col("exposure_class") == "retail")
+    perf = perf.withColumns(
+        {
+            "_irb_r_in": F.when(
+                F.col("exposure_class") == "retail", r_retail
+            ).otherwise(r_nonretail),
+            "_no_ma": F.col("exposure_class") == "retail",
+        }
+    )
 
     # With routed correlations R is a function of (PD, class, sales, FI
     # flag) — sales is continuous, so a dictionary keyed on R would grow
@@ -3019,44 +3059,43 @@ def run_irb(
     else:
         perf = with_normal_ppf(perf, "pd_floored", "g_pd")
     perf = with_irb_k_r(perf, "pd_floored", "lgd_floored", "g_pd", "_irb_r_in", "k")
-    perf = perf.withColumn(
-        "ma",
-        F.when(F.col("_no_ma"), F.lit(1.0)).otherwise(
-            irb_maturity_adj(F.col("pd_floored"), F.col("m_eff"))
-        ),
-    )
     # IRB parameter decomposition carriers (ref CALCULATION_OUTPUT_SCHEMA
     # :3030-3041): the routed correlation and the Art.153(1) maturity
     # slope b, sealed HERE where the kernel inputs still exist as columns
-    # (retail rows carry no b — they take no maturity adjustment)
-    perf = perf.withColumn("irb_correlation_r", F.col("_irb_r_in")).withColumn(
-        "irb_maturity_adj_b",
-        F.when(F.col("_no_ma"), F.lit(None).cast("double")).otherwise(
-            irb_maturity_b(F.col("pd_floored"))
-        ),
+    # (retail rows carry no b — they take no maturity adjustment).
+    # ma and both carriers read pre-chain columns only — one projection
+    perf = perf.withColumns(
+        {
+            "ma": F.when(F.col("_no_ma"), F.lit(1.0)).otherwise(
+                irb_maturity_adj(F.col("pd_floored"), F.col("m_eff"))
+            ),
+            "irb_correlation_r": F.col("_irb_r_in"),
+            "irb_maturity_adj_b": F.when(
+                F.col("_no_ma"), F.lit(None).cast("double")
+            ).otherwise(irb_maturity_b(F.col("pd_floored"))),
+        }
     )
     perf = perf.drop("g_pd", "_irb_r_in", "_no_ma")
     # CRR Art.153(1): ×1.06 scaling on non-defaulted IRB (B3.1 sets it to
     # 1.0 — the attribution waterfall decomposes exactly this removal)
-    perf = (
-        perf.withColumn(
-            "risk_weight",
-            F.col("k") * F.col("ma") * 12.5 * pack.lit("irb_scaling_factor"),
-        )
-        .withColumn(
-            "rw_source",
+    perf = perf.withColumns(
+        {
+            "risk_weight": F.col("k")
+            * F.col("ma")
+            * 12.5
+            * pack.lit("irb_scaling_factor"),
             # permission-routed runs record WHICH IRB variant priced the
             # row (airb = own LGD, firb = supervisory LGD) — the
             # model-permissions stage sets irb_subapproach
-            (
+            "rw_source": (
                 F.when(
                     F.col("irb_subapproach").isNotNull(),
                     F.concat(F.lit("irb_vasicek_"), F.col("irb_subapproach")),
                 ).otherwise("irb_vasicek")
-                if "irb_subapproach" in perf.columns
+                if "irb_subapproach" in cols
                 else F.lit("irb_vasicek")
             ),
-        )
+        }
     )
     # the rest of the decomposition block (ref :3026-3041): raw-vs-floor
     # parameter provenance, the LGD basis, and the kernel outputs K and
@@ -3064,7 +3103,7 @@ def run_irb(
     # computed, surfaced instead of dropped
     _sub = (
         F.coalesce(F.col("irb_subapproach"), F.lit(""))
-        if "irb_subapproach" in perf.columns
+        if "irb_subapproach" in cols
         else F.lit("")
     )
     # one batched withColumns — every carrier copies a pre-existing column,
@@ -3090,8 +3129,8 @@ def run_irb(
     # The pre-blend Vasicek weight is stashed first — it is the CR7/CR7-A
     # "RWEA without substitution effects" hypothetical
     perf = perf.withColumn("_rw_pre_subst", F.col("risk_weight"))
-    perf, el_expr = _irb_guarantee_adjust(perf, pack, spark)
-    perf = _el_columns(perf, el_expr, pool_b_extras=True)
+    perf, el_expr = _irb_guarantee_adjust(perf, pack, spark, cols=cols)
+    perf = _el_columns(perf, el_expr, pool_b_extras=True, cols=cols)
 
     # defaulted bypasses Vasicek (CRR Art.153(1)(ii)/154(1)(i), CRE31.3):
     # A-IRB (own BEEL supplied): K = max(0, LGD − BEEL), no MA, no 1.06;
@@ -3101,35 +3140,37 @@ def run_irb(
         F.col("el_be").isNotNull(),
         F.greatest(F.col("lgd_floored") - F.col("el_be"), F.lit(0.0)),
     ).otherwise(F.lit(0.0))
-    dflt = (
-        dflt.withColumn("risk_weight", k_dflt * 12.5)
-        .withColumn(
-            "rw_source",
-            F.when(F.col("el_be").isNotNull(), "irb_defaulted_airb").otherwise(
-                "irb_defaulted_firb"
-            ),
-        )
-        # decomposition carriers on the defaulted leg: PD is pinned at 1
-        # (no floor consulted), the Vasicek quantities (R, b) never exist,
-        # and K is the Art.153(1)(ii) max(0, LGD − E·L_BE) — sealed from
-        # the same expression that priced the row
-        .withColumn("irb_pd_original", F.col("pd"))
-        .withColumn("irb_pd_floored", F.col("pd_floored"))
-        .withColumn("irb_lgd_original", F.col("lgd"))
-        .withColumn("irb_lgd_floor", F.col("_lgd_floor_in"))
-        .withColumn("irb_lgd_floored", F.col("lgd_floored"))
-        .withColumn(
-            "irb_lgd_type",
-            F.when(F.col("el_be").isNotNull(), "modelled").otherwise("supervisory"),
-        )
-        .withColumn("irb_maturity_m", F.col("m_eff"))
-        .withColumn("irb_capital_k", k_dflt)
-        .withColumn("irb_risk_weight", F.col("risk_weight"))
+    # decomposition carriers on the defaulted leg: PD is pinned at 1
+    # (no floor consulted), the Vasicek quantities (R, b) never exist,
+    # and K is the Art.153(1)(ii) max(0, LGD − E·L_BE) — sealed from
+    # the same expression that priced the row. One batched projection:
+    # irb_risk_weight reuses risk_weight's expression object (identical
+    # arithmetic DAG, bit-equal to reading the chained column)
+    _rw_dflt = k_dflt * 12.5
+    dflt = dflt.withColumns(
+        {
+            "risk_weight": _rw_dflt,
+            "rw_source": F.when(
+                F.col("el_be").isNotNull(), "irb_defaulted_airb"
+            ).otherwise("irb_defaulted_firb"),
+            "irb_pd_original": F.col("pd"),
+            "irb_pd_floored": F.col("pd_floored"),
+            "irb_lgd_original": F.col("lgd"),
+            "irb_lgd_floor": F.col("_lgd_floor_in"),
+            "irb_lgd_floored": F.col("lgd_floored"),
+            "irb_lgd_type": F.when(
+                F.col("el_be").isNotNull(), "modelled"
+            ).otherwise("supervisory"),
+            "irb_maturity_m": F.col("m_eff"),
+            "irb_capital_k": k_dflt,
+            "irb_risk_weight": _rw_dflt,
+        }
     )
     dflt = _el_columns(
         dflt,
         F.coalesce("el_be", F.col("lgd_floored")) * F.col("ead_after_crm"),
         pool_b_extras=True,
+        cols=cols,
     )
 
     # defaulted rows never substitute — the hypothetical equals the actual
@@ -3143,11 +3184,11 @@ def run_irb(
                 F.lit("irb_permission_"),
                 F.coalesce(F.col("irb_subapproach"), F.lit("granted")),
             )
-            if "irb_subapproach" in df.columns
+            if "irb_subapproach" in cols
             else F.lit("irb_permission_granted")
         )
         _sme_f, _infra_f, _sf = _supporting_factor_exprs(
-            pack, threshold_scale, df.columns
+            pack, threshold_scale, cols
         )
         # one batched projection; supporting_factor_benefit inlines the
         # exact rwa_before_sf/rwa expressions (identical DAG, bit-equal)
@@ -3176,8 +3217,9 @@ def run_irb(
             pd_col=F.col("pd_floored"),
             lgd_col=F.col("lgd_floored"),
             m_col=F.col("m_eff"),
+            cols=cols,
         )
-        df = _apply_pma(df, pack, pma)
+        df = _apply_pma(df, pack, pma, cols=cols)
         return df.select(*_RESULT_COLS)
 
     return CalcOutput(results=_finish(perf).unionByName(_finish(dflt)))
@@ -3195,11 +3237,12 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
     functions/secsa.py) — beyond the reference. Pure exp/arithmetic, so
     the branch stays inside whole-stage codegen."""
     exp = _crm_carry(crm.exposures.where(F.col("exposure_class") == "securitisation"))
+    cols = _colset(exp)
     flat_rw = F.greatest(
         pack.lit("secsa_floor_rw"),
         pack.lit("secsa_ksa") * F.lit(12.5) * pack.lit("secsa_p"),
     )
-    if "attachment" in exp.columns:
+    if "attachment" in cols:
         from rwa_calculator_spark.functions.secsa import (
             ssfa_risk_weight_cols,
         )
@@ -3210,7 +3253,7 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
             F.when(F.col("is_sts"), pack.lit("secsa_p_sts")).otherwise(
                 pack.lit("secsa_p")
             )
-            if "is_sts" in exp.columns
+            if "is_sts" in cols
             else pack.lit("secsa_p")
         )
         rw_sa = ssfa_risk_weight_cols(
@@ -3228,7 +3271,7 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         # Art.92(3) floor base: SEC-IRBA rows floor against their SEC-SA
         # equivalent, so the SA-side RW is kept regardless of routing
         sa_equiv_rw = rw
-        if "k_irb" in exp.columns:
+        if "k_irb" in cols:
             # SEC-IRBA (CRR Art.259): same SSFA closed form with the
             # pool's own K_IRB and the supervisory p-formula
             # p = max(floor, A + B/N + C·K_IRB + D·LGD + E·M_T).
@@ -3260,19 +3303,25 @@ def run_secsa(crm: CRMOutput, pack: RulePack) -> CalcOutput:
         rw = flat_rw
         rw_src = F.lit("sec_sa")
         sa_equiv_rw = rw
-    if "k_irb" not in exp.columns:
+    if "k_irb" not in cols:
         approach_col = F.lit("SEC-SA")
-    exp = (
-        exp.withColumn("approach", approach_col)
-        .withColumn("risk_weight", rw)
-        .withColumn("rw_source", rw_src)
-        .withColumn("rwa_before_sf", F.col("ead_after_crm") * rw)
-        .withColumn("rwa", F.col("ead_after_crm") * rw)
+    exp = exp.withColumns(
+        {
+            "approach": approach_col,
+            "risk_weight": rw,
+            "rw_source": rw_src,
+            "rwa_before_sf": F.col("ead_after_crm") * rw,
+            "rwa": F.col("ead_after_crm") * rw,
+        }
     )
     exp = _el_columns(exp, F.lit(0.0))
-    exp = _param_cols(exp)
-    exp = exp.withColumn("rwa_sa_equivalent", F.col("ead_after_crm") * sa_equiv_rw)
-    exp = exp.withColumn("rwa_pre_crm_substitution", F.col("rwa"))
+    exp = _param_cols(exp, cols=cols)
+    exp = exp.withColumns(
+        {
+            "rwa_sa_equivalent": F.col("ead_after_crm") * sa_equiv_rw,
+            "rwa_pre_crm_substitution": F.col("rwa"),
+        }
+    )
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 
@@ -3285,6 +3334,7 @@ def run_slotting(
     (CRR Art.153(5)/158(6); ref engine/slotting/)."""
     spark = crm.exposures.sparkSession
     exp = _crm_carry(crm.exposures.where(F.col("is_specialised")))
+    cols = _colset(exp)
     # Art.153(5) Table A keys on (category, maturity band, HVCRE): the
     # preferential short row applies below 2.5y remaining maturity;
     # unknown maturity conservatively takes the long row. Joining on the
@@ -3297,7 +3347,7 @@ def run_slotting(
         "_sl_hvcre",
         (
             F.coalesce("is_hvcre", F.lit(False))
-            if "is_hvcre" in exp.columns
+            if "is_hvcre" in cols
             else F.lit(False)
         ),
     )
@@ -3320,43 +3370,53 @@ def run_slotting(
             F.coalesce("rw", pack.lit("unrated_corp_rw"))
         ),
     )
-    exp = (
-        exp.withColumn("exposure_class", F.lit("specialised"))
-        .withColumn("approach", F.lit("SLOTTING"))
-        .withColumn("approach_reason", F.lit("slotting_category_assigned"))
-        .withColumn(
-            "rw_source",
-            F.when(F.col("is_defaulted"), "slotting_defaulted").otherwise("slotting"),
-        )
-        .withColumn("rwa_before_sf", F.col("ead_after_crm") * F.col("risk_weight"))
-        .withColumn("rwa", F.col("ead_after_crm") * F.col("risk_weight"))
-        # SL decomposition (ref :3042-3045): the category's assigned weight
-        # under its own name (sl_type/sl_project_phase ride through as
-        # input carriers where the bundle declares them)
-        .withColumn("sl_risk_weight", F.col("risk_weight"))
+    # SL decomposition (ref :3042-3045): the category's assigned weight
+    # under its own name (sl_type/sl_project_phase ride through as input
+    # carriers where the bundle declares them). All read pre-chain columns
+    # (risk_weight landed in the previous projection) — one batched call
+    exp = exp.withColumns(
+        {
+            "exposure_class": F.lit("specialised"),
+            "approach": F.lit("SLOTTING"),
+            "approach_reason": F.lit("slotting_category_assigned"),
+            "rw_source": F.when(
+                F.col("is_defaulted"), "slotting_defaulted"
+            ).otherwise("slotting"),
+            "rwa_before_sf": F.col("ead_after_crm") * F.col("risk_weight"),
+            "rwa": F.col("ead_after_crm") * F.col("risk_weight"),
+            "sl_risk_weight": F.col("risk_weight"),
+        }
     )
     # CRR Art.501/501a on the slotting branch (ref slotting/calculator.py
     # :146 _apply_supporting_factors — infrastructure project finance in
     # slotting qualifies for the 0.75 factor; B3.1 disables both)
     _sme_f, _infra_f, _sf = _supporting_factor_exprs(
-        pack, threshold_scale, exp.columns
+        pack, threshold_scale, cols
     )
-    exp = (
-        exp.withColumn("rwa", F.col("rwa") * _sf)
-        .withColumn("sme_supporting_factor", _sme_f)
-        .withColumn("infra_supporting_factor", _infra_f)
-        .withColumn(
-            "supporting_factor_benefit", F.col("rwa_before_sf") - F.col("rwa")
-        )
+    # one batched projection: supporting_factor_benefit inlines the exact
+    # post-factor rwa expression (identical arithmetic DAG, bit-equal to
+    # reading the chained column)
+    _rwa_sf = F.col("rwa") * _sf
+    exp = exp.withColumns(
+        {
+            "rwa": _rwa_sf,
+            "sme_supporting_factor": _sme_f,
+            "infra_supporting_factor": _infra_f,
+            "supporting_factor_benefit": F.col("rwa_before_sf") - _rwa_sf,
+        }
     )
     exp = _el_columns(
         exp, F.coalesce("el_rate", F.lit(0.0)) * F.col("ead_after_crm")
     )
     # carry the maturity the band keyed on (Pillar 3 CR10 splits every
     # category into <2.5y / ≥2.5y rows on exactly this input)
-    exp = _param_cols(exp, m_col=F.col("effective_maturity").cast("double"))
-    exp = exp.withColumn("rwa_sa_equivalent", F.col("rwa"))
-    exp = exp.withColumn("rwa_pre_crm_substitution", F.col("rwa"))
+    exp = _param_cols(exp, cols=cols, m_col=F.col("effective_maturity").cast("double"))
+    exp = exp.withColumns(
+        {
+            "rwa_sa_equivalent": F.col("rwa"),
+            "rwa_pre_crm_substitution": F.col("rwa"),
+        }
+    )
     return CalcOutput(results=exp.select(*_RESULT_COLS))
 
 

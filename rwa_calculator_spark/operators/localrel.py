@@ -85,11 +85,15 @@ def local_literal_df(
         cells = []
         for v, t in zip(r, types):
             s = _sql_literal(v)
-            if s is None:
+            # The float rendering is bit-identical only when the target is a
+            # floating-point column: for e.g. decimal(p,s), CAST('2.675')
+            # rounds the exact decimal text while F.lit rounds the binary
+            # double — different paths, different digits. Fall back.
+            if s is None or (isinstance(v, float) and t not in ("double", "float")):
                 return _column_literal_df(spark, st, rows)
             cells.append(f"CAST({s} AS {t})")
         tuples.append(f"({', '.join(cells)})")
-    cols = ", ".join(f"`{n}`" for n in names)
+    cols = ", ".join("`{}`".format(n.replace("`", "``")) for n in names)
     return spark.sql(
         f"SELECT * FROM (VALUES {', '.join(tuples)}) AS _litrel({cols})"
     )

@@ -69,4 +69,16 @@ def build_session(
 
     disable_dataframe_debugging()
     spark.sparkContext.setLogLevel("WARN")
+    # Releasing a locally-checkpointed frame (release_cached_blocks /
+    # lazy-checkpoint GC) logs a benign "lineage has been truncated" WARN
+    # per RDD — dozens of lines of noise in the bench's one-JSON-line
+    # stderr. Quiet that one logger; every other RDD warning still shows.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging-only tuning; never fail session build over it
     return spark

@@ -66,3 +66,23 @@ def test_fallbacks_keep_working(spark):
     assert math.isnan(vals[0]) and vals[1] == 1.0
     df2 = local_literal_df(spark, "x string", [("a\\b",)])
     assert df2.collect()[0].x == "a\\b"
+
+
+def test_float_to_decimal_falls_back_to_column_path(spark):
+    # The SQL renderer's float guarantee is double/float-only: a float
+    # targeting e.g. decimal(p,s) must route through the Column fallback
+    # so both entry points agree by construction.
+    df = local_literal_df(spark, "x decimal(3,2)", [(2.675,)])
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not opt.startswith("LocalRelation"), "expected Column fallback"
+    ref = _column_literal_df(
+        spark, StructType.fromDDL("x decimal(3,2)"), [(2.675,)]
+    )
+    assert df.collect()[0].x == ref.collect()[0].x
+
+
+def test_backtick_in_column_name(spark):
+    st = StructType.fromDDL("`a``b` int")
+    df = local_literal_df(spark, st, [(1,), (2,)])
+    assert df.columns == ["a`b"]
+    assert sorted(r["a`b"] for r in df.collect()) == [1, 2]
