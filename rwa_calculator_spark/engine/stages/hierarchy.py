@@ -457,7 +457,13 @@ def run_hierarchy(
             # null for self-rooted counterparties (no org edge)
             F.col("depth").alias("hierarchy_depth"),
         )
-        dim = dim.join(up, "counterparty_reference", "left")
+        # `up` ends at the resolver's checkpointed RDD, whose size statistics
+        # are unknown (defaultSizeInBytes) — the planner therefore SMJ-
+        # shuffles BOTH dim-sized lanes (2 Exchanges + 2 Sorts in every
+        # engine query's prefix). It is org-graph-node grain, the same size
+        # class as `direct` below: broadcast explicitly (guide §3.1 — hint
+        # when the estimate is known-wrong).
+        dim = dim.join(F.broadcast(up), "counterparty_reference", "left")
         # direct-parent carriers (ref CALCULATION_OUTPUT_SCHEMA
         # counterparty_has_parent / parent_counterparty_reference): the
         # obligor's IMMEDIATE org parent, distinct from the resolved apex

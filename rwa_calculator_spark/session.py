@@ -48,6 +48,15 @@ def build_session(
         # 26 cores. 8m keeps post-shuffle stages parallel at bench scale and
         # is still far above the scheduler-overhead floor at cluster scale.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # Engine post-shuffle stages are CPU-heavy over narrow bytes (160
+        # derived columns on a ~20MB shuffle): byte-targeted coalescing
+        # shrinks them to a handful of tasks and strands the other cores
+        # (measured: the group-window reduce ran 6-wide on 32 cores, 4.5s
+        # of task time on the critical path). Floor the coalesced width at
+        # the session's core count — scale-adaptive (derived from
+        # SPARK_GRAFT_CPUS / cluster parallelism, not a constant), and the
+        # floor never widens a shuffle beyond its initial partition count.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(cpus))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
