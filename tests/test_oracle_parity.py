@@ -24,7 +24,10 @@ REGISTRY = load_all()
 WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
-if os.environ.get("SPARK_GRAFT_FULL_PARITY", "") != "1":
+if (
+    os.environ.get("SPARK_GRAFT_FULL_PARITY", "") != "1"
+    and os.environ.get("SPARK_GRAFT_FULL_SUITE", "") != "1"
+):
     WITH_ORACLE = WITH_ORACLE[::4]
     ROWS_ONLY = ROWS_ONLY[::4]
 
